@@ -1,0 +1,37 @@
+"""Timestamp helpers (SURVEY.md §2.6 C6; reference src/timestamp.rs).
+
+The reference serializes timestamps as epoch millis (src/timestamp.rs:10-21),
+parses query params as epoch millis OR RFC3339 (src/timestamp.rs:44-57), and
+buckets change-times with ``cut_millis(granularity)`` (src/timestamp.rs:58-64).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+def parse_ts_param(s: str | int | float | _dt.datetime) -> _dt.datetime:
+    """Epoch-millis or RFC3339 → aware UTC datetime (src/timestamp.rs:44-57)."""
+    if isinstance(s, _dt.datetime):
+        return s if s.tzinfo else s.replace(tzinfo=_dt.timezone.utc)
+    if isinstance(s, (int, float)):
+        return _dt.datetime.fromtimestamp(float(s) / 1000.0, tz=_dt.timezone.utc)
+    txt = str(s)
+    try:
+        return _dt.datetime.fromtimestamp(int(txt) / 1000.0, tz=_dt.timezone.utc)
+    except ValueError:
+        return _dt.datetime.fromisoformat(txt.replace("Z", "+00:00"))
+
+def ts_to_millis(ts: Column) -> Column:
+    """TIMESTAMP → epoch millis BIGINT (JSON output form)."""
+    return (F.unix_timestamp(ts) * F.lit(1000) + F.date_part(F.lit("MILLISECOND"), ts).cast("bigint") % 1000).cast("bigint")
+
+def cut_millis(ts: Column, granularity_sec: int) -> Column:
+    """Bucket a timestamp to granularity (src/timestamp.rs:58-64) — the
+    analog of the reference's ``idx_changed`` time index; at rest this is
+    the partition column ``ts_date`` giving partition pruning instead of a
+    posting-list lookup (SURVEY.md §2.4 J2)."""
+    g = F.lit(granularity_sec)
+    return F.timestamp_seconds((F.unix_timestamp(ts) / g).cast("bigint") * g)
