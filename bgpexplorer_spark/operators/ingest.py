@@ -1,0 +1,94 @@
+"""Ingest normalization — the write path (SURVEY.md §2.2).
+
+The reference funnels decoded BGP UPDATEs through a single writer thread
+that mutates nested BTreeMaps in place (src/ribservice.rs:130-167,
+src/bgprib.rs:1104-1205). Here the write path is a *pure transformation*:
+``updates`` event rows (FIXTURES.md Table 1 — one row per message x NLRI,
+U7 flattening applied) → ``rib_history`` rows with withdraw tombstones
+(U5), optional change-dedup (U3) and bounded retention (U4). Ordering per
+key comes from event time, not from a single writer (U10) — which is what
+makes the same function valid under Structured Streaming ``foreachBatch``
+and at 1000-executor scale: all windows partition by the history key, so
+the shuffle is one exchange on (rib, nlri_str, session_id, path_id) reused
+by every subsequent step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.functions.codecs import aspath_flatten
+from bgpexplorer_spark.schemas import ATTR_FIELDS, KEY_COLS
+
+ATTR_COLS = [f.name for f in ATTR_FIELDS]
+
+def attrs_struct(prefix: str = "") -> Column:
+    """The 13-field BgpAttrs struct (src/bgpattrs.rs:20-35) as one column —
+    used for whole-attrs equality in differ mode (U3), the Spark analog of
+    the reference's Arc pointer comparison (src/bgprib.rs:667-679)."""
+    return F.struct(*[F.col(prefix + c).alias(c) for c in ATTR_COLS])
+
+def build_history(
+    updates: DataFrame,
+    history_mode: str = "every",
+    history_depth: int | None = None,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """``updates`` events → ``rib_history`` (U1/U2/U3/U4/U5/U7).
+
+    - Withdraw rows arrive with null attrs; they become ``active=false``
+      tombstones carrying the attrs of the last prior update for the same
+      (rib, nlri, session, path) — the as-of forward fill replacing the
+      reference's in-map lookup (src/bgprib.rs:596-618). A withdraw with
+      no prior update is dropped (src/bgprib.rs:594-597 ``None =>
+      continue``).
+    - ``history_mode='differ'``: keep an entry only when (attrs, active)
+      changed vs the previous kept entry (src/bgprib.rs:667-679; enum
+      src/config.rs:22-28). Skipped rows always equal their immediate
+      predecessor, so ``lag`` over the raw sequence is equivalent to
+      comparing against the last *kept* row.
+    - ``history_depth``: newest-N per key (shrink_hist,
+      src/bgprib.rs:326-341), applied after dedup like the reference's
+      shrink-before-insert.
+
+    ``seq_col`` breaks ts ties (arrival order) when the source provides one.
+    """
+    order = [F.col("ts")] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(*KEY_COLS).orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+
+    is_upd = F.col("op") == F.lit("update")
+    df = updates.withColumn("active", is_upd)
+    # forward-fill: attrs of the most recent update at-or-before this row
+    df = df.withColumn(
+        "_last_attrs",
+        F.last(F.when(is_upd, attrs_struct()), ignorenulls=True).over(wcum),
+    )
+    # withdraw-before-any-update rows vanish (reference skips them)
+    df = df.filter(F.col("_last_attrs").isNotNull())
+    df = df.select(
+        *[c for c in df.columns if c not in ATTR_COLS and not c.startswith("_")],
+        *[F.col("_last_attrs").getField(c).alias(c) for c in ATTR_COLS],
+    )
+
+    if history_mode == "differ":
+        pair = F.struct(attrs_struct(), F.col("active"))
+        df = (
+            df.withColumn("_prev", F.lag(pair).over(w))
+            .filter(F.col("_prev").isNull() | (pair != F.col("_prev")))
+            .drop("_prev")
+        )
+    elif history_mode != "every":
+        raise ValueError(f"history_mode must be 'every' or 'differ', got {history_mode!r}")
+
+    if history_depth is not None:
+        wdesc = Window.partitionBy(*KEY_COLS).orderBy(*[c.desc() for c in order])
+        df = (
+            df.withColumn("_rn", F.row_number().over(wdesc))
+            .filter(F.col("_rn") <= F.lit(history_depth))
+            .drop("_rn")
+        )
+
+    df = df.withColumn("aspath_flat", aspath_flatten(F.col("aspath")))
+    return df.drop("op")
