@@ -1,0 +1,397 @@
+"""3-valued filter compiler: parsed terms → one Spark Column.
+
+Truth encoding: a term/filter evaluates to a **nullable boolean Column** —
+``true`` = Yes, ``false`` = No, ``NULL`` = Unknown (the reference's
+FilterItemMatchResult, src/ribfilter.rs:36-110). This makes the whole-filter
+conjunction literally the SQL ``AND``: Kleene 3VL (any false ⇒ false; all
+true ⇒ true; else NULL) is exactly RouteFilter::match_route's fold
+(src/ribfilter.rs:760-794). A route/history row is emitted iff the filter
+column IS TRUE (src/ribfilter.rs:606-609).
+
+Per-term semantics (FilterTerm::match_route truth table,
+src/ribfilter.rs:1562-1604), with ``k`` = key match, ``a`` = attr match,
+``pol`` = polarity application (``-`` swaps Yes/No, Unknown unchanged):
+
+    k=No                  → pol(No)
+    k=Yes, a=No           → pol(No)
+    k=Yes, a=Yes          → pol(Yes)
+    k=Yes, a=Unknown      → Yes        (bypasses polarity — reference quirk)
+    k=Unknown, a≠Unknown  → pol(a)
+    k=Unknown, a=Unknown  → Unknown
+
+Key-match dispatch is static per rib (the HTTP API always addresses one
+rib, src/ribservice.rs:260-277), so the compiled Column contains only the
+arms that rib needs; composite keys chain rd→inner and MVPN/MDT use the
+majority vote ``multi`` (src/ribfilter.rs:59-81).
+
+Everything is built-in Column algebra — codegen-able, and the V4/V6 terms
+reduce to range predicates on the sortable address forms, which parquet
+min/max stats prune at 100 TB (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.filterlang.terms import (
+    ASPathTerm,
+    CommunityTerm,
+    ExtCommTerm,
+    FilterTerm,
+    Item,
+    NH4Term,
+    NH6Term,
+    NumTerm,
+    RDTerm,
+    RegexTerm,
+    V4Term,
+    V6Term,
+    parse_filter,
+)
+from bgpexplorer_spark.functions import codecs, iputil
+from bgpexplorer_spark.functions.iputil import v4_net_range, v6_net_range
+
+# --- 3VL helpers ------------------------------------------------------------
+
+def _YES() -> Column:
+    return F.lit(True)
+
+def _NO() -> Column:
+    return F.lit(False)
+
+def _UNKNOWN() -> Column:
+    return F.lit(None).cast("boolean")
+
+def hard(b: Column) -> Column:
+    """bool → Yes/No (never Unknown): coalesce nulls to No."""
+    return F.coalesce(b, _NO())
+
+def soft(b: Column) -> Column:
+    """bool → Yes/Unknown (FilterItemMatchResult::soft,
+    src/ribfilter.rs:52-58)."""
+    return F.when(F.coalesce(b, _NO()), _YES()).otherwise(_UNKNOWN())
+
+def chain(first: Column, second: Column) -> Column:
+    """'if first is Unknown, try second' — the rd→inner-prefix delegation
+    of WithRd/MVPN/EVPN keys (src/ribfilter.rs:458-470 etc.)."""
+    return F.when(first.isNotNull(), first).otherwise(second)
+
+def multi(*results: Column) -> Column:
+    """Majority vote: #Yes > #No ⇒ Yes; #No > #Yes ⇒ No; tie ⇒ Unknown
+    (src/ribfilter.rs:59-81)."""
+    yes = sum(F.when(r.isNotNull() & r, 1).otherwise(0) for r in results)
+    no = sum(F.when(r.isNotNull() & ~r, 1).otherwise(0) for r in results)
+    return F.when(yes > no, _YES()).when(no > yes, _NO()).otherwise(_UNKNOWN())
+
+# --- column shorthands ------------------------------------------------------
+
+def _ADDR4() -> Column:
+    return F.col("addr_v4")
+
+def _ADDR6() -> Column:
+    return F.col("addr_v6")
+
+def _PLEN() -> Column:
+    return F.col("prefixlen")
+
+def _host_mc_v4(addr: Column) -> Column:
+    """service.rs is_multicast_v4: ≥224.0.0.0 excluding 255.255.255.255."""
+    return (F.shiftright(addr, 24) >= 224) & (addr != F.lit(iputil.V4_MAX))
+
+def _host_mc_v6(addr: Column) -> Column:
+    return F.substring(addr, 1, 1) == F.lit(b"\xff")
+
+def _prefix_mc_v4(addr: Column, plen: Column) -> Column:
+    """zettabgp BgpAddrV4::is_multicast: prefix ⊆ 224.0.0.0/4."""
+    return (plen >= 4) & (F.shiftright(addr, 28) == 0xE)
+
+def _prefix_mc_v6(addr: Column, plen: Column) -> Column:
+    return (plen >= 8) & (F.substring(addr, 1, 1) == F.lit(b"\xff"))
+
+# --- key match per base type (match_item impls, src/ribfilter.rs:218-540) ---
+
+def _key_v4prefix(item: Item, supernet: bool) -> Column:
+    """BgpAddrV4 prefix key (match_ipv4 / match_super_ipv4,
+    src/ribfilter.rs:1371-1392 / 1350-1357)."""
+    if isinstance(item, V4Term):
+        first, last = v4_net_range(item.addr, item.plen)
+        if supernet:
+            # route.contains(filter net) — no multicast gate
+            return hard(
+                iputil.v4_supernet_contains(_ADDR4(), _PLEN(), first, last)
+            )
+        contains = iputil.v4_subnet_contains(_ADDR4(), _PLEN(), first, last, item.plen)
+        route_mc = _prefix_mc_v4(_ADDR4(), _PLEN())
+        if item.multicast:
+            return F.when(route_mc, hard(contains)).otherwise(_UNKNOWN())
+        return F.when(route_mc, _UNKNOWN()).otherwise(hard(contains))
+    if isinstance(item, NumTerm):
+        if supernet:
+            return soft(_PLEN() == item.n)
+        return hard(_PLEN() == item.n)  # hard for v4 (src/ribfilter.rs:1386)
+    if isinstance(item, RegexTerm) and not supernet:
+        return soft(F.col("nlri_str").rlike(item.pattern))
+    return _UNKNOWN()
+
+def _key_v6prefix(item: Item, supernet: bool) -> Column:
+    if isinstance(item, V6Term):
+        first, last = v6_net_range(item.addr, item.plen)
+        if supernet:
+            return hard(
+                iputil.v6_supernet_contains(_ADDR6(), _PLEN(), first, last)
+            )
+        contains = iputil.v6_subnet_contains(_ADDR6(), _PLEN(), first, last, item.plen)
+        route_mc = _prefix_mc_v6(_ADDR6(), _PLEN())
+        if item.multicast:
+            return F.when(route_mc, hard(contains)).otherwise(_UNKNOWN())
+        return F.when(route_mc, _UNKNOWN()).otherwise(hard(contains))
+    if isinstance(item, NumTerm):
+        return soft(_PLEN() == item.n)  # soft for v6 (src/ribfilter.rs:1409-1411)
+    if isinstance(item, RegexTerm) and not supernet:
+        return soft(F.col("nlri_str").rlike(item.pattern))
+    return _UNKNOWN()
+
+def _key_rd(item: Item) -> Column:
+    """match_rd (src/ribfilter.rs:1418-1429)."""
+    if isinstance(item, RDTerm):
+        return hard((F.col("rd_hi") == item.hi) & (F.col("rd_lo") == item.lo))
+    if isinstance(item, NumTerm):
+        return soft((F.col("rd_hi") == item.n) | (F.col("rd_lo") == item.n))
+    if isinstance(item, RegexTerm):
+        return soft(
+            codecs.rd_to_str(F.col("rd_hi"), F.col("rd_lo")).rlike(item.pattern)
+        )
+    return _UNKNOWN()
+
+def _key_host_v4(addr: Column, item: Item) -> Column:
+    """Plain Ipv4Addr host (match_addr_v4, src/ribfilter.rs:1312-1330) —
+    only V4/MCV4 arms; host-multicast gate from service.rs."""
+    if isinstance(item, V4Term):
+        first, last = v4_net_range(item.addr, item.plen)
+        in_net = iputil.v4_in_subnet(addr, first, last)
+        mc = _host_mc_v4(addr)
+        gated = F.when(mc, _UNKNOWN()).otherwise(hard(in_net)) if not item.multicast \
+            else F.when(mc, hard(in_net)).otherwise(_UNKNOWN())
+        return F.when(addr.isNull(), _UNKNOWN()).otherwise(gated)
+    return _UNKNOWN()
+
+def _key_host_v6(addr: Column, item: Item) -> Column:
+    if isinstance(item, V6Term):
+        first, last = v6_net_range(item.addr, item.plen)
+        in_net = iputil.v6_in_subnet(addr, first, last)
+        mc = _host_mc_v6(addr)
+        gated = F.when(mc, _UNKNOWN()).otherwise(hard(in_net)) if not item.multicast \
+            else F.when(mc, hard(in_net)).otherwise(_UNKNOWN())
+        return F.when(addr.isNull(), _UNKNOWN()).otherwise(gated)
+    return _UNKNOWN()
+
+def _key_v4_component(addr: Column, item: Item) -> Column:
+    """A nested BgpAddrV4 /32 component (MVPN source/group/originator) —
+    full match_ipv4 semantics; the prefix-multicast gate degenerates to a
+    first-nibble check on a /32 (src/ribfilter.rs:354-364)."""
+    if isinstance(item, V4Term):
+        first, last = v4_net_range(item.addr, item.plen)
+        contains = iputil.v4_in_subnet(addr, first, last)
+        route_mc = F.shiftright(addr, 28) == 0xE
+        if item.multicast:
+            res = F.when(route_mc, hard(contains)).otherwise(_UNKNOWN())
+        else:
+            res = F.when(route_mc, _UNKNOWN()).otherwise(hard(contains))
+        return F.when(addr.isNull(), _UNKNOWN()).otherwise(res)
+    if isinstance(item, NumTerm):
+        return F.when(addr.isNull(), _UNKNOWN()).otherwise(hard(F.lit(32) == item.n))
+    if isinstance(item, RegexTerm):
+        return F.when(
+            addr.isNull(), _UNKNOWN()
+        ).otherwise(
+            soft(F.concat(iputil.v4_to_dotted(addr), F.lit("/32")).rlike(item.pattern))
+        )
+    return _UNKNOWN()
+
+def _key_l2(item: Item) -> Column:
+    """BgpAddrL2 (src/ribfilter.rs:306-319): rd, else Num hard on
+    site/offset..range, else regex soft."""
+    if isinstance(item, (RDTerm,)):
+        return _key_rd(item)
+    if isinstance(item, NumTerm):
+        return hard(
+            (F.col("l2_site") == item.n)
+            | ((F.col("l2_offset") <= item.n) & (F.col("l2_range") >= item.n))
+        )
+    if isinstance(item, RegexTerm):
+        return soft(F.col("nlri_str").rlike(item.pattern))
+    return _UNKNOWN()
+
+def _key_mvpn(item: Item) -> Column:
+    """BgpMVPN dispatch (src/ribfilter.rs:320-388). T5 exact (rd → else
+    multi(source, group)); T1 rd→originator; others rd-only (the driver
+    data and reference tests exercise T5)."""
+    rd = _key_rd(item)
+    t5 = chain(
+        rd,
+        multi(
+            _key_v4_component(F.col("mvpn_source_v4"), item),
+            _key_v4_component(F.col("mvpn_group_v4"), item),
+        ),
+    )
+    t1 = chain(rd, _key_v4_component(F.col("mvpn_originator_v4"), item))
+    return (
+        F.when(F.col("mvpn_type") == 5, t5)
+        .when(F.col("mvpn_type") == 1, t1)
+        .otherwise(rd)
+    )
+
+def _key_evpn(item: Item) -> Column:
+    """BgpEVPN (src/ribfilter.rs:389-443): rd first; types 2-5 then match
+    the (gateway) IP host."""
+    rd = _key_rd(item)
+    ip = chain(_key_host_v4(_ADDR4(), item), _key_host_v6(_ADDR6(), item))
+    return F.when(F.col("evpn_type") == 1, rd).otherwise(chain(rd, ip))
+
+def _key_mdt(item: Item, v6: bool) -> Column:
+    """WithRd<BgpMdtV4/V6> (src/ribfilter.rs:444-453): rd first, else
+    multi(unicast addr prefix, group host)."""
+    rd = _key_rd(item)
+    if v6:
+        inner = multi(_key_v6prefix(item, False), _key_host_v6(F.col("mdt_group_v6"), item))
+    else:
+        inner = multi(_key_v4prefix(item, False), _key_host_v4(F.col("mdt_group_v4"), item))
+    return chain(rd, inner)
+
+# rib name → key-match builder (the 15 monomorphized tables,
+# src/bgprib.rs:807-821)
+def key_match(item: Item, rib: str, supernet: bool = False) -> Column:
+    if rib in ("ipv4u", "ipv4m"):
+        return _key_v4prefix(item, supernet)
+    if rib == "ipv6u":
+        return _key_v6prefix(item, supernet)
+    if rib == "ipv4lu":  # Labeled<T> delegates to inner (src/ribfilter.rs:500-520)
+        return _key_v4prefix(item, supernet)
+    if rib == "ipv6lu":
+        return _key_v6prefix(item, supernet)
+    if rib in ("vpnv4u", "vpnv4m"):
+        return chain(_key_rd(item), _key_v4prefix(item, supernet))
+    if rib in ("vpnv6u", "vpnv6m"):
+        return chain(_key_rd(item), _key_v6prefix(item, supernet))
+    if rib == "l2vpls":
+        return _key_l2(item) if not supernet else _UNKNOWN()
+    if rib == "mvpn":
+        return _key_mvpn(item) if not supernet else _UNKNOWN()
+    if rib == "evpn":
+        return _key_evpn(item) if not supernet else _UNKNOWN()
+    if rib == "ipv4mdt":
+        return _key_mdt(item, False) if not supernet else _UNKNOWN()
+    if rib == "ipv6mdt":
+        return _key_mdt(item, True) if not supernet else _UNKNOWN()
+    if rib == "fs4u":  # FlowSpec: no matching implemented (src/ribfilter.rs:454)
+        return _UNKNOWN()
+    raise ValueError(f"unknown rib {rib!r}")
+
+# --- attr match (FilterItem::match_attr, src/ribfilter.rs:1430-1504) --------
+
+def _attr_regex_str() -> Column:
+    """The 6 stringified attrs the reference regex-scans."""
+    return F.concat_ws(
+        "|",
+        F.coalesce(F.col("origin"), F.lit("")),
+        F.coalesce(iputil.v4_to_dotted(F.col("nexthop_v4")), F.lit("")),
+        F.coalesce(F.hex(F.col("nexthop_v6")), F.lit("")),
+        F.coalesce(codecs.aspath_to_str(F.col("aspath")), F.lit("")),
+        F.coalesce(codecs.comms_to_str(F.col("comms")), F.lit("")),
+        F.coalesce(codecs.lcomms_to_str(F.col("lcomms")), F.lit("")),
+        F.coalesce(codecs.extcomms_to_str(F.col("extcomms")), F.lit("")),
+    )
+
+def _extcomm_member_match(item: ExtCommTerm) -> Column:
+    """One ext-community struct vs the term (BgpExtCommunity::match_item,
+    src/ribfilter.rs:504-540) — returns a bool lambda-ready predicate."""
+
+    def pred(e: Column) -> Column:
+        a, b, ctype = e.getField("a"), e.getField("b"), e.getField("ctype")
+        if item.kind == "num":
+            return (a == item.n) | (b == item.n) | (F.shiftright(b, 16).bitwiseAND(F.lit(0xFFFF)) == item.n)
+        if item.kind == "pair":
+            return (a == item.a) & (b == item.b)
+        # embedded IPv4 from low 16 bits of a + high 16 bits of b (ctype 1)
+        emb = (a.bitwiseAND(F.lit(0xFFFF)) * F.lit(65536)) + F.shiftright(b, 16).bitwiseAND(F.lit(0xFFFF))
+        first, last = v4_net_range(item.ip_first, 32)
+        in_net = (emb >= F.lit(first)) & (emb <= F.lit(last))
+        if item.kind == "ip":
+            return (ctype == 1) & in_net
+        return (ctype == 1) & (b.bitwiseAND(F.lit(0xFFFF)) == item.n) & in_net
+
+    return pred
+
+def attr_match(item: Item) -> Column:
+    if isinstance(item, NH4Term):
+        first, last = v4_net_range(item.addr, item.plen)
+        return F.when(
+            F.col("nexthop_v4").isNotNull(),
+            hard(iputil.v4_in_subnet(F.col("nexthop_v4"), first, last)),
+        ).otherwise(_UNKNOWN())
+    if isinstance(item, NH6Term):
+        first, last = v6_net_range(item.addr, item.plen)
+        return F.when(
+            F.col("nexthop_v6").isNotNull(),
+            hard(iputil.v6_in_subnet(F.col("nexthop_v6"), first, last)),
+        ).otherwise(_UNKNOWN())
+    if isinstance(item, CommunityTerm):
+        return hard(F.array_contains(F.col("comms"), F.lit(item.value)))
+    if isinstance(item, ExtCommTerm):
+        # any member Yes → Yes, else Unknown (soft fold, never No)
+        return soft(F.exists(F.col("extcomms"), _extcomm_member_match(item)))
+    if isinstance(item, RegexTerm):
+        return soft(_attr_regex_str().rlike(item.pattern))
+    if isinstance(item, ASPathTerm):
+        flat = F.coalesce(F.col("aspath_flat"), F.array().cast("array<bigint>"))
+        k = len(item.asns)
+        lit = F.array(*[F.lit(x).cast("bigint") for x in item.asns])
+        if item.mode == "empty":
+            return hard(F.size(flat) == 0)
+        if item.mode == "full":
+            return hard(flat == lit)
+        if item.mode == "contains":
+            return hard(codecs.array_contiguous_subseq(flat, list(item.asns)))
+        if item.mode == "startswith":
+            return hard((F.size(flat) >= k) & (F.slice(flat, 1, k) == lit))
+        if item.mode == "endswith":
+            return hard((F.size(flat) >= k) & (F.slice(flat, -k, k) == lit))
+    return _UNKNOWN()
+
+# --- term + filter composition ---------------------------------------------
+
+def term_to_column(term: FilterTerm, rib: str, supernet: bool = False) -> Column:
+    """The FilterTerm::match_route truth table (src/ribfilter.rs:1562-1648)."""
+    k = key_match(term.item, rib, supernet)
+    a = attr_match(term.item)
+
+    def pol(x: Column) -> Column:
+        return F.when(x.isNull(), _UNKNOWN()).otherwise(~x) if term.negated else x
+
+    k_yes = k.isNotNull() & k
+    k_no = k.isNotNull() & ~k
+    return (
+        F.when(k_yes & a.isNull(), _YES())  # quirk: bypasses polarity
+        .when(k_yes, pol(a))
+        .when(k_no, pol(_NO()))
+        .when(a.isNull(), _UNKNOWN())       # k Unknown, a Unknown
+        .otherwise(pol(a))               # k Unknown, a known
+    )
+
+def filter_to_column(
+    filter_str: str | list[FilterTerm] | None, rib: str, supernet: bool = False
+) -> Column:
+    """Whole filter → nullable-boolean Column (SQL AND == the reference's
+    conjunction fold). Emission predicate: ``filter_to_column(...)`` then
+    ``F.coalesce(col, F.lit(False))`` — only Yes rows are emitted
+    (src/ribfilter.rs:606-609). Empty filter ⇒ Yes."""
+    terms = parse_filter(filter_str) if isinstance(filter_str, (str, type(None))) else filter_str
+    col = _YES()
+    for t in terms:
+        col = col & term_to_column(t, rib, supernet)
+    return col
+
+def matches(filter_str: str | None, rib: str, supernet: bool = False) -> Column:
+    """Convenience: TRUE iff the filter says Yes."""
+    return F.coalesce(filter_to_column(filter_str, rib, supernet), _NO())

@@ -73,7 +73,13 @@ KEY_FIELDS = [
     T.StructField("mvpn_type", T.ByteType()),
     T.StructField("mvpn_source_v4", T.LongType()),
     T.StructField("mvpn_group_v4", T.LongType()),
+    T.StructField("mvpn_originator_v4", T.LongType()),
     T.StructField("evpn_type", T.ByteType()),
+    T.StructField("l2_site", T.IntegerType()),      # BgpAddrL2 (src/ribfilter.rs:306-319)
+    T.StructField("l2_offset", T.IntegerType()),
+    T.StructField("l2_range", T.IntegerType()),
+    T.StructField("mdt_group_v4", T.LongType()),    # BgpMdtV4/V6 group (src/ribfilter.rs:444-453)
+    T.StructField("mdt_group_v6", T.BinaryType()),
 ]
 
 # The raw ingest event: one row per (update-message x NLRI), U7 flattening
