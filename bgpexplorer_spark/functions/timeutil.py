@@ -26,7 +26,7 @@ def parse_ts_param(s: str | int | float | _dt.datetime) -> _dt.datetime:
 
 def ts_to_millis(ts: Column) -> Column:
     """TIMESTAMP → epoch millis BIGINT (JSON output form)."""
-    return (F.unix_timestamp(ts) * F.lit(1000) + F.date_part(F.lit("MILLISECOND"), ts).cast("bigint") % 1000).cast("bigint")
+    return F.floor(F.unix_micros(ts) / F.lit(1000)).cast("bigint")
 
 def cut_millis(ts: Column, granularity_sec: int) -> Column:
     """Bucket a timestamp to granularity (src/timestamp.rs:58-64) — the

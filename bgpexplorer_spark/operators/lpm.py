@@ -1,0 +1,63 @@
+"""Longest-prefix-match as a scalable JOIN (SURVEY.md §2.5 O5 generalized).
+
+The reference's LPM is a single-address re-scan (``find_best_supernet``,
+src/ribfilter.rs:719-738) — fine for one query, useless for joining a
+billion flow records against a RIB. The Spark-first generalization is the
+candidate-prefix equi-join: for each host address generate one masked
+candidate per prefix length that actually occurs in the route table
+(≤33 for v4), then equi-join on (masked_addr, prefixlen) and keep the
+longest hit. No theta/range join, no cartesian: one broadcast of the
+distinct-plen list + one shuffle on the join key — survives 100 TB of
+hosts against a full DFZ table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+def lpm_join_v4(
+    hosts: DataFrame,
+    routes: DataFrame,
+    host_addr: str = "addr_v4",
+    route_addr: str = "addr_v4",
+    route_plen: str = "prefixlen",
+) -> DataFrame:
+    """For each host row, attach the longest route prefix containing its
+    address (or no row if none — inner join semantics).
+
+    ``routes`` must hold canonical network addresses. Candidate masking:
+    floor(addr / 2^(32-plen)) * 2^(32-plen), built per distinct plen.
+    """
+    plens = [r[0] for r in routes.select(route_plen).distinct().collect()]
+    plens = sorted(int(x) for x in plens)
+    if not plens:
+        return hosts.limit(0).crossJoin(routes.limit(0))
+
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(pl).alias("_plen"),
+                (F.floor(F.col(host_addr) / F.lit(2 ** (32 - pl))).cast("bigint") * F.lit(2 ** (32 - pl))).alias("_net"),
+            )
+            for pl in plens
+        ]
+    )
+    exploded = hosts.withColumn("_cand", F.explode(cand)).select(
+        "*", F.col("_cand._plen").alias("_plen"), F.col("_cand._net").alias("_net")
+    ).drop("_cand")
+
+    joined = exploded.join(
+        routes.withColumnRenamed(route_addr, "_net").withColumnRenamed(route_plen, "_plen"),
+        ["_net", "_plen"],
+        "inner",
+    )
+    host_cols = [c for c in hosts.columns]
+    w = Window.partitionBy(*host_cols).orderBy(F.col("_plen").desc())
+    return (
+        joined.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumnRenamed("_net", "matched_" + route_addr)
+        .withColumnRenamed("_plen", "matched_" + route_plen)
+    )

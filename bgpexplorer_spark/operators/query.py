@@ -1,0 +1,208 @@
+"""The main query path — SURVEY.md §3.1 / §2.3 F11-F14 / §2.5 O1-O7.
+
+Reproduces ``GET /api/json/<rib>?filter=…&skip&limit&maxdepth&onlyactive&
+changed_after&changed_before`` (src/ribservice.rs:35-113, defaults :253) as
+a composition of DataFrame operators:
+
+    route match (existential over history)  →  deterministic key order  →
+    offset/limit pagination  →  history emission (newest-maxdepth)  →
+    supernet fallback when the page is empty  →  nested-map JSON shaping.
+
+Scale shape: one shuffle on the history key for the windows, one on the
+route key for the existential — both prunable by the (rib, ts_date)
+partitioning; the filter column itself is pure predicate algebra pushed
+into the scan.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.filterlang import parse_filter
+from bgpexplorer_spark.filterlang.compile import filter_to_column
+from bgpexplorer_spark.functions.timeutil import parse_ts_param, ts_to_millis
+from bgpexplorer_spark.schemas import KEY_COLS
+
+ROUTE_COLS = ["rib", "nlri_str"]  # route identity (sessions/paths nest under it)
+
+@dataclass
+class QueryParams:
+    """URL params with reference defaults (src/ribservice.rs:253)."""
+
+    filter: str = ""
+    skip: int = 0
+    limit: int = 1000
+    maxdepth: int = 10
+    onlyactive: bool = False
+    changed_after: dt.datetime | str | int | None = None
+    changed_before: dt.datetime | str | int | None = None
+
+    def __post_init__(self) -> None:
+        if self.changed_after is not None:
+            self.changed_after = parse_ts_param(self.changed_after)
+        if self.changed_before is not None:
+            self.changed_before = parse_ts_param(self.changed_before)
+
+def history_entry_filter(p: QueryParams) -> Column:
+    """F11/F12 — ``filter_ah`` (src/ribservice.rs:72-89): onlyactive plus
+    STRICT ts bounds on both ends."""
+    c = F.lit(True)
+    if p.onlyactive:
+        c = c & F.col("active")
+    if p.changed_before is not None:
+        c = c & (F.col("ts") < F.lit(p.changed_before))
+    if p.changed_after is not None:
+        c = c & (F.col("ts") > F.lit(p.changed_after))
+    return c
+
+def _route_sort_key() -> list[Column]:
+    """Deterministic route order standing in for BTreeMap key order (O1
+    pagination; SURVEY.md §7 risk register). RD sorts before prefix
+    (src/ribfilter.rs:472-483); addr forms are the sortable numerics."""
+    return [
+        F.col("rd_hi").asc_nulls_first(),
+        F.col("rd_lo").asc_nulls_first(),
+        F.col("addr_v4").asc_nulls_first(),
+        F.col("addr_v6").asc_nulls_first(),
+        F.col("prefixlen").asc(),
+        F.col("nlri_str").asc(),
+    ]
+
+def _key_len() -> Column:
+    """Key bit-length for supernet most-specific-first ordering
+    (src/ribfilter.rs:12-34 SortIter + len(): labels*24 + 64 per RD +
+    prefixlen)."""
+    return (
+        F.coalesce(F.size("labels"), F.lit(0)) * 24
+        + F.when(F.col("rd_hi").isNotNull(), 64).otherwise(0)
+        + F.coalesce(F.col("prefixlen"), F.lit(0))
+    )
+
+def matched_routes(
+    history: DataFrame, rib: str, p: QueryParams, supernet: bool = False
+) -> DataFrame:
+    """F14 — route-level existential: a route matches iff ∃ history entry
+    that (a) passes filter_ah, (b) sits inside the reference's quirky
+    match window — the newest ``maxdepth`` slots computed from the
+    UNFILTERED per-path entry count (src/ribfilter.rs:595-609: the skip
+    count uses ``items.len()``, not the filtered length), and (c) the
+    3-valued filter says Yes.
+
+    Returns one row per route key with the sortable key columns.
+    """
+    df = history.filter(F.col("rib") == rib)
+    wk = Window.partitionBy(*KEY_COLS)
+    df = df.withColumn("_total", F.count(F.lit(1)).over(wk))
+    df = df.filter(history_entry_filter(p))
+    df = df.withColumn(
+        "_rn_asc", F.row_number().over(wk.orderBy(F.col("ts").asc()))
+    )
+    df = df.filter(F.col("_rn_asc") > F.col("_total") - F.lit(p.maxdepth))
+    df = df.filter(F.coalesce(filter_to_column(p.filter, rib, supernet), F.lit(False)))
+    return df.select(
+        "rib", "nlri_str", "rd_hi", "rd_lo", "addr_v4", "addr_v6",
+        "prefixlen", "labels",
+    ).dropDuplicates(ROUTE_COLS)
+
+def page_routes(
+    routes: DataFrame, p: QueryParams, supernet: bool = False
+) -> DataFrame:
+    """O1/O4 — deterministic order + offset/limit. Supernet pages order
+    most-specific-first (src/bgpsvc.rs:638-658)."""
+    if supernet:
+        ordered = routes.orderBy(F.desc(_key_len().alias("_kl")), *_route_sort_key())
+    else:
+        ordered = routes.orderBy(*_route_sort_key())
+    return ordered.offset(p.skip).limit(p.limit)
+
+def emitted_history(
+    history: DataFrame, page: DataFrame, p: QueryParams
+) -> DataFrame:
+    """F13/O7 input — for the paged routes, the newest ``maxdepth``
+    filter_ah-passing entries per (session, path); maxdepth=0 = unlimited
+    (BAHItems, src/bgpsvc.rs:516-532)."""
+    df = history.join(F.broadcast(page.select(*ROUTE_COLS)), ROUTE_COLS, "left_semi")
+    df = df.filter(history_entry_filter(p))
+    w = Window.partitionBy(*KEY_COLS).orderBy(F.col("ts").desc())
+    df = df.withColumn("_rn", F.row_number().over(w))
+    if p.maxdepth > 0:
+        df = df.filter(F.col("_rn") <= F.lit(p.maxdepth))
+    return df.drop("_rn")
+
+@dataclass
+class RibQueryResult:
+    """The /api/json response envelope (src/bgpsvc.rs:690-706)."""
+
+    ribtype: str
+    length: int          # O3 — total routes in the rib
+    found: int           # O2 — full match count ignoring skip/limit
+    skip: int
+    limit: int
+    maxdepth: int
+    onlyactive: bool
+    routes: DataFrame    # the emitted page of route keys
+    history: DataFrame   # flat emitted history rows for those routes
+    from_supernet: bool  # True when the supernet fallback produced the page
+
+def query_rib(history: DataFrame, rib: str, p: QueryParams) -> RibQueryResult:
+    """§3.1 end-to-end, including the two-query supernet fallback (O5):
+    when the primary page is empty the serving layer re-plans with
+    reversed containment and most-specific-first order
+    (src/bgpsvc.rs:625-658)."""
+    rib_df = history.filter(F.col("rib") == rib)
+    length = rib_df.dropDuplicates(ROUTE_COLS).count()
+
+    terms = parse_filter(p.filter)
+    matched = matched_routes(history, rib, p)
+    # O2: count short-circuits to table size on empty filter
+    # (src/bgpsvc.rs:603-613)
+    found = length if not terms else matched.count()
+
+    page = page_routes(matched, p)
+    from_supernet = False
+    if not page.take(1):
+        page = page_routes(matched_routes(history, rib, p, supernet=True), p, supernet=True)
+        from_supernet = True
+    page = page.cache()
+    hist = emitted_history(history, page, p)
+    return RibQueryResult(
+        ribtype=rib, length=length, found=found, skip=p.skip, limit=p.limit,
+        maxdepth=p.maxdepth, onlyactive=p.onlyactive, routes=page,
+        history=hist, from_supernet=from_supernet,
+    )
+
+def to_nested_json(result: RibQueryResult) -> DataFrame:
+    """O7 — route → {session → {path → {ts_millis → entry}}} JSON shaping
+    (src/bgpsvc.rs:493-596), newest-first inside each path. One row per
+    route: (nlri_str, items_json)."""
+    from bgpexplorer_spark.operators.ingest import attrs_struct
+
+    h = result.history.withColumn("_ts_ms", ts_to_millis(F.col("ts")).cast("string"))
+    entry = F.to_json(
+        F.struct(F.col("active"), attrs_struct().alias("attrs"), F.col("labels"))
+    )
+    per_path = (
+        h.withColumn("_e", entry)
+        .groupBy("rib", "nlri_str", "session_id", "path_id")
+        .agg(
+            F.map_from_entries(
+                F.reverse(F.array_sort(F.collect_list(F.struct(F.col("ts").alias("t"), F.struct(F.col("_ts_ms"), F.col("_e")).alias("kv")))))
+                .getField("kv")
+            ).alias("hist_map")
+        )
+    )
+    per_sess = per_path.groupBy("rib", "nlri_str", "session_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("path_id").cast("string"), F.col("hist_map")))
+        ).alias("path_map")
+    )
+    per_route = per_sess.groupBy("rib", "nlri_str").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("session_id").cast("string"), F.col("path_map")))
+        ).alias("sess_map")
+    )
+    return per_route.select("rib", "nlri_str", F.to_json(F.col("sess_map")).alias("items_json"))

@@ -1,0 +1,137 @@
+"""Query pipeline — SURVEY §3.1: pagination, history filters, maxdepth,
+supernet fallback, nested output (reference params src/ribservice.rs:35-113,
+serializer src/bgpsvc.rs:493-661)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.operators.ingest import build_history
+from bgpexplorer_spark.operators.lpm import lpm_join_v4
+from bgpexplorer_spark.operators.query import (
+    QueryParams,
+    query_rib,
+    to_nested_json,
+)
+
+from tests.ribdata import make_updates, ts, u
+
+def _hist(spark, rows):
+    return build_history(make_updates(spark, rows))
+
+def test_pagination_and_counts(spark):
+    rows = [u(f"10.0.{i}.0/24", t=i) for i in range(10)] + [u("11.0.0.1/32", t=99)]
+    hist = _hist(spark, rows)
+    r = query_rib(hist, "ipv4u", QueryParams(filter="10.0.0.0/8", skip=2, limit=3))
+    assert r.length == 11
+    assert r.found == 10
+    page = [x.nlri_str for x in r.routes.select("nlri_str").collect()]
+    assert page == ["10.0.2.0/24", "10.0.3.0/24", "10.0.4.0/24"]  # key order
+    assert not r.from_supernet
+
+def test_empty_filter_shortcircuit(spark):
+    hist = _hist(spark, [u("10.0.0.0/24", t=1), u("11.0.0.0/24", t=2)])
+    r = query_rib(hist, "ipv4u", QueryParams())
+    assert r.found == r.length == 2
+
+def test_changed_bounds_strict(spark):
+    hist = _hist(
+        spark,
+        [u("10.0.0.0/24", t=1), u("10.0.1.0/24", t=5), u("10.0.2.0/24", t=9)],
+    )
+    p = QueryParams(filter="10.0.0.0/8", changed_after=ts(1), changed_before=ts(9))
+    r = query_rib(hist, "ipv4u", p)
+    got = {x.nlri_str for x in r.routes.collect()}
+    assert got == {"10.0.1.0/24"}  # strict bounds exclude t=1 and t=9
+
+def test_onlyactive(spark):
+    hist = _hist(
+        spark,
+        [
+            u("10.0.0.0/24", t=1),
+            u("10.0.0.0/24", t=2, op="withdraw"),
+            u("10.0.1.0/24", t=3),
+        ],
+    )
+    r = query_rib(hist, "ipv4u", QueryParams(filter="10.0.0.0/8", onlyactive=True))
+    # route 10.0.0.0/24 still matches (its t=1 update entry is active and in
+    # the depth window); history emission drops the tombstone
+    assert r.found == 2
+    hrows = r.history.filter(F.col("nlri_str") == "10.0.0.0/24").collect()
+    assert all(x.active for x in hrows)
+
+def test_maxdepth_match_window_quirk(spark):
+    # 5 entries, maxdepth=2 → only the newest 2 are match-eligible
+    rows = [
+        u("10.0.0.0/24", t=i, aspath=[("Seq", [100 + i])]) for i in range(1, 6)
+    ]
+    hist = _hist(spark, rows)
+    # as:101 only exists in the oldest entry → outside the window → no match
+    r = query_rib(hist, "ipv4u", QueryParams(filter="as:101", maxdepth=2))
+    assert r.found == 0
+    # as:105 is the newest → matches
+    r2 = query_rib(hist, "ipv4u", QueryParams(filter="as:105", maxdepth=2))
+    assert r2.found == 1
+    # emission limited to newest 2
+    assert r2.history.count() == 2
+
+def test_supernet_fallback(spark):
+    hist = _hist(
+        spark,
+        [
+            u("10.0.0.0/8", t=1),
+            u("10.0.0.0/24", t=2),
+            u("11.0.0.1/32", t=3),
+        ],
+    )
+    # a /32 host query that matches nothing as a subnet → LPM fallback,
+    # most-specific first
+    r = query_rib(hist, "ipv4u", QueryParams(filter="10.0.0.77"))
+    assert r.from_supernet
+    page = [x.nlri_str for x in r.routes.collect()]
+    assert page == ["10.0.0.0/24", "10.0.0.0/8"]
+    assert r.found == 0
+
+def test_nested_json(spark):
+    hist = _hist(
+        spark,
+        [
+            u("10.0.0.0/24", t=1, aspath=[("Seq", [100])]),
+            u("10.0.0.0/24", t=2, op="withdraw"),
+        ],
+    )
+    r = query_rib(hist, "ipv4u", QueryParams(filter="10.0.0.0/24"))
+    out = to_nested_json(r).collect()
+    assert len(out) == 1
+    items = json.loads(out[0].items_json)
+    sess = items["0"]          # session 0
+    path = sess["0"]           # path 0
+    entries = list(path.items())
+    assert len(entries) == 2
+    # newest first
+    assert entries[0][0] > entries[1][0]
+    newest = json.loads(entries[0][1])
+    assert newest["active"] is False
+
+def test_lpm_join(spark):
+    routes = spark.createDataFrame(
+        [
+            (int.from_bytes(bytes([10, 0, 0, 0]), "big"), 8, "A"),
+            (int.from_bytes(bytes([10, 1, 0, 0]), "big"), 16, "B"),
+            (int.from_bytes(bytes([10, 1, 2, 0]), "big"), 24, "C"),
+        ],
+        "addr_v4 bigint, prefixlen int, tag string",
+    )
+    hosts = spark.createDataFrame(
+        [
+            (1, int.from_bytes(bytes([10, 1, 2, 3]), "big")),
+            (2, int.from_bytes(bytes([10, 1, 9, 9]), "big")),
+            (3, int.from_bytes(bytes([10, 9, 9, 9]), "big")),
+            (4, int.from_bytes(bytes([192, 0, 0, 1]), "big")),
+        ],
+        "id bigint, addr_v4 bigint",
+    )
+    got = {r.id: r.tag for r in lpm_join_v4(hosts, routes).collect()}
+    assert got == {1: "C", 2: "B", 3: "A"}  # host 4 unmatched
