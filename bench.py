@@ -1,0 +1,68 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line.
+
+Each query is forced through a full count() action (no result caching
+between runs); session/JVM startup is excluded from per-query times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bgpexplorer_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "o5_lpm_join",
+    "u3_history_differ",
+    "rib_current_state",
+    "sessionize_events",
+    "o4_topk",
+    "j1_semijoin",
+    "f1_subnet_match",
+]
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    spark = get_spark("bench")
+
+    from bgpexplorer_spark.contract import all_queries
+
+    qs = all_queries()
+    # warm the JVM + file metadata once with a trivial action
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        _ = n
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+if __name__ == "__main__":
+    main()

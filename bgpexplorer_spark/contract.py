@@ -1,0 +1,604 @@
+"""Driver-contract queries: every entry pairs a Spark DataFrame builder
+with a DuckDB-runnable oracle SQL string over the driver tables
+(TESTDATA.md). Keys map to SURVEY.md §2 operator IDs.
+
+The driver tables have no BGP columns, so the RIB-surface operators are
+exercised over *deterministically derived* route data (arithmetic on
+event_id/user_id that both engines compute identically), while the
+windows/joins/aggregations run on the natural TPC-H-ish columns. Column
+names and types are aligned on both sides (driver compares row-count +
+schema + order-insensitive value-hash).
+
+Money aggregates are rounded to 2 decimals on both sides to keep
+double-precision sums hash-stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.functions import iputil
+from bgpexplorer_spark.operators.lpm import lpm_join_v4
+from bgpexplorer_spark.sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+def q(name: str, sql: str | None):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+# ---------------------------------------------------------------------------
+# Derived route table from events — shared by the RIB-surface queries.
+# addr = 10.0.0.0 + (user_id%64)<<16 + (event_id%256)<<8, canonicalized to
+# plen ∈ {16,20,24,28,32} by event_id%5.
+# ---------------------------------------------------------------------------
+
+_DERIVED_ROUTES_SQL = """
+    SELECT event_id, ts, user_id,
+           CAST(floor(raw_addr / span) AS BIGINT) * span AS addr_v4,
+           plen AS prefixlen
+    FROM (
+        SELECT event_id, ts, user_id,
+               10 * 16777216 + (user_id % 64) * 65536 + (event_id % 256) * 256 AS raw_addr,
+               16 + (event_id % 5) * 4 AS plen,
+               CAST(power(2, 32 - (16 + (event_id % 5) * 4)) AS BIGINT) AS span
+        FROM events
+    )
+"""
+
+def derived_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    raw = (
+        F.lit(10 * 16777216)
+        + (F.col("user_id") % 64) * 65536
+        + (F.col("event_id") % 256) * 256
+    )
+    plen = (F.lit(16) + (F.col("event_id") % 5) * 4).cast("int")
+    span = F.pow(F.lit(2.0), F.lit(32) - plen).cast("bigint")
+    return ev.select(
+        "event_id", "ts", "user_id",
+        (F.floor(raw / span).cast("bigint") * span).alias("addr_v4"),
+        plen.alias("prefixlen"),
+    )
+
+# ---------------------------------------------------------------------------
+# U-series: history semantics (SURVEY §2.2) on the events stream
+# ---------------------------------------------------------------------------
+
+@q(
+    "u3_history_differ",
+    """
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    WHERE prev_type IS NULL OR event_type <> prev_type
+    """,
+)
+def u3_history_differ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — differ-mode change dedup (src/bgprib.rs:667-679): keep an event
+    only when its type changed vs the previous event of the same key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+@q(
+    "u4_history_retention",
+    """
+    SELECT event_id, user_id, ts
+    FROM (
+        SELECT event_id, user_id, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn <= 5
+    """,
+)
+def u4_history_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — newest-N retention (shrink_hist, src/bgprib.rs:326-341)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_id", "user_id", "ts")
+    )
+
+@q(
+    "u5_withdraw_asof",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    QUALIFY event_type = 'error' AND last_purchase_value IS NOT NULL
+    """,
+)
+def u5_withdraw_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/J3 — withdraw-tombstone as-of forward fill (src/bgprib.rs:596-618):
+    'error' events take the attrs (value) of the last prior 'purchase' for
+    the same key; errors before any purchase are dropped (the reference's
+    never-seen-withdraw skip, src/bgprib.rs:594-597)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = ev.withColumn(
+        "last_purchase_value",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+        ).over(w),
+    )
+    return filled.filter(
+        (F.col("event_type") == "error") & F.col("last_purchase_value").isNotNull()
+    ).select("event_id", "user_id", "ts", "last_purchase_value")
+
+@q(
+    "rib_current_state",
+    """
+    SELECT user_id, event_id, event_type, value, ts
+    FROM (
+        SELECT user_id, event_id, event_type, value, ts,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def rib_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-state view (operators/rib.py current_state): newest entry
+    per key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value", "ts")
+    )
+
+@q(
+    "o6_statistics",
+    """
+    SELECT event_type,
+           count(*) AS cnt,
+           count(DISTINCT user_id) AS users,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def o6_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/U8 — the /api/statistics aggregate shape
+    (src/ribservice.rs:168-219)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("user_id").alias("users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+# ---------------------------------------------------------------------------
+# F-series: filter predicates (SURVEY §2.3) on derived routes
+# ---------------------------------------------------------------------------
+
+@q(
+    "f1_subnet_match",
+    f"""
+    SELECT event_id, addr_v4, prefixlen
+    FROM ({_DERIVED_ROUTES_SQL})
+    WHERE addr_v4 >= 167772160 AND addr_v4 <= 168820735 AND prefixlen >= 12
+    """,
+)
+def f1_subnet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — subnet containment as a range predicate
+    (src/ribfilter.rs:1368-1392). Filter net 10.10.0.0/12 canonicalizes to
+    10.0.0.0/12 → [167772160, 168820735]."""
+    routes = derived_routes(spark, sf_dir)
+    first, last = iputil.v4_net_range(iputil.parse_v4("10.10.0.0"), 12)
+    return routes.filter(
+        iputil.v4_subnet_contains(F.col("addr_v4"), F.col("prefixlen"), first, last, 12)
+    ).select("event_id", "addr_v4", "prefixlen")
+
+@q(
+    "f12_changed_window",
+    """
+    SELECT event_id, ts FROM events
+    WHERE ts > TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def f12_changed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — strict changed_after/changed_before bounds
+    (src/ribservice.rs:72-89)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("ts") > F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-20 00:00:00"))
+    ).select("event_id", "ts")
+
+@q(
+    "f5_aspath_subseq",
+    """
+    SELECT event_id, path
+    FROM (
+        SELECT event_id,
+               [100 + user_id % 5, 200 + user_id % 7, 300 + event_id % 3] AS path
+        FROM events
+    )
+    WHERE strpos(',' || array_to_string(path, ',') || ',', ',102,203,') > 0
+    """,
+)
+def f5_aspath_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — contiguous AS-path subsequence (src/ribfilter.rs:1471-1504)
+    as the codegen-able exists/slice expression; needle [102, 203]
+    (as:102,203). The oracle uses a string-containment equivalent."""
+    from bgpexplorer_spark.functions.codecs import array_contiguous_subseq
+
+    ev = load_table(spark, sf_dir, "events")
+    path = F.array(
+        (F.lit(100) + F.col("user_id") % 5).cast("bigint"),
+        (F.lit(200) + F.col("user_id") % 7).cast("bigint"),
+        (F.lit(300) + F.col("event_id") % 3).cast("bigint"),
+    )
+    df = ev.select("event_id", path.alias("path"))
+    return df.filter(array_contiguous_subseq(F.col("path"), [102, 203])).select(
+        "event_id", "path"
+    )
+
+@q(
+    "f6_community_match",
+    """
+    SELECT event_id, comms
+    FROM (
+        SELECT event_id,
+               [65536 * 100 + user_id % 16, 65536 * 200 + event_id % 10] AS comms
+        FROM events
+    )
+    WHERE list_contains(comms, 65536 * 100 + 7)
+    """,
+)
+def f6_community_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — community membership (array_contains,
+    src/ribfilter.rs:1442)."""
+    ev = load_table(spark, sf_dir, "events")
+    comms = F.array(
+        (F.lit(65536 * 100) + F.col("user_id") % 16).cast("bigint"),
+        (F.lit(65536 * 200) + F.col("event_id") % 10).cast("bigint"),
+    )
+    df = ev.select("event_id", comms.alias("comms"))
+    return df.filter(F.array_contains(F.col("comms"), F.lit(65536 * 100 + 7)))
+
+@q(
+    "f13_maxdepth",
+    """
+    SELECT event_id, user_id, event_type, ts
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn <= 3
+    """,
+)
+def f13_maxdepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — newest-maxdepth per path (src/bgpsvc.rs:516-527)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+# ---------------------------------------------------------------------------
+# O-series: pagination / top-k / LPM (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+@q(
+    "o1_pagination",
+    """
+    SELECT event_id, user_id, ts FROM events
+    ORDER BY user_id, event_id LIMIT 50 OFFSET 100
+    """,
+)
+def o1_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — deterministic-order offset/limit (src/bgpsvc.rs:625-630)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.orderBy("user_id", "event_id").offset(100).limit(50).select(
+        "event_id", "user_id", "ts"
+    )
+
+@q(
+    "o2_found_count",
+    "SELECT count(*) AS found FROM events WHERE event_type = 'purchase' AND value > 50",
+)
+def o2_found_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — full match count ignoring pagination (src/bgpsvc.rs:603-613)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 50)).agg(
+        F.count(F.lit(1)).alias("found")
+    )
+
+@q(
+    "o4_topk",
+    """
+    SELECT user_id, round(sum(value), 2) AS total FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id ORDER BY total DESC, user_id LIMIT 10
+    """,
+)
+def o4_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — sort + take (TakeOrderedAndProject; SURVEY §4)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(F.col("total").desc(), F.col("user_id"))
+        .limit(10)
+    )
+
+@q(
+    "o5_lpm_join",
+    f"""
+    SELECT event_id, addr_v4, matched_net, matched_plen
+    FROM (
+        SELECT h.event_id, h.addr_v4, r.net AS matched_net, r.plen AS matched_plen,
+               row_number() OVER (PARTITION BY h.event_id ORDER BY r.plen DESC) AS rk
+        FROM ({_DERIVED_ROUTES_SQL}) h
+        JOIN (
+            SELECT 10 * 16777216 + (n_nationkey % 64) * 65536 AS net, 16 AS plen
+            FROM nation
+            UNION ALL
+            SELECT 10 * 16777216 AS net, 8 AS plen
+        ) r
+        ON h.addr_v4 >= r.net
+           AND h.addr_v4 <= r.net + CAST(power(2, 32 - r.plen) AS BIGINT) - 1
+    )
+    WHERE rk = 1
+    """,
+)
+def o5_lpm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 generalized — longest-prefix-match join via candidate-prefix
+    equi-join (operators/lpm.py), replacing the reference's per-address
+    supernet rescan (src/ribfilter.rs:719-738)."""
+    nation = load_table(spark, sf_dir, "nation")
+    prefixes = nation.select(
+        (F.lit(10 * 16777216) + (F.col("n_nationkey") % 64) * 65536)
+        .cast("bigint")
+        .alias("addr_v4"),
+        F.lit(16).alias("prefixlen"),
+    ).union(
+        nation.limit(1).select(
+            F.lit(10 * 16777216).cast("bigint").alias("addr_v4"),
+            F.lit(8).alias("prefixlen"),
+        )
+    )
+    hosts = derived_routes(spark, sf_dir).select("event_id", "addr_v4")
+    out = lpm_join_v4(hosts, prefixes)
+    return out.select(
+        "event_id", "addr_v4",
+        F.col("matched_addr_v4").alias("matched_net"),
+        F.col("matched_prefixlen").alias("matched_plen"),
+    )
+
+# ---------------------------------------------------------------------------
+# J-series: joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@q(
+    "j1_semijoin",
+    """
+    SELECT e.event_id, e.user_id, e.value FROM events e
+    WHERE e.event_type = 'purchase'
+      AND EXISTS (SELECT 1 FROM events s
+                  WHERE s.user_id = e.user_id AND s.event_type = 'signup')
+    """,
+)
+def j1_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — posting-list intersection as a LEFT SEMI join
+    (src/bgprib.rs:509-582)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id", "left_semi")
+        .select("event_id", "user_id", "value")
+    )
+
+@q(
+    "j4_enrichment",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation, r.r_name AS region
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def j4_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — dimension enrichment with broadcast joins
+    (src/bgpsvc.rs:436-456)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "c_custkey", "c_name",
+            F.col("n_name").alias("nation"), F.col("r_name").alias("region"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# Headline analytics (bench queries)
+# ---------------------------------------------------------------------------
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the O6-style heavy aggregate; whole-stage-codegen
+    hot path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey LIMIT 20
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — selective dim filter + fact join + top-k."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "revenue", "o_orderdate")
+    )
+
+@q(
+    "q5_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — multi-way star join with broadcast dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+@q(
+    "sessionize_events",
+    """
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start
+    FROM (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id))
+                             > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gap > 30 min) — lag + running sum; the batch analog
+    of session_window in streaming (SURVEY §2.7)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+    df = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return df.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start")
+    )
+
+def all_queries() -> dict[str, SparkQuery]:
+    return dict(QUERIES)
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

@@ -33,7 +33,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("bigint")))
+            # integer div: col/1000 in double rounds at ~2^53 and drifts by
+            # 1 µs vs DuckDB's truncation
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
