@@ -602,3 +602,272 @@ def all_queries() -> dict[str, SparkQuery]:
 
 def all_oracles() -> dict[str, str]:
     return dict(ORACLES)
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (BASELINE.json north star) on documents /
+# embeddings. The portable 32-bit hash (first 8 md5 hex chars) is computed
+# identically by Spark (conv) and DuckDB (unrolled hex-digit arithmetic).
+# ---------------------------------------------------------------------------
+
+def _duck_hash32(col: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({col}), {p}, 1)) - 1) * {16 ** (8 - p)}"
+        for p in range(1, 9)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+# tokenization shared by the text oracles: split on whitespace, drop empties
+_DUCK_TOKENS = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+
+def _duck_tokens(col: str) -> str:
+    return _DUCK_TOKENS.format(col=col)
+
+@q(
+    "dedup_exact",
+    """
+    SELECT doc_id, content_hash,
+           min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id,
+           count(*) OVER (PARTITION BY content_hash) AS group_size
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (operators/dedup.exact_dedup)."""
+    from bgpexplorer_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id")
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               {_duck_tokens('lower(text)')})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of sorted distinct lowercase token set
+    (operators/text.fingerprint)."""
+    from bgpexplorer_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+@q(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           len({_duck_tokens('text')}) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex (operators/text)."""
+    from bgpexplorer_spark.operators.text import token_count_bpe, token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+def _duck_marker_hits(col: str, words: tuple[str, ...]) -> str:
+    padded = f"(' ' || lower({col}) || ' ')"
+    return " + ".join(f"(len(string_split({padded}, ' {w} ')) - 1)" for w in words)
+
+def _langid_sql() -> str:
+    from bgpexplorer_spark.operators.text import LANG_PROFILES
+
+    scores = {
+        lang: _duck_marker_hits("text", ws) for lang, ws in LANG_PROFILES.items()
+    }
+    score_cols = ", ".join(f"({sql}) AS s_{lang}" for lang, sql in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in scores
+    )
+    return f"""
+    SELECT doc_id, lang AS declared_lang,
+           CASE {case} ELSE 'und' END AS detected_lang
+    FROM (SELECT doc_id, lang, {best} AS best, s_en, s_de, s_fr, s_es
+          FROM (SELECT doc_id, lang, {score_cols} FROM documents))
+    """
+
+@q("text_langid", _langid_sql())
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-profile language ID (operators/text.langid) vs the
+    declared lang column."""
+    from bgpexplorer_spark.operators.text import langid
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        langid(F.col("text")).alias("detected_lang"),
+    )
+
+@q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS q_chars,
+           len({_duck_tokens('text')}) AS q_tokens,
+           round(length(text) / greatest(len({_duck_tokens('text')}), 1), 4) AS q_avg_token_len,
+           round(len(regexp_extract_all(text, '[^\\w\\s]')) / greatest(length(text), 1), 4) AS q_punct_ratio,
+           round(({_duck_marker_hits('text', ('the', 'a', 'of', 'and', 'is'))})
+                 / greatest(len({_duck_tokens('text')}), 1), 4) AS q_stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword ratios
+    (operators/text.quality_features)."""
+    from bgpexplorer_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs.select("doc_id", "text")).drop("text")
+
+def _simhash_sql() -> str:
+    h = _duck_hash32("t")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (CAST(floor(h / {2 ** b}) AS BIGINT) % 2) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    assemble = " + ".join(f"CASE WHEN b{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))
+    return f"""
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM (
+        SELECT doc_id, {bit_sums}
+        FROM (
+            SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest({_duck_tokens('text')}) AS t FROM documents)
+        )
+        GROUP BY doc_id
+    )
+    """
+
+@q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint (operators/dedup.simhash32)."""
+    from bgpexplorer_spark.operators.dedup import simhash32
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id")
+
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    from bgpexplorer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    params = _minhash_params(k)
+    h = _duck_hash32("sh")
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, md5("
+        + " || ',' || ".join(f"CAST(m{bnd * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS bucket FROM sigs"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
+        )) AS sh
+        FROM (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents)
+    ),
+    hashes AS (SELECT doc_id, {h} AS h FROM toks),
+    sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id)
+    SELECT * FROM ({band_rows})
+    """
+
+@q("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature + LSH banding: one row per (doc, band) with the
+    band-bucket hash (operators/dedup.minhash_signatures + lsh_buckets);
+    docs sharing a bucket are near-dup candidates."""
+    from bgpexplorer_spark.operators.dedup import lsh_buckets, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", k=16, n=3)
+    return lsh_buckets(sig, "doc_id", bands=4)
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
+        )) AS s
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+              FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(c / (na.n + nb.n - c), 4) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / (na.n + nb.n - c) >= 0.35
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard pairs ≥ 0.35
+    (operators/dedup.ngram_jaccard_pairs)."""
+    from bgpexplorer_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.35)
+
+@q(
+    "sim_cosine_topk",
+    """
+    SELECT e.vec_id,
+           round(list_sum([a[i] * qv[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([a[i] * a[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([qv[i] * qv[i] for i in range(1, 65)]))), 4) AS cos_sim
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings) e
+    CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 query vector
+    (operators/similarity.cosine_topk)."""
+    from bgpexplorer_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, qv, k=10)
+
+def _lsh_bucket_sql(n_planes: int = 8) -> str:
+    projs = []
+    for j in range(n_planes):
+        proj = f"list_sum([a[i+1] * CAST((i*31 + {j * 17}) % 7 - 3 AS DOUBLE) for i in range(0, 64)])"
+        projs.append(f"CASE WHEN {proj} >= 0 THEN {2 ** j} ELSE 0 END")
+    bucket = " + ".join(projs)
+    return f"""
+    SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings)
+    """
+
+@q("sim_lsh_buckets", _lsh_bucket_sql())
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket id per embedding
+    (operators/similarity.hyperplane_bucket) — the ANN scale path."""
+    from bgpexplorer_spark.operators.similarity import hyperplane_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        hyperplane_bucket(F.col("embedding").cast("array<double>"), 8, 64).alias("bucket"),
+    )

@@ -1,0 +1,169 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard. (BASELINE.json north star; the
+reference's differ-mode history dedup U3 is the same idea specialized to
+one key — these generalize it to content identity.)
+
+Scale notes (100 TB posture):
+- exact: one hash-shuffle on md5(text) — the cheapest possible pass.
+- MinHash+LSH: cost is O(docs x shingles) map-side + one shuffle per band
+  on the band-bucket key; candidate verification joins only within
+  buckets. No O(n²) pair enumeration ever materializes.
+- SimHash: pure map-side signature + one shuffle on the signature for
+  bucketing.
+- n-gram Jaccard: the exact-verification path; use after LSH candidate
+  pruning, not standalone, at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.operators.text import portable_hash32, shingles
+
+# deterministic affine hash-family parameters (public MinHash construction:
+# h_i(x) = (a_i * x + b_i) mod p, p Mersenne-ish prime)
+MINHASH_P = 2_147_483_647
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    return [(2 * i + 1, 7919 * (i + 1) % MINHASH_P) for i in range(k)]
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: every row mapped to the canonical
+    (minimum-id) row of its md5(text) group."""
+    w = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .select(id_col, "content_hash", "canonical_id", "group_size")
+    )
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 16, n: int = 2
+) -> DataFrame:
+    """Per-doc MinHash signature (ARRAY<BIGINT> length k) over word
+    n-gram shingles. One explode + one groupBy with k min-aggregates —
+    map-side combinable."""
+    params = _minhash_params(k)
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_sh")
+    ).withColumn("_h", portable_hash32(F.col("_sh")))
+    aggs = [
+        F.min((F.col("_h") * a + b) % MINHASH_P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash")
+    )
+
+def lsh_buckets(
+    sig: DataFrame, id_col: str, bands: int = 4, rows_per_band: int | None = None
+) -> DataFrame:
+    """Band the signature: one row per (doc, band) with a bucket hash.
+    Docs sharing any (band, bucket) are candidate near-dups."""
+    k = bands * (rows_per_band or 0)
+    first = sig.select(F.size("minhash").alias("k")).first()
+    total = first["k"]
+    rpb = rows_per_band or total // bands
+    out = []
+    for b in range(bands):
+        out.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[
+                    F.col("minhash").getItem(b * rpb + r).cast("string")
+                    for r in range(rpb)
+                ])).alias("bucket"),
+            )
+        )
+    return sig.select(
+        id_col, F.explode(F.array(*out)).alias("_bb")
+    ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 16, n: int = 2, bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates: (id_a < id_b, est_jaccard) from
+    bucket-local joins only, est_jaccard = signature agreement rate."""
+    sig = minhash_signatures(df, id_col, text_col, k, n).cache()
+    bk = lsh_buckets(sig, id_col, bands)
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("_ma"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("_mb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(F.filter(F.zip_with("_ma", "_mb", lambda x, y: x == y), lambda v: v))
+                / F.size("_ma"),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2,
+    threshold: float = 0.5, candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold. Without
+    ``candidates`` this self-joins on shared shingles (fine at test scale,
+    quadratic in the worst case — at 100 TB feed it LSH candidates)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_sh"),
+    )
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, "_sh")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    if candidates is not None:
+        shared = shared.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word tokens: per bit, majority vote of token
+    hashes; near-dups share (or almost share) the signature. Pure
+    explode + 32 conditional sums — map-side combinable."""
+    from bgpexplorer_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).withColumn("_h", portable_hash32(F.col("_t")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(32)
+    ]
+    agg = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(32):
+        bit = F.when(F.col(f"_b{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = bit if sim is None else sim + bit
+    return agg.select(id_col, sim.alias("simhash"))

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (BASELINE.json north star):
+brute-force cosine top-k baseline + hyperplane-LSH bucketing as the scale
+path. Dot products are built-in higher-order functions (zip_with +
+aggregate) — JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+def cosine_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against a literal query vector — the
+    exact baseline (one scan, one TakeOrdered; no shuffle beyond top-k)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+def _plane_coef(i: Column, j: int) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient for dim i of
+    plane j: ((i*31 + j*17) mod 7) - 3 ∈ [-3, 3]."""
+    return ((i * 31 + F.lit(j * 17)) % 7 - F.lit(3)).cast("double")
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH: sign bit per plane → integer bucket id.
+    Vectors in the same bucket are ANN candidates; cosine-verify within."""
+    bucket = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        proj = F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.element_at(vec, i + 1).cast("double") * _plane_coef(i, j),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+def ann_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to buckets within
+    ``probe_hamming`` of the query's bucket, then exact cosine. At scale
+    the bucket column is a partition/sort key so non-matching buckets are
+    skipped entirely."""
+    import math
+
+    dim = len(query_vec)
+    qb = 0
+    for j in range(n_planes):
+        proj = sum(query_vec[i] * (((i * 31 + j * 17) % 7) - 3) for i in range(dim))
+        if proj >= 0:
+            qb |= 1 << j
+    probe = [qb]
+    if probe_hamming >= 1:
+        probe += [qb ^ (1 << j) for j in range(n_planes)]
+    bucketed = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
+    return cosine_topk(
+        bucketed.filter(F.col("_bucket").isin(probe)), query_vec, k, id_col, vec_col
+    )
+
+def embedding_neardup_pairs(
+    df: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 8, dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: cosine
+    computed only within buckets (the embedding analog of MinHash+LSH
+    dedup)."""
+    b = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, "_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine(
+                    F.col(f"a.{vec_col}").cast("array<double>"),
+                    F.col(f"b.{vec_col}").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

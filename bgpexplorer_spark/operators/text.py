@@ -1,0 +1,89 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(BASELINE.json north star: language-ID, quality scoring, token counting,
+document fingerprinting). All pure Column algebra — no Python UDFs — so the
+whole pipeline stays in whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A "BPE-ish" pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# tiny per-language marker-word profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+STOPWORDS = LANG_PROFILES["en"]
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty-string safe)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(tokens(col))
+
+def token_count_bpe(col: Column) -> Column:
+    """Regex pre-tokenizer count — the cheap proxy for BPE token budgeting."""
+    return F.regexp_count(col, F.lit(BPE_RE))
+
+def _marker_hits(col: Column, words: tuple[str, ...]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    out = F.lit(0)
+    for w in words:
+        # non-regex count of ' w ' occurrences; adjacent matches can share a
+        # space so also count with double padding folded in
+        out = out + F.size(F.split(padded, f" {w} ")) - 1
+    return out
+
+def langid(col: Column) -> Column:
+    """Marker-word profile language ID: argmax hit-count over profiles,
+    'und' when nothing hits."""
+    scores = [(lang, _marker_hits(col, ws)) for lang, ws in LANG_PROFILES.items()]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so that earlier profiles win ties
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(out)
+    return out
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality scoring."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    stop_hits = _marker_hits(t, STOPWORDS)
+    return df.select(
+        "*",
+        n_chars.alias("q_chars"),
+        n_tok.alias("q_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 4).alias("q_avg_token_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("q_punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 4).alias("q_stopword_ratio"),
+    )
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct
+    lowercase token set (word-order/duplication invariant — catches
+    shuffled near-dups that exact hashing misses)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(col)))))
+    return F.md5(canon)
+
+def shingles(col: Column, n: int = 2) -> Column:
+    """Word n-gram shingles as an array column (the MinHash/Jaccard unit)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+def portable_hash32(col: Column) -> Column:
+    """Deterministic 32-bit hash both Spark and DuckDB can compute
+    identically: first 8 hex chars of md5 as an integer."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
