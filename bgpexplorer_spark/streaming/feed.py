@@ -1,0 +1,92 @@
+"""Live change feed + streaming RIB materialization (SURVEY.md §2.7).
+
+The reference's feed is an in-process broadcast channel (capacity 2,
+lossy; src/bgprib.rs:839, 1045-1052) consumed by WebSocket subscribers
+whose per-client filter is parsed but NEVER applied — only the rib name
+gates events (src/subscriber.rs:62-95, 123-127). Here the feed is a
+Structured Streaming DataFrame:
+
+- ``subscribe`` applies the rib gate, and — as a documented superset of
+  the reference — can actually apply the subscriber's filter string using
+  the same 3-valued compiler the batch path uses (ST2).
+- ``run_ingest`` is ST4: micro-batch append of normalized history rows
+  via ``foreachBatch`` re-using the batch ``build_history`` on each
+  micro-batch — the single-writer thread (U10) replaced by per-key
+  event-time ordering. Exactly-once into the parquet table comes from the
+  checkpoointed sink; analytic views (current_state etc.) run on the
+  table, which is the batch-first stance of SURVEY §7.
+- ``windowed_update_rates`` shows the event-time/watermark capability the
+  reference lacks entirely (ST3: "None"), strictly more capable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.filterlang.compile import matches
+from bgpexplorer_spark.schemas import UPDATES_SCHEMA
+
+def stream_updates_from_files(spark: SparkSession, path: str) -> DataFrame:
+    """File-based updates stream (the test/dev ingest adapter standing in
+    for the S1/S2 network sources; Kafka would be
+    ``readStream.format('kafka')`` with the same downstream)."""
+    return spark.readStream.schema(UPDATES_SCHEMA).parquet(path)
+
+def subscribe(
+    updates: DataFrame, rib: str, filter_str: str | None = None,
+    apply_filter: bool = True,
+) -> DataFrame:
+    """ST2 — per-subscriber event stream. ``apply_filter=False``
+    reproduces the reference's actual behavior (filter stored, never
+    applied); True is the superset that honors it."""
+    out = updates.filter(F.col("rib") == rib)
+    if filter_str and apply_filter:
+        from bgpexplorer_spark.functions.codecs import aspath_flatten
+
+        out = (
+            out.withColumn("aspath_flat", aspath_flatten(F.col("aspath")))
+            .filter(matches(filter_str, rib))
+            .drop("aspath_flat")
+        )
+    return out
+
+def run_ingest(
+    updates: DataFrame, table_path: str, checkpoint: str,
+    history_mode: str = "every",
+) -> "StreamingQuery":  # noqa: F821
+    """ST4 — materialize the stream into the partitioned rib_history
+    table. Each micro-batch is normalized by the SAME build_history used
+    in batch (tombstones resolved within the batch; cross-batch tombstone
+    resolution happens in the analytic views over the full table)."""
+    from bgpexplorer_spark.operators.ingest import build_history
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        hist = build_history(batch_df, history_mode=history_mode)
+        (
+            hist.withColumn("ts_date", F.to_date("ts"))
+            .write.mode("append")
+            .partitionBy("rib", "ts_date")
+            .parquet(table_path)
+        )
+
+    return (
+        updates.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+def windowed_update_rates(
+    updates: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
+) -> DataFrame:
+    """ST3 superset — event-time tumbling-window update/withdraw rates
+    with late-data handling (the reference has no event-time at all)."""
+    return (
+        updates.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("rib"))
+        .agg(
+            F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("updates"),
+            F.sum(F.when(F.col("op") == "withdraw", 1).otherwise(0)).alias("withdraws"),
+        )
+    )
