@@ -1,0 +1,129 @@
+"""HTTP JSON serving layer (SURVEY.md §2.1 S6-S8, §2.5 O7-O8, §3.1).
+
+The reference serves ``/api/json/<rib>``, ``/api/statistics``,
+``/api/sessions``, ``/api/state``, ``/api/ping``, ``/api/whois``,
+``/api/dns`` plus a static UI (src/main.rs:137-175,
+src/bgpsvc.rs:457-491). Here the serving layer is a thin stdlib
+``http.server`` over the Spark engine — queries run through the same
+operators as the programmatic API; the response envelope matches
+src/bgpsvc.rs:690-706 ``{ribtype, length, skip, limit, maxdepth,
+onlyactive, found, items}``.
+
+The reference's RwLock + 120 s read-timeout + HTTP 408 path (U11) has no
+analog: DataFrames over immutable snapshots need no reader lock.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame
+
+from bgpexplorer_spark.operators.query import QueryParams, query_rib, to_nested_json
+from bgpexplorer_spark.operators.rib import statistics
+from bgpexplorer_spark.schemas import RIB_NAMES
+
+class BgpExplorerService:
+    """Programmatic facade (what the HTTP layer and tests call)."""
+
+    def __init__(self, history: DataFrame, sessions: DataFrame | None = None):
+        self.history = history
+        self.sessions = sessions
+        self.state = "Established"  # O8 (src/bgpsvc.rs:429-435)
+
+    def api_json(self, rib: str, **params) -> dict:
+        """GET /api/json/<rib> — the §3.1 pipeline; unknown rib names fall
+        back to ipv4u like the reference (src/ribservice.rs:276)."""
+        if rib not in RIB_NAMES:
+            rib = "ipv4u"
+        p = QueryParams(**params)
+        r = query_rib(self.history, rib, p)
+        items = {
+            row.nlri_str: json.loads(row.items_json)
+            for row in to_nested_json(r).collect()
+        }
+        return {
+            "ribtype": r.ribtype,
+            "length": r.length,
+            "skip": r.skip,
+            "limit": r.limit,
+            "maxdepth": r.maxdepth,
+            "onlyactive": r.onlyactive,
+            "found": r.found,
+            "items": items,
+        }
+
+    def api_statistics(self) -> dict:
+        """GET /api/statistics (O6, src/ribservice.rs:168-219)."""
+        rows = statistics(self.history).collect()
+        return {r.rib: r.asDict() for r in rows}
+
+    def api_sessions(self) -> list[dict]:
+        """GET /api/sessions (src/bgpsvc.rs:733-745)."""
+        if self.sessions is None:
+            return []
+        return [r.asDict() for r in self.sessions.collect()]
+
+    def api_state(self) -> dict:
+        return {"state": self.state}
+
+    def api_ping(self) -> str:
+        return "pong"
+
+_BOOL = {"true": True, "1": True, "false": False, "0": False}
+
+def _make_handler(svc: BgpExplorerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, obj, code=200):
+            body = (obj if isinstance(obj, str) else json.dumps(obj)).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            u = urlparse(self.path)
+            parts = [p for p in u.path.split("/") if p]
+            qs = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                if parts[:2] == ["api", "ping"]:
+                    return self._send("pong")
+                if parts[:2] == ["api", "state"]:
+                    return self._send(svc.api_state())
+                if parts[:2] == ["api", "statistics"]:
+                    return self._send(svc.api_statistics())
+                if parts[:2] == ["api", "sessions"]:
+                    return self._send(svc.api_sessions())
+                if parts[:2] == ["api", "json"] and len(parts) == 3:
+                    params = {}
+                    if "filter" in qs:
+                        params["filter"] = qs["filter"]
+                    for k in ("skip", "limit", "maxdepth"):
+                        if k in qs:
+                            params[k] = int(qs[k])
+                    if "onlyactive" in qs:
+                        params["onlyactive"] = _BOOL.get(qs["onlyactive"].lower(), False)
+                    for k in ("changed_after", "changed_before"):
+                        if k in qs:
+                            params[k] = qs[k]
+                    return self._send(svc.api_json(parts[2], **params))
+                return self._send({"error": "not found"}, 404)
+            except Exception as e:  # surface engine errors as 500 JSON
+                return self._send({"error": str(e)[:500]}, 500)
+
+    return Handler
+
+def serve(svc: BgpExplorerService, host: str = "127.0.0.1", port: int = 8080):
+    """Start the HTTP server on a background thread; returns the server
+    (call ``.shutdown()`` to stop)."""
+    httpd = ThreadingHTTPServer((host, port), _make_handler(svc))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    return httpd

@@ -1,0 +1,89 @@
+"""INI config source (SURVEY.md §2.1 S12; reference
+src/config.rs:415-659 SvcConfig::from_inifile / ProtoPeer::from_ini).
+
+Same keys and defaults as the reference's bgpexplorer.ini: a [main]
+section plus one section per peer. Peer sections accept ``mode``
+(bgpactive|bgppassive|bmpactive|bmppassive), ``peer``/``listen``,
+``bgppeeras``, ``filter_rd`` (S3).
+"""
+
+from __future__ import annotations
+
+import configparser
+from dataclasses import dataclass, field
+
+@dataclass
+class PeerConfig:
+    """One ingest peer (reference ProtoPeer, src/config.rs:48-263)."""
+
+    name: str
+    mode: str = "bgpactive"          # bgpactive|bgppassive|bmpactive|bmppassive
+    peer: str | None = None          # remote addr for active modes
+    listen: str | None = None        # local addr for passive modes
+    bgppeeras: int = 0
+    filter_rd: str = "0:0"           # S3 ingest RD filter (src/bmppeer.rs:33-39)
+
+@dataclass
+class SvcConfig:
+    """Reference SvcConfig (src/config.rs:331-348) minus the Rust-runtime
+    fields; defaults match src/config.rs:455-659."""
+
+    httplisten: str = "0.0.0.0:8080"
+    httproot: str = "./contrib"
+    httptimeout: int = 120
+    historydepth: int = 10            # src/config.rs:506-523
+    timeidx_granularity: int = 86400  # src/config.rs:486-505
+    historymode: str = "every"        # 'every' | 'differ' (src/config.rs:22-28)
+    whoisdb: str = "whoisdb"
+    whoisreqtimeout: int = 30
+    whoiscachesecs: int = 1800        # src/config.rs:580-595
+    purge_after_withdraws: int = 0
+    purge_every: int = 300            # seconds, src/config.rs:542-579
+    snapshot_file: str | None = None
+    snapshot_every: int = 43200       # src/config.rs:476-485
+    peers: list[PeerConfig] = field(default_factory=list)
+    # engine extension: where the rib_history parquet table lives
+    table_path: str | None = None
+
+def from_inifile(path: str) -> SvcConfig:
+    cp = configparser.ConfigParser()
+    read = cp.read(path)
+    if not read or "main" not in cp:
+        raise ValueError("Missing section 'main' in ini file")
+    m = cp["main"]
+    cfg = SvcConfig(
+        httplisten=m.get("httplisten", "0.0.0.0:8080"),
+        httproot=m.get("httproot", "./contrib"),
+        httptimeout=m.getint("httptimeout", fallback=120),
+        historydepth=m.getint("historydepth", fallback=10),
+        timeidx_granularity=m.getint("timeidx_granularity", fallback=86400),
+        historymode=m.get("historymode", "every").lower(),
+        whoisdb=m.get("whoisdb", "whoisdb"),
+        whoisreqtimeout=m.getint("whois_request_timeout", fallback=30),
+        whoiscachesecs=m.getint("whois_cache_seconds", fallback=1800),
+        purge_after_withdraws=m.getint("purge_after_withdraws", fallback=0),
+        purge_every=m.getint("purge_every", fallback=300),
+        snapshot_file=m.get("snapshot", fallback=None),
+        snapshot_every=m.getint("snapshot_every", fallback=43200),
+        table_path=m.get("table_path", fallback=None),
+    )
+    if cfg.historymode not in ("every", "differ"):
+        cfg.historymode = "every"
+    for sect in cp.sections():
+        if sect == "main":
+            continue
+        s = cp[sect]
+        mode = s.get("mode", "bgpactive").lower()
+        if mode not in ("bgpactive", "bgppassive", "bmpactive", "bmppassive"):
+            continue  # reference warns and skips invalid peers
+        cfg.peers.append(
+            PeerConfig(
+                name=sect,
+                mode=mode,
+                peer=s.get("peer", fallback=None),
+                listen=s.get("listen", fallback=None),
+                bgppeeras=s.getint("bgppeeras", fallback=0),
+                filter_rd=s.get("filter_rd", "0:0"),
+            )
+        )
+    return cfg

@@ -74,3 +74,27 @@ def write_snapshot(history: DataFrame, path: str, mode: str = "overwrite") -> No
 def read_snapshot(spark, path: str) -> DataFrame:
     """S5 — no index rebuild needed (indexes are not materialized)."""
     return spark.read.parquet(path).drop("ts_date")
+
+def attrs_dim(history: DataFrame) -> DataFrame:
+    """U6 analog — the reference hash-conses attrs into shared stores
+    (RibItemStore, src/bgprib.rs:121-190); columnar storage makes that
+    free, but a normalized attrs dimension with a 64-bit surrogate key is
+    still useful for exploration/joins: distinct attrs + xxhash64 key."""
+    from bgpexplorer_spark.operators.ingest import ATTR_COLS, attrs_struct
+
+    return (
+        history.select(F.xxhash64(attrs_struct()).alias("attrs_key"), *ATTR_COLS)
+        .dropDuplicates(["attrs_key"])
+    )
+
+def compact(spark, path: str, history_depth: int | None = None) -> None:
+    """U9 analog — the reference's refcount purge (src/bgprib.rs:875-902)
+    has no shared heap to collect here; the maintenance job is table
+    compaction: rewrite the snapshot applying retention (and collapsing
+    small files). Equivalent to Delta OPTIMIZE+VACUUM without Delta."""
+    df = read_snapshot(spark, path)
+    if history_depth is not None:
+        df = retained(df, history_depth)
+    df = df.cache()
+    df.count()  # materialize before overwriting the source
+    write_snapshot(df, path)

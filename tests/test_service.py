@@ -1,0 +1,177 @@
+"""Serving layer + config + whois/enrichment + maintenance
+(SURVEY §2.1 S6-S12, §2.4 J5, §2.6 C9, U6/U9 analogs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import tempfile
+import urllib.request
+
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark import config as cfgmod
+from bgpexplorer_spark.api import BgpExplorerService, serve
+from bgpexplorer_spark.operators import whois
+from bgpexplorer_spark.operators.ingest import build_history
+from bgpexplorer_spark.operators.rib import attrs_dim, compact, read_snapshot, write_snapshot
+
+from tests.ribdata import make_updates, u
+
+def test_config_parse(tmp_path):
+    ini = tmp_path / "t.ini"
+    ini.write_text(
+        """
+[main]
+httplisten = 0.0.0.0:9090
+historydepth = 5
+historymode = differ
+whois_cache_seconds = 60
+
+[upstream1]
+mode = bmppassive
+listen = 0.0.0.0:5000
+filter_rd = 100:1
+
+[bad]
+mode = nonsense
+"""
+    )
+    c = cfgmod.from_inifile(str(ini))
+    assert c.httplisten == "0.0.0.0:9090"
+    assert c.historydepth == 5 and c.historymode == "differ"
+    assert c.whoiscachesecs == 60
+    assert c.httptimeout == 120 and c.purge_every == 300  # defaults
+    assert len(c.peers) == 1 and c.peers[0].mode == "bmppassive"
+    assert c.peers[0].filter_rd == "100:1"
+
+def test_whois_referral_recursion():
+    calls = []
+
+    def fake(server, query):
+        calls.append(server)
+        if server == "whois.iana.org":
+            return "refer: whois.arin.net\n"
+        if server == "whois.arin.net":
+            return "OrgName: Example\n"
+        return ""
+
+    srv, text = whois.query_whois("192.0.2.1", fake)
+    assert srv == "whois.arin.net" and "OrgName" in text
+    assert calls == ["whois.iana.org", "whois.arin.net"]
+
+    # loop protection
+    def loopy(server, query):
+        return "refer: whois.iana.org\n"
+
+    srv2, _ = whois.query_whois("x", loopy)
+    assert srv2 == "whois.iana.org"
+
+def test_reverse_dns_name():
+    assert whois.reverse_dns_name("10.1.2.3") == "3.2.1.10.in-addr.arpa"
+    assert whois.reverse_dns_name("2001:db8::1").endswith("ip6.arpa")
+
+def test_whois_text_postprocessing(spark):
+    txt = "% comment\n# another\nOrgName: X\ninetnum: 10.0.0.0/8\n"
+    df = spark.createDataFrame([(txt,)], "t string")
+    stripped = df.select(whois.strip_comments(F.col("t")).alias("s")).first().s
+    assert "%" not in stripped and "OrgName: X" in stripped
+    sect = df.select(whois.extract_section(F.col("t"), "^inetnum").alias("s")).first().s
+    assert sect.startswith("inetnum")
+
+def test_whois_cache_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "cache")
+    t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    whois.cache_upsert(spark, path, "whois", [("AS100", "org A")], now=t0)
+    whois.cache_upsert(spark, path, "whois", [("AS200", "org B")], now=t0)
+    cache = whois.read_cache(spark, path)
+    assert cache.count() == 2
+    # stale-while-revalidate: at t0+1h with ttl 30m both rows stale
+    qs = spark.createDataFrame([("AS100",), ("AS300",)], "query string")
+    got = {
+        r.query: r
+        for r in whois.cache_lookup(
+            cache, "whois", qs, ttl_seconds=1800,
+            now=t0 + dt.timedelta(hours=1),
+        ).collect()
+    }
+    assert got["AS100"].val == "org A" and got["AS100"].stale
+    assert got["AS300"].val is None and not got["AS300"].stale
+    # upsert overwrites
+    whois.cache_upsert(spark, path, "whois", [("AS100", "org A v2")], now=t0)
+    v = {
+        r.query: r.val for r in whois.read_cache(spark, path).collect()
+    }
+    assert v["AS100"] == "org A v2" and v["AS200"] == "org B"
+
+def test_enrich_join(spark, tmp_path):
+    path = str(tmp_path / "cache")
+    whois.cache_upsert(spark, path, "whois", [("AS100", "org A")])
+    cache = whois.read_cache(spark, path)
+    df = spark.createDataFrame([("AS100",), ("AS999",)], "asn string")
+    out = {r.asn: r.whois_val for r in whois.enrich(df, cache, "whois", "asn").collect()}
+    assert out == {"AS100": "org A", "AS999": None}
+
+def test_attrs_dim_and_compact(spark, tmp_path):
+    hist = build_history(
+        make_updates(
+            spark,
+            [u("10.0.0.0/24", t=i, aspath=[("Seq", [100 + (i % 2)])]) for i in range(6)],
+        )
+    )
+    dim = attrs_dim(hist)
+    assert dim.count() == 2  # two distinct attr sets
+    path = str(tmp_path / "snap")
+    write_snapshot(hist, path)
+    compact(spark, path, history_depth=2)
+    back = read_snapshot(spark, path)
+    assert back.count() == 2  # retention applied in-place
+
+def test_http_api_end_to_end(spark):
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/24", t=1, aspath=[("Seq", [100])]),
+                u("10.0.1.0/24", t=2),
+                u("11.0.0.0/24", t=3),
+            ],
+        )
+    ).cache()
+    sessions = spark.createDataFrame(
+        [(0, "192.0.2.1", 65000, "192.0.2.2", 65001)],
+        "session_id int, peer1_addr string, peer1_as long, peer2_addr string, peer2_as long",
+    )
+    svc = BgpExplorerService(hist, sessions)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        assert urllib.request.urlopen(base + "/api/ping").read() == b"pong"
+        st = json.loads(urllib.request.urlopen(base + "/api/state").read())
+        assert st["state"] == "Established"
+        resp = json.loads(
+            urllib.request.urlopen(
+                base + "/api/json/ipv4u?filter=10.0.0.0/8&limit=10"
+            ).read()
+        )
+        assert resp["ribtype"] == "ipv4u"
+        assert resp["found"] == 2 and resp["length"] == 3
+        assert set(resp["items"]) == {"10.0.0.0/24", "10.0.1.0/24"}
+        stats = json.loads(urllib.request.urlopen(base + "/api/statistics").read())
+        assert stats["ipv4u"]["routes"] == 3
+        sess = json.loads(urllib.request.urlopen(base + "/api/sessions").read())
+        assert sess[0]["peer1_as"] == 65000
+        # unknown rib falls back to ipv4u (reference quirk)
+        resp2 = json.loads(
+            urllib.request.urlopen(base + "/api/json/nonsense?limit=1").read()
+        )
+        assert resp2["ribtype"] == "ipv4u"
+        # 404 path
+        try:
+            urllib.request.urlopen(base + "/api/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        httpd.shutdown()
