@@ -396,7 +396,7 @@ def o5_lpm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hosts = derived_routes(spark, sf_dir).select("event_id", "addr_v4")
-    out = lpm_join_v4(hosts, prefixes)
+    out = lpm_join_v4(hosts, prefixes, plens=[8, 16])
     return out.select(
         "event_id", "addr_v4",
         F.col("matched_addr_v4").alias("matched_net"),

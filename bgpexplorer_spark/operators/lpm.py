@@ -22,14 +22,19 @@ def lpm_join_v4(
     host_addr: str = "addr_v4",
     route_addr: str = "addr_v4",
     route_plen: str = "prefixlen",
+    plens: list[int] | None = None,
 ) -> DataFrame:
     """For each host row, attach the longest route prefix containing its
     address (or no row if none — inner join semantics).
 
     ``routes`` must hold canonical network addresses. Candidate masking:
     floor(addr / 2^(32-plen)) * 2^(32-plen), built per distinct plen.
+    Pass ``plens`` when the occurring prefix lengths are known to skip
+    the discovery action (an IPv4 DFZ table has ≤25 of them; worst case
+    33 candidates per host).
     """
-    plens = [r[0] for r in routes.select(route_plen).distinct().collect()]
+    if plens is None:
+        plens = [r[0] for r in routes.select(route_plen).distinct().collect()]
     plens = sorted(int(x) for x in plens)
     if not plens:
         return hosts.limit(0).crossJoin(routes.limit(0))
