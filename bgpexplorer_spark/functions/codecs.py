@@ -27,7 +27,10 @@ def parse_rd(s: str) -> tuple[int, int]:
     if "." in left:
         from bgpexplorer_spark.functions.iputil import parse_v4
 
-        return RD_IP_FLAG | 0, (parse_v4(left) << 16) | int(right)  # type 1 RD: admin=IP
+        # type-1 RD layout: high part = flag | ip[31:16], low part =
+        # ip[15:0] << 16 | assigned number
+        ip = parse_v4(left)
+        return RD_IP_FLAG | (ip >> 16), ((ip & 0xFFFF) << 16) | int(right)
     return int(left), int(right)
 
 def rd_to_str(rd_hi: Column, rd_lo: Column) -> Column:

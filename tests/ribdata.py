@@ -31,6 +31,9 @@ def u(
     lcomms: list[tuple[int, int, int]] | None = None,
     nexthop: str | None = None,
     mvpn: tuple[int, str | None, str | None] | None = None,  # (type, source, group)
+    l2: tuple[int, int, int] | None = None,  # (site, offset, range)
+    evpn: int | None = None,  # evpn route type
+    mdt_group: str | None = None,
     **extra: Any,
 ) -> dict:
     """One updates row from a compact spec. ``nlri`` is 'a.b.c.d/len' or a
@@ -60,6 +63,19 @@ def u(
         if grp:
             row["mvpn_group_v4"] = int(ipaddress.IPv4Address(grp))
         nlri_disp = f"T{mt}:{nlri_disp}"
+    if l2:
+        row["l2_site"], row["l2_offset"], row["l2_range"] = l2
+        nlri_disp = f"L2:{l2[0]}:{l2[1]}-{l2[2]}:{nlri_disp}"
+    if evpn is not None:
+        row["evpn_type"] = evpn
+        nlri_disp = f"E{evpn}:{nlri_disp}"
+    if mdt_group:
+        ip = ipaddress.ip_address(mdt_group)
+        if ip.version == 4:
+            row["mdt_group_v4"] = int(ip)
+        else:
+            row["mdt_group_v6"] = ip.packed
+        nlri_disp = f"{nlri_disp}:G{mdt_group}"
     row["nlri_str"] = nlri_disp
 
     if op == "update":

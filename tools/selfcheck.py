@@ -28,7 +28,10 @@ def norm_cell(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
     if hasattr(v, "isoformat"):
-        return v.isoformat(sep=" ")
+        try:
+            return v.isoformat(sep=" ")
+        except TypeError:  # datetime.date takes no sep
+            return v.isoformat()
     return str(v)
 
 def hash_rows(cols, rows):
