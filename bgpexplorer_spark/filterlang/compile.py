@@ -392,6 +392,47 @@ def filter_to_column(
         col = col & term_to_column(t, rib, supernet)
     return col
 
+# rib families whose key chain bottoms out in the plain v4 / v6 prefix —
+# for these a non-negated subnet term can only say Yes when the prefix
+# containment holds, so a redundant plain range conjunct is sound
+_V4_PREFIX_RIBS = ("ipv4u", "ipv4m", "ipv4lu", "vpnv4u", "vpnv4m")
+_V6_PREFIX_RIBS = ("ipv6u", "ipv6lu", "vpnv6u", "vpnv6m")
+_RD_RIBS = ("vpnv4u", "vpnv4m", "vpnv6u", "vpnv6m", "l2vpls", "ipv4mdt", "ipv6mdt")
+
+def pushdown_prefilter(terms: list[FilterTerm], rib: str) -> Column:
+    """Scan-pushable necessary conditions implied by the 3VL filter.
+
+    The full 3VL expression is a CASE tree parquet cannot push; this
+    derives plain range/equality conjuncts that Catalyst DOES push into
+    the scan (min/max row-group skipping + partition pruning) — the
+    100 TB substitute for the reference's BTreeMap range access path
+    (src/ribfilter.rs:563-580 find_least_subnet). Sound because for a
+    non-negated V4/V6 term, key-No rejects and key-Unknown can at best
+    leave the conjunction Unknown (not emitted); likewise RD equality on
+    rd-keyed families."""
+    pre = _YES()
+    for t in terms:
+        if t.negated:
+            continue
+        if isinstance(t.item, V4Term) and rib in _V4_PREFIX_RIBS:
+            first, last = v4_net_range(t.item.addr, t.item.plen)
+            pre = pre & iputil.v4_subnet_contains(
+                _ADDR4(), _PLEN(), first, last, t.item.plen
+            )
+        elif isinstance(t.item, V6Term) and rib in _V6_PREFIX_RIBS:
+            first, last = v6_net_range(t.item.addr, t.item.plen)
+            pre = pre & iputil.v6_subnet_contains(
+                _ADDR6(), _PLEN(), first, last, t.item.plen
+            )
+        elif isinstance(t.item, RDTerm) and rib in _RD_RIBS:
+            pre = pre & (F.col("rd_hi") == t.item.hi) & (F.col("rd_lo") == t.item.lo)
+    return pre
+
 def matches(filter_str: str | None, rib: str, supernet: bool = False) -> Column:
-    """Convenience: TRUE iff the filter says Yes."""
-    return F.coalesce(filter_to_column(filter_str, rib, supernet), _NO())
+    """TRUE iff the filter says Yes. In subnet mode the pushable
+    prefilter is conjoined so the scan prunes before the 3VL tree runs."""
+    terms = parse_filter(filter_str) if isinstance(filter_str, (str, type(None))) else filter_str
+    col = F.coalesce(filter_to_column(terms, rib, supernet), _NO())
+    if not supernet:
+        col = pushdown_prefilter(terms, rib) & col
+    return col

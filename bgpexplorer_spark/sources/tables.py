@@ -30,6 +30,9 @@ _TS_COLS = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table, normalizing nanos timestamps to TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle parity: DuckDB timestamps are UTC-naive; pin the session TZ in
+    # case the driver's session was built without it
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):

@@ -1,0 +1,65 @@
+"""Plan-shape assertions — the 100 TB posture is enforced, not hoped for
+(SURVEY §4): filters reach the parquet scan, partition pruning fires on
+the (rib, ts_date) layout, dims broadcast, no Python UDFs in hot paths."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.filterlang.compile import matches
+from bgpexplorer_spark.operators.ingest import build_history
+from bgpexplorer_spark.operators.rib import write_snapshot
+from bgpexplorer_spark.operators.sessions import build_session_registry
+
+from tests.ribdata import make_updates, u
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+def test_subnet_filter_pushdown_and_partition_pruning(spark):
+    rows = [u(f"10.{i % 20}.0.0/16", t=i * 90000) for i in range(40)]  # spans days
+    hist = build_history(make_updates(spark, rows))
+    d = tempfile.mkdtemp()
+    write_snapshot(hist, d)
+    df = spark.read.parquet(d)
+
+    # rib partition pruning
+    q = df.filter(F.col("rib") == "ipv4u").filter(matches("10.1.0.0/16", "ipv4u"))
+    plan = _plan(q)
+    assert "PartitionFilters" in plan and "rib" in plan.split("PartitionFilters")[1][:200]
+    # the compiled subnet range predicate reaches the scan as data filters
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert "addr_v4" in pushed and "prefixlen" in pushed
+
+    # ts_date pruning for changed-time queries (J2 done right)
+    q2 = df.filter(F.col("ts_date") == "2024-01-02")
+    p2 = _plan(q2)
+    assert "PartitionFilters" in p2 and "ts_date" in p2.split("PartitionFilters")[1][:200]
+
+def test_no_python_udfs_in_query_paths(spark):
+    hist = build_history(
+        make_updates(spark, [u("10.0.0.0/24", t=1, aspath=[("Seq", [100, 200])])])
+    )
+    q = hist.filter(
+        matches("10.0.0.0/8 as:100,200 community:1:2 rt:1:1 re:IGP nh:1.0.0.0/8", "ipv4u")
+    )
+    plan = _plan(q)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_session_registry_symmetric(spark):
+    rows = [
+        ("10.0.0.1", 65001, "10.0.0.2", 65002, 1),
+        ("10.0.0.2", 65002, "10.0.0.1", 65001, 2),  # same pair, swapped
+        ("10.0.0.3", 65003, "10.0.0.4", 65004, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "peer1_addr string, peer1_as long, peer2_addr string, peer2_as long, ts long"
+    )
+    reg = build_session_registry(df).collect()
+    assert len(reg) == 2
+    ids = {r.session_id for r in reg}
+    assert ids == {0, 1}
+    first = min(reg, key=lambda r: r.session_id)
+    assert first.peer1_addr == "10.0.0.1" and first.peer2_addr == "10.0.0.2"
