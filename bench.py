@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "o4_topk",
     "j1_semijoin",
     "f1_subnet_match",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_quality",
 ]
 
 def main() -> None:

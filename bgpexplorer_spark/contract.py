@@ -237,7 +237,7 @@ def f12_changed_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "f5_aspath_subseq",
     """
-    SELECT event_id, path
+    SELECT event_id, array_to_string(path, ',') AS path_str
     FROM (
         SELECT event_id,
                [100 + user_id % 5, 200 + user_id % 7, 300 + event_id % 3] AS path
@@ -260,13 +260,13 @@ def f5_aspath_subseq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = ev.select("event_id", path.alias("path"))
     return df.filter(array_contiguous_subseq(F.col("path"), [102, 203])).select(
-        "event_id", "path"
+        "event_id", F.concat_ws(",", F.col("path")).alias("path_str")
     )
 
 @q(
     "f6_community_match",
     """
-    SELECT event_id, comms
+    SELECT event_id, array_to_string(comms, ',') AS comms_str
     FROM (
         SELECT event_id,
                [65536 * 100 + user_id % 16, 65536 * 200 + event_id % 10] AS comms
@@ -284,7 +284,9 @@ def f6_community_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(65536 * 200) + F.col("event_id") % 10).cast("bigint"),
     )
     df = ev.select("event_id", comms.alias("comms"))
-    return df.filter(F.array_contains(F.col("comms"), F.lit(65536 * 100 + 7)))
+    return df.filter(
+        F.array_contains(F.col("comms"), F.lit(65536 * 100 + 7))
+    ).select("event_id", F.concat_ws(",", F.col("comms")).alias("comms_str"))
 
 @q(
     "f13_maxdepth",
@@ -794,7 +796,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(docs, "doc_id", k=16, n=3)
-    return lsh_buckets(sig, "doc_id", bands=4)
+    return lsh_buckets(sig, "doc_id", bands=4, k=16)
 
 @q(
     "dedup_ngram_jaccard",

@@ -58,14 +58,18 @@ def minhash_signatures(
     )
 
 def lsh_buckets(
-    sig: DataFrame, id_col: str, bands: int = 4, rows_per_band: int | None = None
+    sig: DataFrame, id_col: str, bands: int = 4, rows_per_band: int | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Band the signature: one row per (doc, band) with a bucket hash.
-    Docs sharing any (band, bucket) are candidate near-dups."""
-    k = bands * (rows_per_band or 0)
-    first = sig.select(F.size("minhash").alias("k")).first()
-    total = first["k"]
-    rpb = rows_per_band or total // bands
+    Docs sharing any (band, bucket) are candidate near-dups. Pass ``k``
+    (signature length) to avoid a discovery action on the pipeline."""
+    if rows_per_band is None:
+        if k is None:
+            k = sig.select(F.size("minhash").alias("k")).first()["k"]
+        rpb = k // bands
+    else:
+        rpb = rows_per_band
     out = []
     for b in range(bands):
         out.append(
