@@ -157,7 +157,8 @@ def query_rib(history: DataFrame, rib: str, p: QueryParams) -> RibQueryResult:
     length = rib_df.dropDuplicates(ROUTE_COLS).count()
 
     terms = parse_filter(p.filter)
-    matched = matched_routes(history, rib, p)
+    # cached: the match set feeds both the found count and the page
+    matched = matched_routes(history, rib, p).cache()
     # O2: count short-circuits to table size on empty filter
     # (src/bgpsvc.rs:603-613)
     found = length if not terms else matched.count()
