@@ -118,7 +118,10 @@ def array_contiguous_subseq(haystack: Column, needle: list[int]) -> Column:
     k = len(needle)
     lit_needle = F.array(*[F.lit(x).cast("bigint") for x in needle])
     n = F.size(haystack)
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    # Clamp the sequence end to >= 1: sequence(1, 0) is DESCENDING in Spark
+    # ([1, 0]) and slice(start=0) throws; `&` does not short-circuit, so the
+    # exists() is evaluated even when n < k.
+    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     return (n >= F.lit(k)) & F.exists(
         starts, lambda i: F.slice(haystack, i, k) == lit_needle
     )

@@ -1,0 +1,195 @@
+"""Property-based equivalence: the Spark filter compiler vs an
+independent pure-Python model of the reference's 3-valued semantics
+(src/ribfilter.rs:36-110, 1267-1648). Random mini-RIBs x random filters;
+any divergence is a compiler bug.
+
+The Python model is written from the reference semantics directly (not
+from compile.py), so agreement is meaningful.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re as _re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.filterlang.compile import matches
+from bgpexplorer_spark.filterlang.terms import (
+    ASPathTerm,
+    CommunityTerm,
+    ExtCommTerm,
+    FilterTerm,
+    NumTerm,
+    RDTerm,
+    RegexTerm,
+    V4Term,
+    parse_filter,
+)
+from bgpexplorer_spark.operators.ingest import build_history
+
+from tests.ribdata import make_updates, u
+
+# --- pure-Python reference model (Yes=True, No=False, Unknown=None) --------
+
+def _py_key_v4(item, route):
+    addr, plen = route["addr"], route["plen"]
+    route_mc = plen >= 4 and (addr >> 28) == 0xE
+    if isinstance(item, V4Term):
+        first = item.addr
+        last = first | ((1 << (32 - item.plen)) - 1) if item.plen < 32 else first
+        contains = first <= addr <= last and plen >= item.plen
+        if item.multicast:
+            return contains if route_mc else None
+        return None if route_mc else contains
+    if isinstance(item, NumTerm):
+        return plen == item.n  # HARD for v4
+    if isinstance(item, RegexTerm):
+        # soft vs stringified key (src/ribfilter.rs:1387-1389)
+        return True if _re.search(item.pattern, route["nlri"]) else None
+    return None
+
+def _py_key_rd(item, route):
+    rd = route.get("rd")
+    if rd is None:
+        return None
+    if isinstance(item, RDTerm):
+        return rd == (item.hi, item.lo)
+    if isinstance(item, NumTerm):
+        return True if item.n in rd else None  # soft
+    return None
+
+def _py_key(item, route, rib):
+    if rib == "vpnv4u":
+        r = _py_key_rd(item, route)
+        return r if r is not None else _py_key_v4(item, route)
+    return _py_key_v4(item, route)
+
+def _py_attr(item, route):
+    if isinstance(item, CommunityTerm):
+        return item.value in route.get("comms", [])
+    if isinstance(item, ExtCommTerm) and item.kind == "pair":
+        ecs = route.get("extcomms", [])
+        if not ecs:
+            return None
+        return True if any(a == item.a and b == item.b for (_, _, a, b) in ecs) else None
+    if isinstance(item, ASPathTerm):
+        path = route.get("aspath", [])
+        k = len(item.asns)
+        if item.mode == "empty":
+            return len(path) == 0
+        if item.mode == "full":
+            return tuple(path) == item.asns
+        if item.mode == "startswith":
+            return len(path) >= k and tuple(path[:k]) == item.asns
+        if item.mode == "endswith":
+            return len(path) >= k and tuple(path[-k:]) == item.asns
+        return any(
+            tuple(path[i : i + k]) == item.asns for i in range(len(path) - k + 1)
+        )
+    return None
+
+def _py_term(term, route, rib):
+    k = _py_key(term.item, route, rib)
+    a = _py_attr(term.item, route)
+
+    def pol(x):
+        return (not x) if term.negated else x
+
+    if k is True:
+        if a is None:
+            return True  # polarity-bypass quirk
+        return pol(a)
+    if k is False:
+        return pol(False)
+    if a is None:
+        return None
+    return pol(a)
+
+def _py_match(terms, route, rib):
+    out = True
+    for t in terms:
+        r = _py_term(t, route, rib)
+        if r is False:
+            return False
+        if r is None:
+            out = None
+    return out
+
+# --- strategies -------------------------------------------------------------
+
+def _route(i, has_rd):
+    return st.fixed_dictionaries(
+        {
+            "addr_raw": st.integers(0, (1 << 32) - 1),
+            "plen": st.integers(0, 32),
+            "rd": st.tuples(st.integers(0, 3), st.integers(0, 3)) if has_rd else st.none(),
+            "aspath": st.lists(st.integers(100, 103), max_size=4),
+            "comms": st.lists(st.integers(0, 3), max_size=3),
+            "extcomms": st.lists(
+                st.tuples(st.just(0), st.just(2), st.integers(0, 2), st.integers(0, 2)),
+                max_size=2,
+            ),
+        }
+    )
+
+_FILTERS = [
+    "10.0.0.0/8", "224.0.0.0/4", "0.0.0.0/0", "128.0.0.0/1", "-10.0.0.0/8",
+    "24", "0", "2", "as:", "as:100", "as:100,101", "as:^100", "as:101$",
+    "as:^100,101$", "-as:100", "community:0:1", "-community:0:1",
+    "rt:1:1", "rd:1:2", "-rd:1:2", "10.0.0.0/8 as:100", "rd:1:2 24",
+    "224.0.0.0/5 community:0:2", "re:", "1 2",
+]
+
+@pytest.mark.parametrize("rib", ["ipv4u", "vpnv4u"])
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_filter_equivalence(spark, rib, data):
+    routes = data.draw(st.lists(_route(0, rib == "vpnv4u"), min_size=1, max_size=6))
+    rows = []
+    model_routes = []
+    for i, r in enumerate(routes):
+        net = ipaddress.ip_network((r["addr_raw"], r["plen"]), strict=False)
+        addr = int(net.network_address)
+        spec = u(
+            f"{net.network_address}/{r['plen']}",
+            rib=rib,
+            t=i,
+            rd=f"{r['rd'][0]}:{r['rd'][1]}" if r["rd"] else None,
+            aspath=[("Seq", r["aspath"])] if r["aspath"] else None,
+            comms=[c for c in r["comms"]] or None,
+            extcomms=r["extcomms"] or None,
+            session_id=i,  # distinct keys so rows never merge
+        )
+        rows.append(spec)
+        model_routes.append(
+            {
+                "addr": addr, "plen": r["plen"],
+                "rd": r["rd"], "aspath": r["aspath"],
+                "comms": r["comms"], "extcomms": r["extcomms"],
+                "nlri": spec["nlri_str"],
+            }
+        )
+    hist = build_history(make_updates(spark, rows))
+    # evaluate every filter in ONE pass; key by (nlri, session) because two
+    # drawn routes can normalize to the same NLRI string
+    cols = [matches(f, rib).alias(f"m{j}") for j, f in enumerate(_FILTERS)]
+    got = hist.select(F.col("nlri_str"), F.col("session_id"), *cols).collect()
+    spark_result = {
+        (row.nlri_str, row.session_id): [row[f"m{j}"] for j in range(len(_FILTERS))]
+        for row in got
+    }
+    for j, f in enumerate(_FILTERS):
+        terms = parse_filter(f)
+        for i, mr in enumerate(model_routes):
+            want = _py_match(terms, mr, rib) is True
+            have = spark_result[(mr["nlri"], i)][j]
+            assert have == want, (
+                f"filter={f!r} rib={rib} route={mr} want={want} have={have}"
+            )
