@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from bgpexplorer_spark.operators.text import portable_hash32, shingles
+from bgpexplorer_spark.operators.text import (
+    portable_hash32,
+    shingles_of_tokens,
+    tokens,
+)
 
 # deterministic affine hash-family parameters (public MinHash construction:
 # h_i(x) = (a_i * x + b_i) mod p, p Mersenne-ish prime)
@@ -45,9 +49,14 @@ def minhash_signatures(
     n-gram shingles. One explode + one groupBy with k min-aggregates —
     map-side combinable."""
     params = _minhash_params(k)
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_sh")
-    ).withColumn("_h", portable_hash32(F.col("_sh")))
+    sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), n))).alias("_sh"),
+        )
+        .withColumn("_h", portable_hash32(F.col("_sh")))
+    )
     aggs = [
         F.min((F.col("_h") * a + b) % MINHASH_P).alias(f"_m{i}")
         for i, (a, b) in enumerate(params)
@@ -125,8 +134,10 @@ def ngram_jaccard_pairs(
     ``candidates`` this self-joins on shared shingles (fine at test scale,
     quadratic in the worst case — at 100 TB feed it LSH candidates)."""
     sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("_sh"),
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "_id",
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), n))).alias("_sh"),
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -77,11 +77,25 @@ def fingerprint(col: Column) -> Column:
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(col)))))
     return F.md5(canon)
 
-def shingles(col: Column, n: int = 2) -> Column:
-    """Word n-gram shingles as an array column (the MinHash/Jaccard unit)."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+def shingles_of_tokens(toks: Column, n: int = 2) -> Column:
+    """Word n-gram shingles from a token-array column (the MinHash/Jaccard
+    unit). Docs with fewer than n tokens yield an empty array.
+
+    Hot paths must materialize the token array in a Project first
+    (``.withColumn("_toks", tokens(col))``) and pass that column here: a
+    lambda-captured ``tokens(text)`` expression tree is re-evaluated per
+    shingle inside ``transform`` (O(tokens²) — measured 7× slower at sf0.1).
+    """
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+def shingles(col: Column, n: int = 2) -> Column:
+    """Word n-gram shingles straight from text — convenience form; prefer
+    ``tokens()`` materialized into a column + ``shingles_of_tokens`` when the
+    document is exploded many times."""
+    return shingles_of_tokens(tokens(col), n)
 
 def portable_hash32(col: Column) -> Column:
     """Deterministic 32-bit hash both Spark and DuckDB can compute
