@@ -47,15 +47,18 @@ def main() -> None:
     spark.range(1).count()
 
     # steady-state timing: one untimed warmup run (plan compilation +
-    # parquet footer/file-index caching), then the timed run — what a
-    # resident service or repeated pipeline stage actually pays
+    # parquet footer/file-index caching), then median of 3 timed runs —
+    # a single post-warmup run still carries JVM JIT compilation noise
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
         fn(spark, sf_dir).count()  # warmup
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(sorted(runs)[1], 4)
     total = round(sum(times.values()), 4)
     print(
         json.dumps(

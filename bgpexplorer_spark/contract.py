@@ -513,10 +513,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # broadcast the filtered dim chain: without the hint the optimizer
+    # broadcasts LINEITEM (its file is under the 10 MB auto threshold) —
+    # backwards at any real scale, and slower even at sf0.1
+    co = F.broadcast(
+        c.filter(F.col("c_mktsegment") == "BUILDING").join(o, c.c_custkey == o.o_custkey)
+    )
     return (
-        c.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        co.join(li, li.l_orderkey == co.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -549,11 +553,17 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    # resolve the dim chain first (customer -> nation -> region-filtered)
+    # and broadcast it once against the fact join — the facts (lineitem,
+    # orders) never enter a broadcast build
+    cdim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .join(cdim, o.o_custkey == cdim.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(

@@ -57,12 +57,23 @@ def lpm_join_v4(
         ["_net", "_plen"],
         "inner",
     )
+    # Keep the longest hit per host with groupBy + max(struct(plen, ...)):
+    # map-side combinable partial agg, no per-partition sort — unlike a
+    # row_number window, which forces a full shuffle+sort on the host key.
+    # Ties are impossible: per (host, plen) the masked net is unique.
     host_cols = [c for c in hosts.columns]
-    w = Window.partitionBy(*host_cols).orderBy(F.col("_plen").desc())
+    route_extra = [c for c in joined.columns if c not in host_cols and c not in ("_net", "_plen")]
     return (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-        .withColumnRenamed("_net", "matched_" + route_addr)
-        .withColumnRenamed("_plen", "matched_" + route_plen)
+        joined.groupBy(*host_cols)
+        .agg(
+            F.max(
+                F.struct(F.col("_plen"), F.col("_net"), *[F.col(c) for c in route_extra])
+            ).alias("_best")
+        )
+        .select(
+            *host_cols,
+            F.col("_best._net").alias("matched_" + route_addr),
+            F.col("_best._plen").alias("matched_" + route_plen),
+            *[F.col(f"_best.{c}").alias(c) for c in route_extra],
+        )
     )
