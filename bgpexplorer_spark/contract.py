@@ -1148,3 +1148,154 @@ def _derived_updates_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_history(
         upd.select(*[f.name for f in UPDATES_SCHEMA.fields]), history_mode="differ"
     )
+
+# ---------------------------------------------------------------------------
+# Oracle upgrades for previously engine-test-only operator IDs:
+# F3 (nh:), F10 (+/- polarity), C3/C5 (codecs), C6 (time bucket),
+# embedding near-dup (LLM extension)
+# ---------------------------------------------------------------------------
+
+@q(
+    "f3_nexthop_match",
+    """
+    SELECT event_id, nh_v4
+    FROM (
+        SELECT event_id,
+               CAST(172 AS BIGINT) * 16777216 + 16 * 65536
+                   + (user_id % 32) * 256 + event_id % 256 AS nh_v4
+        FROM events
+    )
+    WHERE nh_v4 >= 2886731776 AND nh_v4 <= 2886733823
+    """,
+)
+def f3_nexthop_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — ``nh:172.16.8.0/21`` attr predicate: nexthop host address in
+    subnet (src/ribfilter.rs:1041-1088, 1430-1441) on derived nexthops."""
+    ev = load_table(spark, sf_dir, "events")
+    nh = (
+        F.lit(172 * 16777216 + 16 * 65536)
+        + (F.col("user_id") % 32) * 256
+        + F.col("event_id") % 256
+    ).cast("bigint")
+    df = ev.select("event_id", nh.alias("nh_v4"))
+    first, last = iputil.v4_net_range(iputil.parse_v4("172.16.8.0"), 21)
+    return df.filter(F.col("nh_v4").between(F.lit(first), F.lit(last)))
+
+@q(
+    "f10_negation",
+    f"""
+    SELECT event_id, addr_v4, prefixlen
+    FROM ({{dr}})
+    WHERE (addr_v4 >= 167772160 AND addr_v4 <= 168820735 AND prefixlen >= 12)
+      AND NOT prefixlen = 24
+    """.format(dr=_DERIVED_ROUTES_SQL),
+)
+def f10_negation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — term polarity: ``10.0.0.0/12 -24`` = subnet must match AND the
+    bare-number term must NOT (hard-term negation is plain NOT —
+    src/ribfilter.rs:1516-1546, 541-545)."""
+    routes = derived_routes(spark, sf_dir)
+    first, last = iputil.v4_net_range(iputil.parse_v4("10.0.0.0"), 12)
+    keep = iputil.v4_subnet_contains(
+        F.col("addr_v4"), F.col("prefixlen"), first, last, 12
+    ) & ~(F.col("prefixlen") == 24)
+    return routes.filter(keep).select("event_id", "addr_v4", "prefixlen")
+
+@q(
+    "c3_rd_codec",
+    """
+    SELECT event_id,
+           CAST(100 + user_id % 8 AS VARCHAR) || ':' ||
+           CAST(1000 + event_id % 50 AS VARCHAR) AS rd_str
+    FROM events
+    """,
+)
+def c3_rd_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 — RD 'A:B' rendering (functions/codecs.rd_to_str;
+    src/ribfilter.rs:1089-1129)."""
+    from bgpexplorer_spark.functions.codecs import rd_to_str
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        rd_to_str(
+            (F.lit(100) + F.col("user_id") % 8), (F.lit(1000) + F.col("event_id") % 50)
+        ).alias("rd_str"),
+    )
+
+@q(
+    "c5_extcomm_decode",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0
+                THEN 'rt:' || CAST(200 + user_id % 4 AS VARCHAR) || ':' ||
+                     CAST(300 + event_id % 6 AS VARCHAR)
+                ELSE '1:3:' || CAST(200 + user_id % 4 AS VARCHAR) || ':' ||
+                     CAST(300 + event_id % 6 AS VARCHAR)
+           END AS ec_str
+    FROM events
+    """,
+)
+def c5_extcomm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 — typed ext-community rendering: route-target form for subtype 2,
+    numeric dump otherwise (functions/codecs.extcomm_to_str;
+    contrib/index.html:136-173)."""
+    from bgpexplorer_spark.functions.codecs import extcomm_to_str
+
+    ev = load_table(spark, sf_dir, "events")
+    ec = F.struct(
+        F.lit(1).cast("int").alias("ctype"),
+        F.when(F.col("event_id") % 3 == 0, 2).otherwise(3).cast("int").alias("subtype"),
+        (F.lit(200) + F.col("user_id") % 4).alias("a"),
+        (F.lit(300) + F.col("event_id") % 6).alias("b"),
+    )
+    return ev.select("event_id", extcomm_to_str(ec).alias("ec_str"))
+
+@q(
+    "c6_time_bucket",
+    """
+    SELECT bucket, count(*) AS n
+    FROM (
+        SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600)
+                    AS TIMESTAMP) AS bucket
+        FROM events
+    )
+    GROUP BY bucket
+    """,
+)
+def c6_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 — cut_millis bucketing (functions/timeutil.cut_millis;
+    src/timestamp.rs:58-64) at 6h granularity, as the J2 time index would."""
+    from bgpexplorer_spark.functions.timeutil import cut_millis
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(cut_millis(F.col("ts"), 21600).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+def _neardup_sql(threshold: float = 0.1) -> str:
+    cos = (
+        "list_sum([x.a[i] * y.a[i] for i in range(1, 65)]) / "
+        "(sqrt(list_sum([x.a[i] * x.a[i] for i in range(1, 65)])) * "
+        "sqrt(list_sum([y.a[i] * y.a[i] for i in range(1, 65)])))"
+    )
+    return f"""
+    WITH b AS ({_lsh_bucket_sql()}),
+         v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings)
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, round({cos}, 4) AS cos_sim
+    FROM (SELECT v.vec_id, v.a, b.bucket FROM v JOIN b USING (vec_id)) x
+    JOIN (SELECT v.vec_id, v.a, b.bucket FROM v JOIN b USING (vec_id)) y
+      ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE round({cos}, 4) >= {threshold}
+    """
+
+@q("sim_embedding_neardup", _neardup_sql())
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, cosine evaluated only within
+    hyperplane-LSH buckets (operators/similarity.embedding_neardup_pairs)."""
+    from bgpexplorer_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.1)
