@@ -803,8 +803,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket hash (operators/dedup.minhash_signatures + lsh_buckets);
     docs sharing a bucket are near-dup candidates."""
     from bgpexplorer_spark.operators.dedup import lsh_buckets, minhash_signatures
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # shingle explode + md5 + 16 min-aggs is CPU-dense: fan the scan out
+    # to all cores when the local file arrives as one unsplittable split
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     sig = minhash_signatures(docs, "doc_id", k=16, n=3)
     return lsh_buckets(sig, "doc_id", bands=4, k=16)
 

@@ -57,13 +57,14 @@ def minhash_signatures(
         )
         .withColumn("_h", portable_hash32(F.col("_sh")))
     )
+    # SQL-string aggregates: one py4j round-trip each (see simhash32)
     aggs = [
-        F.min((F.col("_h") * a + b) % MINHASH_P).alias(f"_m{i}")
+        F.expr(f"min((_h * {a} + {b}) % {MINHASH_P}) AS _m{i}")
         for i, (a, b) in enumerate(params)
     ]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(
-        id_col, F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("minhash")
+        id_col, F.expr("array(" + ", ".join(f"_m{i}" for i in range(k)) + ")").alias("minhash")
     )
 
 def lsh_buckets(
@@ -79,19 +80,17 @@ def lsh_buckets(
         rpb = k // bands
     else:
         rpb = rows_per_band
-    out = []
-    for b in range(bands):
-        out.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[
-                    F.col("minhash").getItem(b * rpb + r).cast("string")
-                    for r in range(rpb)
-                ])).alias("bucket"),
-            )
+    bands_sql = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"cast(minhash[{b * rpb + r}] AS string)" for r in range(rpb)
+            ),
         )
+        for b in range(bands)
+    )
     return sig.select(
-        id_col, F.explode(F.array(*out)).alias("_bb")
+        id_col, F.explode(F.expr(f"array({bands_sql})")).alias("_bb")
     ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 def minhash_candidate_pairs(

@@ -43,3 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
+
+def fan_out(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition to the session's core count when the source scan yields
+    fewer splits — a local single-row-group parquet file is unsplittable, so
+    a CPU-dense downstream stage (explode amplification, per-row hashing)
+    would otherwise run on one task. On a cluster where the scan already
+    produces >= defaultParallelism splits this is a no-op, so the shuffle is
+    never paid at scale. Use ONLY before stages whose per-row cost dwarfs
+    one row exchange; for cheap maps the shuffle costs more than it saves."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
