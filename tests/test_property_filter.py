@@ -23,6 +23,7 @@ from bgpexplorer_spark.filterlang.terms import (
     CommunityTerm,
     ExtCommTerm,
     FilterTerm,
+    NH4Term,
     NumTerm,
     RDTerm,
     RegexTerm,
@@ -69,6 +70,13 @@ def _py_key(item, route, rib):
     return _py_key_v4(item, route)
 
 def _py_attr(item, route):
+    if isinstance(item, NH4Term):
+        nh = route.get("nh")
+        if nh is None:
+            return None  # BgpAddr::None → Unknown (src/ribfilter.rs:1435)
+        first = item.addr
+        last = first | ((1 << (32 - item.plen)) - 1) if item.plen < 32 else first
+        return first <= nh <= last
     if isinstance(item, CommunityTerm):
         return item.value in route.get("comms", [])
     if isinstance(item, ExtCommTerm) and item.kind == "pair":
@@ -133,6 +141,10 @@ def _route(i, has_rd):
                 st.tuples(st.just(0), st.just(2), st.integers(0, 2), st.integers(0, 2)),
                 max_size=2,
             ),
+            # 172.16.{0,1,2}.1 spread across /23 boundaries, or absent
+            "nh": st.sampled_from(
+                [None] + [(172 << 24) | (16 << 16) | (o << 8) | 1 for o in (0, 1, 2)]
+            ),
         }
     )
 
@@ -142,6 +154,10 @@ _FILTERS = [
     "as:^100,101$", "-as:100", "community:0:1", "-community:0:1",
     "rt:1:1", "rd:1:2", "-rd:1:2", "10.0.0.0/8 as:100", "rd:1:2 24",
     "224.0.0.0/5 community:0:2", "re:", "1 2",
+    # nh: hard attr term (Unknown when nexthop absent); regex patterns
+    # chosen so only the stringified KEY can match (no '/' in attr renders)
+    "nh:172.16.0.0/23", "-nh:172.16.0.0/23", "10.0.0.0/8 nh:172.16.0.0/16",
+    "re:/16$", "-re:/16$",
 ]
 
 @pytest.mark.parametrize("rib", ["ipv4u", "vpnv4u"])
@@ -165,6 +181,7 @@ def test_filter_equivalence(spark, rib, data):
             aspath=[("Seq", r["aspath"])] if r["aspath"] else None,
             comms=[c for c in r["comms"]] or None,
             extcomms=r["extcomms"] or None,
+            nexthop=str(ipaddress.IPv4Address(r["nh"])) if r["nh"] is not None else None,
             session_id=i,  # distinct keys so rows never merge
         )
         rows.append(spec)
@@ -173,6 +190,7 @@ def test_filter_equivalence(spark, rib, data):
                 "addr": addr, "plen": r["plen"],
                 "rd": r["rd"], "aspath": r["aspath"],
                 "comms": r["comms"], "extcomms": r["extcomms"],
+                "nh": r["nh"],
                 "nlri": spec["nlri_str"],
             }
         )
