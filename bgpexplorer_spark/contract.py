@@ -1302,3 +1302,44 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.1)
+
+def _ivf_sql(k: int = 10, nprobe: int = 2, n_centroids: int = 8) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {n_centroids}),
+    qv AS (SELECT a AS q FROM v WHERE vec_id = 0),
+    probes AS (
+        SELECT cid FROM c, qv ORDER BY {cos('cvec', 'q')} DESC, cid LIMIT {nprobe}
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    )
+    SELECT v.vec_id, round({cos('a', 'q')}, 4) AS cos_sim
+    FROM v JOIN assigned USING (vec_id), qv
+    WHERE assigned.cid IN (SELECT cid FROM probes)
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+@q("sim_ivf_topk", _ivf_sql())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10: deterministic coarse centroids, nprobe=2 inverted
+    lists, exact cosine within (operators/similarity.ivf_topk) — the
+    partition-prunable scale path next to hyperplane LSH."""
+    from bgpexplorer_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qv, k=10, nprobe=2, n_centroids=8)

@@ -110,3 +110,57 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer + probed inverted lists — the classic
+# scale path alongside LSH. Centroids are deterministic (the k lowest-id
+# vectors) so the index is reproducible across engines without training.
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(
+    df: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Coarse quantizer: the k lowest-id vectors act as centroids —
+    kmeans-free and deterministic (a trained quantizer drops in by
+    swapping this function; the assign/probe plumbing is unchanged)."""
+    return df.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+
+def ivf_assign(
+    df: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cid): each vector assigned to its max-cosine centroid.
+    Broadcast nested-loop against the tiny centroid set + groupBy with
+    max(struct) — map-side combinable, one shuffle on vec_id. Ties break
+    to the highest cid (struct ordering), deterministically."""
+    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    scored = v.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.struct(
+            cosine(F.col("_v"), F.col("cvec")).alias("score"), F.col("cid")
+        ).alias("_sc"),
+    )
+    return scored.groupBy(id_col).agg(F.max("_sc").alias("_b")).select(
+        F.col(id_col), F.col("_b.cid").alias("cid")
+    )
+
+def ivf_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, nprobe: int = 2,
+    n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only the inverted lists of the ``nprobe``
+    centroids closest to the query, exact cosine within. At rest the cid
+    is a partition key, so unprobed lists are never scanned."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = (
+        cents.select("cid", cosine(F.col("cvec"), q).alias("_qs"))
+        .orderBy(F.col("_qs").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    cand = df.join(assigned, id_col).join(F.broadcast(probes), "cid", "left_semi")
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -141,3 +141,20 @@ def test_multimodal_plumbing(spark):
     with _pt.raises(Exception) as ei:
         multimodal.decode_media(df, use_real=True).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+def test_ivf_assign_and_topk(spark):
+    # two clean clusters along axes 0 and 1; ids 0/1 double as centroids
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]), (3, [0.8, 0.0, 0.1]),
+        (4, [0.1, 0.9, 0.0]), (5, [0.0, 0.8, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, k=2)
+    assigned = {r.vec_id: r.cid for r in similarity.ivf_assign(emb, cents).collect()}
+    assert assigned == {0: 0, 1: 1, 2: 0, 3: 0, 4: 1, 5: 1}
+
+    # query near axis 0 with nprobe=1 must only see cluster 0
+    got = similarity.ivf_topk(emb, [1.0, 0.05, 0.0], k=10, nprobe=1, n_centroids=2).collect()
+    assert [r.vec_id for r in got] == [0, 2, 3]
+    assert all(r.cos_sim > 0.9 for r in got)
