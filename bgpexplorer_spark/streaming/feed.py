@@ -90,3 +90,55 @@ def windowed_update_rates(
             F.sum(F.when(F.col("op") == "withdraw", 1).otherwise(0)).alias("withdraws"),
         )
     )
+
+def live_current_state(updates: DataFrame) -> DataFrame:
+    """ST4 (true-streaming variant) — the RIB current-state view kept as
+    STREAMING STATE rather than recomputed from the table: one state
+    entry per history key (rib, nlri, session, path) holding the latest
+    (ts, active); each micro-batch emits the keys it changed, exactly the
+    reference's upsert semantics (src/bgprib.rs:623-683) with withdraw
+    tombstones as active=false.
+
+    applyInPandasWithState is the documented escape hatch for operators
+    Spark's built-ins can't express (a keyed upsert that must OUTLIVE the
+    batch); the per-key payload is tiny (16 bytes) so state scales to the
+    DFZ-size key space. The batch-first path (run_ingest + analytic
+    views) remains the primary stance — this powers low-latency
+    subscriber feeds that need current state without a table scan.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "rib string, nlri_str string, session_id int, path_id bigint, "
+        "ts timestamp, active boolean"
+    )
+    state_schema = "ts_us bigint, active boolean"
+
+    def upsert(key, pdfs, state: GroupState):
+        ts_us, active = state.get if state.exists else (None, None)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            last = pdf.sort_values("ts").iloc[-1]
+            t = int(pd.Timestamp(last["ts"]).value // 1000)
+            # same-timestamp later arrival wins, like the BTreeMap insert
+            if ts_us is None or t >= ts_us:
+                ts_us, active = t, last["op"] == "update"
+        state.update((int(ts_us), bool(active)))
+        rib, nlri, sid, pid = key
+        yield pd.DataFrame(
+            [
+                {
+                    "rib": rib, "nlri_str": nlri,
+                    "session_id": sid, "path_id": pid,
+                    "ts": pd.Timestamp(ts_us, unit="us"), "active": active,
+                }
+            ]
+        )
+
+    return updates.groupBy(
+        "rib", "nlri_str", "session_id", "path_id"
+    ).applyInPandasWithState(
+        upsert, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

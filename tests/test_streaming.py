@@ -91,3 +91,32 @@ def test_windowed_update_rates(spark):
     per_window = {r.window.start.second + r.window.start.minute * 60: (r.updates, r.withdraws) for r in rows}
     assert per_window.get(0) == (2, 0)
     assert per_window.get(60) == (1, 1)
+
+def test_live_current_state_stateful(spark):
+    from bgpexplorer_spark.streaming.feed import live_current_state
+
+    d = _updates_dir(
+        spark,
+        [
+            u("10.0.0.0/24", t=1),
+            u("10.0.0.0/24", t=5, op="withdraw"),   # latest for key → inactive
+            u("10.0.1.0/24", t=2),
+            u("10.0.1.0/24", t=3),                   # re-announce stays active
+            u("10.0.2.0/24", t=4, session_id=7),
+        ],
+    )
+    stream = stream_updates_from_files(spark, d)
+    q = (
+        live_current_state(stream)
+        .writeStream.format("memory").queryName("livecs").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.nlri_str, r.session_id): (r.active, r.ts)
+        for r in spark.sql("SELECT * FROM livecs").collect()
+    }
+    assert rows[("10.0.0.0/24", 0)][0] is False         # tombstoned
+    assert rows[("10.0.1.0/24", 0)][0] is True          # latest update wins
+    assert rows[("10.0.2.0/24", 7)][0] is True
+    assert rows[("10.0.1.0/24", 0)][1].second == 3      # ts of newest entry
