@@ -28,6 +28,7 @@ from bgpexplorer_spark.filterlang.terms import (
     RDTerm,
     RegexTerm,
     V4Term,
+    V6Term,
     parse_filter,
 )
 from bgpexplorer_spark.operators.ingest import build_history
@@ -53,6 +54,24 @@ def _py_key_v4(item, route):
         return True if _re.search(item.pattern, route["nlri"]) else None
     return None
 
+def _py_key_v6(item, route):
+    addr, plen = route["addr"], route["plen"]
+    route_mc = plen >= 8 and (addr >> 120) == 0xFF
+    if isinstance(item, V6Term):
+        first = int.from_bytes(item.addr, "big")
+        mask = ((1 << item.plen) - 1) << (128 - item.plen) if item.plen else 0
+        first &= mask
+        last = first | (((1 << 128) - 1) ^ mask)
+        contains = first <= addr <= last and plen >= item.plen
+        if item.multicast:
+            return contains if route_mc else None
+        return None if route_mc else contains
+    if isinstance(item, NumTerm):
+        return True if plen == item.n else None  # SOFT for v6 (rs:1409-1411)
+    if isinstance(item, RegexTerm):
+        return True if _re.search(item.pattern, route["nlri"]) else None
+    return None
+
 def _py_key_rd(item, route):
     rd = route.get("rd")
     if rd is None:
@@ -64,6 +83,8 @@ def _py_key_rd(item, route):
     return None
 
 def _py_key(item, route, rib):
+    if rib == "ipv6u":
+        return _py_key_v6(item, route)
     if rib == "vpnv4u":
         r = _py_key_rd(item, route)
         return r if r is not None else _py_key_v4(item, route)
@@ -159,6 +180,67 @@ _FILTERS = [
     "nh:172.16.0.0/23", "-nh:172.16.0.0/23", "10.0.0.0/8 nh:172.16.0.0/16",
     "re:/16$", "-re:/16$",
 ]
+
+_V6_FILTERS = [
+    "2c0a::/16", "2c0a::/64", "::/0", "8000::/1", "-2c0a::/16",
+    "ff02::/16", "ff00::/8", "64", "128", "0", "-64",
+    "as:100", "2c0a::/16 as:100", "re:", "re:/64$",
+]
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_filter_equivalence_v6(spark, data):
+    """IPv6 subnet containment / multicast gate / soft-Num on the
+    lex-comparable BINARY(16) form — SURVEY's top-listed risk."""
+    stems = [0x2C0A, 0x2C0B, 0xFF02, 0x2001]
+    routes = data.draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "stem": st.sampled_from(stems),
+                    "low": st.integers(0, (1 << 112) - 1),
+                    "plen": st.integers(0, 128),
+                    "aspath": st.lists(st.integers(100, 102), max_size=3),
+                }
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    rows, model_routes = [], []
+    for i, r in enumerate(routes):
+        raw = (r["stem"] << 112) | r["low"]
+        net = ipaddress.ip_network((raw, r["plen"]), strict=False)
+        spec = u(
+            f"{net.network_address}/{r['plen']}", rib="ipv6u", t=i,
+            aspath=[("Seq", r["aspath"])] if r["aspath"] else None,
+            session_id=i,
+        )
+        rows.append(spec)
+        model_routes.append(
+            {
+                "addr": int(net.network_address), "plen": r["plen"],
+                "aspath": r["aspath"], "comms": [], "extcomms": [],
+                "nlri": spec["nlri_str"],
+            }
+        )
+    hist = build_history(make_updates(spark, rows))
+    cols = [matches(f, "ipv6u").alias(f"m{j}") for j, f in enumerate(_V6_FILTERS)]
+    got = hist.select(F.col("nlri_str"), F.col("session_id"), *cols).collect()
+    spark_result = {
+        (row.nlri_str, row.session_id): [row[f"m{j}"] for j in range(len(_V6_FILTERS))]
+        for row in got
+    }
+    for j, f in enumerate(_V6_FILTERS):
+        terms = parse_filter(f)
+        for i, mr in enumerate(model_routes):
+            want = _py_match(terms, mr, "ipv6u") is True
+            have = spark_result[(mr["nlri"], i)][j]
+            assert have == want, (
+                f"filter={f!r} route={mr} want={want} have={have}"
+            )
 
 @pytest.mark.parametrize("rib", ["ipv4u", "vpnv4u"])
 @settings(
