@@ -293,3 +293,80 @@ def test_filter_equivalence(spark, rib, data):
             assert have == want, (
                 f"filter={f!r} rib={rib} route={mr} want={want} have={have}"
             )
+
+# ---------------------------------------------------------------------------
+# Write-path equivalence: build_history vs a direct replay of the
+# reference's per-key BTreeMap semantics (src/bgprib.rs:584-683) —
+# update insert, withdraw tombstone-as-of (never-seen dropped), differ
+# dedup, newest-N retention.
+# ---------------------------------------------------------------------------
+
+def _replay(events, mode, depth):
+    """events: time-ordered [(nlri, session, op, variant)]; returns
+    {(nlri, session, t, active, variant)} of surviving history rows."""
+    last_update = {}   # key -> variant (forward fill source)
+    kept = {}          # key -> list of (t, active, variant)
+    for t, (nlri, sess, op, var) in enumerate(events):
+        key = (nlri, sess)
+        if op == "update":
+            last_update[key] = var
+            entry = (True, var)
+        else:
+            if key not in last_update:
+                continue  # withdraw before any update: dropped (rs:594-597)
+            entry = (False, last_update[key])
+        seq = kept.setdefault(key, [])
+        if mode == "differ" and seq and (seq[-1][1], seq[-1][2]) == entry:
+            continue
+        seq.append((t, *entry))
+    out = set()
+    for (nlri, sess), seq in kept.items():
+        tail = seq[-depth:] if depth else seq
+        out.update((nlri, sess, t, a, v) for (t, a, v) in tail)
+    return out
+
+@pytest.mark.parametrize(
+    "mode,depth", [("every", None), ("differ", None), ("every", 2), ("differ", 2)]
+)
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_build_history_equivalence(spark, mode, depth, data):
+    events = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["10.0.0.0/24", "10.0.1.0/24"]),
+                st.sampled_from([0, 1]),
+                st.sampled_from(["update", "update", "withdraw"]),
+                st.sampled_from([0, 1, 2]),
+            ),
+            min_size=1, max_size=14,
+        )
+    )
+    rows = [
+        u(
+            nlri, t=t, session_id=sess, op=op,
+            aspath=[("Seq", [100 + var])] if op == "update" else None,
+            comms=[var] if op == "update" else None,
+        )
+        for t, (nlri, sess, op, var) in enumerate(events)
+    ]
+    hist = build_history(
+        make_updates(spark, rows), history_mode=mode, history_depth=depth
+    )
+    import datetime as _dt
+
+    from tests.ribdata import T0
+
+    got = {
+        (
+            r.nlri_str, r.session_id,
+            int((r.ts.replace(tzinfo=_dt.timezone.utc) - T0).total_seconds()),
+            r.active, int(r.aspath_flat[0]) - 100,
+        )
+        for r in hist.select("nlri_str", "session_id", "ts", "active", "aspath_flat").collect()
+    }
+    want = _replay(events, mode, depth)
+    assert got == want, f"mode={mode} depth={depth} events={events}"
