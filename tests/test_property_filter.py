@@ -370,3 +370,128 @@ def test_build_history_equivalence(spark, mode, depth, data):
     }
     want = _replay(events, mode, depth)
     assert got == want, f"mode={mode} depth={depth} events={events}"
+
+# ---------------------------------------------------------------------------
+# MVPN majority vote (multi, src/ribfilter.rs:59-81) — T5 rd → else
+# multi(source, group); T1 rd → else originator (chain).
+# ---------------------------------------------------------------------------
+
+def _py_comp_v4(item, addr):
+    """Nested /32 component (match via BgpAddrV4 — the prefix-multicast
+    gate degenerates to the first-nibble check)."""
+    if addr is None or not isinstance(item, V4Term):
+        return None
+    mc = (addr >> 28) == 0xE
+    first = item.addr
+    last = first | ((1 << (32 - item.plen)) - 1) if item.plen < 32 else first
+    in_net = first <= addr <= last
+    if item.multicast:
+        return in_net if mc else None
+    return None if mc else in_net
+
+def _py_multi(results):
+    cy = sum(1 for r in results if r is True)
+    cn = sum(1 for r in results if r is False)
+    if cy > cn:
+        return True
+    if cn > cy:
+        return False
+    return None
+
+def _py_key_mvpn(item, route):
+    r = _py_key_rd(item, route)
+    if r is not None:
+        return r
+    t = route["mvpn_type"]
+    if t == 5:
+        return _py_multi(
+            [_py_comp_v4(item, route["src"]), _py_comp_v4(item, route["grp"])]
+        )
+    if t == 1:
+        return _py_comp_v4(item, route["orig"])
+    return None
+
+_MVPN_FILTERS = [
+    "224.0.0.0/4", "-224.0.0.0/4", "10.0.0.0/8", "-10.0.0.0/8",
+    "224.1.0.0/16", "10.1.0.0/16", "rd:1:2", "-rd:1:2", "2",
+    "10.0.0.0/8 224.0.0.0/4", "rd:1:2 224.0.0.0/4", "as:100",
+]
+
+_MVPN_ADDRS = [None, 0x0A000001, 0x0A010001, 0x0B000001, 0xE0010001, 0xE1000001]
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_filter_equivalence_mvpn(spark, data):
+    routes = data.draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "type": st.sampled_from([1, 5]),
+                    "rd": st.tuples(st.integers(0, 2), st.integers(1, 3)),
+                    "src": st.sampled_from(_MVPN_ADDRS),
+                    "grp": st.sampled_from(_MVPN_ADDRS),
+                    "orig": st.sampled_from(_MVPN_ADDRS),
+                    "aspath": st.lists(st.integers(100, 101), max_size=2),
+                }
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    rows, model_routes = [], []
+    for i, r in enumerate(routes):
+        v4 = lambda a: str(ipaddress.IPv4Address(a)) if a is not None else None
+        spec = u(
+            "0.0.0.0/32", rib="mvpn", t=i, session_id=i,
+            rd=f"{r['rd'][0]}:{r['rd'][1]}",
+            mvpn=(r["type"], v4(r["src"]) if r["type"] == 5 else None,
+                  v4(r["grp"]) if r["type"] == 5 else None),
+            aspath=[("Seq", r["aspath"])] if r["aspath"] else None,
+            mvpn_originator_v4=r["orig"] if r["type"] == 1 else None,
+        )
+        rows.append(spec)
+        model_routes.append(
+            {
+                "mvpn_type": r["type"], "rd": r["rd"],
+                "src": r["src"] if r["type"] == 5 else None,
+                "grp": r["grp"] if r["type"] == 5 else None,
+                "orig": r["orig"] if r["type"] == 1 else None,
+                "aspath": r["aspath"], "comms": [], "extcomms": [],
+                "nlri": spec["nlri_str"],
+            }
+        )
+    hist = build_history(make_updates(spark, rows))
+    cols = [matches(f, "mvpn").alias(f"m{j}") for j, f in enumerate(_MVPN_FILTERS)]
+    got = hist.select(F.col("nlri_str"), F.col("session_id"), *cols).collect()
+    spark_result = {
+        (row.nlri_str, row.session_id): [row[f"m{j}"] for j in range(len(_MVPN_FILTERS))]
+        for row in got
+    }
+    for j, f in enumerate(_MVPN_FILTERS):
+        terms = parse_filter(f)
+        for i, mr in enumerate(model_routes):
+            want = True
+            for t in terms:
+                k = _py_key_mvpn(t.item, mr)
+                a = _py_attr(t.item, mr)
+                pol = (lambda x: not x) if t.negated else (lambda x: x)
+                if k is True:
+                    res = True if a is None else pol(a)
+                elif k is False:
+                    res = pol(False)
+                elif a is None:
+                    res = None
+                else:
+                    res = pol(a)
+                if res is False:
+                    want = False
+                    break
+                if res is None:
+                    want = None
+            want = want is True
+            have = spark_result[(mr["nlri"], i)][j]
+            assert have == want, (
+                f"filter={f!r} route={mr} want={want} have={have}"
+            )
