@@ -495,3 +495,100 @@ def test_filter_equivalence_mvpn(spark, data):
             assert have == want, (
                 f"filter={f!r} route={mr} want={want} have={have}"
             )
+
+# ---------------------------------------------------------------------------
+# EVPN dispatch (src/ribfilter.rs:389-443): type 1 rd-only; types 2-5
+# rd → else host-IP match with the service.rs multicast gate.
+# ---------------------------------------------------------------------------
+
+def _py_host_v4(item, addr):
+    if addr is None or not isinstance(item, V4Term):
+        return None
+    mc = (addr >> 24) >= 224 and addr != 0xFFFFFFFF  # service.rs:36-38
+    first = item.addr
+    last = first | ((1 << (32 - item.plen)) - 1) if item.plen < 32 else first
+    in_net = first <= addr <= last
+    if item.multicast:
+        return in_net if mc else None
+    return None if mc else in_net
+
+def _py_key_evpn(item, route):
+    r = _py_key_rd(item, route)
+    if route["evpn_type"] == 1:
+        return r
+    if r is not None:
+        return r
+    return _py_host_v4(item, route.get("addr"))
+
+_EVPN_FILTERS = [
+    "10.0.0.0/8", "-10.0.0.0/8", "10.1.0.0/16", "224.0.0.0/4",
+    "rd:1:2", "-rd:1:2", "2", "rd:1:2 10.0.0.0/8", "as:100",
+]
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_filter_equivalence_evpn(spark, data):
+    routes = data.draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "type": st.sampled_from([1, 2, 3, 5]),
+                    "rd": st.tuples(st.integers(0, 2), st.integers(1, 3)),
+                    "ip": st.sampled_from([0x0A000001, 0x0A010001, 0x0B000001, 0xE0000001]),
+                    "aspath": st.lists(st.integers(100, 101), max_size=2),
+                }
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    rows, model_routes = [], []
+    for i, r in enumerate(routes):
+        spec = u(
+            f"{ipaddress.IPv4Address(r['ip'])}/32", rib="evpn", t=i, session_id=i,
+            rd=f"{r['rd'][0]}:{r['rd'][1]}", evpn=r["type"],
+            aspath=[("Seq", r["aspath"])] if r["aspath"] else None,
+        )
+        rows.append(spec)
+        model_routes.append(
+            {
+                "evpn_type": r["type"], "rd": r["rd"], "addr": r["ip"],
+                "aspath": r["aspath"], "comms": [], "extcomms": [],
+                "nlri": spec["nlri_str"],
+            }
+        )
+    hist = build_history(make_updates(spark, rows))
+    cols = [matches(f, "evpn").alias(f"m{j}") for j, f in enumerate(_EVPN_FILTERS)]
+    got = hist.select(F.col("nlri_str"), F.col("session_id"), *cols).collect()
+    spark_result = {
+        (row.nlri_str, row.session_id): [row[f"m{j}"] for j in range(len(_EVPN_FILTERS))]
+        for row in got
+    }
+    for j, f in enumerate(_EVPN_FILTERS):
+        terms = parse_filter(f)
+        for i, mr in enumerate(model_routes):
+            want = True
+            for t in terms:
+                k = _py_key_evpn(t.item, mr)
+                a = _py_attr(t.item, mr)
+                pol = (lambda x: not x) if t.negated else (lambda x: x)
+                if k is True:
+                    res = True if a is None else pol(a)
+                elif k is False:
+                    res = pol(False)
+                elif a is None:
+                    res = None
+                else:
+                    res = pol(a)
+                if res is False:
+                    want = False
+                    break
+                if res is None:
+                    want = None
+            want = want is True
+            have = spark_result[(mr["nlri"], i)][j]
+            assert have == want, (
+                f"filter={f!r} route={mr} want={want} have={have}"
+            )
