@@ -135,3 +135,44 @@ def test_lpm_join(spark):
     )
     got = {r.id: r.tag for r in lpm_join_v4(hosts, routes).collect()}
     assert got == {1: "C", 2: "B", 3: "A"}  # host 4 unmatched
+
+def test_posting_table_semijoin_matches_predicate_path(spark):
+    """The exploded posting-table semi-join must select exactly the same
+    routes as the default array_contains predicate (J1 scale path)."""
+    from bgpexplorer_spark.filterlang.compile import matches
+    from bgpexplorer_spark.operators.postings import (
+        build_posting_df,
+        intersect_postings,
+        semi_join_postings,
+    )
+    from tests.ribdata import make_updates, u
+    from bgpexplorer_spark.operators.ingest import build_history
+
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/24", t=1, aspath=[("Seq", [100, 200])], comms=[65536 + 1]),
+                u("10.0.1.0/24", t=2, aspath=[("Seq", [300])], comms=[65536 + 2]),
+                u("10.0.2.0/24", t=3, aspath=[("Set", [100])], comms=None),
+                u("10.0.3.0/24", t=4, aspath=None),
+            ],
+        )
+    )
+    asn = build_posting_df(hist, "asn")
+    via_postings = {
+        r.nlri_str for r in semi_join_postings(hist, asn, [100]).select("nlri_str").collect()
+    }
+    via_predicate = {
+        r.nlri_str for r in hist.filter(matches("as:100", "ipv4u")).select("nlri_str").collect()
+    }
+    assert via_postings == via_predicate == {"10.0.0.0/24", "10.0.2.0/24"}
+
+    comm = build_posting_df(hist, "community")
+    both = intersect_postings(
+        hist,
+        [asn.filter(F.col("value") == 100), comm.filter(F.col("value") == 65537)],
+    )
+    assert {r.nlri_str for r in both.select("nlri_str").collect()} == {"10.0.0.0/24"}
+    # missing posting value short-circuits to empty
+    assert semi_join_postings(hist, asn, [999]).count() == 0
