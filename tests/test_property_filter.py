@@ -592,3 +592,172 @@ def test_filter_equivalence_evpn(spark, data):
             assert have == want, (
                 f"filter={f!r} route={mr} want={want} have={have}"
             )
+
+# ---------------------------------------------------------------------------
+# l2vpls (src/ribfilter.rs:306-319): rd equality / Num hard on
+# site-or-offset..range; and ipv4mdt (444-448): rd chain → multi(prefix
+# match, multicast-group host match).
+# ---------------------------------------------------------------------------
+
+def _py_key_l2(item, route):
+    if isinstance(item, RDTerm):
+        return route["rd"] == (item.hi, item.lo)
+    if isinstance(item, NumTerm):
+        site, off, rng = route["l2"]
+        return site == item.n or (off <= item.n <= rng)
+    return None
+
+_L2_FILTERS = ["2", "5", "-5", "0", "rd:1:2", "-rd:1:2", "rd:1:2 5", "as:100"]
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_filter_equivalence_l2vpls(spark, data):
+    routes = data.draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "rd": st.tuples(st.integers(0, 2), st.integers(1, 3)),
+                    "site": st.integers(0, 6),
+                    "off": st.integers(0, 4),
+                    "rng": st.integers(0, 9),
+                    "aspath": st.lists(st.integers(100, 101), max_size=2),
+                }
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    rows, model_routes = [], []
+    for i, r in enumerate(routes):
+        spec = u(
+            "0.0.0.0/32", rib="l2vpls", t=i, session_id=i,
+            rd=f"{r['rd'][0]}:{r['rd'][1]}",
+            l2=(r["site"], r["off"], r["rng"]),
+            aspath=[("Seq", r["aspath"])] if r["aspath"] else None,
+        )
+        rows.append(spec)
+        model_routes.append(
+            {
+                "rd": r["rd"], "l2": (r["site"], r["off"], r["rng"]),
+                "aspath": r["aspath"], "comms": [], "extcomms": [],
+                "nlri": spec["nlri_str"],
+            }
+        )
+    hist = build_history(make_updates(spark, rows))
+    cols = [matches(f, "l2vpls").alias(f"m{j}") for j, f in enumerate(_L2_FILTERS)]
+    got = hist.select(F.col("nlri_str"), F.col("session_id"), *cols).collect()
+    spark_result = {
+        (row.nlri_str, row.session_id): [row[f"m{j}"] for j in range(len(_L2_FILTERS))]
+        for row in got
+    }
+    for j, f in enumerate(_L2_FILTERS):
+        terms = parse_filter(f)
+        for i, mr in enumerate(model_routes):
+            want = True
+            for t in terms:
+                k = _py_key_l2(t.item, mr)
+                a = _py_attr(t.item, mr)
+                pol = (lambda x: not x) if t.negated else (lambda x: x)
+                if k is True:
+                    res = True if a is None else pol(a)
+                elif k is False:
+                    res = pol(False)
+                elif a is None:
+                    res = None
+                else:
+                    res = pol(a)
+                if res is False:
+                    want = False
+                    break
+                if res is None:
+                    want = None
+            want = want is True
+            have = spark_result[(mr["nlri"], i)][j]
+            assert have == want, f"filter={f!r} route={mr} want={want} have={have}"
+
+def _py_key_mdt(item, route):
+    r = _py_key_rd(item, route)
+    if r is not None:
+        return r
+    prefix = _py_key_v4(
+        item, {"addr": route["addr"], "plen": route["plen"], "nlri": route["nlri"]}
+    )
+    group = _py_host_v4(item, route["grp"])
+    return _py_multi([prefix, group])
+
+_MDT_FILTERS = [
+    "10.0.0.0/8", "-10.0.0.0/8", "224.0.0.0/4", "232.0.0.0/8",
+    "rd:1:2", "24", "10.0.0.0/8 224.0.0.0/4", "as:100",
+]
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data())
+def test_filter_equivalence_mdt(spark, data):
+    routes = data.draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {
+                    "addr_raw": st.sampled_from([0x0A000000, 0x0A010000, 0x0B000000]),
+                    "plen": st.sampled_from([16, 24, 32]),
+                    "rd": st.tuples(st.integers(0, 2), st.integers(1, 3)),
+                    "grp": st.sampled_from([0xE0000001, 0xE8000001, 0xE9000001]),
+                    "aspath": st.lists(st.integers(100, 101), max_size=2),
+                }
+            ),
+            min_size=1, max_size=6,
+        )
+    )
+    rows, model_routes = [], []
+    for i, r in enumerate(routes):
+        net = ipaddress.ip_network((r["addr_raw"], r["plen"]), strict=False)
+        spec = u(
+            f"{net.network_address}/{r['plen']}", rib="ipv4mdt", t=i, session_id=i,
+            rd=f"{r['rd'][0]}:{r['rd'][1]}",
+            mdt_group=str(ipaddress.IPv4Address(r["grp"])),
+            aspath=[("Seq", r["aspath"])] if r["aspath"] else None,
+        )
+        rows.append(spec)
+        model_routes.append(
+            {
+                "addr": int(net.network_address), "plen": r["plen"],
+                "rd": r["rd"], "grp": r["grp"],
+                "aspath": r["aspath"], "comms": [], "extcomms": [],
+                "nlri": spec["nlri_str"],
+            }
+        )
+    hist = build_history(make_updates(spark, rows))
+    cols = [matches(f, "ipv4mdt").alias(f"m{j}") for j, f in enumerate(_MDT_FILTERS)]
+    got = hist.select(F.col("nlri_str"), F.col("session_id"), *cols).collect()
+    spark_result = {
+        (row.nlri_str, row.session_id): [row[f"m{j}"] for j in range(len(_MDT_FILTERS))]
+        for row in got
+    }
+    for j, f in enumerate(_MDT_FILTERS):
+        terms = parse_filter(f)
+        for i, mr in enumerate(model_routes):
+            want = True
+            for t in terms:
+                k = _py_key_mdt(t.item, mr)
+                a = _py_attr(t.item, mr)
+                pol = (lambda x: not x) if t.negated else (lambda x: x)
+                if k is True:
+                    res = True if a is None else pol(a)
+                elif k is False:
+                    res = pol(False)
+                elif a is None:
+                    res = None
+                else:
+                    res = pol(a)
+                if res is False:
+                    want = False
+                    break
+                if res is None:
+                    want = None
+            want = want is True
+            have = spark_result[(mr["nlri"], i)][j]
+            assert have == want, f"filter={f!r} route={mr} want={want} have={have}"
