@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_cosine_topk",
+    "sim_ivf_topk",
+    "f5_aspath_subseq",
     "text_quality",
 ]
 
