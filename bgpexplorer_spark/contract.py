@@ -219,6 +219,58 @@ def f1_subnet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "addr_v4", "prefixlen")
 
 @q(
+    "f2_v6_subnet_match",
+    """
+    SELECT event_id,
+           '20010DB8' || upper(lpad(hex(val_c), 8, '0')) || '0000000000000000' AS addr_hex,
+           plen AS prefixlen
+    FROM (
+        SELECT event_id,
+               48 + (event_id % 5) * 4 AS plen,
+               CAST(floor(((user_id % 64) * 65536 + (event_id % 256) * 256)
+                    / power(2, 64 - (48 + (event_id % 5) * 4))) AS BIGINT)
+                 * CAST(power(2, 64 - (48 + (event_id % 5) * 4)) AS BIGINT) AS val_c
+        FROM events
+    )
+    WHERE val_c >= 0 AND val_c <= 1048575 AND plen >= 44
+    """,
+)
+def f2_v6_subnet_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — IPv6 subnet containment on lex-comparable BINARY(16)
+    (src/ribfilter.rs:1393-1417, 278-305), the same range predicate as F1
+    over byte-ordered binary. Routes are derived as 2001:db8:xxyy::/plen
+    (bytes 4-7 from user_id/event_id, canonicalized to plen ∈ {48..64});
+    filter net 2001:db8::/44 ⇔ the variable 32-bit word ∈
+    [0x00000000, 0x000FFFFF]. The oracle mirrors the arithmetic on the
+    variable word and emits the identical 32-hex-char address."""
+    ev = load_table(spark, sf_dir, "events")
+    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
+    val = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
+        "bigint"
+    )
+    span = F.pow(F.lit(2.0), (F.lit(64) - plen)).cast("bigint")
+    val_c = F.floor(val / span).cast("bigint") * span
+    addr = F.unhex(
+        F.concat(
+            F.lit("20010DB8"), F.lpad(F.hex(val_c), 8, "0"), F.lit("0" * 16)
+        )
+    )
+    first, last = iputil.v6_net_range(iputil.parse_v6("2001:db8::"), 44)
+    return (
+        ev.select(
+            "event_id", addr.alias("addr_v6"), plen.alias("prefixlen")
+        )
+        .filter(
+            iputil.v6_subnet_contains(
+                F.col("addr_v6"), F.col("prefixlen"), first, last, 44
+            )
+        )
+        .select(
+            "event_id", F.hex("addr_v6").alias("addr_hex"), "prefixlen"
+        )
+    )
+
+@q(
     "f12_changed_window",
     """
     SELECT event_id, ts FROM events
