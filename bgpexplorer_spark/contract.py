@@ -196,6 +196,47 @@ def o6_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
 
+@q(
+    "u6_attrs_dim",
+    """
+    SELECT event_type AS origin,
+           user_id % 16 AS med,
+           100 + user_id % 5 AS first_as,
+           count(*) AS ref_count
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def u6_attrs_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 — attribute interning as an analytic dimension
+    (RibItemStore, src/bgprib.rs:121-190): the distinct attr combinations
+    plus their refcounts (= the /api/statistics store counters). In the
+    engine this is `rib.attrs_dim` keyed by xxhash64; hash values are not
+    portable across engines, so the oracle compares the distinct
+    combination set and refcounts directly."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.col("event_type").alias("origin"),
+        (F.col("user_id") % 16).alias("med"),
+        (F.lit(100) + F.col("user_id") % 5).alias("first_as"),
+    ).agg(F.count(F.lit(1)).alias("ref_count"))
+
+@q(
+    "f11_onlyactive",
+    """
+    SELECT event_id, user_id, ts, event_id % 7 <> 0 AS active
+    FROM events
+    WHERE event_id % 7 <> 0
+    """,
+)
+def f11_onlyactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — onlyactive history-entry filter (src/ribservice.rs:72-77);
+    active derived exactly as in entry(): every 7th event is a withdraw
+    tombstone (active=false)."""
+    ev = load_table(spark, sf_dir, "events")
+    active = (F.col("event_id") % 7 != 0).alias("active")
+    return ev.select("event_id", "user_id", "ts", active).filter(F.col("active"))
+
 # ---------------------------------------------------------------------------
 # F-series: filter predicates (SURVEY §2.3) on derived routes
 # ---------------------------------------------------------------------------
