@@ -937,6 +937,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.35)
 
 @q(
+    "dedup_components",
+    """
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
+        )) AS s
+        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
+              FROM documents)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(c / (na.n + nb.n - c), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over trigram-Jaccard ≥ 0.5
+    pairs (operators/dedup.connected_components, iterative min-label
+    propagation; large-star/small-star at scale). Output is the dedup
+    keep-list: every document with its component id (= min doc_id
+    reachable) and whether it is the canonical keeper. The oracle computes
+    the same closure with a recursive CTE."""
+    from bgpexplorer_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5)
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+@q(
     "sim_cosine_topk",
     """
     SELECT e.vec_id,

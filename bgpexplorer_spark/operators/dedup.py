@@ -182,3 +182,62 @@ def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
         for b in range(32)
     )
     return agg.select(id_col, F.expr(assemble).alias("simhash"))
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair edge list —
+    the clustering step that turns near-dup *pairs* (minhash/ngram/embed)
+    into dedup *groups*. Returns (node, component) with component = the
+    minimum node id reachable, so `node == component` marks the canonical
+    keeper of each group.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in diameter(G)
+    rounds (near-dup clusters are star-like, so 2-3 in practice). Each
+    round is one shuffle on the node key; labels are persisted and the
+    previous round unpersisted. At 100 TB swap the body for alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") which converges in O(log² n)
+    rounds — the per-round join below is unchanged.
+    """
+    half = pairs.select(
+        F.col(id_a).cast("bigint").alias("src"), F.col(id_b).cast("bigint").alias("dst")
+    )
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = edges.select("src").distinct().withColumn("label", F.col("src")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("label")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    # labels stays persisted: the returned plan reads the cached final
+    # round instead of replaying the whole iteration lineage
+    return labels.select(F.col("src").alias("node"), F.col("label").alias("component"))

@@ -158,3 +158,15 @@ def test_ivf_assign_and_topk(spark):
     got = similarity.ivf_topk(emb, [1.0, 0.05, 0.0], k=10, nprobe=1, n_centroids=2).collect()
     assert [r.vec_id for r in got] == [0, 2, 3]
     assert all(r.cos_sim > 0.9 for r in got)
+
+def test_connected_components(spark):
+    # chain 1-2-3 (diameter 2, forces >1 propagation round), pair 10-11,
+    # and 7 appears only as the greater end of 5-7
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (10, 11), (5, 7)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (5, 5), (7, 5)}
