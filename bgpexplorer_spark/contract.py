@@ -925,7 +925,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared
     JOIN sizes na ON na.doc_id = id_a
     JOIN sizes nb ON nb.doc_id = id_b
-    WHERE c / (na.n + nb.n - c) >= 0.35
+    WHERE round(c / (na.n + nb.n - c), 4) >= 0.35
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
