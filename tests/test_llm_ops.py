@@ -170,3 +170,45 @@ def test_connected_components(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (5, 5), (7, 5)}
+
+def test_connected_components_property(spark):
+    """Random graphs vs a pure-Python union-find model (8 seeds; kept
+    small — every propagation round is a Spark job)."""
+    import random
+
+    def model(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component = min node of the set
+        comp = {}
+        for n in parent:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(ns) for r, ns in comp.items() for n in ns}
+
+    for seed in range(8):
+        rng = random.Random(seed)
+        n_nodes = rng.randint(2, 12)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(rng.randint(1, 14))
+            }
+        )
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert got == model(edges), f"seed={seed} edges={edges}"
