@@ -27,12 +27,53 @@ from bgpexplorer_spark.operators.rib import statistics
 from bgpexplorer_spark.schemas import RIB_NAMES
 
 class BgpExplorerService:
-    """Programmatic facade (what the HTTP layer and tests call)."""
+    """Programmatic facade (what the HTTP layer and tests call).
 
-    def __init__(self, history: DataFrame, sessions: DataFrame | None = None):
+    ``route_counts`` — maintained per-rib route counts (O3 ``length``
+    served O(1) like the reference's map size, src/bgpsvc.rs:677). Build
+    from a snapshot with :meth:`from_snapshot`, or pass
+    ``exact_length=True`` to force the per-request dedup-count scan."""
+
+    def __init__(
+        self,
+        history: DataFrame,
+        sessions: DataFrame | None = None,
+        route_counts: dict[str, int] | None = None,
+        exact_length: bool = False,
+    ):
         self.history = history
         self.sessions = sessions
+        self.route_counts = dict(route_counts) if route_counts else None
+        self.exact_length = exact_length
         self.state = "Established"  # O8 (src/bgpsvc.rs:429-435)
+
+    def _length(self, rib: str) -> int | None:
+        """Maintained count for ``rib``; computed once and memoized when
+        the service was built without snapshot counts. None → query_rib
+        runs the exact per-request scan (exact_length=True)."""
+        if self.exact_length:
+            return None
+        if self.route_counts is None:
+            from bgpexplorer_spark.operators.rib import route_counts as rc
+
+            self.route_counts = {
+                r["rib"]: r["routes"] for r in rc(self.history).collect()
+            }
+        return self.route_counts.get(rib, 0)
+
+    @classmethod
+    def from_snapshot(cls, spark, path: str, sessions: DataFrame | None = None):
+        """S5 + maintained counts: missing counts (pre-counts snapshot)
+        are computed once here, not per request."""
+        from bgpexplorer_spark.operators.rib import (
+            read_route_counts, read_snapshot, route_counts as rc,
+        )
+
+        hist = read_snapshot(spark, path)
+        counts = read_route_counts(spark, path)
+        if counts is None:
+            counts = {r["rib"]: r["routes"] for r in rc(hist).collect()}
+        return cls(hist, sessions=sessions, route_counts=counts)
 
     def api_json(self, rib: str, **params) -> dict:
         """GET /api/json/<rib> — the §3.1 pipeline; unknown rib names fall
@@ -40,7 +81,7 @@ class BgpExplorerService:
         if rib not in RIB_NAMES:
             rib = "ipv4u"
         p = QueryParams(**params)
-        r = query_rib(self.history, rib, p)
+        r = query_rib(self.history, rib, p, length=self._length(rib))
         items = {
             row.nlri_str: json.loads(row.items_json)
             for row in to_nested_json(r).collect()

@@ -672,8 +672,10 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start
     FROM (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               -- DuckDB windowed sum() yields HUGEINT; Spark emits BIGINT.
+               -- The driver hashes typed values, so align the type here.
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM (
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1252,36 +1254,197 @@ def j2_time_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
     )
 
-@q("o7_nested_output", None)  # nested-map JSON — not SQL-comparable, rows-only
-def o7_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O7 — the nested route→session→path→ts map output
-    (src/bgpsvc.rs:493-596) built from the derived updates stream via the
-    real engine path (build_history → query_rib → to_nested_json)."""
-    import importlib.util
-    from pathlib import Path
-
-    spec = importlib.util.spec_from_file_location(
-        "entrymod_o7", Path(__file__).resolve().parents[1] / "__spark_entry__.py"
+# S1/S2 — MRT wire-format decode feeding the ingest boundary. The Spark
+# side parses REAL RFC 6396 bytes (a deterministic fixture generated from
+# pure formulas of i) through binaryFile → mapInPandas → assign_sessions →
+# build_history; the oracle recomputes the expected decoded rows
+# analytically from the same formulas over range(600) — so a decode bug
+# anywhere (framing, attr parse, NLRI walk, session mapping, forward-fill)
+# breaks the hash. Attr forward-fill onto withdraw tombstones is
+# whole-struct (the last update's attrs as a unit, src/bgprib.rs:596-618),
+# hence the struct_pack fill rather than per-field last_value.
+_MRT_ORACLE = """
+    WITH raw AS (
+        SELECT i,
+               make_timestamp((1704067200 + i) * 1000000) AS ts,
+               CAST(i % 3 AS INTEGER) AS session_id,
+               '10.' || CAST(i % 16 AS VARCHAR) || '.0.0/16' AS nlri_str,
+               (i % 7 <> 0) AS active,
+               CASE WHEN i % 7 <> 0 THEN
+                   CASE i % 3 WHEN 0 THEN 'IGP' WHEN 1 THEN 'EGP'
+                        ELSE 'Incomplete' END
+               END AS origin,
+               CASE WHEN i % 7 <> 0 THEN CAST(3221225984 + i % 8 AS BIGINT)
+               END AS nexthop_v4,
+               CASE WHEN i % 7 <> 0 THEN CAST(100 + i % 5 AS BIGINT) END AS as1,
+               CASE WHEN i % 7 <> 0 THEN CAST(65536 + i % 10 AS BIGINT) END AS comm0,
+               CASE WHEN i % 7 <> 0 AND i % 4 = 0 THEN CAST(i % 11 AS BIGINT)
+               END AS med,
+               CASE WHEN i % 7 <> 0 THEN CAST(100 + i % 3 AS BIGINT) END AS localpref
+        FROM range(600) t(i)
+    ),
+    filled AS (
+        SELECT ts, session_id, nlri_str, active,
+               last_value(CASE WHEN active THEN struct_pack(
+                   origin := origin, nh := nexthop_v4, as1 := as1,
+                   comm0 := comm0, med := med, lp := localpref
+               ) END IGNORE NULLS)
+                   OVER (PARTITION BY nlri_str, session_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+        FROM raw
     )
-    m = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(m)
-    # reuse entry()'s derived RIB build at this sf_dir via query pipeline
-    from bgpexplorer_spark.operators.query import QueryParams, query_rib, to_nested_json
+    SELECT ts, session_id, nlri_str, active,
+           a.origin AS origin, a.nh AS nexthop_v4, a.as1 AS as1,
+           a.comm0 AS comm0, a.med AS med, a.lp AS localpref
+    FROM filled WHERE a IS NOT NULL
+"""
+
+@q("s1_mrt_decode", _MRT_ORACLE)
+def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 — MRT (RFC 6396) decode through the REAL wire format into
+    build_history (UPDATE/withdraw handling of src/bgprib.rs:1104-1205
+    from src/bgppeer.rs:179-258-equivalent bytes)."""
+    import os
+    import tempfile
+
     from bgpexplorer_spark.operators.ingest import build_history
+    from bgpexplorer_spark.sources.mrt import assign_sessions, encode_update, read_mrt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    recs = b""
+    for i in range(600):
+        peer = i % 3
+        kw = dict(ts_sec=1704067200 + i, peer_as=65000 + peer, peer_ip=0x0AFF0000 + peer)
+        pfx = [(0x0A000000 + (i % 16) * 65536, 16)]
+        if i % 7 == 0:
+            recs += encode_update(**kw, withdrawn=pfx)
+        else:
+            recs += encode_update(
+                **kw, nlri=pfx, origin=i % 3,
+                aspath=[(2, [100 + i % 5, 200])],
+                nexthop=0xC0000200 + i % 8,
+                comms=[65536 + i % 10],
+                med=(i % 11) if i % 4 == 0 else None,
+                localpref=100 + i % 3,
+            )
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_fixture.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(recs)
+    os.replace(tmp, path)
+
+    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    hist = build_history(upd)
+    return hist.select(
+        "ts", "session_id", "nlri_str", "active",
+        "origin", "nexthop_v4",
+        F.element_at("aspath_flat", 1).alias("as1"),
+        F.element_at("comms", 1).alias("comm0"),
+        "med", "localpref",
+    )
+
+# The full §3.1 read path, flattened back out of the nested JSON so DuckDB
+# can verify every stage: derived updates → build_history(differ) →
+# query_rib(filter, limit) → emitted_history → to_nested_json → explode.
+# ts is synthetic (2024-01-01 + event_id seconds): unique per event, so
+# window order, the differ lag, and the nested ts_ms map keys are all
+# deterministic on both engines.
+_O7_ORACLE = """
+    WITH upd AS (
+        SELECT make_timestamp((1704067200000 + event_id * 1000) * 1000) AS ts,
+               event_id,
+               CAST(user_id % 4 AS INTEGER) AS session_id,
+               CAST(0 AS BIGINT) AS path_id,
+               (event_id % 7 <> 0) AS is_upd,
+               CAST(floor(addr_v4 / 16777216) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 65536) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 256) % 256 AS BIGINT) || '.' ||
+               CAST(addr_v4 % 256 AS BIGINT) || '/' ||
+               CAST(prefixlen AS VARCHAR) AS nlri_str,
+               addr_v4, prefixlen,
+               CAST(100 + user_id % 8 AS BIGINT) AS as1_raw
+        FROM ({derived})
+    ),
+    filled AS (
+        SELECT *,
+               last_value(CASE WHEN is_upd THEN as1_raw END IGNORE NULLS)
+                   OVER (PARTITION BY nlri_str, session_id, path_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS as1,
+               is_upd AS active
+        FROM upd
+    ),
+    hist AS (
+        SELECT * FROM (
+            SELECT *,
+                   lag(active) OVER w AS p_active,
+                   lag(as1) OVER w AS p_as1
+            FROM (SELECT * FROM filled WHERE as1 IS NOT NULL)
+            WINDOW w AS (PARTITION BY nlri_str, session_id, path_id ORDER BY ts)
+        )
+        WHERE p_active IS NULL OR active <> p_active OR as1 <> p_as1
+    ),
+    page AS (
+        SELECT nlri_str
+        FROM (SELECT DISTINCT nlri_str, addr_v4, prefixlen FROM hist)
+        ORDER BY addr_v4, prefixlen, nlri_str
+        LIMIT 50
+    )
+    SELECT h.nlri_str, h.session_id, h.path_id,
+           epoch_ms(h.ts) AS ts_ms, h.active, h.as1
+    FROM hist h JOIN page USING (nlri_str)
+    QUALIFY row_number() OVER (PARTITION BY h.nlri_str, h.session_id, h.path_id
+                               ORDER BY h.ts DESC) <= 10
+""".format(derived=_DERIVED_ROUTES_SQL)
+
+@q("o7_nested_output", _O7_ORACLE)
+def o7_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7/F14 — the flagship nested route→session→path→ts output
+    (src/bgpsvc.rs:493-596) built via the real engine path
+    (build_history → query_rib → to_nested_json), then exploded back to
+    flat typed rows THROUGH the JSON itself so the oracle verifies the
+    nested shaping, the match/page/maxdepth semantics, and the attrs
+    round-trip in one go."""
+    from bgpexplorer_spark.operators.query import QueryParams, query_rib, to_nested_json
 
     hist = _derived_updates_history(spark, sf_dir)
     r = query_rib(hist, "ipv4u", QueryParams(filter="10.0.0.0/8", limit=50))
-    return to_nested_json(r)
+    nested = to_nested_json(r)
+    m = F.from_json("items_json", "map<string,map<string,map<string,string>>>")
+    return (
+        nested.select("nlri_str", F.explode(m).alias("sid", "paths"))
+        .select(
+            "nlri_str",
+            F.col("sid").cast("int").alias("session_id"),
+            F.explode("paths").alias("pid", "hist"),
+        )
+        .select(
+            "nlri_str", "session_id",
+            F.col("pid").cast("bigint").alias("path_id"),
+            F.explode("hist").alias("tsms", "entry"),
+        )
+        .select(
+            "nlri_str", "session_id", "path_id",
+            F.col("tsms").cast("bigint").alias("ts_ms"),
+            F.get_json_object("entry", "$.active").cast("boolean").alias("active"),
+            F.get_json_object("entry", "$.attrs.aspath[0].asns[0]").cast("bigint").alias("as1"),
+        )
+    )
 
 def _derived_updates_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived updates → rib_history used by engine-path contract queries."""
+    """Derived updates → rib_history used by engine-path contract queries.
+
+    ts is replaced with a synthetic per-event-unique timestamp
+    (2024-01-01 + event_id seconds) so every window order and the nested
+    ts_ms map keys are collision-free and deterministic — the real events
+    ts can tie within a derived route key, which would make the differ lag
+    and newest-N emission partition-order-dependent."""
     from bgpexplorer_spark.functions.iputil import v4_to_dotted
     from bgpexplorer_spark.operators.ingest import build_history
     from bgpexplorer_spark.schemas import UPDATES_SCHEMA
 
     routes = derived_routes(spark, sf_dir)
     upd = routes.select(
-        F.col("ts"),
+        F.timestamp_millis(F.lit(1704067200000) + F.col("event_id") * 1000).alias("ts"),
         (F.col("user_id") % 4).cast("int").alias("session_id"),
         F.when(F.col("event_id") % 7 == 0, "withdraw").otherwise("update").alias("op"),
         F.lit(0).cast("bigint").alias("path_id"),

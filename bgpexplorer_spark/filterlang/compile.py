@@ -117,7 +117,10 @@ def _key_v4prefix(item: Item, supernet: bool) -> Column:
     if isinstance(item, V4Term):
         first, last = v4_net_range(item.addr, item.plen)
         if supernet:
-            # route.contains(filter net) — no multicast gate
+            # match_super_ipv4 only matches FilterItem::V4 — a multicast
+            # term (MCV4) returns Unknown (src/ribfilter.rs:1350-1357)
+            if item.multicast:
+                return _UNKNOWN()
             return hard(
                 iputil.v4_supernet_contains(_ADDR4(), _PLEN(), first, last)
             )
@@ -138,6 +141,10 @@ def _key_v6prefix(item: Item, supernet: bool) -> Column:
     if isinstance(item, V6Term):
         first, last = v6_net_range(item.addr, item.plen)
         if supernet:
+            # match_super_ipv6 only matches FilterItem::V6 — multicast
+            # terms return Unknown (src/ribfilter.rs:1358-1366)
+            if item.multicast:
+                return _UNKNOWN()
             return hard(
                 iputil.v6_supernet_contains(_ADDR6(), _PLEN(), first, last)
             )
@@ -290,18 +297,20 @@ def key_match(item: Item, rib: str, supernet: bool = False) -> Column:
 
 # --- attr match (FilterItem::match_attr, src/ribfilter.rs:1430-1504) --------
 
-def _attr_regex_str() -> Column:
-    """The 6 stringified attrs the reference regex-scans."""
-    return F.concat_ws(
-        "|",
-        F.coalesce(F.col("origin"), F.lit("")),
-        F.coalesce(iputil.v4_to_dotted(F.col("nexthop_v4")), F.lit("")),
-        F.coalesce(F.hex(F.col("nexthop_v6")), F.lit("")),
-        F.coalesce(codecs.aspath_to_str(F.col("aspath")), F.lit("")),
-        F.coalesce(codecs.comms_to_str(F.col("comms")), F.lit("")),
-        F.coalesce(codecs.lcomms_to_str(F.col("lcomms")), F.lit("")),
-        F.coalesce(codecs.extcomms_to_str(F.col("extcomms")), F.lit("")),
-    )
+def _attr_regex_strs() -> list[Column]:
+    """The stringified attrs the reference regex-scans — matched each
+    INDEPENDENTLY (ribfilter.rs match_attr Regexp runs is_match per
+    string), so anchored patterns (^/$) behave per-attr; nexthop_v6 is
+    rendered in canonical IPv6 notation, not raw hex."""
+    return [
+        F.col("origin"),
+        iputil.v4_to_dotted(F.col("nexthop_v4")),
+        iputil.v6_to_str(F.col("nexthop_v6")),
+        codecs.aspath_to_str(F.col("aspath")),
+        codecs.comms_to_str(F.col("comms")),
+        codecs.lcomms_to_str(F.col("lcomms")),
+        codecs.extcomms_to_str(F.col("extcomms")),
+    ]
 
 def _extcomm_member_match(item: ExtCommTerm) -> Column:
     """One ext-community struct vs the term (BgpExtCommunity::match_item,
@@ -342,8 +351,17 @@ def attr_match(item: Item) -> Column:
         # any member Yes → Yes, else Unknown (soft fold, never No)
         return soft(F.exists(F.col("extcomms"), _extcomm_member_match(item)))
     if isinstance(item, RegexTerm):
-        return soft(_attr_regex_str().rlike(item.pattern))
+        any_match = F.lit(False)
+        for s in _attr_regex_strs():
+            any_match = any_match | F.coalesce(s.rlike(item.pattern), F.lit(False))
+        return soft(any_match)
     if isinstance(item, ASPathTerm):
+        # DELIBERATE DEVIATION: matched against the flattened ASN array,
+        # not segment-wise Vec<BgpASitem> slices (ribfilter.rs:1471-1504).
+        # zettabgp builds a single Seq segment for typical paths, where
+        # flattened == segment content; multi-segment (Set-containing)
+        # paths differ, and the flattened form is what an operator asking
+        # "does AS x,y appear in the path" means. Documented in COVERAGE.md.
         flat = F.coalesce(F.col("aspath_flat"), F.array().cast("array<bigint>"))
         k = len(item.asns)
         lit = F.array(*[F.lit(x).cast("bigint") for x in item.asns])

@@ -122,8 +122,10 @@ def _prefix_mc_v6(addr: bytes, plen: int) -> bool:
 
 def parse_item(s: str) -> Item | None:
     """One term body → Item, or None if unparseable. Dispatch order follows
-    the reference (Num first, then v4, v6, nh, rd, as, community, regex,
-    rt)."""
+    the reference: Num, v4, then the IPv6 regex IMMEDIATELY after v4 with
+    an early None on parse failure — so all-hex-and-colon tokens like
+    ``c:100:200`` or ``cafe:1:2`` are silently dropped, never falling
+    through to the community/rt arms (src/ribfilter.rs:945-1040)."""
     if m := _RE_NUM.match(s):
         return NumTerm(int(m.group(1)))
     if m := _RE_IPV4.match(s):
@@ -136,6 +138,16 @@ def parse_item(s: str) -> Item | None:
             return None
         first, _ = v4_net_range(addr, plen)
         return V4Term(first, plen, _prefix_mc_v4(first, plen))
+    if m := _RE_IPV6.match(s):
+        try:
+            addr = parse_v6(m.group(1))
+        except ValueError:
+            return None  # reference early-returns: token consumed, dropped
+        plen = int(m.group(3)) if m.group(3) else 128
+        if plen > 128:
+            return None
+        first, _ = v6_net_range(addr, plen)
+        return V6Term(first, plen, _prefix_mc_v6(first, plen))
     if m := _RE_NH4.match(s):
         try:
             addr = parse_v4(m.group(1))
@@ -157,17 +169,23 @@ def parse_item(s: str) -> Item | None:
             ip = parse_v4(m.group(1))
         except ValueError:
             return None
-        # IP-form RD: type-1 marker 0x10000 in the high part
-        # (src/ribfilter.rs:1106-1122)
-        return RDTerm(0x10000 | (ip >> 16), ((ip & 0xFFFF) << 16) | int(m.group(2)))
+        # IP-form RD: type-1 marker 0x10000 in the high part; the assigned
+        # number is masked to 16 bits (vls[4] & 0xffff,
+        # src/ribfilter.rs:1106-1122)
+        return RDTerm(
+            0x10000 | (ip >> 16), ((ip & 0xFFFF) << 16) | (int(m.group(2)) & 0xFFFF)
+        )
     if m := _RE_AS.match(s):
         caret, nums, dollar = m.group(1), m.group(2), m.group(3)
         asns = tuple(int(x) for x in (nums or "").split(",") if x)
         if not asns:
             return ASPathTerm("empty")
-        if caret and dollar:
+        # the reference compares the caret group against exactly '^'
+        # (sb == "^"), so 'as:^^1' degrades to Contains
+        anchored = caret == "^"
+        if anchored and dollar:
             return ASPathTerm("full", asns)
-        if caret:
+        if anchored:
             return ASPathTerm("startswith", asns)
         if dollar:
             return ASPathTerm("endswith", asns)
@@ -195,16 +213,6 @@ def parse_item(s: str) -> Item | None:
         return ExtCommTerm("ip", ip_first=ip, ip_last=ip)
     if m := _RE_RE.match(s):
         return RegexTerm(m.group(1))
-    if m := _RE_IPV6.match(s):
-        try:
-            addr = parse_v6(m.group(1))
-        except ValueError:
-            return None
-        plen = int(m.group(3)) if m.group(3) else 128
-        if plen > 128:
-            return None
-        first, _ = v6_net_range(addr, plen)
-        return V6Term(first, plen, _prefix_mc_v6(first, plen))
     return None
 
 def parse_filter(s: str | None) -> list[FilterTerm]:

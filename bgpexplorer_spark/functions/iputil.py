@@ -91,6 +91,51 @@ def v4_to_dotted(col: Column) -> Column:
         col.bitwiseAND(F.lit(255)).cast("string"),
     )
 
+def v6_to_str(col: Column) -> Column:
+    """BINARY(16) → canonical IPv6 text, matching Rust's
+    ``Ipv6Addr::Display`` (what the reference regex-scans when stringifying
+    a v6 nexthop, src/ribfilter.rs:1463-1470): lowercase hex groups with
+    no leading zeros, the longest run of ≥2 zero groups compressed to
+    ``::`` (leftmost on ties), IPv4-mapped rendered ``::ffff:a.b.c.d``.
+
+    Pure Column algebra (codegen-able — no UDF): extract the longest zero
+    run with one regexp, then splice with position/substring. Only built
+    when a ``re:`` filter term is present."""
+
+    def group(i: int) -> Column:
+        # 2-byte group → lowercase hex, leading zeros stripped
+        return F.regexp_replace(
+            F.lower(F.hex(F.substring(col, 2 * i + 1, 2))), "^0{1,3}", ""
+        )
+
+    full = F.concat_ws(":", *[group(i) for i in range(8)])
+    runs = F.regexp_extract_all(full, F.lit(r"(?:^|:)(0(?::0)+)(?=:|$)"), 1)
+    # runs are all of the form 0(:0)* so lexicographic max == longest
+    longest = F.array_max(runs)
+    padded = F.concat(F.lit(":"), full, F.lit(":"))
+    pos = F.position(F.concat(F.lit(":"), longest, F.lit(":")), padded)
+    left = F.substring(padded, F.lit(2), pos - 2)
+    right_pad = F.substring(padded, pos + F.length(longest) + 2, F.lit(64))
+    right = F.substring(right_pad, F.lit(1), F.length(right_pad) - 1)
+    compressed = F.concat(left, F.lit("::"), right)
+
+    mapped_prefix = bytes(10) + b"\xff\xff"
+    v4_tail = (
+        _v6_byte(col, 12).cast("bigint") * F.lit(16777216)
+        + _v6_byte(col, 13).cast("bigint") * F.lit(65536)
+        + _v6_byte(col, 14).cast("bigint") * F.lit(256)
+        + _v6_byte(col, 15).cast("bigint")
+    )
+    return (
+        F.when(col.isNull(), F.lit(None).cast("string"))
+        .when(
+            F.substring(col, 1, 12) == F.lit(mapped_prefix),
+            F.concat(F.lit("::ffff:"), v4_to_dotted(v4_tail)),
+        )
+        .when(F.size(runs) > 0, compressed)
+        .otherwise(full)
+    )
+
 def v4_net_last_col(addr: Column, prefixlen: Column) -> Column:
     """Broadcast address with a *column* prefixlen: addr | (2^(32-len)-1).
 

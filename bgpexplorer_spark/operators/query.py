@@ -148,13 +148,23 @@ class RibQueryResult:
     history: DataFrame   # flat emitted history rows for those routes
     from_supernet: bool  # True when the supernet fallback produced the page
 
-def query_rib(history: DataFrame, rib: str, p: QueryParams) -> RibQueryResult:
+def query_rib(
+    history: DataFrame, rib: str, p: QueryParams, *, length: int | None = None
+) -> RibQueryResult:
     """§3.1 end-to-end, including the two-query supernet fallback (O5):
     when the primary page is empty the serving layer re-plans with
     reversed containment and most-specific-first order
-    (src/bgpsvc.rs:625-658)."""
-    rib_df = history.filter(F.col("rib") == rib)
-    length = rib_df.dropDuplicates(ROUTE_COLS).count()
+    (src/bgpsvc.rs:625-658).
+
+    ``length`` — the per-rib route count. The reference serves it as an
+    O(1) map size (src/bgpsvc.rs:677); pass the maintained count
+    (operators/rib.py route_counts / read_route_counts, refreshed at
+    snapshot-write/compaction) so a 100 TB table doesn't pay a full
+    dedup-count scan per HTTP request. None → computed exactly (the
+    explicit exact path)."""
+    if length is None:
+        rib_df = history.filter(F.col("rib") == rib)
+        length = rib_df.dropDuplicates(ROUTE_COLS).count()
 
     terms = parse_filter(p.filter)
     # cached: the match set feeds both the found count and the page
@@ -176,10 +186,34 @@ def query_rib(history: DataFrame, rib: str, p: QueryParams) -> RibQueryResult:
         history=hist, from_supernet=from_supernet,
     )
 
+def _num_sorted_map(num_key: str, val: str) -> Column:
+    """map_from_entries over entries sorted ASCENDING by the numeric key —
+    the reference serializes BTreeMaps, so sibling order is deterministic
+    ascending (src/bgpsvc.rs:493-596). A bare ``collect_list`` is
+    partition-order-dependent; the comparator lambda sorts on the numeric
+    key alone (the value may contain a map, which Spark cannot order
+    natively)."""
+    entries = F.collect_list(
+        F.struct(
+            F.col(num_key).alias("k"),
+            F.col(num_key).cast("string").alias("ks"),
+            F.col(val).alias("v"),
+        )
+    )
+    srt = F.array_sort(
+        entries,
+        lambda l, r: F.when(l["k"] < r["k"], -1).when(l["k"] > r["k"], 1).otherwise(0),
+    )
+    return F.map_from_entries(
+        F.transform(srt, lambda e: F.struct(e["ks"].alias("key"), e["v"].alias("value")))
+    )
+
 def to_nested_json(result: RibQueryResult) -> DataFrame:
     """O7 — route → {session → {path → {ts_millis → entry}}} JSON shaping
-    (src/bgpsvc.rs:493-596), newest-first inside each path. One row per
-    route: (nlri_str, items_json)."""
+    (src/bgpsvc.rs:493-596), newest-first inside each path, sessions and
+    paths in ascending numeric order (BTreeMap serialization order). One
+    row per route: (nlri_str, items_json) — byte-deterministic across
+    runs/partitionings."""
     from bgpexplorer_spark.operators.ingest import attrs_struct
 
     h = result.history.withColumn("_ts_ms", ts_to_millis(F.col("ts")).cast("string"))
@@ -197,13 +231,9 @@ def to_nested_json(result: RibQueryResult) -> DataFrame:
         )
     )
     per_sess = per_path.groupBy("rib", "nlri_str", "session_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("path_id").cast("string"), F.col("hist_map")))
-        ).alias("path_map")
+        _num_sorted_map("path_id", "hist_map").alias("path_map")
     )
     per_route = per_sess.groupBy("rib", "nlri_str").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("session_id").cast("string"), F.col("path_map")))
-        ).alias("sess_map")
+        _num_sorted_map("session_id", "path_map").alias("sess_map")
     )
     return per_route.select("rib", "nlri_str", F.to_json(F.col("sess_map")).alias("items_json"))

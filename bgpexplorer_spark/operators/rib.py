@@ -51,7 +51,50 @@ def statistics(history: DataFrame) -> DataFrame:
         F.count_distinct("session_id").alias("sessions"),
     )
 
-def write_snapshot(history: DataFrame, path: str, mode: str = "overwrite") -> None:
+def route_counts(history: DataFrame) -> DataFrame:
+    """O3 — distinct routes per rib. The reference serves ``length`` as an
+    O(1) BTreeMap size (src/bgpsvc.rs:677); here the equivalent is a tiny
+    maintained aggregate refreshed at snapshot-write/compaction time, NOT
+    a per-request full-table scan."""
+    return history.groupBy("rib").agg(F.count_distinct("nlri_str").alias("routes"))
+
+_COUNTS_FILE = "_route_counts.json"
+
+def write_route_counts(spark, history: DataFrame, path: str) -> dict[str, int]:
+    """Materialize per-rib route counts next to the snapshot (an
+    underscore-prefixed file, invisible to the parquet reader). Goes
+    through the Hadoop FileSystem API so it lands on HDFS/S3 paths too."""
+    import json as _json
+
+    counts = {r["rib"]: r["routes"] for r in route_counts(history).collect()}
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path + "/" + _COUNTS_FILE)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(_json.dumps(counts).encode()))
+    out.close()
+    return counts
+
+def read_route_counts(spark, path: str) -> dict[str, int] | None:
+    """The maintained counts, or None when the snapshot predates them."""
+    import json as _json
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path + "/" + _COUNTS_FILE)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # py4j arrays are pass-by-value — read JVM-side via commons-io
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        return {k: int(v) for k, v in _json.loads(text).items()}
+    finally:
+        stream.close()
+
+def write_snapshot(
+    history: DataFrame, path: str, mode: str = "overwrite", spark=None
+) -> None:
     """S4 — the parquet table IS the snapshot (vs CBOR dump+rename,
     src/bgprib.rs:903-948).
 
@@ -61,6 +104,9 @@ def write_snapshot(history: DataFrame, path: str, mode: str = "overwrite") -> No
     sortable address forms so parquet min/max row-group stats reproduce
     the BTreeMap range scan (src/ribfilter.rs:231-305) as stats-based
     skipping.
+
+    Pass ``spark`` to also refresh the maintained per-rib route counts
+    (O3 ``length`` without a per-request scan).
     """
     (
         history.withColumn("ts_date", F.to_date("ts"))
@@ -70,6 +116,8 @@ def write_snapshot(history: DataFrame, path: str, mode: str = "overwrite") -> No
         .partitionBy("rib", "ts_date")
         .parquet(path)
     )
+    if spark is not None:
+        write_route_counts(spark, history, path)
 
 def read_snapshot(spark, path: str) -> DataFrame:
     """S5 — no index rebuild needed (indexes are not materialized)."""
@@ -91,10 +139,30 @@ def compact(spark, path: str, history_depth: int | None = None) -> None:
     """U9 analog — the reference's refcount purge (src/bgprib.rs:875-902)
     has no shared heap to collect here; the maintenance job is table
     compaction: rewrite the snapshot applying retention (and collapsing
-    small files). Equivalent to Delta OPTIMIZE+VACUUM without Delta."""
+    small files). Equivalent to Delta OPTIMIZE+VACUUM without Delta.
+
+    Write-tmp-then-swap, matching the reference's snapshot discipline
+    (dump to .tmp then rename, src/bgprib.rs:903-923): an overwrite of the
+    *source* path would let a mid-write executor loss recompute lineage
+    from a directory being deleted. The swap itself goes through the
+    Hadoop FileSystem API, so it works on HDFS/object-store paths too, and
+    the previous snapshot survives (as ``.bak``) until the new one is
+    fully written."""
+    tmp, bak = path + ".tmp", path + ".bak"
     df = read_snapshot(spark, path)
     if history_depth is not None:
         df = retained(df, history_depth)
-    df = df.cache()
-    df.count()  # materialize before overwriting the source
-    write_snapshot(df, path)
+    write_snapshot(df, tmp, spark=spark)  # complete, durable copy — source untouched
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(hconf)
+    fs.delete(jpath(bak), True)
+    if not fs.rename(jpath(path), jpath(bak)):
+        raise IOError(f"compact: cannot move {path} aside")
+    if not fs.rename(jpath(tmp), jpath(path)):
+        # restore the original so the snapshot is never lost
+        fs.rename(jpath(bak), jpath(path))
+        raise IOError(f"compact: cannot swap {tmp} into place")
+    fs.delete(jpath(bak), True)

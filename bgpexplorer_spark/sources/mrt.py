@@ -1,0 +1,417 @@
+"""MRT (RFC 6396) dump decoder → UPDATES_SCHEMA rows (SURVEY.md §2.1 S1/S2).
+
+The reference ingests live BGP/BMP sessions (src/bgppeer.rs:179-258 UPDATE
+decode, src/bmppeer.rs:65-131 framing); the network daemon is out of the
+engine boundary here, but MRT dump files — the standard archival form of
+exactly those wire messages (RIS / RouteViews publish one file per 5-15
+minutes) — give a pure-parsing batch path from REAL BGP wire format into
+the same ``updates`` boundary. Update/withdraw/MP_REACH/MP_UNREACH
+handling mirrors src/bgprib.rs:1104-1205 (U7 flattening: one output row
+per message × NLRI).
+
+Scale shape: one MRT file is not splittable (variable-length records, no
+sync marker), so the unit of parallelism is the FILE — precisely how the
+archives are published. ``spark.read.format("binaryFile")`` distributes
+whole files to executors and ``mapInPandas`` (Arrow-batched) decodes
+them; a 100 TB backfill is tens of thousands of files, which saturates
+any cluster without a shuffle.
+
+Supported records: BGP4MP / BGP4MP_ET (types 16/17), subtypes MESSAGE /
+MESSAGE_AS4 (1/4). Attributes: ORIGIN, AS_PATH, NEXT_HOP, MED,
+LOCAL_PREF, ATOMIC_AGGREGATE, AGGREGATOR, COMMUNITY, ORIGINATOR_ID,
+CLUSTER_LIST, MP_REACH_NLRI, MP_UNREACH_NLRI, EXT_COMMUNITIES,
+LARGE_COMMUNITY. Unknown attributes/records are skipped, not fatal —
+dump archives contain junk.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bgpexplorer_spark.schemas import ATTR_FIELDS, KEY_FIELDS, UPDATES_SCHEMA
+
+MRT_BGP4MP = 16
+MRT_BGP4MP_ET = 17
+BGP4MP_MESSAGE = 1
+BGP4MP_MESSAGE_AS4 = 4
+
+_ORIGINS = {0: "IGP", 1: "EGP", 2: "Incomplete"}
+
+# read_mrt emits peer identity instead of a session_id; assign_sessions
+# turns distinct peers into dense ids (the reference registers sessions at
+# PeerUp / config time, src/bgpsvc.rs:135-162).
+MRT_FIELDS = (
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("peer_addr", T.StringType(), False),
+        T.StructField("peer_as", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("path_id", T.LongType(), False),
+    ]
+    + KEY_FIELDS
+    + ATTR_FIELDS
+)
+MRT_SCHEMA = T.StructType(MRT_FIELDS)
+
+
+def _v4_str(addr: int) -> str:
+    return f"{(addr >> 24) & 255}.{(addr >> 16) & 255}.{(addr >> 8) & 255}.{addr & 255}"
+
+
+def _v6_str(b: bytes) -> str:
+    import ipaddress
+
+    return str(ipaddress.IPv6Address(b))
+
+
+def _read_prefixes(buf: bytes, off: int, end: int, v6: bool):
+    """NLRI list: (plen, ceil(plen/8) prefix bytes)* — src/bgppeer.rs
+    UPDATE NLRI walk. Returns [(addr_int_or_bytes, plen)]."""
+    out = []
+    width = 16 if v6 else 4
+    while off < end:
+        plen = buf[off]
+        off += 1
+        nbytes = (plen + 7) // 8
+        if plen > width * 8 or off + nbytes > end:
+            break  # malformed tail — skip rest
+        raw = buf[off : off + nbytes] + b"\x00" * (width - nbytes)
+        off += nbytes
+        if v6:
+            out.append((raw, plen))
+        else:
+            out.append((struct.unpack(">I", raw)[0], plen))
+    return out
+
+
+def _parse_attrs(buf: bytes, off: int, end: int, as4: bool) -> dict:
+    """Path attributes → the 13-field BgpAttrs dict + MP fragments
+    (attr ids per src/bgpattrs.rs; MP handling src/bgprib.rs:1104-1205)."""
+    a: dict = {
+        "origin": None, "nexthop_v4": None, "nexthop_v6": None,
+        "aspath": None, "comms": None, "lcomms": None, "extcomms": None,
+        "med": None, "localpref": None, "atomicaggregate": None,
+        "aggregator_as": None, "originator": None, "clusterlist": None,
+        "_mp_reach": [], "_mp_unreach": [], "_mp_reach_v6": False,
+        "_mp_unreach_v6": False,
+    }
+    asz = 4 if as4 else 2
+    afmt = ">I" if as4 else ">H"
+    while off < end:
+        if off + 2 > end:
+            break
+        flags, atype = buf[off], buf[off + 1]
+        off += 2
+        if flags & 0x10:  # extended length
+            if off + 2 > end:
+                break
+            alen = struct.unpack(">H", buf[off : off + 2])[0]
+            off += 2
+        else:
+            alen = buf[off]
+            off += 1
+        val = buf[off : off + alen]
+        off += alen
+        if atype == 1 and alen >= 1:
+            a["origin"] = _ORIGINS.get(val[0])
+        elif atype == 2:
+            segs, p = [], 0
+            while p + 2 <= len(val):
+                skind, scount = val[p], val[p + 1]
+                p += 2
+                asns = []
+                for _ in range(scount):
+                    if p + asz > len(val):
+                        break
+                    asns.append(struct.unpack(afmt, val[p : p + asz])[0])
+                    p += asz
+                segs.append(
+                    {"kind": "Set" if skind == 1 else "Seq", "asns": asns}
+                )
+            a["aspath"] = segs
+        elif atype == 3 and alen == 4:
+            a["nexthop_v4"] = struct.unpack(">I", val)[0]
+        elif atype == 4 and alen == 4:
+            a["med"] = struct.unpack(">I", val)[0]
+        elif atype == 5 and alen == 4:
+            a["localpref"] = struct.unpack(">I", val)[0]
+        elif atype == 6:
+            a["atomicaggregate"] = True
+        elif atype == 7 and alen >= asz + 4:
+            a["aggregator_as"] = struct.unpack(afmt, val[:asz])[0]
+        elif atype == 8:
+            a["comms"] = [
+                struct.unpack(">I", val[i : i + 4])[0]
+                for i in range(0, len(val) - 3, 4)
+            ]
+        elif atype == 9 and alen == 4:
+            a["originator"] = struct.unpack(">I", val)[0]
+        elif atype == 10:
+            a["clusterlist"] = [
+                struct.unpack(">I", val[i : i + 4])[0]
+                for i in range(0, len(val) - 3, 4)
+            ]
+        elif atype == 14 and alen >= 5:  # MP_REACH_NLRI
+            afi, safi, nhlen = struct.unpack(">HBB", val[:4])
+            p = 4 + nhlen
+            if afi == 2 and safi == 1:
+                if nhlen >= 16:
+                    a["nexthop_v6"] = val[4:20]
+                p += 1  # reserved SNPA byte
+                a["_mp_reach"] = _read_prefixes(val, p, len(val), v6=True)
+                a["_mp_reach_v6"] = True
+        elif atype == 15 and alen >= 3:  # MP_UNREACH_NLRI
+            afi, safi = struct.unpack(">HB", val[:3])
+            if afi == 2 and safi == 1:
+                a["_mp_unreach"] = _read_prefixes(val, 3, len(val), v6=True)
+                a["_mp_unreach_v6"] = True
+        elif atype == 16:
+            a["extcomms"] = [
+                {
+                    "ctype": val[i],
+                    "subtype": val[i + 1],
+                    "a": struct.unpack(">H", val[i + 2 : i + 4])[0],
+                    "b": struct.unpack(">I", val[i + 4 : i + 8])[0],
+                }
+                for i in range(0, len(val) - 7, 8)
+            ]
+        elif atype == 32:
+            a["lcomms"] = [
+                dict(
+                    zip(
+                        ("ga", "ldp1", "ldp2"),
+                        struct.unpack(">III", val[i : i + 12]),
+                    )
+                )
+                for i in range(0, len(val) - 11, 12)
+            ]
+    return a
+
+
+_NULL_KEYS = {f.name: None for f in KEY_FIELDS}
+_ATTR_NAMES = [f.name for f in ATTR_FIELDS]
+
+
+def _emit(ts, peer_addr, peer_as, op, key: dict, attrs: dict | None) -> dict:
+    row = {"ts": ts, "peer_addr": peer_addr, "peer_as": peer_as,
+           "op": op, "path_id": 0, **_NULL_KEYS}
+    row.update(key)
+    for n in _ATTR_NAMES:
+        row[n] = attrs.get(n) if attrs else None
+    return row
+
+
+def parse_mrt(data: bytes) -> Iterator[dict]:
+    """One MRT byte stream → decoded update/withdraw rows (MRT_SCHEMA
+    field order). Pure function of the bytes — runs identically on every
+    executor."""
+    import datetime as dt
+
+    off, n = 0, len(data)
+    while off + 12 <= n:
+        ts_sec, mtype, subtype, length = struct.unpack(
+            ">IHHI", data[off : off + 12]
+        )
+        off += 12
+        body = data[off : off + length]
+        off += length
+        if mtype not in (MRT_BGP4MP, MRT_BGP4MP_ET):
+            continue
+        p = 0
+        usec = 0
+        if mtype == MRT_BGP4MP_ET:
+            usec = struct.unpack(">I", body[:4])[0]
+            p = 4
+        if subtype not in (BGP4MP_MESSAGE, BGP4MP_MESSAGE_AS4):
+            continue
+        as4 = subtype == BGP4MP_MESSAGE_AS4
+        asz = 4 if as4 else 2
+        afmt = ">I" if as4 else ">H"
+        peer_as = struct.unpack(afmt, body[p : p + asz])[0]
+        p += 2 * asz  # peer_as + local_as
+        p += 2  # ifindex
+        afi = struct.unpack(">H", body[p : p + 2])[0]
+        p += 2
+        ipw = 4 if afi == 1 else 16
+        peer_ip = body[p : p + ipw]
+        p += 2 * ipw  # peer + local ip
+        peer_addr = (
+            _v4_str(struct.unpack(">I", peer_ip)[0]) if ipw == 4 else _v6_str(peer_ip)
+        )
+        # BGP message: 16B marker + length(2) + type(1)
+        if p + 19 > len(body):
+            continue
+        btype = body[p + 18]
+        p += 19
+        if btype != 2:  # not an UPDATE
+            continue
+        ts = dt.datetime.fromtimestamp(ts_sec + usec / 1e6, tz=dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        wlen = struct.unpack(">H", body[p : p + 2])[0]
+        p += 2
+        withdrawn = _read_prefixes(body, p, p + wlen, v6=False)
+        p += wlen
+        alen = struct.unpack(">H", body[p : p + 2])[0]
+        p += 2
+        attrs = _parse_attrs(body, p, p + alen, as4)
+        nlri = _read_prefixes(body, p + alen, len(body), v6=False)
+
+        def v4_key(addr: int, plen: int) -> dict:
+            return {
+                "rib": "ipv4u",
+                "nlri_str": f"{_v4_str(addr)}/{plen}",
+                "addr_v4": addr,
+                "prefixlen": plen,
+            }
+
+        def v6_key(raw: bytes, plen: int) -> dict:
+            return {
+                "rib": "ipv6u",
+                "nlri_str": f"{_v6_str(raw)}/{plen}",
+                "addr_v6": raw,
+                "prefixlen": plen,
+            }
+
+        for addr, plen in withdrawn:
+            yield _emit(ts, peer_addr, peer_as, "withdraw", v4_key(addr, plen), None)
+        for raw, plen in attrs["_mp_unreach"]:
+            yield _emit(ts, peer_addr, peer_as, "withdraw", v6_key(raw, plen), None)
+        for addr, plen in nlri:
+            yield _emit(ts, peer_addr, peer_as, "update", v4_key(addr, plen), attrs)
+        for raw, plen in attrs["_mp_reach"]:
+            yield _emit(ts, peer_addr, peer_as, "update", v6_key(raw, plen), attrs)
+
+
+def read_mrt(spark: SparkSession, path: str) -> DataFrame:
+    """MRT file(s) → MRT_SCHEMA DataFrame. ``binaryFile`` ships whole
+    files to executors (per-file parallelism — the archives' natural
+    unit); an Arrow-batched ``mapInPandas`` runs the pure-Python record
+    walk. No shuffle."""
+    import pandas as pd
+
+    names = [f.name for f in MRT_FIELDS]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(parse_mrt(bytes(content)))
+            yield pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
+                columns=names
+            )
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode, MRT_SCHEMA)
+
+
+def assign_sessions(mrt_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(peer_addr, peer_as) → dense session_id; returns (updates in
+    UPDATES_SCHEMA order, sessions dimension). The dimension is tiny (one
+    row per peer) so the id join broadcasts; ordering by (peer_addr,
+    peer_as) makes the ids deterministic."""
+    peers = (
+        mrt_df.select("peer_addr", "peer_as")
+        .distinct()
+        .withColumn(
+            "session_id",
+            (F.row_number().over(Window.orderBy("peer_addr", "peer_as")) - 1).cast(
+                "int"
+            ),
+        )
+    )
+    upd = (
+        mrt_df.join(F.broadcast(peers), ["peer_addr", "peer_as"])
+        .select(*[f.name for f in UPDATES_SCHEMA.fields])
+    )
+    sessions = peers.select(
+        "session_id",
+        F.col("peer_addr").alias("peer1_addr"),
+        F.col("peer_as").alias("peer1_as"),
+        F.lit(None).cast("string").alias("peer2_addr"),
+        F.lit(None).cast("long").alias("peer2_as"),
+    )
+    return upd, sessions
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder — the inverse wire format, used by tests and the MRT
+# contract query to build deterministic dumps. Kept in-package so the
+# decode path can be exercised anywhere without network access.
+# ---------------------------------------------------------------------------
+
+
+def _prefix_bytes(addr: int | bytes, plen: int, v6: bool) -> bytes:
+    nbytes = (plen + 7) // 8
+    raw = addr if v6 else struct.pack(">I", addr)
+    return bytes([plen]) + raw[:nbytes]
+
+
+def encode_update(
+    ts_sec: int,
+    peer_as: int,
+    peer_ip: int,
+    *,
+    nlri: list[tuple[int, int]] | None = None,
+    withdrawn: list[tuple[int, int]] | None = None,
+    nlri6: list[tuple[bytes, int]] | None = None,
+    withdrawn6: list[tuple[bytes, int]] | None = None,
+    origin: int | None = None,
+    aspath: list[tuple[int, list[int]]] | None = None,
+    nexthop: int | None = None,
+    nexthop6: bytes | None = None,
+    med: int | None = None,
+    localpref: int | None = None,
+    comms: list[int] | None = None,
+) -> bytes:
+    """One BGP4MP_MESSAGE_AS4 MRT record wrapping a BGP UPDATE."""
+    attrs = b""
+
+    def attr(atype: int, val: bytes, flags: int = 0x40) -> bytes:
+        return bytes([flags, atype, len(val)]) + val
+
+    if origin is not None:
+        attrs += attr(1, bytes([origin]))
+    if aspath is not None:
+        seg = b""
+        for kind, asns in aspath:
+            seg += bytes([kind, len(asns)]) + b"".join(
+                struct.pack(">I", x) for x in asns
+            )
+        attrs += attr(2, seg)
+    if nexthop is not None:
+        attrs += attr(3, struct.pack(">I", nexthop))
+    if med is not None:
+        attrs += attr(4, struct.pack(">I", med))
+    if localpref is not None:
+        attrs += attr(5, struct.pack(">I", localpref))
+    if comms is not None:
+        attrs += attr(8, b"".join(struct.pack(">I", c) for c in comms))
+    if nlri6 is not None:
+        body6 = struct.pack(">HBB", 2, 1, 16) + (nexthop6 or bytes(16)) + b"\x00"
+        for raw, plen in nlri6:
+            body6 += _prefix_bytes(raw, plen, v6=True)
+        attrs += attr(14, body6, flags=0x80)
+    if withdrawn6 is not None:
+        body6 = struct.pack(">HB", 2, 1)
+        for raw, plen in withdrawn6:
+            body6 += _prefix_bytes(raw, plen, v6=True)
+        attrs += attr(15, body6, flags=0x80)
+
+    wd = b"".join(_prefix_bytes(a, p, v6=False) for a, p in (withdrawn or []))
+    nl = b"".join(_prefix_bytes(a, p, v6=False) for a, p in (nlri or []))
+    upd_body = struct.pack(">H", len(wd)) + wd + struct.pack(">H", len(attrs)) + attrs + nl
+    bgp_msg = b"\xff" * 16 + struct.pack(">HB", 19 + len(upd_body), 2) + upd_body
+
+    b4 = (
+        struct.pack(">II", peer_as, 65001)  # peer_as, local_as
+        + struct.pack(">HH", 0, 1)  # ifindex, AFI v4
+        + struct.pack(">II", peer_ip, 0x0A00FF01)  # peer ip, local ip
+        + bgp_msg
+    )
+    return struct.pack(">IHHI", ts_sec, MRT_BGP4MP, BGP4MP_MESSAGE_AS4, len(b4)) + b4

@@ -81,6 +81,28 @@ def test_num_regex_and_junk():
     assert parse_item("100:200") is None     # not valid v6, nothing else matches
     assert parse_item("hello") is None
 
+def test_hexy_tokens_dropped_by_ipv6_arm():
+    """The reference tries the IPv6 regex right after IPv4 and early-returns
+    None on parse failure — so all-hex-and-colon tokens never reach the
+    community/rt arms (src/ribfilter.rs:945-1040)."""
+    assert parse_item("c:100:200") is None    # hexy → tried as v6, dropped
+    assert parse_item("cafe:1:2") is None
+    assert parse_item("ad:1:2") is None
+    # non-hex letters still dispatch past the v6 arm
+    assert parse_item("comm:100:200") == CommunityTerm((100 << 16) | 200)
+
+def test_as_double_caret_is_contains():
+    # reference compares the caret group against exactly '^'
+    assert parse_item("as:^^100") == ASPathTerm("contains", (100,))
+    assert parse_item("as:^^100$") == ASPathTerm("endswith", (100,))
+
+def test_rd_ip_form_masks_assigned_number():
+    ip = parse_v4("1.2.3.4")
+    # vls[4] & 0xffff: 65541 = 0x10005 → masked to 5
+    assert parse_item("rd:1.2.3.4:65541") == RDTerm(
+        0x10000 | (ip >> 16), ((ip & 0xFFFF) << 16) | 5
+    )
+
 def test_polarity():
     terms = parse_filter("+10.0.0.0/8 -as:100 42 junkjunk")
     assert len(terms) == 3

@@ -1,0 +1,154 @@
+"""MRT (RFC 6396) decode — S1/S2 ingestion boundary from real wire format
+(reference UPDATE handling src/bgppeer.rs:179-258, RIB apply
+src/bgprib.rs:1104-1205)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from bgpexplorer_spark.sources.mrt import (
+    MRT_SCHEMA,
+    assign_sessions,
+    encode_update,
+    parse_mrt,
+    read_mrt,
+)
+
+
+def test_update_roundtrip():
+    rec = encode_update(
+        1704067200,
+        65010,
+        0x0A_FF_00_01,
+        nlri=[(0x0A000000, 8), (0xC0000200, 24)],
+        origin=0,
+        aspath=[(2, [100, 200]), (1, [300])],
+        nexthop=0xC0000201,
+        med=50,
+        localpref=120,
+        comms=[65536 + 7],
+    )
+    rows = list(parse_mrt(rec))
+    assert len(rows) == 2
+    r = rows[0]
+    assert r["op"] == "update" and r["rib"] == "ipv4u"
+    assert r["nlri_str"] == "10.0.0.0/8" and r["prefixlen"] == 8
+    assert r["addr_v4"] == 0x0A000000
+    assert r["origin"] == "IGP"
+    assert r["aspath"] == [
+        {"kind": "Seq", "asns": [100, 200]},
+        {"kind": "Set", "asns": [300]},
+    ]
+    assert r["nexthop_v4"] == 0xC0000201
+    assert r["med"] == 50 and r["localpref"] == 120
+    assert r["comms"] == [65536 + 7]
+    assert r["peer_as"] == 65010 and r["peer_addr"] == "10.255.0.1"
+    assert rows[1]["nlri_str"] == "192.0.2.0/24"
+    assert r["ts"].isoformat() == "2024-01-01T00:00:00"
+
+
+def test_withdraw_and_mixed():
+    rec = encode_update(
+        1704067201, 65010, 0x0A_FF_00_01,
+        withdrawn=[(0x0A000000, 24)],
+        nlri=[(0x0B000000, 16)],
+        origin=2,
+        aspath=[(2, [100])],
+        nexthop=0xC0000201,
+    )
+    rows = list(parse_mrt(rec))
+    ops = [(r["op"], r["nlri_str"]) for r in rows]
+    assert ("withdraw", "10.0.0.0/24") in ops
+    assert ("update", "11.0.0.0/16") in ops
+    wd = next(r for r in rows if r["op"] == "withdraw")
+    assert wd["aspath"] is None and wd["origin"] is None  # withdraw carries no attrs
+
+
+def test_mp_reach_v6():
+    v6net = bytes([0x20, 0x01, 0x0D, 0xB8] + [0] * 12)
+    nh6 = bytes([0xFE, 0x80] + [0] * 13 + [1])
+    rec = encode_update(
+        1704067202, 65020, 0x0A_FF_00_02,
+        nlri6=[(v6net, 32)],
+        nexthop6=nh6,
+        origin=0,
+        aspath=[(2, [100])],
+    )
+    rows = list(parse_mrt(rec))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["rib"] == "ipv6u" and r["op"] == "update"
+    assert r["nlri_str"] == "2001:db8::/32"
+    assert r["addr_v6"] == v6net and r["prefixlen"] == 32
+    assert r["nexthop_v6"] == nh6
+
+
+def test_mp_unreach_v6():
+    v6net = bytes([0x20, 0x01, 0x0D, 0xB8] + [0] * 12)
+    rec = encode_update(1704067203, 65020, 0x0A_FF_00_02, withdrawn6=[(v6net, 48)])
+    rows = list(parse_mrt(rec))
+    assert len(rows) == 1
+    assert rows[0]["op"] == "withdraw" and rows[0]["rib"] == "ipv6u"
+    assert rows[0]["nlri_str"] == "2001:db8::/48"
+
+
+def test_junk_records_skipped():
+    good = encode_update(
+        1704067204, 65010, 0x0A_FF_00_01, nlri=[(0x0A000000, 8)],
+        origin=0, aspath=[(2, [100])], nexthop=1,
+    )
+    # unknown MRT type 99 + truncated tail
+    junk = struct.pack(">IHHI", 0, 99, 0, 4) + b"\x00" * 4
+    rows = list(parse_mrt(junk + good + b"\x01\x02"))
+    assert len(rows) == 1 and rows[0]["nlri_str"] == "10.0.0.0/8"
+
+
+@pytest.fixture()
+def mrt_file(tmp_path):
+    recs = b""
+    for i in range(40):
+        peer = i % 2
+        if i % 7 == 0:
+            recs += encode_update(
+                1704067200 + i, 65000 + peer, 0x0AFF0000 + peer,
+                withdrawn=[(0x0A000000 + (i % 4) * 65536, 16)],
+            )
+        else:
+            recs += encode_update(
+                1704067200 + i, 65000 + peer, 0x0AFF0000 + peer,
+                nlri=[(0x0A000000 + (i % 4) * 65536, 16)],
+                origin=i % 3,
+                aspath=[(2, [100 + i % 5, 200])],
+                nexthop=0xC0000200 + peer,
+                comms=[65536 + i % 10],
+            )
+    p = tmp_path / "dump.mrt"
+    p.write_bytes(recs)
+    return str(p)
+
+
+def test_read_mrt_spark_end_to_end(spark, mrt_file):
+    df = read_mrt(spark, mrt_file)
+    assert df.schema == MRT_SCHEMA
+    upd, sessions = assign_sessions(df)
+    # deterministic session ids: ordered by (peer_addr, peer_as)
+    sess = {(r.peer1_addr, r.peer1_as): r.session_id for r in sessions.collect()}
+    assert sess == {("10.255.0.0", 65000): 0, ("10.255.0.1", 65001): 1}
+
+    from bgpexplorer_spark.operators.ingest import build_history
+
+    hist = build_history(upd)
+    rows = hist.collect()
+    assert len(rows) > 0
+    # withdraw tombstones carry forward-filled attrs (U5)
+    tomb = [r for r in rows if not r.active]
+    assert tomb and all(r.aspath is not None for r in tomb)
+    # never-seen withdraws dropped: i=0 withdraw for 10.0.0.0/16 on peer 0
+    # precedes any update of that key on that session
+    first_key = [
+        r for r in rows
+        if r.nlri_str == "10.0.0.0/16" and r.session_id == 0
+    ]
+    assert all(r.ts.isoformat() != "2024-01-01T00:00:00" for r in first_key)

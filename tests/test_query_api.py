@@ -136,6 +136,50 @@ def test_lpm_join(spark):
     got = {r.id: r.tag for r in lpm_join_v4(hosts, routes).collect()}
     assert got == {1: "C", 2: "B", 3: "A"}  # host 4 unmatched
 
+def test_maintained_length_skips_full_scan(spark):
+    """O3 at scale: with a maintained ``length`` and an empty filter, the
+    request must NOT run the per-rib dedup-count scan (reference serves
+    length O(1), src/bgpsvc.rs:677). Counted via Spark job groups: the
+    maintained path materializes the page in strictly fewer jobs."""
+    rows = [u(f"10.0.{i}.0/24", t=i) for i in range(6)]
+    hist = _hist(spark, rows).cache()
+    hist.count()
+    sc = spark.sparkContext
+
+    def jobs_for(group, fn):
+        sc.setJobGroup(group, group)
+        fn()
+        sc.setJobGroup("other", "other")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    r_exact = query_rib(hist, "ipv4u", QueryParams())
+    n_exact = jobs_for(
+        "exact", lambda: query_rib(hist, "ipv4u", QueryParams()).routes.collect()
+    )
+    n_maint = jobs_for(
+        "maint",
+        lambda: query_rib(hist, "ipv4u", QueryParams(), length=6).routes.collect(),
+    )
+    assert n_maint < n_exact
+    r = query_rib(hist, "ipv4u", QueryParams(), length=6)
+    assert r.length == r.found == r_exact.length == 6  # envelope identical
+
+
+def test_route_counts_roundtrip(spark, tmp_path):
+    from bgpexplorer_spark.operators.rib import (
+        read_route_counts, route_counts, write_snapshot,
+    )
+
+    hist = _hist(spark, [u(f"10.0.{i}.0/24", t=i) for i in range(4)])
+    path = str(tmp_path / "snap")
+    write_snapshot(hist, path, spark=spark)
+    counts = read_route_counts(spark, path)
+    assert counts == {"ipv4u": 4}
+    # the maintained number equals the exact aggregate
+    exact = {r["rib"]: r["routes"] for r in route_counts(hist).collect()}
+    assert counts == exact
+
+
 def test_posting_table_semijoin_matches_predicate_path(spark):
     """The exploded posting-table semi-join must select exactly the same
     routes as the default array_contains predicate (J1 scale path)."""

@@ -126,6 +126,34 @@ def test_attrs_dim_and_compact(spark, tmp_path):
     compact(spark, path, history_depth=2)
     back = read_snapshot(spark, path)
     assert back.count() == 2  # retention applied in-place
+    # atomic swap discipline: no leftover tmp/bak dirs
+    import os
+    assert not os.path.exists(path + ".tmp") and not os.path.exists(path + ".bak")
+
+def test_compact_never_overwrites_source_in_place(spark, tmp_path, monkeypatch):
+    """The reference writes tmp-then-rename (src/bgprib.rs:903-923); assert
+    compact() never issues a write into the live source path — an
+    overwrite-in-place would let executor loss mid-write recompute lineage
+    from a directory being deleted."""
+    import bgpexplorer_spark.operators.rib as ribmod
+
+    hist = build_history(
+        make_updates(spark, [u("10.0.0.0/24", t=i) for i in range(4)])
+    )
+    path = str(tmp_path / "snap")
+    write_snapshot(hist, path)
+
+    real_write = ribmod.write_snapshot
+    targets = []
+
+    def spy(df, p, mode="overwrite", spark=None):
+        targets.append(p)
+        return real_write(df, p, mode, spark=spark)
+
+    monkeypatch.setattr(ribmod, "write_snapshot", spy)
+    ribmod.compact(spark, path, history_depth=1)
+    assert targets == [path + ".tmp"]  # the live path is only ever renamed onto
+    assert read_snapshot(spark, path).count() == 1
 
 def test_http_api_end_to_end(spark):
     hist = build_history(

@@ -2,6 +2,12 @@
 AND its oracle_sql() in DuckDB on the same parquet, compare row count +
 column names + order-insensitive value multiset.
 
+The comparison goes through Arrow on BOTH sides so that *typed* value
+mismatches (e.g. DuckDB HUGEINT -> decimal128 vs Spark BIGINT -> int64)
+are caught here the same way the driver catches them — round 1's only
+hash failure (sessionize_events) was exactly this class, masked by a
+string-normalizing comparator.
+
 Usage: python tools/selfcheck.py [sf_dir] [query ...]
 """
 
@@ -13,10 +19,44 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from bgpexplorer_spark.session import get_spark  # noqa: E402
+
+
+def type_tag(t: pa.DataType) -> str:
+    """Canonical per-column type tag included in the hash. Integer widths
+    and signedness are collapsed per *kind* but decimal/float/int stay
+    distinct — a HUGEINT oracle column (decimal128) tags differently from
+    a Spark BIGINT (int), which is the divergence class we must catch."""
+    if pa.types.is_integer(t):
+        return "i"
+    if pa.types.is_floating(t):
+        return "f"
+    if pa.types.is_decimal(t):
+        return "dec"
+    if pa.types.is_boolean(t):
+        return "b"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "s"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+        return "bin"
+    if pa.types.is_timestamp(t):
+        return "t"
+    if pa.types.is_date(t):
+        return "d"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{type_tag(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct{" + ",".join(f"{f.name}:{type_tag(f.type)}" for f in t) + "}"
+    if pa.types.is_map(t):
+        return f"map<{type_tag(t.key_type)},{type_tag(t.item_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
 
 def norm_cell(v):
     if v is None:
@@ -27,6 +67,8 @@ def norm_cell(v):
         return f"{v:.6g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
     if hasattr(v, "isoformat"):
         try:
             return v.isoformat(sep=" ")
@@ -34,10 +76,37 @@ def norm_cell(v):
             return v.isoformat()
     return str(v)
 
-def hash_rows(cols, rows):
+
+def hash_arrow(tbl: pa.Table):
+    cols = tbl.column_names
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
-    return hashlib.md5("\n".join(lines).encode()).hexdigest(), lines
+    tags = [f"{cols[i]}:{type_tag(tbl.schema.field(i).type)}" for i in order]
+    pycols = [tbl.column(i).to_pylist() for i in order]
+    lines = sorted(
+        "|".join(norm_cell(pycols[j][r]) for j in range(len(order)))
+        for r in range(tbl.num_rows)
+    )
+    payload = "SCHEMA:" + ";".join(tags) + "\n" + "\n".join(lines)
+    return hashlib.md5(payload.encode()).hexdigest(), lines, tags
+
+
+def spark_to_arrow(sdf) -> pa.Table:
+    tbl = sdf.toArrow()
+    # Spark exports timestamps tz-aware (session tz); DuckDB naive. The
+    # driver compares values, not tz plumbing — normalize to naive UTC.
+    new_cols, new_fields = [], []
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+            c = tbl.column(i).cast(pa.timestamp(f.type.unit, tz="UTC")).cast(
+                pa.timestamp(f.type.unit)
+            )
+            new_cols.append(c)
+            new_fields.append(pa.field(f.name, pa.timestamp(f.type.unit)))
+        else:
+            new_cols.append(tbl.column(i))
+            new_fields.append(f)
+    return pa.Table.from_arrays(new_cols, schema=pa.schema(new_fields))
+
 
 def main():
     args = [a for a in sys.argv[1:]]
@@ -69,32 +138,36 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            stbl = spark_to_arrow(sdf)
         except Exception as e:
             print(f"{name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
             fails.append(name)
             continue
         if name not in osql:
-            print(f"{name}: rows-only (no oracle) spark_rows={len(srows)}")
+            print(f"{name}: rows-only (no oracle) spark_rows={stbl.num_rows}")
             continue
         try:
-            ores = con.execute(osql[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            otbl = con.execute(osql[name]).fetch_arrow_table()
         except Exception as e:
             print(f"{name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:200]}")
             fails.append(name)
             continue
-        ok_cols = sorted(scols) == sorted(ocols)
-        ok_count = len(srows) == len(orows)
-        sh, slines = hash_rows(scols, [tuple(r) for r in srows])
-        oh, olines = hash_rows(ocols, orows)
+        ok_cols = sorted(stbl.column_names) == sorted(otbl.column_names)
+        ok_count = stbl.num_rows == otbl.num_rows
+        sh, slines, stags = hash_arrow(stbl)
+        oh, olines, otags = hash_arrow(otbl)
         ok_hash = sh == oh
         status = "OK" if (ok_cols and ok_count and ok_hash) else "MISMATCH"
-        print(f"{name}: {status} rows={len(srows)}/{len(orows)} cols={'OK' if ok_cols else (scols, ocols)} hash={'OK' if ok_hash else 'DIFF'}")
+        print(
+            f"{name}: {status} rows={stbl.num_rows}/{otbl.num_rows} "
+            f"cols={'OK' if ok_cols else (stbl.column_names, otbl.column_names)} "
+            f"hash={'OK' if ok_hash else 'DIFF'}"
+        )
         if status != "OK":
             fails.append(name)
+            if stags != otags:
+                print(f"   spark types: {stags}")
+                print(f"   duck  types: {otags}")
             sset, oset = set(slines), set(olines)
             for x in list(sorted(sset - oset))[:3]:
                 print(f"   spark-only: {x[:160]}")
@@ -103,6 +176,7 @@ def main():
     spark.stop()
     print(f"\n{'ALL OK' if not fails else 'FAILURES: ' + ', '.join(fails)}")
     sys.exit(1 if fails else 0)
+
 
 if __name__ == "__main__":
     main()
