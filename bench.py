@@ -35,6 +35,14 @@ BENCH_QUERIES = [
     "sim_ivf_topk",
     "f5_aspath_subseq",
     "text_quality",
+    # the engine's flagship serving shape end-to-end (build_history →
+    # query_rib → to_nested_json → flatten) — regression-tracked, not
+    # just its ingredients
+    "o7_nested_output",
+    # composed near-dup scale path: LSH candidates → exact-Jaccard verify
+    "dedup_lsh_verified",
+    # real wire-format ingestion: MRT decode → build_history
+    "s1_mrt_decode",
 ]
 
 def main() -> None:

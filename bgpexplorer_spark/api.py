@@ -40,12 +40,20 @@ class BgpExplorerService:
         sessions: DataFrame | None = None,
         route_counts: dict[str, int] | None = None,
         exact_length: bool = False,
+        ws_apply_filter: bool = False,
     ):
+        from bgpexplorer_spark.streaming.wsfeed import LiveFeed
+
         self.history = history
         self.sessions = sessions
         self.route_counts = dict(route_counts) if route_counts else None
         self.exact_length = exact_length
         self.state = "Established"  # O8 (src/bgpsvc.rs:429-435)
+        # S7 live feed: publish micro-batches via self.feed.publish_batch
+        # (e.g. from run_ingest's foreachBatch); ws_apply_filter=True turns
+        # on the superset that honors subscriber filters
+        self.feed = LiveFeed()
+        self.ws_apply_filter = ws_apply_filter
 
     def _length(self, rib: str) -> int | None:
         """Maintained count for ``rib``; computed once and memoized when
@@ -114,6 +122,78 @@ class BgpExplorerService:
     def api_ping(self) -> str:
         return "pong"
 
+    # --- S9/S10 serving (src/whoissvc.rs:520-600) -------------------------
+    # The HTTP layer keeps a small in-process TTL cache with
+    # stale-while-revalidate (the reference's sled cache,
+    # src/whoissvc.rs:458-490); the parquet cache (operators/whois
+    # cache_lookup/upsert) is the batch-enrichment path (S11/J5).
+
+    _WHOIS_SECTION_RE = {
+        "aut-num": r"(aut-num|ASNumber):", "as": r"(aut-num|ASNumber):",
+        "r": r"route:", "r4": r"route:", "route": r"route:",
+        "r6": r"route6:", "route6": r"route6:",
+    }
+
+    def _cached(self, key: str, fetch, ttl: float = 1800.0) -> str:
+        import threading
+        import time
+
+        if not hasattr(self, "_ttl_cache"):
+            self._ttl_cache = {}
+        hit = self._ttl_cache.get(key)
+        if hit is not None:
+            ts, val = hit
+            if time.time() - ts > ttl:  # stale: serve + refresh behind
+                def refresh():
+                    try:
+                        self._ttl_cache[key] = (time.time(), fetch())
+                    except Exception:
+                        pass
+
+                threading.Thread(target=refresh, daemon=True).start()
+            return val
+        val = fetch()
+        self._ttl_cache[key] = (time.time(), val)
+        return val
+
+    @staticmethod
+    def _filterout_comments(text: str) -> list[str]:
+        return [ln for ln in text.split("\n") if ln and ln[0] != "%"]
+
+    @classmethod
+    def _findstr(cls, text: str, pattern: str | None) -> list[str]:
+        import itertools
+        import re as _re
+
+        if pattern is None:
+            return cls._filterout_comments(text)
+        rx = _re.compile(pattern)
+        lines = [ln for ln in text.split("\n") if ln and ln[0] not in "%#"]
+        return list(itertools.dropwhile(lambda x: not rx.search(x), lines))
+
+    def api_whois(self, query: str, mode: str | None = None) -> str:
+        """GET /api/whois[/<mode>]?query=… — referral-recursive whois with
+        section extraction per mode (src/whoissvc.rs:546-590)."""
+        from bgpexplorer_spark.operators.whois import query_whois, socket_transport
+
+        transport = getattr(self, "whois_transport", None) or socket_transport()
+        text = self._cached(f"whois:{query}", lambda: query_whois(query, transport)[1])
+        if mode == "raw":
+            return text
+        pattern = self._WHOIS_SECTION_RE.get(mode or "")
+        found = self._findstr(text, pattern)
+        if pattern is not None and not found:
+            found = self._filterout_comments(text)
+        return "\n".join(found)
+
+    def api_dns(self, target: str) -> str:
+        """GET /api/dns/<addr> — PTR resolution over the wire transport
+        (src/whoissvc.rs:529-543)."""
+        from bgpexplorer_spark.operators.whois import query_dns_ptr, udp_dns_transport
+
+        transport = getattr(self, "dns_transport", None) or udp_dns_transport()
+        return self._cached(f"dns:{target}", lambda: query_dns_ptr(target, transport))
+
 _BOOL = {"true": True, "1": True, "false": False, "0": False}
 
 def _make_handler(svc: BgpExplorerService):
@@ -129,11 +209,38 @@ def _make_handler(svc: BgpExplorerService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _ws_upgrade(self):
+            """GET /api/ws → RFC 6455 handshake + per-client feed loop
+            (src/main.rs:103-157 upgrade, src/subscriber.rs:58-137 loop)."""
+            from bgpexplorer_spark.streaming.wsfeed import on_ws_client, ws_accept_key
+
+            key = self.headers.get("Sec-WebSocket-Key")
+            if not key or "websocket" not in self.headers.get("Upgrade", "").lower():
+                return self._send({"error": "bad websocket request"}, 400)
+            self.send_response(101, "Switching Protocols")
+            self.send_header("Upgrade", "websocket")
+            self.send_header("Connection", "Upgrade")
+            self.send_header("Sec-WebSocket-Accept", ws_accept_key(key))
+            self.end_headers()
+            self.close_connection = True
+            on_ws_client(
+                self.connection, svc.feed, apply_filter=svc.ws_apply_filter
+            )
+
         def do_GET(self):  # noqa: N802
             u = urlparse(self.path)
             parts = [p for p in u.path.split("/") if p]
             qs = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
+                if parts[:2] == ["api", "ws"]:
+                    return self._ws_upgrade()
+                if parts[:2] == ["api", "whois"]:
+                    if not qs.get("query"):
+                        return self._send("Invalid WHOIS query", 400)
+                    mode = parts[2] if len(parts) > 2 else None
+                    return self._send(svc.api_whois(qs["query"], mode))
+                if parts[:2] == ["api", "dns"] and len(parts) > 2:
+                    return self._send(svc.api_dns(parts[2]))
                 if parts[:2] == ["api", "ping"]:
                     return self._send("pong")
                 if parts[:2] == ["api", "state"]:

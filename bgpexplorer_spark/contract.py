@@ -938,6 +938,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.35)
 
+def _lsh_verified_sql(k: int = 16, bands: int = 4, threshold: float = 0.35) -> str:
+    """LSH candidate generation + exact-Jaccard verification, replicated
+    end-to-end: the oracle applies the SAME banding, so the probabilistic
+    recall of LSH is part of the verified contract, not a fudge."""
+    from bgpexplorer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    params = _minhash_params(k)
+    h = _duck_hash32("sh")
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS m{i}" for i, (a, b) in enumerate(params)
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, md5("
+        + " || ',' || ".join(f"CAST(m{bnd * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS bucket FROM sigs"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
+        )) AS sh
+        FROM (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents)
+    ),
+    hashes AS (SELECT doc_id, {h} AS h FROM toks),
+    sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+    bk AS ({band_rows}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS cnt
+        FROM cand c
+        JOIN toks a ON a.doc_id = c.id_a
+        JOIN toks b ON b.doc_id = c.id_b AND b.sh = a.sh
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, round(cnt / (na.n + nb.n - cnt), 4) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE round(cnt / (na.n + nb.n - cnt), 4) >= {threshold}
+    """
+
+@q("dedup_lsh_verified", _lsh_verified_sql())
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale path (operators/dedup.neardup_pairs): MinHash+LSH
+    candidates → exact trigram-Jaccard verification of candidates only —
+    no all-pairs stage anywhere in the plan."""
+    from bgpexplorer_spark.operators.dedup import neardup_pairs
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
+
 @q(
     "dedup_components",
     """

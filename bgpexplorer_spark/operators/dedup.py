@@ -129,9 +129,15 @@ def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 2,
     threshold: float = 0.5, candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold. Without
-    ``candidates`` this self-joins on shared shingles (fine at test scale,
-    quadratic in the worst case — at 100 TB feed it LSH candidates)."""
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    With ``candidates`` (id_a, id_b — e.g. from
+    ``minhash_candidate_pairs``), intersection counts are computed ONLY
+    for candidate pairs: candidates join their shingle sets, so the cost
+    is O(|candidates| × shingles/doc), never all-pairs. Without it, the
+    shared-shingle self-join is exact but quadratic in the worst case —
+    the small-input/verification form. At 100 TB always compose (see
+    ``neardup_pairs``)."""
     sh = df.select(
         F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
     ).select(
@@ -139,15 +145,27 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), n))).alias("_sh"),
     )
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, "_sh")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("_shared"))
-    )
     if candidates is not None:
-        shared = shared.join(candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi")
+        ca = candidates.select("id_a", "id_b")
+        sa = sh.select(F.col("_id").alias("id_a"), "_sh")
+        sb = sh.select(F.col("_id").alias("id_b"), "_sh")
+        # per-pair intersection: expand each candidate pair by id_a's
+        # shingles, keep those id_b also has. Zero-overlap pairs vanish —
+        # they could never pass a positive threshold anyway.
+        shared = (
+            ca.join(sa, "id_a")
+            .join(sb, ["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(b, "_sh")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
     na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
     nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
     return (
@@ -158,6 +176,20 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+def neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
+    threshold: float = 0.5, k: int = 16, bands: int = 4,
+) -> DataFrame:
+    """THE composed near-dup path: MinHash+LSH candidate generation →
+    exact n-gram Jaccard verification of candidates only. Linear-ish in
+    corpus size (bucket-local joins + per-candidate intersection), so this
+    is the default at any scale; the standalone exact form of
+    ``ngram_jaccard_pairs`` remains for small verification runs."""
+    cand = minhash_candidate_pairs(df, id_col, text_col, k=k, n=n, bands=bands)
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, candidates=cand
     )
 
 def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -207,8 +239,14 @@ def connected_components(
     edges = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = edges.select("src").distinct().withColumn("label", F.col("src")).persist()
-    labels.count()
+    # localCheckpoint per round: labels is referenced twice per round
+    # (nbr_min join + the least() join), so the logical plan doubles every
+    # round — plain persist caches data but the plan still grows
+    # exponentially and deep graphs OOM the planner. Checkpointing
+    # truncates lineage to the materialized round.
+    labels = (
+        edges.select("src").distinct().withColumn("label", F.col("src")).localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -225,7 +263,7 @@ def connected_components(
                     "label"
                 ),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -238,6 +276,96 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    # labels stays persisted: the returned plan reads the cached final
-    # round instead of replaying the whole iteration lineage
+    # labels is checkpointed: the returned plan reads the materialized
+    # final round instead of replaying the whole iteration lineage
     return labels.select(F.col("src").alias("node"), F.col("label").alias("component"))
+
+def connected_components_star(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    O(log² n)-round scale path promised by :func:`connected_components`.
+
+    Invariant: the working edge list is oriented ``u > v`` with no self
+    loops. Large-star hooks every neighbor larger than ``u`` onto the
+    minimum of ``u``'s closed neighborhood; small-star re-hangs the
+    smaller neighbors (and ``u`` itself) onto that minimum. At
+    convergence the graph is a forest of stars whose roots are the
+    component minima, so the final edges ARE the (node → component) map.
+
+    Per round: two groupBy-min shuffles + one convergence aggregate (a
+    single count+checksum job) — versus one round per graph DIAMETER for
+    min-label propagation. Use this for deep/chainy graphs; near-dup
+    clusters (star-like, diameter 2-3) do fine on either.
+    """
+
+    def orient(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        # (v, m) for v ∈ N(u), v > u — already oriented since m ≤ u < v
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+        rehang = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+        )
+        self_edge = mins.select("u", F.col("mn").alias("v"))
+        return rehang.union(self_edge).distinct()
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        # bit_xor is order-independent and cannot overflow (sum would,
+        # under ANSI mode)
+        r = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return r["c"], r["h"]
+
+    # localCheckpoint (not just persist): each round references the prior
+    # round's DataFrame several times (sym union + two joins), so the
+    # LOGICAL plan grows exponentially with rounds — after ~8 rounds plan
+    # stringification alone OOMs. Checkpointing truncates lineage to the
+    # materialized result each round; on a cluster use
+    # spark.sparkContext.setCheckpointDir + .checkpoint() for
+    # executor-loss-safe truncation.
+    edges = orient(
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
+        )
+    ).localCheckpoint()
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        cur = checksum(new_edges)
+        edges.unpersist()
+        edges = new_edges
+        if cur == prev:
+            break
+        prev = cur
+    # star edges map non-roots to their root; roots (and the edge targets
+    # themselves) are their own component
+    nodes = pairs.select(F.col(id_a).cast("bigint").alias("node")).union(
+        pairs.select(F.col(id_b).cast("bigint").alias("node"))
+    ).distinct()
+    lab = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(lab, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )

@@ -148,21 +148,32 @@ def compact(spark, path: str, history_depth: int | None = None) -> None:
     Hadoop FileSystem API, so it works on HDFS/object-store paths too, and
     the previous snapshot survives (as ``.bak``) until the new one is
     fully written."""
-    tmp, bak = path + ".tmp", path + ".bak"
+    tmp = path + ".tmp"
     df = read_snapshot(spark, path)
     if history_depth is not None:
         df = retained(df, history_depth)
     write_snapshot(df, tmp, spark=spark)  # complete, durable copy — source untouched
+    atomic_swap(spark, tmp, path)
 
+def atomic_swap(spark, tmp: str, path: str) -> None:
+    """Move a fully-written ``tmp`` directory over ``path`` via the Hadoop
+    FileSystem API (works on HDFS/object-store paths): the old data is
+    moved aside first and restored if the swap fails, so the live path
+    never points at a partial write."""
+    bak = path + ".bak"
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path
     fs = jpath(path).getFileSystem(hconf)
     fs.delete(jpath(bak), True)
+    if not fs.exists(jpath(path)):  # first write — nothing to move aside
+        if not fs.rename(jpath(tmp), jpath(path)):
+            raise IOError(f"atomic_swap: cannot move {tmp} into place")
+        return
     if not fs.rename(jpath(path), jpath(bak)):
-        raise IOError(f"compact: cannot move {path} aside")
+        raise IOError(f"atomic_swap: cannot move {path} aside")
     if not fs.rename(jpath(tmp), jpath(path)):
-        # restore the original so the snapshot is never lost
+        # restore the original so the data is never lost
         fs.rename(jpath(bak), jpath(path))
-        raise IOError(f"compact: cannot swap {tmp} into place")
+        raise IOError(f"atomic_swap: cannot swap {tmp} into place")
     fs.delete(jpath(bak), True)

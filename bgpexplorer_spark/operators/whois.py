@@ -76,6 +76,126 @@ def reverse_dns_name(addr: str) -> str:
     ip = ipaddress.ip_address(addr)
     return ip.reverse_pointer
 
+# --- S10: DNS PTR wire resolution ------------------------------------------
+# The reference builds and sends the UDP DNS query itself
+# (src/whoissvc.rs:251-394: reverse-name build, dnssector query gen, tid +
+# question echo validation, PTR rdata label walk). Same here, pure Python,
+# behind an injectable packet transport so tests run on canned packets and
+# offline containers skip the socket.
+
+DnsTransport = Callable[[bytes], bytes]  # request packet -> response packet
+
+def udp_dns_transport(
+    servers: list[str] | None = None, timeout: float = 5.0
+) -> DnsTransport:
+    """Real UDP transport; server choice hashes on the first query byte
+    like the reference's ``self.dns[target[0] % len]``
+    (src/whoissvc.rs:349-352)."""
+    servers = servers or ["8.8.8.8", "1.1.1.1"]
+
+    def send(packet: bytes) -> bytes:
+        import socket
+
+        # first question byte (after the 12B header) picks the server
+        server = servers[packet[12] % len(servers)]
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+            s.settimeout(timeout)
+            s.sendto(packet, (server, 53))
+            data, _ = s.recvfrom(4096)
+        return data
+
+    return send
+
+def dns_reverse_name(addr: str) -> str:
+    """The reference's exact reverse-name rendering
+    (src/whoissvc.rs:258-291): v4 → ``d.c.b.a.IN-ADDR.ARPA.``; v6 →
+    per-octet low-nibble/high-nibble pairs reversed + ``ip6.arpa.``."""
+    ip = ipaddress.ip_address(addr)
+    if ip.version == 4:
+        o = ip.packed
+        return f"{o[3]}.{o[2]}.{o[1]}.{o[0]}.IN-ADDR.ARPA."
+    parts = []
+    for o in reversed(ip.packed):
+        parts.append(f"{o & 0xF:x}.{o >> 4:x}.")
+    return "".join(parts) + "ip6.arpa."
+
+def build_dns_query(name: str, qtype: int = 12, tid: int = 0) -> bytes:
+    """One-question DNS query packet: header (tid, RD), QNAME labels,
+    QTYPE, QCLASS=IN."""
+    import struct
+
+    pkt = struct.pack(">HHHHHH", tid, 0x0100, 1, 0, 0, 0)
+    for label in name.rstrip(".").split("."):
+        raw = label.encode()
+        pkt += bytes([len(raw)]) + raw
+    pkt += b"\x00" + struct.pack(">HH", qtype, 1)
+    return pkt
+
+def _read_dns_name(msg: bytes, off: int) -> tuple[str, int]:
+    """Decompress a (possibly pointer-compressed) DNS name. Superset of
+    the reference's raw label walk (src/whoissvc.rs:370-387), which stops
+    at compression pointers; real servers compress PTR rdata routinely."""
+    labels = []
+    jumps = 0
+    end = None
+    while True:
+        if off >= len(msg) or jumps > 32:
+            break
+        ln = msg[off]
+        if ln == 0:
+            if end is None:
+                end = off + 1
+            break
+        if ln & 0xC0 == 0xC0:  # compression pointer
+            if end is None:
+                end = off + 2
+            off = ((ln & 0x3F) << 8) | msg[off + 1]
+            jumps += 1
+            continue
+        labels.append(msg[off + 1 : off + 1 + ln].decode(errors="replace"))
+        off += 1 + ln
+    return "".join(x + "." for x in labels), (end if end is not None else off)
+
+def parse_dns_response(query: bytes, response: bytes) -> str:
+    """Validate tid + question echo (src/whoissvc.rs:362-366), then return
+    the first PTR answer's name (trailing-dot form, like the reference's
+    label concatenation). Raises ValueError on mismatch / no answer."""
+    import struct
+
+    if response[:2] != query[:2]:
+        raise ValueError("DNS tid mismatch")
+    if not response[2] & 0x80:
+        raise ValueError("not a DNS response")
+    qdcount, ancount = struct.unpack(">HH", response[4:8])
+    if qdcount != 1:
+        raise ValueError("unexpected question count")
+    # question must echo the query's (name bytes compare, case preserved)
+    q_question = query[12:]
+    if response[12 : 12 + len(q_question)] != q_question:
+        raise ValueError("DNS question mismatch")
+    off = 12 + len(q_question)
+    for _ in range(ancount):
+        _name, off = _read_dns_name(response, off)
+        rtype, _rclass, _ttl, rdlen = struct.unpack(">HHIH", response[off : off + 10])
+        off += 10
+        if rtype == 12:  # PTR
+            name, _ = _read_dns_name(response, off)
+            return name
+        off += rdlen
+    raise ValueError("no PTR answer")
+
+def query_dns_ptr(
+    addr: str, transport: DnsTransport, tid: int | None = None
+) -> str:
+    """S10 end-to-end: reverse name → wire query → transport → validated
+    PTR extraction (src/whoissvc.rs:251-394)."""
+    if tid is None:
+        import os
+
+        tid = int.from_bytes(os.urandom(2), "big")
+    q = build_dns_query(dns_reverse_name(addr), 12, tid)
+    return parse_dns_response(q, transport(q))
+
 # --- C9: whois text post-processing (Column algebra) -----------------------
 
 def strip_comments(text: Column) -> Column:
@@ -125,8 +245,10 @@ def cache_upsert(
     now: dt.datetime | None = None,
 ) -> None:
     """MERGE-by-rewrite: anti-join the old cache against the new keys,
-    union, overwrite (the Delta-less upsert; at scale this would be a
-    Delta MERGE or partition-scoped rewrite)."""
+    union, write tmp, atomic swap (at scale this would be a Delta MERGE or
+    partition-scoped rewrite). The swap — not overwrite-in-place — means a
+    failed write can never corrupt the live cache (same discipline as
+    snapshot compaction, src/bgprib.rs:903-923)."""
     now = now or dt.datetime.now(dt.timezone.utc)
     fresh = spark.createDataFrame(
         [(kind, q, now, v) for q, v in rows], WHOIS_CACHE_SCHEMA
@@ -136,8 +258,11 @@ def cache_upsert(
         fresh.select("kind", "query"), ["kind", "query"], "left_anti"
     )
     merged = keep.unionByName(fresh)
-    merged.cache().count()  # materialize before overwriting the source
-    merged.write.mode("overwrite").parquet(path)
+    from bgpexplorer_spark.operators.rib import atomic_swap
+
+    tmp = path + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    atomic_swap(spark, tmp, path)
 
 def enrich(
     df: DataFrame, cache: DataFrame, kind: str,

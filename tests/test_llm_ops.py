@@ -212,3 +212,38 @@ def test_connected_components_property(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert got == model(edges), f"seed={seed} edges={edges}"
+
+def test_connected_components_star_matches_minlabel(spark):
+    """large-star/small-star (Kiveris et al.) must produce the same
+    components as min-label propagation, including on a deep chain
+    (where star contraction's O(log² n) rounds matter)."""
+    import random
+
+    # deep chain 0-1-2-...-9: diameter 9
+    chain = [(i, i + 1) for i in range(9)]
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == {i: 0 for i in range(10)}
+
+    for seed in range(6):
+        rng = random.Random(100 + seed)
+        n_nodes = rng.randint(2, 14)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_nodes), 2)))
+                for _ in range(rng.randint(1, 16))
+            }
+        )
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        star = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        minlabel = {
+            r["node"]: r["component"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert star == minlabel, f"seed={seed} edges={edges}"

@@ -71,6 +71,70 @@ def test_reverse_dns_name():
     assert whois.reverse_dns_name("10.1.2.3") == "3.2.1.10.in-addr.arpa"
     assert whois.reverse_dns_name("2001:db8::1").endswith("ip6.arpa")
 
+def test_dns_reverse_name_reference_format():
+    # the reference renders v4 uppercase with trailing dot
+    # (src/whoissvc.rs:281-291) and v6 as reversed nibble pairs
+    assert whois.dns_reverse_name("192.0.2.1") == "1.2.0.192.IN-ADDR.ARPA."
+    v6 = whois.dns_reverse_name("2001:db8::1")
+    assert v6.endswith("ip6.arpa.") and v6.startswith("1.0.0.0.")
+    assert len(v6.split(".")) == 35  # 32 nibbles + ip6 + arpa + ''
+
+def _ptr_answer(query: bytes, name_labels: list[str], compress: bool = False) -> bytes:
+    """Canned DNS response for a PTR query: echo header+question, one
+    answer."""
+    import struct
+
+    hdr = query[:2] + b"\x81\x80" + struct.pack(">HHHH", 1, 1, 0, 0)
+    question = query[12:]
+    if compress:
+        aname = b"\xc0\x0c"  # pointer to the question name
+    else:
+        aname = b"".join(bytes([len(x)]) + x.encode() for x in ["dummy"]) + b"\x00"
+    rdata = b"".join(bytes([len(x)]) + x.encode() for x in name_labels) + b"\x00"
+    rr = aname + struct.pack(">HHIH", 12, 1, 3600, len(rdata)) + rdata
+    return hdr + question + rr
+
+def test_dns_ptr_wire_roundtrip():
+    sent = []
+
+    def canned(pkt: bytes) -> bytes:
+        sent.append(pkt)
+        return _ptr_answer(pkt, ["host", "example", "net"])
+
+    got = whois.query_dns_ptr("192.0.2.1", canned, tid=0x1234)
+    assert got == "host.example.net."
+    # the query packet carries the reference-format reverse name + PTR/IN
+    pkt = sent[0]
+    assert pkt[:2] == b"\x12\x34"
+    assert b"\x01" + b"1" + b"\x01" + b"2" in pkt  # labels '1','2'
+    assert b"IN-ADDR" in pkt and pkt.endswith(b"\x00\x00\x0c\x00\x01")
+
+def test_dns_ptr_compressed_answer_name():
+    got = whois.query_dns_ptr(
+        "192.0.2.1",
+        lambda pkt: _ptr_answer(pkt, ["r", "example", "org"], compress=True),
+        tid=7,
+    )
+    assert got == "r.example.org."
+
+def test_dns_ptr_validation_errors():
+    import pytest as _pytest
+
+    # tid mismatch
+    with _pytest.raises(ValueError, match="tid"):
+        whois.query_dns_ptr(
+            "192.0.2.1",
+            lambda pkt: _ptr_answer(b"\xff\xff" + pkt[2:], ["x"]),
+            tid=1,
+        )
+    # question mismatch (different name echoed)
+    def wrong_question(pkt: bytes) -> bytes:
+        other = whois.build_dns_query("9.9.9.9.IN-ADDR.ARPA.", 12, 1)
+        return _ptr_answer(other, ["x"])
+
+    with _pytest.raises(ValueError, match="question"):
+        whois.query_dns_ptr("192.0.2.1", wrong_question, tid=1)
+
 def test_whois_text_postprocessing(spark):
     txt = "% comment\n# another\nOrgName: X\ninetnum: 10.0.0.0/8\n"
     df = spark.createDataFrame([(txt,)], "t string")

@@ -120,3 +120,132 @@ def test_live_current_state_stateful(spark):
     assert rows[("10.0.1.0/24", 0)][0] is True          # latest update wins
     assert rows[("10.0.2.0/24", 7)][0] is True
     assert rows[("10.0.1.0/24", 0)][1].second == 3      # ts of newest entry
+
+# --- S7: WebSocket live feed (src/subscriber.rs:58-137) ---------------------
+
+def _ws_connect(port: int):
+    import base64
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    key = base64.b64encode(b"0123456789abcdef").decode()
+    req = (
+        "GET /api/ws HTTP/1.1\r\nHost: localhost\r\nUpgrade: websocket\r\n"
+        f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+        "Sec-WebSocket-Version: 13\r\n\r\n"
+    )
+    s.sendall(req.encode())
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += s.recv(1024)
+    status = buf.split(b"\r\n")[0]
+    assert b"101" in status, status
+    from bgpexplorer_spark.streaming.wsfeed import ws_accept_key
+
+    assert ws_accept_key(key).encode() in buf
+    return s
+
+def _client_frame(payload: bytes, opcode: int = 0x1) -> bytes:
+    import struct
+
+    mask = b"\x01\x02\x03\x04"
+    head = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        head += bytes([0x80 | n])
+    else:
+        head += bytes([0x80 | 126]) + struct.pack(">H", n)
+    return head + mask + bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+
+def _wait_for(cond, timeout=10.0):
+    import time
+
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(0.05)
+    return False
+
+def test_websocket_feed_e2e(spark):
+    import json
+
+    from bgpexplorer_spark.api import BgpExplorerService, serve
+    from bgpexplorer_spark.operators.ingest import build_history
+    from bgpexplorer_spark.streaming.wsfeed import read_frame
+
+    hist = build_history(make_updates(spark, [u("10.0.0.0/24", t=1)])).cache()
+    svc = BgpExplorerService(hist, route_counts={"ipv4u": 1})
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        s = _ws_connect(port)
+        assert _wait_for(lambda: len(svc.feed._subs) == 1)
+
+        # ping → pong with payload echo
+        s.sendall(_client_frame(b"hello", 0x9))
+        op, data = read_frame(s)
+        assert (op, data) == (0xA, b"hello")
+
+        # default rib is ipv4u: ipv6u events are gated out
+        svc.feed.publish_rows(
+            [
+                {"rib": "ipv6u", "nlri_str": "2001:db8::/32", "session_id": 9, "op": "update"},
+                {"rib": "ipv4u", "nlri_str": "10.0.0.0/24", "session_id": 3, "op": "withdraw"},
+            ]
+        )
+        op, data = read_frame(s)
+        evt = json.loads(data.decode())
+        assert evt["addrs"]["nlri"] == "10.0.0.0/24"
+        assert evt["sessionid"] == 3 and "attrs" not in evt  # withdraw: no attrs
+
+        # subscribe to ipv6u (reference ClientCmd JSON), then the v6 event flows
+        s.sendall(
+            _client_frame(json.dumps({"Subscribe": {"rib": "ipv6u", "filter": ""}}).encode())
+        )
+        assert _wait_for(lambda: svc.feed._subs and svc.feed._subs[0].rib == "ipv6u")
+        svc.feed.publish_rows(
+            [{"rib": "ipv6u", "nlri_str": "2001:db8::/32", "session_id": 1, "op": "update"}]
+        )
+        op, data = read_frame(s)
+        assert json.loads(data.decode())["addrs"]["rib"] == "ipv6u"
+
+        # close handshake
+        s.sendall(_client_frame(b"", 0x8))
+        assert _wait_for(lambda: not svc.feed._subs)
+        s.close()
+    finally:
+        httpd.shutdown()
+
+def test_websocket_filter_superset_via_publish_batch(spark):
+    import json
+
+    from bgpexplorer_spark.api import BgpExplorerService, serve
+    from bgpexplorer_spark.operators.ingest import build_history
+    from bgpexplorer_spark.streaming.wsfeed import read_frame
+
+    hist = build_history(make_updates(spark, [u("10.0.0.0/24", t=1)])).cache()
+    svc = BgpExplorerService(hist, route_counts={"ipv4u": 1}, ws_apply_filter=True)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        s = _ws_connect(port)
+        assert _wait_for(lambda: len(svc.feed._subs) == 1)
+        s.sendall(
+            _client_frame(
+                json.dumps({"Subscribe": {"rib": "ipv4u", "filter": "11.0.0.0/8"}}).encode()
+            )
+        )
+        assert _wait_for(
+            lambda: svc.feed._subs and svc.feed._subs[0].filter_str == "11.0.0.0/8"
+        )
+        batch = make_updates(
+            spark, [u("10.0.0.0/24", t=1), u("11.2.3.0/24", t=2)]
+        )
+        delivered = svc.feed.publish_batch(batch)
+        assert delivered == 1  # 3VL filter keeps only the 11/8 route
+        op, data = read_frame(s)
+        assert json.loads(data.decode())["addrs"]["nlri"] == "11.2.3.0/24"
+        s.close()
+    finally:
+        httpd.shutdown()
