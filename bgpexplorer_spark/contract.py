@@ -938,10 +938,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.35)
 
-def _lsh_verified_sql(k: int = 16, bands: int = 4, threshold: float = 0.35) -> str:
-    """LSH candidate generation + exact-Jaccard verification, replicated
-    end-to-end: the oracle applies the SAME banding, so the probabilistic
-    recall of LSH is part of the verified contract, not a fudge."""
+def _lsh_pair_ctes(k: int = 16, bands: int = 4) -> str:
+    """Shared CTE chain replicating the composed LSH→exact-verify path:
+    trigram shingles → MinHash sigs → banded buckets → candidate pairs →
+    per-candidate intersection counts. The oracle applies the SAME
+    banding, so the probabilistic recall of LSH is part of the verified
+    contract, not a fudge."""
     from bgpexplorer_spark.operators.dedup import MINHASH_P, _minhash_params
 
     params = _minhash_params(k)
@@ -956,8 +958,7 @@ def _lsh_verified_sql(k: int = 16, bands: int = 4, threshold: float = 0.35) -> s
         + ") AS bucket FROM sigs"
         for bnd in range(bands)
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, unnest(list_distinct(
             [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
         )) AS sh
@@ -978,7 +979,11 @@ def _lsh_verified_sql(k: int = 16, bands: int = 4, threshold: float = 0.35) -> s
         JOIN toks a ON a.doc_id = c.id_a
         JOIN toks b ON b.doc_id = c.id_b AND b.sh = a.sh
         GROUP BY c.id_a, c.id_b
-    )
+    )"""
+
+def _lsh_verified_sql(threshold: float = 0.35) -> str:
+    return f"""
+    WITH {_lsh_pair_ctes()}
     SELECT id_a, id_b, round(cnt / (na.n + nb.n - cnt), 4) AS jaccard
     FROM shared
     JOIN sizes na ON na.doc_id = id_a
@@ -999,26 +1004,14 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "dedup_components",
-    """
-    WITH RECURSIVE sh AS (
-        SELECT doc_id, unnest(list_distinct(
-            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
-        )) AS s
-        FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l
-              FROM documents)
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    ),
+    f"""
+    WITH RECURSIVE {_lsh_pair_ctes()},
     pairs AS (
         SELECT id_a, id_b
         FROM shared
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
-        WHERE round(c / (na.n + nb.n - c), 4) >= 0.5
+        WHERE round(cnt / (na.n + nb.n - cnt), 4) >= 0.5
     ),
     edges AS (
         SELECT id_a AS a, id_b AS b FROM pairs
@@ -1038,20 +1031,24 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: connected components over trigram-Jaccard ≥ 0.5
-    pairs (operators/dedup.connected_components, iterative min-label
-    propagation; large-star/small-star at scale). Output is the dedup
+    """Near-dup clustering through the FULL scale pipeline: MinHash+LSH
+    candidates → exact trigram-Jaccard ≥ 0.5 verification of candidates
+    only (operators/dedup.neardup_pairs) → alternating
+    large-star/small-star connected components
+    (connected_components_star, O(log² n) rounds). Output is the dedup
     keep-list: every document with its component id (= min doc_id
-    reachable) and whether it is the canonical keeper. The oracle computes
-    the same closure with a recursive CTE."""
+    reachable) and whether it is the canonical keeper. The oracle
+    replicates the banding AND the closure (recursive CTE), so LSH recall
+    is part of the verified contract."""
     from bgpexplorer_spark.operators.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
+        connected_components_star,
+        neardup_pairs,
     )
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.5)
-    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.5, k=16, bands=4)
+    comp = connected_components_star(pairs).withColumnRenamed("node", "doc_id")
     return (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")
@@ -1400,6 +1397,68 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("aspath_flat", 1).alias("as1"),
         F.element_at("comms", 1).alias("comm0"),
         "med", "localpref",
+    )
+
+# S5/S2 — TABLE_DUMP_V2 full-RIB snapshot decode (RFC 6396 §4.3 +
+# RFC 8050 ADD-PATH). Spark parses real dump bytes (peer index + per-prefix
+# RIB entries, nexthop-only MP encoding); the oracle recomputes the rows
+# analytically from the fixture formulas.
+_TD2_ORACLE = """
+    WITH e AS (
+        SELECT i, j FROM range(200) t(i), range(3) s(j) WHERE j <= i % 3
+    )
+    SELECT '10.' || CAST(i AS VARCHAR) || '.0.0/16' AS nlri_str,
+           CAST(j AS INTEGER) AS session_id,
+           CAST(CASE WHEN i % 5 = 0 THEN 1 + i % 3 ELSE 0 END AS BIGINT) AS path_id,
+           make_timestamp((1704000000 + i * 100 + j) * 1000000) AS ts,
+           CASE (i + j) % 3 WHEN 0 THEN 'IGP' WHEN 1 THEN 'EGP'
+                ELSE 'Incomplete' END AS origin,
+           CAST(3221225984 + j AS BIGINT) AS nexthop_v4,
+           CAST(100 + (i + j) % 7 AS BIGINT) AS as1
+    FROM e
+"""
+
+@q("s5_mrt_rib_dump", _TD2_ORACLE)
+def s5_mrt_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S2 — TABLE_DUMP_V2 RIB snapshot decode from real dump bytes
+    (the archival full-RIB form; reference snapshot load analog
+    src/bgprib.rs:925-948), including ADD-PATH entries and the
+    nexthop-only MP_REACH encoding of RFC 6396 §4.3.4."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.sources.mrt import (
+        assign_sessions, encode_peer_index, encode_td2_rib_v4, read_mrt,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    dump = encode_peer_index(
+        [(0x0AFF0000, 65000), (0x0AFF0001, 65001), (0x0AFF0002, 65002)]
+    )
+    for i in range(200):
+        addpath = i % 5 == 0
+        entries = [
+            {
+                "peer_idx": j,
+                "orig_time": 1704000000 + i * 100 + j,
+                "origin": (i + j) % 3,
+                "aspath": [(2, [100 + (i + j) % 7, 200])],
+                "nexthop": 0xC0000200 + j,
+                "path_id": 1 + i % 3,
+            }
+            for j in range(i % 3 + 1)
+        ]
+        dump += encode_td2_rib_v4(i, (10 << 24) + i * 65536, 16, entries, addpath)
+    path = os.path.join(tempfile.gettempdir(), "bgpx_td2_fixture.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(dump)
+    os.replace(tmp, path)
+
+    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    return upd.select(
+        "nlri_str", "session_id", "path_id", "ts", "origin", "nexthop_v4",
+        F.expr("aspath[0].asns[0]").alias("as1"),
     )
 
 # The full §3.1 read path, flattened back out of the nested JSON so DuckDB

@@ -42,21 +42,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame
         .select(id_col, "content_hash", "canonical_id", "group_size")
     )
 
+def shingle_df(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, shingle) exploded distinct word n-grams — the shared input of
+    MinHash signatures and exact-Jaccard verification. Compute once and
+    ``persist()`` when feeding both (see neardup_pairs)."""
+    return df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        "_id",
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), n))).alias("_sh"),
+    )
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str = "text", k: int = 16, n: int = 2
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 16, n: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature (ARRAY<BIGINT> length k) over word
     n-gram shingles. One explode + one groupBy with k min-aggregates —
-    map-side combinable."""
+    map-side combinable. Pass precomputed ``shingles`` (shingle_df) to
+    share the explode with other consumers."""
     params = _minhash_params(k)
-    sh = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), n))).alias("_sh"),
-        )
+    sh = (shingles if shingles is not None else shingle_df(df, id_col, text_col, n)) \
+        .select(F.col("_id").alias(id_col), "_sh") \
         .withColumn("_h", portable_hash32(F.col("_sh")))
-    )
     # SQL-string aggregates: one py4j round-trip each (see simhash32)
     aggs = [
         F.expr(f"min((_h * {a} + {b}) % {MINHASH_P}) AS _m{i}")
@@ -96,10 +106,11 @@ def lsh_buckets(
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     k: int = 16, n: int = 2, bands: int = 4,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: (id_a < id_b, est_jaccard) from
     bucket-local joins only, est_jaccard = signature agreement rate."""
-    sig = minhash_signatures(df, id_col, text_col, k, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, k, n, shingles=shingles).cache()
     bk = lsh_buckets(sig, id_col, bands)
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
@@ -128,6 +139,7 @@ def minhash_candidate_pairs(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 2,
     threshold: float = 0.5, candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
@@ -137,13 +149,9 @@ def ngram_jaccard_pairs(
     is O(|candidates| × shingles/doc), never all-pairs. Without it, the
     shared-shingle self-join is exact but quadratic in the worst case —
     the small-input/verification form. At 100 TB always compose (see
-    ``neardup_pairs``)."""
-    sh = df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        "_id",
-        F.explode(F.array_distinct(shingles_of_tokens(F.col("_toks"), n))).alias("_sh"),
-    )
+    ``neardup_pairs``). ``shingles``: precomputed shingle_df to share the
+    explode."""
+    sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if candidates is not None:
         ca = candidates.select("id_a", "id_b")
@@ -186,10 +194,17 @@ def neardup_pairs(
     exact n-gram Jaccard verification of candidates only. Linear-ish in
     corpus size (bucket-local joins + per-candidate intersection), so this
     is the default at any scale; the standalone exact form of
-    ``ngram_jaccard_pairs`` remains for small verification runs."""
-    cand = minhash_candidate_pairs(df, id_col, text_col, k=k, n=n, bands=bands)
+    ``ngram_jaccard_pairs`` remains for small verification runs.
+
+    The shingle explode (the CPU-dense stage) is computed ONCE and
+    persisted — signatures, sizes, and the intersection all read the
+    cached (id, shingle) rows instead of re-exploding the corpus 3×."""
+    sh = shingle_df(df, id_col, text_col, n).persist()
+    cand = minhash_candidate_pairs(
+        df, id_col, text_col, k=k, n=n, bands=bands, shingles=sh
+    )
     return ngram_jaccard_pairs(
-        df, id_col, text_col, n=n, threshold=threshold, candidates=cand
+        df, id_col, text_col, n=n, threshold=threshold, candidates=cand, shingles=sh
     )
 
 def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:

@@ -35,10 +35,18 @@ from pyspark.sql import types as T
 
 from bgpexplorer_spark.schemas import ATTR_FIELDS, KEY_FIELDS, UPDATES_SCHEMA
 
+MRT_TABLE_DUMP_V2 = 13
 MRT_BGP4MP = 16
 MRT_BGP4MP_ET = 17
 BGP4MP_MESSAGE = 1
 BGP4MP_MESSAGE_AS4 = 4
+BGP4MP_MESSAGE_ADDPATH = 6        # RFC 8050
+BGP4MP_MESSAGE_AS4_ADDPATH = 7
+TD2_PEER_INDEX_TABLE = 1
+TD2_RIB_IPV4_UNICAST = 2
+TD2_RIB_IPV6_UNICAST = 4
+TD2_RIB_IPV4_UNICAST_ADDPATH = 8  # RFC 8050
+TD2_RIB_IPV6_UNICAST_ADDPATH = 10
 
 _ORIGINS = {0: "IGP", 1: "EGP", 2: "Incomplete"}
 
@@ -69,12 +77,19 @@ def _v6_str(b: bytes) -> str:
     return str(ipaddress.IPv6Address(b))
 
 
-def _read_prefixes(buf: bytes, off: int, end: int, v6: bool):
+def _read_prefixes(buf: bytes, off: int, end: int, v6: bool, addpath: bool = False):
     """NLRI list: (plen, ceil(plen/8) prefix bytes)* — src/bgppeer.rs
-    UPDATE NLRI walk. Returns [(addr_int_or_bytes, plen)]."""
+    UPDATE NLRI walk. ADD-PATH NLRI (RFC 7911/8050) prefixes each entry
+    with a 4-byte path identifier. Returns [(addr, plen, path_id)]."""
     out = []
     width = 16 if v6 else 4
     while off < end:
+        path_id = 0
+        if addpath:
+            if off + 5 > end:
+                break
+            path_id = struct.unpack(">I", buf[off : off + 4])[0]
+            off += 4
         plen = buf[off]
         off += 1
         nbytes = (plen + 7) // 8
@@ -83,15 +98,21 @@ def _read_prefixes(buf: bytes, off: int, end: int, v6: bool):
         raw = buf[off : off + nbytes] + b"\x00" * (width - nbytes)
         off += nbytes
         if v6:
-            out.append((raw, plen))
+            out.append((raw, plen, path_id))
         else:
-            out.append((struct.unpack(">I", raw)[0], plen))
+            out.append((struct.unpack(">I", raw)[0], plen, path_id))
     return out
 
 
-def _parse_attrs(buf: bytes, off: int, end: int, as4: bool) -> dict:
+def _parse_attrs(
+    buf: bytes, off: int, end: int, as4: bool,
+    table_dump: bool = False, addpath: bool = False,
+) -> dict:
     """Path attributes → the 13-field BgpAttrs dict + MP fragments
-    (attr ids per src/bgpattrs.rs; MP handling src/bgprib.rs:1104-1205)."""
+    (attr ids per src/bgpattrs.rs; MP handling src/bgprib.rs:1104-1205).
+    ``table_dump``: in TABLE_DUMP_V2 RIB entries MP_REACH_NLRI is encoded
+    as nexthop-length + nexthop ONLY (RFC 6396 §4.3.4) — the prefix lives
+    in the record header."""
     a: dict = {
         "origin": None, "nexthop_v4": None, "nexthop_v6": None,
         "aspath": None, "comms": None, "lcomms": None, "extcomms": None,
@@ -156,6 +177,13 @@ def _parse_attrs(buf: bytes, off: int, end: int, as4: bool) -> dict:
                 struct.unpack(">I", val[i : i + 4])[0]
                 for i in range(0, len(val) - 3, 4)
             ]
+        elif atype == 14 and table_dump and alen >= 1:
+            # TABLE_DUMP_V2 form: nhlen + nexthop only (RFC 6396 §4.3.4)
+            nhlen = val[0]
+            if nhlen >= 16:
+                a["nexthop_v6"] = val[1:17]
+            elif nhlen == 4:
+                a["nexthop_v4"] = struct.unpack(">I", val[1:5])[0]
         elif atype == 14 and alen >= 5:  # MP_REACH_NLRI
             afi, safi, nhlen = struct.unpack(">HBB", val[:4])
             p = 4 + nhlen
@@ -163,12 +191,12 @@ def _parse_attrs(buf: bytes, off: int, end: int, as4: bool) -> dict:
                 if nhlen >= 16:
                     a["nexthop_v6"] = val[4:20]
                 p += 1  # reserved SNPA byte
-                a["_mp_reach"] = _read_prefixes(val, p, len(val), v6=True)
+                a["_mp_reach"] = _read_prefixes(val, p, len(val), v6=True, addpath=addpath)
                 a["_mp_reach_v6"] = True
         elif atype == 15 and alen >= 3:  # MP_UNREACH_NLRI
             afi, safi = struct.unpack(">HB", val[:3])
             if afi == 2 and safi == 1:
-                a["_mp_unreach"] = _read_prefixes(val, 3, len(val), v6=True)
+                a["_mp_unreach"] = _read_prefixes(val, 3, len(val), v6=True, addpath=addpath)
                 a["_mp_unreach_v6"] = True
         elif atype == 16:
             a["extcomms"] = [
@@ -197,22 +225,164 @@ _NULL_KEYS = {f.name: None for f in KEY_FIELDS}
 _ATTR_NAMES = [f.name for f in ATTR_FIELDS]
 
 
-def _emit(ts, peer_addr, peer_as, op, key: dict, attrs: dict | None) -> dict:
+def _emit(ts, peer_addr, peer_as, op, key: dict, attrs: dict | None,
+          path_id: int = 0) -> dict:
     row = {"ts": ts, "peer_addr": peer_addr, "peer_as": peer_as,
-           "op": op, "path_id": 0, **_NULL_KEYS}
+           "op": op, "path_id": path_id, **_NULL_KEYS}
     row.update(key)
     for n in _ATTR_NAMES:
         row[n] = attrs.get(n) if attrs else None
     return row
 
 
-def parse_mrt(data: bytes) -> Iterator[dict]:
-    """One MRT byte stream → decoded update/withdraw rows (MRT_SCHEMA
-    field order). Pure function of the bytes — runs identically on every
-    executor."""
+def _v4_key(addr: int, plen: int) -> dict:
+    return {
+        "rib": "ipv4u",
+        "nlri_str": f"{_v4_str(addr)}/{plen}",
+        "addr_v4": addr,
+        "prefixlen": plen,
+    }
+
+
+def _v6_key(raw: bytes, plen: int) -> dict:
+    return {
+        "rib": "ipv6u",
+        "nlri_str": f"{_v6_str(raw)}/{plen}",
+        "addr_v6": raw,
+        "prefixlen": plen,
+    }
+
+
+def _parse_bgp4mp(body: bytes, ts_sec: int, mtype: int, subtype: int):
     import datetime as dt
 
+    p = 0
+    usec = 0
+    if mtype == MRT_BGP4MP_ET:
+        usec = struct.unpack(">I", body[:4])[0]
+        p = 4
+    as4 = subtype in (BGP4MP_MESSAGE_AS4, BGP4MP_MESSAGE_AS4_ADDPATH)
+    addpath = subtype in (BGP4MP_MESSAGE_ADDPATH, BGP4MP_MESSAGE_AS4_ADDPATH)
+    asz = 4 if as4 else 2
+    afmt = ">I" if as4 else ">H"
+    peer_as = struct.unpack(afmt, body[p : p + asz])[0]
+    p += 2 * asz  # peer_as + local_as
+    p += 2  # ifindex
+    afi = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    ipw = 4 if afi == 1 else 16
+    peer_ip = body[p : p + ipw]
+    p += 2 * ipw  # peer + local ip
+    peer_addr = (
+        _v4_str(struct.unpack(">I", peer_ip)[0]) if ipw == 4 else _v6_str(peer_ip)
+    )
+    # BGP message: 16B marker + length(2) + type(1)
+    if p + 19 > len(body):
+        return
+    btype = body[p + 18]
+    p += 19
+    if btype != 2:  # not an UPDATE
+        return
+    ts = dt.datetime.fromtimestamp(ts_sec + usec / 1e6, tz=dt.timezone.utc).replace(
+        tzinfo=None
+    )
+    wlen = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    withdrawn = _read_prefixes(body, p, p + wlen, v6=False, addpath=addpath)
+    p += wlen
+    alen = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    attrs = _parse_attrs(body, p, p + alen, as4, addpath=addpath)
+    nlri = _read_prefixes(body, p + alen, len(body), v6=False, addpath=addpath)
+
+    for addr, plen, pid in withdrawn:
+        yield _emit(ts, peer_addr, peer_as, "withdraw", _v4_key(addr, plen), None, pid)
+    for raw, plen, pid in attrs["_mp_unreach"]:
+        yield _emit(ts, peer_addr, peer_as, "withdraw", _v6_key(raw, plen), None, pid)
+    for addr, plen, pid in nlri:
+        yield _emit(ts, peer_addr, peer_as, "update", _v4_key(addr, plen), attrs, pid)
+    for raw, plen, pid in attrs["_mp_reach"]:
+        yield _emit(ts, peer_addr, peer_as, "update", _v6_key(raw, plen), attrs, pid)
+
+
+def _parse_peer_index(body: bytes) -> list[tuple[str, int]]:
+    """TABLE_DUMP_V2 PEER_INDEX_TABLE (RFC 6396 §4.3.1) → [(addr, as)]."""
+    p = 4  # collector BGP ID
+    vlen = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2 + vlen  # view name
+    count = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    peers = []
+    for _ in range(count):
+        ptype = body[p]
+        p += 1 + 4  # type + BGP ID
+        if ptype & 0x1:  # IPv6 peer address
+            addr = _v6_str(body[p : p + 16])
+            p += 16
+        else:
+            addr = _v4_str(struct.unpack(">I", body[p : p + 4])[0])
+            p += 4
+        if ptype & 0x2:  # 4-byte AS
+            asn = struct.unpack(">I", body[p : p + 4])[0]
+            p += 4
+        else:
+            asn = struct.unpack(">H", body[p : p + 2])[0]
+            p += 2
+        peers.append((addr, asn))
+    return peers
+
+
+def _parse_td2_rib(body: bytes, subtype: int, peers: list[tuple[str, int]]):
+    """TABLE_DUMP_V2 RIB_IPV4/IPV6_UNICAST[_ADDPATH] (RFC 6396 §4.3.2,
+    RFC 8050): a full-RIB snapshot entry per (prefix, peer[, path]). One
+    'update' row each, ts = the entry's originated time — feeding these
+    through build_history reconstructs the RIB exactly like replaying the
+    original updates (src/bgprib.rs snapshot load analog)."""
+    import datetime as dt
+
+    v6 = subtype in (TD2_RIB_IPV6_UNICAST, TD2_RIB_IPV6_UNICAST_ADDPATH)
+    addpath = subtype in (TD2_RIB_IPV4_UNICAST_ADDPATH, TD2_RIB_IPV6_UNICAST_ADDPATH)
+    width = 16 if v6 else 4
+    p = 4  # sequence number
+    plen = body[p]
+    p += 1
+    nbytes = (plen + 7) // 8
+    raw = body[p : p + nbytes] + b"\x00" * (width - nbytes)
+    p += nbytes
+    key = _v6_key(raw, plen) if v6 else _v4_key(struct.unpack(">I", raw)[0], plen)
+    count = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    for _ in range(count):
+        if p + 8 > len(body):
+            break
+        peer_idx, orig_time = struct.unpack(">HI", body[p : p + 6])
+        p += 6
+        path_id = 0
+        if addpath:
+            path_id = struct.unpack(">I", body[p : p + 4])[0]
+            p += 4
+        alen = struct.unpack(">H", body[p : p + 2])[0]
+        p += 2
+        attrs = _parse_attrs(body, p, p + alen, as4=True, table_dump=True)
+        p += alen
+        if peer_idx >= len(peers):
+            continue
+        peer_addr, peer_as = peers[peer_idx]
+        ts = dt.datetime.fromtimestamp(orig_time, tz=dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        yield _emit(ts, peer_addr, peer_as, "update", key, attrs, path_id)
+
+
+def parse_mrt(data: bytes) -> Iterator[dict]:
+    """One MRT byte stream → decoded update/withdraw rows (MRT_SCHEMA
+    field order). Handles BGP4MP[-ET] MESSAGE[_AS4][_ADDPATH] updates and
+    TABLE_DUMP_V2 RIB snapshots (peer index + v4/v6 unicast[+addpath]).
+    Pure function of the bytes — runs identically on every executor; the
+    PEER_INDEX_TABLE that RIB records reference is always earlier in the
+    same file (RFC 6396 §4.3)."""
     off, n = 0, len(data)
+    peers: list[tuple[str, int]] = []
     while off + 12 <= n:
         ts_sec, mtype, subtype, length = struct.unpack(
             ">IHHI", data[off : off + 12]
@@ -220,72 +390,23 @@ def parse_mrt(data: bytes) -> Iterator[dict]:
         off += 12
         body = data[off : off + length]
         off += length
+        if mtype == MRT_TABLE_DUMP_V2:
+            if subtype == TD2_PEER_INDEX_TABLE:
+                peers = _parse_peer_index(body)
+            elif subtype in (
+                TD2_RIB_IPV4_UNICAST, TD2_RIB_IPV6_UNICAST,
+                TD2_RIB_IPV4_UNICAST_ADDPATH, TD2_RIB_IPV6_UNICAST_ADDPATH,
+            ):
+                yield from _parse_td2_rib(body, subtype, peers)
+            continue
         if mtype not in (MRT_BGP4MP, MRT_BGP4MP_ET):
             continue
-        p = 0
-        usec = 0
-        if mtype == MRT_BGP4MP_ET:
-            usec = struct.unpack(">I", body[:4])[0]
-            p = 4
-        if subtype not in (BGP4MP_MESSAGE, BGP4MP_MESSAGE_AS4):
+        if subtype not in (
+            BGP4MP_MESSAGE, BGP4MP_MESSAGE_AS4,
+            BGP4MP_MESSAGE_ADDPATH, BGP4MP_MESSAGE_AS4_ADDPATH,
+        ):
             continue
-        as4 = subtype == BGP4MP_MESSAGE_AS4
-        asz = 4 if as4 else 2
-        afmt = ">I" if as4 else ">H"
-        peer_as = struct.unpack(afmt, body[p : p + asz])[0]
-        p += 2 * asz  # peer_as + local_as
-        p += 2  # ifindex
-        afi = struct.unpack(">H", body[p : p + 2])[0]
-        p += 2
-        ipw = 4 if afi == 1 else 16
-        peer_ip = body[p : p + ipw]
-        p += 2 * ipw  # peer + local ip
-        peer_addr = (
-            _v4_str(struct.unpack(">I", peer_ip)[0]) if ipw == 4 else _v6_str(peer_ip)
-        )
-        # BGP message: 16B marker + length(2) + type(1)
-        if p + 19 > len(body):
-            continue
-        btype = body[p + 18]
-        p += 19
-        if btype != 2:  # not an UPDATE
-            continue
-        ts = dt.datetime.fromtimestamp(ts_sec + usec / 1e6, tz=dt.timezone.utc).replace(
-            tzinfo=None
-        )
-        wlen = struct.unpack(">H", body[p : p + 2])[0]
-        p += 2
-        withdrawn = _read_prefixes(body, p, p + wlen, v6=False)
-        p += wlen
-        alen = struct.unpack(">H", body[p : p + 2])[0]
-        p += 2
-        attrs = _parse_attrs(body, p, p + alen, as4)
-        nlri = _read_prefixes(body, p + alen, len(body), v6=False)
-
-        def v4_key(addr: int, plen: int) -> dict:
-            return {
-                "rib": "ipv4u",
-                "nlri_str": f"{_v4_str(addr)}/{plen}",
-                "addr_v4": addr,
-                "prefixlen": plen,
-            }
-
-        def v6_key(raw: bytes, plen: int) -> dict:
-            return {
-                "rib": "ipv6u",
-                "nlri_str": f"{_v6_str(raw)}/{plen}",
-                "addr_v6": raw,
-                "prefixlen": plen,
-            }
-
-        for addr, plen in withdrawn:
-            yield _emit(ts, peer_addr, peer_as, "withdraw", v4_key(addr, plen), None)
-        for raw, plen in attrs["_mp_unreach"]:
-            yield _emit(ts, peer_addr, peer_as, "withdraw", v6_key(raw, plen), None)
-        for addr, plen in nlri:
-            yield _emit(ts, peer_addr, peer_as, "update", v4_key(addr, plen), attrs)
-        for raw, plen in attrs["_mp_reach"]:
-            yield _emit(ts, peer_addr, peer_as, "update", v6_key(raw, plen), attrs)
+        yield from _parse_bgp4mp(body, ts_sec, mtype, subtype)
 
 
 def read_mrt(spark: SparkSession, path: str) -> DataFrame:
@@ -368,12 +489,21 @@ def encode_update(
     med: int | None = None,
     localpref: int | None = None,
     comms: list[int] | None = None,
+    addpath: bool = False,
 ) -> bytes:
-    """One BGP4MP_MESSAGE_AS4 MRT record wrapping a BGP UPDATE."""
+    """One BGP4MP_MESSAGE_AS4[_ADDPATH] MRT record wrapping a BGP UPDATE.
+    With ``addpath`` the v4 prefix tuples are (addr, plen, path_id)."""
     attrs = b""
 
     def attr(atype: int, val: bytes, flags: int = 0x40) -> bytes:
         return bytes([flags, atype, len(val)]) + val
+
+    def pfx(entry, v6: bool) -> bytes:
+        if addpath and not v6:
+            addr, plen, pid = entry
+            return struct.pack(">I", pid) + _prefix_bytes(addr, plen, v6=False)
+        addr, plen = entry[0], entry[1]
+        return _prefix_bytes(addr, plen, v6=v6)
 
     if origin is not None:
         attrs += attr(1, bytes([origin]))
@@ -394,17 +524,17 @@ def encode_update(
         attrs += attr(8, b"".join(struct.pack(">I", c) for c in comms))
     if nlri6 is not None:
         body6 = struct.pack(">HBB", 2, 1, 16) + (nexthop6 or bytes(16)) + b"\x00"
-        for raw, plen in nlri6:
-            body6 += _prefix_bytes(raw, plen, v6=True)
+        for entry in nlri6:
+            body6 += pfx(entry, v6=True)
         attrs += attr(14, body6, flags=0x80)
     if withdrawn6 is not None:
         body6 = struct.pack(">HB", 2, 1)
-        for raw, plen in withdrawn6:
-            body6 += _prefix_bytes(raw, plen, v6=True)
+        for entry in withdrawn6:
+            body6 += pfx(entry, v6=True)
         attrs += attr(15, body6, flags=0x80)
 
-    wd = b"".join(_prefix_bytes(a, p, v6=False) for a, p in (withdrawn or []))
-    nl = b"".join(_prefix_bytes(a, p, v6=False) for a, p in (nlri or []))
+    wd = b"".join(pfx(e, v6=False) for e in (withdrawn or []))
+    nl = b"".join(pfx(e, v6=False) for e in (nlri or []))
     upd_body = struct.pack(">H", len(wd)) + wd + struct.pack(">H", len(attrs)) + attrs + nl
     bgp_msg = b"\xff" * 16 + struct.pack(">HB", 19 + len(upd_body), 2) + upd_body
 
@@ -414,4 +544,49 @@ def encode_update(
         + struct.pack(">II", peer_ip, 0x0A00FF01)  # peer ip, local ip
         + bgp_msg
     )
-    return struct.pack(">IHHI", ts_sec, MRT_BGP4MP, BGP4MP_MESSAGE_AS4, len(b4)) + b4
+    sub = BGP4MP_MESSAGE_AS4_ADDPATH if addpath else BGP4MP_MESSAGE_AS4
+    return struct.pack(">IHHI", ts_sec, MRT_BGP4MP, sub, len(b4)) + b4
+
+
+def encode_peer_index(peers: list[tuple[int, int]]) -> bytes:
+    """TABLE_DUMP_V2 PEER_INDEX_TABLE: peers = [(peer_ip_v4_int, peer_as)]
+    (4-byte AS, v4 address form)."""
+    body = struct.pack(">I", 0x0A0A0A0A) + struct.pack(">H", 0)  # BGP id, view ''
+    body += struct.pack(">H", len(peers))
+    for ip, asn in peers:
+        body += bytes([0x2]) + struct.pack(">I", 0x01020304)  # type: AS4+v4, BGP id
+        body += struct.pack(">I", ip) + struct.pack(">I", asn)
+    return struct.pack(">IHHI", 0, MRT_TABLE_DUMP_V2, TD2_PEER_INDEX_TABLE, len(body)) + body
+
+
+def encode_td2_rib_v4(
+    seq: int,
+    addr: int,
+    plen: int,
+    entries: list[dict],
+    addpath: bool = False,
+) -> bytes:
+    """TABLE_DUMP_V2 RIB_IPV4_UNICAST[_ADDPATH]: entries are dicts with
+    peer_idx, orig_time, optional path_id, and the TABLE_DUMP attr fields
+    (origin int, aspath segs, nexthop int)."""
+    body = struct.pack(">I", seq) + _prefix_bytes(addr, plen, v6=False)
+    body += struct.pack(">H", len(entries))
+    for e in entries:
+        attrs = b""
+        if "origin" in e:
+            attrs += bytes([0x40, 1, 1, e["origin"]])
+        if "aspath" in e:
+            seg = b""
+            for kind, asns in e["aspath"]:
+                seg += bytes([kind, len(asns)]) + b"".join(
+                    struct.pack(">I", x) for x in asns
+                )
+            attrs += bytes([0x40, 2, len(seg)]) + seg
+        if "nexthop" in e:
+            attrs += bytes([0x40, 3, 4]) + struct.pack(">I", e["nexthop"])
+        body += struct.pack(">HI", e["peer_idx"], e["orig_time"])
+        if addpath:
+            body += struct.pack(">I", e.get("path_id", 0))
+        body += struct.pack(">H", len(attrs)) + attrs
+    sub = TD2_RIB_IPV4_UNICAST_ADDPATH if addpath else TD2_RIB_IPV4_UNICAST
+    return struct.pack(">IHHI", 0, MRT_TABLE_DUMP_V2, sub, len(body)) + body

@@ -125,3 +125,42 @@ def test_aspath_contiguous_subseq(spark):
     assert matching([100, 300]) == {"c"}  # contiguous only — not 'a'
     assert matching([200]) == {"a", "b", "e"}
     assert matching([999]) == set()
+
+def test_v6_to_str_matches_canonical(spark):
+    """Property: iputil.v6_to_str (pure Column algebra) must equal
+    Python's RFC 5952 canonical rendering (== Rust Ipv6Addr Display for
+    every non-IPv4-mapped case; mapped renders ::ffff:a.b.c.d in both) —
+    the string the reference regex-scans for v6 nexthops
+    (src/ribfilter.rs:1463-1470)."""
+    rng = random.Random(42)
+    cases = [
+        bytes(16),                                    # ::
+        bytes(15) + b"\x01",                          # ::1
+        bytes([0x20, 0x01, 0x0D, 0xB8] + [0] * 12),   # 2001:db8::
+        bytes(10) + b"\xff\xff" + bytes([192, 0, 2, 1]),  # ::ffff:192.0.2.1
+        bytes([0xFE, 0x80] + [0] * 13 + [0x42]),
+        bytes([0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0, 0, 3]),  # tie runs
+        bytes([0, 1] * 8),                            # no zero groups? 0:1 pattern
+        bytes([0, 0, 0, 1] * 4),                      # alternating zero runs
+    ]
+    for _ in range(60):
+        b = bytearray(rng.randbytes(16))
+        # bias towards zero-heavy addresses so compression paths are hit
+        for i in range(16):
+            if rng.random() < 0.6:
+                b[i] = 0
+        cases.append(bytes(b))
+    def rust_render(c: bytes) -> str:
+        ip = ipaddress.IPv6Address(c)
+        # Rust Display renders IPv4-mapped dotted (::ffff:a.b.c.d);
+        # Python keeps hex groups there — model Rust
+        if ip.ipv4_mapped is not None:
+            return f"::ffff:{ip.ipv4_mapped}"
+        return str(ip)
+
+    df = spark.createDataFrame([(c,) for c in cases], "addr binary")
+    got = [r.s for r in df.select(iputil.v6_to_str(F.col("addr")).alias("s")).collect()]
+    want = [rust_render(c) for c in cases]
+    assert got == want, [
+        (w, g) for w, g in zip(want, got) if w != g
+    ]

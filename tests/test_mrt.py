@@ -152,3 +152,51 @@ def test_read_mrt_spark_end_to_end(spark, mrt_file):
         if r.nlri_str == "10.0.0.0/16" and r.session_id == 0
     ]
     assert all(r.ts.isoformat() != "2024-01-01T00:00:00" for r in first_key)
+
+
+def test_addpath_nlri():
+    from bgpexplorer_spark.sources.mrt import encode_update, parse_mrt
+
+    rec = encode_update(
+        1704067300, 65010, 0x0AFF0001,
+        nlri=[(0x0A000000, 8, 7), (0x0A000000, 8, 9)],  # same prefix, two paths
+        origin=0, aspath=[(2, [100])], nexthop=1,
+        addpath=True,
+    )
+    rows = list(parse_mrt(rec))
+    assert [(r["nlri_str"], r["path_id"]) for r in rows] == [
+        ("10.0.0.0/8", 7), ("10.0.0.0/8", 9),
+    ]
+
+
+def test_table_dump_v2_rib():
+    from bgpexplorer_spark.sources.mrt import (
+        encode_peer_index, encode_td2_rib_v4, parse_mrt,
+    )
+
+    dump = encode_peer_index([(0x0AFF0000, 65000), (0x0AFF0001, 65001)])
+    dump += encode_td2_rib_v4(
+        0, 0x0A010000, 16,
+        [
+            {"peer_idx": 0, "orig_time": 1704060000, "origin": 0,
+             "aspath": [(2, [100, 200])], "nexthop": 0xC0000201},
+            {"peer_idx": 1, "orig_time": 1704060100, "origin": 2,
+             "aspath": [(2, [300])], "nexthop": 0xC0000202},
+        ],
+    )
+    dump += encode_td2_rib_v4(
+        1, 0x0A020000, 16,
+        [{"peer_idx": 0, "orig_time": 1704060200, "origin": 1,
+          "aspath": [(2, [100])], "nexthop": 0xC0000201, "path_id": 5}],
+        addpath=True,
+    )
+    rows = list(parse_mrt(dump))
+    assert len(rows) == 3
+    r0, r1, r2 = rows
+    assert r0["nlri_str"] == "10.1.0.0/16" and r0["op"] == "update"
+    assert r0["peer_addr"] == "10.255.0.0" and r0["peer_as"] == 65000
+    assert r0["origin"] == "IGP" and r0["nexthop_v4"] == 0xC0000201
+    assert r0["aspath"] == [{"kind": "Seq", "asns": [100, 200]}]
+    assert r0["ts"].isoformat() == "2023-12-31T22:00:00"
+    assert r1["peer_as"] == 65001 and r1["origin"] == "Incomplete"
+    assert r2["path_id"] == 5 and r2["nlri_str"] == "10.2.0.0/16"
