@@ -1399,6 +1399,83 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med", "localpref",
     )
 
+# S2 — BMP (RFC 7854) capture decode → build_history. Same analytic-oracle
+# strategy as s1: Spark parses real BMP frames (per-peer headers + Route
+# Monitoring BGP UPDATEs); DuckDB recomputes the expected rows from the
+# fixture formulas including the whole-struct attr forward-fill.
+_BMP_ORACLE = """
+    WITH raw AS (
+        SELECT i,
+               make_timestamp((1704067200 + i) * 1000000) AS ts,
+               CAST(i % 2 AS INTEGER) AS session_id,
+               '10.' || CAST(i % 32 AS VARCHAR) || '.0.0/16' AS nlri_str,
+               (i % 6 <> 0) AS active,
+               CASE WHEN i % 6 <> 0 THEN
+                   CASE i % 3 WHEN 0 THEN 'IGP' WHEN 1 THEN 'EGP'
+                        ELSE 'Incomplete' END
+               END AS origin,
+               CASE WHEN i % 6 <> 0 THEN CAST(3221226240 + i % 4 AS BIGINT)
+               END AS nexthop_v4,
+               CASE WHEN i % 6 <> 0 THEN CAST(100 + i % 9 AS BIGINT) END AS as1,
+               CASE WHEN i % 6 <> 0 THEN CAST(65536 + i % 5 AS BIGINT) END AS comm0
+        FROM range(500) t(i)
+    ),
+    filled AS (
+        SELECT ts, session_id, nlri_str, active,
+               last_value(CASE WHEN active THEN struct_pack(
+                   origin := origin, nh := nexthop_v4, as1 := as1, comm0 := comm0
+               ) END IGNORE NULLS)
+                   OVER (PARTITION BY nlri_str, session_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+        FROM raw
+    )
+    SELECT ts, session_id, nlri_str, active,
+           a.origin AS origin, a.nh AS nexthop_v4, a.as1 AS as1, a.comm0 AS comm0
+    FROM filled WHERE a IS NOT NULL
+"""
+
+@q("s2_bmp_decode", _BMP_ORACLE)
+def s2_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — BMP (RFC 7854) Route Monitoring decode from real frame bytes
+    through the engine write path (framing per src/bmppeer.rs:65-131,
+    UPDATE apply src/bgprib.rs:1104-1205)."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.operators.ingest import build_history
+    from bgpexplorer_spark.sources.bmp import (
+        encode_bmp_peer_up, encode_bmp_route_monitoring, read_bmp,
+    )
+    from bgpexplorer_spark.sources.mrt import assign_sessions, encode_bgp_update_body
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = encode_bmp_peer_up(0x0AFF0000, 65000, 1704067000)
+    stream += encode_bmp_peer_up(0x0AFF0001, 65001, 1704067001)
+    for i in range(500):
+        peer_ip, peer_as = 0x0AFF0000 + i % 2, 65000 + i % 2
+        pfx = [(0x0A000000 + (i % 32) * 65536, 16)]
+        if i % 6 == 0:
+            body = encode_bgp_update_body(withdrawn=pfx)
+        else:
+            body = encode_bgp_update_body(
+                nlri=pfx, origin=i % 3, aspath=[(2, [100 + i % 9])],
+                nexthop=0xC0000300 + i % 4, comms=[65536 + i % 5],
+            )
+        stream += encode_bmp_route_monitoring(peer_ip, peer_as, 1704067200 + i, body)
+    path = os.path.join(tempfile.gettempdir(), "bgpx_bmp_fixture.bmp")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(stream)
+    os.replace(tmp, path)
+
+    upd, _sessions = assign_sessions(read_bmp(spark, path))
+    hist = build_history(upd)
+    return hist.select(
+        "ts", "session_id", "nlri_str", "active", "origin", "nexthop_v4",
+        F.element_at("aspath_flat", 1).alias("as1"),
+        F.element_at("comms", 1).alias("comm0"),
+    )
+
 # S5/S2 — TABLE_DUMP_V2 full-RIB snapshot decode (RFC 6396 §4.3 +
 # RFC 8050 ADD-PATH). Spark parses real dump bytes (peer index + per-prefix
 # RIB entries, nexthop-only MP encoding); the oracle recomputes the rows

@@ -253,6 +253,32 @@ def _v6_key(raw: bytes, plen: int) -> dict:
     }
 
 
+def parse_bgp_update(
+    body: bytes, p: int, end: int, ts, peer_addr: str, peer_as: int,
+    as4: bool = True, addpath: bool = False,
+):
+    """One BGP UPDATE body (after the 19-byte message header) → emitted
+    rows — shared by the MRT BGP4MP and BMP Route Monitoring walks
+    (reference decode src/bgppeer.rs:179-258)."""
+    wlen = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    withdrawn = _read_prefixes(body, p, p + wlen, v6=False, addpath=addpath)
+    p += wlen
+    alen = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    attrs = _parse_attrs(body, p, p + alen, as4, addpath=addpath)
+    nlri = _read_prefixes(body, p + alen, end, v6=False, addpath=addpath)
+
+    for addr, plen, pid in withdrawn:
+        yield _emit(ts, peer_addr, peer_as, "withdraw", _v4_key(addr, plen), None, pid)
+    for raw, plen, pid in attrs["_mp_unreach"]:
+        yield _emit(ts, peer_addr, peer_as, "withdraw", _v6_key(raw, plen), None, pid)
+    for addr, plen, pid in nlri:
+        yield _emit(ts, peer_addr, peer_as, "update", _v4_key(addr, plen), attrs, pid)
+    for raw, plen, pid in attrs["_mp_reach"]:
+        yield _emit(ts, peer_addr, peer_as, "update", _v6_key(raw, plen), attrs, pid)
+
+
 def _parse_bgp4mp(body: bytes, ts_sec: int, mtype: int, subtype: int):
     import datetime as dt
 
@@ -286,23 +312,7 @@ def _parse_bgp4mp(body: bytes, ts_sec: int, mtype: int, subtype: int):
     ts = dt.datetime.fromtimestamp(ts_sec + usec / 1e6, tz=dt.timezone.utc).replace(
         tzinfo=None
     )
-    wlen = struct.unpack(">H", body[p : p + 2])[0]
-    p += 2
-    withdrawn = _read_prefixes(body, p, p + wlen, v6=False, addpath=addpath)
-    p += wlen
-    alen = struct.unpack(">H", body[p : p + 2])[0]
-    p += 2
-    attrs = _parse_attrs(body, p, p + alen, as4, addpath=addpath)
-    nlri = _read_prefixes(body, p + alen, len(body), v6=False, addpath=addpath)
-
-    for addr, plen, pid in withdrawn:
-        yield _emit(ts, peer_addr, peer_as, "withdraw", _v4_key(addr, plen), None, pid)
-    for raw, plen, pid in attrs["_mp_unreach"]:
-        yield _emit(ts, peer_addr, peer_as, "withdraw", _v6_key(raw, plen), None, pid)
-    for addr, plen, pid in nlri:
-        yield _emit(ts, peer_addr, peer_as, "update", _v4_key(addr, plen), attrs, pid)
-    for raw, plen, pid in attrs["_mp_reach"]:
-        yield _emit(ts, peer_addr, peer_as, "update", _v6_key(raw, plen), attrs, pid)
+    yield from parse_bgp_update(body, p, len(body), ts, peer_addr, peer_as, as4, addpath)
 
 
 def _parse_peer_index(body: bytes) -> list[tuple[str, int]]:
@@ -473,10 +483,7 @@ def _prefix_bytes(addr: int | bytes, plen: int, v6: bool) -> bytes:
     return bytes([plen]) + raw[:nbytes]
 
 
-def encode_update(
-    ts_sec: int,
-    peer_as: int,
-    peer_ip: int,
+def encode_bgp_update_body(
     *,
     nlri: list[tuple[int, int]] | None = None,
     withdrawn: list[tuple[int, int]] | None = None,
@@ -491,8 +498,9 @@ def encode_update(
     comms: list[int] | None = None,
     addpath: bool = False,
 ) -> bytes:
-    """One BGP4MP_MESSAGE_AS4[_ADDPATH] MRT record wrapping a BGP UPDATE.
-    With ``addpath`` the v4 prefix tuples are (addr, plen, path_id)."""
+    """A BGP UPDATE body (after the 19-byte message header) — shared by
+    the MRT and BMP fixture encoders. With ``addpath`` the v4 prefix
+    tuples are (addr, plen, path_id)."""
     attrs = b""
 
     def attr(atype: int, val: bytes, flags: int = 0x40) -> bytes:
@@ -535,7 +543,14 @@ def encode_update(
 
     wd = b"".join(pfx(e, v6=False) for e in (withdrawn or []))
     nl = b"".join(pfx(e, v6=False) for e in (nlri or []))
-    upd_body = struct.pack(">H", len(wd)) + wd + struct.pack(">H", len(attrs)) + attrs + nl
+    return struct.pack(">H", len(wd)) + wd + struct.pack(">H", len(attrs)) + attrs + nl
+
+
+def encode_update(ts_sec: int, peer_as: int, peer_ip: int, **kw) -> bytes:
+    """One BGP4MP_MESSAGE_AS4[_ADDPATH] MRT record wrapping a BGP UPDATE
+    (body kwargs per encode_bgp_update_body)."""
+    addpath = kw.get("addpath", False)
+    upd_body = encode_bgp_update_body(**kw)
     bgp_msg = b"\xff" * 16 + struct.pack(">HB", 19 + len(upd_body), 2) + upd_body
 
     b4 = (
