@@ -1853,9 +1853,14 @@ def _ivf_sql(k: int = 10, nprobe: int = 2, n_centroids: int = 8) -> str:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10: deterministic coarse centroids, nprobe=2 inverted
     lists, exact cosine within (operators/similarity.ivf_topk) — the
-    partition-prunable scale path next to hyperplane LSH."""
-    from bgpexplorer_spark.operators.similarity import ivf_topk
+    partition-prunable scale path next to hyperplane LSH. The assignment
+    (the IVF index) is built once and persisted, as it would be at rest —
+    queries pay probe + in-list scoring, not corpus re-quantization."""
+    from bgpexplorer_spark.operators.similarity import (
+        ivf_assign, ivf_centroids, ivf_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb, qv, k=10, nprobe=2, n_centroids=8)
+    assigned = ivf_assign(emb, ivf_centroids(emb, 8)).persist()
+    return ivf_topk(emb, qv, k=10, nprobe=2, n_centroids=8, assigned=assigned)

@@ -132,27 +132,43 @@ def ivf_assign(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(vec_id, cid): each vector assigned to its max-cosine centroid.
-    Broadcast nested-loop against the tiny centroid set + groupBy with
-    max(struct) — map-side combinable, one shuffle on vec_id. Ties break
-    to the highest cid (struct ordering), deterministically."""
+
+    The centroid set is tiny by construction (a coarse quantizer), so it
+    is collected and inlined as LITERAL vectors: the assignment becomes a
+    pure map — one cosine per centroid per row and a ``greatest`` over
+    the (score, cid) structs — with NO row amplification and NO shuffle.
+    (The previous crossJoin+groupBy shape amplified every row k× and paid
+    an exchange on vec_id; at 100 TB that is k× scan + a full shuffle for
+    what a projection can do.) Ties break to the highest cid (struct
+    ordering), deterministically — identical to max(struct)."""
+    cents = sorted(
+        (r["cid"], [float(x) for x in r["cvec"]]) for r in centroids.collect()
+    )
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    scored = v.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
+    scored = [
         F.struct(
-            cosine(F.col("_v"), F.col("cvec")).alias("score"), F.col("cid")
-        ).alias("_sc"),
-    )
-    return scored.groupBy(id_col).agg(F.max("_sc").alias("_b")).select(
-        F.col(id_col), F.col("_b.cid").alias("cid")
-    )
+            cosine(F.col("_v"), F.array(*[F.lit(x) for x in cvec])).alias("score"),
+            F.lit(cid).cast("bigint").alias("cid"),
+        )
+        for cid, cvec in cents
+    ]
+    best = scored[0] if len(scored) == 1 else F.greatest(*scored)
+    return v.select(F.col(id_col), best.getField("cid").alias("cid"))
 
 def ivf_topk(
     df: DataFrame, query_vec: list[float], k: int = 10, nprobe: int = 2,
     n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: score only the inverted lists of the ``nprobe``
     centroids closest to the query, exact cosine within. At rest the cid
-    is a partition key, so unprobed lists are never scanned."""
+    is a partition key, so unprobed lists are never scanned.
+
+    ``assigned``: a precomputed (and typically persisted) ivf_assign
+    result — the IVF index IS persistent state in any real deployment
+    (built once at ingest, stored as the cid partition layout); without
+    it every query re-quantizes the whole corpus, which is the index
+    BUILD cost, not the query cost."""
     cents = ivf_centroids(df, n_centroids, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     probes = (
@@ -161,6 +177,7 @@ def ivf_topk(
         .limit(nprobe)
         .select("cid")
     )
-    assigned = ivf_assign(df, cents, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(df, cents, id_col, vec_col)
     cand = df.join(assigned, id_col).join(F.broadcast(probes), "cid", "left_semi")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)

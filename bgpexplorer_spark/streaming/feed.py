@@ -54,11 +54,18 @@ def subscribe(
 def run_ingest(
     updates: DataFrame, table_path: str, checkpoint: str,
     history_mode: str = "every",
+    feed=None,
 ) -> "StreamingQuery":  # noqa: F821
     """ST4 — materialize the stream into the partitioned rib_history
     table. Each micro-batch is normalized by the SAME build_history used
     in batch (tombstones resolved within the batch; cross-batch tombstone
-    resolution happens in the analytic views over the full table)."""
+    resolution happens in the analytic views over the full table).
+
+    ``feed``: an optional ``wsfeed.LiveFeed`` — each micro-batch is also
+    fanned out to WebSocket subscribers, the analog of the reference
+    publishing BgpEvents from the RIB write path into the broadcast
+    channel (src/bgprib.rs:1045-1052). Durability first: the parquet
+    append commits before the (lossy-by-design) feed publish."""
     from bgpexplorer_spark.operators.ingest import build_history
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -69,6 +76,8 @@ def run_ingest(
             .partitionBy("rib", "ts_date")
             .parquet(table_path)
         )
+        if feed is not None:
+            feed.publish_batch(batch_df)
 
     return (
         updates.writeStream.foreachBatch(sink)

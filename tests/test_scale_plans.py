@@ -119,3 +119,51 @@ def test_lpm_join_uses_partial_aggregation(spark):
     plan = _plan(QUERIES["o5_lpm_join"](spark, _SF_DIR))
     assert "Window" not in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+def test_neardup_pipeline_no_cartesian(spark):
+    """The composed near-dup path must never plan a cartesian/nested-loop
+    product — candidates come from bucket-equi-joins and verification from
+    per-candidate equi-joins only."""
+    import os
+
+    if not os.path.isdir(_SF_DIR):
+        import pytest
+
+        pytest.skip("driver testdata not present")
+    from bgpexplorer_spark.operators.dedup import neardup_pairs
+    from bgpexplorer_spark.sources.tables import load_table
+
+    docs = load_table(spark, _SF_DIR, "documents")
+    plan = _plan(neardup_pairs(docs, "doc_id", n=3, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+def test_emitted_history_broadcasts_page(spark):
+    """The §3.1 serving join: the paged route keys (≤ limit rows) must be
+    the broadcast side of the history semi-join — at 100 TB the history
+    table can never be the build side."""
+    from bgpexplorer_spark.operators.query import QueryParams, emitted_history, query_rib
+
+    hist = build_history(
+        make_updates(spark, [u(f"10.0.{i}.0/24", t=i) for i in range(8)])
+    ).cache()
+    r = query_rib(hist, "ipv4u", QueryParams(filter="10.0.0.0/8", limit=3), length=8)
+    plan = _plan(r.history)
+    assert "BroadcastExchange" in plan
+    # the semi-join build side is the page, not the history scan
+    assert "LeftSemi" in plan
+
+def test_mrt_decode_no_shuffle_before_parse(spark, tmp_path):
+    """MRT decode parallelism is per-FILE: binaryFile scan → mapInPandas,
+    with no exchange in between (a shuffle of raw file bytes would be
+    pure waste at 100 TB backfill scale)."""
+    from bgpexplorer_spark.sources.mrt import encode_update, read_mrt
+
+    p = tmp_path / "one.mrt"
+    p.write_bytes(
+        encode_update(1704067200, 65000, 0x0AFF0000, nlri=[(0x0A000000, 8)],
+                      origin=0, aspath=[(2, [100])], nexthop=1)
+    )
+    plan = _plan(read_mrt(spark, str(p)))
+    before_map = plan.split("MapInPandas")[-1]  # subtree beneath the decode
+    assert "Exchange" not in before_map

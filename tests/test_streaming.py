@@ -249,3 +249,27 @@ def test_websocket_filter_superset_via_publish_batch(spark):
         s.close()
     finally:
         httpd.shutdown()
+
+def test_run_ingest_publishes_to_feed(spark, tmp_path):
+    """ST4 → S7 bridge: the streaming sink both materializes the table
+    AND fans the micro-batch out to feed subscribers (the reference's
+    write-path broadcast, src/bgprib.rs:1045-1052)."""
+    from bgpexplorer_spark.streaming.wsfeed import LiveFeed, Subscriber
+
+    d = _updates_dir(
+        spark,
+        [u("10.0.0.0/24", t=1), u("2001:db8::/32", t=2, rib="ipv6u")],
+    )
+    feed = LiveFeed()
+    sub = Subscriber()
+    sub.rib = "ipv4u"
+    feed.register(sub)
+    stream = stream_updates_from_files(spark, d)
+    q = run_ingest(stream, str(tmp_path / "tbl"), str(tmp_path / "ckpt"), feed=feed)
+    q.awaitTermination(120)
+    # table materialized AND the v4 event delivered (v6 gated out)
+    assert spark.read.parquet(str(tmp_path / "tbl")).count() == 2
+    events = []
+    while not sub.q.empty():
+        events.append(sub.q.get_nowait())
+    assert len(events) == 1 and '"nlri": "10.0.0.0/24"' in events[0].replace("'", '"')
