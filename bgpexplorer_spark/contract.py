@@ -1399,6 +1399,58 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med", "localpref",
     )
 
+# Multimodal — REAL image decode through the Arrow mapInPandas path. The
+# payloads are binary PPM images whose pixel bytes are pure formulas of
+# doc_id, so DuckDB can recompute width/height/mean analytically while
+# Spark actually parses the bytes (operators/multimodal.decode_pnm via
+# decode_media mode='auto'). A decode bug (header walk, stride, channel
+# order, mean) breaks the hash.
+_MM_ORACLE = """
+    SELECT doc_id, 'ppm' AS decoder,
+           CAST(4 + doc_id % 8 AS INTEGER) AS width,
+           CAST(3 + doc_id % 5 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(length('P6' || chr(10) || CAST(4 + doc_id % 8 AS VARCHAR)
+                       || ' ' || CAST(3 + doc_id % 5 AS VARCHAR)
+                       || chr(10) || '255' || chr(10))
+                + (4 + doc_id % 8) * (3 + doc_id % 5) * 3 AS BIGINT) AS n_bytes,
+           round(list_avg([
+               (doc_id * 31 + k) % 256
+               for k in generate_series(0, (4 + doc_id % 8) * (3 + doc_id % 5) * 3 - 1)
+           ]), 4) AS mean_byte
+    FROM documents
+"""
+
+@q("multimodal_decode", _MM_ORACLE)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode, REAL bytes end-to-end: deterministic PPM images
+    (pixel k = (doc_id*31+k) % 256) built per document, decoded by the
+    dependency-free numpy decoder inside Arrow-batched mapInPandas
+    (operators/multimodal.decode_media)."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_media, encode_ppm,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        w, h = 4 + d % 8, 3 + d % 5
+        px = (
+            (d * 31 + np.arange(w * h * 3)) % 256
+        ).astype(np.uint8).reshape(h, w, 3)
+        rows.append((int(d), "image", bytearray(encode_ppm(px)), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = decode_media(media)
+    return dec.select(
+        F.col("media_id").alias("doc_id"), "decoder",
+        "width", "height", "channels", "n_bytes", "mean_byte",
+    )
+
 # S2 — BMP (RFC 7854) capture decode → build_history. Same analytic-oracle
 # strategy as s1: Spark parses real BMP frames (per-peer headers + Route
 # Monitoring BGP UPDATEs); DuckDB recomputes the expected rows from the

@@ -1,20 +1,28 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed
-metadata (BASELINE.json north star). The Spark-side plumbing — schema,
-partition-friendly layout, Arrow-batched Pandas UDF signatures, batch
-shapes — is real and tested; the actual codec calls are stubbed behind an
-import-try because the image/audio libraries are not in this container.
+metadata (BASELINE.json north star). Media rows carry (media_id,
+media_type, content BINARY, meta STRUCT); decode/feature/resize run as
+``mapInPandas`` so each Arrow batch amortizes the Python crossing and
+binary payloads never pass through a row-at-a-time UDF.
 
-Pattern: media rows carry (media_id, media_type, content BINARY, meta
-STRUCT). Decode/feature/resize run as ``mapInPandas`` so each Arrow batch
-amortizes Python crossing, and binary payloads never pass through a
-row-at-a-time UDF.
+Decoders: formats that need NO external codec libraries are decoded FOR
+REAL — BMP (24-bit uncompressed) and PPM/PGM binary via numpy, WAV via
+the stdlib ``wave`` module. Compressed formats (JPEG/PNG/MP3/H.264)
+require libraries absent from this container; those rows either fall
+back to a clearly-marked deterministic fake (``decoder='fake'``,
+mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
+plumbing — schema, batching, partition layout — is identical either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import re
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -40,25 +48,99 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 DECODED_SCHEMA = (
-    "media_id long, media_type string, width int, height int, channels int, "
-    "n_bytes long, content_sha1 string, mean_byte double"
+    "media_id long, media_type string, decoder string, width int, height int, "
+    "channels int, sample_rate int, duration_ms int, n_bytes long, "
+    "content_sha1 string, mean_byte double"
 )
 
-def _real_decode(content: bytes, media_type: str):
-    """Real codec path — requires PIL/soundfile/av, absent here."""
+# --- real dependency-free decoders -----------------------------------------
+
+
+def decode_bmp(b: bytes) -> np.ndarray | None:
+    """24-bit uncompressed Windows BMP → (h, w, 3) uint8 RGB, or None if
+    not such a BMP."""
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp, comp = struct.unpack("<H", b[28:30])[0], struct.unpack("<I", b[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    rowbytes = ((w * 3 + 3) // 4) * 4
+    need = rowbytes * abs(h)
+    if off + need > len(b):
+        return None
+    rows = np.frombuffer(b, np.uint8, count=need, offset=off).reshape(abs(h), rowbytes)
+    arr = rows[:, : w * 3].reshape(abs(h), w, 3)[:, :, ::-1]  # BGR → RGB
+    if h > 0:  # positive height = bottom-up storage
+        arr = arr[::-1]
+    return np.ascontiguousarray(arr)
+
+
+_PNM_HEADER = re.compile(rb"^(P[56])\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def decode_pnm(b: bytes) -> np.ndarray | None:
+    """Binary PPM (P6) / PGM (P5) → (h, w, 3|1) uint8, or None."""
+    m = _PNM_HEADER.match(b)
+    if not m or int(m.group(4)) > 255:
+        return None
+    w, h = int(m.group(2)), int(m.group(3))
+    ch = 3 if m.group(1) == b"P6" else 1
+    need = w * h * ch
+    data = b[m.end() : m.end() + need]
+    if len(data) < need:
+        return None
+    return np.frombuffer(data, np.uint8).reshape(h, w, ch)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM bytes (the re-encode side of the real
+    resize path)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_wav(b: bytes) -> dict | None:
+    """RIFF/WAVE → {channels, sample_rate, duration_ms, mean_byte} via the
+    stdlib wave module (16-bit PCM mean = mean |sample| / 256 so the scale
+    matches byte-space), or None."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no codecs
-        raise NotImplementedError(
-            "image/audio codecs not available in this container; "
-            "deterministic fake decode is used instead"
-        ) from exc
-    raise NotImplementedError("real decode wiring pending codec availability")
+        with wave.open(io.BytesIO(b)) as f:
+            nch, sw, rate, nframes = (
+                f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
+            )
+            raw = f.readframes(nframes)
+    except (wave.Error, EOFError):
+        return None
+    if sw == 2:
+        samples = np.frombuffer(raw, np.int16)
+        mean = float(np.abs(samples).mean() / 256) if samples.size else 0.0
+    else:
+        samples = np.frombuffer(raw, np.uint8)
+        mean = float(samples.mean()) if samples.size else 0.0
+    return {
+        "channels": nch,
+        "sample_rate": rate,
+        "duration_ms": int(nframes * 1000 / rate) if rate else 0,
+        "mean_byte": round(mean, 4),
+    }
+
+
+def resize_nearest(arr: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resample — pure numpy fancy-indexing."""
+    h, w = arr.shape[:2]
+    ys = np.minimum((np.arange(th) * (h / th)).astype(int), h - 1)
+    xs = np.minimum((np.arange(tw) * (w / tw)).astype(int), w - 1)
+    return np.ascontiguousarray(arr[ys][:, xs])
+
 
 def _fake_decode(content: bytes) -> tuple[int, int, int, float]:
-    """Deterministic stand-in for the decoder: dimensions derived from the
-    content hash, mean byte computed for real. Keeps the distributed
-    plumbing honest (schema, batching, determinism) without codecs."""
+    """Deterministic stand-in for codec-requiring formats: dimensions
+    derived from the content hash, mean byte computed for real. Keeps the
+    distributed plumbing honest without the libraries."""
     h = hashlib.sha1(content).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
@@ -66,8 +148,49 @@ def _fake_decode(content: bytes) -> tuple[int, int, int, float]:
     mean_byte = (sum(content) / len(content)) if content else 0.0
     return width, height, channels, round(mean_byte, 4)
 
-def decode_media(df: DataFrame, use_real: bool = False) -> DataFrame:
-    """media table → decoded feature rows via Arrow-batched mapInPandas."""
+
+def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
+    """One payload → decoded feature dict. mode: 'auto' (real where the
+    format allows, fake otherwise), 'real' (raise on undecodable),
+    'fake' (always fake — the round-1 behavior)."""
+    base = {
+        "width": None, "height": None, "channels": None,
+        "sample_rate": None, "duration_ms": None,
+    }
+    if mode != "fake":
+        img = decode_bmp(raw)
+        kind = "bmp" if img is not None else None
+        if img is None:
+            img = decode_pnm(raw)
+            kind = "ppm" if img is not None else None
+        if img is not None:
+            base.update(
+                height=img.shape[0], width=img.shape[1], channels=img.shape[2],
+            )
+            return {**base, "decoder": kind, "mean_byte": round(float(img.mean()), 4)}
+        au = decode_wav(raw)
+        if au is not None:
+            base.update(
+                channels=au["channels"], sample_rate=au["sample_rate"],
+                duration_ms=au["duration_ms"],
+            )
+            return {**base, "decoder": "wav", "mean_byte": au["mean_byte"]}
+        if mode == "real":
+            raise NotImplementedError(
+                f"no dependency-free decoder for this {mtype} payload "
+                "(JPEG/PNG/MP3/video need codec libraries absent here)"
+            )
+    w, h, c, mean = _fake_decode(raw)
+    base.update(width=w, height=h, channels=c)
+    return {**base, "decoder": "fake", "mean_byte": mean}
+
+
+def decode_media(df: DataFrame, use_real: bool = False, mode: str | None = None) -> DataFrame:
+    """media table → decoded feature rows via Arrow-batched mapInPandas.
+    ``mode='auto'`` decodes BMP/PPM/WAV for real and falls back to the
+    deterministic fake elsewhere; legacy ``use_real=True`` maps to
+    mode='real' (raise on undecodable)."""
+    mode = mode or ("real" if use_real else "auto")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -76,45 +199,62 @@ def decode_media(df: DataFrame, use_real: bool = False) -> DataFrame:
                 pdf["media_id"], pdf["media_type"], pdf["content"]
             ):
                 raw = bytes(content)
-                if use_real:
-                    _real_decode(raw, mtype)  # raises NotImplementedError here
-                w, h, c, mean = _fake_decode(raw)
+                d = _decode_one(raw, str(mtype), mode)
                 out.append(
                     (
-                        int(mid), str(mtype), w, h, c, len(raw),
-                        hashlib.sha1(raw).hexdigest(), mean,
+                        int(mid), str(mtype), d["decoder"], d["width"], d["height"],
+                        d["channels"], d["sample_rate"], d["duration_ms"],
+                        len(raw), hashlib.sha1(raw).hexdigest(), d["mean_byte"],
                     )
                 )
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "media_id", "media_type", "width", "height", "channels",
+                    "media_id", "media_type", "decoder", "width", "height",
+                    "channels", "sample_rate", "duration_ms",
                     "n_bytes", "content_sha1", "mean_byte",
                 ],
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
 
-RESIZED_SCHEMA = "media_id long, width int, height int, n_bytes long"
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, n_bytes long, resized_ppm binary"
+)
+
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: the real path would decode+resample per Arrow
-    batch; the stub emits target dimensions with byte budget scaled
-    deterministically."""
+    """Image resize: decodable payloads (BMP/PPM) are REALLY resampled
+    (nearest-neighbor numpy) and re-encoded as binary PPM; undecodable
+    ones keep the deterministic stub (target dims, 3-byte-per-pixel
+    budget, null payload)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = len(pdf)
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                img = decode_bmp(raw)
+                if img is None:
+                    img = decode_pnm(raw)
+                if img is not None:
+                    if img.shape[2] == 1:  # grayscale → RGB for PPM
+                        img = np.repeat(img, 3, axis=2)
+                    rz = resize_nearest(img, target_w, target_h)
+                    ppm = encode_ppm(rz)
+                    out.append((int(mid), target_w, target_h, len(ppm), ppm))
+                else:
+                    out.append(
+                        (int(mid), target_w, target_h, target_w * target_h * 3, None)
+                    )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"].astype("int64"),
-                    "width": [target_w] * n,
-                    "height": [target_h] * n,
-                    "n_bytes": [target_w * target_h * 3] * n,
-                }
+                out,
+                columns=["media_id", "width", "height", "n_bytes", "resized_ppm"],
             )
 
     return df.filter(df.media_type == "image").mapInPandas(batches, schema=RESIZED_SCHEMA)
+
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame

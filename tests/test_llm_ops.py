@@ -247,3 +247,63 @@ def test_connected_components_star_matches_minlabel(spark):
             for r in dedup.connected_components(pairs).collect()
         }
         assert star == minlabel, f"seed={seed} edges={edges}"
+
+def test_multimodal_real_decoders(spark):
+    """BMP/PPM/WAV decode for real (no codec libraries needed): dims,
+    rates, and pixel means come from the actual bytes; resize really
+    resamples and re-encodes."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from bgpexplorer_spark.operators.multimodal import decode_pnm, encode_ppm
+
+    # 2x2 24-bit BMP, bottom-up, rows padded to 4 bytes:
+    # pixels (BGR): row0(bottom): blue, green; row1(top): red, white
+    px = bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"   # bottom row + pad
+    px += bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"  # top row + pad
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
+        + px
+    )
+    # 3x1 PPM: black, mid-gray, white
+    ppm = encode_ppm(np.array([[[0, 0, 0], [128, 128, 128], [255, 255, 255]]], dtype=np.uint8))
+    # 16-bit PCM WAV: 8000 Hz mono, 4000 frames (500 ms), constant 256
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(struct.pack("<4000h", *([256] * 4000)))
+    wav = buf.getvalue()
+
+    rows = [
+        (1, "image", bmp, ("s", None, None, None, None)),
+        (2, "image", ppm, ("s", None, None, None, None)),
+        (3, "audio", wav, ("s", None, None, None, None)),
+        (4, "image", b"\x89PNG\r\n\x1a\n garbage", ("s", None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    dec = {r.media_id: r for r in multimodal.decode_media(df).collect()}
+
+    assert dec[1].decoder == "bmp" and (dec[1].width, dec[1].height) == (2, 2)
+    # mean over RGB of {red, white, blue, green} = (3*255 + 3*255)/12? —
+    # exact: red(255,0,0)+white(255,255,255)+blue(0,0,255)+green(0,255,0)
+    assert dec[1].mean_byte == round((255 * 6) / 12, 4)
+    assert dec[2].decoder == "ppm" and (dec[2].width, dec[2].height) == (3, 1)
+    assert dec[2].mean_byte == round((0 + 128 + 255) / 3, 4)
+    assert dec[3].decoder == "wav"
+    assert dec[3].sample_rate == 8000 and dec[3].duration_ms == 500
+    assert dec[3].channels == 1 and dec[3].mean_byte == 1.0  # 256/256
+    assert dec[4].decoder == "fake"  # PNG needs a codec → honest fallback
+
+    # real resize: 2x2 BMP → 4x4 PPM, pixels actually resampled
+    rs = {r.media_id: r for r in multimodal.resize_images(df, 4, 4).collect()}
+    arr = decode_pnm(bytes(rs[1].resized_ppm))
+    assert arr.shape == (4, 4, 3)
+    assert tuple(arr[0, 0]) == (255, 0, 0)    # top-left = red
+    assert tuple(arr[3, 3]) == (0, 255, 0)    # bottom-right = green
+    assert rs[4].resized_ppm is None          # undecodable keeps the stub
