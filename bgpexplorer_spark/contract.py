@@ -1596,8 +1596,9 @@ def s5_mrt_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ts is synthetic (2024-01-01 + event_id seconds): unique per event, so
 # window order, the differ lag, and the nested ts_ms map keys are all
 # deterministic on both engines.
-_O7_ORACLE = """
-    WITH upd AS (
+# Shared CTE chain replicating _derived_updates_history (derived updates →
+# build_history(differ)) — reused by the o7/s4/u9 oracles.
+_DERIVED_HIST_CTES = """upd AS (
         SELECT make_timestamp((1704067200000 + event_id * 1000) * 1000) AS ts,
                event_id,
                CAST(user_id % 4 AS INTEGER) AS session_id,
@@ -1629,7 +1630,10 @@ _O7_ORACLE = """
             WINDOW w AS (PARTITION BY nlri_str, session_id, path_id ORDER BY ts)
         )
         WHERE p_active IS NULL OR active <> p_active OR as1 <> p_as1
-    ),
+    )""".format(derived=_DERIVED_ROUTES_SQL)
+
+_O7_ORACLE = f"""
+    WITH {_DERIVED_HIST_CTES},
     page AS (
         SELECT nlri_str
         FROM (SELECT DISTINCT nlri_str, addr_v4, prefixlen FROM hist)
@@ -1641,7 +1645,7 @@ _O7_ORACLE = """
     FROM hist h JOIN page USING (nlri_str)
     QUALIFY row_number() OVER (PARTITION BY h.nlri_str, h.session_id, h.path_id
                                ORDER BY h.ts DESC) <= 10
-""".format(derived=_DERIVED_ROUTES_SQL)
+"""
 
 @q("o7_nested_output", _O7_ORACLE)
 def o7_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,6 +1680,66 @@ def o7_nested_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("entry", "$.attrs.aspath[0].asns[0]").cast("bigint").alias("as1"),
         )
     )
+
+_FLAT_HIST_COLS = """nlri_str, session_id, path_id, epoch_ms(ts) AS ts_ms,
+           active, as1"""
+
+@q(
+    "s4_snapshot_roundtrip",
+    f"WITH {_DERIVED_HIST_CTES} SELECT {_FLAT_HIST_COLS} FROM hist",
+)
+def s4_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5 — the partitioned snapshot IS the store: build_history →
+    write_snapshot ((rib, ts_date) layout + addr sort + maintained
+    counts) → read_snapshot must reproduce every row bit-for-bit
+    (reference dump/load src/bgprib.rs:903-948)."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.operators.rib import read_snapshot, write_snapshot
+
+    hist = _derived_updates_history(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "bgpx_snap_fixture")
+    write_snapshot(hist, path, spark=spark)
+    back = read_snapshot(spark, path)
+    return back.select(
+        "nlri_str", "session_id", "path_id",
+        ts_to_millis_col(F.col("ts")).alias("ts_ms"),
+        "active", F.element_at("aspath_flat", 1).alias("as1"),
+    )
+
+@q(
+    "u9_compact_retention",
+    f"""WITH {_DERIVED_HIST_CTES}
+    SELECT {_FLAT_HIST_COLS} FROM hist
+    QUALIFY row_number() OVER (PARTITION BY nlri_str, session_id, path_id
+                               ORDER BY ts DESC) <= 3""",
+)
+def u9_compact_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9 — the maintenance compaction end-to-end: snapshot → compact()
+    (retention depth 3, tmp-write + atomic swap) → read back. The oracle
+    is the newest-3-per-key closure over the same derived history
+    (shrink_hist src/bgprib.rs:326-341 + dump discipline 903-923)."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.operators.rib import compact, read_snapshot, write_snapshot
+
+    hist = _derived_updates_history(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), "bgpx_compact_fixture")
+    write_snapshot(hist, path, spark=spark)
+    compact(spark, path, history_depth=3)
+    back = read_snapshot(spark, path)
+    return back.select(
+        "nlri_str", "session_id", "path_id",
+        ts_to_millis_col(F.col("ts")).alias("ts_ms"),
+        "active", F.element_at("aspath_flat", 1).alias("as1"),
+    )
+
+def ts_to_millis_col(c):
+    from bgpexplorer_spark.functions.timeutil import ts_to_millis
+
+    return ts_to_millis(c)
 
 def _derived_updates_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived updates → rib_history used by engine-path contract queries.
