@@ -175,7 +175,10 @@ def query_rib(
 
     page = page_routes(matched, p)
     from_supernet = False
-    if not page.take(1):
+    # the primary page is empty iff found <= skip (page = matched rows
+    # after OFFSET skip), so the supernet-fallback probe
+    # (src/bgpsvc.rs:625-658) needs NO extra Spark action
+    if found <= p.skip:
         page = page_routes(matched_routes(history, rib, p, supernet=True), p, supernet=True)
         from_supernet = True
     page = page.cache()
