@@ -267,3 +267,45 @@ def test_http_api_end_to_end(spark):
             assert e.code == 404
     finally:
         httpd.shutdown()
+
+def test_http_whois_and_dns_endpoints(spark):
+    """/api/whois[/<mode>]?query=… and /api/dns/<addr> over injected
+    transports (reference handle_query src/whoissvc.rs:520-600: section
+    extraction per mode, comment filtering, raw passthrough)."""
+    hist = build_history(make_updates(spark, [u("10.0.0.0/24", t=1)])).cache()
+    svc = BgpExplorerService(hist, route_counts={"ipv4u": 1})
+
+    whois_text = (
+        "% comment line\n"
+        "remarks: preamble\n"
+        "aut-num: AS65000\n"
+        "descr: example\n"
+    )
+    svc.whois_transport = lambda server, query: whois_text
+    svc.dns_transport = lambda pkt: _ptr_answer(pkt, ["ptr", "example", "net"])
+
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        # default mode: comments filtered
+        body = urllib.request.urlopen(base + "/api/whois?query=AS65000").read().decode()
+        assert "% comment" not in body and "aut-num: AS65000" in body
+        # as mode: skip_while until the aut-num line
+        body2 = urllib.request.urlopen(base + "/api/whois/as?query=AS65000").read().decode()
+        assert body2.startswith("aut-num: AS65000")
+        assert "preamble" not in body2
+        # raw mode: untouched
+        raw = urllib.request.urlopen(base + "/api/whois/raw?query=AS65000").read().decode()
+        assert "% comment" in raw
+        # missing query → 400
+        try:
+            urllib.request.urlopen(base + "/api/whois")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # dns PTR
+        dns = urllib.request.urlopen(base + "/api/dns/192.0.2.1").read().decode()
+        assert "ptr.example.net." in dns
+    finally:
+        httpd.shutdown()
