@@ -1399,6 +1399,95 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "med", "localpref",
     )
 
+# F-mvpn — the 3VL majority vote (multi(), src/ribfilter.rs:59-81) through
+# the full compiled filter on the mvpn rib. Term '232.0.0.0/8' is a
+# multicast V4Term; for a type-5 key the vote is multi(source, group):
+# source 10.x is never multicast → Unknown; group: 232.x → Yes,
+# 224.x (multicast, outside) → No, 10.x (not multicast) → Unknown.
+# multi(U,Y)=Yes, multi(U,N)=No, multi(U,U)=Unknown — only the Yes rows
+# emit, and the attr side is Unknown so the k=Yes/a=Unknown bypass quirk
+# (src/ribfilter.rs:1562-1604) is on the verified path too.
+_MVPN_ORACLE = """
+    SELECT event_id FROM events WHERE event_id % 3 = 0
+"""
+
+@q("f_mvpn_vote", _MVPN_ORACLE)
+def f_mvpn_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVPN type-5 key dispatch + multicast gates + majority vote,
+    compiled by the real filterlang path (filterlang/compile.py
+    _key_mvpn/multi) over derived route keys."""
+    from bgpexplorer_spark.filterlang.compile import matches
+
+    ev = load_table(spark, sf_dir, "events")
+    group = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(232 * 16777216) + F.col("event_id") % 256)
+        .when(F.col("event_id") % 3 == 1, F.lit(224 * 16777216) + F.col("event_id") % 256)
+        .otherwise(F.lit(10 * 16777216) + F.col("event_id") % 256)
+    )
+    df = ev.select(
+        "event_id",
+        F.lit(None).cast("bigint").alias("rd_hi"),
+        F.lit(None).cast("bigint").alias("rd_lo"),
+        F.lit(5).cast("tinyint").alias("mvpn_type"),
+        (F.lit(10 * 16777216) + F.col("event_id") % 1024).alias("mvpn_source_v4"),
+        group.alias("mvpn_group_v4"),
+        F.lit(None).cast("bigint").alias("mvpn_originator_v4"),
+    )
+    return df.filter(matches("232.0.0.0/8", "mvpn")).select("event_id")
+
+@q(
+    "f_l2_range",
+    """
+    SELECT event_id FROM events
+    WHERE event_id % 50 = 15 OR (event_id % 20 BETWEEN 5 AND 15)
+    """,
+)
+def f_l2_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l2vpls bare-number dispatch (src/ribfilter.rs:306-319): hard match
+    on site equality OR offset..range containment, through the compiled
+    filter (k=Yes with a=Unknown exercises the polarity-bypass emit)."""
+    from bgpexplorer_spark.filterlang.compile import matches
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.lit(None).cast("bigint").alias("rd_hi"),
+        F.lit(None).cast("bigint").alias("rd_lo"),
+        (F.col("event_id") % 50).cast("int").alias("l2_site"),
+        (F.col("event_id") % 20).cast("int").alias("l2_offset"),
+        (F.col("event_id") % 20 + 10).cast("int").alias("l2_range"),
+        F.lit("x").alias("nlri_str"),
+    )
+    return df.filter(matches("15", "l2vpls")).select("event_id")
+
+@q(
+    "f_evpn_chain",
+    """
+    SELECT event_id FROM events
+    WHERE event_id % 5 <> 0 AND event_id % 2 = 0
+    """,
+)
+def f_evpn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVPN dispatch (src/ribfilter.rs:389-443): type 1 matches rd-only
+    (Unknown for a V4 term → not emitted), types 2-5 chain rd → gateway
+    host match — verified through the compiled filter on derived keys."""
+    from bgpexplorer_spark.filterlang.compile import matches
+
+    ev = load_table(spark, sf_dir, "events")
+    addr = F.when(
+        F.col("event_id") % 2 == 0,
+        F.lit(10 * 16777216) + F.col("event_id") % 4096,
+    ).otherwise(F.lit(192 * 16777216) + F.col("event_id") % 4096)
+    df = ev.select(
+        "event_id",
+        F.lit(None).cast("bigint").alias("rd_hi"),
+        F.lit(None).cast("bigint").alias("rd_lo"),
+        F.when(F.col("event_id") % 5 == 0, 1).otherwise(2).cast("tinyint").alias("evpn_type"),
+        addr.alias("addr_v4"),
+        F.lit(None).cast("binary").alias("addr_v6"),
+    )
+    return df.filter(matches("10.0.0.0/8", "evpn")).select("event_id")
+
 # Multimodal — REAL image decode through the Arrow mapInPandas path. The
 # payloads are binary PPM images whose pixel bytes are pure formulas of
 # doc_id, so DuckDB can recompute width/height/mean analytically while
