@@ -1488,6 +1488,42 @@ def f_evpn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.filter(matches("10.0.0.0/8", "evpn")).select("event_id")
 
+@q(
+    "f_mdt_vote",
+    """
+    SELECT event_id FROM events
+    WHERE event_id % 2 = 0 AND event_id % 3 <> 2
+    """,
+)
+def f_mdt_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ipv4mdt dispatch (src/ribfilter.rs:444-453): rd first (Unknown for
+    a V4 term), then multi(unicast-prefix match, group-host match). The
+    derivation covers every vote combination: prefix Yes/No × group
+    Yes/No/Unknown — Yes+No ties to Unknown (not emitted), Yes+Unknown
+    emits, No+anything doesn't."""
+    from bgpexplorer_spark.filterlang.compile import matches
+
+    ev = load_table(spark, sf_dir, "events")
+    addr = F.when(
+        F.col("event_id") % 2 == 0, F.lit(10 * 16777216)
+    ).otherwise(F.lit(192 * 16777216)) + (F.col("event_id") % 256) * 256
+    group = (
+        F.when(F.col("event_id") % 3 == 0, F.lit(224 * 16777216))   # mc → Unknown
+        .when(F.col("event_id") % 3 == 1, F.lit(10 * 16777216))     # in 10/8 → Yes
+        .otherwise(F.lit(192 * 16777216))                            # outside → No
+        + F.col("event_id") % 128
+    )
+    df = ev.select(
+        "event_id",
+        F.lit(None).cast("bigint").alias("rd_hi"),
+        F.lit(None).cast("bigint").alias("rd_lo"),
+        addr.alias("addr_v4"),
+        F.lit(24).cast("int").alias("prefixlen"),
+        group.alias("mdt_group_v4"),
+        F.lit("x").alias("nlri_str"),
+    )
+    return df.filter(matches("10.0.0.0/8", "ipv4mdt")).select("event_id")
+
 # Multimodal — REAL image decode through the Arrow mapInPandas path. The
 # payloads are binary PPM images whose pixel bytes are pure formulas of
 # doc_id, so DuckDB can recompute width/height/mean analytically while
