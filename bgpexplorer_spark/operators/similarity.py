@@ -181,3 +181,42 @@ def ivf_topk(
         assigned = ivf_assign(df, cents, id_col, vec_col)
     cand = df.join(assigned, id_col).join(F.broadcast(probes), "cid", "left_semi")
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+def write_ivf_index(
+    df: DataFrame, path: str, n_centroids: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index AT REST: vectors + their cid, parquet
+    partitioned BY cid — the inverted lists become directories, so a
+    probed query is partition pruning, not a scan (the 100 TB posture:
+    unprobed lists are never opened)."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(df, cents, id_col, vec_col)
+    (
+        df.join(assigned, id_col)
+        .repartition("cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+def ivf_topk_at_rest(
+    spark, path: str, query_vec: list[float], k: int = 10, nprobe: int = 2,
+    n_centroids: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the at-rest IVF index: pick the ``nprobe`` nearest centroids
+    (tiny job over the centroid vectors), then scan ONLY those cid
+    partitions via a literal ``isin`` — Catalyst turns it into
+    PartitionFilters, so the scan never touches unprobed lists."""
+    idx = spark.read.parquet(path)
+    cents = ivf_centroids(idx, n_centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r["cid"]
+        for r in cents.select("cid", cosine(F.col("cvec"), q).alias("_qs"))
+        .orderBy(F.col("_qs").desc(), F.col("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    cand = idx.filter(F.col("cid").isin(probe_ids))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -167,3 +167,33 @@ def test_mrt_decode_no_shuffle_before_parse(spark, tmp_path):
     plan = _plan(read_mrt(spark, str(p)))
     before_map = plan.split("MapInPandas")[-1]  # subtree beneath the decode
     assert "Exchange" not in before_map
+
+def test_ivf_at_rest_partition_pruning(spark, tmp_path):
+    """The at-rest IVF index: probing must surface as PartitionFilters on
+    cid (unprobed inverted lists never opened), and results must equal
+    the in-memory path."""
+    from bgpexplorer_spark.operators.similarity import (
+        ivf_topk, write_ivf_index, ivf_topk_at_rest,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]), (3, [0.8, 0.0, 0.1]),
+        (4, [0.1, 0.9, 0.0]), (5, [0.0, 0.8, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, n_centroids=2)
+
+    q = [1.0, 0.05, 0.0]
+    at_rest = ivf_topk_at_rest(spark, path, q, k=10, nprobe=1, n_centroids=2)
+    plan = _plan(at_rest)
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:160]
+
+    got = [(r.vec_id, r.cos_sim) for r in at_rest.collect()]
+    want = [
+        (r.vec_id, r.cos_sim)
+        for r in ivf_topk(emb, q, k=10, nprobe=1, n_centroids=2).collect()
+    ]
+    assert got == want and [v for v, _ in got] == [0, 2, 3]
