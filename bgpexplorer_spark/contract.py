@@ -857,6 +857,40 @@ def _simhash_sql() -> str:
     )
     """
 
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"CAST(floor(simhash / {256 ** b}) AS BIGINT) % 256 AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH sigs AS ({_simhash_sql()}),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                 AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+@q("dedup_simhash_pairs", _simhash_pairs_sql())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (hamming ≤ 3 via byte-band
+    bucket-joins + exact verification —
+    operators/dedup.simhash_candidate_pairs); the oracle replicates the
+    banding and the bit_count check."""
+    from bgpexplorer_spark.operators.dedup import simhash_candidate_pairs
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return simhash_candidate_pairs(docs, "doc_id", max_hamming=3)
+
 @q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint (operators/dedup.simhash32)."""

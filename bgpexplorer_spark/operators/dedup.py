@@ -230,6 +230,49 @@ def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     )
     return agg.select(id_col, F.expr(assemble).alias("simhash"))
 
+def simhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``
+    (≤ 3 with the default 4 byte-bands): band the 32-bit signature into 4
+    bytes and bucket-join per band — by pigeonhole, any pair within
+    hamming 3 shares at least one unchanged byte, so candidates come from
+    bucket-local joins only (never all-pairs); the exact hamming check
+    (bit_count of xor) then verifies candidates. Same shape as MinHash
+    LSH: one shuffle per band + per-candidate verification."""
+    sig = simhash32(df, id_col, text_col).cache()
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "_bb.band", "_bb.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
 ) -> DataFrame:

@@ -307,3 +307,13 @@ def test_multimodal_real_decoders(spark):
     assert tuple(arr[0, 0]) == (255, 0, 0)    # top-left = red
     assert tuple(arr[3, 3]) == (0, 255, 0)    # bottom-right = green
     assert rs[4].resized_ppm is None          # undecodable keeps the stub
+
+def test_simhash_candidate_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_candidate_pairs(docs, "doc_id", max_hamming=3).collect()
+    }
+    assert pairs[(0, 2)] == 0          # identical docs: distance 0
+    assert (0, 4) in pairs and pairs[(0, 4)] == 0  # token-multiset invariant
+    assert all(h <= 3 for h in pairs.values())
+    assert not any(3 in p for p in pairs)  # unrelated doc never pairs
