@@ -1523,6 +1523,69 @@ def f_evpn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(matches("10.0.0.0/8", "evpn")).select("event_id")
 
 @q(
+    "j5_enrichment",
+    """
+    SELECT event_id,
+           'AS' || CAST(100 + user_id % 5 AS VARCHAR) AS asn,
+           CASE WHEN user_id % 5 < 3
+                THEN 'org-' || CAST(100 + user_id % 5 AS VARCHAR) END AS whois_val
+    FROM events
+    """,
+)
+def j5_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — whois enrichment as a broadcast lookup join against the cache
+    table (operators/whois.enrich, src/whoissvc.rs:520-595); uncached
+    keys stay null."""
+    import datetime as _dt
+
+    from bgpexplorer_spark.operators.whois import enrich
+    from bgpexplorer_spark.schemas import WHOIS_CACHE_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("AS"), (F.lit(100) + F.col("user_id") % 5).cast("string")).alias("asn"),
+    )
+    t0 = _dt.datetime(2024, 1, 1)
+    cache = spark.createDataFrame(
+        [("whois", f"AS{100 + i}", t0, f"org-{100 + i}") for i in range(3)],
+        WHOIS_CACHE_SCHEMA,
+    )
+    return enrich(ev, cache, "whois", "asn")
+
+@q(
+    "c9_whois_textops",
+    """
+    SELECT event_id,
+           'remarks: r' || u || chr(10) || 'route: 10.' || u || '.0.0/16'
+               || chr(10) || 'descr: d' || e AS stripped,
+           'route: 10.' || u || '.0.0/16' || chr(10) || 'descr: d' || e AS section
+    FROM (SELECT event_id, CAST(user_id % 64 AS VARCHAR) AS u,
+                 CAST(event_id % 100 AS VARCHAR) AS e
+          FROM events)
+    """,
+)
+def c9_whois_textops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 — whois text post-processing as Column algebra: comment-line
+    filtering (src/whoissvc.rs:491-502) and section extraction via
+    skip-while (src/whoissvc.rs:557-590) over synthesized responses."""
+    from bgpexplorer_spark.operators.whois import extract_section, strip_comments
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (F.col("user_id") % 64).cast("string")
+    e = (F.col("event_id") % 100).cast("string")
+    text = F.concat(
+        F.lit("% header comment\n"),
+        F.lit("remarks: r"), u, F.lit("\n"),
+        F.lit("route: 10."), u, F.lit(".0.0/16\n"),
+        F.lit("descr: d"), e,
+    )
+    return ev.select(
+        "event_id",
+        strip_comments(text).alias("stripped"),
+        extract_section(text, "^route").alias("section"),
+    )
+
+@q(
     "f_mdt_vote",
     """
     SELECT event_id FROM events
