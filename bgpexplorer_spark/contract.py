@@ -1523,6 +1523,40 @@ def f_evpn_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(matches("10.0.0.0/8", "evpn")).select("event_id")
 
 @q(
+    "st3_windowed_rates",
+    """
+    SELECT rib,
+           time_bucket(INTERVAL 1 MINUTE, ts) AS win_start,
+           time_bucket(INTERVAL 1 MINUTE, ts) + INTERVAL 1 MINUTE AS win_end,
+           CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS updates,
+           CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS withdraws
+    FROM (SELECT 'ipv4u' AS rib, event_id, ts FROM events)
+    GROUP BY rib, time_bucket(INTERVAL 1 MINUTE, ts)
+    """,
+)
+def st3_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 — the event-time tumbling-window update/withdraw rates
+    (streaming/feed.windowed_update_rates), run in batch mode on the
+    derived updates: the SAME groupBy(window) aggregation Structured
+    Streaming executes incrementally, so its semantics get an oracle row
+    (the watermark is a no-op on bounded input)."""
+    from bgpexplorer_spark.streaming.feed import windowed_update_rates
+
+    ev = load_table(spark, sf_dir, "events")
+    upd = ev.select(
+        F.col("ts"),
+        F.lit("ipv4u").alias("rib"),
+        F.when(F.col("event_id") % 7 == 0, "withdraw").otherwise("update").alias("op"),
+    )
+    rates = windowed_update_rates(upd, window="1 minute", watermark="5 minutes")
+    return rates.select(
+        "rib",
+        F.col("window.start").alias("win_start"),
+        F.col("window.end").alias("win_end"),
+        "updates", "withdraws",
+    )
+
+@q(
     "j5_enrichment",
     """
     SELECT event_id,
