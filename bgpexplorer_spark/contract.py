@@ -704,6 +704,53 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("session_start")
     )
 
+@q(
+    "st_session_window",
+    """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   -- native session_window: an event AT session_end
+                   -- (gap exactly 30 min) starts a NEW session, so the
+                   -- split is >=, unlike sessionize_events' strict >
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER
+                             (PARTITION BY user_id ORDER BY ts, event_id))
+                             >= 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (the streaming
+    session-izer, usable identically in batch) cross-validated against
+    the manual lag+running-sum sessionization oracle: same sessions, same
+    bounds ([min ts, max ts + gap)), same counts. This is the exact
+    operator a streaming `groupBy(session_window(...))` runs
+    incrementally (SURVEY §2.7 ST3-superset)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
 def all_queries() -> dict[str, SparkQuery]:
     return dict(QUERIES)
 
