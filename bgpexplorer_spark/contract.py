@@ -809,6 +809,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
+def _rolling_fp_sql() -> str:
+    from bgpexplorer_spark.operators.text import ROLLING_P
+
+    h = _duck_hash32("t")
+    return f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT), [{h} for t in {_duck_tokens('text')}]),
+               (a, b) -> (a * 31 + b) % {ROLLING_P}
+           ) AS rfp
+    FROM documents
+    """
+
+@q("text_rolling_fingerprint", _rolling_fp_sql())
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint
+    (operators/text.rolling_fingerprint) — the oracle folds the same
+    per-token portable hash with list_reduce."""
+    from bgpexplorer_spark.operators.text import rolling_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("rfp"))
+
 @q(
     "text_tokens",
     f"""

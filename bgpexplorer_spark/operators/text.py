@@ -77,6 +77,21 @@ def fingerprint(col: Column) -> Column:
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.lower(col)))))
     return F.md5(canon)
 
+ROLLING_P = 2_147_483_647
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-SENSITIVE rolling-hash fingerprint (Rabin-Karp style over
+    tokens): h = fold(tokens, h*31 + hash32(token) mod p). Complements
+    :func:`fingerprint` — the set fingerprint is invariant to shuffling,
+    this one changes with any reordering/edit. Pure fold, no shuffle;
+    the affine step keeps every intermediate under 2^37 so BIGINT
+    arithmetic is exact on both engines."""
+    return F.aggregate(
+        tokens(col),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + portable_hash32(t)) % F.lit(ROLLING_P),
+    )
+
 def shingles_of_tokens(toks: Column, n: int = 2) -> Column:
     """Word n-gram shingles from a token-array column (the MinHash/Jaccard
     unit). Docs with fewer than n tokens yield an empty array.

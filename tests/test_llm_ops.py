@@ -317,3 +317,15 @@ def test_simhash_candidate_pairs(docs):
     assert (0, 4) in pairs and pairs[(0, 4)] == 0  # token-multiset invariant
     assert all(h <= 3 for h in pairs.values())
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+def test_rolling_fingerprint_order_sensitive(docs):
+    fp = {
+        r.doc_id: r.rfp
+        for r in docs.select(
+            "doc_id", text.rolling_fingerprint(F.col("text")).alias("rfp")
+        ).collect()
+    }
+    assert fp[0] == fp[2]      # identical docs
+    assert fp[0] != fp[4]      # shuffled tokens: rolling hash differs...
+    # ...while the set fingerprint is shuffle-invariant (they complement)
+    assert fp[0] != fp[3]
