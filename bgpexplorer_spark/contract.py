@@ -908,6 +908,73 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return quality_features(docs.select("doc_id", "text")).drop("text")
 
+def _clean_corpus_sql() -> str:
+    """The composed training-data cleaning pipeline as one oracle."""
+    from bgpexplorer_spark.operators.text import LANG_PROFILES
+
+    scores = {
+        lang: _duck_marker_hits("text", ws) for lang, ws in LANG_PROFILES.items()
+    }
+    score_cols = ", ".join(f"({sql}) AS s_{lang}" for lang, sql in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in scores
+    )
+    return f"""
+    WITH langs AS (
+        SELECT doc_id, lang,
+               CASE {case} ELSE 'und' END AS detected
+        FROM (SELECT doc_id, lang, {best} AS best, s_en, s_de, s_fr, s_es
+              FROM (SELECT doc_id, lang, text, {score_cols} FROM documents))
+    ),
+    quality AS (
+        SELECT doc_id,
+               len({_duck_tokens('text')}) AS q_tokens,
+               round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                     / greatest(length(text), 1), 4) AS q_punct
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+        FROM documents
+    )
+    SELECT d.doc_id
+    FROM documents d
+    JOIN langs l ON l.doc_id = d.doc_id
+    JOIN quality q ON q.doc_id = d.doc_id
+    JOIN canon c ON c.doc_id = d.doc_id
+    WHERE q.q_tokens >= 10
+      AND q.q_punct <= 0.1
+      AND l.detected = l.lang
+      AND c.canonical = d.doc_id
+    """
+
+@q("pipeline_clean_corpus", _clean_corpus_sql())
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM training-data cleaning pipeline in ONE plan:
+    quality gates (token count, punctuation ratio) ∧ language agreement
+    (detected == declared) ∧ exact-dedup keep-list (canonical doc per
+    content hash) — each stage is the oracle-checked operator, composed
+    the way a real corpus pipeline runs them. Catalyst fuses the three
+    dims into one scan + one hash-partition pass."""
+    from bgpexplorer_spark.operators.dedup import exact_dedup
+    from bgpexplorer_spark.operators.text import langid, quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs.select("doc_id", "text"))
+    lang_ok = docs.select(
+        "doc_id", (langid(F.col("text")) == F.col("lang")).alias("_lang_ok")
+    )
+    keep = exact_dedup(docs, "doc_id").select(
+        "doc_id", (F.col("doc_id") == F.col("canonical_id")).alias("_canon")
+    )
+    return (
+        docs.select("doc_id")
+        .join(q.filter((F.col("q_tokens") >= 10) & (F.col("q_punct_ratio") <= 0.1)), "doc_id", "left_semi")
+        .join(lang_ok.filter("_lang_ok"), "doc_id", "left_semi")
+        .join(keep.filter("_canon"), "doc_id", "left_semi")
+    )
+
 def _simhash_sql() -> str:
     h = _duck_hash32("t")
     bit_sums = ", ".join(
