@@ -1507,14 +1507,24 @@ _MRT_ORACLE = """
                CASE WHEN i % 7 <> 0 THEN CAST(65536 + i % 10 AS BIGINT) END AS comm0,
                CASE WHEN i % 7 <> 0 AND i % 4 = 0 THEN CAST(i % 11 AS BIGINT)
                END AS med,
-               CASE WHEN i % 7 <> 0 THEN CAST(100 + i % 3 AS BIGINT) END AS localpref
+               CASE WHEN i % 7 <> 0 THEN CAST(100 + i % 3 AS BIGINT) END AS localpref,
+               CASE WHEN i % 7 <> 0 THEN CAST(65100 + i % 5 AS BIGINT) END AS agg_as,
+               CASE WHEN i % 7 <> 0 AND i % 3 = 0
+                    THEN CAST(167772160 + i % 16 AS BIGINT) END AS originator,
+               CASE WHEN i % 7 <> 0 AND i % 4 = 1
+                    THEN CAST(1000 + i % 9 AS BIGINT) END AS cl0,
+               CASE WHEN i % 7 <> 0 THEN CAST(65000 AS BIGINT) END AS ext_a,
+               CASE WHEN i % 7 <> 0 THEN CAST(i % 1000 AS BIGINT) END AS ext_b,
+               CASE WHEN i % 7 <> 0 THEN CAST(i % 50 AS BIGINT) END AS lc_ga
         FROM range(600) t(i)
     ),
     filled AS (
         SELECT ts, session_id, nlri_str, active,
                last_value(CASE WHEN active THEN struct_pack(
                    origin := origin, nh := nexthop_v4, as1 := as1,
-                   comm0 := comm0, med := med, lp := localpref
+                   comm0 := comm0, med := med, lp := localpref,
+                   agg_as := agg_as, orig_id := originator, cl0 := cl0,
+                   ext_a := ext_a, ext_b := ext_b, lc_ga := lc_ga
                ) END IGNORE NULLS)
                    OVER (PARTITION BY nlri_str, session_id ORDER BY ts
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
@@ -1522,7 +1532,9 @@ _MRT_ORACLE = """
     )
     SELECT ts, session_id, nlri_str, active,
            a.origin AS origin, a.nh AS nexthop_v4, a.as1 AS as1,
-           a.comm0 AS comm0, a.med AS med, a.lp AS localpref
+           a.comm0 AS comm0, a.med AS med, a.lp AS localpref,
+           a.agg_as AS aggregator_as, a.orig_id AS originator, a.cl0 AS cl0,
+           a.ext_a AS ext_a, a.ext_b AS ext_b, a.lc_ga AS lc_ga
     FROM filled WHERE a IS NOT NULL
 """
 
@@ -1553,6 +1565,11 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 comms=[65536 + i % 10],
                 med=(i % 11) if i % 4 == 0 else None,
                 localpref=100 + i % 3,
+                aggregator=(65100 + i % 5, 0x0A00FF01),
+                originator=(0x0A000000 + i % 16) if i % 3 == 0 else None,
+                clusterlist=[1000 + i % 9, 2000] if i % 4 == 1 else None,
+                extcomms=[(0, 2, 65000, i % 1000)],
+                lcomms=[(i % 50, 7, 9)],
             )
     path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_fixture.mrt")
     tmp = path + ".part"
@@ -1567,7 +1584,11 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "origin", "nexthop_v4",
         F.element_at("aspath_flat", 1).alias("as1"),
         F.element_at("comms", 1).alias("comm0"),
-        "med", "localpref",
+        "med", "localpref", "aggregator_as", "originator",
+        F.element_at("clusterlist", 1).alias("cl0"),
+        F.expr("extcomms[0].a").alias("ext_a"),
+        F.expr("extcomms[0].b").alias("ext_b"),
+        F.expr("lcomms[0].ga").alias("lc_ga"),
     )
 
 # F-mvpn — the 3VL majority vote (multi(), src/ribfilter.rs:59-81) through

@@ -496,11 +496,17 @@ def encode_bgp_update_body(
     med: int | None = None,
     localpref: int | None = None,
     comms: list[int] | None = None,
+    aggregator: tuple[int, int] | None = None,
+    originator: int | None = None,
+    clusterlist: list[int] | None = None,
+    extcomms: list[tuple[int, int, int, int]] | None = None,
+    lcomms: list[tuple[int, int, int]] | None = None,
     addpath: bool = False,
 ) -> bytes:
     """A BGP UPDATE body (after the 19-byte message header) — shared by
     the MRT and BMP fixture encoders. With ``addpath`` the v4 prefix
-    tuples are (addr, plen, path_id)."""
+    tuples are (addr, plen, path_id). extcomms entries are
+    (ctype, subtype, a_u16, b_u32); lcomms are (ga, ldp1, ldp2)."""
     attrs = b""
 
     def attr(atype: int, val: bytes, flags: int = 0x40) -> bytes:
@@ -528,8 +534,26 @@ def encode_bgp_update_body(
         attrs += attr(4, struct.pack(">I", med))
     if localpref is not None:
         attrs += attr(5, struct.pack(">I", localpref))
+    if aggregator is not None:
+        attrs += attr(7, struct.pack(">II", aggregator[0], aggregator[1]))
     if comms is not None:
         attrs += attr(8, b"".join(struct.pack(">I", c) for c in comms))
+    if originator is not None:
+        attrs += attr(9, struct.pack(">I", originator))
+    if clusterlist is not None:
+        attrs += attr(10, b"".join(struct.pack(">I", c) for c in clusterlist))
+    if extcomms is not None:
+        attrs += attr(
+            16,
+            b"".join(
+                bytes([ct, st]) + struct.pack(">HI", a, b)
+                for ct, st, a, b in extcomms
+            ),
+        )
+    if lcomms is not None:
+        attrs += attr(
+            32, b"".join(struct.pack(">III", ga, l1, l2) for ga, l1, l2 in lcomms)
+        )
     if nlri6 is not None:
         body6 = struct.pack(">HBB", 2, 1, 16) + (nexthop6 or bytes(16)) + b"\x00"
         for entry in nlri6:

@@ -200,3 +200,26 @@ def test_table_dump_v2_rib():
     assert r0["ts"].isoformat() == "2023-12-31T22:00:00"
     assert r1["peer_as"] == 65001 and r1["origin"] == "Incomplete"
     assert r2["path_id"] == 5 and r2["nlri_str"] == "10.2.0.0/16"
+
+
+def test_all_attrs_roundtrip():
+    """Aggregator, originator, cluster-list, ext-communities and large
+    communities decode from the wire (src/bgpattrs.rs attr ids 7/9/10/16/32)."""
+    rec = encode_update(
+        1704067400, 65010, 0x0AFF0001,
+        nlri=[(0x0A000000, 8)], origin=0, aspath=[(2, [100])], nexthop=1,
+        aggregator=(65111, 0x0A00FF01),
+        originator=0x0A000005,
+        clusterlist=[1001, 2002],
+        extcomms=[(0, 2, 65000, 777), (1, 3, 0x0A00, 0x00FF0042)],
+        lcomms=[(10, 20, 30)],
+    )
+    r = next(iter(parse_mrt(rec)))
+    assert r["aggregator_as"] == 65111
+    assert r["originator"] == 0x0A000005
+    assert r["clusterlist"] == [1001, 2002]
+    assert r["extcomms"] == [
+        {"ctype": 0, "subtype": 2, "a": 65000, "b": 777},
+        {"ctype": 1, "subtype": 3, "a": 0x0A00, "b": 0x00FF0042},
+    ]
+    assert r["lcomms"] == [{"ga": 10, "ldp1": 20, "ldp2": 30}]
