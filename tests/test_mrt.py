@@ -223,3 +223,49 @@ def test_all_attrs_roundtrip():
         {"ctype": 1, "subtype": 3, "a": 0x0A00, "b": 0x00FF0042},
     ]
     assert r["lcomms"] == [{"ga": 10, "ldp1": 20, "ldp2": 30}]
+
+
+def test_mrt_roundtrip_property():
+    """Property: encode → parse is the identity on the decoded fields,
+    over randomized updates (hypothesis-style fuzz of the wire codec —
+    prefix widths, attr presence combinations, multi-NLRI packing)."""
+    import random
+
+    rng = random.Random(20260813)
+    for trial in range(200):
+        n_pfx = rng.randint(1, 4)
+        pfx = []
+        for _ in range(n_pfx):
+            plen = rng.randint(0, 32)
+            addr = rng.getrandbits(32) & (0xFFFFFFFF << (32 - plen) if plen else 0)
+            pfx.append((addr, plen))
+        origin = rng.choice([None, 0, 1, 2])
+        aspath = (
+            None if rng.random() < 0.2 else
+            [(rng.choice([1, 2]), [rng.getrandbits(32) for _ in range(rng.randint(1, 4))])
+             for _ in range(rng.randint(1, 3))]
+        )
+        med = rng.choice([None, rng.getrandbits(32)])
+        comms = None if rng.random() < 0.5 else [rng.getrandbits(32) for _ in range(rng.randint(1, 5))]
+        peer_as = rng.getrandbits(32)
+        ts = rng.randint(0, 2**31 - 1)
+        rec = encode_update(
+            ts, peer_as, rng.getrandbits(32),
+            nlri=pfx, origin=origin, aspath=aspath,
+            nexthop=rng.getrandbits(32), med=med, comms=comms,
+        )
+        rows = list(parse_mrt(rec))
+        assert len(rows) == n_pfx, (trial, pfx)
+        for r, (addr, plen) in zip(rows, pfx):
+            assert r["addr_v4"] == addr and r["prefixlen"] == plen, (trial, addr, plen)
+            assert r["peer_as"] == peer_as
+            assert r["origin"] == ({0: "IGP", 1: "EGP", 2: "Incomplete"}.get(origin))
+            if aspath is not None:
+                want = [
+                    {"kind": "Set" if k == 1 else "Seq", "asns": a}
+                    for k, a in aspath
+                ]
+                assert r["aspath"] == want, trial
+            assert r["med"] == med
+            assert r["comms"] == comms
+            assert int(r["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()) == ts
