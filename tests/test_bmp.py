@@ -76,3 +76,34 @@ def test_read_bmp_spark(spark, tmp_path):
     upd, sessions = assign_sessions(df)
     assert sessions.count() == 2
     assert build_history(upd).count() == 20
+
+
+def test_bmp_roundtrip_property():
+    """Property fuzz of the BMP framing + per-peer header + UPDATE walk:
+    randomized frames (interleaved with junk) roundtrip exactly."""
+    import random
+
+    rng = random.Random(77)
+    for trial in range(150):
+        peer_ip, peer_as = rng.getrandbits(32), rng.getrandbits(32)
+        ts = rng.randint(0, 2**31 - 1)
+        plen = rng.randint(0, 32)
+        addr = rng.getrandbits(32) & (0xFFFFFFFF << (32 - plen) if plen else 0)
+        origin = rng.choice([0, 1, 2])
+        stream = b""
+        if rng.random() < 0.3:
+            stream += bytes([rng.randint(0, 2)]) * rng.randint(1, 5)  # junk → resync
+        stream += _rm(
+            peer_ip, peer_as, ts,
+            nlri=[(addr, plen)], origin=origin,
+            aspath=[(2, [rng.getrandbits(32)])], nexthop=rng.getrandbits(32),
+        )
+        rows = list(parse_bmp(stream))
+        assert len(rows) == 1, trial
+        r = rows[0]
+        assert r["addr_v4"] == addr and r["prefixlen"] == plen, trial
+        assert r["peer_as"] == peer_as, trial
+        assert r["origin"] == {0: "IGP", 1: "EGP", 2: "Incomplete"}[origin]
+        assert int(
+            r["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
+        ) == ts, trial
