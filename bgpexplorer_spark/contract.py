@@ -1942,6 +1942,55 @@ def s2_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("comms", 1).alias("comm0"),
     )
 
+# S1-v6 — MP_REACH_NLRI IPv6 decode through the MRT wire path, verified
+# on the BINARY(16) forms directly (canonical v6 text is engine-specific;
+# the sortable byte forms are the engine's real key columns).
+_MRT_V6_ORACLE = """
+    SELECT make_timestamp((1704067200 + i) * 1000000) AS ts,
+           CAST(i % 2 AS INTEGER) AS session_id,
+           from_hex('20010db8' || lpad(hex(i), 4, '0') || repeat('0', 20)) AS addr_v6,
+           CAST(48 AS INTEGER) AS prefixlen,
+           from_hex('fe80' || repeat('0', 20) || lpad(hex(i), 8, '0')) AS nexthop_v6,
+           CAST(100 + i % 6 AS BIGINT) AS as1
+    FROM range(300) t(i)
+"""
+
+@q("s1_mrt_v6_decode", _MRT_V6_ORACLE)
+def s1_mrt_v6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/U7 — IPv6 MP_REACH_NLRI decode from real MRT bytes
+    (src/bgprib.rs:1104-1205 MP handling): the 16-byte address and
+    nexthop forms are verified bit-for-bit against blobs the oracle
+    constructs from the same formulas."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.sources.mrt import assign_sessions, encode_update, read_mrt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    recs = b""
+    for i in range(300):
+        peer = i % 2
+        # the varying word sits INSIDE the /48 prefix (wire carries only
+        # ceil(48/8)=6 bytes)
+        addr = bytes.fromhex("20010db8") + i.to_bytes(2, "big") + bytes(10)
+        nh = bytes.fromhex("fe80") + bytes(10) + i.to_bytes(4, "big")
+        recs += encode_update(
+            1704067200 + i, 65000 + peer, 0x0AFF0000 + peer,
+            nlri6=[(addr, 48)], nexthop6=nh,
+            origin=0, aspath=[(2, [100 + i % 6, 200])],
+        )
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_v6_fixture.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(recs)
+    os.replace(tmp, path)
+
+    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    return upd.select(
+        "ts", "session_id", "addr_v6", "prefixlen", "nexthop_v6",
+        F.expr("aspath[0].asns[0]").alias("as1"),
+    )
+
 # S5/S2 — TABLE_DUMP_V2 full-RIB snapshot decode (RFC 6396 §4.3 +
 # RFC 8050 ADD-PATH). Spark parses real dump bytes (peer index + per-prefix
 # RIB entries, nexthop-only MP encoding); the oracle recomputes the rows
