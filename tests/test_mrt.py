@@ -269,3 +269,38 @@ def test_mrt_roundtrip_property():
             assert r["med"] == med
             assert r["comms"] == comms
             assert int(r["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()) == ts
+
+
+def test_mrt_v6_roundtrip_property():
+    """Property fuzz of MP_REACH/MP_UNREACH v6: random prefix lengths with
+    mask-aligned addresses roundtrip exactly (the wire carries only
+    ceil(plen/8) bytes — the decoder must zero-pad the rest)."""
+    import random
+
+    rng = random.Random(4848)
+    for trial in range(150):
+        plen = rng.randint(0, 128)
+        raw = bytearray(rng.randbytes(16))
+        # mask to plen bits (canonical network address)
+        for bit in range(plen, 128):
+            raw[bit // 8] &= ~(0x80 >> (bit % 8)) & 0xFF
+        addr = bytes(raw)
+        nh = rng.randbytes(16)
+        withdraw = rng.random() < 0.3
+        if withdraw:
+            rec = encode_update(1704067200, 65000, 1, withdrawn6=[(addr, plen)])
+        else:
+            rec = encode_update(
+                1704067200, 65000, 1,
+                nlri6=[(addr, plen)], nexthop6=nh,
+                origin=0, aspath=[(2, [100])],
+            )
+        rows = list(parse_mrt(rec))
+        assert len(rows) == 1, (trial, plen)
+        r = rows[0]
+        assert r["rib"] == "ipv6u"
+        assert r["addr_v6"] == addr, (trial, plen, addr.hex(), r["addr_v6"].hex())
+        assert r["prefixlen"] == plen
+        assert r["op"] == ("withdraw" if withdraw else "update")
+        if not withdraw:
+            assert r["nexthop_v6"] == nh
