@@ -695,7 +695,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     of session_window in streaming (SURVEY §2.7)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    # parquet stores ts without a zone (TIMESTAMP_NTZ in Spark 4);
+    # unix_micros requires TIMESTAMP — the cast is exact under the
+    # session's pinned-UTC zone and a no-op for TIMESTAMP inputs
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = mic - F.lag(mic).over(w)
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     df = ev.withColumn("is_new", is_new).withColumn(
         "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))

@@ -26,7 +26,9 @@ def parse_ts_param(s: str | int | float | _dt.datetime) -> _dt.datetime:
 
 def ts_to_millis(ts: Column) -> Column:
     """TIMESTAMP → epoch millis BIGINT (JSON output form)."""
-    return F.floor(F.unix_micros(ts) / F.lit(1000)).cast("bigint")
+    # cast: TIMESTAMP_NTZ (parquet without zone) → TIMESTAMP; exact under
+    # the session's pinned-UTC zone, no-op for TIMESTAMP inputs
+    return F.floor(F.unix_micros(ts.cast("timestamp")) / F.lit(1000)).cast("bigint")
 
 def cut_millis(ts: Column, granularity_sec: int) -> Column:
     """Bucket a timestamp to granularity (src/timestamp.rs:58-64) — the
