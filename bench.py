@@ -71,6 +71,14 @@ def main() -> None:
             df.count()
             runs.append(time.perf_counter() - t0)
         times[name] = round(sorted(runs)[1], 4)
+        # drop this query's persisted intermediates and force a JVM GC so
+        # the ContextCleaner reaps dead shuffle/broadcast state: in a short
+        # local session the periodic cleaner (30 min default) never fires,
+        # and the accumulated state measurably distorts later queries
+        # (observed 5-10x on the composed dedup path). A resident service
+        # gets the same effect from routine generational GC.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     total = round(sum(times.values()), 4)
     print(
         json.dumps(

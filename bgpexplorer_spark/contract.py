@@ -2447,3 +2447,252 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     assigned = ivf_assign(emb, ivf_centroids(emb, 8)).persist()
     return ivf_topk(emb, qv, k=10, nprobe=2, n_centroids=8, assigned=assigned)
+
+# ---------------------------------------------------------------------------
+# AN-series: BGP time-series analytics (operators/analytics) — RIB time
+# travel, MOAS origin conflicts, per-prefix churn. Same derived-updates
+# engine path as o7/s4, with a per-event-varying origin AS so origin
+# analytics have something to find.
+# ---------------------------------------------------------------------------
+
+# derived updates -> build_history(every) with AS path [100+u%8, 200+e%3]:
+# the path TAIL (the origin AS) varies per event, sessions disagree.
+_ORIGIN_HIST_CTES = """upd2 AS (
+        SELECT make_timestamp((1704067200000 + event_id * 1000) * 1000) AS ts,
+               event_id,
+               CAST(event_id % 4 AS INTEGER) AS session_id,
+               (event_id % 7 <> 0) AS is_upd,
+               CAST(floor(addr_v4 / 16777216) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 65536) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 256) % 256 AS BIGINT) || '.' ||
+               CAST(addr_v4 % 256 AS BIGINT) || '/' ||
+               CAST(prefixlen AS VARCHAR) AS nlri_str,
+               addr_v4, prefixlen,
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_raw
+        FROM ({derived})
+    ),
+    filled2 AS (
+        SELECT *,
+               last_value(CASE WHEN is_upd THEN origin_raw END IGNORE NULLS)
+                   OVER (PARTITION BY nlri_str, session_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS origin_as,
+               is_upd AS active
+        FROM upd2
+    ),
+    hist2 AS (SELECT * FROM filled2 WHERE origin_as IS NOT NULL)""".format(
+    derived=_DERIVED_ROUTES_SQL
+)
+
+def _origins_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Like :func:`_derived_updates_history` but ``history_mode='every'``
+    and the AS-path tail (origin AS) varies per event — 200+event_id%3 —
+    so MOAS detection and churn analytics have real structure."""
+    from bgpexplorer_spark.functions.iputil import v4_to_dotted
+    from bgpexplorer_spark.operators.ingest import build_history
+    from bgpexplorer_spark.schemas import UPDATES_SCHEMA
+
+    routes = derived_routes(spark, sf_dir)
+    upd = routes.select(
+        F.timestamp_millis(F.lit(1704067200000) + F.col("event_id") * 1000).alias("ts"),
+        (F.col("event_id") % 4).cast("int").alias("session_id"),
+        F.when(F.col("event_id") % 7 == 0, "withdraw").otherwise("update").alias("op"),
+        F.lit(0).cast("bigint").alias("path_id"),
+        F.lit("ipv4u").alias("rib"),
+        F.concat_ws(
+            "/", v4_to_dotted(F.col("addr_v4")), F.col("prefixlen").cast("string")
+        ).alias("nlri_str"),
+        F.col("addr_v4"),
+        F.col("prefixlen"),
+        F.array(
+            F.struct(
+                F.lit("Seq").alias("kind"),
+                F.array(
+                    (F.lit(100) + F.col("user_id") % 8).cast("long"),
+                    (F.lit(200) + F.col("event_id") % 3).cast("long"),
+                ).alias("asns"),
+            )
+        ).alias("_aspath"),
+    )
+    for f in UPDATES_SCHEMA.fields:
+        if f.name not in upd.columns and f.name != "aspath":
+            upd = upd.withColumn(f.name, F.lit(None).cast(f.dataType))
+    upd = upd.withColumn(
+        "aspath", F.when(F.col("op") == "update", F.col("_aspath"))
+    ).drop("_aspath")
+    return build_history(
+        upd.select(*[f.name for f in UPDATES_SCHEMA.fields]), history_mode="every"
+    )
+
+# as-of cutoff: start + 4000 s — a non-trivial split at every sf
+_ASOF_MS = 1704067200000 + 4_000_000
+
+@q(
+    "o9_rib_asof",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    st_asof AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2 WHERE ts <= make_timestamp({_ASOF_MS} * 1000)
+    )
+    SELECT nlri_str, session_id, epoch_ms(ts) AS ts_ms, addr_v4, prefixlen,
+           origin_as
+    FROM st_asof WHERE rn = 1 AND active
+    """,
+)
+def o9_rib_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIB time travel (operators/analytics.rib_asof): the state as of an
+    arbitrary past instant — newest-per-key at-or-before T, tombstoned
+    keys dropped. The reference can only show newest state + raw history
+    (src/bgpsvc.rs); as-of is the same window over the history table."""
+    from bgpexplorer_spark.operators.analytics import origin_as, rib_asof
+
+    hist = _origins_history(spark, sf_dir)
+    st = rib_asof(hist, _ASOF_MS)
+    return st.select(
+        "nlri_str",
+        "session_id",
+        ts_to_millis_col(F.col("ts")).alias("ts_ms"),
+        "addr_v4",
+        "prefixlen",
+        origin_as(F.col("aspath_flat")).alias("origin_as"),
+    )
+
+@q(
+    "an_moas_origins",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active),
+    o AS (SELECT DISTINCT nlri_str, origin_as FROM state)
+    SELECT nlri_str,
+           string_agg(CAST(origin_as AS VARCHAR), ',' ORDER BY origin_as)
+               AS origins_str,
+           count(*) AS n_origins
+    FROM o GROUP BY nlri_str HAVING count(*) >= 2
+    """,
+)
+def an_moas_origins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-Origin-AS conflicts (operators/analytics.moas_conflicts):
+    prefixes whose active routes across sessions disagree on the origin
+    AS — the classic hijack/leak signal, one hash-aggregate over
+    current_state."""
+    from bgpexplorer_spark.operators.analytics import moas_conflicts
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = _origins_history(spark, sf_dir)
+    return moas_conflicts(current_state(hist)).select(
+        "nlri_str", "origins_str", "n_origins"
+    )
+
+@q(
+    "an_prefix_churn",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    flips AS (
+        SELECT *,
+               CASE WHEN lag(active) OVER w IS NOT NULL
+                         AND lag(active) OVER w <> active
+                    THEN 1 ELSE 0 END AS flip
+        FROM hist2
+        WINDOW w AS (PARTITION BY nlri_str, session_id ORDER BY ts)
+    )
+    SELECT nlri_str,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600000 AS bucket_ms,
+           CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+           CAST(SUM(CASE WHEN active THEN 0 ELSE 1 END) AS BIGINT) AS n_withdraws,
+           CAST(SUM(flip) AS BIGINT) AS n_flips,
+           count(DISTINCT session_id) AS n_sessions
+    FROM flips GROUP BY 1, 2
+    """,
+)
+def an_prefix_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prefix churn per hour bucket (operators/analytics.prefix_churn):
+    announce/withdraw counts, announce<->withdraw flips, sessions touched
+    — the reference's global cnt_updates/cnt_withdraws counters
+    (src/ribservice.rs:168-219) broken out per prefix and time bucket."""
+    from bgpexplorer_spark.operators.analytics import prefix_churn
+
+    hist = _origins_history(spark, sf_dir)
+    return prefix_churn(hist, 3600).select(
+        "nlri_str",
+        ts_to_millis_col(F.col("bucket")).alias("bucket_ms"),
+        "n_updates",
+        "n_withdraws",
+        "n_flips",
+        "n_sessions",
+    )
+
+# ---------------------------------------------------------------------------
+# PIPE-series: training-data pipeline operators (operators/pipeline) —
+# deterministic stratified sampling + sequence packing.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_FRACTIONS = {"en": 0.3, "zh": 1.0, "de": 0.75}
+
+@q(
+    "pipe_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               {_duck_hash32("CAST(doc_id AS VARCHAR)")} / 4294967296.0 AS u,
+               CASE lang WHEN 'en' THEN 0.3 WHEN 'zh' THEN 1.0
+                         WHEN 'de' THEN 0.75 ELSE 0.5 END AS f
+        FROM documents
+    ) WHERE u < f
+    """,
+)
+def pipe_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language Bernoulli sampling
+    (operators/pipeline.stratified_sample): keep 30% of English, all of
+    Chinese, 75% of German, 50% elsewhere — a pure hash filter,
+    reproducible across runs and monotone in the fraction."""
+    from bgpexplorer_spark.operators.pipeline import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", _SAMPLE_FRACTIONS, "doc_id", default_fraction=0.5
+    ).select("doc_id", "lang")
+
+@q(
+    "pipe_pack_sequences",
+    f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST({_duck_hash32("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER)
+                   AS shard,
+               CAST(len({_duck_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT *,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS start_offset
+        FROM t
+    )
+    SELECT doc_id, shard, n_tokens, start_offset,
+           CAST(floor(start_offset / 512.0) AS BIGINT) AS chunk_first,
+           CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512.0)
+                AS BIGINT) AS chunk_last,
+           CAST(floor((start_offset + greatest(n_tokens, 1) - 1) / 512.0)
+                - floor(start_offset / 512.0) + 1 AS BIGINT) AS n_chunks
+    FROM s
+    """,
+)
+def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk packing plan
+    (operators/pipeline.pack_sequences): documents hash-sharded 8 ways,
+    laid end-to-end per shard in id order, cut every 512 tokens; each
+    document reports its shard, token offset and chunk span. One
+    running-sum window per shard — shard count IS the parallelism."""
+    from bgpexplorer_spark.operators.pipeline import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, 512, n_shards=8)

@@ -1,0 +1,148 @@
+"""BGP time-series analytics over ``rib_history`` (SURVEY.md §2.5 read
+path, generalized the way a bgpexplorer user actually mines the data).
+
+The reference answers "what does the RIB hold *now*" (src/bgpsvc.rs
+query path) and keeps per-key history rows for the UI. The natural
+analytic extensions of that data model — all pure window/aggregate
+plans, shuffling once on the same (rib, nlri) keys the ingest path
+already uses:
+
+- :func:`rib_asof` — the RIB as of an arbitrary past instant (the
+  reference can only show newest state + raw history; time travel is a
+  filter + the same newest-per-key window).
+- :func:`moas_conflicts` — Multiple-Origin-AS detection: prefixes whose
+  active routes disagree on the origin AS (classic hijack/leak signal;
+  origin = last hop of the AS path, src/bgpattrs.rs aspath tail).
+- :func:`prefix_churn` / :func:`top_flappers` — per-prefix update/
+  withdraw rates per time bucket and the noisiest prefixes overall
+  (the batch analog of the reference's cnt_updates/cnt_withdraws
+  counters, src/ribservice.rs:168-219, broken out per prefix).
+
+100 TB posture: every one of these is a single hash-aggregate (or one
+window) keyed by (rib, nlri_str[, session, path]) — the same partitioning
+``build_history`` already established, so Catalyst reuses one Exchange;
+nothing here widens rows or collects to the driver.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.functions.timeutil import cut_millis, parse_ts_param
+from bgpexplorer_spark.schemas import KEY_COLS
+
+def origin_as(aspath_flat: Column) -> Column:
+    """Origin AS = last hop of the flattened AS path (NULL for an empty
+    path — a locally-originated route carries no origin to compare)."""
+    return F.when(F.size(aspath_flat) > 0, F.element_at(aspath_flat, -1))
+
+def rib_asof(
+    history: DataFrame,
+    at: str | int | float | _dt.datetime,
+    only_active: bool = True,
+    seq_col: str | None = None,
+) -> DataFrame:
+    """The RIB state as of instant ``at`` (epoch-millis or RFC3339, same
+    forms as the HTTP API's time params): newest history entry per
+    (rib, nlri, session, path) among rows with ``ts <= at``;
+    ``only_active`` drops keys whose newest entry by then was a withdraw
+    tombstone — exactly :func:`current_state` semantics shifted back in
+    time. ``seq_col`` breaks ts ties (arrival order) deterministically.
+
+    One partition-prunable ts filter (the snapshot is partitioned by
+    ts_date) + the one newest-per-key window the read path already pays.
+    """
+    # compare against a STRING literal: Spark coerces it to the ts column's
+    # own type, so the predicate pushes down to the parquet scan for both
+    # TIMESTAMP and TIMESTAMP_NTZ columns (an explicit cast on ts would
+    # block pushdown). The string is naive UTC, matching the pinned
+    # session zone.
+    cutoff = (
+        parse_ts_param(at)
+        .astimezone(_dt.timezone.utc)
+        .strftime("%Y-%m-%d %H:%M:%S.%f")
+    )
+    order = [F.col("ts").desc()] + ([F.col(seq_col).desc()] if seq_col else [])
+    w = Window.partitionBy(*KEY_COLS).orderBy(*order)
+    df = (
+        history.filter(F.col("ts") <= F.lit(cutoff))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return df.filter(F.col("active")) if only_active else df
+
+def moas_conflicts(state: DataFrame, min_origins: int = 2) -> DataFrame:
+    """Multiple-Origin-AS report over a *state* view (``current_state`` or
+    ``rib_asof`` output): per (rib, nlri_str), the sorted distinct origin
+    ASes announced by active routes across all sessions/paths, keeping
+    prefixes with ``>= min_origins`` distinct origins (default: actual
+    conflicts only; ``min_origins=1`` gives the full origin inventory).
+
+    Single hash-aggregate; ``origins`` is also rendered comma-joined
+    (``origins_str``) for engines/SIEMs without array types.
+    """
+    o = origin_as(F.col("aspath_flat"))
+    return (
+        state.select("rib", "nlri_str", o.alias("_origin"))
+        .filter(F.col("_origin").isNotNull())
+        .groupBy("rib", "nlri_str")
+        .agg(
+            F.array_sort(F.collect_set("_origin")).alias("origins"),
+            F.count_distinct("_origin").alias("n_origins"),
+        )
+        .filter(F.col("n_origins") >= F.lit(min_origins))
+        .withColumn("origins_str", F.array_join(F.col("origins"), ","))
+    )
+
+def prefix_churn(history: DataFrame, granularity_sec: int = 3600) -> DataFrame:
+    """Per-(rib, nlri_str, time-bucket) churn: announce/withdraw counts,
+    state flips (announce↔withdraw transitions), and sessions touched.
+
+    The flip count needs one lag per (rib, nlri, session, path) — the
+    ingest partitioning again — then everything rolls up map-side into
+    the bucket aggregate.
+    """
+    w = Window.partitionBy(*KEY_COLS).orderBy("ts")
+    flipped = F.when(
+        F.lag(F.col("active")).over(w).isNotNull()
+        & (F.lag(F.col("active")).over(w) != F.col("active")),
+        1,
+    ).otherwise(0)
+    return (
+        history.withColumn("_flip", flipped)
+        .groupBy("rib", "nlri_str", cut_millis(F.col("ts"), granularity_sec).alias("bucket"))
+        .agg(
+            F.sum(F.col("active").cast("bigint")).alias("n_updates"),
+            F.sum((~F.col("active")).cast("bigint")).alias("n_withdraws"),
+            F.sum("_flip").alias("n_flips"),
+            F.count_distinct("session_id").alias("n_sessions"),
+        )
+    )
+
+def top_flappers(history: DataFrame, k: int = 20) -> DataFrame:
+    """The k noisiest prefixes: total events + flips per (rib, nlri_str),
+    ordered by flips then events (deterministic tie-break on the key).
+    TakeOrdered top-k — no full sort at any scale.
+    """
+    w = Window.partitionBy(*KEY_COLS).orderBy("ts")
+    flipped = F.when(
+        F.lag(F.col("active")).over(w).isNotNull()
+        & (F.lag(F.col("active")).over(w) != F.col("active")),
+        1,
+    ).otherwise(0)
+    return (
+        history.withColumn("_flip", flipped)
+        .groupBy("rib", "nlri_str")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_flip").alias("n_flips"),
+        )
+        .orderBy(
+            F.col("n_flips").desc(), F.col("n_events").desc(), "rib", "nlri_str"
+        )
+        .limit(k)
+    )

@@ -1,0 +1,104 @@
+"""Training-data pipeline operators: deterministic sampling and sequence
+packing (BASELINE.json north star — the steps between dedup/quality
+filtering and writing tokenized shards).
+
+Both operators are *deterministic by construction* (hash-derived, no RNG
+state), which is what makes a 100 TB pipeline re-runnable: a retried
+task, a re-run day, or a different executor count all select exactly the
+same rows and produce exactly the same chunk layout.
+
+- :func:`stratified_sample` — per-stratum Bernoulli sampling keyed on a
+  stable id hash: e.g. keep 30% of English, 100% of low-resource
+  languages. One whole-stage-codegen filter, zero shuffles, and the
+  fraction actually delivered concentrates tightly around the target
+  (Chernoff) at any scale.
+- :func:`pack_sequences` — the concatenate-then-chunk layout used to
+  pack documents into fixed-size context windows: documents are
+  deterministically sharded, laid end-to-end per shard, and cut every
+  ``max_tokens``; each document learns its shard, token offset and the
+  chunk range it lands in. One window per shard (the shard IS the
+  partition key — each shard is one output file of a tokenizer run), so
+  parallelism = n_shards regardless of input size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.operators.text import portable_hash32, token_count_ws
+
+def uniform01(col: Column) -> Column:
+    """Deterministic uniform [0,1) from any key column: first 32 bits of
+    md5 scaled down — portable bit-for-bit to DuckDB (same construction
+    as the MinHash hashing, operators/dedup)."""
+    return portable_hash32(col.cast("string")) / F.lit(float(2**32))
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row iff ``uniform01(key||salt) < fraction[stratum]`` —
+    per-stratum Bernoulli sampling that is a pure filter (no shuffle, no
+    RNG), reproducible across retries/re-runs, and monotone in the
+    fraction: raising 0.3 → 0.5 keeps every previously-sampled row (the
+    property that makes incremental dataset growth append-only).
+    ``salt`` decorrelates independent sampling passes over the same keys.
+    """
+    u = uniform01(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    frac: Column = F.lit(float(default_fraction))
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == stratum, F.lit(float(f))).otherwise(frac)
+    return df.filter(u < frac)
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Concatenate-then-chunk packing plan: assign every document a shard
+    (stable id hash), lay documents end-to-end within the shard in id
+    order, and cut the stream every ``max_tokens``. Returns one row per
+    document: ``shard``, ``n_tokens``, ``start_offset`` (token position
+    in the shard stream), ``chunk_first``/``chunk_last`` (the context
+    windows the document spans) and ``n_chunks``.
+
+    This is the *plan* — the downstream tokenizer writes shard files by
+    reading documents grouped by (shard, chunk_first); empty documents
+    occupy zero tokens and land wholly in the chunk at their offset.
+
+    Pass ``n_tokens_col`` when token counts are precomputed (the real
+    pipeline tokenizes once); otherwise the whitespace count is used.
+    One running-sum window per shard; shards are hash-balanced so the
+    window partitions stay even at any input size.
+    """
+    nt = (
+        F.col(n_tokens_col) if n_tokens_col else token_count_ws(F.col(text_col))
+    ).cast("bigint")
+    shard = F.pmod(portable_hash32(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+        "int"
+    )
+    out = docs.select(F.col(id_col), shard.alias("shard"), nt.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = out.withColumn(
+        "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    )
+    chunk_first = F.floor(F.col("start_offset") / max_tokens)
+    last_token = F.col("start_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1
+    chunk_last = F.floor(last_token / max_tokens)
+    return (
+        out.withColumn("chunk_first", chunk_first)
+        .withColumn("chunk_last", chunk_last)
+        .withColumn("n_chunks", (chunk_last - chunk_first + 1).cast("bigint"))
+    )

@@ -1,0 +1,140 @@
+"""BGP time-series analytics (operators/analytics) and training-pipeline
+sampling/packing (operators/pipeline)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.operators import analytics, pipeline
+from bgpexplorer_spark.operators.ingest import build_history
+from bgpexplorer_spark.operators.rib import current_state
+from tests.ribdata import T0, make_updates, u
+
+# one prefix flapping across two sessions with diverging origins; a second
+# prefix announced once; a third withdrawn before the midpoint
+ROWS = [
+    u("10.0.0.0/16", t=0, session_id=0, aspath=[("Seq", [100, 300])]),
+    u("10.0.0.0/16", t=10, session_id=1, aspath=[("Seq", [100, 301])]),
+    u("10.0.0.0/16", t=20, session_id=0, op="withdraw"),
+    u("10.0.0.0/16", t=30, session_id=0, aspath=[("Seq", [100, 300])]),
+    u("10.1.0.0/16", t=5, session_id=0, aspath=[("Seq", [200, 400])]),
+    u("10.2.0.0/16", t=2, session_id=0, aspath=[("Seq", [200, 500])]),
+    u("10.2.0.0/16", t=8, session_id=0, op="withdraw"),
+]
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    return build_history(make_updates(spark, ROWS)).cache()
+
+def _millis(sec: int) -> int:
+    return int(T0.timestamp() * 1000) + sec * 1000
+
+def test_rib_asof_midpoint(hist):
+    # at t=25: 10.0/16 s0 is withdrawn (tombstone newest), s1 active;
+    # 10.1/16 active; 10.2/16 withdrawn
+    st = analytics.rib_asof(hist, _millis(25))
+    keys = {(r.nlri_str, r.session_id) for r in st.collect()}
+    assert keys == {("10.0.0.0/16", 1), ("10.1.0.0/16", 0)}
+
+def test_rib_asof_includes_tombstones_when_asked(hist):
+    st = analytics.rib_asof(hist, _millis(25), only_active=False)
+    rows = {(r.nlri_str, r.session_id): r.active for r in st.collect()}
+    assert rows[("10.0.0.0/16", 0)] is False  # tombstone visible
+    assert rows[("10.2.0.0/16", 0)] is False
+
+def test_rib_asof_before_everything_is_empty(hist):
+    assert analytics.rib_asof(hist, _millis(-10)).count() == 0
+
+def test_rib_asof_end_equals_current_state(hist):
+    asof = analytics.rib_asof(hist, _millis(10_000))
+    cur = current_state(hist)
+    assert sorted(map(tuple, asof.collect())) == sorted(map(tuple, cur.collect()))
+
+def test_moas_conflicts(hist):
+    out = {r.nlri_str: r for r in analytics.moas_conflicts(current_state(hist)).collect()}
+    # only 10.0/16 has two active sessions with different origins (300, 301)
+    assert set(out) == {"10.0.0.0/16"}
+    assert out["10.0.0.0/16"].origins_str == "300,301"
+    assert out["10.0.0.0/16"].n_origins == 2
+
+def test_moas_full_inventory(hist):
+    inv = {
+        r.nlri_str: r.origins_str
+        for r in analytics.moas_conflicts(current_state(hist), min_origins=1).collect()
+    }
+    assert inv["10.1.0.0/16"] == "400"
+
+def test_prefix_churn_counts_and_flips(hist):
+    rows = analytics.prefix_churn(hist, granularity_sec=3600).collect()
+    agg = {r.nlri_str: r for r in rows}
+    # 10.0/16 one bucket: 3 updates (2 s0 + 1 s1), 1 withdraw,
+    # flips within s0: upd->wd->upd = 2
+    assert agg["10.0.0.0/16"].n_updates == 3
+    assert agg["10.0.0.0/16"].n_withdraws == 1
+    assert agg["10.0.0.0/16"].n_flips == 2
+    assert agg["10.0.0.0/16"].n_sessions == 2
+    assert agg["10.2.0.0/16"].n_flips == 1
+
+def test_top_flappers_order(hist):
+    top = analytics.top_flappers(hist, k=2).collect()
+    assert top[0].nlri_str == "10.0.0.0/16" and top[0].n_flips == 2
+    assert top[1].n_flips == 1
+
+DOCS = [(i, " ".join(f"w{j}" for j in range(i % 7 + 1)), ["en", "de", "fr"][i % 3]) for i in range(60)]
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string").cache()
+
+def test_stratified_sample_deterministic(docs):
+    a = pipeline.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()
+    b = pipeline.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+def test_stratified_sample_monotone(docs):
+    small = {r.doc_id for r in pipeline.stratified_sample(docs, "lang", {"en": 0.3}, "doc_id").collect()}
+    big = {r.doc_id for r in pipeline.stratified_sample(docs, "lang", {"en": 0.6}, "doc_id").collect()}
+    assert small <= big  # raising the fraction only ADDS rows
+
+def test_stratified_sample_default_fraction(docs):
+    # default 0: strata not named are dropped entirely
+    out = pipeline.stratified_sample(docs, "lang", {"en": 1.0}, "doc_id").collect()
+    assert {r.lang for r in out} == {"en"}
+    assert len(out) == sum(1 for d in DOCS if d[2] == "en")  # frac 1.0 keeps all
+
+def test_stratified_sample_salt_decorrelates(docs):
+    a = {r.doc_id for r in pipeline.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id", salt="a").collect()}
+    b = {r.doc_id for r in pipeline.stratified_sample(docs, "lang", {"en": 0.5}, "doc_id", salt="b").collect()}
+    assert a != b  # different passes select different rows
+
+def test_pack_sequences_offsets_contiguous(docs):
+    out = pipeline.pack_sequences(docs, max_tokens=10, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rows:
+            assert r.start_offset == off  # end-to-end, no gaps
+            off += r.n_tokens
+
+def test_pack_sequences_chunk_spans(docs):
+    out = pipeline.pack_sequences(docs, max_tokens=10, n_shards=4).collect()
+    for r in out:
+        assert r.chunk_first == r.start_offset // 10
+        last = r.start_offset + max(r.n_tokens, 1) - 1
+        assert r.chunk_last == last // 10
+        assert r.n_chunks == r.chunk_last - r.chunk_first + 1
+        assert r.n_chunks >= 1
+
+def test_pack_sequences_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "d e")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in pipeline.pack_sequences(docs, 4, n_shards=1).collect()}
+    assert out[1].n_tokens == 0
+    assert out[1].n_chunks == 1  # occupies zero tokens but lands in one chunk
+    # total stream length = 5 tokens
+    assert sum(r.n_tokens for r in out.values()) == 5
