@@ -58,7 +58,7 @@ def main() -> None:
 
     # steady-state timing, prepared-statement style: build each query's
     # DataFrame ONCE (a resident service prepares its plans once), warm it
-    # (JIT + parquet footer caching), then report the median of 3 timed
+    # (JIT + parquet footer caching), then report the median of 5 timed
     # executions. Every timed count() re-runs the full job — there is no
     # result/data caching anywhere, only the analyzed plan is reused.
     times: dict[str, float] = {}
@@ -66,11 +66,11 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.count()  # warmup execution
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             df.count()
             runs.append(time.perf_counter() - t0)
-        times[name] = round(sorted(runs)[1], 4)
+        times[name] = round(sorted(runs)[2], 4)
         # drop this query's persisted intermediates and force a JVM GC so
         # the ContextCleaner reaps dead shuffle/broadcast state: in a short
         # local session the periodic cleaner (30 min default) never fires,
