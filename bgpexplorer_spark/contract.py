@@ -2696,3 +2696,61 @@ def pipe_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, 512, n_shards=8)
+
+@q(
+    "s2_bmp_lifecycle",
+    """
+    SELECT '10.255.0.' || CAST(p AS VARCHAR) AS peer_addr,
+           CAST(65000 + p AS BIGINT) AS peer_as,
+           CAST(2 AS BIGINT) AS n_intervals,
+           CAST(1 AS BIGINT) AS n_closed,
+           CAST((1704067000 + p) * 1000 AS BIGINT) AS first_up_ms,
+           CAST((1704067200 + p) * 1000 AS BIGINT) AS last_down_ms,
+           CAST(p % 3 + 1 AS INTEGER) AS reason,
+           CAST(p * 10 + 1 AS BIGINT) AS stat0,
+           CAST(p * 1000 + 5 AS BIGINT) AS stat7
+    FROM range(8) t(p)
+    """,
+)
+def s2_bmp_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 completion — BMP Peer Up/Down lifecycle + Stats Report decode
+    (RFC 7854 §4.8-4.10) from real frame bytes: session intervals paired
+    per peer (open second session has no down), per-peer counter rollup
+    joined in. The oracle is the closed form of the synthesized stream."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.sources.bmp import (
+        encode_bmp_peer_down, encode_bmp_peer_up, encode_bmp_stats,
+        peer_session_intervals, read_bmp_peer_events, read_bmp_stats,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = b""
+    for p in range(8):
+        ip, asn = 0x0AFF0000 + p, 65000 + p
+        stream += encode_bmp_peer_up(ip, asn, 1704067000 + p)
+        stream += encode_bmp_stats(
+            ip, asn, 1704067100 + p, [(0, p * 10 + 1), (7, p * 1000 + 5)]
+        )
+        stream += encode_bmp_peer_down(ip, asn, 1704067200 + p, p % 3 + 1)
+        stream += encode_bmp_peer_up(ip, asn, 1704067300 + p)
+    path = os.path.join(tempfile.gettempdir(), "bgpx_bmp_lifecycle.bmp")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(stream)
+    os.replace(tmp, path)
+
+    iv = peer_session_intervals(read_bmp_peer_events(spark, path))
+    ivagg = iv.groupBy("peer_addr", "peer_as").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("down_ts").isNotNull().cast("bigint")).alias("n_closed"),
+        ts_to_millis_col(F.min("up_ts")).alias("first_up_ms"),
+        ts_to_millis_col(F.max("down_ts")).alias("last_down_ms"),
+        F.max("down_reason").alias("reason"),
+    )
+    st = read_bmp_stats(spark, path).groupBy("peer_addr", "peer_as").agg(
+        F.sum(F.when(F.col("stat_type") == 0, F.col("stat_value"))).alias("stat0"),
+        F.max(F.when(F.col("stat_type") == 7, F.col("stat_value"))).alias("stat7"),
+    )
+    return ivagg.join(st, ["peer_addr", "peer_as"])

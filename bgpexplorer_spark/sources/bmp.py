@@ -10,9 +10,11 @@ payload reuses the MRT module's attribute/NLRI walk
 ``binaryFile`` + ``mapInPandas`` exactly like read_mrt.
 
 Handled message types: Route Monitoring (0) → update/withdraw rows;
-Peer Up (3) → a session-registration row in the peers list (the analog of
-src/bmppeer.rs:45-59 processmsg PeerUp). Stats/PeerDown/Initiation/
-Termination frames are skipped, not fatal.
+Peer Up (3) → session registration (the analog of src/bmppeer.rs:45-59
+processmsg PeerUp); Peer Down (2) + Peer Up → lifecycle events and
+session intervals (``read_bmp_peer_events`` / ``peer_session_intervals``);
+Stats Report (1) → per-peer counter rows (``read_bmp_stats``).
+Initiation/Termination frames are skipped, not fatal.
 """
 
 from __future__ import annotations
@@ -57,17 +59,7 @@ def parse_bmp(data: bytes) -> Iterator[dict]:
     length-prefixed messages, junk skipped."""
     import datetime as dt
 
-    off, n = 0, len(data)
-    while off + 6 <= n:
-        if data[off] != 3:  # resync: reference skips non-v3 bytes
-            off += 1
-            continue
-        msglen = struct.unpack(">I", data[off + 1 : off + 5])[0]
-        if msglen < 6 or off + msglen > n:
-            break
-        mtype = data[off + 5]
-        body = data[off + 6 : off + msglen]
-        off += msglen
+    for mtype, body in _walk_frames(data):
         if mtype != BMP_ROUTE_MONITORING or len(body) < _PER_PEER_LEN + 19:
             continue
         peer_addr, peer_as, ts_f = _parse_per_peer(body, 0)
@@ -88,17 +80,7 @@ def parse_bmp_sessions(data: bytes) -> list[tuple[str, int]]:
     register_session analog): distinct (peer_addr, peer_as) in arrival
     order."""
     out: list[tuple[str, int]] = []
-    off, n = 0, len(data)
-    while off + 6 <= n:
-        if data[off] != 3:
-            off += 1
-            continue
-        msglen = struct.unpack(">I", data[off + 1 : off + 5])[0]
-        if msglen < 6 or off + msglen > n:
-            break
-        mtype = data[off + 5]
-        body = data[off + 6 : off + msglen]
-        off += msglen
+    for mtype, body in _walk_frames(data):
         if mtype == BMP_PEER_UP and len(body) >= _PER_PEER_LEN:
             peer_addr, peer_as, _ = _parse_per_peer(body, 0)
             if (peer_addr, peer_as) not in out:
@@ -157,3 +139,157 @@ def encode_bmp_route_monitoring(
     mrt.encode_update internals or build directly)."""
     bgp_msg = b"\xff" * 16 + struct.pack(">HB", 19 + len(update_body), 2) + update_body
     return _frame(BMP_ROUTE_MONITORING, _per_peer(peer_ip, peer_as, ts_sec) + bgp_msg)
+
+
+# --- peer lifecycle + statistics (RFC 7854 §4.8, §4.9, §4.10) ---------------
+
+BMP_STATS = 1
+BMP_TERMINATION = 5
+
+# stat types 7 and 8 are 64-bit gauges; everything else here is u32/u64 by
+# TLV length (parsed generically below)
+PEER_EVENTS_SCHEMA = (
+    "event string, peer_addr string, peer_as bigint, ts timestamp, reason int"
+)
+STATS_SCHEMA = (
+    "peer_addr string, peer_as bigint, ts timestamp, stat_type int, stat_value bigint"
+)
+
+
+def _walk_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """The v3 framing walk shared by all BMP parsers (resync on junk,
+    src/bmppeer.rs:65-131)."""
+    off, n = 0, len(data)
+    while off + 6 <= n:
+        if data[off] != 3:
+            off += 1
+            continue
+        msglen = struct.unpack(">I", data[off + 1 : off + 5])[0]
+        if msglen < 6 or off + msglen > n:
+            break
+        yield data[off + 5], data[off + 6 : off + msglen]
+        off += msglen
+
+
+def _ts_naive(ts_f: float):
+    import datetime as dt
+
+    return dt.datetime.fromtimestamp(ts_f, tz=dt.timezone.utc).replace(tzinfo=None)
+
+
+def parse_bmp_peer_events(data: bytes) -> Iterator[dict]:
+    """Peer Up (3) / Peer Down (2) frames → session lifecycle events.
+    Peer Down carries a 1-byte reason (RFC 7854 §4.9); reason payload
+    (e.g. the NOTIFICATION PDU for reasons 1/3) is not decoded."""
+    for mtype, body in _walk_frames(data):
+        if len(body) < _PER_PEER_LEN:
+            continue
+        if mtype == BMP_PEER_UP:
+            peer_addr, peer_as, ts_f = _parse_per_peer(body, 0)
+            yield {
+                "event": "up", "peer_addr": peer_addr, "peer_as": peer_as,
+                "ts": _ts_naive(ts_f), "reason": None,
+            }
+        elif mtype == BMP_PEER_DOWN and len(body) >= _PER_PEER_LEN + 1:
+            peer_addr, peer_as, ts_f = _parse_per_peer(body, 0)
+            yield {
+                "event": "down", "peer_addr": peer_addr, "peer_as": peer_as,
+                "ts": _ts_naive(ts_f), "reason": body[_PER_PEER_LEN],
+            }
+
+
+def parse_bmp_stats(data: bytes) -> Iterator[dict]:
+    """Stats Report (1) frames → one row per TLV counter (RFC 7854 §4.8:
+    per-peer header, u32 count, then (type u16, len u16, value) TLVs —
+    u32 counters and u64 gauges both land in a BIGINT). Truncated TLVs
+    end the frame's walk without failing the stream."""
+    for mtype, body in _walk_frames(data):
+        if mtype != BMP_STATS or len(body) < _PER_PEER_LEN + 4:
+            continue
+        peer_addr, peer_as, ts_f = _parse_per_peer(body, 0)
+        ts = _ts_naive(ts_f)
+        count = struct.unpack(">I", body[_PER_PEER_LEN : _PER_PEER_LEN + 4])[0]
+        p = _PER_PEER_LEN + 4
+        for _ in range(count):
+            if p + 4 > len(body):
+                break
+            st, ln = struct.unpack(">HH", body[p : p + 4])
+            if p + 4 + ln > len(body):
+                break
+            val = int.from_bytes(body[p + 4 : p + 4 + ln], "big")
+            p += 4 + ln
+            yield {
+                "peer_addr": peer_addr, "peer_as": peer_as, "ts": ts,
+                "stat_type": st, "stat_value": val,
+            }
+
+
+def _read_via(spark: SparkSession, path: str, parser, schema: str) -> DataFrame:
+    import pandas as pd
+
+    cols = [c.split()[0] for c in schema.split(",")]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(parser(bytes(content)))
+            yield pd.DataFrame(rows, columns=[c.strip() for c in cols]) if rows \
+                else pd.DataFrame(columns=[c.strip() for c in cols])
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode, schema)
+
+
+def read_bmp_peer_events(spark: SparkSession, path: str) -> DataFrame:
+    """BMP capture → peer up/down lifecycle events DataFrame."""
+    return _read_via(spark, path, parse_bmp_peer_events, PEER_EVENTS_SCHEMA)
+
+
+def read_bmp_stats(spark: SparkSession, path: str) -> DataFrame:
+    """BMP capture → per-peer statistics counters DataFrame."""
+    return _read_via(spark, path, parse_bmp_stats, STATS_SCHEMA)
+
+
+def peer_session_intervals(events: DataFrame) -> DataFrame:
+    """Pair each 'up' with the next 'down' of the same peer → session
+    intervals (up_ts, down_ts, down_reason); an 'up' with no later 'down'
+    is an open session (down_ts/down_reason NULL). One window per
+    (peer_addr, peer_as) — the natural shuffle key for any number of
+    monitored routers."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("peer_addr", "peer_as").orderBy("ts")
+    nxt_evt = F.lead("event").over(w)
+    nxt_ts = F.lead("ts").over(w)
+    nxt_reason = F.lead("reason").over(w)
+    return (
+        events.withColumn("_ne", nxt_evt)
+        .withColumn("_nt", nxt_ts)
+        .withColumn("_nr", nxt_reason)
+        .filter(F.col("event") == "up")
+        .select(
+            "peer_addr", "peer_as",
+            F.col("ts").alias("up_ts"),
+            F.when(F.col("_ne") == "down", F.col("_nt")).alias("down_ts"),
+            F.when(F.col("_ne") == "down", F.col("_nr")).alias("down_reason"),
+        )
+    )
+
+
+def encode_bmp_peer_down(peer_ip: int, peer_as: int, ts_sec: int, reason: int) -> bytes:
+    return _frame(BMP_PEER_DOWN, _per_peer(peer_ip, peer_as, ts_sec) + bytes([reason]))
+
+
+def encode_bmp_stats(
+    peer_ip: int, peer_as: int, ts_sec: int, stats: list[tuple[int, int]]
+) -> bytes:
+    """``stats`` = [(stat_type, value)]; types 7/8 encode as u64 gauges,
+    the rest as u32 counters (RFC 7854 §4.8)."""
+    tlvs = b""
+    for st, val in stats:
+        width = 8 if st in (7, 8) else 4
+        tlvs += struct.pack(">HH", st, width) + val.to_bytes(width, "big")
+    body = _per_peer(peer_ip, peer_as, ts_sec) + struct.pack(">I", len(stats)) + tlvs
+    return _frame(BMP_STATS, body)

@@ -107,3 +107,61 @@ def test_bmp_roundtrip_property():
         assert int(
             r["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
         ) == ts, trial
+
+
+# --- peer lifecycle + stats (RFC 7854 §4.8-4.10) ---------------------------
+
+
+def test_peer_events_and_stats_roundtrip():
+    from bgpexplorer_spark.sources.bmp import (
+        encode_bmp_peer_down, encode_bmp_peer_up, encode_bmp_stats,
+        parse_bmp_peer_events, parse_bmp_stats,
+    )
+
+    stream = encode_bmp_peer_up(0x0A000001, 65001, 1704067000)
+    stream += encode_bmp_stats(0x0A000001, 65001, 1704067100, [(0, 42), (7, 2**40)])
+    stream += b"\x99junk"  # resync survives mid-stream garbage
+    stream += encode_bmp_peer_down(0x0A000001, 65001, 1704067200, 2)
+    evts = list(parse_bmp_peer_events(stream))
+    assert [e["event"] for e in evts] == ["up", "down"]
+    assert evts[1]["reason"] == 2
+    stats = list(parse_bmp_stats(stream))
+    assert [(s["stat_type"], s["stat_value"]) for s in stats] == [(0, 42), (7, 2**40)]
+
+
+def test_stats_truncated_tlv_not_fatal():
+    from bgpexplorer_spark.sources.bmp import (
+        encode_bmp_peer_up, encode_bmp_stats, parse_bmp_peer_events, parse_bmp_stats,
+    )
+
+    good = encode_bmp_stats(0x0A000001, 65001, 1704067000, [(0, 7)])
+    # corrupt: claim 5 TLVs but provide 1 — the walk stops, stream continues
+    bad = bytearray(good)
+    bad[6 + 42 : 6 + 46] = (5).to_bytes(4, "big")
+    stream = bytes(bad) + encode_bmp_peer_up(0x0A000002, 65002, 1704067100)
+    stats = list(parse_bmp_stats(stream))
+    assert [(s["stat_type"], s["stat_value"]) for s in stats] == [(0, 7)]
+    assert [e["event"] for e in parse_bmp_peer_events(stream)] == ["up"]
+
+
+def test_session_intervals_pairing(spark, tmp_path):
+    from bgpexplorer_spark.sources.bmp import (
+        encode_bmp_peer_down, encode_bmp_peer_up,
+        peer_session_intervals, read_bmp_peer_events,
+    )
+
+    stream = encode_bmp_peer_up(0x0A000001, 65001, 1000000000)
+    stream += encode_bmp_peer_down(0x0A000001, 65001, 1000000100, 3)
+    stream += encode_bmp_peer_up(0x0A000001, 65001, 1000000200)  # reopened
+    stream += encode_bmp_peer_up(0x0A000002, 65002, 1000000050)  # never down
+    f = tmp_path / "cap.bmp"
+    f.write_bytes(stream)
+    iv = peer_session_intervals(read_bmp_peer_events(spark, str(f))).collect()
+    by_peer = {}
+    for r in iv:
+        by_peer.setdefault(r.peer_addr, []).append(r)
+    one = sorted(by_peer["10.0.0.1"], key=lambda r: r.up_ts)
+    assert len(one) == 2
+    assert one[0].down_reason == 3 and one[0].down_ts is not None
+    assert one[1].down_ts is None  # open session
+    assert by_peer["10.0.0.2"][0].down_ts is None
