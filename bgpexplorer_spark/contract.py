@@ -2754,3 +2754,72 @@ def s2_bmp_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("stat_type") == 7, F.col("stat_value"))).alias("stat7"),
     )
     return ivagg.join(st, ["peer_addr", "peer_as"])
+
+@q(
+    "an_aspath_prepends",
+    f"""
+    SELECT event_id,
+           CAST(event_id % 4 + 3 AS INTEGER) AS path_len,
+           CAST(3 - CASE WHEN user_id % 5 = event_id % 7 THEN 1 ELSE 0 END
+                AS INTEGER) AS uniq_len,
+           CAST(event_id % 4 + CASE WHEN user_id % 5 = event_id % 7 THEN 1
+                ELSE 0 END AS INTEGER) AS n_prepends
+    FROM events
+    """,
+)
+def an_aspath_prepends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-path prepend detection (operators/analytics.aspath_prepend_stats):
+    consecutive-duplicate hops counted by a pure array fold — derived
+    paths [100+u%5 x (e%4+1), 100+e%7, 300+e%3] carry e%4 deliberate
+    prepends plus an occasional adjacent collision; the oracle is the
+    closed form."""
+    from bgpexplorer_spark.operators.analytics import aspath_prepend_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    path = F.concat(
+        F.array_repeat(
+            (F.lit(100) + F.col("user_id") % 5).cast("bigint"),
+            (F.col("event_id") % 4 + 1).cast("int"),
+        ),
+        F.array(
+            (F.lit(100) + F.col("event_id") % 7).cast("bigint"),
+            (F.lit(300) + F.col("event_id") % 3).cast("bigint"),
+        ),
+    )
+    st = aspath_prepend_stats(path)
+    return ev.select(
+        "event_id",
+        st.getField("path_len").alias("path_len"),
+        st.getField("uniq_len").alias("uniq_len"),
+        st.getField("n_prepends").alias("n_prepends"),
+    )
+
+@q(
+    "an_origin_changes",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    act AS (SELECT * FROM hist2 WHERE active),
+    flow AS (
+        SELECT nlri_str, ts, origin_as,
+               lag(origin_as) OVER (PARTITION BY nlri_str ORDER BY ts)
+                   AS prev_origin
+        FROM act
+    )
+    SELECT nlri_str, epoch_ms(ts) AS ts_ms, prev_origin,
+           origin_as AS new_origin
+    FROM flow WHERE prev_origin IS NOT NULL AND prev_origin <> origin_as
+    """,
+)
+def an_origin_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-AS change timeline (operators/analytics.origin_changes) —
+    the raw feed a hijack detector consumes: every active announcement
+    whose origin differs from the prefix's previous active announcement."""
+    from bgpexplorer_spark.operators.analytics import origin_changes
+
+    hist = _origins_history(spark, sf_dir)
+    return origin_changes(hist).select(
+        "nlri_str",
+        ts_to_millis_col(F.col("ts")).alias("ts_ms"),
+        "prev_origin",
+        "new_origin",
+    )

@@ -146,3 +146,43 @@ def top_flappers(history: DataFrame, k: int = 20) -> DataFrame:
         )
         .limit(k)
     )
+
+def aspath_prepend_stats(aspath_flat: Column) -> Column:
+    """Path inflation metrics from the flattened AS path — a struct of
+    ``(path_len, uniq_len, n_prepends)`` where ``n_prepends`` counts
+    consecutive-duplicate hops (the standard traffic-engineering prepend;
+    an AS appearing twice NON-adjacently — a route leak shape — is not a
+    prepend and leaves uniq_len alone). Pure fold over the array column,
+    whole-stage codegen, no UDF."""
+    # keep hop i iff it differs from hop i-1 (element_at is 1-based, so
+    # for 0-based index i the predecessor is element_at(arr, i))
+    dedup_adjacent = F.filter(
+        aspath_flat,
+        lambda x, i: (i == F.lit(0)) | (x != F.element_at(aspath_flat, i)),
+    )
+    path_len = F.size(aspath_flat)
+    uniq_len = F.size(dedup_adjacent)
+    return F.struct(
+        path_len.alias("path_len"),
+        uniq_len.alias("uniq_len"),
+        (path_len - uniq_len).alias("n_prepends"),
+    )
+
+def origin_changes(history: DataFrame) -> DataFrame:
+    """Origin-AS change timeline per (rib, nlri_str): each row where the
+    origin differs from the previous *active* announcement of the same
+    prefix (any session) — the raw feed a hijack detector consumes.
+    Output: rib, nlri_str, ts, prev_origin, new_origin. One window on
+    (rib, nlri_str) over active rows only."""
+    o = origin_as(F.col("aspath_flat"))
+    w = Window.partitionBy("rib", "nlri_str").orderBy("ts")
+    act = history.filter(F.col("active")).withColumn("_o", o)
+    return (
+        act.withColumn("_prev", F.lag("_o").over(w))
+        .filter(F.col("_prev").isNotNull() & (F.col("_prev") != F.col("_o")))
+        .select(
+            "rib", "nlri_str", "ts",
+            F.col("_prev").alias("prev_origin"),
+            F.col("_o").alias("new_origin"),
+        )
+    )

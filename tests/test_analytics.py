@@ -138,3 +138,26 @@ def test_pack_sequences_empty_doc(spark):
     assert out[1].n_chunks == 1  # occupies zero tokens but lands in one chunk
     # total stream length = 5 tokens
     assert sum(r.n_tokens for r in out.values()) == 5
+
+def test_aspath_prepend_stats(spark):
+    df = spark.createDataFrame(
+        [(1, [100, 100, 100, 200, 300]), (2, [100, 200, 100]), (3, [7]), (4, [])],
+        "id long, p array<bigint>",
+    )
+    out = {
+        r.id: r.st
+        for r in df.select(
+            "id", analytics.aspath_prepend_stats(F.col("p")).alias("st")
+        ).collect()
+    }
+    assert (out[1].path_len, out[1].uniq_len, out[1].n_prepends) == (5, 3, 2)
+    # non-adjacent repeat (a leak shape) is NOT a prepend
+    assert (out[2].uniq_len, out[2].n_prepends) == (3, 0)
+    assert out[3].uniq_len == 1
+    assert (out[4].path_len, out[4].n_prepends) == (0, 0)
+
+def test_origin_changes(hist):
+    out = analytics.origin_changes(hist).collect()
+    # 10.0/16 active announcements in ts order: 300 (s0), 301 (s1), 300 (s0)
+    assert [(r.prev_origin, r.new_origin) for r in out] == [(300, 301), (301, 300)]
+    assert all(r.nlri_str == "10.0.0.0/16" for r in out)
