@@ -2823,3 +2823,73 @@ def an_origin_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_origin",
         "new_origin",
     )
+
+@q(
+    "o5_lpm_v6_join",
+    """
+    WITH r AS (
+        SELECT DISTINCT
+               CAST(floor(((user_id % 64) * 65536 + (event_id % 256) * 256)
+                    / power(2, 64 - (48 + (event_id % 5) * 4))) AS BIGINT)
+                 * CAST(power(2, 64 - (48 + (event_id % 5) * 4)) AS BIGINT)
+                 AS val_c,
+               48 + (event_id % 5) * 4 AS plen
+        FROM events
+    ),
+    h AS (
+        SELECT event_id,
+               (user_id % 64) * 65536 + (event_id % 256) * 256 + event_id % 16
+                   AS w
+        FROM events
+    ),
+    cand AS (
+        SELECT h.event_id, h.w, p.plen,
+               CAST(floor(h.w / power(2, 64 - p.plen)) AS BIGINT)
+                 * CAST(power(2, 64 - p.plen) AS BIGINT) AS w_c
+        FROM h CROSS JOIN (VALUES (48), (52), (56), (60), (64)) p(plen)
+    ),
+    hit AS (
+        SELECT c.event_id, c.w_c, c.plen,
+               row_number() OVER (PARTITION BY c.event_id
+                                  ORDER BY c.plen DESC) AS rk
+        FROM cand c JOIN r ON r.val_c = c.w_c AND r.plen = c.plen
+    )
+    SELECT event_id,
+           '20010DB8' || upper(lpad(hex(w_c), 8, '0')) || '0000000000000000'
+               AS matched_hex,
+           CAST(plen AS INTEGER) AS matched_prefixlen
+    FROM hit WHERE rk = 1
+    """,
+)
+def o5_lpm_v6_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 generalized for IPv6 (operators/lpm.lpm_join_v6): longest-prefix
+    match over real BINARY(16) keys — candidate masking per occurring
+    prefix length, equi-join, map-side-combinable longest-hit pick. Routes
+    and hosts derive 2001:db8::/32 space with the variable 32-bit word in
+    bytes 4-7 (the f2 derivation); the oracle mirrors the arithmetic on
+    that word."""
+    from bgpexplorer_spark.operators.lpm import lpm_join_v6
+
+    ev = load_table(spark, sf_dir, "events")
+    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
+    val = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
+        "bigint"
+    )
+    span = F.pow(F.lit(2.0), (F.lit(64) - plen)).cast("bigint")
+    val_c = F.floor(val / span).cast("bigint") * span
+    to_bin = lambda word: F.unhex(  # noqa: E731
+        F.concat(F.lit("20010DB8"), F.lpad(F.hex(word), 8, "0"), F.lit("0" * 16))
+    )
+    routes = ev.select(to_bin(val_c).alias("addr_v6"), plen.alias("prefixlen")).distinct()
+    w = (
+        (F.col("user_id") % 64) * 65536
+        + (F.col("event_id") % 256) * 256
+        + F.col("event_id") % 16
+    ).cast("bigint")
+    hosts = ev.select("event_id", to_bin(w).alias("addr_v6"))
+    out = lpm_join_v6(hosts, routes, plens=[48, 52, 56, 60, 64])
+    return out.select(
+        "event_id",
+        F.upper(F.hex("matched_addr_v6")).alias("matched_hex"),
+        F.col("matched_prefixlen").cast("int").alias("matched_prefixlen"),
+    )

@@ -77,3 +77,79 @@ def lpm_join_v4(
             *[F.col(f"_best.{c}").alias(c) for c in route_extra],
         )
     )
+
+def _mask_v6(addr: Column, plen: int) -> Column:
+    """First ``plen`` bits of a BINARY(16) address, zero-padded to 16
+    bytes — the canonical network address at a LITERAL prefix length
+    (each candidate length gets its own codegen'd expression; no UDF)."""
+    from bgpexplorer_spark.functions.iputil import _v6_byte
+
+    if plen <= 0:
+        return F.lit(bytes(16))
+    full, rem = divmod(min(plen, 128), 8)
+    parts: list[Column] = []
+    if full:
+        parts.append(F.substring(addr, 1, full))
+    if rem:
+        keep = _v6_byte(addr, full).bitwiseAND(F.lit(0xFF ^ (0xFF >> rem)))
+        parts.append(F.unhex(F.lpad(F.hex(keep), 2, "0")))
+    pad = 16 - full - (1 if rem else 0)
+    if pad:
+        parts.append(F.lit(bytes(pad)))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
+
+def lpm_join_v6(
+    hosts: DataFrame,
+    routes: DataFrame,
+    host_addr: str = "addr_v6",
+    route_addr: str = "addr_v6",
+    route_plen: str = "prefixlen",
+    plens: list[int] | None = None,
+) -> DataFrame:
+    """IPv6 longest-prefix-match join — the BINARY(16) analog of
+    :func:`lpm_join_v4`: one masked candidate per occurring prefix length
+    (≤129 worst case, a handful in a real v6 table), equi-join on
+    (masked_addr, prefixlen), keep the longest hit via the map-side
+    combinable ``groupBy + max(struct)``. Same 100 TB posture: no
+    theta/range join, one shuffle on the join key.
+    """
+    if plens is None:
+        plens = [r[0] for r in routes.select(route_plen).distinct().collect()]
+    plens = sorted(int(x) for x in plens)
+    if not plens:
+        return hosts.limit(0).crossJoin(routes.limit(0))
+
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(pl).alias("_plen"),
+                _mask_v6(F.col(host_addr), pl).alias("_net"),
+            )
+            for pl in plens
+        ]
+    )
+    exploded = hosts.withColumn("_cand", F.explode(cand)).select(
+        "*", F.col("_cand._plen").alias("_plen"), F.col("_cand._net").alias("_net")
+    ).drop("_cand")
+
+    joined = exploded.join(
+        routes.withColumnRenamed(route_addr, "_net").withColumnRenamed(route_plen, "_plen"),
+        ["_net", "_plen"],
+        "inner",
+    )
+    host_cols = [c for c in hosts.columns]
+    route_extra = [c for c in joined.columns if c not in host_cols and c not in ("_net", "_plen")]
+    return (
+        joined.groupBy(*host_cols)
+        .agg(
+            F.max(
+                F.struct(F.col("_plen"), F.col("_net"), *[F.col(c) for c in route_extra])
+            ).alias("_best")
+        )
+        .select(
+            *host_cols,
+            F.col("_best._net").alias("matched_" + route_addr),
+            F.col("_best._plen").alias("matched_" + route_plen),
+            *[F.col(f"_best.{c}").alias(c) for c in route_extra],
+        )
+    )

@@ -220,3 +220,43 @@ def test_posting_table_semijoin_matches_predicate_path(spark):
     assert {r.nlri_str for r in both.select("nlri_str").collect()} == {"10.0.0.0/24"}
     # missing posting value short-circuits to empty
     assert semi_join_postings(hist, asn, [999]).count() == 0
+
+
+def test_lpm_join_v6_matches_ipaddress_model(spark):
+    import ipaddress
+    import random
+
+    from bgpexplorer_spark.operators.lpm import lpm_join_v6
+
+    random.seed(7)
+    nets = set()
+    for _ in range(60):
+        plen = random.choice([16, 32, 48, 52, 64, 96, 128])
+        raw = random.getrandbits(128)
+        net = ipaddress.IPv6Network((raw, plen), strict=False)
+        nets.add((net.network_address.packed, plen))
+    nets = sorted(nets)
+    hosts = []
+    for i in range(150):
+        if random.random() < 0.7:  # bias onto the nets so matches exist
+            base, plen = random.choice(nets)
+            a = int.from_bytes(base, "big") | random.getrandbits(128 - plen)
+        else:
+            a = random.getrandbits(128)
+        hosts.append((i, a.to_bytes(16, "big")))
+    rdf = spark.createDataFrame(nets, "addr_v6 binary, prefixlen int")
+    hdf = spark.createDataFrame(hosts, "hid long, addr_v6 binary")
+    got = {
+        r.hid: (bytes(r.matched_addr_v6), r.matched_prefixlen)
+        for r in lpm_join_v6(hdf, rdf).collect()
+    }
+    netobjs = [
+        (ipaddress.IPv6Network((int.from_bytes(b, "big"), p)), b, p) for b, p in nets
+    ]
+    for hid, ab in hosts:
+        a = ipaddress.IPv6Address(int.from_bytes(ab, "big"))
+        best = None
+        for net, b, p in netobjs:
+            if a in net and (best is None or p > best[1]):
+                best = (b, p)
+        assert got.get(hid) == best
