@@ -197,3 +197,60 @@ def test_ivf_at_rest_partition_pruning(spark, tmp_path):
         for r in ivf_topk(emb, q, k=10, nprobe=1, n_centroids=2).collect()
     ]
     assert got == want and [v for v, _ in got] == [0, 2, 3]
+
+def test_rib_asof_cutoff_pushes_down_to_scan(spark):
+    from bgpexplorer_spark.operators.analytics import rib_asof
+
+    rows = [u(f"10.{i % 20}.0.0/16", t=i * 90000) for i in range(40)]
+    hist = build_history(make_updates(spark, rows))
+    d = tempfile.mkdtemp()
+    write_snapshot(hist, d)
+    df = spark.read.parquet(d).drop("ts_date")
+
+    plan = _plan(rib_asof(df, "2024-01-02T00:00:00Z"))
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    # the string-literal cutoff coerces to the column type -> pushed scan
+    # filter (an explicit cast on ts would read every row group)
+    assert "LessThanOrEqual(ts" in pushed
+
+def test_analytics_have_no_python_udfs(spark):
+    from bgpexplorer_spark.operators import analytics
+    from bgpexplorer_spark.operators.rib import current_state
+
+    rows = [
+        u("10.0.0.0/16", t=i, session_id=i % 2, aspath=[("Seq", [100, 200 + i % 3])])
+        for i in range(10)
+    ]
+    hist = build_history(make_updates(spark, rows))
+    for df in (
+        analytics.rib_asof(hist, "2024-01-01T00:00:05Z"),
+        analytics.moas_conflicts(current_state(hist)),
+        analytics.prefix_churn(hist),
+        analytics.top_flappers(hist),
+        analytics.origin_changes(hist),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_pipeline_sample_is_scan_plus_filter_only(spark):
+    from bgpexplorer_spark.operators.pipeline import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en") for i in range(10)], "doc_id long, text string, lang string"
+    )
+    plan = _plan(stratified_sample(docs, "lang", {"en": 0.5}, "doc_id"))
+    # pure narrow plan: no exchange (shuffle) anywhere
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_pack_sequences_partitions_by_shard(spark):
+    from bgpexplorer_spark.operators.pipeline import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(pack_sequences(docs, 512, n_shards=8))
+    # ONE hash exchange on the shard key feeds the running-sum window --
+    # parallelism = n_shards regardless of input size
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "shard" in plan.split("Exchange hashpartitioning")[1][:60]
