@@ -2468,7 +2468,8 @@ _ORIGIN_HIST_CTES = """upd2 AS (
                CAST(addr_v4 % 256 AS BIGINT) || '/' ||
                CAST(prefixlen AS VARCHAR) AS nlri_str,
                addr_v4, prefixlen,
-               CAST(200 + event_id % 3 AS BIGINT) AS origin_raw
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_raw,
+               CAST(100 + user_id % 8 AS BIGINT) AS as1_raw
         FROM ({derived})
     ),
     filled2 AS (
@@ -2893,3 +2894,56 @@ def o5_lpm_v6_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.hex("matched_addr_v6")).alias("matched_hex"),
         F.col("matched_prefixlen").cast("int").alias("matched_prefixlen"),
     )
+
+@q(
+    "an_as_adjacency",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active)
+    SELECT as1_raw AS as_a, origin_as AS as_b,
+           count(*) AS n_routes
+    FROM state GROUP BY 1, 2
+    """,
+)
+def an_as_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS adjacency graph (operators/analytics.as_adjacency): directed
+    edges between consecutive path hops across the active state, weighted
+    by route count — the AS-topology view a path analyst derives first."""
+    from bgpexplorer_spark.operators.analytics import as_adjacency
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = _origins_history(spark, sf_dir)
+    return as_adjacency(current_state(hist))
+
+@q(
+    "pipe_mixture_stats",
+    f"""
+    WITH per AS (
+        SELECT lang AS stratum, count(*) AS n_docs,
+               CAST(SUM(len({_duck_tokens('text')})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+               CAST(SUM(n_tokens) AS BIGINT) AS tt
+        FROM per
+    )
+    SELECT stratum, n_docs, n_tokens,
+           round(n_docs / td, 6) AS doc_share,
+           round(n_tokens / tt, 6) AS token_share
+    FROM per, tot
+    """,
+)
+def pipe_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture report (operators/pipeline.mixture_stats): per-lang
+    document/token totals and shares — the numbers a training-mix designer
+    weights against."""
+    from bgpexplorer_spark.operators.pipeline import mixture_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_stats(docs, "lang")

@@ -186,3 +186,29 @@ def origin_changes(history: DataFrame) -> DataFrame:
             F.col("_o").alias("new_origin"),
         )
     )
+
+def as_adjacency(state: DataFrame, min_count: int = 1) -> DataFrame:
+    """AS-level adjacency graph from announced paths: one row per
+    directed edge (as_a -> as_b appearing consecutively in some AS path),
+    with the number of (prefix, session) routes carrying it. Prepend
+    duplicates collapse first so a prepended hop never counts as a
+    self-edge. Explode + hash-aggregate — the standard edge-extraction
+    shape at any scale."""
+    dedup = F.filter(
+        F.col("aspath_flat"),
+        lambda x, i: (i == F.lit(0))
+        | (x != F.element_at(F.col("aspath_flat"), i)),
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(dedup) - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(dedup, i).alias("as_a"),
+            F.element_at(dedup, i + 1).alias("as_b"),
+        ),
+    )
+    return (
+        state.select(F.explode(pairs).alias("_e"))
+        .groupBy(F.col("_e.as_a").alias("as_a"), F.col("_e.as_b").alias("as_b"))
+        .agg(F.count(F.lit(1)).alias("n_routes"))
+        .filter(F.col("n_routes") >= F.lit(min_count))
+    )

@@ -102,3 +102,33 @@ def pack_sequences(
         .withColumn("chunk_last", chunk_last)
         .withColumn("n_chunks", (chunk_last - chunk_first + 1).cast("bigint"))
     )
+
+def mixture_stats(
+    docs: DataFrame,
+    strata_col: str,
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Dataset mixture report per stratum (the numbers a training-mix
+    designer needs): document count, token total, and each stratum's
+    share of both — one hash-aggregate plus a broadcast of the single
+    totals row."""
+    nt = (
+        F.col(n_tokens_col) if n_tokens_col else token_count_ws(F.col(text_col))
+    ).cast("bigint")
+    per = docs.select(F.col(strata_col).alias("stratum"), nt.alias("_nt")).groupBy(
+        "stratum"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_td"), F.sum("n_tokens").alias("_tt")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
+        F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("token_share"),
+    )

@@ -161,3 +161,22 @@ def test_origin_changes(hist):
     # 10.0/16 active announcements in ts order: 300 (s0), 301 (s1), 300 (s0)
     assert [(r.prev_origin, r.new_origin) for r in out] == [(300, 301), (301, 300)]
     assert all(r.nlri_str == "10.0.0.0/16" for r in out)
+
+def test_as_adjacency(spark):
+    rows = [
+        u("10.0.0.0/16", t=0, aspath=[("Seq", [100, 100, 200, 300])]),  # prepend collapses
+        u("10.1.0.0/16", t=1, aspath=[("Seq", [100, 200])]),
+        u("10.2.0.0/16", t=2, aspath=[("Seq", [200, 300])]),
+    ]
+    st = current_state(build_history(make_updates(spark, rows)))
+    edges = {(r.as_a, r.as_b): r.n_routes for r in analytics.as_adjacency(st).collect()}
+    assert edges == {(100, 200): 2, (200, 300): 2}  # no (100,100) self-edge
+
+def test_mixture_stats(docs):
+    out = {r.stratum: r for r in pipeline.mixture_stats(docs, "lang").collect()}
+    assert set(out) == {"en", "de", "fr"}
+    assert sum(r.n_docs for r in out.values()) == len(DOCS)
+    assert abs(sum(r.doc_share for r in out.values()) - 1.0) < 1e-5
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-5
+    # en docs are ids 0,3,6,... -> 20 docs
+    assert out["en"].n_docs == 20
