@@ -43,6 +43,10 @@ BENCH_QUERIES = [
     "dedup_lsh_verified",
     # real wire-format ingestion: MRT decode → build_history
     "s1_mrt_decode",
+    # RIB time travel (ingest build + as-of window)
+    "o9_rib_asof",
+    # training-pipeline packing (hash shard + running-sum window)
+    "pipe_pack_sequences",
 ]
 
 def main() -> None:

@@ -2947,3 +2947,51 @@ def pipe_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_stats(docs, "lang")
+
+@q(
+    "s1_mrt_state_changes",
+    """
+    SELECT '10.255.1.' || CAST(i % 6 AS VARCHAR) AS peer_addr,
+           CAST(64900 + i % 6 AS BIGINT) AS peer_as,
+           CAST((1704067000 + i) * 1000 AS BIGINT) AS ts_ms,
+           CAST(i % 5 + 1 AS INTEGER) AS old_state,
+           CAST(i % 5 + 2 AS INTEGER) AS new_state
+    FROM range(120) t(i)
+    """,
+)
+def s1_mrt_state_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 completion — BGP4MP_STATE_CHANGE decode (RFC 6396 §4.4.1): FSM
+    transitions from an MRT archive, interleaved UPDATE records skipped by
+    the walk. The oracle is the closed form of the synthesized archive."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.sources.mrt import (
+        encode_state_change, encode_update, read_mrt_state_changes,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = b""
+    for i in range(120):
+        p = i % 6
+        stream += encode_state_change(
+            1704067000 + i, 64900 + p, 0x0AFF0100 + p, i % 5 + 1, i % 5 + 2
+        )
+        if i % 10 == 0:  # interleave updates: the state walk must skip them
+            stream += encode_update(
+                1704067000 + i, 64900 + p, 0x0AFF0100 + p,
+                nlri=[(0x0A000000, 16)], origin=0, aspath=[(2, [100])],
+                nexthop=0x01010101,
+            )
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_states.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(stream)
+    os.replace(tmp, path)
+
+    df = read_mrt_state_changes(spark, path)
+    return df.select(
+        "peer_addr", "peer_as",
+        ts_to_millis_col(F.col("ts")).alias("ts_ms"),
+        "old_state", "new_state",
+    )

@@ -629,3 +629,102 @@ def encode_td2_rib_v4(
         body += struct.pack(">H", len(attrs)) + attrs
     sub = TD2_RIB_IPV4_UNICAST_ADDPATH if addpath else TD2_RIB_IPV4_UNICAST
     return struct.pack(">IHHI", 0, MRT_TABLE_DUMP_V2, sub, len(body)) + body
+
+
+# --- BGP4MP_STATE_CHANGE (RFC 6396 §4.4.1) ----------------------------------
+
+BGP4MP_STATE_CHANGE = 0
+BGP4MP_STATE_CHANGE_AS4 = 5
+
+# BGP FSM states (RFC 4271 §8)
+FSM_STATES = {
+    1: "Idle", 2: "Connect", 3: "Active",
+    4: "OpenSent", 5: "OpenConfirm", 6: "Established",
+}
+
+STATE_CHANGES_SCHEMA = (
+    "peer_addr string, peer_as bigint, ts timestamp, "
+    "old_state int, new_state int"
+)
+
+
+def parse_mrt_state_changes(data: bytes) -> Iterator[dict]:
+    """BGP4MP[-ET] STATE_CHANGE[_AS4] records → FSM transition rows —
+    the session-lifecycle signal of an MRT update archive (the BMP
+    analog is Peer Up/Down, sources/bmp.py)."""
+    import datetime as dt
+
+    off, n = 0, len(data)
+    while off + 12 <= n:
+        ts_sec, mtype, subtype, length = struct.unpack(
+            ">IHHI", data[off : off + 12]
+        )
+        body = data[off + 12 : off + 12 + length]
+        off += 12 + length
+        if mtype not in (MRT_BGP4MP, MRT_BGP4MP_ET):
+            continue
+        if subtype not in (BGP4MP_STATE_CHANGE, BGP4MP_STATE_CHANGE_AS4):
+            continue
+        p = 0
+        usec = 0
+        if mtype == MRT_BGP4MP_ET:
+            usec = struct.unpack(">I", body[:4])[0]
+            p = 4
+        as4 = subtype == BGP4MP_STATE_CHANGE_AS4
+        asz = 4 if as4 else 2
+        afmt = ">I" if as4 else ">H"
+        if p + 2 * asz + 4 > len(body):
+            continue
+        peer_as = struct.unpack(afmt, body[p : p + asz])[0]
+        p += 2 * asz + 2  # peer_as + local_as + ifindex
+        afi = struct.unpack(">H", body[p : p + 2])[0]
+        p += 2
+        ipw = 4 if afi == 1 else 16
+        if p + 2 * ipw + 4 > len(body):
+            continue
+        raw = body[p : p + ipw]
+        peer_addr = _v4_str(struct.unpack(">I", raw)[0]) if afi == 1 else _v6_str(raw)
+        p += 2 * ipw  # peer + local address
+        old_state, new_state = struct.unpack(">HH", body[p : p + 4])
+        ts = dt.datetime.fromtimestamp(
+            ts_sec + usec / 1e6, tz=dt.timezone.utc
+        ).replace(tzinfo=None)
+        yield {
+            "peer_addr": peer_addr, "peer_as": peer_as, "ts": ts,
+            "old_state": old_state, "new_state": new_state,
+        }
+
+
+def read_mrt_state_changes(spark: SparkSession, path: str) -> DataFrame:
+    """MRT archive → FSM transition DataFrame (per-file parallel decode,
+    same binaryFile + mapInPandas shape as read_mrt)."""
+    import pandas as pd
+
+    cols = [c.split()[0].strip() for c in STATE_CHANGES_SCHEMA.split(",")]
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(parse_mrt_state_changes(bytes(content)))
+            yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
+                columns=cols
+            )
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(decode, STATE_CHANGES_SCHEMA)
+
+
+def encode_state_change(
+    ts_sec: int, peer_as: int, peer_ip: int, old_state: int, new_state: int
+) -> bytes:
+    """One BGP4MP_STATE_CHANGE_AS4 record (fixture encoder)."""
+    b4 = (
+        struct.pack(">II", peer_as, 65001)
+        + struct.pack(">HH", 0, 1)
+        + struct.pack(">II", peer_ip, 0x0A00FF01)
+        + struct.pack(">HH", old_state, new_state)
+    )
+    return struct.pack(
+        ">IHHI", ts_sec, MRT_BGP4MP, BGP4MP_STATE_CHANGE_AS4, len(b4)
+    ) + b4

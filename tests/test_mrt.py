@@ -304,3 +304,32 @@ def test_mrt_v6_roundtrip_property():
         assert r["op"] == ("withdraw" if withdraw else "update")
         if not withdraw:
             assert r["nexthop_v6"] == nh
+
+
+def test_state_change_roundtrip_and_skip_of_updates(spark, tmp_path):
+    from bgpexplorer_spark.sources.mrt import (
+        FSM_STATES, encode_state_change, encode_update,
+        parse_mrt_state_changes, read_mrt_state_changes,
+    )
+
+    stream = encode_state_change(1704067000, 64900, 0x0AFF0100, 5, 6)
+    stream += encode_update(
+        1704067001, 64900, 0x0AFF0100,
+        nlri=[(0x0A000000, 16)], origin=0, aspath=[(2, [100])],
+        nexthop=0x01010101,
+    )
+    stream += encode_state_change(1704067002, 64900, 0x0AFF0100, 6, 1)
+    rows = list(parse_mrt_state_changes(stream))
+    assert [(r["old_state"], r["new_state"]) for r in rows] == [(5, 6), (6, 1)]
+    assert FSM_STATES[rows[0]["new_state"]] == "Established"
+
+    f = tmp_path / "states.mrt"
+    f.write_bytes(stream)
+    got = read_mrt_state_changes(spark, str(f)).collect()
+    assert len(got) == 2
+    assert got[0].peer_addr == "10.255.1.0" and got[0].peer_as == 64900
+    # and the UPDATE walk conversely skips state changes
+    from bgpexplorer_spark.sources.mrt import parse_mrt
+
+    upd_rows = list(parse_mrt(stream))
+    assert len(upd_rows) == 1 and upd_rows[0]["op"] == "update"
