@@ -258,7 +258,7 @@ def _make_handler(svc: BgpExplorerService):
                             params[k] = int(qs[k])
                     if "onlyactive" in qs:
                         params["onlyactive"] = _BOOL.get(qs["onlyactive"].lower(), False)
-                    for k in ("changed_after", "changed_before"):
+                    for k in ("changed_after", "changed_before", "asof"):
                         if k in qs:
                             params[k] = qs[k]
                     return self._send(svc.api_json(parts[2], **params))

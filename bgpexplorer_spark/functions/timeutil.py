@@ -37,3 +37,15 @@ def cut_millis(ts: Column, granularity_sec: int) -> Column:
     posting-list lookup (SURVEY.md §2.4 J2)."""
     g = F.lit(granularity_sec)
     return F.timestamp_seconds((F.unix_timestamp(ts) / g).cast("bigint") * g)
+
+def ts_cutoff_str(at) -> str:
+    """Any accepted time form → a naive-UTC literal string for comparing
+    against a ts column. A STRING literal coerces to the column's own
+    type (TIMESTAMP or TIMESTAMP_NTZ), so the predicate pushes down to
+    the parquet scan either way; an explicit cast on the column would
+    block pushdown."""
+    return (
+        parse_ts_param(at)
+        .astimezone(_dt.timezone.utc)
+        .strftime("%Y-%m-%d %H:%M:%S.%f")
+    )

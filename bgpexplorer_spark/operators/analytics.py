@@ -31,7 +31,7 @@ import datetime as _dt
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bgpexplorer_spark.functions.timeutil import cut_millis, parse_ts_param
+from bgpexplorer_spark.functions.timeutil import cut_millis, ts_cutoff_str
 from bgpexplorer_spark.schemas import KEY_COLS
 
 def origin_as(aspath_flat: Column) -> Column:
@@ -55,16 +55,7 @@ def rib_asof(
     One partition-prunable ts filter (the snapshot is partitioned by
     ts_date) + the one newest-per-key window the read path already pays.
     """
-    # compare against a STRING literal: Spark coerces it to the ts column's
-    # own type, so the predicate pushes down to the parquet scan for both
-    # TIMESTAMP and TIMESTAMP_NTZ columns (an explicit cast on ts would
-    # block pushdown). The string is naive UTC, matching the pinned
-    # session zone.
-    cutoff = (
-        parse_ts_param(at)
-        .astimezone(_dt.timezone.utc)
-        .strftime("%Y-%m-%d %H:%M:%S.%f")
-    )
+    cutoff = ts_cutoff_str(at)
     order = [F.col("ts").desc()] + ([F.col(seq_col).desc()] if seq_col else [])
     w = Window.partitionBy(*KEY_COLS).orderBy(*order)
     df = (

@@ -40,12 +40,17 @@ class QueryParams:
     onlyactive: bool = False
     changed_after: dt.datetime | str | int | None = None
     changed_before: dt.datetime | str | int | None = None
+    # time travel: answer the query as the RIB stood at this instant
+    # (history truncated at ts <= asof before anything else runs)
+    asof: dt.datetime | str | int | None = None
 
     def __post_init__(self) -> None:
         if self.changed_after is not None:
             self.changed_after = parse_ts_param(self.changed_after)
         if self.changed_before is not None:
             self.changed_before = parse_ts_param(self.changed_before)
+        if self.asof is not None:
+            self.asof = parse_ts_param(self.asof)
 
 def history_entry_filter(p: QueryParams) -> Column:
     """F11/F12 — ``filter_ah`` (src/ribservice.rs:72-89): onlyactive plus
@@ -161,7 +166,19 @@ def query_rib(
     (operators/rib.py route_counts / read_route_counts, refreshed at
     snapshot-write/compaction) so a 100 TB table doesn't pay a full
     dedup-count scan per HTTP request. None → computed exactly (the
-    explicit exact path)."""
+    explicit exact path).
+
+    ``p.asof`` truncates the history at ts <= asof first, so the whole
+    pipeline (length, match, windows, nested output) answers as the RIB
+    stood at that instant — the serving form of analytics.rib_asof. The
+    maintained ``length`` describes the full table, so it is recomputed
+    under asof (the cutoff filter pushes down to the scan; partition
+    pruning on ts_date bounds the read)."""
+    if p.asof is not None:
+        from bgpexplorer_spark.functions.timeutil import ts_cutoff_str
+
+        history = history.filter(F.col("ts") <= F.lit(ts_cutoff_str(p.asof)))
+        length = None
     if length is None:
         rib_df = history.filter(F.col("rib") == rib)
         length = rib_df.dropDuplicates(ROUTE_COLS).count()

@@ -16,7 +16,7 @@ from bgpexplorer_spark.operators import whois
 from bgpexplorer_spark.operators.ingest import build_history
 from bgpexplorer_spark.operators.rib import attrs_dim, compact, read_snapshot, write_snapshot
 
-from tests.ribdata import make_updates, u
+from tests.ribdata import T0, make_updates, u
 
 def test_config_parse(tmp_path):
     ini = tmp_path / "t.ini"
@@ -309,3 +309,28 @@ def test_http_whois_and_dns_endpoints(spark):
         assert "ptr.example.net." in dns
     finally:
         httpd.shutdown()
+
+
+def test_api_asof_time_travel(spark):
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/24", t=10),
+                u("10.0.1.0/24", t=100),
+                u("10.0.0.0/24", t=200, op="withdraw"),
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    # at t=50 only the first route exists
+    at = int(T0.timestamp() * 1000) + 50 * 1000
+    resp = svc.api_json("ipv4u", filter="10.0.0.0/8", asof=at)
+    assert set(resp["items"]) == {"10.0.0.0/24"}
+    assert resp["length"] == 1 and resp["found"] == 1
+    # at t=150 both routes exist, withdraw not yet seen
+    resp2 = svc.api_json("ipv4u", filter="10.0.0.0/8", asof=at + 100_000)
+    assert set(resp2["items"]) == {"10.0.0.0/24", "10.0.1.0/24"}
+    # un-truncated view still sees everything incl. the tombstone entry
+    resp3 = svc.api_json("ipv4u", filter="10.0.0.0/8")
+    assert resp3["length"] == 2 and set(resp3["items"]) == {"10.0.0.0/24", "10.0.1.0/24"}
