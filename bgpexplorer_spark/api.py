@@ -21,6 +21,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from bgpexplorer_spark.operators.query import QueryParams, query_rib, to_nested_json
 from bgpexplorer_spark.operators.rib import statistics
@@ -104,6 +105,42 @@ class BgpExplorerService:
             "found": r.found,
             "items": items,
         }
+
+    def api_moas(self, rib: str = "ipv4u", asof=None) -> list[dict]:
+        """GET /api/analytics/moas[?rib=&asof=] — Multiple-Origin-AS
+        conflicts over the (optionally time-traveled) active state."""
+        from bgpexplorer_spark.operators.analytics import moas_conflicts, rib_asof
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = (
+            rib_asof(self.history, asof)
+            if asof is not None
+            else current_state(self.history)
+        )
+        rows = (
+            moas_conflicts(st.filter(F.col("rib") == rib))
+            .orderBy("nlri_str")
+            .collect()
+        )
+        return [
+            {
+                "nlri": r.nlri_str,
+                "origins": list(r.origins),
+                "n_origins": r.n_origins,
+            }
+            for r in rows
+        ]
+
+    def api_flappers(self, rib: str = "ipv4u", k: int = 20) -> list[dict]:
+        """GET /api/analytics/flappers[?rib=&k=] — the k noisiest
+        prefixes by announce<->withdraw flips."""
+        from bgpexplorer_spark.operators.analytics import top_flappers
+
+        rows = top_flappers(self.history.filter(F.col("rib") == rib), k).collect()
+        return [
+            {"nlri": r.nlri_str, "n_events": r.n_events, "n_flips": r.n_flips}
+            for r in rows
+        ]
 
     def api_statistics(self) -> dict:
         """GET /api/statistics (O6, src/ribservice.rs:168-219)."""
@@ -247,6 +284,14 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(svc.api_state())
                 if parts[:2] == ["api", "statistics"]:
                     return self._send(svc.api_statistics())
+                if parts[:3] == ["api", "analytics", "moas"]:
+                    return self._send(
+                        svc.api_moas(qs.get("rib", "ipv4u"), qs.get("asof"))
+                    )
+                if parts[:3] == ["api", "analytics", "flappers"]:
+                    return self._send(
+                        svc.api_flappers(qs.get("rib", "ipv4u"), int(qs.get("k", 20)))
+                    )
                 if parts[:2] == ["api", "sessions"]:
                     return self._send(svc.api_sessions())
                 if parts[:2] == ["api", "json"] and len(parts) == 3:

@@ -334,3 +334,37 @@ def test_api_asof_time_travel(spark):
     # un-truncated view still sees everything incl. the tombstone entry
     resp3 = svc.api_json("ipv4u", filter="10.0.0.0/8")
     assert resp3["length"] == 2 and set(resp3["items"]) == {"10.0.0.0/24", "10.0.1.0/24"}
+
+
+def test_api_analytics_endpoints(spark):
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/16", t=0, session_id=0, aspath=[("Seq", [100, 300])]),
+                u("10.0.0.0/16", t=10, session_id=1, aspath=[("Seq", [100, 301])]),
+                u("10.1.0.0/16", t=5, aspath=[("Seq", [200, 400])]),
+                u("10.1.0.0/16", t=6, op="withdraw"),
+                u("10.1.0.0/16", t=7, aspath=[("Seq", [200, 400])]),
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        moas = json.loads(urllib.request.urlopen(base + "/api/analytics/moas").read())
+        assert moas == [{"nlri": "10.0.0.0/16", "origins": [300, 301], "n_origins": 2}]
+        # time-traveled to before the second session announced: no conflict
+        at = int(T0.timestamp() * 1000) + 5_000
+        moas0 = json.loads(
+            urllib.request.urlopen(base + f"/api/analytics/moas?asof={at}").read()
+        )
+        assert moas0 == []
+        fl = json.loads(
+            urllib.request.urlopen(base + "/api/analytics/flappers?k=1").read()
+        )
+        assert fl[0]["nlri"] == "10.1.0.0/16" and fl[0]["n_flips"] == 2
+    finally:
+        httpd.shutdown()
