@@ -220,3 +220,44 @@ def ivf_topk_at_rest(
     ]
     cand = idx.filter(F.col("cid").isin(probe_ids))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+def ivf_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the coarse quantizer: per iteration,
+    assign every vector to its max-cosine centroid (the map-side
+    literal-centroid projection of :func:`ivf_assign` — no shuffle, no
+    row amplification), then recompute each centroid as the element-wise
+    mean of its cluster via posexplode + two map-side-combinable
+    aggregates (shuffle volume k x dim per partition, not corpus-sized).
+    Empty clusters keep their previous centroid. k x dim stays
+    driver-sized by construction (it is a COARSE quantizer), so refined
+    centroids re-inline as literals every round — each iteration is one
+    job over the corpus, like the reference index builders this mirrors.
+    """
+    cur = centroids.select("cid", F.col("cvec").cast("array<double>").alias("cvec"))
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(df, cur, id_col, vec_col)
+        joined = assigned.join(vecs, id_col)
+        newc = (
+            joined.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+        keep = cur.join(newc.select("cid"), "cid", "left_anti")
+        cur = newc.unionByName(keep)
+    return cur

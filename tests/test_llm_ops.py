@@ -329,3 +329,44 @@ def test_rolling_fingerprint_order_sensitive(docs):
     assert fp[0] != fp[4]      # shuffled tokens: rolling hash differs...
     # ...while the set fingerprint is shuffle-invariant (they complement)
     assert fp[0] != fp[3]
+
+
+def test_ivf_refine_improves_quantizer(spark):
+    import random
+
+    random.seed(3)
+    # three well-separated gaussian blobs in 8-d
+    rows = []
+    for i in range(90):
+        c = i % 3
+        base = [0.0] * 8
+        base[c] = 5.0
+        rows.append((i, [base[d] + random.gauss(0, 0.3) for d in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c0 = similarity.ivf_centroids(emb, 3)
+
+    def avg_best(cents):
+        lits = [
+            F.array(*[F.lit(float(x)) for x in r["cvec"]]) for r in cents.collect()
+        ]
+        v = emb.select(F.col("embedding").cast("array<double>").alias("_v"))
+        best = F.greatest(*[similarity.cosine(F.col("_v"), c) for c in lits])
+        return v.select(F.avg(best)).first()[0]
+
+    c2 = similarity.ivf_refine(emb, c0, iters=2)
+    assert avg_best(c2) > avg_best(c0)  # Lloyd must not make the quantizer worse
+    assert c2.count() == 3
+
+
+def test_ivf_refine_keeps_empty_cluster_centroid(spark):
+    # a far-away centroid that attracts nothing must survive unchanged
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.8, 0.2])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (99, [-1.0, 0.0])], "cid long, cvec array<double>"
+    )
+    out = {r.cid: r.cvec for r in similarity.ivf_refine(emb, cents, iters=1).collect()}
+    assert out[99] == [-1.0, 0.0]  # empty cluster kept its centroid
+    assert out[0] != [1.0, 0.0]  # populated cluster moved to the mean
