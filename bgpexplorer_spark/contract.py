@@ -3065,3 +3065,49 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + 1).cast("bigint").alias("pos"),
         F.round("val", 5).alias("val"),
     )
+
+@q(
+    "st_prefix_churn",
+    f"""
+    SELECT nlri_str,
+           time_bucket(INTERVAL 1 MINUTE, ts) AS win_start,
+           CAST(sum(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS updates,
+           CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS withdraws
+    FROM (
+        SELECT event_id, ts,
+               CAST(floor(addr_v4 / 16777216) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 65536) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 256) % 256 AS BIGINT) || '.' ||
+               CAST(addr_v4 % 256 AS BIGINT) || '/' ||
+               CAST(prefixlen AS VARCHAR) AS nlri_str
+        FROM ({_DERIVED_ROUTES_SQL})
+    )
+    GROUP BY 1, 2
+    """,
+)
+def st_prefix_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 extension — per-prefix windowed churn
+    (streaming/feed.windowed_prefix_churn) run in batch mode on the
+    derived updates: the same incremental groupBy(window) aggregation the
+    stream executes, so the streaming semantics get an oracle row."""
+    from bgpexplorer_spark.functions.iputil import v4_to_dotted
+    from bgpexplorer_spark.streaming.feed import windowed_prefix_churn
+
+    routes = derived_routes(spark, sf_dir)
+    upd = routes.select(
+        "ts",
+        F.lit("ipv4u").alias("rib"),
+        F.concat_ws(
+            "/", v4_to_dotted(F.col("addr_v4")), F.col("prefixlen").cast("string")
+        ).alias("nlri_str"),
+        F.when(F.col("event_id") % 7 == 0, "withdraw").otherwise("update").alias("op"),
+    )
+    churn = windowed_prefix_churn(upd, window="1 minute", watermark="5 minutes")
+    return churn.select(
+        "nlri_str",
+        F.col("window.start").alias("win_start"),
+        "updates",
+        "withdraws",
+    )

@@ -100,6 +100,24 @@ def windowed_update_rates(
         )
     )
 
+def windowed_prefix_churn(
+    updates: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"
+) -> DataFrame:
+    """Streaming analog of operators/analytics.prefix_churn: per-prefix
+    announce/withdraw counts per event-time tumbling window. Flip
+    detection needs per-key ordered history, so it stays a batch/state
+    concern; the windowed counts are what a live dashboard plots. Same
+    incremental aggregation shape as windowed_update_rates — keyed by
+    (window, rib, nlri_str), map-side combinable."""
+    return (
+        updates.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("rib"), F.col("nlri_str"))
+        .agg(
+            F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("updates"),
+            F.sum(F.when(F.col("op") == "withdraw", 1).otherwise(0)).alias("withdraws"),
+        )
+    )
+
 def live_current_state(updates: DataFrame) -> DataFrame:
     """ST4 (true-streaming variant) — the RIB current-state view kept as
     STREAMING STATE rather than recomputed from the table: one state

@@ -273,3 +273,31 @@ def test_run_ingest_publishes_to_feed(spark, tmp_path):
     while not sub.q.empty():
         events.append(sub.q.get_nowait())
     assert len(events) == 1 and '"nlri": "10.0.0.0/24"' in events[0].replace("'", '"')
+
+
+def test_windowed_prefix_churn_streaming(spark):
+    from bgpexplorer_spark.streaming.feed import windowed_prefix_churn
+
+    d = _updates_dir(
+        spark,
+        [
+            u("10.0.0.0/24", t=1),
+            u("10.0.0.0/24", t=30, op="withdraw"),
+            u("10.0.1.0/24", t=40),
+            u("10.0.0.0/24", t=70),
+        ],
+    )
+    stream = stream_updates_from_files(spark, d)
+    q = (
+        windowed_prefix_churn(stream)
+        .writeStream.format("memory").queryName("churn").outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM churn").collect()
+    got = {
+        (r.nlri_str, r.window.start.minute): (r.updates, r.withdraws) for r in rows
+    }
+    assert got[("10.0.0.0/24", 0)] == (1, 1)
+    assert got[("10.0.1.0/24", 0)] == (1, 0)
+    assert got[("10.0.0.0/24", 1)] == (1, 0)
