@@ -3111,3 +3111,31 @@ def st_prefix_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updates",
         "withdraws",
     )
+
+@q(
+    "dedup_containment",
+    f"""
+    WITH {_lsh_pair_ctes()}
+    SELECT id_a, id_b, round(cnt / least(na.n, nb.n), 4) AS containment
+    FROM shared
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE round(cnt / least(na.n, nb.n), 4) >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.ngram_containment_pairs):
+    |A∩B| / min(|A|,|B|) over trigram shingles through the composed
+    LSH-candidate path — catches a short document embedded in a long one,
+    which symmetric Jaccard misses."""
+    from bgpexplorer_spark.operators.dedup import (
+        minhash_candidate_pairs, ngram_containment_pairs, shingle_df,
+    )
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    sh = shingle_df(docs, "doc_id", "text", 3).persist()
+    cand = minhash_candidate_pairs(docs, "doc_id", k=16, n=3, bands=4, shingles=sh)
+    return ngram_containment_pairs(
+        docs, "doc_id", n=3, threshold=0.6, candidates=cand, shingles=sh
+    )

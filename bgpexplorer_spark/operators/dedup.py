@@ -427,3 +427,46 @@ def connected_components_star(
     return nodes.join(lab, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+def ngram_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
+    threshold: float = 0.8, candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup: containment = |A ∩ B| / min(|A|, |B|) over
+    n-gram shingle sets — catches a short document embedded in a long one
+    (quote, boilerplate wrapper, prefix dump), which symmetric Jaccard
+    scores near zero. Same composed shape as ngram_jaccard_pairs: pass
+    ``candidates`` (LSH) so the intersection is computed per candidate
+    pair only; the standalone form is the small-input/verification path."""
+    sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    if candidates is not None:
+        ca = candidates.select("id_a", "id_b")
+        sa = sh.select(F.col("_id").alias("id_a"), "_sh")
+        sb = sh.select(F.col("_id").alias("id_b"), "_sh")
+        shared = (
+            ca.join(sa, "id_a")
+            .join(sb, ["id_b", "_sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        shared = (
+            a.join(b, "_sh")
+            .filter(F.col("a._id") < F.col("b._id"))
+            .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("_shared"))
+        )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(na, "id_a").join(nb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("_shared") / F.least(F.col("_na"), F.col("_nb")), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -370,3 +370,25 @@ def test_ivf_refine_keeps_empty_cluster_centroid(spark):
     out = {r.cid: r.cvec for r in similarity.ivf_refine(emb, cents, iters=1).collect()}
     assert out[99] == [-1.0, 0.0]  # empty cluster kept its centroid
     assert out[0] != [1.0, 0.0]  # populated cluster moved to the mean
+
+
+def test_ngram_containment_asymmetric(spark):
+    # doc 1 is a strict prefix of doc 0: containment 1.0, jaccard well below
+    long = "a b c d e f g h i j k l m n o p"
+    docs = spark.createDataFrame(
+        [(0, long), (1, "a b c d e f"), (2, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.ngram_containment_pairs(
+            docs, "doc_id", n=3, threshold=0.5
+        ).collect()
+    }
+    assert cont[(0, 1)] == 1.0  # fully contained
+    assert not any(2 in p for p in cont)
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.0).collect()
+    }
+    assert jac[(0, 1)] < 0.5  # symmetric jaccard misses the embedding
