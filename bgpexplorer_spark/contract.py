@@ -3139,3 +3139,54 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         docs, "doc_id", n=3, threshold=0.6, candidates=cand, shingles=sh
     )
+
+@q(
+    "an_rpki_validate",
+    f"""
+    WITH r AS (
+        SELECT event_id, addr_v4, prefixlen,
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_as,
+               CAST(floor(addr_v4 / 65536) AS BIGINT) % 256 AS u
+        FROM ({_DERIVED_ROUTES_SQL})
+    )
+    SELECT event_id, addr_v4, prefixlen, origin_as,
+           CASE
+               WHEN u % 4 = 3 THEN 'NotFound'
+               WHEN (prefixlen <= 24 AND origin_as = 200 + u % 3)
+                 OR (u % 2 = 0 AND prefixlen >= 20
+                     AND CAST(floor(addr_v4 / 4096) AS BIGINT) % 16 = 0
+                     AND prefixlen <= 28 AND origin_as = 200 + u % 2)
+                   THEN 'Valid'
+               ELSE 'Invalid'
+           END AS validity
+    FROM r
+    """,
+)
+def an_rpki_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPKI route-origin validation (operators/analytics.rpki_validate,
+    RFC 6811): derived routes against a derived ROA table — /16 ROAs
+    (max_len 24, asn 200+u%3) for three quarters of the space (the last
+    quarter is NotFound), plus /20 ROAs (max_len 28, asn 200+u%2) on even
+    /16s. The oracle is the closed form of the same coverage rules."""
+    from bgpexplorer_spark.operators.analytics import rpki_validate
+
+    routes = derived_routes(spark, sf_dir).select(
+        "event_id", "addr_v4", "prefixlen",
+        (F.lit(200) + F.col("event_id") % 3).cast("bigint").alias("origin_as"),
+    )
+    u = spark.range(64).select(F.col("id").alias("u"))
+    base = (F.lit(10 * 16777216) + F.col("u") * 65536).cast("bigint")
+    roa16 = u.filter(F.col("u") % 4 != 3).select(
+        base.alias("net"),
+        F.lit(16).alias("plen"),
+        F.lit(24).alias("max_len"),
+        (F.lit(200) + F.col("u") % 3).cast("bigint").alias("asn"),
+    )
+    roa20 = u.filter(F.col("u") % 2 == 0).select(
+        base.alias("net"),
+        F.lit(20).alias("plen"),
+        F.lit(28).alias("max_len"),
+        (F.lit(200) + F.col("u") % 2).cast("bigint").alias("asn"),
+    )
+    roas = roa16.unionByName(roa20)
+    return rpki_validate(routes, roas, roa_plens=[16, 20])

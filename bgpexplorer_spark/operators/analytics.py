@@ -203,3 +203,77 @@ def as_adjacency(state: DataFrame, min_count: int = 1) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_routes"))
         .filter(F.col("n_routes") >= F.lit(min_count))
     )
+
+def rpki_validate(
+    routes: DataFrame,
+    roas: DataFrame,
+    addr_col: str = "addr_v4",
+    plen_col: str = "prefixlen",
+    origin_col: str = "origin_as",
+    roa_plens: list[int] | None = None,
+) -> DataFrame:
+    """RFC 6811 route-origin validation at bulk scale: classify every
+    route ``Valid`` / ``Invalid`` / ``NotFound`` against a ROA table
+    ``(net, plen, max_len, asn)`` (canonical v4 network int, covering
+    prefix length, max announced length, authorized origin).
+
+    A ROA covers a route when the route's first ``plen`` bits equal the
+    ROA net and ``route.plen >= roa.plen``; the route is Valid if ANY
+    covering ROA also has ``route.plen <= max_len`` and
+    ``origin == asn``, Invalid if covered but never validated, NotFound
+    if no ROA covers it (RFC 6811 §2).
+
+    Same scale shape as the LPM join: one masked candidate per occurring
+    ROA prefix length (pass ``roa_plens`` to skip the discovery action),
+    equi-join on (net, plen), one map-side-combinable aggregate per
+    route, then a left join back for NotFound. No theta join, no
+    per-route ROA scan."""
+    if roa_plens is None:
+        roa_plens = [r[0] for r in roas.select("plen").distinct().collect()]
+    roa_plens = sorted(int(x) for x in roa_plens)
+
+    route_cols = list(routes.columns)
+    if not roa_plens:
+        return routes.withColumn("validity", F.lit("NotFound"))
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(pl).alias("_plen"),
+                (
+                    F.floor(F.col(addr_col) / F.lit(2 ** (32 - pl))).cast("bigint")
+                    * F.lit(2 ** (32 - pl))
+                ).alias("_net"),
+            )
+            for pl in roa_plens
+        ]
+    )
+    exploded = (
+        routes.withColumn("_cand", F.explode(cand))
+        .filter(F.col(plen_col) >= F.col("_cand._plen"))
+        .select("*", F.col("_cand._plen").alias("_plen"), F.col("_cand._net").alias("_net"))
+        .drop("_cand")
+    )
+    covering = exploded.join(
+        roas.select(
+            F.col("net").alias("_net"),
+            F.col("plen").alias("_plen"),
+            "max_len",
+            "asn",
+        ),
+        ["_net", "_plen"],
+        "inner",
+    )
+    ok = (F.col(plen_col) <= F.col("max_len")) & (F.col(origin_col) == F.col("asn"))
+    verdicts = covering.groupBy(*route_cols).agg(
+        F.max(ok.cast("int")).alias("_any_ok")
+    )
+    return (
+        routes.join(verdicts, route_cols, "left")
+        .withColumn(
+            "validity",
+            F.when(F.col("_any_ok").isNull(), "NotFound")
+            .when(F.col("_any_ok") == 1, "Valid")
+            .otherwise("Invalid"),
+        )
+        .drop("_any_ok")
+    )

@@ -180,3 +180,44 @@ def test_mixture_stats(docs):
     assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-5
     # en docs are ids 0,3,6,... -> 20 docs
     assert out["en"].n_docs == 20
+
+def test_rpki_validate_truth_table(spark):
+    routes = spark.createDataFrame(
+        [
+            # (id, addr 10.0.x, plen, origin)
+            (1, 10 * 2**24, 24, 100),          # covered /16, len ok, asn ok -> Valid
+            (2, 10 * 2**24, 24, 999),          # asn mismatch -> Invalid
+            (3, 10 * 2**24, 28, 100),          # longer than max_len 24 -> Invalid
+            (4, 11 * 2**24, 24, 100),          # no covering ROA -> NotFound
+            (5, 10 * 2**24, 12, 100),          # SHORTER than the ROA /16 -> not covered -> NotFound
+            (6, 10 * 2**24 + 2**12, 20, 300),  # 10.0.16.0/20: /16 ROA rejects (asn), /20 ROA accepts -> Valid
+        ],
+        "rid long, addr_v4 long, prefixlen int, origin_as long",
+    )
+    roas = spark.createDataFrame(
+        [
+            (10 * 2**24, 16, 24, 100),          # 10.0.0.0/16 max 24 asn 100
+            (10 * 2**24 + 2**12, 20, 22, 300),  # 10.0.16.0/20 max 22 asn 300
+        ],
+        "net long, plen int, max_len int, asn long",
+    )
+    out = {
+        r.rid: r.validity
+        for r in analytics.rpki_validate(routes, roas, roa_plens=[16, 20]).collect()
+    }
+    assert out == {
+        1: "Valid", 2: "Invalid", 3: "Invalid",
+        4: "NotFound", 5: "NotFound", 6: "Valid",
+    }
+
+def test_rpki_validate_any_covering_roa_validates(spark):
+    # covered by two ROAs: one rejects (asn), one accepts -> Valid
+    routes = spark.createDataFrame(
+        [(1, 10 * 2**24, 24, 200)], "rid long, addr_v4 long, prefixlen int, origin_as long"
+    )
+    roas = spark.createDataFrame(
+        [(10 * 2**24, 16, 24, 100), (10 * 2**24, 20, 24, 200)],
+        "net long, plen int, max_len int, asn long",
+    )
+    out = analytics.rpki_validate(routes, roas, roa_plens=[16, 20]).first()
+    assert out.validity == "Valid"
