@@ -165,3 +165,53 @@ def test_session_intervals_pairing(spark, tmp_path):
     assert one[0].down_reason == 3 and one[0].down_ts is not None
     assert one[1].down_ts is None  # open session
     assert by_peer["10.0.0.2"][0].down_ts is None
+
+
+def test_lifecycle_and_stats_fuzz_roundtrip():
+    """Property fuzz of the lifecycle/stats walk: 150 randomized
+    up/down/stats frames interleaved with junk and Route Monitoring
+    roundtrip exactly, in order, per parser."""
+    import random
+
+    from bgpexplorer_spark.sources.bmp import (
+        encode_bmp_peer_down, encode_bmp_peer_up, encode_bmp_stats,
+        encode_bmp_route_monitoring, parse_bmp_peer_events, parse_bmp_stats,
+    )
+    from bgpexplorer_spark.sources.mrt import encode_bgp_update_body
+
+    rng = random.Random(41)
+    stream = b""
+    want_events, want_stats = [], []
+    for i in range(150):
+        ip, asn, ts = rng.randrange(2**32), rng.randrange(1, 2**31), 1704067000 + i
+        kind = rng.randrange(4)
+        if kind == 0:
+            stream += encode_bmp_peer_up(ip, asn, ts)
+            want_events.append(("up", asn, None))
+        elif kind == 1:
+            reason = rng.randrange(1, 7)
+            stream += encode_bmp_peer_down(ip, asn, ts, reason)
+            want_events.append(("down", asn, reason))
+        elif kind == 2:
+            stats = [
+                (rng.choice([0, 1, 2, 7, 8]), rng.randrange(2**31))
+                for _ in range(rng.randrange(0, 5))
+            ]
+            stream += encode_bmp_stats(ip, asn, ts, stats)
+            want_stats.extend((asn, st, v) for st, v in stats)
+        else:
+            body = encode_bgp_update_body(
+                nlri=[(rng.randrange(2**32) & 0xFFFF0000, 16)],
+                origin=0, aspath=[(2, [100])], nexthop=0x01010101,
+            )
+            stream += encode_bmp_route_monitoring(ip, asn, ts, body)
+        if rng.random() < 0.3:
+            stream += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 5)))
+    got_events = [
+        (e["event"], e["peer_as"], e["reason"]) for e in parse_bmp_peer_events(stream)
+    ]
+    got_stats = [
+        (s["peer_as"], s["stat_type"], s["stat_value"]) for s in parse_bmp_stats(stream)
+    ]
+    assert got_events == want_events
+    assert got_stats == want_stats
