@@ -3190,3 +3190,76 @@ def an_rpki_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roas = roa16.unionByName(roa20)
     return rpki_validate(routes, roas, roa_plens=[16, 20])
+
+@q(
+    "an_rpki_validate_v6",
+    """
+    SELECT event_id,
+           '20010DB8' || upper(lpad(hex(w), 8, '0')) || '0000000000000000'
+               AS addr_hex,
+           plen AS prefixlen, origin_as,
+           CASE
+               WHEN NOT (u % 4 <> 3)
+                    AND NOT (u % 2 = 0 AND w % 65536 < 4096 AND plen >= 52)
+                   THEN 'NotFound'
+               WHEN (u % 4 <> 3 AND plen <= 56 AND origin_as = 200 + u % 3)
+                 OR (u % 2 = 0 AND w % 65536 < 4096 AND plen >= 52
+                     AND plen <= 60 AND origin_as = 200 + u % 2)
+                   THEN 'Valid'
+               ELSE 'Invalid'
+           END AS validity
+    FROM (
+        SELECT event_id,
+               48 + (event_id % 5) * 4 AS plen,
+               (user_id % 64) * 65536 + (event_id % 256) * 256 AS w,
+               user_id % 64 AS u,
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_as
+        FROM events
+    )
+    """,
+)
+def an_rpki_validate_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 RPKI origin validation (analytics.rpki_validate_v6) over real
+    BINARY(16) keys: /48 ROAs (max_len 56, asn 200+u%3) for three
+    quarters of the /48 space, /52 ROAs (max_len 60, asn 200+u%2) on the
+    first /52 of even /48s. Oracle mirrors the coverage rules on the
+    variable 32-bit word (the f2/o5-v6 derivation)."""
+    from bgpexplorer_spark.operators.analytics import rpki_validate_v6
+
+    ev = load_table(spark, sf_dir, "events")
+    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
+    w = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
+        "bigint"
+    )
+    to_bin = lambda word: F.unhex(  # noqa: E731
+        F.concat(F.lit("20010DB8"), F.lpad(F.hex(word), 8, "0"), F.lit("0" * 16))
+    )
+    routes = ev.select(
+        "event_id",
+        to_bin(w).alias("addr_v6"),
+        plen.alias("prefixlen"),
+        (F.lit(200) + F.col("event_id") % 3).cast("bigint").alias("origin_as"),
+    )
+    u = spark.range(64).select(F.col("id").alias("u"))
+    w48 = (F.col("u") * 65536).cast("bigint")
+    roa48 = u.filter(F.col("u") % 4 != 3).select(
+        to_bin(w48).alias("net"),
+        F.lit(48).alias("plen"),
+        F.lit(56).alias("max_len"),
+        (F.lit(200) + F.col("u") % 3).cast("bigint").alias("asn"),
+    )
+    roa52 = u.filter(F.col("u") % 2 == 0).select(
+        to_bin(w48).alias("net"),
+        F.lit(52).alias("plen"),
+        F.lit(60).alias("max_len"),
+        (F.lit(200) + F.col("u") % 2).cast("bigint").alias("asn"),
+    )
+    roas = roa48.unionByName(roa52)
+    out = rpki_validate_v6(routes, roas, roa_plens=[48, 52])
+    return out.select(
+        "event_id",
+        F.upper(F.hex("addr_v6")).alias("addr_hex"),
+        "prefixlen",
+        "origin_as",
+        "validity",
+    )

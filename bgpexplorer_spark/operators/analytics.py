@@ -277,3 +277,64 @@ def rpki_validate(
         )
         .drop("_any_ok")
     )
+
+def rpki_validate_v6(
+    routes: DataFrame,
+    roas: DataFrame,
+    addr_col: str = "addr_v6",
+    plen_col: str = "prefixlen",
+    origin_col: str = "origin_as",
+    roa_plens: list[int] | None = None,
+) -> DataFrame:
+    """IPv6 form of :func:`rpki_validate`: ROA nets are canonical
+    BINARY(16) addresses; candidate masking reuses the literal-length
+    byte/bit construction of the v6 LPM join. Same RFC 6811 semantics
+    and the same one-aggregate scale shape."""
+    from bgpexplorer_spark.operators.lpm import _mask_v6
+
+    if roa_plens is None:
+        roa_plens = [r[0] for r in roas.select("plen").distinct().collect()]
+    roa_plens = sorted(int(x) for x in roa_plens)
+
+    route_cols = list(routes.columns)
+    if not roa_plens:
+        return routes.withColumn("validity", F.lit("NotFound"))
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(pl).alias("_plen"),
+                _mask_v6(F.col(addr_col), pl).alias("_net"),
+            )
+            for pl in roa_plens
+        ]
+    )
+    exploded = (
+        routes.withColumn("_cand", F.explode(cand))
+        .filter(F.col(plen_col) >= F.col("_cand._plen"))
+        .select("*", F.col("_cand._plen").alias("_plen"), F.col("_cand._net").alias("_net"))
+        .drop("_cand")
+    )
+    covering = exploded.join(
+        roas.select(
+            F.col("net").alias("_net"),
+            F.col("plen").alias("_plen"),
+            "max_len",
+            "asn",
+        ),
+        ["_net", "_plen"],
+        "inner",
+    )
+    ok = (F.col(plen_col) <= F.col("max_len")) & (F.col(origin_col) == F.col("asn"))
+    verdicts = covering.groupBy(*route_cols).agg(
+        F.max(ok.cast("int")).alias("_any_ok")
+    )
+    return (
+        routes.join(verdicts, route_cols, "left")
+        .withColumn(
+            "validity",
+            F.when(F.col("_any_ok").isNull(), "NotFound")
+            .when(F.col("_any_ok") == 1, "Valid")
+            .otherwise("Invalid"),
+        )
+        .drop("_any_ok")
+    )

@@ -221,3 +221,26 @@ def test_rpki_validate_any_covering_roa_validates(spark):
     )
     out = analytics.rpki_validate(routes, roas, roa_plens=[16, 20]).first()
     assert out.validity == "Valid"
+
+def test_rpki_validate_v6_truth_table(spark):
+    def b(hexs):
+        return bytes.fromhex(hexs)
+
+    base = "20010db8" + "0" * 24  # 2001:db8::/32 space
+    routes = spark.createDataFrame(
+        [
+            (1, b(base), 48, 100),        # covered /32, len ok, asn ok -> Valid
+            (2, b(base), 48, 999),        # asn mismatch -> Invalid
+            (3, b(base), 64, 100),        # longer than max_len 56 -> Invalid
+            (4, b("20020db8" + "0" * 24), 48, 100),  # different /32 -> NotFound
+        ],
+        "rid long, addr_v6 binary, prefixlen int, origin_as long",
+    )
+    roas = spark.createDataFrame(
+        [(b(base), 32, 56, 100)], "net binary, plen int, max_len int, asn long"
+    )
+    out = {
+        r.rid: r.validity
+        for r in analytics.rpki_validate_v6(routes, roas, roa_plens=[32]).collect()
+    }
+    assert out == {1: "Valid", 2: "Invalid", 3: "Invalid", 4: "NotFound"}
