@@ -3263,3 +3263,48 @@ def an_rpki_validate_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "origin_as",
         "validity",
     )
+
+@q(
+    "s5_td1_rib_dump",
+    """
+    SELECT '10.' || CAST(i % 32 AS VARCHAR) || '.0.0/16' AS nlri_str,
+           CAST((1704067200 + i) * 1000 AS BIGINT) AS ts_ms,
+           CAST(65001 AS BIGINT) AS peer_as,
+           CASE i % 3 WHEN 0 THEN 'IGP' WHEN 1 THEN 'EGP'
+                ELSE 'Incomplete' END AS origin,
+           CAST(100 + i % 9 AS BIGINT) AS as1,
+           CAST(3221226240 + i % 4 AS BIGINT) AS nexthop_v4
+    FROM range(200) t(i)
+    """,
+)
+def s5_td1_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 completion — TABLE_DUMP v1 decode (RFC 6396 §5.1, the legacy
+    full-RIB archive form: 16-bit ASNs, 2-byte-AS attribute walk,
+    full-width prefix field) through the same per-file parallel walk."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.sources.mrt import encode_td1_v4, read_mrt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = b""
+    for i in range(200):
+        stream += encode_td1_v4(
+            i, 0x0A000000 + (i % 32) * 65536, 16, 1704067200 + i,
+            0x0AFF0001, 65001, i % 3, [100 + i % 9, 200], 0xC0000300 + i % 4,
+        )
+    path = os.path.join(tempfile.gettempdir(), "bgpx_td1.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(stream)
+    os.replace(tmp, path)
+
+    df = read_mrt(spark, path)
+    return df.select(
+        "nlri_str",
+        ts_to_millis_col(F.col("ts")).alias("ts_ms"),
+        "peer_as",
+        "origin",
+        F.col("aspath")[0]["asns"][0].alias("as1"),
+        "nexthop_v4",
+    )

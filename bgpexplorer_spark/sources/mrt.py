@@ -400,6 +400,9 @@ def parse_mrt(data: bytes) -> Iterator[dict]:
         off += 12
         body = data[off : off + length]
         off += length
+        if mtype == MRT_TABLE_DUMP:
+            yield from _parse_td1(body, subtype)
+            continue
         if mtype == MRT_TABLE_DUMP_V2:
             if subtype == TD2_PEER_INDEX_TABLE:
                 peers = _parse_peer_index(body)
@@ -728,3 +731,64 @@ def encode_state_change(
     return struct.pack(
         ">IHHI", ts_sec, MRT_BGP4MP, BGP4MP_STATE_CHANGE_AS4, len(b4)
     ) + b4
+
+
+# --- TABLE_DUMP v1 (RFC 6396 §5.1) — the legacy full-RIB archive form -------
+
+MRT_TABLE_DUMP = 12
+
+
+def _parse_td1(body: bytes, subtype: int):
+    """One TABLE_DUMP (v1) record → one 'update' row. Subtype is the AFI
+    (1 v4 / 2 v6); addresses are full-width, AS numbers 16-bit, and the
+    attribute walk runs with 2-byte ASNs (pre-AS4 archives). ts = the
+    entry's originated time, like the TD2 walk — replaying through
+    build_history reconstructs the RIB."""
+    import datetime as dt
+
+    v6 = subtype == 2
+    width = 16 if v6 else 4
+    p = 4  # view number + sequence
+    if len(body) < p + 2 * width + 12:
+        return
+    raw = body[p : p + width]
+    p += width
+    plen = body[p]
+    p += 2  # prefix length + status
+    orig_time = struct.unpack(">I", body[p : p + 4])[0]
+    p += 4
+    peer_raw = body[p : p + width]
+    p += width
+    peer_as, alen = struct.unpack(">HH", body[p : p + 4])
+    p += 4
+    if p + alen > len(body):
+        return
+    attrs = _parse_attrs(body, p, p + alen, as4=False, table_dump=True)
+    key = _v6_key(raw, plen) if v6 else _v4_key(struct.unpack(">I", raw)[0], plen)
+    peer_addr = _v6_str(peer_raw) if v6 else _v4_str(struct.unpack(">I", peer_raw)[0])
+    ts = dt.datetime.fromtimestamp(orig_time, tz=dt.timezone.utc).replace(tzinfo=None)
+    yield _emit(ts, peer_addr, peer_as, "update", key, attrs, 0)
+
+
+def encode_td1_v4(
+    seq: int, prefix: int, plen: int, orig_time: int, peer_ip: int,
+    peer_as: int, origin: int, aspath2: list[int], nexthop: int,
+) -> bytes:
+    """One TABLE_DUMP v1 IPv4 record (fixture encoder): ORIGIN + 2-byte
+    AS_PATH (one Seq segment) + NEXT_HOP attributes."""
+    attrs = bytes([0x40, 1, 1, origin])
+    seg = bytes([2, len(aspath2)]) + b"".join(
+        struct.pack(">H", a) for a in aspath2
+    )
+    attrs += bytes([0x40, 2, len(seg)]) + seg
+    attrs += bytes([0x40, 3, 4]) + struct.pack(">I", nexthop)
+    body = (
+        struct.pack(">HH", 0, seq)
+        + struct.pack(">I", prefix)
+        + bytes([plen, 1])
+        + struct.pack(">I", orig_time)
+        + struct.pack(">I", peer_ip)
+        + struct.pack(">HH", peer_as, len(attrs))
+        + attrs
+    )
+    return struct.pack(">IHHI", orig_time, MRT_TABLE_DUMP, 1, len(body)) + body

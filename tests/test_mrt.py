@@ -333,3 +333,22 @@ def test_state_change_roundtrip_and_skip_of_updates(spark, tmp_path):
 
     upd_rows = list(parse_mrt(stream))
     assert len(upd_rows) == 1 and upd_rows[0]["op"] == "update"
+
+
+def test_table_dump_v1_decode(spark, tmp_path):
+    from bgpexplorer_spark.sources.mrt import encode_td1_v4, parse_mrt, read_mrt
+
+    stream = encode_td1_v4(
+        1, 0x0A010000, 16, 1704067000, 0x0AFF0001, 65001, 0, [100, 200], 0x01010101
+    )
+    stream += encode_td1_v4(
+        2, 0x0A020000, 16, 1704067001, 0x0AFF0001, 65001, 2, [300], 0x01010102
+    )
+    rows = list(parse_mrt(stream))
+    assert [r["nlri_str"] for r in rows] == ["10.1.0.0/16", "10.2.0.0/16"]
+    assert rows[0]["aspath"] == [{"kind": "Seq", "asns": [100, 200]}]  # 16-bit ASNs
+    assert rows[1]["origin"] == "Incomplete"
+    f = tmp_path / "td1.mrt"
+    f.write_bytes(stream)
+    got = read_mrt(spark, str(f)).collect()
+    assert len(got) == 2 and got[0].op == "update" and got[0].peer_as == 65001
