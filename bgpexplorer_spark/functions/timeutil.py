@@ -22,7 +22,10 @@ def parse_ts_param(s: str | int | float | _dt.datetime) -> _dt.datetime:
     try:
         return _dt.datetime.fromtimestamp(int(txt) / 1000.0, tz=_dt.timezone.utc)
     except ValueError:
-        return _dt.datetime.fromisoformat(txt.replace("Z", "+00:00"))
+        parsed = _dt.datetime.fromisoformat(txt.replace("Z", "+00:00"))
+        # offset-less ISO strings are UTC, not host-local (mirrors the
+        # datetime branch; keeps ts_cutoff_str host-timezone independent)
+        return parsed if parsed.tzinfo else parsed.replace(tzinfo=_dt.timezone.utc)
 
 def ts_to_millis(ts: Column) -> Column:
     """TIMESTAMP → epoch millis BIGINT (JSON output form)."""

@@ -260,7 +260,10 @@ def peer_session_intervals(events: DataFrame) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("peer_addr", "peer_as").orderBy("ts")
+    # 'event' tiebreak: a same-second bounce orders down before up, so the
+    # prior up pairs with the down and the new up stays open — deterministic
+    # across runs/partitions
+    w = Window.partitionBy("peer_addr", "peer_as").orderBy("ts", "event")
     nxt_evt = F.lead("event").over(w)
     nxt_ts = F.lead("ts").over(w)
     nxt_reason = F.lead("reason").over(w)

@@ -671,6 +671,8 @@ def parse_mrt_state_changes(data: bytes) -> Iterator[dict]:
         p = 0
         usec = 0
         if mtype == MRT_BGP4MP_ET:
+            if len(body) < 4:  # truncated ET frame: skip, don't abort file
+                continue
             usec = struct.unpack(">I", body[:4])[0]
             p = 4
         as4 = subtype == BGP4MP_STATE_CHANGE_AS4
@@ -749,7 +751,9 @@ def _parse_td1(body: bytes, subtype: int):
     v6 = subtype == 2
     width = 16 if v6 else 4
     p = 4  # view number + sequence
-    if len(body) < p + 2 * width + 12:
+    # fixed fields after view+seq: prefix w + plen 1 + status 1 + orig 4
+    # + peer w + AS 2 + attrlen 2 = 2w+10 (attr bytes guarded separately)
+    if len(body) < p + 2 * width + 10:
         return
     raw = body[p : p + width]
     p += width

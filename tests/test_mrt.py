@@ -335,6 +335,42 @@ def test_state_change_roundtrip_and_skip_of_updates(spark, tmp_path):
     assert len(upd_rows) == 1 and upd_rows[0]["op"] == "update"
 
 
+def test_truncated_et_state_change_skipped_not_fatal():
+    """A BGP4MP_ET frame shorter than its 4-byte usec field is skipped;
+    the rest of the file still parses (no struct.error abort)."""
+    import struct
+
+    from bgpexplorer_spark.sources.mrt import (
+        BGP4MP_STATE_CHANGE, MRT_BGP4MP_ET, encode_state_change,
+        parse_mrt_state_changes,
+    )
+
+    truncated = struct.pack(">IHHI", 1704067000, MRT_BGP4MP_ET, BGP4MP_STATE_CHANGE, 2) + b"\x00\x01"
+    stream = truncated + encode_state_change(1704067002, 64900, 0x0AFF0100, 6, 1)
+    rows = list(parse_mrt_state_changes(stream))
+    assert [(r["old_state"], r["new_state"]) for r in rows] == [(6, 1)]
+
+
+def test_table_dump_v1_zero_attr_record_kept():
+    """A valid TD1 record with an empty attribute block (alen=0) decodes
+    instead of being dropped by an over-strict length check."""
+    import struct
+
+    from bgpexplorer_spark.sources.mrt import MRT_TABLE_DUMP, parse_mrt
+
+    body = (
+        struct.pack(">HH", 0, 1)            # view, seq
+        + struct.pack(">I", 0x0A030000)      # prefix 10.3.0.0
+        + bytes([16, 1])                     # plen, status
+        + struct.pack(">I", 1704067000)      # originated time
+        + struct.pack(">I", 0x0AFF0001)      # peer ip
+        + struct.pack(">HH", 65001, 0)       # peer AS, attrlen=0
+    )
+    stream = struct.pack(">IHHI", 1704067000, MRT_TABLE_DUMP, 1, len(body)) + body
+    rows = list(parse_mrt(stream))
+    assert len(rows) == 1 and rows[0]["nlri_str"] == "10.3.0.0/16"
+
+
 def test_table_dump_v1_decode(spark, tmp_path):
     from bgpexplorer_spark.sources.mrt import encode_td1_v4, parse_mrt, read_mrt
 

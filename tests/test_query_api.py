@@ -260,3 +260,17 @@ def test_lpm_join_v6_matches_ipaddress_model(spark):
             if a in net and (best is None or p > best[1]):
                 best = (b, p)
         assert got.get(hid) == best
+
+
+def test_ts_cutoff_offsetless_iso_is_utc(monkeypatch):
+    """An offset-less ISO asof is UTC regardless of the host timezone
+    (parse_ts_param attaches UTC to naive parses)."""
+    import datetime as dt
+
+    from bgpexplorer_spark.functions.timeutil import parse_ts_param, ts_cutoff_str
+
+    parsed = parse_ts_param("2024-01-02T00:00:00")
+    assert parsed.tzinfo is not None and parsed.utcoffset() == dt.timedelta(0)
+    assert ts_cutoff_str("2024-01-02T00:00:00") == "2024-01-02 00:00:00.000000"
+    # explicit-offset forms still convert to UTC
+    assert ts_cutoff_str("2024-01-02T05:30:00+05:30") == "2024-01-02 00:00:00.000000"
