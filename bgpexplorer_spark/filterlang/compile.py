@@ -69,20 +69,32 @@ def hard(b: Column) -> Column:
 
 def soft(b: Column) -> Column:
     """bool → Yes/Unknown (FilterItemMatchResult::soft,
-    src/ribfilter.rs:52-58)."""
-    return F.when(F.coalesce(b, _NO()), _YES()).otherwise(_UNKNOWN())
+    src/ribfilter.rs:52-58). No otherwise() branch: false/NULL both fall
+    through to NULL, referencing ``b`` exactly once — combinators here
+    keep single references so the compiled filter tree stays within
+    janino's method-size budget (each extra reference of a subtree
+    multiplies the generated Java)."""
+    return F.when(b, _YES())
 
 def chain(first: Column, second: Column) -> Column:
     """'if first is Unknown, try second' — the rd→inner-prefix delegation
-    of WithRd/MVPN/EVPN keys (src/ribfilter.rs:458-470 etc.)."""
-    return F.when(first.isNotNull(), first).otherwise(second)
+    of WithRd/MVPN/EVPN keys (src/ribfilter.rs:458-470 etc.). Unknown IS
+    NULL, so this is exactly coalesce (one reference per subtree)."""
+    return F.coalesce(first, second)
 
 def multi(*results: Column) -> Column:
     """Majority vote: #Yes > #No ⇒ Yes; #No > #Yes ⇒ No; tie ⇒ Unknown
-    (src/ribfilter.rs:59-81)."""
-    yes = sum(F.when(r.isNotNull() & r, 1).otherwise(0) for r in results)
-    no = sum(F.when(r.isNotNull() & ~r, 1).otherwise(0) for r in results)
-    return F.when(yes > no, _YES()).when(no > yes, _NO()).otherwise(_UNKNOWN())
+    (src/ribfilter.rs:59-81). Encoded as a ±1/0 score sum + signum so
+    each vote subtree is referenced twice total, not per-comparison —
+    the naive two-counter form inlined each vote ~8×, which together
+    with term_to_column's fan-out pushed the generated processNext()
+    past janino's compile limit (whole-stage codegen fallback)."""
+    score: Column | None = None
+    for r in results:
+        s = F.when(r.isNull(), 0).otherwise(F.when(r, 1).otherwise(-1))
+        score = s if score is None else score + s
+    sig = F.signum(score)
+    return F.when(sig == 0, _UNKNOWN()).otherwise(sig > 0)
 
 # --- column shorthands ------------------------------------------------------
 
@@ -384,17 +396,25 @@ def term_to_column(term: FilterTerm, rib: str, supernet: bool = False) -> Column
     k = key_match(term.item, rib, supernet)
     a = attr_match(term.item)
 
+    # Kleene NOT is exactly SQL NOT (~NULL = NULL), so polarity is a bare
+    # negation — no when() wrapper, one reference of the operand.
     def pol(x: Column) -> Column:
-        return F.when(x.isNull(), _UNKNOWN()).otherwise(~x) if term.negated else x
+        return ~x if term.negated else x
 
-    k_yes = k.isNotNull() & k
-    k_no = k.isNotNull() & ~k
+    # Truth table with k referenced twice and a three times (the naive
+    # k_yes/k_no form referenced k six times, inlining the whole key tree
+    # per reference — see multi()'s docstring on the janino budget):
+    #   k=Yes, a=Unknown → Yes (quirk: bypasses polarity)
+    #   k=No             → pol(No)
+    #   k=Unknown, a=Unknown → Unknown
+    #   a known (k Yes or Unknown) → pol(a)
+    # Branch 1: NULL/false k short-circuits the AND to not-matched.
+    # Branch 2: ~k is NULL for unknown k → skipped.
     return (
-        F.when(k_yes & a.isNull(), _YES())  # quirk: bypasses polarity
-        .when(k_yes, pol(a))
-        .when(k_no, pol(_NO()))
-        .when(a.isNull(), _UNKNOWN())       # k Unknown, a Unknown
-        .otherwise(pol(a))               # k Unknown, a known
+        F.when(k & a.isNull(), _YES())
+        .when(~k, pol(_NO()))
+        .when(a.isNull(), _UNKNOWN())
+        .otherwise(pol(a))
     )
 
 def filter_to_column(

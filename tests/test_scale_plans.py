@@ -303,3 +303,27 @@ def test_salted_join_matches_plain_join(spark):
     # the join key actually carries the salt (skew spread over 8 subkeys)
     plan = _plan(salted_join(big, small, "k", salt=8))
     assert "_salt" in plan
+
+def test_filter_queries_compile_without_codegen_fallback(spark):
+    """The compiled 3VL filter trees must stay inside janino's method
+    budget: with spark.sql.codegen.fallback=false a whole-stage compile
+    failure throws instead of silently degrading to interpreted eval.
+    Guards the combinator single-reference discipline in
+    filterlang/compile.py (multi/chain/term_to_column) — the composite
+    vote keys (mdt/mvpn/evpn) are the trees that previously blew up."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = m.queries()
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in (
+            "f_mdt_vote", "f_mvpn_vote", "f_evpn_chain", "f_l2_range",
+            "f10_negation", "f9_num_polymorphic", "c9_whois_textops",
+        ):
+            assert qs[name](spark, _SF_DIR).count() >= 0, name
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
