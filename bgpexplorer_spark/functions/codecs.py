@@ -112,16 +112,19 @@ def array_contiguous_subseq(haystack: Column, needle: list[int]) -> Column:
     BIGINT array (F5 ``as:a,b`` Contains semantics —
     src/ribfilter.rs:1471-1504).
 
-    Pure Column algebra, codegen-able: ∃ start offset i ∈ [1, n-k+1] with
-    slice(h, i, k) == needle. No UDF.
+    Pure Column algebra, codegen-able: the index-lambda filter probes
+    each start position with O(1) ``get`` element lookups — no per-offset
+    ``sequence``/``slice`` array allocations (those made the original
+    exists/slice form the most expensive expression in the filter kit).
+    ``get`` returns NULL past the end (never throws, ANSI-safe), so a
+    start too close to the tail yields NULL and is dropped by filter().
     """
     k = len(needle)
-    lit_needle = F.array(*[F.lit(x).cast("bigint") for x in needle])
-    n = F.size(haystack)
-    # Clamp the sequence end to >= 1: sequence(1, 0) is DESCENDING in Spark
-    # ([1, 0]) and slice(start=0) throws; `&` does not short-circuit, so the
-    # exists() is evaluated even when n < k.
-    starts = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
-    return (n >= F.lit(k)) & F.exists(
-        starts, lambda i: F.slice(haystack, i, k) == lit_needle
-    )
+
+    def at_offset(x: Column, i: Column) -> Column:
+        cond = x == F.lit(needle[0]).cast("bigint")
+        for j in range(1, k):
+            cond = cond & (F.get(haystack, i + F.lit(j)) == F.lit(needle[j]).cast("bigint"))
+        return cond
+
+    return F.size(F.filter(haystack, at_offset)) > 0
