@@ -10,7 +10,7 @@ dense rank over first-seen order (deterministic given the event table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def canonical_peer_pair(df: DataFrame,
@@ -28,6 +28,21 @@ def canonical_peer_pair(df: DataFrame,
         hi.getField("addr").alias("peer_hi_addr"), hi.getField("asn").alias("peer_hi_as"),
     )
 
+def dense_ids(df: DataFrame, order_cols: list[str], id_col: str = "session_id") -> DataFrame:
+    """Dense 0..n-1 ids over a TINY distinct frame in lexicographic
+    ``order_cols`` order, without an unpartitioned window (which moves
+    all data to one partition and warns): one aggregate collects the dim
+    into a sorted struct array and posexplode's position is the id. The
+    aggregate is map-side partial, and the single final row is bounded
+    by the same "dimension fits on one executor" constraint the
+    downstream broadcast join already imposes."""
+    s = F.sort_array(F.collect_list(F.struct(*[F.col(c) for c in order_cols])))
+    return (
+        df.agg(s.alias("_sorted"))
+        .select(F.posexplode("_sorted").alias("_id", "_s"))
+        .select(F.col("_id").cast("int").alias(id_col), "_s.*")
+    )
+
 def build_session_registry(peer_events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Distinct canonical peer pairs → dense session_id by first-seen
     time (the reference's insertion-order counter,
@@ -36,11 +51,9 @@ def build_session_registry(peer_events: DataFrame, ts_col: str = "ts") -> DataFr
     firsts = canon.groupBy(
         "peer_lo_addr", "peer_lo_as", "peer_hi_addr", "peer_hi_as"
     ).agg(F.min(ts_col).alias("first_seen"))
-    w = Window.orderBy(
-        "first_seen", "peer_lo_addr", "peer_lo_as", "peer_hi_addr", "peer_hi_as"
-    )
-    return firsts.withColumn(
-        "session_id", (F.row_number().over(w) - 1).cast("int")
+    return dense_ids(
+        firsts,
+        ["first_seen", "peer_lo_addr", "peer_lo_as", "peer_hi_addr", "peer_hi_as"],
     ).select(
         "session_id",
         F.col("peer_lo_addr").alias("peer1_addr"), F.col("peer_lo_as").alias("peer1_as"),

@@ -29,7 +29,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -449,15 +449,11 @@ def assign_sessions(mrt_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     UPDATES_SCHEMA order, sessions dimension). The dimension is tiny (one
     row per peer) so the id join broadcasts; ordering by (peer_addr,
     peer_as) makes the ids deterministic."""
-    peers = (
-        mrt_df.select("peer_addr", "peer_as")
-        .distinct()
-        .withColumn(
-            "session_id",
-            (F.row_number().over(Window.orderBy("peer_addr", "peer_as")) - 1).cast(
-                "int"
-            ),
-        )
+    from bgpexplorer_spark.operators.sessions import dense_ids
+
+    peers = dense_ids(
+        mrt_df.select("peer_addr", "peer_as").distinct(),
+        ["peer_addr", "peer_as"],
     )
     upd = (
         mrt_df.join(F.broadcast(peers), ["peer_addr", "peer_as"])
