@@ -228,30 +228,52 @@ def rpki_validate(
     equi-join on (net, plen), one map-side-combinable aggregate per
     route, then a left join back for NotFound. No theta join, no
     per-route ROA scan."""
+
+    def mask_v4(pl: int) -> Column:
+        return (
+            F.floor(F.col(addr_col) / F.lit(2 ** (32 - pl))).cast("bigint")
+            * F.lit(2 ** (32 - pl))
+        )
+
+    return _rpki_validate_impl(
+        routes, roas, addr_col, plen_col, origin_col, roa_plens, mask_v4
+    )
+
+def _rpki_validate_impl(
+    routes: DataFrame,
+    roas: DataFrame,
+    addr_col: str,
+    plen_col: str,
+    origin_col: str,
+    roa_plens: list[int] | None,
+    mask,
+) -> DataFrame:
+    """Shared v4/v6 body. The verdict depends only on the
+    (addr, plen, origin) triple, so the pipeline dedupes routes to
+    distinct triples BEFORE the candidate explode and aggregates
+    ``_any_ok`` by that narrow key — not by every route column. The
+    exchanges carry a 3-column key, the explode runs over distinct
+    triples (routes repeat a prefix across sessions/history), and the
+    verdict join back to the full rows is on the same narrow key."""
     if roa_plens is None:
         roa_plens = [r[0] for r in roas.select("plen").distinct().collect()]
     roa_plens = sorted(int(x) for x in roa_plens)
 
-    route_cols = list(routes.columns)
     if not roa_plens:
         return routes.withColumn("validity", F.lit("NotFound"))
+    key = [addr_col, plen_col, origin_col]
     cand = F.array(
         *[
-            F.struct(
-                F.lit(pl).alias("_plen"),
-                (
-                    F.floor(F.col(addr_col) / F.lit(2 ** (32 - pl))).cast("bigint")
-                    * F.lit(2 ** (32 - pl))
-                ).alias("_net"),
-            )
+            F.struct(F.lit(pl).alias("_plen"), mask(pl).alias("_net"))
             for pl in roa_plens
         ]
     )
     exploded = (
-        routes.withColumn("_cand", F.explode(cand))
+        routes.select(*key)
+        .distinct()
+        .withColumn("_cand", F.explode(cand))
         .filter(F.col(plen_col) >= F.col("_cand._plen"))
-        .select("*", F.col("_cand._plen").alias("_plen"), F.col("_cand._net").alias("_net"))
-        .drop("_cand")
+        .select(*key, F.col("_cand._plen").alias("_plen"), F.col("_cand._net").alias("_net"))
     )
     covering = exploded.join(
         roas.select(
@@ -264,11 +286,9 @@ def rpki_validate(
         "inner",
     )
     ok = (F.col(plen_col) <= F.col("max_len")) & (F.col(origin_col) == F.col("asn"))
-    verdicts = covering.groupBy(*route_cols).agg(
-        F.max(ok.cast("int")).alias("_any_ok")
-    )
+    verdicts = covering.groupBy(*key).agg(F.max(ok.cast("int")).alias("_any_ok"))
     return (
-        routes.join(verdicts, route_cols, "left")
+        routes.join(verdicts, key, "left")
         .withColumn(
             "validity",
             F.when(F.col("_any_ok").isNull(), "NotFound")
@@ -289,52 +309,10 @@ def rpki_validate_v6(
     """IPv6 form of :func:`rpki_validate`: ROA nets are canonical
     BINARY(16) addresses; candidate masking reuses the literal-length
     byte/bit construction of the v6 LPM join. Same RFC 6811 semantics
-    and the same one-aggregate scale shape."""
+    and the same narrow-key one-aggregate scale shape."""
     from bgpexplorer_spark.operators.lpm import _mask_v6
 
-    if roa_plens is None:
-        roa_plens = [r[0] for r in roas.select("plen").distinct().collect()]
-    roa_plens = sorted(int(x) for x in roa_plens)
-
-    route_cols = list(routes.columns)
-    if not roa_plens:
-        return routes.withColumn("validity", F.lit("NotFound"))
-    cand = F.array(
-        *[
-            F.struct(
-                F.lit(pl).alias("_plen"),
-                _mask_v6(F.col(addr_col), pl).alias("_net"),
-            )
-            for pl in roa_plens
-        ]
-    )
-    exploded = (
-        routes.withColumn("_cand", F.explode(cand))
-        .filter(F.col(plen_col) >= F.col("_cand._plen"))
-        .select("*", F.col("_cand._plen").alias("_plen"), F.col("_cand._net").alias("_net"))
-        .drop("_cand")
-    )
-    covering = exploded.join(
-        roas.select(
-            F.col("net").alias("_net"),
-            F.col("plen").alias("_plen"),
-            "max_len",
-            "asn",
-        ),
-        ["_net", "_plen"],
-        "inner",
-    )
-    ok = (F.col(plen_col) <= F.col("max_len")) & (F.col(origin_col) == F.col("asn"))
-    verdicts = covering.groupBy(*route_cols).agg(
-        F.max(ok.cast("int")).alias("_any_ok")
-    )
-    return (
-        routes.join(verdicts, route_cols, "left")
-        .withColumn(
-            "validity",
-            F.when(F.col("_any_ok").isNull(), "NotFound")
-            .when(F.col("_any_ok") == 1, "Valid")
-            .otherwise("Invalid"),
-        )
-        .drop("_any_ok")
+    return _rpki_validate_impl(
+        routes, roas, addr_col, plen_col, origin_col, roa_plens,
+        lambda pl: _mask_v6(F.col(addr_col), pl),
     )

@@ -327,3 +327,27 @@ def test_filter_queries_compile_without_codegen_fallback(spark):
             assert qs[name](spark, _SF_DIR).count() >= 0, name
     finally:
         spark.conf.set("spark.sql.codegen.fallback", old)
+
+def test_rpki_aggregate_key_is_narrow(spark):
+    """The RPKI verdict aggregate must exchange on the 3-column
+    (addr, plen, origin) key, never on every route column — the verdict
+    depends only on the triple, and the wide-key form shuffled the whole
+    route row (analytics.py _rpki_validate_impl)."""
+    from bgpexplorer_spark.operators.analytics import rpki_validate
+
+    routes = spark.range(100).select(
+        (F.col("id") * 256).alias("addr_v4"),
+        F.lit(24).alias("prefixlen"),
+        (F.col("id") % 7).alias("origin_as"),
+        F.col("id").alias("extra_a"),      # payload cols that must NOT
+        (F.col("id") * 2).alias("extra_b"),  # enter the aggregate key
+    )
+    roas = spark.createDataFrame(
+        [(0, 8, 24, 1)], "net long, plen int, max_len int, asn long"
+    )
+    plan = _plan(rpki_validate(routes, roas, roa_plens=[8]))
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "extra_a" not in keys and "extra_b" not in keys, keys
