@@ -47,19 +47,18 @@ BENCH_QUERIES = [
     "o9_rib_asof",
     # training-pipeline packing (hash shard + running-sum window)
     "pipe_pack_sequences",
+    # RFC 6811 origin validation: the masked-candidate ROA equi-join is the
+    # heaviest analytics shape (LPM-class join + verdict aggregate)
+    "an_rpki_validate",
+    # alternating-round connected components over near-dup edges — the one
+    # iterative/multi-job shape in the engine
+    "dedup_components",
 ]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
-    spark = get_spark("bench")
+def _sf_of(sf_dir: str) -> float:
+    return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
-    from bgpexplorer_spark.contract import all_queries
-
-    qs = all_queries()
-    # warm the JVM + file metadata once with a trivial action
-    spark.range(1).count()
-
+def _run_set(spark, qs, sf_dir: str) -> dict[str, float]:
     # steady-state timing, prepared-statement style: build each query's
     # DataFrame ONCE (a resident service prepares its plans once), warm it
     # (JIT + parquet footer caching), then report the median of 5 timed
@@ -83,18 +82,46 @@ def main() -> None:
         # gets the same effect from routine generational GC.
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+    return times
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+
+    from bgpexplorer_spark.contract import all_queries
+
+    qs = all_queries()
+    # warm the JVM + file metadata once with a trivial action
+    spark.range(1).count()
+
+    times = _run_set(spark, qs, sf_dir)
     total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_steady_state_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_steady_state_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir),
+    }
+
+    # Secondary scale factor: rerun the same set at a smaller sf and record
+    # the per-query scaling ratio. A query whose runtime grows much faster
+    # than the ~10x data ratio (after subtracting fixed per-job overhead,
+    # which dominates at sf0.01) is flagged before it matters at 100 TB.
+    # Disable with SPARK_GRAFT_SF_DIR_2="".
+    sf_dir2 = os.environ.get("SPARK_GRAFT_SF_DIR_2", "/root/testdata/sf0.01")
+    if sf_dir2 and os.path.isdir(sf_dir2) and os.path.abspath(sf_dir2) != os.path.abspath(sf_dir):
+        times2 = _run_set(spark, qs, sf_dir2)
+        out["secondary"] = {
+            "sf": _sf_of(sf_dir2),
+            "value": round(sum(times2.values()), 4),
+            "queries": times2,
+        }
+        out["scaling_ratio"] = {
+            name: round(times[name] / times2[name], 2) if times2.get(name) else None
+            for name in times
+        }
+    print(json.dumps(out))
     spark.stop()
 
 if __name__ == "__main__":
