@@ -1869,6 +1869,55 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "channels", "n_bytes", "mean_byte",
     )
 
+# Multimodal — REAL compressed-image decode: baseline JPEG through the
+# pure-numpy T.81 codec (operators/jpeg.py). The fixtures are grayscale
+# images uniform within each 8x8 block (value = (doc_id*17 + by*7 +
+# bx*13) % 256): at quality=100 every block's only nonzero coefficient is
+# an integer DC with quantizer step 1, so Huffman decode + IDCT recover
+# the pixels EXACTLY and DuckDB can recompute the decoded mean
+# analytically — while Spark actually walks JFIF markers, Huffman tables,
+# DC prediction chains, and the entropy-coded segment.
+_JPEG_ORACLE = """
+    SELECT doc_id, 'jpeg' AS decoder,
+           CAST(4 + doc_id % 8 AS INTEGER) AS width,
+           CAST(6 + doc_id % 6 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           round(list_avg([
+               (doc_id * 17
+                + ((k // (4 + doc_id % 8)) // 8) * 7
+                + ((k % (4 + doc_id % 8)) // 8) * 13) % 256
+               for k in generate_series(
+                   0, (4 + doc_id % 8) * (6 + doc_id % 6) - 1)
+           ]), 4) AS mean_byte
+    FROM documents
+"""
+
+@q("multimodal_decode_jpeg", _JPEG_ORACLE)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real JPEG decode end-to-end (decoder='jpeg'): deterministic
+    baseline JFIF payloads built by the in-package encoder, decoded
+    distributed inside Arrow-batched mapInPandas."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        w, h = 4 + d % 8, 6 + d % 6
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = ((d * 17 + (yy // 8) * 7 + (xx // 8) * 13) % 256).astype(np.uint8)
+        rows.append((int(d), "image", bytearray(encode_jpeg(px, quality=100)), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "decoder",
+        "width", "height", "channels", "mean_byte",
+    )
+
 # S2 — BMP (RFC 7854) capture decode → build_history. Same analytic-oracle
 # strategy as s1: Spark parses real BMP frames (per-peer headers + Route
 # Monitoring BGP UPDATEs); DuckDB recomputes the expected rows from the

@@ -6,9 +6,11 @@ binary payloads never pass through a row-at-a-time UDF.
 
 Decoders: formats that need NO external codec libraries are decoded FOR
 REAL — BMP (24-bit uncompressed) and PPM/PGM binary via numpy, WAV via
-the stdlib ``wave`` module. Compressed formats (JPEG/PNG/MP3/H.264)
-require libraries absent from this container; those rows either fall
-back to a clearly-marked deterministic fake (``decoder='fake'``,
+the stdlib ``wave`` module, and baseline JPEG via the pure-numpy T.81
+codec in ``operators.jpeg`` (sequential DCT, 4:4:4/4:2:2/4:2:0, restart
+intervals). Remaining compressed formats (PNG/MP3/H.264, progressive
+JPEG) require libraries absent from this container; those rows either
+fall back to a clearly-marked deterministic fake (``decoder='fake'``,
 mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
 plumbing — schema, batching, partition layout — is identical either way.
 """
@@ -163,6 +165,11 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
         if img is None:
             img = decode_pnm(raw)
             kind = "ppm" if img is not None else None
+        if img is None and raw[:2] == b"\xff\xd8":
+            from bgpexplorer_spark.operators.jpeg import decode_jpeg
+
+            img = decode_jpeg(raw)
+            kind = "jpeg" if img is not None else None
         if img is not None:
             base.update(
                 height=img.shape[0], width=img.shape[1], channels=img.shape[2],
@@ -178,7 +185,8 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
         if mode == "real":
             raise NotImplementedError(
                 f"no dependency-free decoder for this {mtype} payload "
-                "(JPEG/PNG/MP3/video need codec libraries absent here)"
+                "(PNG/MP3/video and progressive JPEG need codec "
+                "libraries absent here)"
             )
     w, h, c, mean = _fake_decode(raw)
     base.update(width=w, height=h, channels=c)
@@ -238,6 +246,10 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                 img = decode_bmp(raw)
                 if img is None:
                     img = decode_pnm(raw)
+                if img is None and raw[:2] == b"\xff\xd8":
+                    from bgpexplorer_spark.operators.jpeg import decode_jpeg
+
+                    img = decode_jpeg(raw)
                 if img is not None:
                     if img.shape[2] == 1:  # grayscale → RGB for PPM
                         img = np.repeat(img, 3, axis=2)
