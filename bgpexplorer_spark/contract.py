@@ -1918,6 +1918,48 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width", "height", "channels", "mean_byte",
     )
 
+# Multimodal — REAL PNG decode (stdlib zlib inflate + scanline
+# unfiltering in operators/png.py). PNG is lossless, so the decoded
+# pixels equal the fixture formula exactly and DuckDB recomputes the
+# mean analytically while Spark actually inflates and unfilters.
+_PNG_ORACLE = """
+    SELECT doc_id, 'png' AS decoder,
+           CAST(5 + doc_id % 6 AS INTEGER) AS width,
+           CAST(4 + doc_id % 4 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           round(list_avg([
+               (doc_id * 13 + k * 5) % 256
+               for k in generate_series(
+                   0, (5 + doc_id % 6) * (4 + doc_id % 4) * 3 - 1)
+           ]), 4) AS mean_byte
+    FROM documents
+"""
+
+@q("multimodal_decode_png", _PNG_ORACLE)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG decode end-to-end (decoder='png'): deterministic RGB
+    fixtures (pixel k = (doc_id*13 + k*5) % 256) built by the in-package
+    encoder, inflated + unfiltered distributed inside mapInPandas."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+    from bgpexplorer_spark.operators.png import encode_png
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        w, h = 5 + d % 6, 4 + d % 4
+        px = ((d * 13 + np.arange(w * h * 3) * 5) % 256).astype(np.uint8)
+        rows.append((int(d), "image", encode_png(px.reshape(h, w, 3)), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "decoder",
+        "width", "height", "channels", "mean_byte",
+    )
+
 # S2 — BMP (RFC 7854) capture decode → build_history. Same analytic-oracle
 # strategy as s1: Spark parses real BMP frames (per-peer headers + Route
 # Monitoring BGP UPDATEs); DuckDB recomputes the expected rows from the

@@ -6,10 +6,12 @@ binary payloads never pass through a row-at-a-time UDF.
 
 Decoders: formats that need NO external codec libraries are decoded FOR
 REAL — BMP (24-bit uncompressed) and PPM/PGM binary via numpy, WAV via
-the stdlib ``wave`` module, and baseline JPEG via the pure-numpy T.81
-codec in ``operators.jpeg`` (sequential DCT, 4:4:4/4:2:2/4:2:0, restart
-intervals). Remaining compressed formats (PNG/MP3/H.264, progressive
-JPEG) require libraries absent from this container; those rows either
+the stdlib ``wave`` module, baseline JPEG via the pure-numpy T.81 codec
+in ``operators.jpeg`` (sequential DCT, 4:4:4/4:2:2/4:2:0, restart
+intervals), and PNG via stdlib zlib + numpy in ``operators.png`` (8-bit
+gray/RGB/RGBA/palette, all five filters). Remaining compressed formats
+(MP3/H.264, progressive JPEG, 16-bit/interlaced PNG) require libraries
+absent from this container; those rows either
 fall back to a clearly-marked deterministic fake (``decoder='fake'``,
 mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
 plumbing — schema, batching, partition layout — is identical either way.
@@ -170,6 +172,11 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
 
             img = decode_jpeg(raw)
             kind = "jpeg" if img is not None else None
+        if img is None and raw[:8] == b"\x89PNG\r\n\x1a\n":
+            from bgpexplorer_spark.operators.png import decode_png
+
+            img = decode_png(raw)
+            kind = "png" if img is not None else None
         if img is not None:
             base.update(
                 height=img.shape[0], width=img.shape[1], channels=img.shape[2],
@@ -185,8 +192,8 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
         if mode == "real":
             raise NotImplementedError(
                 f"no dependency-free decoder for this {mtype} payload "
-                "(PNG/MP3/video and progressive JPEG need codec "
-                "libraries absent here)"
+                "(MP3/video, progressive JPEG, and 16-bit/interlaced "
+                "PNG need codec libraries absent here)"
             )
     w, h, c, mean = _fake_decode(raw)
     base.update(width=w, height=h, channels=c)
@@ -250,7 +257,15 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     from bgpexplorer_spark.operators.jpeg import decode_jpeg
 
                     img = decode_jpeg(raw)
+                if img is None and raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    from bgpexplorer_spark.operators.png import decode_png
+
+                    img = decode_png(raw)
                 if img is not None:
+                    if img.shape[2] == 2:  # gray+alpha → gray
+                        img = img[:, :, :1]
+                    elif img.shape[2] == 4:  # RGBA → RGB for PPM
+                        img = img[:, :, :3]
                     if img.shape[2] == 1:  # grayscale → RGB for PPM
                         img = np.repeat(img, 3, axis=2)
                     rz = resize_nearest(img, target_w, target_h)

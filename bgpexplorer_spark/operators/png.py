@@ -1,0 +1,138 @@
+"""PNG decoder in pure stdlib ``zlib`` + numpy — no codec libraries.
+
+Covers the common still-image profile: 8-bit greyscale (color type 0),
+truecolor RGB (2), palette (3), greyscale+alpha (4), and RGBA (6), with
+all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) and
+multi-chunk IDAT streams. Interlaced (Adam7), 16-bit, and sub-8-bit
+depths return None → the multimodal fake path. The inverse
+``encode_png`` (filter 0, non-interlaced) builds deterministic real-PNG
+fixtures for tests; PNG is lossless so round-trips are exact.
+
+Flows into ``operators.multimodal.decode_media`` as ``decoder='png'``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per color type (8-bit depth only)
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(b: bytes) -> np.ndarray | None:
+    """PNG bytes → (h, w, channels) uint8 (palette expanded to RGB,
+    alpha preserved as a 2nd/4th channel), or None if not a decodable
+    8-bit non-interlaced PNG."""
+    try:
+        return _decode_strict(b)
+    except (zlib.error, struct.error, IndexError, ValueError):
+        return None
+
+
+def _decode_strict(b: bytes) -> np.ndarray | None:
+    if len(b) < 8 + 25 or b[:8] != _SIG:
+        return None
+    pos, n = 8, len(b)
+    width = height = None
+    ctype = None
+    palette: np.ndarray | None = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        clen, tag = struct.unpack(">I4s", b[pos : pos + 8])
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            return None
+        pos += 12 + clen  # skip CRC; archives are checked elsewhere
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None  # 16-bit / sub-8-bit / Adam7 — out of scope
+            if ctype not in _CHANNELS or not width or not height:
+                return None
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        return None
+    ch = _CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        return None
+    lines = np.frombuffer(raw, np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    filters = lines[:, 0]
+    out = np.zeros((height, stride), np.uint16)
+    zero = np.zeros(stride, np.uint16)
+    for y in range(height):
+        f = filters[y]
+        cur = lines[y, 1:].astype(np.uint16)
+        up = out[y - 1] if y else zero
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub — a per-channel-lane prefix sum mod 256
+            out[y] = (
+                cur.reshape(width, ch).astype(np.int64).cumsum(axis=0) & 0xFF
+            ).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = (cur + up) & 0xFF
+        elif f == 3:  # Average
+            row = cur.copy()
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                row[x] = (row[x] + ((int(left) + int(up[x])) >> 1)) & 0xFF
+            out[y] = row
+        elif f == 4:  # Paeth
+            row = cur.copy()
+            for x in range(stride):
+                left = row[x - ch] if x >= ch else 0
+                ul = up[x - ch] if x >= ch else 0
+                p = int(left) + int(up[x]) - int(ul)
+                pa, pb, pc = abs(p - int(left)), abs(p - int(up[x])), abs(p - int(ul))
+                pred = left if pa <= pb and pa <= pc else (up[x] if pb <= pc else ul)
+                row[x] = (row[x] + int(pred)) & 0xFF
+            out[y] = row
+        else:
+            return None
+    img = out.astype(np.uint8).reshape(height, width, ch)
+    if ctype == 3:
+        if palette is None:
+            return None
+        img = palette[img[:, :, 0]]
+    return np.ascontiguousarray(img)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w) / (h, w, 1|2|3|4) uint8 → PNG bytes (8-bit, filter 0,
+    single IDAT). Lossless, so decode_png(encode_png(x)) == x."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    return (
+        _SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )

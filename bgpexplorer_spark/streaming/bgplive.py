@@ -1,0 +1,169 @@
+"""Live BGP-over-TCP ingestion (SURVEY.md §2.1 S1, daemon mode).
+
+A passive BGP speaker, the analog of the reference's peer task
+(src/bgppeer.rs:72-100 start_passive, 179-258 lifecycle): accept a
+router's connection, receive its OPEN, mirror an OPEN back with our
+router-id/AS plus an immediate KEEPALIVE, register the session, then
+echo KEEPALIVEs and decode UPDATE messages — each UPDATE's NLRI walk is
+the SAME ``parse_bgp_update`` the MRT/BMP batch sources use, so live
+rows are byte-for-byte consistent with archival decode. NOTIFICATION
+ends the session (src/bgppeer.rs:230-246). Output is UPDATES_SCHEMA
+parquet micro-batches for ``stream_updates_from_files`` — zero engine
+changes — plus optional raw message capture.
+
+4-octet AS numbers (RFC 6793, capability 65) are always offered and
+honored when the peer offers them; ADD-PATH negotiation is not offered
+(the archival sources decode ADD-PATH, the live adapter scopes it out).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import struct
+
+from bgpexplorer_spark.sources.mrt import parse_bgp_update
+from bgpexplorer_spark.streaming.livebase import (  # noqa: F401  (re-export)
+    LiveListenerBase,
+    send_frames,
+)
+
+BGP_OPEN = 1
+BGP_UPDATE = 2
+BGP_NOTIFICATION = 3
+BGP_KEEPALIVE = 4
+
+_MARKER = b"\xff" * 16
+AS_TRANS = 23456
+
+
+def encode_bgp_message(mtype: int, body: bytes = b"") -> bytes:
+    return _MARKER + struct.pack(">HB", 19 + len(body), mtype) + body
+
+
+def encode_bgp_open(as_num: int, hold_time: int, router_id: int) -> bytes:
+    """OPEN with the 4-octet-AS capability (the 2-byte field carries
+    AS_TRANS when the AS doesn't fit, RFC 6793 §3)."""
+    cap = bytes([2, 6, 65, 4]) + struct.pack(">I", as_num)
+    body = (
+        bytes([4])
+        + struct.pack(">HHI", as_num if as_num < 65536 else AS_TRANS,
+                      hold_time, router_id)
+        + bytes([len(cap)])
+        + cap
+    )
+    return encode_bgp_message(BGP_OPEN, body)
+
+
+def encode_bgp_keepalive() -> bytes:
+    return encode_bgp_message(BGP_KEEPALIVE)
+
+
+def parse_bgp_open(body: bytes) -> tuple[int, int, bool]:
+    """OPEN body → (peer_as, hold_time, as4). The 4-octet-AS capability
+    (code 65) overrides the 2-byte my-AS field."""
+    if len(body) < 10 or body[0] != 4:
+        raise ValueError("unsupported BGP version")
+    my_as, hold_time = struct.unpack(">HH", body[1:5])
+    peer_as, as4 = my_as, False
+    optlen = body[9]
+    p, end = 10, min(10 + optlen, len(body))
+    while p + 2 <= end:
+        ptype, plen = body[p], body[p + 1]
+        val = body[p + 2 : p + 2 + plen]
+        p += 2 + plen
+        if ptype != 2:  # only capability params (RFC 5492)
+            continue
+        q = 0
+        while q + 2 <= len(val):
+            code, clen = val[q], val[q + 1]
+            if code == 65 and clen == 4:
+                peer_as = struct.unpack(">I", val[q + 2 : q + 6])[0]
+                as4 = True
+            q += 2 + clen
+    return peer_as, hold_time, as4
+
+
+class BgpListener(LiveListenerBase):
+    """Passive BGP speaker: accept sessions, handshake, decode UPDATEs
+    into UPDATES_SCHEMA parquet micro-batches in ``out_dir``.
+
+    ``as_num`` / ``router_id`` / ``hold_time`` are this station's OPEN
+    parameters (the reference takes them from [main] config,
+    src/config.rs)."""
+
+    def __init__(
+        self, out_dir: str, as_num: int = 64512, router_id: int = 0x0A00007B,
+        hold_time: int = 180, **kw,
+    ) -> None:
+        import threading
+
+        super().__init__(out_dir, **kw)
+        self.as_num = as_num
+        self.router_id = router_id
+        self.hold_time = hold_time
+        # per-connection session state: each connection is served by
+        # exactly one thread (livebase thread-per-connection), so
+        # thread-local storage is the natural per-session slot
+        self._tls = threading.local()
+
+    def _consume(self, conn, buf: bytes, rows: list[dict], raw: list[bytes]) -> bytes:
+        if getattr(self._tls, "dead", False):
+            return b""  # session torn down by NOTIFICATION — drain only
+        off, n = 0, len(buf)
+        while off + 19 <= n:
+            if buf[off : off + 16] != _MARKER:
+                off += 1  # resync (a healthy session never needs this)
+                continue
+            msglen, mtype = struct.unpack(">HB", buf[off + 16 : off + 19])
+            if msglen < 19 or msglen > 4096:
+                off += 1
+                continue
+            if off + msglen > n:
+                break  # incomplete — wait for more bytes
+            body = buf[off + 19 : off + msglen]
+            if self._dispatch(conn, mtype, body, rows) is False:
+                raw.append(buf[off : off + msglen])
+                return b""  # NOTIFICATION: drop the rest of the stream
+            raw.append(buf[off : off + msglen])
+            off += msglen
+        return buf[off:]
+
+    def _dispatch(self, conn, mtype: int, body: bytes, rows: list[dict]):
+        if mtype == BGP_OPEN:
+            peer_as, hold_time, as4 = parse_bgp_open(body)
+            peer_addr = conn.getpeername()[0]
+            self._tls.session = (
+                self.registry.get(peer_addr, peer_as), peer_addr, peer_as, as4,
+            )
+            # mirror OPEN (our identity, src/bgppeer.rs:85-93) and confirm
+            # with an immediate KEEPALIVE so the peer reaches Established
+            try:
+                conn.sendall(
+                    encode_bgp_open(self.as_num, min(self.hold_time, hold_time)
+                                    or self.hold_time, self.router_id)
+                    + encode_bgp_keepalive()
+                )
+            except OSError:
+                pass
+        elif mtype == BGP_KEEPALIVE:
+            try:
+                conn.sendall(encode_bgp_keepalive())  # src/bgppeer.rs:225-229
+            except OSError:
+                pass
+        elif mtype == BGP_UPDATE:
+            sess = getattr(self._tls, "session", None)
+            if sess is None:
+                return None  # UPDATE before OPEN — not a session, drop
+            sid, peer_addr, peer_as, as4 = sess
+            ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            for r in parse_bgp_update(
+                body, 0, len(body), ts, peer_addr, peer_as, as4=as4
+            ):
+                r.pop("peer_addr"), r.pop("peer_as")
+                r["session_id"] = sid
+                rows.append(r)
+        elif mtype == BGP_NOTIFICATION:
+            self._tls.dead = True
+            self._tls.session = None
+            return False  # peer is tearing down (src/bgppeer.rs:230-246)
+        return None

@@ -11,186 +11,40 @@ closes the gap as a THIN ADAPTER with zero engine changes:
                          │                        └─▶ run_ingest / live_current_state
                          └──raw frames──▶ read_bmp (archival replay)
 
-The listener is intentionally NOT a Spark job: a monitoring station serves
-a handful of router sessions (thread-per-connection is the right scale),
-and its only output is files — UPDATES_SCHEMA parquet micro-batches
-written atomically (tmp+rename) so Spark's file sources never observe a
-partial file. Everything downstream (streaming RIB materialization,
-windowed rates, WebSocket fan-out, analytic views) is the existing engine.
-
-Decode reuses sources/bmp.py byte-for-byte: ``_walk_frames`` for framing,
-``parse_bmp`` for Route Monitoring, ``_parse_per_peer`` for PeerUp/Down.
-Session ids are dense in PeerUp-arrival order — the same registration
-semantics as the reference; a Route Monitoring frame from a peer that
-never sent PeerUp is auto-registered (routers are supposed to PeerUp
-first, but the reference tolerates the same reordering).
+Decode reuses sources/bmp.py byte-for-byte: ``parse_bmp`` for Route
+Monitoring, ``_parse_per_peer`` for PeerUp. Session ids are dense in
+PeerUp-arrival order — the same registration semantics as the reference;
+a Route Monitoring frame from a peer that never sent PeerUp is
+auto-registered (routers are supposed to PeerUp first, but the reference
+tolerates the same reordering). BMP is one-way: the station never writes.
 """
 
 from __future__ import annotations
 
-import os
-import socket
 import struct
-import threading
-import time
-import uuid
 
-from bgpexplorer_spark.schemas import UPDATES_SCHEMA
 from bgpexplorer_spark.sources.bmp import (
     _PER_PEER_LEN,
     _parse_per_peer,
     BMP_PEER_UP,
     parse_bmp,
 )
-
-_UPDATE_COLS = [f.name for f in UPDATES_SCHEMA.fields]
-
-
-def _arrow_schema():
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    return to_arrow_schema(UPDATES_SCHEMA)
+from bgpexplorer_spark.streaming.livebase import (  # noqa: F401  (re-export)
+    LiveListenerBase,
+    send_frames,
+)
 
 
-class _SessionRegistry:
-    """(peer_addr, peer_as) → dense session_id, first-seen order
-    (src/bgpsvc.rs:135-162 analog). Thread-safe; shared across
-    connections so a router reconnect keeps its id."""
-
-    def __init__(self) -> None:
-        self._ids: dict[tuple[str, int], int] = {}
-        self._lock = threading.Lock()
-
-    def get(self, peer_addr: str, peer_as: int) -> int:
-        key = (peer_addr, peer_as)
-        with self._lock:
-            sid = self._ids.get(key)
-            if sid is None:
-                sid = len(self._ids)
-                self._ids[key] = sid
-            return sid
-
-    def snapshot(self) -> list[tuple[int, str, int]]:
-        with self._lock:
-            return [(sid, a, asn) for (a, asn), sid in self._ids.items()]
-
-
-class BmpListener:
+class BmpListener(LiveListenerBase):
     """Accept BMP v3 sessions on a TCP socket and materialize decoded
-    updates as UPDATES_SCHEMA parquet micro-batch files in ``out_dir``.
-
-    Parameters
-    ----------
-    out_dir: directory for parquet micro-batches (the ingest dir that
-        ``stream_updates_from_files(spark, out_dir)`` watches).
-    raw_dir: optional directory for raw-frame capture files (replayable
-        through ``sources.bmp.read_bmp`` — the archival path).
-    flush_rows / flush_secs: a batch file is cut when either bound is
-        reached; smaller bounds = lower latency, more files.
+    updates as UPDATES_SCHEMA parquet micro-batch files in ``out_dir``
+    (the ingest dir that ``stream_updates_from_files`` watches);
+    ``raw_dir`` optionally archives raw frames for ``read_bmp`` replay.
     """
 
-    def __init__(
-        self,
-        out_dir: str,
-        host: str = "127.0.0.1",
-        port: int = 0,
-        raw_dir: str | None = None,
-        flush_rows: int = 256,
-        flush_secs: float = 1.0,
-    ) -> None:
-        self.out_dir = out_dir
-        self.raw_dir = raw_dir
-        self.host = host
-        self.port = port
-        self.flush_rows = flush_rows
-        self.flush_secs = flush_secs
-        self.registry = _SessionRegistry()
-        self._srv: socket.socket | None = None
-        self._threads: list[threading.Thread] = []
-        self._stop = threading.Event()
-        self._schema = _arrow_schema()
-        os.makedirs(out_dir, exist_ok=True)
-        if raw_dir:
-            os.makedirs(raw_dir, exist_ok=True)
-
-    # -- lifecycle -----------------------------------------------------
-
-    def start(self) -> tuple[str, int]:
-        srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
-        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        srv.bind((self.host, self.port))
-        srv.listen(8)
-        srv.settimeout(0.2)
-        self._srv = srv
-        self.host, self.port = srv.getsockname()
-        t = threading.Thread(target=self._accept_loop, daemon=True)
-        t.start()
-        self._threads.append(t)
-        return self.host, self.port
-
-    def stop(self) -> None:
-        self._stop.set()
-        for t in self._threads:
-            t.join(timeout=5)
-        if self._srv is not None:
-            self._srv.close()
-
-    def __enter__(self) -> "BmpListener":
-        self.start()
-        return self
-
-    def __exit__(self, *exc) -> None:
-        self.stop()
-
-    # -- internals -----------------------------------------------------
-
-    def _accept_loop(self) -> None:
-        assert self._srv is not None
-        while not self._stop.is_set():
-            try:
-                conn, _addr = self._srv.accept()
-            except socket.timeout:
-                continue
-            except OSError:
-                break
-            t = threading.Thread(target=self._serve, args=(conn,), daemon=True)
-            t.start()
-            self._threads.append(t)
-
-    def _serve(self, conn: socket.socket) -> None:
-        conn.settimeout(0.2)
-        buf = b""
-        rows: list[dict] = []
-        raw: list[bytes] = []
-        last_flush = time.monotonic()
-        try:
-            while not self._stop.is_set():
-                try:
-                    chunk = conn.recv(65536)
-                except socket.timeout:
-                    chunk = None
-                except OSError:
-                    break
-                if chunk == b"":  # orderly shutdown from the router
-                    break
-                if chunk:
-                    buf = self._consume(buf + chunk, rows, raw)
-                due = (
-                    len(rows) >= self.flush_rows
-                    or (rows or raw)
-                    and time.monotonic() - last_flush >= self.flush_secs
-                )
-                if due:
-                    self._flush(rows, raw)
-                    rows, raw = [], []
-                    last_flush = time.monotonic()
-        finally:
-            self._flush(rows, raw)
-            conn.close()
-
-    def _consume(self, buf: bytes, rows: list[dict], raw: list[bytes]) -> bytes:
+    def _consume(self, conn, buf: bytes, rows: list[dict], raw: list[bytes]) -> bytes:
         """Split complete v3 frames off the front of ``buf``; return the
-        unconsumed tail. Same resync discipline as _walk_frames, but
+        unconsumed tail. Same resync discipline as bmp._walk_frames, but
         incremental: a short read keeps the partial frame buffered."""
         off, n = 0, len(buf)
         while off + 6 <= n:
@@ -219,61 +73,3 @@ class BmpListener:
             sid = self.registry.get(r.pop("peer_addr"), r.pop("peer_as"))
             r["session_id"] = sid
             rows.append(r)
-
-    def _flush(self, rows: list[dict], raw: list[bytes]) -> None:
-        if rows:
-            self._write_parquet(rows)
-        if raw and self.raw_dir:
-            name = f"bmp-{uuid.uuid4().hex}.bmp"
-            tmp = os.path.join(self.raw_dir, "." + name + ".tmp")
-            with open(tmp, "wb") as f:
-                f.write(b"".join(raw))
-            os.rename(tmp, os.path.join(self.raw_dir, name))
-
-    def _write_parquet(self, rows: list[dict]) -> None:
-        import datetime as dt
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        utc = dt.timezone.utc
-        recs = []
-        for r in rows:
-            rec = {c: r.get(c) for c in _UPDATE_COLS}
-            ts = rec["ts"]
-            if ts is not None and ts.tzinfo is None:
-                # parse_bmp emits naive UTC; the arrow field is tz-aware
-                rec["ts"] = ts.replace(tzinfo=utc)
-            recs.append(rec)
-        table = pa.Table.from_pylist(recs, schema=self._schema)
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(self.out_dir, "." + name + ".tmp")
-        pq.write_table(table, tmp)
-        os.rename(tmp, os.path.join(self.out_dir, name))
-
-    # -- convenience ---------------------------------------------------
-
-    def sessions_df(self, spark):
-        """Registry snapshot as the SESSIONS_SCHEMA dimension (J4 input)."""
-        from bgpexplorer_spark.schemas import SESSIONS_SCHEMA
-
-        data = [
-            (sid, addr, asn, None, None) for sid, addr, asn in self.registry.snapshot()
-        ]
-        return spark.createDataFrame(data, SESSIONS_SCHEMA)
-
-
-def send_frames(
-    host: str, port: int, frames: list[bytes], chunk: int = 0
-) -> None:
-    """Test/ops helper: open a session and send frames. ``chunk`` > 0
-    fragments the byte stream at arbitrary boundaries to exercise the
-    incremental reassembly path."""
-    data = b"".join(frames)
-    with socket.create_connection((host, port)) as s:
-        if chunk <= 0:
-            s.sendall(data)
-        else:
-            for i in range(0, len(data), chunk):
-                s.sendall(data[i : i + chunk])
-                time.sleep(0.01)

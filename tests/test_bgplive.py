@@ -1,0 +1,145 @@
+"""Live BGP speaker e2e (SURVEY §2.1 S1 daemon mode): a simulated
+router opens a real TCP session, handshakes (OPEN/OPEN+KEEPALIVE),
+exchanges keepalives, announces and withdraws routes, and the decoded
+stream feeds live_current_state (src/bgppeer.rs:72-100, 179-258)."""
+
+from __future__ import annotations
+
+import socket
+import struct
+import tempfile
+import time
+
+from bgpexplorer_spark.sources.mrt import encode_bgp_update_body
+from bgpexplorer_spark.streaming.bgplive import (
+    BGP_KEEPALIVE,
+    BGP_NOTIFICATION,
+    BGP_OPEN,
+    BgpListener,
+    encode_bgp_keepalive,
+    encode_bgp_message,
+    encode_bgp_open,
+    parse_bgp_open,
+)
+from bgpexplorer_spark.streaming.feed import (
+    live_current_state,
+    stream_updates_from_files,
+)
+
+
+def _recv_msg(s: socket.socket) -> tuple[int, bytes]:
+    hdr = b""
+    while len(hdr) < 19:
+        hdr += s.recv(19 - len(hdr))
+    msglen, mtype = struct.unpack(">HB", hdr[16:19])
+    body = b""
+    while len(body) < msglen - 19:
+        body += s.recv(msglen - 19 - len(body))
+    return mtype, body
+
+
+def _wait_for_files(d, timeout=10.0):
+    import os
+
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        if any(n.endswith(".parquet") for n in os.listdir(d)):
+            return
+        time.sleep(0.1)
+    raise AssertionError(f"no parquet batch appeared in {d}")
+
+
+def test_bgp_session_to_current_state(spark):
+    out = tempfile.mkdtemp()
+    with BgpListener(out, as_num=64512, flush_secs=0.2) as lsn:
+        with socket.create_connection((lsn.host, lsn.port), timeout=10) as s:
+            # router (4-byte AS 200000 → AS_TRANS in the 2-byte field)
+            s.sendall(encode_bgp_open(200000, 90, 0x0A000001))
+            mtype, body = _recv_msg(s)
+            assert mtype == BGP_OPEN
+            st_as, st_hold, st_as4 = parse_bgp_open(body)
+            assert (st_as, st_as4) == (64512, True)
+            assert st_hold <= 90  # station honors the lower hold time
+            assert _recv_msg(s)[0] == BGP_KEEPALIVE  # immediate confirm
+            s.sendall(encode_bgp_keepalive())
+            assert _recv_msg(s)[0] == BGP_KEEPALIVE  # echo
+
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(0x0B000000, 24)], origin=0,
+                aspath=[(2, [200000, 3356])], nexthop=0x0A000001,
+            )))
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(0x0C000000, 16)], origin=0,
+                aspath=[(2, [200000])], nexthop=0x0A000001,
+            )))
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                withdrawn=[(0x0B000000, 24)],
+            )))
+            time.sleep(0.6)
+        _wait_for_files(out)
+        sessions = lsn.registry.snapshot()
+    assert sessions == [(0, "127.0.0.1", 200000)]
+
+    upd = spark.read.parquet(out)
+    rows = {(r.op, r.nlri_str, r.session_id) for r in upd.collect()}
+    assert rows == {
+        ("update", "11.0.0.0/24", 0),
+        ("update", "12.0.0.0/16", 0),
+        ("withdraw", "11.0.0.0/24", 0),
+    }
+    # AS4: the 4-byte path decoded through the negotiated capability
+    paths = {tuple(seg.asns) for r in upd.filter("op = 'update'").collect()
+             for seg in r.aspath}
+    assert (200000, 3356) in paths
+
+    stream = stream_updates_from_files(spark, out)
+    q = (
+        live_current_state(stream)
+        .writeStream.format("memory").queryName("bgplive_cs").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    state = {
+        r.nlri_str: r.active
+        for r in spark.sql("SELECT * FROM bgplive_cs").collect()
+    }
+    assert state == {"11.0.0.0/24": False, "12.0.0.0/16": True}
+
+
+def test_bgp_notification_ends_session(spark):
+    out = tempfile.mkdtemp()
+    with BgpListener(out, flush_secs=0.2) as lsn:
+        with socket.create_connection((lsn.host, lsn.port), timeout=10) as s:
+            s.sendall(encode_bgp_open(65010, 30, 0x01010101))
+            _recv_msg(s), _recv_msg(s)  # OPEN + KEEPALIVE
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(0x0D000000, 8)], origin=0,
+                aspath=[(2, [65010])], nexthop=0x01010101,
+            )))
+            # NOTIFICATION (cease): everything after it must be dropped,
+            # even when it arrives in a later TCP segment
+            s.sendall(encode_bgp_message(BGP_NOTIFICATION, bytes([6, 0])))
+            time.sleep(0.3)
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(0x0E000000, 8)], origin=0,
+                aspath=[(2, [65010])], nexthop=0x01010101,
+            )))
+            time.sleep(0.6)
+        _wait_for_files(out)
+    upd = spark.read.parquet(out)
+    assert {r.nlri_str for r in upd.collect()} == {"13.0.0.0/8"}
+
+
+def test_update_before_open_is_dropped():
+    out = tempfile.mkdtemp()
+    with BgpListener(out, flush_secs=0.2) as lsn:
+        with socket.create_connection((lsn.host, lsn.port), timeout=10) as s:
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(0x0B000000, 24)], origin=0,
+                aspath=[(2, [65001])], nexthop=0x0A000001,
+            )))
+            time.sleep(0.5)
+        assert lsn.registry.snapshot() == []
+    import os
+
+    assert not any(n.endswith(".parquet") for n in os.listdir(out))
