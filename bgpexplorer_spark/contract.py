@@ -3399,3 +3399,115 @@ def s5_td1_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("aspath")[0]["asns"][0].alias("as1"),
         "nexthop_v4",
     )
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals + train/eval decontamination — the two
+# repetition/contamination checks every public large-scale text pipeline
+# runs (Rae et al. 2021 §A1.1; GPT-3 appendix C). The documents are
+# single-line, so the line-level features run on a deterministic
+# multi-line view (tokens re-joined in 5-token lines) built identically
+# on both engines.
+# ---------------------------------------------------------------------------
+
+_REP_LINES = 5
+
+_REPETITION_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {_duck_tokens('text')} AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id, toks,
+               list_transform(
+                   generate_series(1, greatest(CAST(ceil(len(toks) / {_REP_LINES}.0) AS INTEGER), 1)),
+                   i -> array_to_string(list_slice(toks, (i-1)*{_REP_LINES}+1, (i-1)*{_REP_LINES}+{_REP_LINES}), ' ')
+               ) AS lines
+        FROM d
+    ),
+    t AS (
+        SELECT doc_id, toks, lines, array_to_string(lines, chr(10)) AS text,
+               list_transform(generate_series(1, len(toks)-1),
+                              i -> toks[i] || ' ' || toks[i+1]) AS g2,
+               list_transform(generate_series(1, len(toks)-2),
+                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        FROM m
+    )
+    SELECT doc_id,
+           len(lines) AS r_lines,
+           round(1 - len(list_distinct(lines)) / len(lines), 4) AS r_dup_line_frac,
+           round(coalesce(list_sum(list_transform(
+                     list_filter(lines, l -> len(list_filter(lines, x -> x = l)) > 1),
+                     l -> strlen(l))), 0)
+                 / greatest(coalesce(list_sum(list_transform(lines, l -> strlen(l))), 0), 1),
+                 4) AS r_dup_line_char_frac,
+           round(coalesce(list_max(list_transform(list_distinct(g2),
+                     g -> len(list_filter(g2, x -> x = g)) * strlen(g))), 0)
+                 / greatest(strlen(text), 1), 4) AS r_top2gram_char_frac,
+           round(coalesce(list_sum(list_transform(
+                     list_filter(g3, g -> len(list_filter(g3, x -> x = g)) > 1),
+                     g -> strlen(g))), 0)
+                 / greatest(strlen(text), 1), 4) AS r_dup3gram_char_frac
+    FROM t
+"""
+
+@q("text_repetition", _REPETITION_ORACLE)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals (operators/text.repetition_features)
+    over the 5-token-line view of each document: duplicate-line
+    fractions, heaviest-2-gram char mass, duplicated-3-gram char
+    fraction — all per-doc Column algebra, zero shuffles."""
+    from bgpexplorer_spark.operators.text import repetition_features, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    nl = F.greatest(
+        F.ceil(F.size(toks) / F.lit(float(_REP_LINES))).cast("int"), F.lit(1)
+    )
+    ml = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sequence(F.lit(1), nl),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, (i - 1) * _REP_LINES + 1, _REP_LINES)
+            ),
+        ),
+    )
+    staged = docs.select("doc_id", ml.alias("text"))
+    return repetition_features(staged, "text").select(
+        "doc_id", "r_lines", "r_dup_line_frac", "r_dup_line_char_frac",
+        "r_top2gram_char_frac", "r_dup3gram_char_frac",
+    )
+
+_DECONTAM_N = 4
+
+_DECONTAM_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id, {_duck_tokens('text')} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - {_DECONTAM_N - 1}),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS g
+        FROM d
+    ),
+    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 17 = 0),
+    hit AS (
+        SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (g)
+        WHERE sh.doc_id % 17 <> 0
+    )
+    SELECT d.doc_id, (hit.doc_id IS NOT NULL) AS contaminated
+    FROM d LEFT JOIN hit ON hit.doc_id = d.doc_id
+    WHERE d.doc_id % 17 <> 0
+"""
+
+@q("pipe_decontaminate", _DECONTAM_ORACLE)
+def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination (pipeline.decontaminate): eval
+    set = doc_id % 17 == 0, train = the rest; a train doc is
+    contaminated iff it shares any word 4-gram with the eval set. The
+    eval shingles broadcast; membership is a map-side LEFT SEMI join."""
+    from bgpexplorer_spark.operators.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    ev = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(train, ev, n=_DECONTAM_N)

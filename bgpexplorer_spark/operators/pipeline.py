@@ -132,3 +132,45 @@ def mixture_stats(
         F.round(F.col("n_docs") / F.col("_td"), 6).alias("doc_share"),
         F.round(F.col("n_tokens") / F.col("_tt"), 6).alias("token_share"),
     )
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination — the word-n-gram overlap check public
+    LLM pipelines run before training (GPT-3 appendix C; Dolma): a train
+    document is *contaminated* iff it shares at least one word n-gram
+    with any eval document. Returns (id_col, contaminated).
+
+    Scale shape: the eval benchmark is tiny relative to a 100 TB train
+    corpus, so its distinct shingle set builds the broadcast side of a
+    LEFT SEMI join against the exploded train shingles — membership
+    testing is map-side; the only shuffle is the distinct on contaminated
+    doc ids. Filter ``contaminated = false`` for the clean keep-list.
+    """
+    from bgpexplorer_spark.operators.text import shingles_of_tokens, tokens
+
+    ev = (
+        eval_df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_g"))
+        .distinct()
+    )
+    tr = train.withColumn("_toks", tokens(F.col(text_col))).select(
+        id_col, F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_g")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "_g", "leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+        )
+    )

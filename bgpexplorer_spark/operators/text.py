@@ -116,3 +116,68 @@ def portable_hash32(col: Column) -> Column:
     """Deterministic 32-bit hash both Spark and DuckDB can compute
     identically: first 8 hex chars of md5 as an integer."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", line_sep: str = "\n"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1 —
+    the public repetition filters every large-scale text pipeline runs):
+
+    - ``r_lines``: line count
+    - ``r_dup_line_frac``: fraction of lines that are repeats of an
+      earlier-seen line (1 - distinct/total)
+    - ``r_dup_line_char_frac``: fraction of line characters sitting in
+      any line that occurs more than once
+    - ``r_top2gram_char_frac``: character mass of the heaviest word
+      2-gram (count x gram length) over document characters
+    - ``r_dup3gram_char_frac``: fraction of characters in word 3-grams
+      that occur more than once
+
+    Pure Column algebra: per-document array lambdas stay inside
+    whole-stage codegen, zero shuffles — the 100 TB form is a map-only
+    projection. The distinct-vs-occurrences counting is O(L**2) in the
+    per-document line/gram count, which is the right trade until
+    documents have many thousands of lines (then: explode + per-doc
+    groupBy). Intermediate arrays are materialized as real columns so
+    the generated code stays within janino's method-size budget."""
+    t = F.col(text_col)
+    staged = (
+        df.withColumn("_lines", F.split(t, line_sep))
+        .withColumn("_toks", tokens(t))
+        .withColumn("_g2", shingles_of_tokens(F.col("_toks"), 2))
+        .withColumn("_g3", shingles_of_tokens(F.col("_toks"), 3))
+    )
+    lines, g2, g3 = F.col("_lines"), F.col("_g2"), F.col("_g3")
+    n_lines = F.size(lines)
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, l: a + F.length(l))
+    dup_lines = F.filter(
+        lines, lambda l: F.size(F.filter(lines, lambda x: x == l)) > 1
+    )
+    dup_line_chars = F.aggregate(dup_lines, F.lit(0), lambda a, l: a + F.length(l))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    top2_mass = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(g2),
+                lambda g: F.size(F.filter(g2, lambda x: x == g)) * F.length(g),
+            )
+        ),
+        F.lit(0),
+    )
+    dup3_chars = F.aggregate(
+        F.filter(g3, lambda g: F.size(F.filter(g3, lambda x: x == g)) > 1),
+        F.lit(0),
+        lambda a, g: a + F.length(g),
+    )
+    return staged.select(
+        *df.columns,
+        n_lines.alias("r_lines"),
+        F.round(1 - F.size(F.array_distinct(lines)) / n_lines, 4).alias(
+            "r_dup_line_frac"
+        ),
+        F.round(dup_line_chars / F.greatest(line_chars, F.lit(1)), 4).alias(
+            "r_dup_line_char_frac"
+        ),
+        F.round(top2_mass / n_chars, 4).alias("r_top2gram_char_frac"),
+        F.round(dup3_chars / n_chars, 4).alias("r_dup3gram_char_frac"),
+    )

@@ -392,3 +392,47 @@ def test_ngram_containment_asymmetric(spark):
         for r in dedup.ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.0).collect()
     }
     assert jac[(0, 1)] < 0.5  # symmetric jaccard misses the embedding
+
+
+def test_repetition_features_hand_computed(spark):
+    from bgpexplorer_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc d"), (2, "x y\nz w")], ["doc_id", "text"]
+    )
+    r = {x.doc_id: x for x in repetition_features(df).collect()}
+    # doc 1: lines [a b, a b, c d] -> 2 distinct; dup chars 3+3 of 9;
+    # 2-grams [a b, b a, a b, b c, c d] -> top mass 2*3=6 of 11 chars;
+    # 3-grams all distinct
+    assert r[1].r_lines == 3
+    assert r[1].r_dup_line_frac == round(1 - 2 / 3, 4)
+    assert r[1].r_dup_line_char_frac == round(6 / 9, 4)
+    assert r[1].r_top2gram_char_frac == round(6 / 11, 4)
+    assert r[1].r_dup3gram_char_frac == 0.0
+    # doc 2: nothing repeats; top 2-gram mass = 1*3 of 7 chars
+    assert r[2].r_dup_line_frac == 0.0
+    assert r[2].r_dup_line_char_frac == 0.0
+    assert r[2].r_top2gram_char_frac == round(3 / 7, 4)
+
+
+def test_decontaminate_ngram_overlap(spark):
+    from bgpexplorer_spark.operators.pipeline import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares 3-gram with eval
+            (2, "totally unrelated training text"),
+            (3, "quick brown fox somewhere else"),  # shares too
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "a quick brown fox appeared")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.contaminated for r in
+           decontaminate(train, ev, n=3).collect()}
+    assert got == {1: True, 2: False, 3: True}
+    # higher n: the shared run is only 3 tokens long -> clean
+    got5 = {r.doc_id: r.contaminated for r in
+            decontaminate(train, ev, n=5).collect()}
+    assert got5 == {1: False, 2: False, 3: False}
