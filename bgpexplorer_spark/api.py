@@ -42,11 +42,14 @@ class BgpExplorerService:
         route_counts: dict[str, int] | None = None,
         exact_length: bool = False,
         ws_apply_filter: bool = False,
+        roas: DataFrame | None = None,
     ):
         from bgpexplorer_spark.streaming.wsfeed import LiveFeed
 
         self.history = history
         self.sessions = sessions
+        # RFC 6811 ROA table (net, plen, max_len, asn) for /api/analytics/rpki
+        self.roas = roas
         self.route_counts = dict(route_counts) if route_counts else None
         self.exact_length = exact_length
         self.state = "Established"  # O8 (src/bgpsvc.rs:429-435)
@@ -130,6 +133,48 @@ class BgpExplorerService:
             }
             for r in rows
         ]
+
+    def api_rpki(self, rib: str = "ipv4u", asof=None) -> dict:
+        """GET /api/analytics/rpki[?rib=&asof=] — RFC 6811 route-origin
+        validation of the (optionally time-traveled) active state against
+        the configured ROA table: per-verdict counts plus the Invalid
+        routes themselves (the list an operator actually acts on)."""
+        from bgpexplorer_spark.operators.analytics import (
+            origin_as, rib_asof, rpki_validate,
+        )
+        from bgpexplorer_spark.operators.rib import current_state
+
+        if self.roas is None:
+            return {"error": "no ROA table configured"}
+        st = (
+            rib_asof(self.history, asof)
+            if asof is not None
+            else current_state(self.history)
+        )
+        routes = st.filter(
+            (F.col("rib") == rib) & F.col("addr_v4").isNotNull()
+        ).select(
+            "nlri_str", "addr_v4", "prefixlen",
+            origin_as(F.col("aspath_flat")).alias("origin_as"),
+        )
+        v = rpki_validate(routes, self.roas).cache()
+        try:
+            summary = {r["validity"]: r["n"] for r in
+                       v.groupBy("validity").agg(F.count(F.lit(1)).alias("n")).collect()}
+            invalid = [
+                {"nlri": r.nlri_str, "origin_as": r.origin_as}
+                for r in v.filter(F.col("validity") == "Invalid")
+                .orderBy("nlri_str", "origin_as").collect()
+            ]
+        finally:
+            v.unpersist()
+        return {
+            "rib": rib,
+            "valid": summary.get("Valid", 0),
+            "invalid": summary.get("Invalid", 0),
+            "notfound": summary.get("NotFound", 0),
+            "invalid_routes": invalid,
+        }
 
     def api_flappers(self, rib: str = "ipv4u", k: int = 20) -> list[dict]:
         """GET /api/analytics/flappers[?rib=&k=] — the k noisiest
@@ -287,6 +332,10 @@ def _make_handler(svc: BgpExplorerService):
                 if parts[:3] == ["api", "analytics", "moas"]:
                     return self._send(
                         svc.api_moas(qs.get("rib", "ipv4u"), qs.get("asof"))
+                    )
+                if parts[:3] == ["api", "analytics", "rpki"]:
+                    return self._send(
+                        svc.api_rpki(qs.get("rib", "ipv4u"), qs.get("asof"))
                     )
                 if parts[:3] == ["api", "analytics", "flappers"]:
                     return self._send(

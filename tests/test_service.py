@@ -368,3 +368,42 @@ def test_api_analytics_endpoints(spark):
         assert fl[0]["nlri"] == "10.1.0.0/16" and fl[0]["n_flips"] == 2
     finally:
         httpd.shutdown()
+
+
+def test_http_rpki_endpoint(spark):
+    """GET /api/analytics/rpki — RFC 6811 verdicts of the active state
+    against the service's ROA table (valid / invalid-by-origin /
+    invalid-by-maxlen / notfound all represented)."""
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/24", t=1, aspath=[("Seq", [65000, 100])]),  # Valid
+                u("10.0.1.0/24", t=2, aspath=[("Seq", [65000, 999])]),  # bad origin
+                u("10.0.2.0/28", t=3, aspath=[("Seq", [100])]),         # > max_len
+                u("11.0.0.0/24", t=4, aspath=[("Seq", [100])]),         # NotFound
+            ],
+        )
+    ).cache()
+    roas = spark.createDataFrame(
+        [(10 * 2**24, 16, 24, 100)], "net long, plen int, max_len int, asn long"
+    )
+    svc = BgpExplorerService(hist, roas=roas)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        r = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/analytics/rpki?rib=ipv4u"
+            ).read()
+        )
+        assert (r["valid"], r["invalid"], r["notfound"]) == (1, 2, 1)
+        assert [x["nlri"] for x in r["invalid_routes"]] == [
+            "10.0.1.0/24", "10.0.2.0/28",
+        ]
+        assert r["invalid_routes"][0]["origin_as"] == 999
+    finally:
+        httpd.shutdown()
+    # no ROA table configured → explicit error envelope
+    svc2 = BgpExplorerService(hist)
+    assert "error" in svc2.api_rpki()
