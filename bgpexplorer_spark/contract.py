@@ -3511,3 +3511,56 @@ def pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 17 != 0)
     ev = docs.filter(F.col("doc_id") % 17 == 0)
     return decontaminate(train, ev, n=_DECONTAM_N)
+
+# Multimodal — REAL GIF frame extraction: per-document animated GIFs
+# (2 frames, 4-color grayscale palette, pixel index k of frame f =
+# (doc_id + k + f) % 4, palette j = (doc_id*7 + j*11) % 256) decoded by
+# the pure-Python LZW walk; DuckDB recomputes geometry, delays, and the
+# decoded-raster means analytically.
+_GIF_ORACLE = """
+    SELECT doc_id, f AS frame_idx,
+           CAST(4 + doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + doc_id % 3 AS INTEGER) AS height,
+           CAST(10 * (1 + doc_id % 3) AS INTEGER) AS delay_ms,
+           round(list_avg([
+               (doc_id * 7 + ((doc_id + k + f) % 4) * 11) % 256
+               for k in generate_series(
+                   0, (4 + doc_id % 5) * (3 + doc_id % 3) - 1)
+           ]), 4) AS mean_byte
+    FROM documents, (SELECT unnest([0, 1]) AS f)
+"""
+
+@q("multimodal_gif_frames", _GIF_ORACLE)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real animated-GIF frame sampling end-to-end (operators/gif
+    .gif_frames): deterministic 2-frame fixtures built by the in-package
+    encoder, LZW-decoded distributed inside mapInPandas — one row per
+    frame with geometry, delay, and the decoded raster mean."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.gif import encode_gif, gif_frames
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        w, h = 4 + d % 5, 3 + d % 3
+        pal = np.stack(
+            [np.full(3, (d * 7 + j * 11) % 256) for j in range(4)]
+        ).astype(np.uint8)
+        frames = [
+            ((d + np.arange(w * h) + f) % 4).astype(np.uint8).reshape(h, w)
+            for f in range(2)
+        ]
+        delay = 10 * (1 + d % 3)
+        rows.append(
+            (int(d), "video", encode_gif(frames, pal, delays_ms=[delay] * 2), None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return gif_frames(media).select(
+        F.col("media_id").alias("doc_id"), "frame_idx",
+        "width", "height", "delay_ms", "mean_byte",
+    )

@@ -8,10 +8,12 @@ Decoders: formats that need NO external codec libraries are decoded FOR
 REAL — BMP (24-bit uncompressed) and PPM/PGM binary via numpy, WAV via
 the stdlib ``wave`` module, baseline JPEG via the pure-numpy T.81 codec
 in ``operators.jpeg`` (sequential DCT, 4:4:4/4:2:2/4:2:0, restart
-intervals), and PNG via stdlib zlib + numpy in ``operators.png`` (8-bit
-gray/RGB/RGBA/palette, all five filters). Remaining compressed formats
-(MP3/H.264, progressive JPEG, 16-bit/interlaced PNG) require libraries
-absent from this container; those rows either
+intervals), PNG via stdlib zlib + numpy in ``operators.png`` (8-bit
+gray/RGB/RGBA/palette, all five filters), and GIF via the pure-Python
+LZW walk in ``operators.gif`` (87a/89a, interlace, animated frames —
+``gif.gif_frames`` does REAL frame sampling). Remaining compressed
+formats (MP3/H.264, progressive JPEG, 16-bit/interlaced PNG) require
+libraries absent from this container; those rows either
 fall back to a clearly-marked deterministic fake (``decoder='fake'``,
 mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
 plumbing — schema, batching, partition layout — is identical either way.
@@ -177,6 +179,11 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
 
             img = decode_png(raw)
             kind = "png" if img is not None else None
+        if img is None and raw[:4] == b"GIF8":
+            from bgpexplorer_spark.operators.gif import decode_gif
+
+            img = decode_gif(raw)
+            kind = "gif" if img is not None else None
         if img is not None:
             base.update(
                 height=img.shape[0], width=img.shape[1], channels=img.shape[2],
@@ -261,6 +268,10 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     from bgpexplorer_spark.operators.png import decode_png
 
                     img = decode_png(raw)
+                if img is None and raw[:4] == b"GIF8":
+                    from bgpexplorer_spark.operators.gif import decode_gif
+
+                    img = decode_gif(raw)
                 if img is not None:
                     if img.shape[2] == 2:  # gray+alpha → gray
                         img = img[:, :, :1]
