@@ -176,6 +176,28 @@ class BgpExplorerService:
             "invalid_routes": invalid,
         }
 
+    def api_diff(self, rib: str = "ipv4u", t1=None, t2=None) -> list[dict]:
+        """GET /api/analytics/diff?t1=&t2=[&rib=] — per-prefix diff of
+        two time-traveled states (added / removed / origin_changed)."""
+        from bgpexplorer_spark.operators.analytics import rib_diff
+
+        if t1 is None or t2 is None:
+            return [{"error": "t1 and t2 are required"}]
+        rows = (
+            rib_diff(self.history.filter(F.col("rib") == rib), t1, t2)
+            .orderBy("nlri_str")
+            .collect()
+        )
+        return [
+            {
+                "nlri": r.nlri_str,
+                "change": r.change,
+                "origins_before": r.origins_before,
+                "origins_after": r.origins_after,
+            }
+            for r in rows
+        ]
+
     def api_flappers(self, rib: str = "ipv4u", k: int = 20) -> list[dict]:
         """GET /api/analytics/flappers[?rib=&k=] — the k noisiest
         prefixes by announce<->withdraw flips."""
@@ -336,6 +358,12 @@ def _make_handler(svc: BgpExplorerService):
                 if parts[:3] == ["api", "analytics", "rpki"]:
                     return self._send(
                         svc.api_rpki(qs.get("rib", "ipv4u"), qs.get("asof"))
+                    )
+                if parts[:3] == ["api", "analytics", "diff"]:
+                    return self._send(
+                        svc.api_diff(
+                            qs.get("rib", "ipv4u"), qs.get("t1"), qs.get("t2")
+                        )
                     )
                 if parts[:3] == ["api", "analytics", "flappers"]:
                     return self._send(

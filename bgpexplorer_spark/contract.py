@@ -3564,3 +3564,109 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"), "frame_idx",
         "width", "height", "delay_ms", "mean_byte",
     )
+
+# Bogon-ASN detection — private/reserved/documentation ASNs in the AS
+# path (RFC 6996/7607/6793/5398/7300). Paths are derived with injected
+# offenders so the oracle has a closed form.
+@q(
+    "an_bogon_paths",
+    f"""
+    SELECT event_id,
+           CASE
+               WHEN event_id % 5 = 0 AND event_id % 11 = 0
+                   THEN '0,' || CAST(64512 + event_id % 50 AS VARCHAR)
+               WHEN event_id % 5 = 0
+                   THEN CAST(64512 + event_id % 50 AS VARCHAR)
+               ELSE '0'
+           END AS bogons_str
+    FROM ({_DERIVED_ROUTES_SQL})
+    WHERE event_id % 5 = 0 OR event_id % 11 = 0
+    """,
+)
+def an_bogon_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bogon-ASN detection (operators/analytics.bogon_asns): derived AS
+    paths carry a private ASN on event_id % 5 == 0 and AS 0 on
+    event_id % 11 == 0; only offending routes survive, with the sorted
+    offender list."""
+    from bgpexplorer_spark.operators.analytics import bogon_asns
+
+    routes = derived_routes(spark, sf_dir)
+    base_path = F.array(
+        (F.lit(100) + F.col("event_id") % 8).cast("bigint"),
+        (F.lit(200) + F.col("event_id") % 3).cast("bigint"),
+    )
+    with_priv = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(
+            base_path,
+            F.array((F.lit(64512) + F.col("event_id") % 50).cast("bigint")),
+        ),
+    ).otherwise(base_path)
+    with_zero = F.when(
+        F.col("event_id") % 11 == 0,
+        F.concat(with_priv, F.array(F.lit(0).cast("bigint"))),
+    ).otherwise(with_priv)
+    df = routes.select("event_id", with_zero.alias("aspath_flat"))
+    return bogon_asns(df).select(
+        "event_id",
+        F.concat_ws(
+            ",",
+            F.transform(F.col("bogon_asns"), lambda x: x.cast("string")),
+        ).alias("bogons_str"),
+    )
+
+# RIB diff between two as-of instants over the origin-history fixture:
+# origins rotate per event and prefixes appear/withdraw over time, so all
+# three change classes occur.
+_DIFF_T1_MS = 1704067200000 + 2_500_000
+_DIFF_T2_MS = 1704067200000 + 7_500_000
+
+@q(
+    "an_rib_diff",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    s1 AS (
+        SELECT nlri_str, origin_as FROM (
+            SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                         ORDER BY ts DESC) AS rn
+            FROM hist2 WHERE ts <= make_timestamp({_DIFF_T1_MS} * 1000)
+        ) WHERE rn = 1 AND active
+    ),
+    s2 AS (
+        SELECT nlri_str, origin_as FROM (
+            SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                         ORDER BY ts DESC) AS rn
+            FROM hist2 WHERE ts <= make_timestamp({_DIFF_T2_MS} * 1000)
+        ) WHERE rn = 1 AND active
+    ),
+    a1 AS (
+        SELECT nlri_str,
+               string_agg(DISTINCT CAST(origin_as AS VARCHAR), ','
+                          ORDER BY CAST(origin_as AS VARCHAR)) AS origins_before
+        FROM s1 GROUP BY nlri_str
+    ),
+    a2 AS (
+        SELECT nlri_str,
+               string_agg(DISTINCT CAST(origin_as AS VARCHAR), ','
+                          ORDER BY CAST(origin_as AS VARCHAR)) AS origins_after
+        FROM s2 GROUP BY nlri_str
+    )
+    SELECT coalesce(a1.nlri_str, a2.nlri_str) AS nlri_str,
+           CASE WHEN a1.nlri_str IS NULL THEN 'added'
+                WHEN a2.nlri_str IS NULL THEN 'removed'
+                ELSE 'origin_changed' END AS change,
+           origins_before, origins_after
+    FROM a1 FULL OUTER JOIN a2 ON a1.nlri_str = a2.nlri_str
+    WHERE origins_before IS DISTINCT FROM origins_after
+    """,
+)
+def an_rib_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIB diff (operators/analytics.rib_diff): per-prefix origin-set
+    comparison of two time-traveled states — added / removed /
+    origin_changed between T1 and T2."""
+    from bgpexplorer_spark.operators.analytics import rib_diff
+
+    hist = _origins_history(spark, sf_dir)
+    return rib_diff(hist, _DIFF_T1_MS, _DIFF_T2_MS).select(
+        "nlri_str", "change", "origins_before", "origins_after"
+    )

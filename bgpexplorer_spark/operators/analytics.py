@@ -316,3 +316,70 @@ def rpki_validate_v6(
         routes, roas, addr_col, plen_col, origin_col, roa_plens,
         lambda pl: _mask_v6(F.col(addr_col), pl),
     )
+
+def bogon_asns(state: DataFrame, path_col: str = "aspath_flat") -> DataFrame:
+    """Routes whose AS path contains a reserved / private / documentation
+    ASN that must never appear in the public DFZ: AS 0 (RFC 7607),
+    AS_TRANS 23456 (RFC 6793), 64496-64511 + 65536-65551 documentation
+    (RFC 5398), 64512-65534 private (RFC 6996), 65535 + 4294967295
+    reserved (RFC 7300), 4200000000-4294967294 private (RFC 6996).
+    Adds ``bogon_asns`` (sorted distinct offenders) and keeps only
+    offending routes — a pure map-side lambda filter, zero shuffles."""
+
+    def bogon(a: Column) -> Column:
+        return (
+            (a == 0)
+            | (a == 23456)
+            | ((a >= 64496) & (a <= 65551))
+            | (a >= 4200000000)
+        )
+
+    hits = F.array_sort(F.array_distinct(F.filter(F.col(path_col), bogon)))
+    return state.withColumn("bogon_asns", hits).filter(F.size("bogon_asns") > 0)
+
+def rib_diff(
+    history: DataFrame,
+    t1: "str | int | float",
+    t2: "str | int | float",
+) -> DataFrame:
+    """Per-prefix diff between two as-of instants (what changed between
+    yesterday's RIB and now): for each (rib, nlri_str) compare the sorted
+    origin-AS sets of :func:`rib_asof`(t1) and (t2) and emit
+    ``added`` / ``removed`` / ``origin_changed`` rows (identical states
+    are dropped). Two newest-per-key windows (the same shuffle the read
+    path already pays, each prunable to ts <= t) plus one full-outer join
+    on the prefix key."""
+
+    def oset(at: "str | int | float", name: str) -> DataFrame:
+        st = rib_asof(history, at)
+        return (
+            st.select(
+                "rib", "nlri_str", origin_as(F.col("aspath_flat")).alias("_o")
+            )
+            .groupBy("rib", "nlri_str")
+            .agg(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_set("_o")),
+                        lambda x: x.cast("string"),
+                    ),
+                ).alias(name)
+            )
+        )
+
+    before = oset(t1, "origins_before")
+    after = oset(t2, "origins_after")
+    j = before.join(after, ["rib", "nlri_str"], "full_outer")
+    return j.filter(
+        ~F.col("origins_before").eqNullSafe(F.col("origins_after"))
+    ).select(
+        "rib",
+        "nlri_str",
+        F.when(F.col("origins_before").isNull(), "added")
+        .when(F.col("origins_after").isNull(), "removed")
+        .otherwise("origin_changed")
+        .alias("change"),
+        "origins_before",
+        "origins_after",
+    )

@@ -244,3 +244,62 @@ def test_rpki_validate_v6_truth_table(spark):
         for r in analytics.rpki_validate_v6(routes, roas, roa_plens=[32]).collect()
     }
     assert out == {1: "Valid", 2: "Invalid", 3: "Invalid", 4: "NotFound"}
+
+
+def test_bogon_asns(spark):
+    from bgpexplorer_spark.operators.analytics import bogon_asns
+
+    df = spark.createDataFrame(
+        [
+            (1, [100, 3356]),                      # clean
+            (2, [100, 64512]),                     # private 16-bit
+            (3, [23456, 3356]),                    # AS_TRANS
+            (4, [100, 0, 4200000000, 64496]),      # AS0 + private 32-bit + doc
+            (5, [4199999999]),                     # just below private 32-bit
+            (6, [65551]),                          # doc range upper bound
+            (7, [65552]),                          # above doc range: clean
+        ],
+        "id int, aspath_flat array<bigint>",
+    )
+    got = {r.id: list(r.bogon_asns) for r in bogon_asns(df).collect()}
+    assert got == {
+        2: [64512],
+        3: [23456],
+        4: [0, 64496, 4200000000],
+        6: [65551],
+    }
+
+
+def test_rib_diff_classes(spark):
+    from bgpexplorer_spark.operators.analytics import rib_diff
+
+    from tests.ribdata import make_updates, u
+    from bgpexplorer_spark.operators.ingest import build_history
+
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/24", t=1, aspath=[("Seq", [1, 100])]),
+                u("10.0.0.0/24", t=5, aspath=[("Seq", [1, 200])]),  # origin change
+                u("10.0.1.0/24", t=1, aspath=[("Seq", [1, 100])]),
+                u("10.0.1.0/24", t=5, op="withdraw"),               # removed
+                u("10.0.2.0/24", t=5, aspath=[("Seq", [1, 300])]),  # added
+                u("10.0.3.0/24", t=1, aspath=[("Seq", [1, 400])]),  # unchanged
+            ],
+        )
+    )
+    # compute the fixture's epoch base from the data itself
+    ts_min = hist.agg({"ts": "min"}).first()[0]
+    import datetime as dt
+
+    base_ms = int(ts_min.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) - 1000
+    got = {
+        r.nlri_str: (r.change, r.origins_before, r.origins_after)
+        for r in rib_diff(hist, base_ms + 2000, base_ms + 6000).collect()
+    }
+    assert got == {
+        "10.0.0.0/24": ("origin_changed", "100", "200"),
+        "10.0.1.0/24": ("removed", "100", None),
+        "10.0.2.0/24": ("added", None, "300"),
+    }

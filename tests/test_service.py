@@ -407,3 +407,39 @@ def test_http_rpki_endpoint(spark):
     # no ROA table configured → explicit error envelope
     svc2 = BgpExplorerService(hist)
     assert "error" in svc2.api_rpki()
+
+
+def test_http_diff_endpoint(spark):
+    """GET /api/analytics/diff — added/removed/origin_changed between two
+    time-traveled states."""
+    import datetime as dt
+
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/24", t=1, aspath=[("Seq", [1, 100])]),
+                u("10.0.0.0/24", t=5, aspath=[("Seq", [1, 200])]),
+                u("10.0.2.0/24", t=5, aspath=[("Seq", [1, 300])]),
+            ],
+        )
+    ).cache()
+    ts_min = hist.agg({"ts": "min"}).first()[0]
+    base_ms = int(ts_min.replace(tzinfo=dt.timezone.utc).timestamp() * 1000) - 1000
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        r = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/analytics/diff"
+            f"?t1={base_ms + 2000}&t2={base_ms + 6000}"
+        ).read())
+        got = {x["nlri"]: x["change"] for x in r}
+        assert got == {"10.0.0.0/24": "origin_changed", "10.0.2.0/24": "added"}
+        # missing params → explicit error envelope
+        r2 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/analytics/diff"
+        ).read())
+        assert "error" in r2[0]
+    finally:
+        httpd.shutdown()
