@@ -1,0 +1,95 @@
+"""Property-based invariants for the pure-Python media codecs
+(operators/png, jpeg, gif): lossless round-trips hold for arbitrary
+content, lossy round-trips stay bounded, and no decoder ever raises on
+arbitrary or corrupted bytes — a decoder that crashes on one malformed
+payload would abort a whole Arrow batch in the multimodal path."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bgpexplorer_spark.operators.gif import decode_gif, encode_gif, parse_gif
+from bgpexplorer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+from bgpexplorer_spark.operators.png import decode_png, encode_png
+
+_dims = st.tuples(
+    st.integers(min_value=1, max_value=24), st.integers(min_value=1, max_value=24)
+)
+
+
+def _arr(h, w, ch, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(dims=_dims, ch=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**32 - 1))
+def test_png_roundtrip_exact_any_content(dims, ch, seed):
+    h, w = dims
+    img = _arr(h, w, ch, seed)
+    out = decode_png(encode_png(img))
+    assert out is not None and np.array_equal(out, img)
+
+
+@settings(max_examples=15, deadline=None)
+@given(dims=_dims, seed=st.integers(0, 2**32 - 1),
+       sub=st.sampled_from(["444", "420"]))
+def test_jpeg_q100_bounded_any_content(dims, seed, sub):
+    h, w = dims
+    img = _arr(h, w, 3, seed)
+    out = decode_jpeg(encode_jpeg(img, quality=100, subsampling=sub))
+    assert out is not None and out.shape == img.shape
+    if sub == "444":  # 4:2:0 chroma averaging is inherently lossy
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+@settings(max_examples=20, deadline=None)
+@given(dims=_dims, seed=st.integers(0, 2**32 - 1),
+       ncolors=st.integers(min_value=2, max_value=256),
+       nframes=st.integers(min_value=1, max_value=4),
+       interlace=st.booleans())
+def test_gif_roundtrip_exact_any_content(dims, seed, ncolors, nframes, interlace):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    frames = [
+        rng.integers(0, ncolors, (h, w), dtype=np.uint8) for _ in range(nframes)
+    ]
+    g = parse_gif(encode_gif(frames, pal, interlace=interlace))
+    assert g is not None and len(g["frames"]) == nframes
+    for fr, idx in zip(g["frames"], frames):
+        assert np.array_equal(fr["rgb"], pal[idx])
+
+
+@settings(max_examples=80, deadline=None)
+@given(data=st.binary(min_size=0, max_size=400))
+def test_decoders_never_raise_on_garbage(data):
+    for dec in (decode_png, decode_jpeg, decode_gif):
+        r = dec(data)
+        assert r is None or isinstance(r, np.ndarray)
+    # with plausible magic prefixes too
+    for prefix in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a"):
+        for dec in (decode_png, decode_jpeg, decode_gif):
+            r = dec(prefix + data)
+            assert r is None or isinstance(r, np.ndarray)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       flips=st.lists(st.integers(0, 10**9), min_size=1, max_size=8))
+def test_decoders_never_raise_on_corrupted_valid_files(seed, flips):
+    img = _arr(9, 11, 3, seed)
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (img[:, :, 0] % 16).astype(np.uint8)
+    for enc, dec in (
+        (lambda: encode_png(img), decode_png),
+        (lambda: encode_jpeg(img, quality=80), decode_jpeg),
+        (lambda: encode_gif([idx], pal), decode_gif),
+    ):
+        b = bytearray(enc())
+        for f in flips:
+            b[f % len(b)] ^= 1 << (f % 8)
+        r = dec(bytes(b))
+        assert r is None or isinstance(r, np.ndarray)
