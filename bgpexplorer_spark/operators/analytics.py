@@ -344,34 +344,48 @@ def rib_diff(
 ) -> DataFrame:
     """Per-prefix diff between two as-of instants (what changed between
     yesterday's RIB and now): for each (rib, nlri_str) compare the sorted
-    origin-AS sets of :func:`rib_asof`(t1) and (t2) and emit
-    ``added`` / ``removed`` / ``origin_changed`` rows (identical states
-    are dropped). Two newest-per-key windows (the same shuffle the read
-    path already pays, each prunable to ts <= t) plus one full-outer join
-    on the prefix key."""
+    origin-AS sets of the t1 and t2 states and emit ``added`` /
+    ``removed`` / ``origin_changed`` rows (identical states dropped).
 
-    def oset(at: "str | int | float", name: str) -> DataFrame:
-        st = rib_asof(history, at)
-        return (
-            st.select(
-                "rib", "nlri_str", origin_as(F.col("aspath_flat")).alias("_o")
-            )
-            .groupBy("rib", "nlri_str")
-            .agg(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_set("_o")),
-                        lambda x: x.cast("string"),
-                    ),
-                ).alias(name)
-            )
+    Single-pass shape: ONE scan of rows with ``ts <= t2`` (partition
+    prunable), the newest-per-key entry at both instants extracted by two
+    conditional ``max(struct(ts, ...))`` aggregates in the SAME
+    exchange (argmax-by-ts, the same trick the LPM join uses instead of
+    a sort window), then one per-prefix set aggregate — no second scan,
+    no join, versus the naive two-window + full-outer-join plan."""
+    c1, c2 = ts_cutoff_str(t1), ts_cutoff_str(t2)
+    entry = F.struct(
+        F.col("ts"), F.col("active"), origin_as(F.col("aspath_flat")).alias("o")
+    )
+    per_key = (
+        history.filter(F.col("ts") <= F.lit(c2))
+        .groupBy(*KEY_COLS)
+        .agg(
+            F.max(F.when(F.col("ts") <= F.lit(c1), entry)).alias("b"),
+            F.max(entry).alias("a"),
         )
+    )
 
-    before = oset(t1, "origins_before")
-    after = oset(t2, "origins_after")
-    j = before.join(after, ["rib", "nlri_str"], "full_outer")
-    return j.filter(
+    def oset(side: str) -> Column:
+        s = F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_set(
+                        F.when(F.col(f"{side}.active"), F.col(f"{side}.o"))
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+        )
+        # empty set (absent or fully tombstoned at that instant) → NULL,
+        # matching the as-of-state-has-no-row semantics
+        return F.when(F.length(s) > 0, s)
+
+    per_prefix = per_key.groupBy("rib", "nlri_str").agg(
+        oset("b").alias("origins_before"), oset("a").alias("origins_after")
+    )
+    return per_prefix.filter(
         ~F.col("origins_before").eqNullSafe(F.col("origins_after"))
     ).select(
         "rib",
