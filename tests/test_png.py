@@ -160,3 +160,25 @@ def test_decode_media_png_branch(spark):
     rs = {r.media_id: r for r in multimodal.resize_images(df, 4, 4).collect()}
     arr = decode_pnm(bytes(rs[1].resized_ppm))
     assert arr.shape == (4, 4, 3)  # RGBA → RGB re-encode
+
+
+def test_encode_png_validates_with_libpng():
+    """Cross-validation against an independent implementation: libpng's
+    pngfix (present in this container) must accept every color type we
+    emit — catches CRC/IHDR/IDAT framing bugs our own round-trip can't."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    if shutil.which("pngfix") is None:
+        pytest.skip("pngfix not available")
+    rng = np.random.default_rng(3)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, (13, 17, ch), dtype=np.uint8)
+        with tempfile.NamedTemporaryFile(suffix=".png") as f:
+            f.write(encode_png(img))
+            f.flush()
+            r = subprocess.run(["pngfix", f.name], capture_output=True, text=True)
+            assert r.returncode == 0 and "OK" in r.stdout, (ch, r.stdout, r.stderr)
