@@ -3670,3 +3670,42 @@ def an_rib_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rib_diff(hist, _DIFF_T1_MS, _DIFF_T2_MS).select(
         "nlri_str", "change", "origins_before", "origins_after"
     )
+
+# Martian-prefix detection — announcements inside RFC 6890
+# special-purpose IPv4 space. Addresses are synthesized across six
+# special ranges and two clean ones, so the oracle has a closed form and
+# the range CASE is exercised on both edges.
+@q(
+    "an_martian_prefixes",
+    f"""
+    SELECT event_id,
+           CASE event_id % 8
+               WHEN 0 THEN 'rfc1918-10'
+               WHEN 1 THEN 'cgn-rfc6598'
+               WHEN 2 THEN 'rfc1918-172'
+               WHEN 3 THEN 'rfc1918-192'
+               WHEN 4 THEN 'multicast'
+               WHEN 7 THEN 'benchmark'
+           END AS martian
+    FROM ({_DERIVED_ROUTES_SQL})
+    WHERE event_id % 8 NOT IN (5, 6)
+    """,
+)
+def an_martian_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Martian detection (operators/analytics.martian_prefixes): event-
+    derived network addresses across RFC 1918/6598/5771 ranges plus two
+    clean ranges (8.8/16, 198.51.0/24) that must NOT flag."""
+    from bgpexplorer_spark.operators.analytics import martian_prefixes
+
+    routes = derived_routes(spark, sf_dir)
+    e = F.col("event_id")
+    bases = [
+        10 << 24, (100 << 24) + (64 << 16), (172 << 24) + (16 << 16),
+        (192 << 24) + (168 << 16), 224 << 24, (8 << 24) + (8 << 16),
+        (198 << 24) + (51 << 16), (198 << 24) + (18 << 16),
+    ]
+    addr = F.lit(None).cast("bigint")
+    for i, b in reversed(list(enumerate(bases))):
+        addr = F.when(e % 8 == i, F.lit(b) + (e % 250) * 16).otherwise(addr)
+    df = routes.select("event_id", addr.alias("addr_v4"))
+    return martian_prefixes(df).select("event_id", "martian")

@@ -397,3 +397,39 @@ def rib_diff(
         "origins_before",
         "origins_after",
     )
+
+# (name, first addr, last addr) — IPv4 special-purpose ranges that must
+# not be announced in the DFZ (RFC 6890 registry; the classic martians)
+MARTIAN_V4_RANGES: list[tuple[str, int, int]] = [
+    ("this-network", 0, (1 << 24) - 1),                          # 0.0.0.0/8
+    ("rfc1918-10", 10 << 24, (10 << 24) + (1 << 24) - 1),        # 10.0.0.0/8
+    ("cgn-rfc6598", (100 << 24) + (64 << 16),
+     (100 << 24) + (127 << 16) + 65535),                          # 100.64.0.0/10
+    ("loopback", 127 << 24, (127 << 24) + (1 << 24) - 1),        # 127.0.0.0/8
+    ("link-local", (169 << 24) + (254 << 16),
+     (169 << 24) + (254 << 16) + 65535),                          # 169.254.0.0/16
+    ("rfc1918-172", (172 << 24) + (16 << 16),
+     (172 << 24) + (31 << 16) + 65535),                           # 172.16.0.0/12
+    ("rfc1918-192", (192 << 24) + (168 << 16),
+     (192 << 24) + (168 << 16) + 65535),                          # 192.168.0.0/16
+    ("testnet-1", (192 << 24) + (2 << 8), (192 << 24) + (2 << 8) + 255),
+    ("benchmark", (198 << 24) + (18 << 16),
+     (198 << 24) + (19 << 16) + 65535),                           # 198.18.0.0/15
+    ("multicast", 224 << 24, (239 << 24) + (1 << 24) - 1),       # 224.0.0.0/4
+    ("reserved-e", 240 << 24, (1 << 32) - 1),                    # 240.0.0.0/4
+]
+
+def martian_prefixes(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
+    """Announcements inside IPv4 special-purpose space (RFC 6890) that a
+    clean DFZ must never carry — the prefix-space complement of
+    :func:`bogon_asns`. Adds ``martian`` (the range name containing the
+    route's network address) and keeps only offenders. A route is flagged
+    when its NETWORK ADDRESS falls inside a special range — the
+    overlapping-supernet case (e.g. announcing 224.0.0.0/3) is the
+    multicast-gate concern the filter language already handles. Pure
+    range CASE over the sortable address int, zero shuffles."""
+    a = F.col(addr_col)
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(MARTIAN_V4_RANGES):
+        expr = F.when((a >= lo) & (a <= hi), F.lit(name)).otherwise(expr)
+    return state.withColumn("martian", expr).filter(F.col("martian").isNotNull())

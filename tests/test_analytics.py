@@ -303,3 +303,30 @@ def test_rib_diff_classes(spark):
         "10.0.1.0/24": ("removed", "100", None),
         "10.0.2.0/24": ("added", None, "300"),
     }
+
+
+def test_martian_prefixes_edges(spark):
+    from bgpexplorer_spark.operators.analytics import martian_prefixes
+
+    rows = [
+        (1, 10 * 2**24),                      # 10.0.0.0 in
+        (2, 11 * 2**24),                      # 11.0.0.0 clean
+        (3, (100 << 24) + (64 << 16)),        # 100.64.0.0 in
+        (4, (100 << 24) + (63 << 16) + 255),  # just below cgn: clean
+        (5, (100 << 24) + (127 << 16) + 65535),  # cgn upper edge: in
+        (6, (100 << 24) + (128 << 16)),       # just above: clean
+        (7, (239 << 24) + (1 << 24) - 1),     # multicast upper edge
+        (8, 240 << 24),                       # reserved-e lower edge
+        (9, (192 << 24) + (2 << 8) + 255),    # testnet-1 upper edge
+        (10, (192 << 24) + (2 << 8) + 256),   # 192.0.3.0: clean
+    ]
+    df = spark.createDataFrame(rows, "id int, addr_v4 long")
+    got = {r.id: r.martian for r in martian_prefixes(df).collect()}
+    assert got == {
+        1: "rfc1918-10",
+        3: "cgn-rfc6598",
+        5: "cgn-rfc6598",
+        7: "multicast",
+        8: "reserved-e",
+        9: "testnet-1",
+    }
