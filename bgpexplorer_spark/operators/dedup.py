@@ -409,19 +409,25 @@ def connected_components_star(
             F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
         )
     ).localCheckpoint()
+    edges0 = edges  # keep the materialized input edges for the node set
     prev = checksum(edges)
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint()
         cur = checksum(new_edges)
-        edges.unpersist()
+        if edges is not edges0:  # edges0 feeds the final node set
+            edges.unpersist()
         edges = new_edges
         if cur == prev:
             break
         prev = cur
     # star edges map non-roots to their root; roots (and the edge targets
-    # themselves) are their own component
-    nodes = pairs.select(F.col(id_a).cast("bigint").alias("node")).union(
-        pairs.select(F.col(id_b).cast("bigint").alias("node"))
+    # themselves) are their own component. The node set comes from the
+    # CHECKPOINTED oriented edges, not from `pairs` — deriving it from the
+    # input would replay the caller's whole candidate pipeline (LSH +
+    # verification) on every downstream action (measured 9x on the
+    # composed dedup_components query).
+    nodes = edges0.select(F.col("u").alias("node")).union(
+        edges0.select(F.col("v").alias("node"))
     ).distinct()
     lab = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return nodes.join(lab, "node", "left").select(
