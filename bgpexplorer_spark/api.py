@@ -198,6 +198,28 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_bogons(self, rib: str = "ipv4u") -> list[dict]:
+        """GET /api/analytics/bogons[?rib=] — active routes whose AS path
+        carries a reserved/private ASN, plus martian-prefix offenders."""
+        from bgpexplorer_spark.operators.analytics import (
+            bogon_asns, martian_prefixes,
+        )
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history).filter(F.col("rib") == rib)
+        out = [
+            {"nlri": r.nlri_str, "kind": "bogon-asn",
+             "detail": ",".join(str(a) for a in r.bogon_asns)}
+            for r in bogon_asns(st).orderBy("nlri_str").collect()
+        ]
+        out += [
+            {"nlri": r.nlri_str, "kind": "martian-prefix", "detail": r.martian}
+            for r in martian_prefixes(
+                st.filter(F.col("addr_v4").isNotNull())
+            ).orderBy("nlri_str").collect()
+        ]
+        return out
+
     def api_flappers(self, rib: str = "ipv4u", k: int = 20) -> list[dict]:
         """GET /api/analytics/flappers[?rib=&k=] — the k noisiest
         prefixes by announce<->withdraw flips."""
@@ -365,6 +387,8 @@ def _make_handler(svc: BgpExplorerService):
                             qs.get("rib", "ipv4u"), qs.get("t1"), qs.get("t2")
                         )
                     )
+                if parts[:3] == ["api", "analytics", "bogons"]:
+                    return self._send(svc.api_bogons(qs.get("rib", "ipv4u")))
                 if parts[:3] == ["api", "analytics", "flappers"]:
                     return self._send(
                         svc.api_flappers(qs.get("rib", "ipv4u"), int(qs.get("k", 20)))

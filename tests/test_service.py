@@ -443,3 +443,32 @@ def test_http_diff_endpoint(spark):
         assert "error" in r2[0]
     finally:
         httpd.shutdown()
+
+
+def test_http_bogons_endpoint(spark):
+    """GET /api/analytics/bogons — bogon-ASN and martian-prefix offenders
+    of the active state."""
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("11.0.0.0/24", t=1, aspath=[("Seq", [100, 3356])]),    # clean
+                u("12.0.0.0/24", t=2, aspath=[("Seq", [100, 64512])]),   # bogon ASN
+                u("192.168.1.0/24", t=3, aspath=[("Seq", [100, 200])]),  # martian
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        r = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/analytics/bogons"
+        ).read())
+        got = {(x["nlri"], x["kind"]): x["detail"] for x in r}
+        assert got == {
+            ("12.0.0.0/24", "bogon-asn"): "64512",
+            ("192.168.1.0/24", "martian-prefix"): "rfc1918-192",
+        }
+    finally:
+        httpd.shutdown()
