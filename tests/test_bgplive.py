@@ -143,3 +143,42 @@ def test_update_before_open_is_dropped():
     import os
 
     assert not any(n.endswith(".parquet") for n in os.listdir(out))
+
+
+def test_concurrent_router_sessions(spark):
+    """Two routers connected simultaneously: session ids stay distinct
+    and every route lands under the right session (registry lock +
+    per-connection thread state under real concurrency)."""
+    import threading
+
+    out = tempfile.mkdtemp()
+
+    def router(port, asn, router_id, net):
+        with socket.create_connection(("127.0.0.1", port), timeout=10) as s:
+            s.sendall(encode_bgp_open(asn, 60, router_id))
+            _recv_msg(s), _recv_msg(s)
+            for i in range(5):
+                s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                    nlri=[(net + (i << 8), 24)], origin=0,
+                    aspath=[(2, [asn, 3356])], nexthop=router_id,
+                )))
+                time.sleep(0.02)
+            time.sleep(0.5)
+
+    with BgpListener(out, flush_secs=0.2) as lsn:
+        t1 = threading.Thread(target=router,
+                              args=(lsn.port, 65001, 0x0A000001, 0x0B000000))
+        t2 = threading.Thread(target=router,
+                              args=(lsn.port, 65002, 0x0A000002, 0x0C000000))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        time.sleep(0.5)
+        reg = {asn: sid for sid, _a, asn in lsn.registry.snapshot()}
+    assert set(reg) == {65001, 65002} and len(set(reg.values())) == 2
+
+    upd = spark.read.parquet(out)
+    per = {
+        (r.session_id, r.nlri_str.split(".")[0]) for r in upd.collect()
+    }
+    # every 11.x route under 65001's sid, every 12.x under 65002's sid
+    assert per == {(reg[65001], "11"), (reg[65002], "12")}
+    assert upd.count() == 10
