@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     # alternating-round connected components over near-dup edges — the one
     # iterative/multi-job shape in the engine
     "dedup_components",
+    # dual-instant state diff: one scan, two conditional argmax aggregates
+    "an_rib_diff",
 ]
 
 def _sf_of(sf_dir: str) -> float:
