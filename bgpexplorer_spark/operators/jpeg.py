@@ -220,7 +220,8 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
     None if not a decodable baseline JPEG (the caller falls back)."""
     try:
         return _decode_jpeg_strict(b)
-    except (_BadData, IndexError, struct.error, ValueError):
+    except (_BadData, IndexError, KeyError, struct.error, ValueError):
+        # KeyError: a scan referencing a component id absent from SOF
         return None
 
 

@@ -12,7 +12,7 @@ intervals), PNG via stdlib zlib + numpy in ``operators.png`` (8-bit
 gray/RGB/RGBA/palette, all five filters), and GIF via the pure-Python
 LZW walk in ``operators.gif`` (87a/89a, interlace, animated frames —
 ``gif.gif_frames`` does REAL frame sampling). Remaining compressed
-formats (MP3/H.264, progressive JPEG, 16-bit/interlaced PNG) require
+formats (MP3/H.264, progressive JPEG, 16-bit PNG) require
 libraries absent from this container; those rows either
 fall back to a clearly-marked deterministic fake (``decoder='fake'``,
 mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
@@ -199,8 +199,8 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
         if mode == "real":
             raise NotImplementedError(
                 f"no dependency-free decoder for this {mtype} payload "
-                "(MP3/video, progressive JPEG, and 16-bit/interlaced "
-                "PNG need codec libraries absent here)"
+                "(MP3/video, progressive JPEG, and 16-bit PNG need "
+                "codec libraries absent here)"
             )
     w, h, c, mean = _fake_decode(raw)
     base.update(width=w, height=h, channels=c)

@@ -2,11 +2,14 @@
 
 Covers the common still-image profile: 8-bit greyscale (color type 0),
 truecolor RGB (2), palette (3), greyscale+alpha (4), and RGBA (6), with
-all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) and
-multi-chunk IDAT streams. Interlaced (Adam7), 16-bit, and sub-8-bit
-depths return None → the multimodal fake path. The inverse
-``encode_png`` (filter 0, non-interlaced) builds deterministic real-PNG
-fixtures for tests; PNG is lossless so round-trips are exact.
+all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6),
+multi-chunk IDAT streams, and Adam7 interlacing (each of the seven
+passes is an independently-filtered sub-image scattered back onto the
+(y0 + i·dy, x0 + j·dx) grid). 16-bit and sub-8-bit depths return None →
+the multimodal fake path. The inverse ``encode_png`` (filter 0,
+optionally Adam7) builds deterministic real-PNG fixtures for tests; PNG
+is lossless so round-trips are exact, and libpng's ``pngfix`` is used in
+tests as an independent validator of the emitted streams.
 
 Flows into ``operators.multimodal.decode_media`` as ``decoder='png'``.
 """
@@ -23,53 +26,32 @@ _SIG = b"\x89PNG\r\n\x1a\n"
 # channels per color type (8-bit depth only)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
 
 def decode_png(b: bytes) -> np.ndarray | None:
     """PNG bytes → (h, w, channels) uint8 (palette expanded to RGB,
     alpha preserved as a 2nd/4th channel), or None if not a decodable
-    8-bit non-interlaced PNG."""
+    8-bit PNG."""
     try:
         return _decode_strict(b)
     except (zlib.error, struct.error, IndexError, ValueError):
         return None
 
 
-def _decode_strict(b: bytes) -> np.ndarray | None:
-    if len(b) < 8 + 25 or b[:8] != _SIG:
-        return None
-    pos, n = 8, len(b)
-    width = height = None
-    ctype = None
-    palette: np.ndarray | None = None
-    idat = bytearray()
-    while pos + 8 <= n:
-        clen, tag = struct.unpack(">I4s", b[pos : pos + 8])
-        data = b[pos + 8 : pos + 8 + clen]
-        if len(data) < clen:
-            return None
-        pos += 12 + clen  # skip CRC; archives are checked elsewhere
-        if tag == b"IHDR":
-            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data[:13]
-            )
-            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
-                return None  # 16-bit / sub-8-bit / Adam7 — out of scope
-            if ctype not in _CHANNELS or not width or not height:
-                return None
-        elif tag == b"PLTE":
-            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat += data
-        elif tag == b"IEND":
-            break
-    if width is None or not idat:
-        return None
-    ch = _CHANNELS[ctype]
-    raw = zlib.decompress(bytes(idat))
+def _unfilter(raw: bytes, off: int, height: int, width: int, ch: int):
+    """Unfilter ``height`` scanlines of a (sub-)image starting at byte
+    ``off`` of the inflated stream; returns (pixels (h, w*ch) uint8,
+    next offset) or None on a bad filter byte / short stream."""
     stride = width * ch
-    if len(raw) < height * (stride + 1):
+    need = height * (stride + 1)
+    if len(raw) < off + need:
         return None
-    lines = np.frombuffer(raw, np.uint8, count=height * (stride + 1)).reshape(
+    lines = np.frombuffer(raw, np.uint8, count=need, offset=off).reshape(
         height, stride + 1
     )
     filters = lines[:, 0]
@@ -105,24 +87,87 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
             out[y] = row
         else:
             return None
-    img = out.astype(np.uint8).reshape(height, width, ch)
+    return out.astype(np.uint8), off + need
+
+
+def _decode_strict(b: bytes) -> np.ndarray | None:
+    if len(b) < 8 + 25 or b[:8] != _SIG:
+        return None
+    pos, n = 8, len(b)
+    width = height = None
+    ctype = None
+    interlace = 0
+    palette: np.ndarray | None = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        clen, tag = struct.unpack(">I4s", b[pos : pos + 8])
+        data = b[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            return None
+        pos += 12 + clen  # skip CRC; archives are checked elsewhere
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace > 1:
+                return None  # 16-bit / sub-8-bit — out of scope
+            if ctype not in _CHANNELS or not width or not height:
+                return None
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        return None
+    ch = _CHANNELS[ctype]
+    raw = zlib.decompress(bytes(idat))
+    if interlace:
+        img8 = np.zeros((height, width, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass contributes no scanlines
+            r = _unfilter(raw, off, ph, pw, ch)
+            if r is None:
+                return None
+            sub, off = r
+            img8[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    else:
+        r = _unfilter(raw, 0, height, width, ch)
+        if r is None:
+            return None
+        img8 = r[0].reshape(height, width, ch)
     if ctype == 3:
         if palette is None:
             return None
-        img = palette[img[:, :, 0]]
-    return np.ascontiguousarray(img)
+        img8 = palette[img8[:, :, 0]]
+    return np.ascontiguousarray(img8)
 
 
-def encode_png(arr: np.ndarray) -> bytes:
+def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w) / (h, w, 1|2|3|4) uint8 → PNG bytes (8-bit, filter 0,
-    single IDAT). Lossless, so decode_png(encode_png(x)) == x."""
+    single IDAT; ``interlace=True`` emits Adam7 passes). Lossless, so
+    decode_png(encode_png(x)) == x."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         body = tag + data

@@ -118,12 +118,22 @@ def test_rejects_out_of_scope():
     ihdr_off = bad.find(b"IHDR") + 4
     bad[ihdr_off + 8] = 16
     assert decode_png(bytes(bad)) is None
-    # interlaced
+    # interlace flag lying about a sequential stream: never crashes
     bad = bytearray(good)
     bad[ihdr_off + 12] = 1
-    assert decode_png(bytes(bad)) is None
+    r = decode_png(bytes(bad))
+    assert r is None or isinstance(r, np.ndarray)
     # truncated IDAT
     assert decode_png(good[:40]) is None
+
+
+def test_adam7_interlace_roundtrip():
+    # odd dims, dims < 8 (several empty passes), and square cases
+    for h, w in [(1, 1), (3, 5), (7, 7), (8, 8), (9, 13), (16, 4), (2, 31)]:
+        for ch in (1, 3, 4):
+            img = _pattern(h, w, ch, seed=h * 31 + w + ch)
+            out = decode_png(encode_png(img, interlace=True))
+            assert out is not None and np.array_equal(out, img), (h, w, ch)
 
 
 def test_multichunk_idat():
@@ -175,10 +185,13 @@ def test_encode_png_validates_with_libpng():
     if shutil.which("pngfix") is None:
         pytest.skip("pngfix not available")
     rng = np.random.default_rng(3)
-    for ch in (1, 2, 3, 4):
-        img = rng.integers(0, 256, (13, 17, ch), dtype=np.uint8)
-        with tempfile.NamedTemporaryFile(suffix=".png") as f:
-            f.write(encode_png(img))
-            f.flush()
-            r = subprocess.run(["pngfix", f.name], capture_output=True, text=True)
-            assert r.returncode == 0 and "OK" in r.stdout, (ch, r.stdout, r.stderr)
+    for interlace in (False, True):
+        for ch in (1, 2, 3, 4):
+            img = rng.integers(0, 256, (13, 17, ch), dtype=np.uint8)
+            with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                f.write(encode_png(img, interlace=interlace))
+                f.flush()
+                r = subprocess.run(["pngfix", f.name], capture_output=True, text=True)
+                assert r.returncode == 0 and "OK" in r.stdout, (
+                    interlace, ch, r.stdout, r.stderr,
+                )

@@ -25,11 +25,12 @@ def _arr(h, w, ch, seed):
 
 
 @settings(max_examples=30, deadline=None)
-@given(dims=_dims, ch=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**32 - 1))
-def test_png_roundtrip_exact_any_content(dims, ch, seed):
+@given(dims=_dims, ch=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**32 - 1),
+       interlace=st.booleans())
+def test_png_roundtrip_exact_any_content(dims, ch, seed, interlace):
     h, w = dims
     img = _arr(h, w, ch, seed)
-    out = decode_png(encode_png(img))
+    out = decode_png(encode_png(img, interlace=interlace))
     assert out is not None and np.array_equal(out, img)
 
 
