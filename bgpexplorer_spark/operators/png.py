@@ -3,10 +3,12 @@
 Covers the common still-image profile: 8-bit greyscale (color type 0),
 truecolor RGB (2), palette (3), greyscale+alpha (4), and RGBA (6), with
 all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6),
-multi-chunk IDAT streams, and Adam7 interlacing (each of the seven
-passes is an independently-filtered sub-image scattered back onto the
-(y0 + i·dy, x0 + j·dx) grid). 16-bit and sub-8-bit depths return None →
-the multimodal fake path. The inverse ``encode_png`` (filter 0,
+multi-chunk IDAT streams, Adam7 interlacing (each of the seven passes
+is an independently-filtered sub-image scattered back onto the
+(y0 + i·dy, x0 + j·dx) grid), and 16-bit depth (downconverted to 8-bit
+via the high byte — filters reference bpp bytes left, so the byte-wise
+unfilter is depth-agnostic). Sub-8-bit depths return None → the
+multimodal fake path. The inverse ``encode_png`` (filter 0,
 optionally Adam7) builds deterministic real-PNG fixtures for tests; PNG
 is lossless so round-trips are exact, and libpng's ``pngfix`` is used in
 tests as an independent validator of the emitted streams.
@@ -43,11 +45,13 @@ def decode_png(b: bytes) -> np.ndarray | None:
         return None
 
 
-def _unfilter(raw: bytes, off: int, height: int, width: int, ch: int):
+def _unfilter(raw: bytes, off: int, height: int, width: int, bpp: int):
     """Unfilter ``height`` scanlines of a (sub-)image starting at byte
-    ``off`` of the inflated stream; returns (pixels (h, w*ch) uint8,
-    next offset) or None on a bad filter byte / short stream."""
-    stride = width * ch
+    ``off`` of the inflated stream. ``bpp`` = bytes per pixel (filters
+    reference the pixel ``bpp`` bytes to the left, RFC 2083 §6). Returns
+    (filtered bytes (h, w*bpp) uint8, next offset) or None on a bad
+    filter byte / short stream."""
+    stride = width * bpp
     need = height * (stride + 1)
     if len(raw) < off + need:
         return None
@@ -63,23 +67,23 @@ def _unfilter(raw: bytes, off: int, height: int, width: int, ch: int):
         up = out[y - 1] if y else zero
         if f == 0:
             out[y] = cur
-        elif f == 1:  # Sub — a per-channel-lane prefix sum mod 256
+        elif f == 1:  # Sub — a per-byte-lane prefix sum mod 256
             out[y] = (
-                cur.reshape(width, ch).astype(np.int64).cumsum(axis=0) & 0xFF
+                cur.reshape(width, bpp).astype(np.int64).cumsum(axis=0) & 0xFF
             ).reshape(stride)
         elif f == 2:  # Up
             out[y] = (cur + up) & 0xFF
         elif f == 3:  # Average
             row = cur.copy()
             for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
+                left = row[x - bpp] if x >= bpp else 0
                 row[x] = (row[x] + ((int(left) + int(up[x])) >> 1)) & 0xFF
             out[y] = row
         elif f == 4:  # Paeth
             row = cur.copy()
             for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                ul = up[x - ch] if x >= ch else 0
+                left = row[x - bpp] if x >= bpp else 0
+                ul = up[x - bpp] if x >= bpp else 0
                 p = int(left) + int(up[x]) - int(ul)
                 pa, pb, pc = abs(p - int(left)), abs(p - int(up[x])), abs(p - int(ul))
                 pred = left if pa <= pb and pa <= pc else (up[x] if pb <= pc else ul)
@@ -109,8 +113,10 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if depth != 8 or comp != 0 or filt != 0 or interlace > 1:
-                return None  # 16-bit / sub-8-bit — out of scope
+            if depth not in (8, 16) or comp != 0 or filt != 0 or interlace > 1:
+                return None  # sub-8-bit depths — out of scope
+            if depth == 16 and ctype == 3:
+                return None  # 16-bit palette is not a legal profile
             if ctype not in _CHANNELS or not width or not height:
                 return None
         elif tag == b"PLTE":
@@ -122,7 +128,14 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
     if width is None or not idat:
         return None
     ch = _CHANNELS[ctype]
+    nb = depth // 8  # bytes per sample; bpp = ch * nb
     raw = zlib.decompress(bytes(idat))
+
+    def to8(flat: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        # 16-bit big-endian → high byte (the standard 8-bit downscale)
+        px = flat.reshape(ph, pw, ch * nb)
+        return px[:, :, ::nb] if nb == 2 else px
+
     if interlace:
         img8 = np.zeros((height, width, ch), np.uint8)
         off = 0
@@ -131,16 +144,16 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
             ph = -(-(height - y0) // dy) if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes no scanlines
-            r = _unfilter(raw, off, ph, pw, ch)
+            r = _unfilter(raw, off, ph, pw, ch * nb)
             if r is None:
                 return None
             sub, off = r
-            img8[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            img8[y0::dy, x0::dx] = to8(sub, ph, pw)
     else:
-        r = _unfilter(raw, 0, height, width, ch)
+        r = _unfilter(raw, 0, height, width, ch * nb)
         if r is None:
             return None
-        img8 = r[0].reshape(height, width, ch)
+        img8 = np.ascontiguousarray(to8(r[0], height, width))
     if ctype == 3:
         if palette is None:
             return None

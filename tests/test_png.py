@@ -113,10 +113,15 @@ def test_rejects_out_of_scope():
     img = _pattern(4, 4, 3)
     good = encode_png(img)
     assert decode_png(b"garbage") is None
-    # 16-bit depth
+    # depth flipped to 16 on an 8-bit stream: byte counts no longer
+    # line up -> declined (real 16-bit streams DO decode, see below)
     bad = bytearray(good)
     ihdr_off = bad.find(b"IHDR") + 4
     bad[ihdr_off + 8] = 16
+    assert decode_png(bytes(bad)) is None
+    # sub-8-bit depth
+    bad = bytearray(good)
+    bad[ihdr_off + 8] = 4
     assert decode_png(bytes(bad)) is None
     # interlace flag lying about a sequential stream: never crashes
     bad = bytearray(good)
@@ -195,3 +200,36 @@ def test_encode_png_validates_with_libpng():
                 assert r.returncode == 0 and "OK" in r.stdout, (
                     interlace, ch, r.stdout, r.stderr,
                 )
+
+
+def test_16bit_depth_downconverts_to_high_byte():
+    for ch, ctype in [(1, 0), (3, 2), (4, 6)]:
+        img16 = (_pattern(5, 6, ch, seed=ch).astype(np.uint16) << 8) | 0x7F
+        raw = b"".join(
+            b"\x00" + img16[y].astype(">u2").tobytes() for y in range(5)
+        )
+        ihdr = struct.pack(">IIBBBBB", 6, 5, 16, ctype, 0, 0, 0)
+        b = (
+            b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        )
+        out = decode_png(b)
+        assert out is not None and out.shape == (5, 6, ch), (ch,)
+        assert np.array_equal(out, (img16 >> 8).astype(np.uint8)), (ch,)
+    # 16-bit + Sub filter: left reference is bpp = 2*ch bytes back
+    img16 = (_pattern(3, 4, 3, seed=9).astype(np.uint16) << 8)
+    flat = img16.astype(">u2").tobytes()
+    rows = [flat[i * 24 : (i + 1) * 24] for i in range(3)]
+    raw = b""
+    for r in rows:
+        a = np.frombuffer(r, np.uint8).astype(int)
+        filt = a.copy()
+        filt[6:] = (a[6:] - a[:-6]) % 256  # Sub with bpp=6
+        raw += b"\x01" + bytes(filt.tolist())
+    ihdr = struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0)
+    b = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    out = decode_png(b)
+    assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
