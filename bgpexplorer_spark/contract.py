@@ -3725,3 +3725,71 @@ def an_martian_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         addr = F.when(e % 8 == i, F.lit(b) + (e % 250) * 16).otherwise(addr)
     df = routes.select("event_id", addr.alias("addr_v4"))
     return martian_prefixes(df).select("event_id", "martian")
+
+# TF-IDF keyword extraction — per-document top-k terms with smoothed
+# idf; the oracle replicates tokenization, the df aggregate, and the
+# deterministic (score desc, term asc) top-k.
+@q(
+    "text_tfidf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_duck_tokens('lower(text)')}) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               round(tf.tf * ln((n.n_docs + 1) / (dfreq.df + 1.0)), 4) AS score
+        FROM tf, n JOIN dfreq ON tf.term = dfreq.term
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by smoothed tf-idf
+    (operators/text.tfidf_topk): one explode, one df aggregate broadcast
+    back, one per-doc top-k window."""
+    from bgpexplorer_spark.operators.text import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5)
+
+# CCNet-style LM quality scoring — add-one-smoothed character-trigram
+# negative log-likelihood, trained on the corpus itself; the oracle
+# replicates trigram extraction, the model scalars, and the smoothing.
+@q(
+    "text_charlm",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    tris AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, strlen(t) - 2),
+                                     i -> substr(t, i, 3))) AS tri
+        FROM d WHERE strlen(t) >= 3
+    ),
+    counts AS (SELECT tri, count(*) AS cnt FROM tris GROUP BY tri),
+    model AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts)
+    SELECT tr.doc_id, count(*) AS n_tris,
+           round(-avg(ln((coalesce(c.cnt, 0) + 1) / (m.total + m.vocab * 1.0))),
+                 4) AS nll
+    FROM tris tr LEFT JOIN counts c USING (tri) CROSS JOIN model m
+    GROUP BY tr.doc_id
+    """,
+)
+def text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality scoring (operators/text.charlm_nll, the CCNet recipe
+    shape): per-document character-trigram NLL against corpus-trained
+    add-one-smoothed statistics — broadcast model join, one per-doc
+    aggregate."""
+    from bgpexplorer_spark.operators.text import charlm_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return charlm_nll(docs)

@@ -37,8 +37,8 @@ _ADAM7 = [
 
 def decode_png(b: bytes) -> np.ndarray | None:
     """PNG bytes → (h, w, channels) uint8 (palette expanded to RGB,
-    alpha preserved as a 2nd/4th channel), or None if not a decodable
-    8-bit PNG."""
+    alpha preserved as a 2nd/4th channel, 16-bit downconverted via the
+    high byte), or None if not a decodable 8/16-bit PNG."""
     try:
         return _decode_strict(b)
     except (zlib.error, struct.error, IndexError, ValueError):

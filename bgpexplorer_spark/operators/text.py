@@ -181,3 +181,102 @@ def repetition_features(
         F.round(top2_mass / n_chars, 4).alias("r_top2gram_char_frac"),
         F.round(dup3_chars / n_chars, 4).alias("r_dup3gram_char_frac"),
     )
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-k keywords by smoothed tf-idf — the classic
+    corpus-level topic/quality signal. tf = term count in the doc,
+    idf = ln((N + 1) / (df + 1)) with df = number of docs containing the
+    term. Output: (id, term, tf, df, score) with ties broken by term for
+    determinism.
+
+    Scale shape: one explode + per-(doc, term) count (map-side
+    combinable), ONE aggregate for document frequencies (a dimension
+    ~vocabulary-sized, broadcast back), and a per-doc top-k window
+    partitioned by the document key — no global sort; the only driver
+    value is the corpus size N (pass ``n_docs`` to avoid the count job).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if n_docs is None:
+        n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "_id", "term", "tf", "df",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_id").alias(id_col), "term", "tf", "df", "score",
+            F.col("_rn").alias("rank"),
+        )
+    )
+
+def char_trigrams(col: Column) -> Column:
+    """Character trigrams of the lowercased text (the CCNet-style LM
+    unit); texts shorter than 3 chars yield an empty array."""
+    chars = F.split(F.lower(col), "")
+    n = F.size(chars)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
+
+def charlm_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Language-model quality scoring, the CCNet recipe shape (Wenzek et
+    al. 2020 score documents with a small LM and keep the head of the
+    distribution): train add-one-smoothed character-trigram statistics on
+    ``train`` (default: the corpus itself), then score every document by
+    its per-trigram negative log-likelihood
+    ``nll = -avg(ln((count(tri)+1) / (total+V)))`` — lower = more typical
+    of the corpus. Output: (id, n_tris, nll).
+
+    Scale shape: one trigram-count aggregate over the train corpus (a
+    vocabulary-sized dimension, broadcast back), a map-side left join for
+    unseen trigrams, one per-doc aggregate. The only driver values are
+    the two model scalars (total occurrences, vocabulary size).
+    """
+    train = train if train is not None else df
+    tri = F.explode(char_trigrams(F.col(text_col)))
+    counts = (
+        train.select(tri.alias("tri")).groupBy("tri").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    ).first()
+    denom = float(tot["total"] + tot["vocab"])
+    doc_tris = df.select(F.col(id_col).alias("_id"), tri.alias("tri"))
+    logp = F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1) / F.lit(denom))
+    return (
+        doc_tris.join(F.broadcast(counts), "tri", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tris"),
+            F.round(-F.avg(logp), 4).alias("nll"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tris", "nll")
+    )

@@ -436,3 +436,67 @@ def test_decontaminate_ngram_overlap(spark):
     got5 = {r.doc_id: r.contaminated for r in
             decontaminate(train, ev, n=5).collect()}
     assert got5 == {1: False, 2: False, 3: False}
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+
+    from bgpexplorer_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.term): (r.tf, r.df, r.score, r.rank)
+           for r in tfidf_topk(df, k=2).collect()}
+    # N=3; idf(term) = ln(4 / (df+1))
+    idf1 = math.log(4 / 2)   # df=1 (apple)
+    idf2 = math.log(4 / 3)   # df=2 (banana, cherry)
+    assert out[(1, "apple")] == (2, 1, round(2 * idf1, 4), 1)
+    assert out[(1, "banana")] == (1, 2, round(1 * idf2, 4), 2)
+    assert out[(3, "cherry")][0] == 3 and out[(3, "cherry")][3] == 1
+    # doc 2: banana and cherry tie on score -> term asc breaks the tie
+    assert out[(2, "banana")][3] == 1 and out[(2, "cherry")][3] == 2
+
+
+def test_charlm_nll_model_equivalence(spark):
+    """Spark charlm_nll vs an independent pure-Python trigram model, and
+    cross-corpus scoring: a doc full of unseen trigrams scores worse."""
+    import collections
+    import math
+
+    from bgpexplorer_spark.operators.text import charlm_nll
+
+    rows = [(1, "the cat sat on the mat"), (2, "the cat ate"), (3, "zzqqxx")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tris, r.nll) for r in charlm_nll(df).collect()}
+
+    cnt = collections.Counter()
+
+    def tris(s):
+        s = s.lower()
+        return [s[i : i + 3] for i in range(len(s) - 2)]
+
+    for _, t in rows:
+        cnt.update(tris(t))
+    total, vocab = sum(cnt.values()), len(cnt)
+    for d, t in rows:
+        ts = tris(t)
+        nll = -sum(math.log((cnt[x] + 1) / (total + vocab)) for x in ts) / len(ts)
+        assert got[d] == (len(ts), round(nll, 4)), d
+    # the junk doc is least typical of this corpus
+    assert got[3][1] > got[1][1]
+
+    # train on docs 1-2 only, score doc 3: all-unseen trigrams -> the
+    # worst possible smoothed score ln(1/(total+V)) at every position
+    train = df.filter("doc_id < 3")
+    scored = {r.doc_id: r.nll for r in charlm_nll(df, train=train).collect()}
+    cnt2 = collections.Counter()
+    for _, t in rows[:2]:
+        cnt2.update(tris(t))
+    worst = -math.log(1 / (sum(cnt2.values()) + len(cnt2)))
+    assert scored[3] == round(worst, 4)
