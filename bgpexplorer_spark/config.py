@@ -41,6 +41,9 @@ class SvcConfig:
     purge_every: int = 300            # seconds, src/config.rs:542-579
     snapshot_file: str | None = None
     snapshot_every: int = 43200       # src/config.rs:476-485
+    routerid: str = "1.1.1.1"         # our OPEN router-id (src/config.rs:137-151)
+    protolisten: str | None = None    # shared passive listen addr (src/config.rs:98-110)
+    peeras: int = 0                   # our AS in OPEN (ProtoPeer bgppeeras analog)
     peers: list[PeerConfig] = field(default_factory=list)
     # engine extension: where the rib_history parquet table lives
     table_path: str | None = None
@@ -65,6 +68,9 @@ def from_inifile(path: str) -> SvcConfig:
         purge_every=m.getint("purge_every", fallback=300),
         snapshot_file=m.get("snapshot", fallback=None),
         snapshot_every=m.getint("snapshot_every", fallback=43200),
+        routerid=m.get("routerid", "1.1.1.1"),
+        protolisten=m.get("protolisten", fallback=None),
+        peeras=m.getint("peeras", fallback=0),
         table_path=m.get("table_path", fallback=None),
     )
     if cfg.historymode not in ("every", "differ"):
@@ -87,3 +93,51 @@ def from_inifile(path: str) -> SvcConfig:
             )
         )
     return cfg
+
+
+def routerid_int(cfg: SvcConfig) -> int:
+    """Dotted router-id → the 32-bit int the OPEN encoder wants."""
+    parts = [int(x) for x in cfg.routerid.split(".")]
+    if len(parts) != 4 or any(not 0 <= x <= 255 for x in parts):
+        raise ValueError(f"invalid routerid {cfg.routerid!r}")
+    return (parts[0] << 24) | (parts[1] << 16) | (parts[2] << 8) | parts[3]
+
+
+def start_listeners(cfg: SvcConfig, out_dir: str, raw_dir: str | None = None):
+    """Boot the live daemons a config describes (the reference's
+    main-loop peer spawning, src/main.rs + src/bgpsvc.rs, re-expressed
+    over the thin adapters): one passive BGP speaker on ``protolisten``
+    if any peer is ``bgppassive`` (the reference binds one socket and
+    dispatches by source address), plus one BMP station per
+    ``bmppassive`` peer's ``listen``. Returns the started listeners
+    (call ``.stop()`` on each; all write UPDATES_SCHEMA micro-batches
+    into ``out_dir``). Active (dial-out) modes are the archival/replay
+    path's concern and raise if requested here."""
+    from bgpexplorer_spark.streaming.bgplive import BgpListener
+    from bgpexplorer_spark.streaming.bmplive import BmpListener
+
+    def split(addr: str, default_port: int) -> tuple[str, int]:
+        host, _, port = addr.rpartition(":")
+        return (host or addr, int(port) if port and host else default_port)
+
+    listeners = []
+    if any(p.mode == "bgppassive" for p in cfg.peers):
+        host, port = split(cfg.protolisten or "0.0.0.0:179", 179)
+        lsn = BgpListener(
+            out_dir, as_num=cfg.peeras or 64512,
+            router_id=routerid_int(cfg), host=host, port=port, raw_dir=raw_dir,
+        )
+        lsn.start()
+        listeners.append(lsn)
+    for p in cfg.peers:
+        if p.mode == "bmppassive":
+            host, port = split(p.listen or "0.0.0.0:1790", 1790)
+            lsn = BmpListener(out_dir, host=host, port=port, raw_dir=raw_dir)
+            lsn.start()
+            listeners.append(lsn)
+        elif p.mode in ("bgpactive", "bmpactive"):
+            raise NotImplementedError(
+                "active (dial-out) peers are served by the archival/replay "
+                "path; the live adapters are passive (bgppassive/bmppassive)"
+            )
+    return listeners

@@ -472,3 +472,56 @@ def test_http_bogons_endpoint(spark):
         }
     finally:
         httpd.shutdown()
+
+
+def test_start_listeners_from_config(spark, tmp_path):
+    """S12 → daemon glue: an ini with a bgppassive and a bmppassive peer
+    boots both adapters; a BGP session against the configured
+    protolisten lands rows in the shared ingest dir with the configured
+    identity."""
+    import socket
+    import time
+
+    from bgpexplorer_spark.config import from_inifile, start_listeners
+    from bgpexplorer_spark.sources.mrt import encode_bgp_update_body
+    from bgpexplorer_spark.streaming.bgplive import (
+        encode_bgp_message, encode_bgp_open, parse_bgp_open,
+    )
+
+    ini = tmp_path / "bgpexplorer.ini"
+    ini.write_text(
+        "[main]\nrouterid=10.0.0.123\npeeras=64999\n"
+        "protolisten=127.0.0.1:0\n\n"
+        "[r1]\nmode=bgppassive\n\n"
+        "[m1]\nmode=bmppassive\nlisten=127.0.0.1:0\n"
+    )
+    cfg = from_inifile(str(ini))
+    assert cfg.peeras == 64999 and cfg.routerid == "10.0.0.123"
+    out = str(tmp_path / "ingest")
+    listeners = start_listeners(cfg, out)
+    try:
+        assert len(listeners) == 2  # one BGP speaker + one BMP station
+        bgp = listeners[0]
+        with socket.create_connection((bgp.host, bgp.port), timeout=10) as s:
+            s.sendall(encode_bgp_open(65001, 60, 0x01020304))
+            hdr = b""
+            while len(hdr) < 19:
+                hdr += s.recv(19 - len(hdr))
+            import struct as _st
+
+            msglen = _st.unpack(">H", hdr[16:18])[0]
+            body = b""
+            while len(body) < msglen - 19:
+                body += s.recv(msglen - 19 - len(body))
+            st_as, _hold, _as4 = parse_bgp_open(body)
+            assert st_as == 64999  # identity from the ini
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(0x0B000000, 24)], origin=0,
+                aspath=[(2, [65001])], nexthop=0x01020304,
+            )))
+            time.sleep(1.2)
+    finally:
+        for ln in listeners:
+            ln.stop()
+    upd = spark.read.parquet(out)
+    assert {r.nlri_str for r in upd.collect()} == {"11.0.0.0/24"}
