@@ -3793,3 +3793,48 @@ def text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return charlm_nll(docs)
+
+
+# RFC 2439 route-flap damping over the origin-history fixture: each
+# withdrawal adds a penalty decayed to the evaluation instant; the
+# oracle replicates the lag-window flap detection and the exponential
+# sum (identical double constants on both engines).
+_DAMP_LAM = 0.0001925408834888737
+_DAMP_AT_MS = 1704077200000
+
+@q(
+    "an_flap_damping",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    flags AS (
+        SELECT *, lag(active) OVER (PARTITION BY nlri_str, session_id
+                                    ORDER BY ts) AS prev_active
+        FROM hist2
+    ),
+    pen AS (
+        SELECT nlri_str,
+               CASE WHEN coalesce(prev_active, FALSE) AND NOT active
+                    THEN 1 ELSE 0 END AS flap,
+               CASE WHEN coalesce(prev_active, FALSE) AND NOT active
+                    THEN 1000.0 * exp(-{_DAMP_LAM} *
+                         ({_DAMP_AT_MS} / 1000.0 - epoch_ms(ts) / 1000.0))
+                    ELSE 0.0 END AS p
+        FROM flags
+    )
+    SELECT nlri_str, CAST(sum(flap) AS BIGINT) AS n_flaps,
+           round(sum(p), 4) AS penalty,
+           round(sum(p), 4) >= 2000.0 AS suppressed,
+           round(sum(p), 4) < 750.0 AS reusable
+    FROM pen GROUP BY nlri_str HAVING sum(flap) > 0
+    """,
+)
+def an_flap_damping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flap damping (operators/analytics.flap_damping): decayed
+    withdrawal penalties with suppress/reuse classification at a fixed
+    evaluation instant (half-life 1 h)."""
+    from bgpexplorer_spark.operators.analytics import flap_damping
+
+    hist = _origins_history(spark, sf_dir)
+    return flap_damping(hist, _DAMP_AT_MS, half_life_sec=3600.0).select(
+        "nlri_str", "n_flaps", "penalty", "suppressed", "reusable"
+    )

@@ -433,3 +433,53 @@ def martian_prefixes(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     for name, lo, hi in reversed(MARTIAN_V4_RANGES):
         expr = F.when((a >= lo) & (a <= hi), F.lit(name)).otherwise(expr)
     return state.withColumn("martian", expr).filter(F.col("martian").isNotNull())
+
+def flap_damping(
+    history: DataFrame,
+    at: "str | int | float",
+    half_life_sec: float = 900.0,
+    flap_penalty: float = 1000.0,
+    suppress_threshold: float = 2000.0,
+    reuse_threshold: float = 750.0,
+) -> DataFrame:
+    """RFC 2439 route-flap damping figures, computed in bulk over the
+    history (the reference surfaces raw flap history; this is the
+    operator a damping policy engine would run): each WITHDRAWAL of a
+    previously-announced route (an active→inactive transition per key)
+    adds ``flap_penalty``, decayed exponentially with ``half_life_sec``
+    to the evaluation instant ``at``; a prefix whose summed penalty is
+    above ``suppress_threshold`` is suppressed, and below
+    ``reuse_threshold`` it would be reusable.
+
+    One lag window on the ingest partitioning to find withdrawals, one
+    per-prefix aggregate of decayed penalties — the same two-exchange
+    shape as prefix_churn. Output: (rib, nlri_str, n_flaps, penalty,
+    suppressed, reusable) for prefixes with at least one flap."""
+    import math
+
+    cutoff = ts_cutoff_str(at)
+    lam = math.log(2.0) / float(half_life_sec)
+    at_s = F.unix_micros(F.lit(cutoff).cast("timestamp")) / 1e6
+    w = Window.partitionBy(*KEY_COLS).orderBy("ts")
+    h = history.filter(F.col("ts") <= F.lit(cutoff))
+    withdrawal = (
+        F.lag(F.col("active")).over(w).eqNullSafe(F.lit(True))
+        & ~F.col("active")
+    )
+    decayed = F.when(
+        withdrawal,
+        F.lit(flap_penalty)
+        * F.exp(-F.lit(lam) * (at_s - F.unix_micros(F.col("ts")) / 1e6)),
+    ).otherwise(F.lit(0.0))
+    return (
+        h.withColumn("_pen", decayed)
+        .withColumn("_flap", withdrawal.cast("bigint"))
+        .groupBy("rib", "nlri_str")
+        .agg(
+            F.sum("_flap").alias("n_flaps"),
+            F.round(F.sum("_pen"), 4).alias("penalty"),
+        )
+        .filter(F.col("n_flaps") > 0)
+        .withColumn("suppressed", F.col("penalty") >= F.lit(suppress_threshold))
+        .withColumn("reusable", F.col("penalty") < F.lit(reuse_threshold))
+    )

@@ -330,3 +330,50 @@ def test_martian_prefixes_edges(spark):
         8: "reserved-e",
         9: "testnet-1",
     }
+
+
+def test_flap_damping_decay_and_thresholds(spark):
+    import datetime as dt
+    import math
+
+    from bgpexplorer_spark.operators.analytics import flap_damping
+
+    from tests.ribdata import make_updates, u
+    from bgpexplorer_spark.operators.ingest import build_history
+
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                # p1: three quick flaps (announce/withdraw x3) near the end
+                u("10.0.0.0/24", t=900, aspath=[("Seq", [1])]),
+                u("10.0.0.0/24", t=910, op="withdraw"),
+                u("10.0.0.0/24", t=920, aspath=[("Seq", [1])]),
+                u("10.0.0.0/24", t=930, op="withdraw"),
+                u("10.0.0.0/24", t=940, aspath=[("Seq", [1])]),
+                u("10.0.0.0/24", t=950, op="withdraw"),
+                # p2: one old flap, fully decayed below reuse
+                u("10.0.1.0/24", t=0, aspath=[("Seq", [1])]),
+                u("10.0.1.0/24", t=10, op="withdraw"),
+                # p3: never withdrawn -> not in the report
+                u("10.0.2.0/24", t=5, aspath=[("Seq", [1])]),
+                # p4: withdraw with no prior announce -> not a flap
+                u("10.0.3.0/24", t=5, op="withdraw"),
+            ],
+        )
+    )
+    ts_min = hist.agg({"ts": "min"}).first()[0]
+    base_ms = int(ts_min.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    at_ms = base_ms + 1000 * 1000  # t=1000
+    out = {r.nlri_str: r for r in
+           flap_damping(hist, at_ms, half_life_sec=300.0).collect()}
+    assert set(out) == {"10.0.0.0/24", "10.0.1.0/24"}
+    lam = math.log(2) / 300.0
+    expect1 = sum(1000.0 * math.exp(-lam * (1000 - t)) for t in (910, 930, 950))
+    r1 = out["10.0.0.0/24"]
+    assert (r1.n_flaps, r1.penalty) == (3, round(expect1, 4))
+    assert r1.suppressed and not r1.reusable  # ~2700 > 2000
+    r2 = out["10.0.1.0/24"]
+    expect2 = 1000.0 * math.exp(-lam * 990)
+    assert (r2.n_flaps, r2.penalty) == (1, round(expect2, 4))
+    assert r2.reusable and not r2.suppressed  # ~0.1 < 750
