@@ -169,3 +169,70 @@ def live_current_state(updates: DataFrame) -> DataFrame:
     ).applyInPandasWithState(
         upsert, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+def live_flap_damping(
+    updates: DataFrame,
+    half_life_sec: float = 900.0,
+    flap_penalty: float = 1000.0,
+    suppress_threshold: float = 2000.0,
+    reuse_threshold: float = 750.0,
+) -> DataFrame:
+    """Streaming RFC 2439 flap damping — the live counterpart of
+    ``analytics.flap_damping``: per-(rib, nlri) state holds (penalty,
+    last event time, was-announced); each micro-batch decays the stored
+    penalty to the batch's newest event, adds ``flap_penalty`` per
+    withdrawal-after-announce, and emits the prefix's current figure
+    with suppress/reuse classification. State is 3 small scalars per
+    prefix, so the keyed store scales to the DFZ.
+
+    applyInPandasWithState is the documented escape hatch for operators
+    the built-ins can't express — an exponentially-decayed accumulator
+    must OUTLIVE the batch (windowed aggs can't carry it)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    lam = math.log(2.0) / float(half_life_sec)
+    out_schema = (
+        "rib string, nlri_str string, n_flaps bigint, penalty double, "
+        "suppressed boolean, reusable boolean, ts timestamp"
+    )
+    state_schema = "penalty double, last_us bigint, announced boolean, flaps bigint"
+
+    def step(key, pdfs, state: GroupState):
+        if state.exists:
+            penalty, last_us, announced, flaps = state.get
+        else:
+            penalty, last_us, announced, flaps = 0.0, None, False, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values("ts")
+        for _, r in rows.iterrows():
+            t_us = int(pd.Timestamp(r["ts"]).value // 1000)
+            if last_us is not None and t_us > last_us:
+                penalty *= math.exp(-lam * (t_us - last_us) / 1e6)
+            last_us = t_us if last_us is None else max(last_us, t_us)
+            if r["op"] == "withdraw":
+                if announced:
+                    penalty += flap_penalty
+                    flaps += 1
+                announced = False
+            else:
+                announced = True
+        state.update((float(penalty), int(last_us), bool(announced), int(flaps)))
+        rib, nlri = key
+        yield pd.DataFrame([
+            {
+                "rib": rib, "nlri_str": nlri, "n_flaps": flaps,
+                "penalty": round(penalty, 4),
+                "suppressed": penalty >= suppress_threshold,
+                "reusable": penalty < reuse_threshold,
+                "ts": pd.Timestamp(last_us, unit="us"),
+            }
+        ])
+
+    return updates.groupBy("rib", "nlri_str").applyInPandasWithState(
+        step, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

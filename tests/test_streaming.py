@@ -301,3 +301,38 @@ def test_windowed_prefix_churn_streaming(spark):
     assert got[("10.0.0.0/24", 0)] == (1, 1)
     assert got[("10.0.1.0/24", 0)] == (1, 0)
     assert got[("10.0.0.0/24", 1)] == (1, 0)
+
+def test_live_flap_damping_stateful(spark):
+    """Streaming damping: penalties accumulate per withdrawal, decay
+    across micro-batches, and only announce->withdraw transitions count."""
+    import math
+
+    from bgpexplorer_spark.streaming.feed import live_flap_damping
+
+    d = _updates_dir(
+        spark,
+        [
+            u("10.0.0.0/24", t=0),
+            u("10.0.0.0/24", t=10, op="withdraw"),
+            u("10.0.0.0/24", t=20),
+            u("10.0.0.0/24", t=30, op="withdraw"),
+            u("10.0.1.0/24", t=0, op="withdraw"),   # never announced: no flap
+            u("10.0.2.0/24", t=5),                   # announced only
+        ],
+    )
+    stream = stream_updates_from_files(spark, d)
+    q = (
+        live_flap_damping(stream, half_life_sec=20.0)
+        .writeStream.format("memory").queryName("damp1").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r.nlri_str: r for r in spark.sql("SELECT * FROM damp1").collect()}
+    lam = math.log(2) / 20.0
+    # flap at t=10 decayed to t=30, plus the fresh flap at t=30
+    expect = 1000.0 * math.exp(-lam * 20) + 1000.0
+    r = rows["10.0.0.0/24"]
+    assert (r.n_flaps, r.penalty) == (2, round(expect, 4))
+    assert r.suppressed is False and r.reusable is False  # 1500 between thresholds
+    assert rows["10.0.1.0/24"].n_flaps == 0
+    assert rows["10.0.2.0/24"].n_flaps == 0
