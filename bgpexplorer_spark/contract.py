@@ -3838,3 +3838,48 @@ def an_flap_damping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flap_damping(hist, _DAMP_AT_MS, half_life_sec=3600.0).select(
         "nlri_str", "n_flaps", "penalty", "suppressed", "reusable"
     )
+
+# The flagship cleaning pipeline with the SCALE dedup path: the same
+# quality/language gates composed with the NEAR-dup keep-list
+# (LSH candidates → exact-Jaccard verify → connected components →
+# min-doc_id canonical keeper) instead of the exact-hash one.
+def _clean_corpus_neardup_sql() -> str:
+    base = _clean_corpus_sql()
+    exact_canon = """canon AS (
+        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+        FROM documents
+    )"""
+    near_canon = f"""canon AS (
+        SELECT doc_id, component AS canonical
+        FROM ({_CC_ORACLE})
+    )"""
+    assert exact_canon in base
+    return base.replace(exact_canon, near_canon)
+
+@q("pipeline_clean_corpus_neardup", _clean_corpus_neardup_sql())
+def pipeline_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pipeline_clean_corpus with the near-dup keep-list: quality gates ∧
+    language agreement ∧ component-canonical keeper from the composed
+    MinHash-LSH → exact-Jaccard → connected-components path (the 100 TB
+    dedup shape, not the exact-hash shortcut)."""
+    from bgpexplorer_spark.operators.text import langid, quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q_feats = quality_features(docs.select("doc_id", "text"))
+    lang_ok = docs.select(
+        "doc_id", (langid(F.col("text")) == F.col("lang")).alias("_lang_ok")
+    )
+    comp = _dedup_components_impl(spark, sf_dir, star=False)
+    keep = comp.filter(F.col("is_canonical")).select("doc_id")
+    return (
+        docs.select("doc_id")
+        .join(
+            q_feats.filter(
+                (F.col("q_tokens") >= 10) & (F.col("q_punct_ratio") <= 0.1)
+            ),
+            "doc_id",
+            "left_semi",
+        )
+        .join(lang_ok.filter("_lang_ok"), "doc_id", "left_semi")
+        .join(keep, "doc_id", "left_semi")
+    )
