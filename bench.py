@@ -124,10 +124,17 @@ def main() -> None:
             "value": round(sum(times2.values()), 4),
             "queries": times2,
         }
-        out["scaling_ratio"] = {
+        ratios = {
             name: round(times[name] / times2[name], 2) if times2.get(name) else None
             for name in times
         }
+        out["scaling_ratio"] = ratios
+        data_ratio = _sf_of(sf_dir) / max(_sf_of(sf_dir2), 1e-9)
+        # a query growing faster than the data (plus slack for fixed
+        # overhead amortizing away) is flagged before it matters at 100 TB
+        out["superlinear"] = sorted(
+            n for n, r in ratios.items() if r and r > data_ratio * 1.2
+        )
     print(json.dumps(out))
     spark.stop()
 

@@ -22,6 +22,7 @@ class PeerConfig:
     listen: str | None = None        # local addr for passive modes
     bgppeeras: int = 0
     filter_rd: str = "0:0"           # S3 ingest RD filter (src/bmppeer.rs:33-39)
+    caps: str = "minimal"            # 'all' | 'minimal' | comma list (src/config.rs:189-235)
 
 @dataclass
 class SvcConfig:
@@ -90,6 +91,7 @@ def from_inifile(path: str) -> SvcConfig:
                 listen=s.get("listen", fallback=None),
                 bgppeeras=s.getint("bgppeeras", fallback=0),
                 filter_rd=s.get("filter_rd", "0:0"),
+                caps=s.get("caps", "minimal"),
             )
         )
     return cfg
@@ -123,9 +125,11 @@ def start_listeners(cfg: SvcConfig, out_dir: str, raw_dir: str | None = None):
     listeners = []
     if any(p.mode == "bgppassive" for p in cfg.peers):
         host, port = split(cfg.protolisten or "0.0.0.0:179", 179)
+        caps_strs = [p.caps for p in cfg.peers if p.mode == "bgppassive"]
         lsn = BgpListener(
             out_dir, as_num=cfg.peeras or 64512,
             router_id=routerid_int(cfg), host=host, port=port, raw_dir=raw_dir,
+            caps=parse_caps(caps_strs[0]),
         )
         lsn.start()
         listeners.append(lsn)
@@ -141,3 +145,19 @@ def start_listeners(cfg: SvcConfig, out_dir: str, raw_dir: str | None = None):
                 "path; the live adapters are passive (bgppassive/bmppassive)"
             )
     return listeners
+
+
+def parse_caps(caps: str) -> list[str]:
+    """The reference's caps-string vocabulary (src/config.rs:189-235):
+    'all', ''/'min'/'minimal', or a comma list of family names; unknown
+    names are warned-and-skipped there, silently skipped here. 'asn32'
+    is implied (the speaker always offers it); 'addpath' is accepted but
+    not offered (documented live-adapter scope)."""
+    from bgpexplorer_spark.streaming.bgplive import MP_CAPS
+
+    caps = (caps or "").strip().lower()
+    if caps == "all":
+        return list(MP_CAPS)
+    if caps in ("", "min", "minimal"):
+        return ["ipv4u"]
+    return [c for c in (x.strip() for x in caps.split(",")) if c in MP_CAPS]

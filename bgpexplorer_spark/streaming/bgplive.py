@@ -12,8 +12,11 @@ parquet micro-batches for ``stream_updates_from_files`` — zero engine
 changes — plus optional raw message capture.
 
 4-octet AS numbers (RFC 6793, capability 65) are always offered and
-honored when the peer offers them; ADD-PATH negotiation is not offered
-(the archival sources decode ADD-PATH, the live adapter scopes it out).
+honored when the peer offers them; multiprotocol capabilities
+(RFC 4760) advertise the configured address families (the reference's
+caps string, parsed by config.parse_caps); ADD-PATH negotiation is not
+offered (the archival sources decode ADD-PATH, the live adapter scopes
+it out).
 """
 
 from __future__ import annotations
@@ -26,6 +29,16 @@ from bgpexplorer_spark.streaming.livebase import (  # noqa: F401  (re-export)
     LiveListenerBase,
     send_frames,
 )
+
+# IANA AFI/SAFI pairs for the multiprotocol capability (RFC 4760/2858),
+# keyed by the reference's caps-string names (src/config.rs:189-235)
+MP_CAPS: dict[str, tuple[int, int]] = {
+    "ipv4u": (1, 1), "ipv4lu": (1, 4), "vpnv4u": (1, 128),
+    "vpnv4m": (1, 129), "ipv4mdt": (1, 66), "mvpn": (1, 5),
+    "vpls": (25, 65), "evpn": (25, 70),
+    "ipv6u": (2, 1), "ipv6lu": (2, 4), "vpnv6u": (2, 128),
+    "vpnv6m": (2, 129), "ipv6mdt": (2, 66),
+}
 
 BGP_OPEN = 1
 BGP_UPDATE = 2
@@ -40,10 +53,20 @@ def encode_bgp_message(mtype: int, body: bytes = b"") -> bytes:
     return _MARKER + struct.pack(">HB", 19 + len(body), mtype) + body
 
 
-def encode_bgp_open(as_num: int, hold_time: int, router_id: int) -> bytes:
+def encode_bgp_open(
+    as_num: int, hold_time: int, router_id: int,
+    caps: "list[str] | None" = None, asn32: bool = True,
+) -> bytes:
     """OPEN with the 4-octet-AS capability (the 2-byte field carries
-    AS_TRANS when the AS doesn't fit, RFC 6793 §3)."""
-    cap = bytes([2, 6, 65, 4]) + struct.pack(">I", as_num)
+    AS_TRANS when the AS doesn't fit, RFC 6793 §3) and one
+    multiprotocol capability per named family in ``caps`` (the
+    reference's caps-string vocabulary, src/config.rs:189-235)."""
+    cap = b""
+    for name in caps or []:
+        afi, safi = MP_CAPS[name]
+        cap += bytes([2, 6, 1, 4]) + struct.pack(">HBB", afi, 0, safi)
+    if asn32:
+        cap += bytes([2, 6, 65, 4]) + struct.pack(">I", as_num)
     body = (
         bytes([4])
         + struct.pack(">HHI", as_num if as_num < 65536 else AS_TRANS,
@@ -58,13 +81,16 @@ def encode_bgp_keepalive() -> bytes:
     return encode_bgp_message(BGP_KEEPALIVE)
 
 
-def parse_bgp_open(body: bytes) -> tuple[int, int, bool]:
-    """OPEN body → (peer_as, hold_time, as4). The 4-octet-AS capability
-    (code 65) overrides the 2-byte my-AS field."""
+def parse_bgp_open(body: bytes, with_mp: bool = False):
+    """OPEN body → (peer_as, hold_time, as4[, mp_families]). The
+    4-octet-AS capability (code 65) overrides the 2-byte my-AS field;
+    ``with_mp=True`` also returns the advertised multiprotocol
+    (afi, safi) set."""
     if len(body) < 10 or body[0] != 4:
         raise ValueError("unsupported BGP version")
     my_as, hold_time = struct.unpack(">HH", body[1:5])
     peer_as, as4 = my_as, False
+    mp: set[tuple[int, int]] = set()
     optlen = body[9]
     p, end = 10, min(10 + optlen, len(body))
     while p + 2 <= end:
@@ -79,8 +105,11 @@ def parse_bgp_open(body: bytes) -> tuple[int, int, bool]:
             if code == 65 and clen == 4:
                 peer_as = struct.unpack(">I", val[q + 2 : q + 6])[0]
                 as4 = True
+            elif code == 1 and clen == 4:
+                afi, _res, safi = struct.unpack(">HBB", val[q + 2 : q + 6])
+                mp.add((afi, safi))
             q += 2 + clen
-    return peer_as, hold_time, as4
+    return (peer_as, hold_time, as4, mp) if with_mp else (peer_as, hold_time, as4)
 
 
 class BgpListener(LiveListenerBase):
@@ -93,7 +122,7 @@ class BgpListener(LiveListenerBase):
 
     def __init__(
         self, out_dir: str, as_num: int = 64512, router_id: int = 0x0A00007B,
-        hold_time: int = 180, **kw,
+        hold_time: int = 180, caps: "list[str] | None" = None, **kw,
     ) -> None:
         import threading
 
@@ -101,6 +130,7 @@ class BgpListener(LiveListenerBase):
         self.as_num = as_num
         self.router_id = router_id
         self.hold_time = hold_time
+        self.caps = list(caps) if caps else ["ipv4u"]  # reference minimal
         # per-connection session state: each connection is served by
         # exactly one thread (livebase thread-per-connection), so
         # thread-local storage is the natural per-session slot
@@ -140,7 +170,8 @@ class BgpListener(LiveListenerBase):
             try:
                 conn.sendall(
                     encode_bgp_open(self.as_num, min(self.hold_time, hold_time)
-                                    or self.hold_time, self.router_id)
+                                    or self.hold_time, self.router_id,
+                                    caps=self.caps)
                     + encode_bgp_keepalive()
                 )
             except OSError:

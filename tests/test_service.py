@@ -525,3 +525,42 @@ def test_start_listeners_from_config(spark, tmp_path):
             ln.stop()
     upd = spark.read.parquet(out)
     assert {r.nlri_str for r in upd.collect()} == {"11.0.0.0/24"}
+
+
+def test_caps_config_reaches_the_open(spark, tmp_path):
+    """Per-peer caps string -> multiprotocol capabilities in our OPEN."""
+    import socket
+    import struct as _st
+
+    from bgpexplorer_spark.config import from_inifile, parse_caps, start_listeners
+    from bgpexplorer_spark.streaming.bgplive import (
+        encode_bgp_open, parse_bgp_open,
+    )
+
+    assert parse_caps("all")[:2] == ["ipv4u", "ipv4lu"]
+    assert parse_caps("minimal") == ["ipv4u"]
+    assert parse_caps("ipv6u,vpnv4u,asn32,bogus") == ["ipv6u", "vpnv4u"]
+
+    ini = tmp_path / "c.ini"
+    ini.write_text(
+        "[main]\nrouterid=1.2.3.4\npeeras=65100\nprotolisten=127.0.0.1:0\n\n"
+        "[r1]\nmode=bgppassive\ncaps=ipv6u,vpnv4u\n"
+    )
+    listeners = start_listeners(from_inifile(str(ini)), str(tmp_path / "out"))
+    try:
+        bgp = listeners[0]
+        with socket.create_connection((bgp.host, bgp.port), timeout=10) as s:
+            s.sendall(encode_bgp_open(65001, 60, 0x01020304))
+            hdr = b""
+            while len(hdr) < 19:
+                hdr += s.recv(19 - len(hdr))
+            msglen = _st.unpack(">H", hdr[16:18])[0]
+            body = b""
+            while len(body) < msglen - 19:
+                body += s.recv(msglen - 19 - len(body))
+            peer_as, _h, as4, mp = parse_bgp_open(body, with_mp=True)
+            assert (peer_as, as4) == (65100, True)
+            assert mp == {(2, 1), (1, 128)}  # ipv6u + vpnv4u
+    finally:
+        for ln in listeners:
+            ln.stop()
