@@ -220,6 +220,35 @@ class BgpExplorerService:
         ]
         return out
 
+    def api_damping(self, rib: str = "ipv4u", at=None, half_life: int = 900) -> list[dict]:
+        """GET /api/analytics/damping[?rib=&at=&half_life=] — RFC 2439
+        flap-damping figures (decayed penalties, suppress/reuse) at the
+        evaluation instant (default: the newest event in the table)."""
+        import datetime
+
+        from bgpexplorer_spark.operators.analytics import flap_damping
+
+        h = self.history.filter(F.col("rib") == rib)
+        if at is None:
+            newest = h.agg(F.max("ts")).first()[0]
+            if newest is None:
+                return []
+            at = int(
+                newest.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+            )
+        rows = (
+            flap_damping(h, at, half_life_sec=float(half_life))
+            .orderBy(F.col("penalty").desc(), "nlri_str")
+            .collect()
+        )
+        return [
+            {
+                "nlri": r.nlri_str, "n_flaps": r.n_flaps, "penalty": r.penalty,
+                "suppressed": r.suppressed, "reusable": r.reusable,
+            }
+            for r in rows
+        ]
+
     def api_flappers(self, rib: str = "ipv4u", k: int = 20) -> list[dict]:
         """GET /api/analytics/flappers[?rib=&k=] — the k noisiest
         prefixes by announce<->withdraw flips."""
@@ -385,6 +414,13 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(
                         svc.api_diff(
                             qs.get("rib", "ipv4u"), qs.get("t1"), qs.get("t2")
+                        )
+                    )
+                if parts[:3] == ["api", "analytics", "damping"]:
+                    return self._send(
+                        svc.api_damping(
+                            qs.get("rib", "ipv4u"), qs.get("at"),
+                            int(qs.get("half_life", 900)),
                         )
                     )
                 if parts[:3] == ["api", "analytics", "bogons"]:

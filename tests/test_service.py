@@ -564,3 +564,33 @@ def test_caps_config_reaches_the_open(spark, tmp_path):
     finally:
         for ln in listeners:
             ln.stop()
+
+
+def test_http_damping_endpoint(spark):
+    """GET /api/analytics/damping — decayed penalties served over HTTP,
+    defaulting the evaluation instant to the newest event."""
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/24", t=0, aspath=[("Seq", [1])]),
+                u("10.0.0.0/24", t=10, op="withdraw"),
+                u("10.0.0.0/24", t=20, aspath=[("Seq", [1])]),
+                u("10.0.0.0/24", t=30, op="withdraw"),
+                u("10.0.1.0/24", t=5, aspath=[("Seq", [2])]),
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        r = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/analytics/damping?half_life=300"
+        ).read())
+        assert len(r) == 1 and r[0]["nlri"] == "10.0.0.0/24"
+        assert r[0]["n_flaps"] == 2
+        # at t=30 (newest): 1000*exp(-lam*20) + 1000 > 1750
+        assert 1900 < r[0]["penalty"] <= 2000
+    finally:
+        httpd.shutdown()
