@@ -3883,3 +3883,32 @@ def pipeline_clean_corpus_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(lang_ok.filter("_lang_ok"), "doc_id", "left_semi")
         .join(keep, "doc_id", "left_semi")
     )
+
+@q("multimodal_decode_jpeg_progressive", _JPEG_ORACLE)
+def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same block-uniform q100 fixtures as multimodal_decode_jpeg,
+    encoded PROGRESSIVE (SOF2 spectral selection + successive
+    approximation): the multi-scan decode path must recover the pixels
+    exactly, so the one analytic oracle covers both JPEG modes."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg_progressive
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        w, h = 4 + d % 8, 6 + d % 6
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = ((d * 17 + (yy // 8) * 7 + (xx // 8) * 13) % 256).astype(np.uint8)
+        rows.append(
+            (int(d), "image", bytearray(encode_jpeg_progressive(px, quality=100)), None)
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "decoder",
+        "width", "height", "channels", "mean_byte",
+    )

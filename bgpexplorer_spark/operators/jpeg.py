@@ -1,18 +1,24 @@
 """Baseline JPEG (ITU-T T.81 sequential DCT, JFIF) codec in pure
 numpy + stdlib — no codec libraries.
 
-Decoder: baseline Huffman-coded scans (SOF0), 8-bit precision, 1 or 3
-components, arbitrary sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0),
-restart intervals, 0xFF00 byte stuffing. Progressive (SOF2) and
-arithmetic coding are out of scope and return None (→ the multimodal
-fake path). Flows into ``operators.multimodal.decode_media`` as the
-``decoder='jpeg'`` branch so compressed images decode FOR REAL here.
+Decoder: baseline Huffman-coded scans (SOF0) AND progressive (SOF2 —
+spectral selection, successive approximation with DC/AC refinement
+scans, EOB runs), 8-bit precision, 1 or 3 components, sampling factors
+up to 2x2 (4:4:4, 4:2:2, 4:2:0), restart intervals, 0xFF00 byte
+stuffing. Arithmetic coding and lossless/hierarchical modes return None
+(→ the multimodal fake path). Flows into
+``operators.multimodal.decode_media`` as the ``decoder='jpeg'`` branch
+so compressed images decode FOR REAL here.
 
-Encoder: the inverse (quality-scaled Annex K quantization tables,
-standard Annex K Huffman tables, 4:4:4 or 4:2:0, optional restart
-interval, grayscale) — used by tests to build deterministic real-JPEG
-fixtures inside a container that ships no image library, and exposed as
-the re-encode side of the media pipeline.
+Encoder: the inverse for BOTH modes (quality-scaled Annex K
+quantization tables, standard Annex K Huffman tables, 4:4:4 or 4:2:0,
+optional restart interval, grayscale; ``encode_jpeg_progressive`` emits
+a spectral-selection + successive-approximation scan script over the
+SAME quantized coefficients) — used by tests to build deterministic
+real-JPEG fixtures inside a container that ships no image library.
+Sharing the quantizer between the modes makes progressive-vs-baseline
+decode an EXACT-equality cross-validation oracle: a bug on either side
+of the progressive path cannot hide behind round-trip symmetry.
 
 All tables below are from the public T.81 spec (Annex K); the DCT is the
 separable orthonormal 8x8 DCT-II matrix.
@@ -233,6 +239,7 @@ def _decode_jpeg_strict(b: bytes) -> np.ndarray | None:
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     width = height = 0
     restart_interval = 0
+    progressive = False
     pos = 2
     n = len(b)
     while pos + 4 <= n:
@@ -270,9 +277,10 @@ def _decode_jpeg_strict(b: bytes) -> np.ndarray | None:
                 i += 17 + cnt
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive SOF
             if seg[0] != 8:
                 return None
+            progressive = marker == 0xC2
             height, width = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -284,12 +292,20 @@ def _decode_jpeg_strict(b: bytes) -> np.ndarray | None:
                 comps.append((cid, h_i, v_i, tq))
             if nc not in (1, 3):
                 return None
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
-        elif marker == 0xDA:  # SOS — single interleaved scan follows
+            return None  # lossless / arithmetic / hierarchical
+        elif marker == 0xDA:  # SOS
+            if not comps or not width:
+                return None
+            if progressive:
+                # the progressive driver owns the rest of the marker walk
+                # (multiple scans with DHT/DRI interleaved)
+                return _decode_progressive(
+                    b, pos, width, height, comps, qt, huff, restart_interval
+                )
             ns = seg[0]
-            if ns != len(comps) or not comps or not width:
+            if ns != len(comps):
                 return None
             scan_tabs = {}
             for si in range(ns):
@@ -336,7 +352,13 @@ def _decode_scan(b, pos, width, height, comps, scan_tabs, qt, huff, ri):
                     y0 = (my * v_i + by) * 8
                     x0 = (mx * h_i + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
-    # upsample subsampled planes to full MCU-grid resolution, then crop
+    return _assemble(planes, comps, width, height, hmax, vmax)
+
+
+def _assemble(planes, comps, width, height, hmax, vmax):
+    """Per-component MCU-grid sample planes → final uint8 image
+    (upsample subsampled planes, crop, YCbCr→RGB) — shared by the
+    baseline streaming path and the progressive reconstruction."""
     full = []
     for ci, (_cid, h_i, v_i, _tq) in enumerate(comps):
         p = planes[ci]
@@ -355,6 +377,241 @@ def _decode_scan(b, pos, width, height, comps, scan_tabs, qt, huff, ri):
         axis=2,
     )
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# --- progressive (SOF2) decoding -------------------------------------------
+#
+# Coefficients accumulate across scans in per-component (BH, BW, 64)
+# arrays in ZIGZAG order; DC scans may be interleaved (MCU layout), AC
+# scans are single-component over the component's own block grid
+# (T.81 §G.1.2). Successive approximation: first scans deliver values
+# <<Al, refinement scans append one magnitude bit per plane.
+
+
+def _decode_progressive(b, pos, width, height, comps, qt, huff, ri):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # per-component block grids: full MCU-padded (for interleaved DC) and
+    # the component's own grid (for non-interleaved AC scans)
+    coefs = []
+    grids = []
+    for _cid, h_i, v_i, _tq in comps:
+        coefs.append(np.zeros((mcuy * v_i, mcux * h_i, 64), np.int64))
+        comp_w = -(-(width * h_i) // hmax)
+        comp_h = -(-(height * v_i) // vmax)
+        grids.append((-(-comp_h // 8), -(-comp_w // 8)))
+    n = len(b)
+    saw_scan = False
+    while pos + 2 <= n:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > n:
+            break
+        seglen = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xC4:  # DHT between scans
+            i = 0
+            while i + 17 <= len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                cnt = sum(bits)
+                huff[(tc, th)] = _build_decode_table(
+                    bits, list(seg[i + 17 : i + 17 + cnt])
+                )
+                i += 17 + cnt
+        elif marker == 0xDD:
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    qt[tq] = np.frombuffer(seg[i : i + 128], ">u2").astype(np.int64)
+                    i += 128
+                else:
+                    qt[tq] = np.frombuffer(seg[i : i + 64], np.uint8).astype(np.int64)
+                    i += 64
+        elif marker == 0xDA:
+            pos = _decode_prog_scan(
+                b, pos + 2 + seglen, seg, comps, coefs, grids, huff, ri,
+                mcux, mcuy,
+            )
+            saw_scan = True
+            continue
+        pos += 2 + seglen
+    if not saw_scan:
+        return None
+    return _reconstruct(coefs, comps, qt, width, height, hmax, vmax)
+
+
+def _decode_prog_scan(b, data_pos, seg, comps, coefs, grids, huff, ri,
+                      mcux, mcuy):
+    ns = seg[0]
+    scan = []  # (comp index, dc table, ac table)
+    cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+    for si in range(ns):
+        cid, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+        scan.append((cid_to_idx[cid], tt >> 4, tt & 15))
+    ss, se, ahl = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    ah, al = ahl >> 4, ahl & 15
+    if ss > se or se > 63 or (ss == 0) != (se == 0):
+        raise _BadData("bad spectral band")
+    if ss > 0 and ns != 1:
+        raise _BadData("AC scans are single-component")
+    r = _BitReader(b, data_pos)
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def dc_unit(ci, dc_tab, by, bx):
+        coef = coefs[ci][by, bx]
+        if ah == 0:
+            if dc_tab is None:
+                raise _BadData("missing DC table")
+            s = _huff_decode(r, dc_tab)
+            preds[ci] += _extend(r.read_bits(s), s) if s else 0
+            coef[0] = preds[ci] << al
+        elif r.read_bit():
+            coef[0] |= 1 << al
+
+    if ss == 0:
+        if ns == 1:
+            # non-interleaved DC scan: the component's OWN block grid
+            ci, td, _ta = scan[0]
+            ch, cw = grids[ci]
+            for m in range(ch * cw):
+                if ri and m and m % ri == 0:
+                    r.sync_restart()
+                    preds = [0] * len(comps)
+                by, bx = divmod(m, cw)
+                dc_unit(ci, huff.get((0, td)), by, bx)
+        else:
+            for m in range(mcux * mcuy):
+                if ri and m and m % ri == 0:
+                    r.sync_restart()
+                    preds = [0] * len(comps)
+                my, mx = divmod(m, mcux)
+                for ci, td, _ta in scan:
+                    _cid, h_i, v_i, _tq = comps[ci]
+                    for by in range(v_i):
+                        for bx in range(h_i):
+                            dc_unit(ci, huff.get((0, td)),
+                                    my * v_i + by, mx * h_i + bx)
+    else:
+        ci, _td, ta = scan[0]
+        ac_tab = huff.get((1, ta))
+        if ac_tab is None:
+            raise _BadData("missing AC table")
+        ch, cw = grids[ci]
+        for m in range(ch * cw):
+            if ri and m and m % ri == 0:
+                r.sync_restart()
+                eobrun = 0
+            by, bx = divmod(m, cw)
+            coef = coefs[ci][by, bx]
+            if ah == 0:
+                eobrun = _ac_first_block(r, ac_tab, coef, ss, se, al, eobrun)
+            else:
+                eobrun = _ac_refine_block(r, ac_tab, coef, ss, se, al, eobrun)
+    # skip to the next marker (0xFF followed by a non-stuffing byte)
+    p, n = r.pos, len(b)
+    while p + 1 < n and not (b[p] == 0xFF and b[p + 1] != 0x00):
+        p += 1
+    return p
+
+
+def _ac_first_block(r, ac_tab, coef, ss, se, al, eobrun):
+    """T.81 §G.1.2.2 — first AC scan of a band at bit plane ``al``."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_tab)
+        run, s = rs >> 4, rs & 15
+        if s == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = 1 << run
+            if run:
+                eobrun += r.read_bits(run)
+            return eobrun - 1
+        k += run
+        if k > se:
+            raise _BadData("band overrun")
+        coef[k] = _extend(r.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_block(r, ac_tab, coef, ss, se, al, eobrun):
+    """T.81 §G.1.2.3 — successive-approximation AC refinement (the
+    libjpeg decode_mcu_AC_refine control flow): correction bits for
+    already-nonzero coefficients, ±1<<al for newly-significant ones,
+    EOB runs carry the remaining corrections of each covered block."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_tab)
+            run, s = rs >> 4, rs & 15
+            if s == 0:
+                if run != 15:
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                val = 0  # ZRL: pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise _BadData("invalid refinement magnitude")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                if coef[k]:
+                    if r.read_bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k]:
+                if r.read_bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(coefs, comps, qt, width, height, hmax, vmax):
+    """Accumulated zigzag coefficients → sample planes → image."""
+    planes = []
+    for ci, (_cid, _h, _v, tq) in enumerate(comps):
+        if tq not in qt:
+            raise _BadData("missing quantization table")
+        deq = coefs[ci] * qt[tq]  # both zigzag order
+        nat = np.zeros_like(deq)
+        nat[..., ZIGZAG] = deq
+        bh, bw = nat.shape[:2]
+        blocks = nat.reshape(bh, bw, 8, 8).astype(np.float64)
+        spatial = np.einsum("ij,xyjk,kl->xyil", _C.T, blocks, _C) + 128
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _assemble(planes, comps, width, height, hmax, vmax)
 
 
 # --- encoder ----------------------------------------------------------------
@@ -529,5 +786,266 @@ def encode_jpeg(
                     )
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --- progressive (SOF2) encoder --------------------------------------------
+
+
+def _quantized_coefs(arr, quality, subsampling):
+    """Shared front half of encoding: color transform, subsampling,
+    MCU padding, FDCT, quantization → per-component (BH, BW, 64)
+    zigzag-order coefficient arrays. The coefficients are IDENTICAL to
+    what the baseline encoder transmits, which is what makes
+    progressive-vs-baseline decode an exact-equality oracle."""
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w = arr.shape[:2]
+    gray = arr.shape[2] == 1
+    qy_zz = _quality_scale(QT_LUMA, quality)[ZIGZAG]
+    qc_zz = _quality_scale(QT_CHROMA, quality)[ZIGZAG]
+    if gray:
+        planes, samp, qzz = [arr[:, :, 0]], [(1, 1)], [qy_zz]
+    else:
+        r, g, bl = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128
+        if subsampling == "420":
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+
+            def pad2(p):
+                return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+            cb = pad2(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = pad2(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:
+            raise ValueError("subsampling must be '444' or '420'")
+        planes = [y, cb, cr]
+        qzz = [qy_zz, qc_zz, qc_zz]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    for p, (hi, vi), q in zip(planes, samp, qzz):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        bh, bw = th // 8, tw // 8
+        out = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                co = _C @ (block - 128.0) @ _C.T
+                out[by, bx] = np.round(co.ravel()[ZIGZAG] / q).astype(np.int64)
+        coefs.append(out)
+    return samp, qzz, coefs, h, w, gray, mcux, mcuy
+
+
+def _emit_extend_bits(wtr, v, s):
+    wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+
+
+def _emit_dc_first(wtr, coefs, scan_cis, samp, mcux, mcuy, al, dc_encs):
+    preds = {ci: 0 for ci in scan_cis}
+
+    def one(ci, by, bx):
+        v = int(coefs[ci][by, bx, 0]) >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = abs(diff).bit_length()
+        code, ln = dc_encs[ci][s]
+        wtr.write(code, ln)
+        if s:
+            _emit_extend_bits(wtr, diff, s)
+
+    if len(scan_cis) == 1:
+        bh, bw = coefs[scan_cis[0]].shape[:2]
+        for m in range(bh * bw):
+            by, bx = divmod(m, bw)
+            one(scan_cis[0], by, bx)
+        return
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in scan_cis:
+            hi, vi = samp[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    one(ci, my * vi + by, mx * hi + bx)
+
+
+def _emit_dc_refine(wtr, coefs, scan_cis, samp, mcux, mcuy, al):
+    if len(scan_cis) == 1:
+        bh, bw = coefs[scan_cis[0]].shape[:2]
+        for m in range(bh * bw):
+            by, bx = divmod(m, bw)
+            wtr.write((int(coefs[scan_cis[0]][by, bx, 0]) >> al) & 1, 1)
+        return
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci in scan_cis:
+            hi, vi = samp[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    wtr.write(
+                        (int(coefs[ci][my * vi + by, mx * hi + bx, 0]) >> al) & 1,
+                        1,
+                    )
+
+
+def _emit_ac_first(wtr, carr, grid, ss, se, al, ac_enc):
+    ch, cw = grid
+    for m in range(ch * cw):
+        by, bx = divmod(m, cw)
+        coef = carr[by, bx]
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(coef[k])
+            t = abs(v) >> al
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_enc[0xF0]
+                wtr.write(c, ln)
+                run -= 16
+            s = t.bit_length()
+            c, ln = ac_enc[(run << 4) | s]
+            wtr.write(c, ln)
+            _emit_extend_bits(wtr, t if v > 0 else -t, s)
+            run = 0
+        if run:
+            c, ln = ac_enc[0x00]  # EOB run of 1
+            wtr.write(c, ln)
+
+
+def _emit_ac_refine(wtr, carr, grid, ss, se, al, ac_enc):
+    ch, cw = grid
+    for m in range(ch * cw):
+        by, bx = divmod(m, cw)
+        coef = carr[by, bx]
+        absv = [abs(int(coef[k])) >> al for k in range(ss, se + 1)]
+        eob = -1  # index (into the band) of the last NEWLY-significant coef
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        run = 0
+        br: list[int] = []
+        for i, t in enumerate(absv):
+            k = ss + i
+            if t == 0:
+                run += 1
+                continue
+            # ZRLs must be emitted when reaching ANY nonzero coefficient
+            # (history included) so a zero run never extends past a
+            # passed-over coefficient — the decoder reads that
+            # coefficient's correction bit during a later symbol's walk
+            while run > 15 and i <= eob:
+                c, ln = ac_enc[0xF0]
+                wtr.write(c, ln)
+                for bit in br:
+                    wtr.write(bit, 1)
+                br = []
+                run -= 16
+            if t > 1:  # history coefficient: correction bit, run unchanged
+                br.append(t & 1)
+                continue
+            c, ln = ac_enc[(run << 4) | 1]
+            wtr.write(c, ln)
+            wtr.write(1 if int(coef[k]) > 0 else 0, 1)
+            for bit in br:
+                wtr.write(bit, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            c, ln = ac_enc[0x00]
+            wtr.write(c, ln)
+            for bit in br:
+                wtr.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray, quality: int = 85, subsampling: str = "444",
+    script: list | None = None,
+) -> bytes:
+    """Baseline→progressive re-plan of the SAME quantized coefficients:
+    SOF2 with a spectral-selection + successive-approximation scan
+    script (default: the classic DC-first(Al=1) → AC bands at Al>0 →
+    DC refine → AC refinements shape). Because quantization is shared
+    with :func:`encode_jpeg`, decoding this stream must yield EXACTLY
+    the pixels of the baseline stream — the cross-validation oracle the
+    progressive decoder is tested against."""
+    samp, qzz, coefs, h, w, gray, mcux, mcuy = _quantized_coefs(
+        arr, quality, subsampling
+    )
+    ncomp = len(coefs)
+    grids = []
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    for hi, vi in samp:
+        comp_w = -(-(w * hi) // hmax)
+        comp_h = -(-(h * vi) // vmax)
+        grids.append((-(-comp_h // 8), -(-comp_w // 8)))
+    if script is None:
+        if gray:
+            script = [
+                ([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 0, 0, 1, 0), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+            ]
+        else:
+            script = [
+                ([0, 1, 2], 0, 0, 0, 1),
+                ([0], 1, 5, 0, 2), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+                ([0], 6, 63, 0, 2),
+                ([0, 1, 2], 0, 0, 1, 0),
+                ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0),
+            ]
+
+    dc_y = _build_encode_table(*HUFF_DC_LUMA)
+    ac_y = _build_encode_table(*HUFF_AC_LUMA)
+    dc_c = _build_encode_table(*HUFF_DC_CHROMA)
+    ac_c = _build_encode_table(*HUFF_AC_CHROMA)
+    dc_encs = [dc_y] + [dc_c] * (ncomp - 1)
+    ac_encs = [ac_y] + [ac_c] * (ncomp - 1)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(qzz[0].astype(np.uint8)))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(qzz[1].astype(np.uint8)))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci, (hi, vi) in enumerate(samp):
+        sof += bytes([ci + 1, hi << 4 | vi, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)
+    out += _dht_seg(0, 0, HUFF_DC_LUMA) + _dht_seg(1, 0, HUFF_AC_LUMA)
+    if not gray:
+        out += _dht_seg(0, 1, HUFF_DC_CHROMA) + _dht_seg(1, 1, HUFF_AC_CHROMA)
+
+    for scan_cis, ss, se, ah, al in script:
+        sos = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            sos += bytes([ci + 1, ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        bw_ = _BitWriter()
+        if ss == 0:
+            if ah == 0:
+                _emit_dc_first(bw_, coefs, scan_cis, samp, mcux, mcuy, al, dc_encs)
+            else:
+                _emit_dc_refine(bw_, coefs, scan_cis, samp, mcux, mcuy, al)
+        else:
+            ci = scan_cis[0]
+            if ah == 0:
+                _emit_ac_first(bw_, coefs[ci], grids[ci], ss, se, al, ac_encs[ci])
+            else:
+                _emit_ac_refine(bw_, coefs[ci], grids[ci], ss, se, al, ac_encs[ci])
+        bw_.flush()
+        out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -6,13 +6,13 @@ binary payloads never pass through a row-at-a-time UDF.
 
 Decoders: formats that need NO external codec libraries are decoded FOR
 REAL — BMP (24-bit uncompressed) and PPM/PGM binary via numpy, WAV via
-the stdlib ``wave`` module, baseline JPEG via the pure-numpy T.81 codec
-in ``operators.jpeg`` (sequential DCT, 4:4:4/4:2:2/4:2:0, restart
-intervals), PNG via stdlib zlib + numpy in ``operators.png`` (8/16-bit
+the stdlib ``wave`` module, JPEG via the pure-numpy T.81 codec in
+``operators.jpeg`` (baseline AND progressive/SOF2, 4:4:4/4:2:2/4:2:0,
+restart intervals), PNG via stdlib zlib + numpy in ``operators.png`` (8/16-bit
 gray/RGB/RGBA/palette, all five filters, Adam7), and GIF via the pure-Python
 LZW walk in ``operators.gif`` (87a/89a, interlace, animated frames —
 ``gif.gif_frames`` does REAL frame sampling). Remaining compressed
-formats (MP3/H.264, progressive JPEG) require
+formats (MP3/H.264) require
 libraries absent from this container; those rows either
 fall back to a clearly-marked deterministic fake (``decoder='fake'``,
 mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
@@ -199,8 +199,7 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
         if mode == "real":
             raise NotImplementedError(
                 f"no dependency-free decoder for this {mtype} payload "
-                "(MP3/video and progressive JPEG need codec "
-                "libraries absent here)"
+                "(MP3/video need codec libraries absent here)"
             )
     w, h, c, mean = _fake_decode(raw)
     base.update(width=w, height=h, channels=c)

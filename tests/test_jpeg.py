@@ -97,3 +97,67 @@ def test_decode_media_jpeg_branch(spark):
     arr = decode_pnm(bytes(rs[1].resized_ppm))
     assert arr.shape == (8, 8, 3)
     assert rs[2].resized_ppm is None
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+
+def test_progressive_equals_baseline_exactly():
+    """The cross-validation oracle: progressive and baseline encodings
+    share the quantizer, so decoding them must give IDENTICAL pixels —
+    a bug on either side of the progressive path cannot hide behind
+    round-trip symmetry."""
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        h, w = int(rng.integers(8, 44)), int(rng.integers(8, 44))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for sub in ("444", "420"):
+            for q in (95, 60):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=q, subsampling=sub)
+                )
+                assert prog is not None, (trial, sub, q)
+                assert np.array_equal(base, prog), (trial, sub, q)
+
+
+def test_progressive_grayscale_and_custom_script():
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 256, (19, 26), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quality=85))
+    assert np.array_equal(base, decode_jpeg(encode_jpeg_progressive(g, quality=85)))
+    # spectral-selection-only script (no successive approximation)
+    script = [([0], 0, 0, 0, 0), ([0], 1, 9, 0, 0), ([0], 10, 63, 0, 0)]
+    assert np.array_equal(
+        base, decode_jpeg(encode_jpeg_progressive(g, quality=85, script=script))
+    )
+    # deep successive approximation on a color image
+    img = rng.integers(0, 256, (17, 15, 3), dtype=np.uint8)
+    script = [
+        ([0, 1, 2], 0, 0, 0, 3),
+        ([0], 1, 63, 0, 3), ([1], 1, 63, 0, 2), ([2], 1, 63, 0, 2),
+        ([0, 1, 2], 0, 0, 3, 2), ([0, 1, 2], 0, 0, 2, 1), ([0, 1, 2], 0, 0, 1, 0),
+        ([0], 1, 63, 3, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+        ([1], 1, 63, 2, 1), ([1], 1, 63, 1, 0),
+        ([2], 1, 63, 2, 1), ([2], 1, 63, 1, 0),
+    ]
+    baseC = decode_jpeg(encode_jpeg(img, quality=70))
+    progC = decode_jpeg(encode_jpeg_progressive(img, quality=70, script=script))
+    assert np.array_equal(baseC, progC)
+
+
+def test_progressive_decode_media_branch(spark):
+    from bgpexplorer_spark.operators import multimodal
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = _gradient(16, 24)
+    rows = [(1, "image", encode_jpeg_progressive(img, quality=95),
+             ("s", None, None, None, None))]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    dec = multimodal.decode_media(df).collect()[0]
+    assert dec.decoder == "jpeg"
+    assert (dec.width, dec.height) == (24, 16)

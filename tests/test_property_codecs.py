@@ -84,9 +84,12 @@ def test_decoders_never_raise_on_corrupted_valid_files(seed, flips):
     img = _arr(9, 11, 3, seed)
     pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
     idx = (img[:, :, 0] % 16).astype(np.uint8)
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg_progressive
+
     for enc, dec in (
         (lambda: encode_png(img), decode_png),
         (lambda: encode_jpeg(img, quality=80), decode_jpeg),
+        (lambda: encode_jpeg_progressive(img, quality=80), decode_jpeg),
         (lambda: encode_gif([idx], pal), decode_gif),
     ):
         b = bytearray(enc())
