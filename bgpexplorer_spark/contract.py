@@ -3912,3 +3912,54 @@ def multimodal_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> Data
         F.col("media_id").alias("doc_id"), "decoder",
         "width", "height", "channels", "mean_byte",
     )
+
+# Multimodal — REAL TIFF decode (uncompressed baseline, stdlib struct
+# IFD walk): lossless, so the analytic oracle recomputes decoded means
+# exactly; fixtures alternate byte order and strip layout so both IFD
+# paths decode.
+_TIFF_ORACLE = """
+    SELECT doc_id, 'tiff' AS decoder,
+           CAST(5 + doc_id % 7 AS INTEGER) AS width,
+           CAST(4 + doc_id % 5 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           round(list_avg([
+               (doc_id * 11 + k * 3) % 256
+               for k in generate_series(
+                   0, (5 + doc_id % 7) * (4 + doc_id % 5) * 3 - 1)
+           ]), 4) AS mean_byte
+    FROM documents
+"""
+
+@q("multimodal_decode_tiff", _TIFF_ORACLE)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF decode end-to-end (decoder='tiff'): deterministic RGB
+    fixtures (pixel k = (doc_id*11 + k*3) % 256), half big-endian and
+    half multi-strip, decoded distributed inside mapInPandas."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+    from bgpexplorer_spark.operators.tiff import encode_tiff
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        w, h = 5 + d % 7, 4 + d % 5
+        px = ((d * 11 + np.arange(w * h * 3) * 3) % 256).astype(np.uint8)
+        rows.append(
+            (
+                int(d), "image",
+                encode_tiff(
+                    px.reshape(h, w, 3), big_endian=bool(d % 2),
+                    rows_per_strip=2 if d % 3 == 0 else None,
+                ),
+                None,
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "decoder",
+        "width", "height", "channels", "mean_byte",
+    )

@@ -11,8 +11,9 @@ the stdlib ``wave`` module, JPEG via the pure-numpy T.81 codec in
 restart intervals), PNG via stdlib zlib + numpy in ``operators.png`` (8/16-bit
 gray/RGB/RGBA/palette, all five filters, Adam7), and GIF via the pure-Python
 LZW walk in ``operators.gif`` (87a/89a, interlace, animated frames —
-``gif.gif_frames`` does REAL frame sampling). Remaining compressed
-formats (MP3/H.264) require
+``gif.gif_frames`` does REAL frame sampling), and uncompressed
+baseline TIFF via ``operators.tiff`` (II/MM, multi-strip,
+gray/RGB/RGBA). Remaining compressed formats (MP3/H.264) require
 libraries absent from this container; those rows either
 fall back to a clearly-marked deterministic fake (``decoder='fake'``,
 mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
@@ -184,6 +185,11 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
 
             img = decode_gif(raw)
             kind = "gif" if img is not None else None
+        if img is None and raw[:4] in (b"II*\x00", b"MM\x00*"):
+            from bgpexplorer_spark.operators.tiff import decode_tiff
+
+            img = decode_tiff(raw)
+            kind = "tiff" if img is not None else None
         if img is not None:
             base.update(
                 height=img.shape[0], width=img.shape[1], channels=img.shape[2],
@@ -271,6 +277,10 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
                     from bgpexplorer_spark.operators.gif import decode_gif
 
                     img = decode_gif(raw)
+                if img is None and raw[:4] in (b"II*\x00", b"MM\x00*"):
+                    from bgpexplorer_spark.operators.tiff import decode_tiff
+
+                    img = decode_tiff(raw)
                 if img is not None:
                     if img.shape[2] == 2:  # gray+alpha → gray
                         img = img[:, :, :1]
