@@ -107,29 +107,34 @@ def routerid_int(cfg: SvcConfig) -> int:
 
 def start_listeners(cfg: SvcConfig, out_dir: str, raw_dir: str | None = None):
     """Boot the live daemons a config describes (the reference's
-    main-loop peer spawning, src/main.rs + src/bgpsvc.rs, re-expressed
-    over the thin adapters): one passive BGP speaker on ``protolisten``
-    if any peer is ``bgppassive`` (the reference binds one socket and
-    dispatches by source address), plus one BMP station per
-    ``bmppassive`` peer's ``listen``. Returns the started listeners
-    (call ``.stop()`` on each; all write UPDATES_SCHEMA micro-batches
-    into ``out_dir``). Active (dial-out) modes are the archival/replay
-    path's concern and raise if requested here."""
-    from bgpexplorer_spark.streaming.bgplive import BgpListener
-    from bgpexplorer_spark.streaming.bmplive import BmpListener
+    main-loop peer spawning, src/main.rs + src/bgpsvc.rs:361-410):
+    one passive BGP speaker on ``protolisten`` if any peer is
+    ``bgppassive`` (the reference binds one socket and dispatches by
+    source address — the shared OPEN advertises the UNION of all
+    bgppassive peers' caps), one BMP station per ``bmppassive`` peer's
+    ``listen``, one dial-out ``BgpConnector`` per ``bgpactive`` peer
+    and one dial-out ``BmpConnector`` per ``bmpactive`` peer (the
+    reference's run_peer_active respawn loop → reconnect-with-backoff).
+    Returns the started daemons (call ``.stop()`` on each; all write
+    UPDATES_SCHEMA micro-batches into ``out_dir``)."""
+    from bgpexplorer_spark.streaming.bgplive import BgpConnector, BgpListener
+    from bgpexplorer_spark.streaming.bmplive import BmpConnector, BmpListener
 
     def split(addr: str, default_port: int) -> tuple[str, int]:
         host, _, port = addr.rpartition(":")
         return (host or addr, int(port) if port and host else default_port)
 
     listeners = []
-    if any(p.mode == "bgppassive" for p in cfg.peers):
+    passive = [p for p in cfg.peers if p.mode == "bgppassive"]
+    if passive:
         host, port = split(cfg.protolisten or "0.0.0.0:179", 179)
-        caps_strs = [p.caps for p in cfg.peers if p.mode == "bgppassive"]
+        fams: list[str] = []  # union, first-mention order
+        for p in passive:
+            fams += [c for c in parse_caps(p.caps) if c not in fams]
         lsn = BgpListener(
             out_dir, as_num=cfg.peeras or 64512,
             router_id=routerid_int(cfg), host=host, port=port, raw_dir=raw_dir,
-            caps=parse_caps(caps_strs[0]),
+            caps=fams, addpath=any(caps_addpath(p.caps) for p in passive),
         )
         lsn.start()
         listeners.append(lsn)
@@ -139,11 +144,24 @@ def start_listeners(cfg: SvcConfig, out_dir: str, raw_dir: str | None = None):
             lsn = BmpListener(out_dir, host=host, port=port, raw_dir=raw_dir)
             lsn.start()
             listeners.append(lsn)
-        elif p.mode in ("bgpactive", "bmpactive"):
-            raise NotImplementedError(
-                "active (dial-out) peers are served by the archival/replay "
-                "path; the live adapters are passive (bgppassive/bmppassive)"
+        elif p.mode == "bgpactive":
+            if not p.peer:
+                raise ValueError(f"bgpactive peer {p.name!r} needs 'peer'")
+            host, port = split(p.peer, 179)
+            lsn = BgpConnector(
+                out_dir, host, port, as_num=cfg.peeras or 64512,
+                router_id=routerid_int(cfg), raw_dir=raw_dir,
+                caps=parse_caps(p.caps), addpath=caps_addpath(p.caps),
             )
+            lsn.start()
+            listeners.append(lsn)
+        elif p.mode == "bmpactive":
+            if not p.peer:
+                raise ValueError(f"bmpactive peer {p.name!r} needs 'peer'")
+            host, port = split(p.peer, 1790)
+            lsn = BmpConnector(out_dir, host, port, raw_dir=raw_dir)
+            lsn.start()
+            listeners.append(lsn)
     return listeners
 
 
@@ -151,8 +169,9 @@ def parse_caps(caps: str) -> list[str]:
     """The reference's caps-string vocabulary (src/config.rs:189-235):
     'all', ''/'min'/'minimal', or a comma list of family names; unknown
     names are warned-and-skipped there, silently skipped here. 'asn32'
-    is implied (the speaker always offers it); 'addpath' is accepted but
-    not offered (documented live-adapter scope)."""
+    is implied (the speaker always offers it); the 'addpath' token is
+    reported by ``caps_addpath`` (the reference turns it into per-family
+    ADD-PATH capabilities, src/config.rs:230-260)."""
     from bgpexplorer_spark.streaming.bgplive import MP_CAPS
 
     caps = (caps or "").strip().lower()
@@ -161,3 +180,10 @@ def parse_caps(caps: str) -> list[str]:
     if caps in ("", "min", "minimal"):
         return ["ipv4u"]
     return [c for c in (x.strip() for x in caps.split(",")) if c in MP_CAPS]
+
+
+def caps_addpath(caps: str) -> bool:
+    """True when the caps string requests ADD-PATH negotiation for the
+    configured families (reference src/config.rs:230-260: the 'addpath'
+    token expands to one BgpCapAddPath per family)."""
+    return "addpath" in ((caps or "").strip().lower().split(","))

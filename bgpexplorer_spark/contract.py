@@ -3963,3 +3963,55 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"), "decoder",
         "width", "height", "channels", "mean_byte",
     )
+
+# Multimodal — REAL MPEG audio metadata decode (operators/mp3.py):
+# sample rate / channels / exact duration from the 4-byte frame headers.
+# The fixtures are deterministic frame sequences (silent payloads) whose
+# sample rate, channel mode, and frame count are formulas of doc_id, and
+# every fifth doc is VBR (per-frame bitrate varies — frame DURATION
+# doesn't, so the analytic oracle is unchanged while Spark actually walks
+# a different byte layout). Layer III MPEG1: 1152 samples per frame.
+_MP3_ORACLE = """
+    SELECT doc_id, 'mp3-meta' AS decoder,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+               AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END AS INTEGER) AS sample_rate,
+           CAST(round((5 + doc_id % 7) * 1152.0 * 1000
+                / (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                   ELSE 32000 END), 0) AS INTEGER) AS duration_ms
+    FROM documents
+"""
+
+@q("multimodal_decode_mp3", _MP3_ORACLE)
+def multimodal_decode_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MPEG-audio metadata decode end-to-end (decoder='mp3-meta'):
+    deterministic frame sequences built by the in-package encoder —
+    CBR and VBR mixes, mono/stereo, three sample rates — walked
+    frame-by-frame inside Arrow-batched mapInPandas."""
+    from bgpexplorer_spark.operators.mp3 import encode_mp3
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        n = 5 + d % 7
+        vbr = [1 + (d + i) % 14 for i in range(n)] if d % 5 == 0 else None
+        rows.append(
+            (
+                int(d), "audio",
+                encode_mp3(
+                    n_frames=n, rate_idx=d % 3, mono=(d % 2 == 0),
+                    bitrate_seq=vbr,
+                ),
+                None,
+            )
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "decoder",
+        "channels", "sample_rate", "duration_ms",
+    )

@@ -202,6 +202,8 @@ def _decode_block(r, dc_tab, ac_tab, qtab_zz, pred: int):
     predictor). ``qtab_zz`` is the quantization table in zigzag order."""
     coeffs = np.zeros(64)
     s = _huff_decode(r, dc_tab)
+    if s > 15:  # T.81 F.1.2.1.1: DC magnitude category <= 15
+        raise _BadData("DC magnitude category out of range")
     pred += _extend(r.read_bits(s), s) if s else 0
     coeffs[0] = pred * qtab_zz[0]
     k = 1
@@ -226,8 +228,12 @@ def decode_jpeg(b: bytes) -> np.ndarray | None:
     None if not a decodable baseline JPEG (the caller falls back)."""
     try:
         return _decode_jpeg_strict(b)
-    except (_BadData, IndexError, KeyError, struct.error, ValueError):
-        # KeyError: a scan referencing a component id absent from SOF
+    except (_BadData, IndexError, KeyError, OverflowError, struct.error,
+            ValueError):
+        # KeyError: a scan referencing a component id absent from SOF.
+        # OverflowError: belt-and-braces — a corrupted stream decoding an
+        # out-of-spec magnitude category could otherwise build a Python int
+        # too large for the int64 coefficient store.
         return None
 
 
@@ -478,6 +484,8 @@ def _decode_prog_scan(b, data_pos, seg, comps, coefs, grids, huff, ri,
             if dc_tab is None:
                 raise _BadData("missing DC table")
             s = _huff_decode(r, dc_tab)
+            if s > 15:  # T.81 F.1.2.1.1: DC magnitude category <= 15
+                raise _BadData("DC magnitude category out of range")
             preds[ci] += _extend(r.read_bits(s), s) if s else 0
             coef[0] = preds[ci] << al
         elif r.read_bit():

@@ -13,11 +13,14 @@ gray/RGB/RGBA/palette, all five filters, Adam7), and GIF via the pure-Python
 LZW walk in ``operators.gif`` (87a/89a, interlace, animated frames —
 ``gif.gif_frames`` does REAL frame sampling), and uncompressed
 baseline TIFF via ``operators.tiff`` (II/MM, multi-strip,
-gray/RGB/RGBA). Remaining compressed formats (MP3/H.264) require
-libraries absent from this container; those rows either
-fall back to a clearly-marked deterministic fake (``decoder='fake'``,
-mode='auto') or raise NotImplementedError (mode='real'). The Spark-side
-plumbing — schema, batching, partition layout — is identical either way.
+gray/RGB/RGBA). MPEG audio (MP3) gets a REAL frame-header metadata walk
+via ``operators.mp3`` (``decoder='mp3-meta'``: exact sample rate /
+channels / duration from the 4-byte headers; the waveform itself stays
+undecoded). Remaining compressed formats (video) require libraries
+absent from this container; those rows either fall back to a
+clearly-marked deterministic fake (``decoder='fake'``, mode='auto') or
+raise NotImplementedError (mode='real'). The Spark-side plumbing —
+schema, batching, partition layout — is identical either way.
 """
 
 from __future__ import annotations
@@ -202,10 +205,23 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
                 duration_ms=au["duration_ms"],
             )
             return {**base, "decoder": "wav", "mean_byte": au["mean_byte"]}
+        from bgpexplorer_spark.operators.mp3 import parse_mp3_meta
+
+        mp3 = parse_mp3_meta(raw)
+        if mp3 is not None:
+            # frame-header metadata walk: real sample_rate/channels/
+            # duration without a synthesis filterbank; mean byte over the
+            # raw payload (the audio itself stays undecoded)
+            base.update(
+                channels=mp3["channels"], sample_rate=mp3["sample_rate"],
+                duration_ms=mp3["duration_ms"],
+            )
+            mean = round(sum(raw) / len(raw), 4) if raw else 0.0
+            return {**base, "decoder": "mp3-meta", "mean_byte": mean}
         if mode == "real":
             raise NotImplementedError(
                 f"no dependency-free decoder for this {mtype} payload "
-                "(MP3/video need codec libraries absent here)"
+                "(video needs codec libraries absent here)"
             )
     w, h, c, mean = _fake_decode(raw)
     base.update(width=w, height=h, channels=c)

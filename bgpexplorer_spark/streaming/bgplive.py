@@ -14,9 +14,15 @@ changes — plus optional raw message capture.
 4-octet AS numbers (RFC 6793, capability 65) are always offered and
 honored when the peer offers them; multiprotocol capabilities
 (RFC 4760) advertise the configured address families (the reference's
-caps string, parsed by config.parse_caps); ADD-PATH negotiation is not
-offered (the archival sources decode ADD-PATH, the live adapter scopes
-it out).
+caps string, parsed by config.parse_caps). ADD-PATH (RFC 7911,
+capability 69) is offered receive-side when configured: if the peer
+offers send for every family both sides advertise, the session decodes
+4-byte path identifiers through the SAME NLRI walk the archival MRT
+ADD-PATH subtypes use (sources/mrt.py _read_prefixes).
+
+``BgpConnector`` is the active-mode speaker (src/bgppeer.rs:102-165
+start_active + src/bgpsvc.rs:320-410 reconnect loop): dial the router,
+send OPEN first, then share this listener's session machinery.
 """
 
 from __future__ import annotations
@@ -26,6 +32,7 @@ import struct
 
 from bgpexplorer_spark.sources.mrt import parse_bgp_update
 from bgpexplorer_spark.streaming.livebase import (  # noqa: F401  (re-export)
+    DialOutMixin,
     LiveListenerBase,
     send_frames,
 )
@@ -56,15 +63,24 @@ def encode_bgp_message(mtype: int, body: bytes = b"") -> bytes:
 def encode_bgp_open(
     as_num: int, hold_time: int, router_id: int,
     caps: "list[str] | None" = None, asn32: bool = True,
+    addpath: "dict[str, int] | None" = None,
 ) -> bytes:
     """OPEN with the 4-octet-AS capability (the 2-byte field carries
-    AS_TRANS when the AS doesn't fit, RFC 6793 §3) and one
-    multiprotocol capability per named family in ``caps`` (the
-    reference's caps-string vocabulary, src/config.rs:189-235)."""
+    AS_TRANS when the AS doesn't fit, RFC 6793 §3), one multiprotocol
+    capability per named family in ``caps`` (the reference's caps-string
+    vocabulary, src/config.rs:189-235), and — when ``addpath`` maps
+    family names to an RFC 7911 Send/Receive value (1=receive, 2=send,
+    3=both) — one ADD-PATH capability (code 69) covering them."""
     cap = b""
     for name in caps or []:
         afi, safi = MP_CAPS[name]
         cap += bytes([2, 6, 1, 4]) + struct.pack(">HBB", afi, 0, safi)
+    if addpath:
+        ap = b"".join(
+            struct.pack(">HBB", *MP_CAPS[name], sr)
+            for name, sr in sorted(addpath.items())
+        )
+        cap += bytes([2, len(ap) + 2, 69, len(ap)]) + ap
     if asn32:
         cap += bytes([2, 6, 65, 4]) + struct.pack(">I", as_num)
     body = (
@@ -81,16 +97,19 @@ def encode_bgp_keepalive() -> bytes:
     return encode_bgp_message(BGP_KEEPALIVE)
 
 
-def parse_bgp_open(body: bytes, with_mp: bool = False):
-    """OPEN body → (peer_as, hold_time, as4[, mp_families]). The
-    4-octet-AS capability (code 65) overrides the 2-byte my-AS field;
-    ``with_mp=True`` also returns the advertised multiprotocol
-    (afi, safi) set."""
+def parse_bgp_open(body: bytes, with_mp: bool = False,
+                   with_addpath: bool = False):
+    """OPEN body → (peer_as, hold_time, as4[, mp_families][, addpath]).
+    The 4-octet-AS capability (code 65) overrides the 2-byte my-AS
+    field; ``with_mp=True`` also returns the advertised multiprotocol
+    (afi, safi) set; ``with_addpath=True`` additionally returns the
+    RFC 7911 capability as a {(afi, safi): send_receive} dict."""
     if len(body) < 10 or body[0] != 4:
         raise ValueError("unsupported BGP version")
     my_as, hold_time = struct.unpack(">HH", body[1:5])
     peer_as, as4 = my_as, False
     mp: set[tuple[int, int]] = set()
+    ap: dict[tuple[int, int], int] = {}
     optlen = body[9]
     p, end = 10, min(10 + optlen, len(body))
     while p + 2 <= end:
@@ -108,8 +127,18 @@ def parse_bgp_open(body: bytes, with_mp: bool = False):
             elif code == 1 and clen == 4:
                 afi, _res, safi = struct.unpack(">HBB", val[q + 2 : q + 6])
                 mp.add((afi, safi))
+            elif code == 69:  # ADD-PATH: repeated (afi, safi, send/recv)
+                for a in range(0, clen - 3, 4):
+                    afi, safi, sr = struct.unpack(
+                        ">HBB", val[q + 2 + a : q + 6 + a])
+                    ap[(afi, safi)] = sr
             q += 2 + clen
-    return (peer_as, hold_time, as4, mp) if with_mp else (peer_as, hold_time, as4)
+    out = [peer_as, hold_time, as4]
+    if with_mp:
+        out.append(mp)
+    if with_addpath:
+        out.append(ap)
+    return tuple(out)
 
 
 class BgpListener(LiveListenerBase):
@@ -118,11 +147,18 @@ class BgpListener(LiveListenerBase):
 
     ``as_num`` / ``router_id`` / ``hold_time`` are this station's OPEN
     parameters (the reference takes them from [main] config,
-    src/config.rs)."""
+    src/config.rs). ``addpath=True`` offers the RFC 7911 capability
+    (receive side) for every configured family; path identifiers decode
+    when the peer offers send for all families both sides advertise —
+    the NLRI walk's addpath flag is per-session, like the MRT ADDPATH
+    message subtypes it shares code with."""
+
+    active = False  # active-mode subclasses send OPEN first
 
     def __init__(
         self, out_dir: str, as_num: int = 64512, router_id: int = 0x0A00007B,
-        hold_time: int = 180, caps: "list[str] | None" = None, **kw,
+        hold_time: int = 180, caps: "list[str] | None" = None,
+        addpath: bool = False, **kw,
     ) -> None:
         import threading
 
@@ -131,10 +167,35 @@ class BgpListener(LiveListenerBase):
         self.router_id = router_id
         self.hold_time = hold_time
         self.caps = list(caps) if caps else ["ipv4u"]  # reference minimal
+        self.addpath = addpath
         # per-connection session state: each connection is served by
         # exactly one thread (livebase thread-per-connection), so
         # thread-local storage is the natural per-session slot
         self._tls = threading.local()
+
+    def _open_bytes(self, hold_time: "int | None" = None) -> bytes:
+        """Our OPEN (+ receive-side ADD-PATH offer when configured)."""
+        return encode_bgp_open(
+            self.as_num,
+            self.hold_time if hold_time is None else hold_time,
+            self.router_id, caps=self.caps,
+            addpath={c: 1 for c in self.caps} if self.addpath else None,
+        )
+
+    def _negotiate_addpath(self, peer_mp, peer_ap) -> bool:
+        """RFC 7911: a path id prefixes NLRI of an (afi, safi) iff BOTH
+        sides advertised ADD-PATH for it (we receive, peer sends). The
+        shared UPDATE walk carries one per-session flag — same
+        granularity as the MRT ADDPATH subtypes — so the session decodes
+        add-path only when EVERY family both sides advertise negotiated
+        it (a per-family mismatch would mis-frame the NLRI)."""
+        if not self.addpath:
+            return False
+        # a peer with no MP capability implicitly speaks ipv4u (RFC 4760)
+        shared = {MP_CAPS[c] for c in self.caps} & (peer_mp or {(1, 1)})
+        return bool(shared) and all(
+            peer_ap.get(fam, 0) & 2 for fam in shared
+        )
 
     def _consume(self, conn, buf: bytes, rows: list[dict], raw: list[bytes]) -> bytes:
         if getattr(self._tls, "dead", False):
@@ -160,20 +221,28 @@ class BgpListener(LiveListenerBase):
 
     def _dispatch(self, conn, mtype: int, body: bytes, rows: list[dict]):
         if mtype == BGP_OPEN:
-            peer_as, hold_time, as4 = parse_bgp_open(body)
+            peer_as, hold_time, as4, peer_mp, peer_ap = parse_bgp_open(
+                body, with_mp=True, with_addpath=True)
             peer_addr = conn.getpeername()[0]
             self._tls.session = (
                 self.registry.get(peer_addr, peer_as), peer_addr, peer_as, as4,
+                self._negotiate_addpath(peer_mp, peer_ap),
             )
-            # mirror OPEN (our identity, src/bgppeer.rs:85-93) and confirm
-            # with an immediate KEEPALIVE so the peer reaches Established
+            # negotiated hold time is the lower of the two proposals
+            # (RFC 4271 §4.2); 0 is valid and means "no keepalives" —
+            # echo it rather than coercing to our own
+            negotiated = min(self.hold_time, hold_time)
             try:
-                conn.sendall(
-                    encode_bgp_open(self.as_num, min(self.hold_time, hold_time)
-                                    or self.hold_time, self.router_id,
-                                    caps=self.caps)
-                    + encode_bgp_keepalive()
-                )
+                if self.active:
+                    # we already sent OPEN on connect (src/bgppeer.rs:
+                    # 102-165 start_active) — just confirm
+                    conn.sendall(encode_bgp_keepalive())
+                else:
+                    # mirror OPEN (our identity, src/bgppeer.rs:85-93) and
+                    # confirm with an immediate KEEPALIVE so the peer
+                    # reaches Established
+                    conn.sendall(self._open_bytes(negotiated)
+                                 + encode_bgp_keepalive())
             except OSError:
                 pass
         elif mtype == BGP_KEEPALIVE:
@@ -185,10 +254,11 @@ class BgpListener(LiveListenerBase):
             sess = getattr(self._tls, "session", None)
             if sess is None:
                 return None  # UPDATE before OPEN — not a session, drop
-            sid, peer_addr, peer_as, as4 = sess
+            sid, peer_addr, peer_as, as4, addpath = sess
             ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
             for r in parse_bgp_update(
-                body, 0, len(body), ts, peer_addr, peer_as, as4=as4
+                body, 0, len(body), ts, peer_addr, peer_as, as4=as4,
+                addpath=addpath,
             ):
                 r.pop("peer_addr"), r.pop("peer_as")
                 r["session_id"] = sid
@@ -198,3 +268,28 @@ class BgpListener(LiveListenerBase):
             self._tls.session = None
             return False  # peer is tearing down (src/bgppeer.rs:230-246)
         return None
+
+
+class BgpConnector(DialOutMixin, BgpListener):
+    """Active-mode BGP speaker (reference src/bgppeer.rs:102-165
+    ``start_active`` + src/bgpsvc.rs:320-410 ``run_peer_active`` with
+    its auto-reconnect respawn loop): dial the configured router, send
+    OPEN first, then run the SAME session machinery as the passive
+    listener — the peer's OPEN is answered with just a KEEPALIVE (the
+    ``active`` flag short-circuits the OPEN mirror), KEEPALIVEs are
+    echoed, UPDATEs decode into UPDATES_SCHEMA parquet micro-batches,
+    NOTIFICATION tears the session down and the dial loop reconnects
+    with exponential backoff.
+
+    This is the deployment shape for a monitoring station behind NAT or
+    an import policy that requires the collector to initiate.
+    """
+
+    active = True
+
+    def _greet(self, conn) -> None:
+        # the dial thread is reused across reconnects: clear the
+        # NOTIFICATION tombstone and any stale session before OPEN
+        self._tls.dead = False
+        self._tls.session = None
+        conn.sendall(self._open_bytes())

@@ -30,6 +30,7 @@ from bgpexplorer_spark.sources.bmp import (
     parse_bmp,
 )
 from bgpexplorer_spark.streaming.livebase import (  # noqa: F401  (re-export)
+    DialOutMixin,
     LiveListenerBase,
     send_frames,
 )
@@ -73,3 +74,10 @@ class BmpListener(LiveListenerBase):
             sid = self.registry.get(r.pop("peer_addr"), r.pop("peer_as"))
             r["session_id"] = sid
             rows.append(r)
+
+
+class BmpConnector(DialOutMixin, BmpListener):
+    """Active-mode BMP station (reference src/bgpsvc.rs:333-339
+    PeerMode::BmpActive): dial the monitored router and read its BMP
+    stream — BMP is one-way, so there is no greeting; the dial loop
+    reconnects with exponential backoff when the session drops."""

@@ -209,6 +209,72 @@ class LiveListenerBase:
         return spark.createDataFrame(data, SESSIONS_SCHEMA)
 
 
+class DialOutMixin:
+    """Active-mode (dial-out) variant of a live adapter: instead of
+    accepting connections, connect TO the configured peer, run the
+    protocol greeting (``_greet``), then drive the SAME per-connection
+    serve loop the passive listener uses; on session loss, reconnect
+    with exponential backoff (reference: src/bgpsvc.rs:320-410
+    run_peer_active + the auto-respawn loop in run()). Mix in front of a
+    listener class: ``class BgpConnector(DialOutMixin, BgpListener)``."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        peer_host: str,
+        peer_port: int,
+        reconnect: bool = True,
+        backoff_initial: float = 0.5,
+        backoff_max: float = 30.0,
+        connect_timeout: float = 5.0,
+        **kw,
+    ) -> None:
+        super().__init__(out_dir, **kw)
+        self.peer_host = peer_host
+        self.peer_port = peer_port
+        self.reconnect = reconnect
+        self.backoff_initial = backoff_initial
+        self.backoff_max = backoff_max
+        self.connect_timeout = connect_timeout
+
+    def start(self) -> tuple[str, int]:
+        t = threading.Thread(target=self._dial_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self.peer_host, self.peer_port
+
+    def _greet(self, conn: socket.socket) -> None:
+        """Protocol-specific first move after connect (e.g. BGP sends
+        OPEN first in active mode, src/bgppeer.rs:102-165; BMP stations
+        just listen). Also the hook to reset per-session state — the
+        dial thread is reused across reconnects."""
+
+    def _dial_loop(self) -> None:
+        delay = self.backoff_initial
+        while not self._stop.is_set():
+            try:
+                conn = socket.create_connection(
+                    (self.peer_host, self.peer_port), timeout=self.connect_timeout
+                )
+            except OSError:
+                if not self.reconnect:
+                    return
+                self._stop.wait(delay)
+                delay = min(delay * 2, self.backoff_max)
+                continue
+            delay = self.backoff_initial
+            try:
+                self._greet(conn)
+            except OSError:
+                conn.close()
+            else:
+                self._serve(conn)  # returns when the session ends
+            if not self.reconnect:
+                return
+            self._stop.wait(delay)
+            delay = min(delay * 2, self.backoff_max)
+
+
 def send_frames(
     host: str, port: int, frames: list[bytes], chunk: int = 0
 ) -> None:
