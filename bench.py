@@ -91,6 +91,55 @@ def _run_set(spark, qs, sf_dir: str) -> dict[str, float]:
         spark.sparkContext._jvm.System.gc()
     return times
 
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Throughput of the keyed stateful streaming paths
+    (applyInPandasWithState): materialize the derived UPDATES_SCHEMA
+    events once as a file stream source, then drive live_current_state
+    and live_flap_damping end-to-end (availableNow → noop sink) and
+    report events/s. Regression-tracks the state-store path — the
+    vectorized flap-damping fold, Arrow batch crossing, state
+    (de)serialization — which the batch queries never touch."""
+    import shutil
+    import tempfile
+
+    from bgpexplorer_spark.contract import derived_updates
+    from bgpexplorer_spark.streaming.feed import (
+        live_current_state,
+        live_flap_damping,
+        stream_updates_from_files,
+    )
+
+    src = tempfile.mkdtemp(prefix="bench_updates_")
+    derived_updates(spark, sf_dir).write.mode("overwrite").parquet(src)
+    n_events = spark.read.parquet(src).count()
+    out: dict = {"sf": _sf_of(sf_dir), "events": n_events}
+    try:
+        for name, op in (
+            ("st_live_current_state", live_current_state),
+            ("st_live_flap_damping", live_flap_damping),
+        ):
+            ck = tempfile.mkdtemp(prefix="bench_ck_")
+            stream = stream_updates_from_files(spark, src)
+            t0 = time.perf_counter()
+            q = (
+                op(stream)
+                .writeStream.format("noop").outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            out[name] = {
+                "sec": round(dt, 4),
+                "events_per_sec": round(n_events / dt) if dt else None,
+            }
+            shutil.rmtree(ck, ignore_errors=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -134,6 +183,15 @@ def main() -> None:
         # overhead amortizing away) is flagged before it matters at 100 TB
         out["superlinear"] = sorted(
             n for n, r in ratios.items() if r and r > data_ratio * 1.2
+        )
+
+    # streaming state-path throughput at the secondary (small) sf: the
+    # stateful operators are latency-shaped (per-batch state crossing),
+    # so the small sf exercises the fixed cost the batch set never sees.
+    # Disable with SPARK_GRAFT_STREAM_BENCH=0.
+    if os.environ.get("SPARK_GRAFT_STREAM_BENCH", "1") != "0":
+        out["streaming"] = _bench_streaming(
+            spark, sf_dir2 if sf_dir2 and os.path.isdir(sf_dir2) else sf_dir
         )
     print(json.dumps(out))
     spark.stop()

@@ -2315,16 +2315,18 @@ def ts_to_millis_col(c):
 
     return ts_to_millis(c)
 
-def _derived_updates_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived updates → rib_history used by engine-path contract queries.
+def derived_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived UPDATES_SCHEMA event rows (pre-history): the raw stream
+    shape shared by the engine-path contract queries and the streaming
+    micro-bench (bench.py feeds these through the
+    applyInPandasWithState operators).
 
-    ts is replaced with a synthetic per-event-unique timestamp
-    (2024-01-01 + event_id seconds) so every window order and the nested
-    ts_ms map keys are collision-free and deterministic — the real events
-    ts can tie within a derived route key, which would make the differ lag
-    and newest-N emission partition-order-dependent."""
+    ts is a synthetic per-event-unique timestamp (2024-01-01 + event_id
+    seconds) so every window order and the nested ts_ms map keys are
+    collision-free and deterministic — the real events ts can tie within
+    a derived route key, which would make the differ lag and newest-N
+    emission partition-order-dependent."""
     from bgpexplorer_spark.functions.iputil import v4_to_dotted
-    from bgpexplorer_spark.operators.ingest import build_history
     from bgpexplorer_spark.schemas import UPDATES_SCHEMA
 
     routes = derived_routes(spark, sf_dir)
@@ -2354,9 +2356,14 @@ def _derived_updates_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = upd.withColumn(
         "aspath", F.when(F.col("op") == "update", F.col("_aspath"))
     ).drop("_aspath")
-    return build_history(
-        upd.select(*[f.name for f in UPDATES_SCHEMA.fields]), history_mode="differ"
-    )
+    return upd.select(*[f.name for f in UPDATES_SCHEMA.fields])
+
+def _derived_updates_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """derived_updates → rib_history (history_mode='differ'), the table
+    the engine-path contract queries run against."""
+    from bgpexplorer_spark.operators.ingest import build_history
+
+    return build_history(derived_updates(spark, sf_dir), history_mode="differ")
 
 # ---------------------------------------------------------------------------
 # Oracle upgrades for previously engine-test-only operator IDs:
@@ -3658,13 +3665,13 @@ _DIFF_T2_MS = 1704067200000 + 7_500_000
     a1 AS (
         SELECT nlri_str,
                string_agg(DISTINCT CAST(origin_as AS VARCHAR), ','
-                          ORDER BY CAST(origin_as AS VARCHAR)) AS origins_before
+                          ORDER BY origin_as) AS origins_before
         FROM s1 GROUP BY nlri_str
     ),
     a2 AS (
         SELECT nlri_str,
                string_agg(DISTINCT CAST(origin_as AS VARCHAR), ','
-                          ORDER BY CAST(origin_as AS VARCHAR)) AS origins_after
+                          ORDER BY origin_as) AS origins_after
         FROM s2 GROUP BY nlri_str
     )
     SELECT coalesce(a1.nlri_str, a2.nlri_str) AS nlri_str,

@@ -404,12 +404,14 @@ def connected_components_star(
     # materialized result each round; on a cluster use
     # spark.sparkContext.setCheckpointDir + .checkpoint() for
     # executor-loss-safe truncation.
-    edges = orient(
-        pairs.select(
-            F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
-        )
+    # raw (pre-orient) pairs are checkpointed once: the node set must
+    # come from them — orient drops self-pairs (id_a == id_b), so a node
+    # appearing ONLY in self-pairs would otherwise vanish from the output
+    raw = pairs.select(
+        F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
     ).localCheckpoint()
-    edges0 = edges  # keep the materialized input edges for the node set
+    edges = orient(raw).localCheckpoint()
+    edges0 = edges
     prev = checksum(edges)
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint()
@@ -422,12 +424,13 @@ def connected_components_star(
         prev = cur
     # star edges map non-roots to their root; roots (and the edge targets
     # themselves) are their own component. The node set comes from the
-    # CHECKPOINTED oriented edges, not from `pairs` — deriving it from the
-    # input would replay the caller's whole candidate pipeline (LSH +
-    # verification) on every downstream action (measured 9x on the
-    # composed dedup_components query).
-    nodes = edges0.select(F.col("u").alias("node")).union(
-        edges0.select(F.col("v").alias("node"))
+    # CHECKPOINTED raw pairs (self-pairs included), not from `pairs` —
+    # deriving it from the un-checkpointed input would replay the
+    # caller's whole candidate pipeline (LSH + verification) on every
+    # downstream action (measured 9x on the composed dedup_components
+    # query).
+    nodes = raw.select(F.col("u").alias("node")).union(
+        raw.select(F.col("v").alias("node"))
     ).distinct()
     lab = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return nodes.join(lab, "node", "left").select(

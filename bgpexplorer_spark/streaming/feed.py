@@ -170,6 +170,40 @@ def live_current_state(updates: DataFrame) -> DataFrame:
         upsert, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
+def _damping_fold(penalty, last_us, announced, flaps,
+                  ts_us, wd, lam, flap_penalty):
+    """One micro-batch of the RFC 2439 fold, vectorized: ``ts_us`` is the
+    ascending-sorted event times (µs), ``wd`` the is-withdrawal mask.
+    Exponential decay composes, so the sequential "decay to each event,
+    add at counted withdrawals" loop equals one decay of the entry
+    penalty to the batch end plus one flap_penalty decayed from each
+    counted withdrawal to the batch end; "counted" (withdrawal while
+    announced) is a shift-compare because the announced flag after event
+    i is just ``not wd[i]``. Returns (penalty, last_us, announced,
+    flaps). Property-tested equal to the event-at-a-time fold."""
+    import math
+
+    import numpy as np
+
+    announced_before = np.empty(len(wd), dtype=bool)
+    announced_before[0] = announced
+    announced_before[1:] = ~wd[:-1]
+    counted = wd & announced_before
+    # events never rewind the clock: a late event older than the stored
+    # last_us neither decays nor advances it (same max() as the
+    # sequential fold)
+    eff = ts_us if last_us is None else np.maximum(ts_us, last_us)
+    t_end = int(eff[-1])
+    if last_us is not None:
+        penalty *= math.exp(-lam * (t_end - last_us) / 1e6)
+    penalty += flap_penalty * float(
+        np.exp(-lam * (t_end - eff[counted]) / 1e6).sum()
+    )
+    return (
+        float(penalty), t_end, not bool(wd[-1]), flaps + int(counted.sum())
+    )
+
+
 def live_flap_damping(
     updates: DataFrame,
     half_life_sec: float = 900.0,
@@ -187,7 +221,17 @@ def live_flap_damping(
 
     applyInPandasWithState is the documented escape hatch for operators
     the built-ins can't express — an exponentially-decayed accumulator
-    must OUTLIVE the batch (windowed aggs can't carry it)."""
+    must OUTLIVE the batch (windowed aggs can't carry it).
+
+    The fold is VECTORIZED (no per-row Python in the state path):
+    exponential decay composes, so the sequential "decay to each event,
+    add penalty at counted withdrawals" loop equals one decay of the
+    entry penalty to the batch end plus, per counted withdrawal, one
+    flap_penalty decayed from that event to the batch end — and "counted"
+    (withdrawal while announced) is a shift-compare on the op sequence
+    because the announced flag after event i is just op_i == 'update'.
+    On a flap storm this is one numpy pass per key per batch instead of
+    a Python loop over every event."""
     import math
 
     import pandas as pd
@@ -208,19 +252,12 @@ def live_flap_damping(
         rows = pd.concat(list(pdfs), ignore_index=True)
         if rows.empty:
             return
-        rows = rows.sort_values("ts")
-        for _, r in rows.iterrows():
-            t_us = int(pd.Timestamp(r["ts"]).value // 1000)
-            if last_us is not None and t_us > last_us:
-                penalty *= math.exp(-lam * (t_us - last_us) / 1e6)
-            last_us = t_us if last_us is None else max(last_us, t_us)
-            if r["op"] == "withdraw":
-                if announced:
-                    penalty += flap_penalty
-                    flaps += 1
-                announced = False
-            else:
-                announced = True
+        rows = rows.sort_values("ts", kind="stable")
+        ts_us = rows["ts"].to_numpy("datetime64[ns]").astype("int64") // 1000
+        wd = rows["op"].to_numpy() == "withdraw"
+        penalty, last_us, announced, flaps = _damping_fold(
+            penalty, last_us, announced, flaps, ts_us, wd, lam, flap_penalty
+        )
         state.update((float(penalty), int(last_us), bool(announced), int(flaps)))
         rib, nlri = key
         yield pd.DataFrame([

@@ -59,11 +59,18 @@ class Subscriber:
 
 class LiveFeed:
     """In-process broadcast hub bridging Spark micro-batches to WebSocket
-    clients (the analog of the reference's tokio broadcast channel)."""
+    clients (the analog of the reference's tokio broadcast channel).
 
-    def __init__(self):
+    ``max_rows_per_batch`` bounds what one subscriber can pull through
+    the driver per micro-batch: the feed is lossy by design (the
+    reference's channel capacity is 2), so a 0.0.0.0/0-subscribed client
+    must not be able to materialize a full-table batch driver-side — it
+    gets at most the cap, newest-first by event time."""
+
+    def __init__(self, max_rows_per_batch: int = 1024):
         self._subs: list[Subscriber] = []
         self._lock = threading.Lock()
+        self.max_rows_per_batch = max_rows_per_batch
 
     def register(self, sub: Subscriber) -> None:
         with self._lock:
@@ -79,7 +86,12 @@ class LiveFeed:
         gate (reference behavior) and — when the subscriber asked for it —
         the compiled filter Column (superset). Runs ONE Spark filter per
         subscriber per batch; event JSON is rendered once per matching
-        row."""
+        row. Per-subscriber rows are capped at ``max_rows_per_batch``
+        (newest events win — the queue would drop the oldest anyway), so
+        the driver-side materialization is bounded no matter how broad
+        the subscription."""
+        from pyspark.sql import functions as F
+
         from bgpexplorer_spark.streaming.feed import subscribe
 
         with self._lock:
@@ -89,7 +101,10 @@ class LiveFeed:
             gated = subscribe(
                 updates, sub.rib, sub.filter_str, apply_filter=sub.apply_filter
             )
-            for row in gated.collect():
+            cap = self.max_rows_per_batch
+            # TakeOrdered (top-k), not sort+limit: bounded per partition
+            rows = gated.orderBy(F.col("ts").desc()).limit(cap).collect()
+            for row in reversed(rows):  # deliver oldest-first of the kept
                 sub.offer(event_json(row.asDict(recursive=True)))
                 delivered += 1
         return delivered

@@ -248,6 +248,19 @@ def test_connected_components_star_matches_minlabel(spark):
         }
         assert star == minlabel, f"seed={seed} edges={edges}"
 
+def test_connected_components_star_keeps_self_pair_only_nodes(spark):
+    """A node whose only appearance is a self-pair (id_a == id_b) — e.g.
+    an exact-dup group of size 1 fed straight into clustering — must
+    survive into the output as its own singleton component, even though
+    orient() drops self-loops from the working edge list."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (42, 42), (7, 7), (7, 8)], ["id_a", "id_b"]
+    )
+    for fn in (dedup.connected_components_star, dedup.connected_components):
+        got = {(r["node"], r["component"]) for r in fn(pairs).collect()}
+        assert got == {(1, 1), (2, 1), (42, 42), (7, 7), (8, 7)}, fn.__name__
+
+
 def test_multimodal_real_decoders(spark):
     """BMP/PPM/WAV decode for real (no codec libraries needed): dims,
     rates, and pixel means come from the actual bytes; resize really

@@ -10,9 +10,12 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from bgpexplorer_spark.operators.gif import decode_gif, encode_gif, parse_gif
 from bgpexplorer_spark.operators.jpeg import decode_jpeg, encode_jpeg
 from bgpexplorer_spark.operators.png import decode_png, encode_png
+from bgpexplorer_spark.operators.tiff import decode_tiff, encode_tiff
 
 _dims = st.tuples(
     st.integers(min_value=1, max_value=24), st.integers(min_value=1, max_value=24)
@@ -67,20 +70,18 @@ def test_gif_roundtrip_exact_any_content(dims, seed, ncolors, nframes, interlace
 @settings(max_examples=80, deadline=None)
 @given(data=st.binary(min_size=0, max_size=400))
 def test_decoders_never_raise_on_garbage(data):
-    for dec in (decode_png, decode_jpeg, decode_gif):
+    for dec in (decode_png, decode_jpeg, decode_gif, decode_tiff):
         r = dec(data)
         assert r is None or isinstance(r, np.ndarray)
     # with plausible magic prefixes too
-    for prefix in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a"):
-        for dec in (decode_png, decode_jpeg, decode_gif):
+    for prefix in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff\xe0", b"GIF89a",
+                   b"II*\x00", b"MM\x00*"):
+        for dec in (decode_png, decode_jpeg, decode_gif, decode_tiff):
             r = dec(prefix + data)
             assert r is None or isinstance(r, np.ndarray)
 
 
-@settings(max_examples=40, deadline=None)
-@given(seed=st.integers(0, 2**32 - 1),
-       flips=st.lists(st.integers(0, 10**9), min_size=1, max_size=8))
-def test_decoders_never_raise_on_corrupted_valid_files(seed, flips):
+def _fuzz_corrupted_valid_files(seed, flips):
     img = _arr(9, 11, 3, seed)
     pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
     idx = (img[:, :, 0] % 16).astype(np.uint8)
@@ -91,9 +92,33 @@ def test_decoders_never_raise_on_corrupted_valid_files(seed, flips):
         (lambda: encode_jpeg(img, quality=80), decode_jpeg),
         (lambda: encode_jpeg_progressive(img, quality=80), decode_jpeg),
         (lambda: encode_gif([idx], pal), decode_gif),
+        (lambda: encode_tiff(img), decode_tiff),
+        (lambda: encode_tiff(img, big_endian=True, rows_per_strip=2),
+         decode_tiff),
     ):
         b = bytearray(enc())
         for f in flips:
             b[f % len(b)] ^= 1 << (f % 8)
         r = dec(bytes(b))
         assert r is None or isinstance(r, np.ndarray)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       flips=st.lists(st.integers(0, 10**9), min_size=1, max_size=8))
+def test_decoders_never_raise_on_corrupted_valid_files(seed, flips):
+    _fuzz_corrupted_valid_files(seed, flips)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("SLOW_FUZZ"),
+    reason="deep fuzz: set SLOW_FUZZ=1 (weekly/slow lane)",
+)
+@settings(max_examples=600, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1),
+       flips=st.lists(st.integers(0, 10**9), min_size=1, max_size=16))
+def test_decoders_never_raise_on_corrupted_valid_files_deep(seed, flips):
+    """Deep variant of the corrupted-file fuzz (this exact class caught a
+    real progressive-JPEG OverflowError): 15x the examples, deeper flip
+    lists. Opt-in via SLOW_FUZZ=1 so the default suite stays bounded."""
+    _fuzz_corrupted_valid_files(seed, flips)

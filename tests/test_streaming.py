@@ -336,3 +336,80 @@ def test_live_flap_damping_stateful(spark):
     assert r.suppressed is False and r.reusable is False  # 1500 between thresholds
     assert rows["10.0.1.0/24"].n_flaps == 0
     assert rows["10.0.2.0/24"].n_flaps == 0
+
+
+def test_damping_fold_matches_sequential_reference():
+    """The vectorized micro-batch fold (feed._damping_fold) must equal
+    the event-at-a-time RFC 2439 fold on random event sequences, entry
+    states, duplicate timestamps, and late (pre-state) events."""
+    import math
+    import random
+
+    import pytest
+
+    import numpy as np
+
+    from bgpexplorer_spark.streaming.feed import _damping_fold
+
+    def sequential(penalty, last_us, announced, flaps, ts_us, wd, lam, fp):
+        for t_us, w in zip(ts_us, wd):
+            t_us = int(t_us)
+            if last_us is not None and t_us > last_us:
+                penalty *= math.exp(-lam * (t_us - last_us) / 1e6)
+            last_us = t_us if last_us is None else max(last_us, t_us)
+            if w:
+                if announced:
+                    penalty += fp
+                    flaps += 1
+                announced = False
+            else:
+                announced = True
+        return penalty, last_us, announced, flaps
+
+    rnd = random.Random(7)
+    lam, fp = math.log(2.0) / 900.0, 1000.0
+    for trial in range(300):
+        n = rnd.randint(1, 40)
+        # sorted, with frequent duplicate timestamps
+        ts = np.sort(np.array(
+            [rnd.randrange(0, 50) * 1_000_000 for _ in range(n)], dtype=np.int64
+        ))
+        wd = np.array([rnd.random() < 0.5 for _ in range(n)])
+        if rnd.random() < 0.5:
+            entry = (0.0, None, False, 0)
+        else:
+            # entry last_us sometimes AFTER some batch events (late data)
+            entry = (
+                rnd.uniform(0, 5000), rnd.randrange(0, 60) * 1_000_000,
+                rnd.random() < 0.5, rnd.randint(0, 5),
+            )
+        want = sequential(*entry, ts, wd, lam, fp)
+        got = _damping_fold(*entry, ts, wd, lam, fp)
+        assert got[1:] == want[1:], (trial, got, want)
+        assert got[0] == pytest.approx(want[0], rel=1e-12, abs=1e-9), (
+            trial, got, want,
+        )
+
+
+def test_publish_batch_rows_capped(spark):
+    """A broad (full-table) subscription cannot materialize a whole
+    micro-batch through the driver: per-subscriber delivery is capped at
+    feed.max_rows_per_batch, keeping the NEWEST events (the lossy queue
+    would drop the oldest anyway)."""
+    import json
+
+    from bgpexplorer_spark.streaming.wsfeed import LiveFeed, Subscriber
+
+    feed = LiveFeed(max_rows_per_batch=2)
+    sub = Subscriber(capacity=64)
+    feed.register(sub)
+    batch = make_updates(
+        spark, [u(f"10.0.{i}.0/24", t=i) for i in range(5)]
+    )
+    delivered = feed.publish_batch(batch)
+    assert delivered == 2
+    got = []
+    while not sub.q.empty():
+        got.append(json.loads(sub.q.get_nowait())["addrs"]["nlri"])
+    # the two newest, delivered oldest-first
+    assert got == ["10.0.3.0/24", "10.0.4.0/24"]
