@@ -3940,8 +3940,10 @@ _TIFF_ORACLE = """
 @q("multimodal_decode_tiff", _TIFF_ORACLE)
 def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real TIFF decode end-to-end (decoder='tiff'): deterministic RGB
-    fixtures (pixel k = (doc_id*11 + k*3) % 256), half big-endian and
-    half multi-strip, decoded distributed inside mapInPandas."""
+    fixtures (pixel k = (doc_id*11 + k*3) % 256) cycling through
+    big-endian, multi-strip, PackBits, and LZW(+predictor) layouts —
+    all lossless, so the analytic pixel oracle covers every profile —
+    decoded distributed inside mapInPandas."""
     import numpy as np
 
     from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
@@ -3961,6 +3963,8 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 encode_tiff(
                     px.reshape(h, w, 3), big_endian=bool(d % 2),
                     rows_per_strip=2 if d % 3 == 0 else None,
+                    compression=("none", "packbits", "lzw")[d % 3],
+                    predictor=(d % 6 == 2),  # lzw + horizontal predictor
                 ),
                 None,
             )

@@ -1,17 +1,19 @@
 """PNG decoder in pure stdlib ``zlib`` + numpy — no codec libraries.
 
-Covers the common still-image profile: 8-bit greyscale (color type 0),
-truecolor RGB (2), palette (3), greyscale+alpha (4), and RGBA (6), with
-all five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6),
-multi-chunk IDAT streams, Adam7 interlacing (each of the seven passes
-is an independently-filtered sub-image scattered back onto the
-(y0 + i·dy, x0 + j·dx) grid), and 16-bit depth (downconverted to 8-bit
-via the high byte — filters reference bpp bytes left, so the byte-wise
-unfilter is depth-agnostic). Sub-8-bit depths return None → the
-multimodal fake path. The inverse ``encode_png`` (filter 0,
-optionally Adam7) builds deterministic real-PNG fixtures for tests; PNG
-is lossless so round-trips are exact, and libpng's ``pngfix`` is used in
-tests as an independent validator of the emitted streams.
+Covers the full still-image bit-depth matrix: greyscale (color type 0)
+at 1/2/4/8/16 bits, truecolor RGB (2) at 8/16, palette (3) at 1/2/4/8,
+greyscale+alpha (4) and RGBA (6) at 8/16 — with all five scanline
+filters (None/Sub/Up/Average/Paeth, RFC 2083 §6), multi-chunk IDAT
+streams, Adam7 interlacing (each of the seven passes is an
+independently-filtered sub-image scattered back onto the
+(y0 + i·dy, x0 + j·dx) grid), 16-bit downconverted to 8-bit via the
+high byte, and sub-8-bit samples unpacked MSB-first from byte-padded
+scanlines (filters still operate on bytes with bpp=1, RFC 2083 §6.2;
+greyscale is rescaled 0..255, palette indexes directly). The inverse
+``encode_png`` (filter 0, optionally Adam7, sub-8-bit and palette
+profiles included) builds deterministic real-PNG fixtures for tests;
+PNG is lossless so round-trips are exact, and libpng's ``pngfix`` is
+used in tests as an independent validator of the emitted streams.
 
 Flows into ``operators.multimodal.decode_media`` as ``decoder='png'``.
 """
@@ -45,13 +47,14 @@ def decode_png(b: bytes) -> np.ndarray | None:
         return None
 
 
-def _unfilter(raw: bytes, off: int, height: int, width: int, bpp: int):
-    """Unfilter ``height`` scanlines of a (sub-)image starting at byte
-    ``off`` of the inflated stream. ``bpp`` = bytes per pixel (filters
-    reference the pixel ``bpp`` bytes to the left, RFC 2083 §6). Returns
-    (filtered bytes (h, w*bpp) uint8, next offset) or None on a bad
-    filter byte / short stream."""
-    stride = width * bpp
+def _unfilter(raw: bytes, off: int, height: int, stride: int, bpp: int):
+    """Unfilter ``height`` scanlines of ``stride`` bytes each for a
+    (sub-)image starting at byte ``off`` of the inflated stream.
+    ``bpp`` = bytes per pixel, min 1 (filters reference the pixel
+    ``bpp`` bytes to the left, RFC 2083 §6; sub-8-bit depths pack
+    several pixels per byte and filter with bpp=1). Returns (unfiltered
+    bytes (h, stride) uint8, next offset) or None on a bad filter byte /
+    short stream."""
     need = height * (stride + 1)
     if len(raw) < off + need:
         return None
@@ -69,7 +72,8 @@ def _unfilter(raw: bytes, off: int, height: int, width: int, bpp: int):
             out[y] = cur
         elif f == 1:  # Sub — a per-byte-lane prefix sum mod 256
             out[y] = (
-                cur.reshape(width, bpp).astype(np.int64).cumsum(axis=0) & 0xFF
+                cur.reshape(stride // bpp, bpp).astype(np.int64).cumsum(axis=0)
+                & 0xFF
             ).reshape(stride)
         elif f == 2:  # Up
             out[y] = (cur + up) & 0xFF
@@ -113,8 +117,11 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13]
             )
-            if depth not in (8, 16) or comp != 0 or filt != 0 or interlace > 1:
-                return None  # sub-8-bit depths — out of scope
+            if depth not in (1, 2, 4, 8, 16) or comp != 0 or filt != 0 \
+                    or interlace > 1:
+                return None
+            if depth < 8 and ctype not in (0, 3):
+                return None  # sub-8-bit is greyscale/palette only (§6.1)
             if depth == 16 and ctype == 3:
                 return None  # 16-bit palette is not a legal profile
             if ctype not in _CHANNELS or not width or not height:
@@ -128,13 +135,25 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
     if width is None or not idat:
         return None
     ch = _CHANNELS[ctype]
-    nb = depth // 8  # bytes per sample; bpp = ch * nb
+    nb = max(1, depth // 8)  # bytes per sample (packed depths: 1)
+    bpp = ch * nb if depth >= 8 else 1  # filter distance, min 1 byte
     raw = zlib.decompress(bytes(idat))
 
     def to8(flat: np.ndarray, ph: int, pw: int) -> np.ndarray:
-        # 16-bit big-endian → high byte (the standard 8-bit downscale)
-        px = flat.reshape(ph, pw, ch * nb)
-        return px[:, :, ::nb] if nb == 2 else px
+        if depth >= 8:
+            # 16-bit big-endian → high byte (the standard 8-bit downscale)
+            px = flat.reshape(ph, pw, ch * nb)
+            return px[:, :, ::nb] if nb == 2 else px
+        # sub-8-bit: unpack MSB-first samples from byte-padded scanlines
+        bits = np.unpackbits(flat, axis=1).reshape(ph, -1, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits * weights).sum(axis=2)[:, :pw].astype(np.uint8)
+        if ctype == 0:  # grey: 0..2^d-1 → full 8-bit range (§2.3)
+            samples = samples * np.uint8(255 // ((1 << depth) - 1))
+        return samples[:, :, None]
+
+    def pstride(pw: int) -> int:
+        return -(-pw * ch * depth // 8)  # bytes per scanline, padded
 
     if interlace:
         img8 = np.zeros((height, width, ch), np.uint8)
@@ -144,13 +163,13 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
             ph = -(-(height - y0) // dy) if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue  # empty pass contributes no scanlines
-            r = _unfilter(raw, off, ph, pw, ch * nb)
+            r = _unfilter(raw, off, ph, pstride(pw), bpp)
             if r is None:
                 return None
             sub, off = r
             img8[y0::dy, x0::dx] = to8(sub, ph, pw)
     else:
-        r = _unfilter(raw, 0, height, width, ch * nb)
+        r = _unfilter(raw, 0, height, pstride(width), bpp)
         if r is None:
             return None
         img8 = np.ascontiguousarray(to8(r[0], height, width))
@@ -161,26 +180,56 @@ def _decode_strict(b: bytes) -> np.ndarray | None:
     return np.ascontiguousarray(img8)
 
 
-def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
-    """(h, w) / (h, w, 1|2|3|4) uint8 → PNG bytes (8-bit, filter 0,
-    single IDAT; ``interlace=True`` emits Adam7 passes). Lossless, so
-    decode_png(encode_png(x)) == x."""
+def encode_png(arr: np.ndarray, interlace: bool = False,
+               depth: int = 8, palette: np.ndarray | None = None) -> bytes:
+    """uint8 array → PNG bytes (filter 0, single IDAT;
+    ``interlace=True`` emits Adam7 passes). Profiles:
+
+    - default: (h, w) / (h, w, 1|2|3|4) 8-bit grey/GA/RGB/RGBA;
+    - ``depth`` in (1, 2, 4): (h, w[, 1]) sample values packed MSB-first
+      into byte-padded scanlines — greyscale when ``palette`` is None
+      (values are the RAW 0..2^d-1 codes; the decoder rescales to
+      0..255), palette indices (color type 3, PLTE emitted) otherwise.
+
+    Lossless, so decode_png(encode_png(x)) round-trips (greyscale sub-8
+    up to the decoder's 8-bit rescale; palette to the expanded RGB)."""
     arr = np.asarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
+    if depth not in (1, 2, 4, 8) or (depth < 8 and ch != 1):
+        raise ValueError("sub-8-bit profiles are single-channel")
+    if palette is not None:
+        ctype = 3
+    elif depth < 8:
+        ctype = 0
+    else:
+        ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                       1 if interlace else 0)
+
+    def pack_rows(sub: np.ndarray) -> "list[bytes]":
+        if depth == 8:
+            return [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+        # MSB-first sample packing, scanlines padded to a whole byte
+        bits = (
+            (sub[:, :, 0:1] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(sub.shape[0], -1).astype(np.uint8)
+        return [
+            b"\x00" + np.packbits(bits[y]).tobytes()
+            for y in range(sub.shape[0])
+        ]
+
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
             sub = arr[y0::dy, x0::dx]
             if sub.shape[0] == 0 or sub.shape[1] == 0:
                 continue
-            parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+            parts.extend(pack_rows(sub))
         raw = b"".join(parts)
     else:
-        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+        raw = b"".join(pack_rows(arr))
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         body = tag + data
@@ -188,9 +237,7 @@ def encode_png(arr: np.ndarray, interlace: bool = False) -> bytes:
             ">I", zlib.crc32(body) & 0xFFFFFFFF
         )
 
-    return (
-        _SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
-    )
+    out = _SIG + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", np.asarray(palette, np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")

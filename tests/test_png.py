@@ -233,3 +233,48 @@ def test_16bit_depth_downconverts_to_high_byte():
     )
     out = decode_png(b)
     assert np.array_equal(out, (img16 >> 8).astype(np.uint8))
+
+
+def test_sub8bit_grey_and_palette_roundtrip():
+    """1/2/4-bit profiles (RFC 2083 §6.1): MSB-first packed samples in
+    byte-padded scanlines, greyscale rescaled to 0..255, palette indexed
+    directly — plain and Adam7."""
+    rng = np.random.default_rng(21)
+    for d in (1, 2, 4):
+        maxv = (1 << d) - 1
+        for interlace in (False, True):
+            grey = rng.integers(0, maxv + 1, (7, 11), dtype=np.uint8)
+            out = decode_png(encode_png(grey, depth=d, interlace=interlace))
+            assert np.array_equal(out, (grey * (255 // maxv))[:, :, None])
+            pal = rng.integers(0, 256, (maxv + 1, 3), dtype=np.uint8)
+            idx = rng.integers(0, maxv + 1, (9, 6), dtype=np.uint8)
+            out = decode_png(
+                encode_png(idx, depth=d, palette=pal, interlace=interlace))
+            assert np.array_equal(out, pal[idx])
+
+
+def test_sub8bit_validates_with_libpng():
+    import shutil
+    import subprocess
+    import tempfile
+
+    import pytest
+
+    if shutil.which("pngfix") is None:
+        pytest.skip("pngfix not available")
+    rng = np.random.default_rng(22)
+    for d in (1, 2, 4):
+        maxv = (1 << d) - 1
+        pal = rng.integers(0, 256, (maxv + 1, 3), dtype=np.uint8)
+        for payload in (
+            encode_png(rng.integers(0, maxv + 1, (13, 17), np.uint8), depth=d),
+            encode_png(rng.integers(0, maxv + 1, (13, 17), np.uint8), depth=d,
+                       palette=pal, interlace=True),
+        ):
+            with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                f.write(payload)
+                f.flush()
+                r = subprocess.run(["pngfix", f.name],
+                                   capture_output=True, text=True)
+                assert r.returncode == 0 and "OK" in r.stdout, (
+                    d, r.stdout, r.stderr)

@@ -89,11 +89,17 @@ def _fuzz_corrupted_valid_files(seed, flips):
 
     for enc, dec in (
         (lambda: encode_png(img), decode_png),
+        (lambda: encode_png(img[:, :, 0] % 16, depth=4,
+                            palette=np.arange(48, dtype=np.uint8).reshape(16, 3)),
+         decode_png),
         (lambda: encode_jpeg(img, quality=80), decode_jpeg),
         (lambda: encode_jpeg_progressive(img, quality=80), decode_jpeg),
         (lambda: encode_gif([idx], pal), decode_gif),
         (lambda: encode_tiff(img), decode_tiff),
         (lambda: encode_tiff(img, big_endian=True, rows_per_strip=2),
+         decode_tiff),
+        (lambda: encode_tiff(img, compression="packbits"), decode_tiff),
+        (lambda: encode_tiff(img, compression="lzw", predictor=True),
          decode_tiff),
     ):
         b = bytearray(enc())

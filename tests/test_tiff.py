@@ -65,3 +65,35 @@ def test_decode_media_tiff_branch(spark):
 
     rs = {r.media_id: r for r in multimodal.resize_images(df, 4, 4).collect()}
     assert decode_pnm(bytes(rs[1].resized_ppm)).shape == (4, 4, 3)
+
+
+def test_tiff_packbits_lzw_predictor_roundtrip():
+    """TIFF 6.0 §9 PackBits + §13 LZW (+§14 horizontal predictor) are
+    lossless: exact round-trips across strip layouts and byte orders."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    for comp in ("packbits", "lzw"):
+        for pred in (False, True):
+            for be in (False, True):
+                b = encode_tiff(img, big_endian=be, rows_per_strip=4,
+                                compression=comp, predictor=pred)
+                assert np.array_equal(decode_tiff(b), img), (comp, pred, be)
+
+
+def test_tiff_lzw_width_growth_and_reset():
+    """An image large enough to grow LZW codes past 9 bits (and force a
+    table reset) still round-trips exactly."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    b = encode_tiff(img, compression="lzw")
+    assert np.array_equal(decode_tiff(b), img)
+
+
+def test_tiff_smooth_gradient_compresses_with_predictor():
+    """The predictor exists to make smooth content compressible: a
+    gradient under LZW+predictor must beat plain LZW."""
+    grad = np.tile(np.arange(256, dtype=np.uint8), (32, 1))[:, :, None]
+    plain = encode_tiff(grad, compression="lzw")
+    pred = encode_tiff(grad, compression="lzw", predictor=True)
+    assert len(pred) < len(plain)
+    assert np.array_equal(decode_tiff(pred), grad[:, :, :1])
