@@ -8,12 +8,13 @@ Decoders: formats that need NO external codec libraries are decoded FOR
 REAL — BMP (24-bit uncompressed) and PPM/PGM binary via numpy, WAV via
 the stdlib ``wave`` module, JPEG via the pure-numpy T.81 codec in
 ``operators.jpeg`` (baseline AND progressive/SOF2, 4:4:4/4:2:2/4:2:0,
-restart intervals), PNG via stdlib zlib + numpy in ``operators.png`` (8/16-bit
-gray/RGB/RGBA/palette, all five filters, Adam7), and GIF via the pure-Python
-LZW walk in ``operators.gif`` (87a/89a, interlace, animated frames —
-``gif.gif_frames`` does REAL frame sampling), and uncompressed
+restart intervals), PNG via stdlib zlib + numpy in ``operators.png``
+(1/2/4/8/16-bit gray/RGB/RGBA/palette, all five filters, Adam7), GIF
+via the pure-Python LZW walk in ``operators.gif`` (87a/89a, interlace,
+animated frames — ``gif.gif_frames`` does REAL frame sampling), and
 baseline TIFF via ``operators.tiff`` (II/MM, multi-strip,
-gray/RGB/RGBA). MPEG audio (MP3) gets a REAL frame-header metadata walk
+gray/RGB/RGBA, uncompressed + PackBits + LZW with the horizontal
+predictor). MPEG audio (MP3) gets a REAL frame-header metadata walk
 via ``operators.mp3`` (``decoder='mp3-meta'``: exact sample rate /
 channels / duration from the 4-byte headers; the waveform itself stays
 undecoded). Remaining compressed formats (video) require libraries
