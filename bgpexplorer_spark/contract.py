@@ -1240,8 +1240,11 @@ def _dedup_components_impl(spark: SparkSession, sf_dir: str, star: bool) -> Data
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.5, k=16, bands=4)
     comp = cc(pairs).withColumnRenamed("node", "doc_id")
+    # the serving join reads the plain table — fan_out's round-robin
+    # repartition helps only the shingle-explode build above, and would
+    # otherwise put a needless exchange in every downstream action
     return (
-        docs.select("doc_id")
+        load_table(spark, sf_dir, "documents").select("doc_id")
         .join(comp, "doc_id", "left")
         .select(
             "doc_id",

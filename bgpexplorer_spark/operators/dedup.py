@@ -410,7 +410,17 @@ def connected_components_star(
     raw = pairs.select(
         F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
     ).localCheckpoint()
+    # materialize the (small) distinct node set too: the returned plan is
+    # re-executed per downstream action, and re-running the distinct over
+    # the full raw pair list each time measurably taxes serving reads
+    nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = orient(raw).localCheckpoint()
+    raw.unpersist()
     edges0 = edges
     prev = checksum(edges)
     for _ in range(max_iter):
@@ -423,15 +433,12 @@ def connected_components_star(
             break
         prev = cur
     # star edges map non-roots to their root; roots (and the edge targets
-    # themselves) are their own component. The node set comes from the
-    # CHECKPOINTED raw pairs (self-pairs included), not from `pairs` —
+    # themselves) are their own component. The node set is the
+    # CHECKPOINTED distinct over the raw pairs (self-pairs included) —
     # deriving it from the un-checkpointed input would replay the
     # caller's whole candidate pipeline (LSH + verification) on every
     # downstream action (measured 9x on the composed dedup_components
     # query).
-    nodes = raw.select(F.col("u").alias("node")).union(
-        raw.select(F.col("v").alias("node"))
-    ).distinct()
     lab = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     return nodes.join(lab, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
