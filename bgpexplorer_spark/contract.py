@@ -4029,3 +4029,100 @@ def multimodal_decode_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"), "decoder",
         "channels", "sample_rate", "duration_ms",
     )
+
+def _semantic_dedup_sql(threshold: float = 0.4, k: int = 8) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {k}),
+    asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    ),
+    w AS (SELECT v.vec_id, v.a, asg.cid FROM v JOIN asg USING (vec_id)),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM w x JOIN w y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round({cos('x.a', 'y.a')}, 4) >= {threshold}
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+             FROM reach GROUP BY a)
+    SELECT w.vec_id, w.cid,
+           coalesce(comp.component, w.vec_id) AS component,
+           coalesce(comp.component, w.vec_id) = w.vec_id AS is_kept
+    FROM w LEFT JOIN comp USING (vec_id)
+    """
+
+@q("sim_semantic_dedup", _semantic_dedup_sql())
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end
+    (operators/similarity.semantic_dedup): literal-centroid cluster
+    assignment (pure projection, no shuffle) → intra-cluster cosine
+    pairs (one shuffle on cid, bounded per cell — never corpus-wide) →
+    transitive duplicate-group closure → min-id keeper per group. The
+    oracle unrolls the same quantizer and closes groups with a recursive
+    CTE, so cluster assignment, pair recall, AND the closure are all
+    verified."""
+    from bgpexplorer_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.4, n_clusters=8)
+
+def _dsir_sql(n_buckets: int = 256) -> str:
+    h = _duck_hash32("g")
+    grams = "unnest(l || [l[i] || ' ' || l[i+1] for i in range(1, len(l))]) AS g"
+    return f"""
+    WITH
+    lt AS (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents),
+    rg AS (SELECT doc_id, {grams} FROM lt),
+    rb AS (SELECT doc_id, {h} % {n_buckets} AS b FROM rg),
+    tb AS (SELECT {h} % {n_buckets} AS b FROM (
+               SELECT {grams} FROM lt WHERE doc_id % 10 = 0)),
+    tc AS (SELECT b, count(*) AS tcnt FROM tb GROUP BY b),
+    rc AS (SELECT b, count(*) AS rcnt FROM rb GROUP BY b),
+    td AS (SELECT count(*) + {n_buckets}.0 AS tden FROM tb),
+    rd AS (SELECT count(*) + {n_buckets}.0 AS rden FROM rb)
+    SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           round(sum(ln((coalesce(tc.tcnt, 0) + 1.0) / td.tden)
+                     - ln((coalesce(rc.rcnt, 0) + 1.0) / rd.rden)), 4)
+               AS log_weight
+    FROM rb LEFT JOIN tc ON tc.b = rb.b
+            LEFT JOIN rc ON rc.b = rb.b, td, rd
+    GROUP BY rb.doc_id
+    """
+
+@q("pipe_dsir_weights", _dsir_sql())
+def pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights end-to-end
+    (operators/pipeline.dsir_weights, Xie et al. 2023): hashed
+    unigram+bigram bucket models for a target slice (doc_id % 10 = 0)
+    vs the raw corpus, per-doc summed log-likelihood ratio. Both models
+    are fixed-size (n_buckets) map-side aggregates; the ratio table is
+    broadcast. The oracle rebuilds both models and the per-doc sum in
+    SQL with the same portable md5 hash."""
+    from bgpexplorer_spark.operators.pipeline import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))

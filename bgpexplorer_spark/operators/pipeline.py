@@ -174,3 +174,87 @@ def decontaminate(
             id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
         )
     )
+
+
+def hashed_ngram_buckets(
+    df: DataFrame, text_col: str = "text", n_buckets: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bucket) rows: each document's unigrams AND bigrams hashed
+    into ``n_buckets`` (the DSIR feature space, Xie et al. 2023 §2.2 —
+    hashing makes the model a fixed-size table regardless of vocabulary).
+    One explode; the hash is the portable md5-based 32-bit construction
+    shared with the MinHash/oracle path."""
+    from bgpexplorer_spark.operators.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col),
+        F.explode(grams).alias("_g"),
+    ).select(
+        F.col(id_col),
+        (portable_hash32(F.col("_g")) % n_buckets).alias("bucket"),
+    )
+
+
+def dsir_weights(
+    raw: DataFrame, target: DataFrame, text_col: str = "text",
+    n_buckets: int = 256, smoothing: float = 1.0, id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its hashed-n-gram
+    profile is —
+
+        log w(x) = Σ_{g ∈ grams(x)} log p̂_target[h(g)] / p̂_raw[h(g)]
+
+    with add-``smoothing`` estimates over ``n_buckets`` hashed buckets.
+    Selection then keeps the top-weight documents (or Gumbel-resamples
+    on log w; the weight column composes with stratified_sample).
+
+    Scale shape: both bucket models are ``n_buckets``-row aggregates
+    (map-side combinable), the model join is a BROADCAST of a fixed-size
+    table, and the per-doc sum is one aggregate on the explode — no
+    shuffle grows with corpus size beyond the grouping itself. Returns
+    (id, n_grams, log_weight)."""
+    import math
+
+    def model(df: DataFrame) -> DataFrame:
+        counts = (
+            hashed_ngram_buckets(df, text_col, n_buckets, id_col)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        total = counts.agg(F.sum("cnt")).first()[0] or 0
+        denom = float(total) + smoothing * n_buckets
+        return counts.select(
+            "bucket", (F.log((F.col("cnt") + F.lit(smoothing)) / F.lit(denom))).alias("_lp")
+        ), math.log(smoothing / denom)
+
+    tgt, tgt_missing = model(target)
+    rw, rw_missing = model(raw)
+    ratio = (
+        tgt.withColumnRenamed("_lp", "_lt")
+        .join(rw.withColumnRenamed("_lp", "_lr"), "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.coalesce("_lt", F.lit(tgt_missing))
+                - F.coalesce("_lr", F.lit(rw_missing))
+            ).alias("_llr"),
+        )
+    )
+    docs_grams = hashed_ngram_buckets(raw, text_col, n_buckets, id_col)
+    return (
+        docs_grams.join(F.broadcast(ratio), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("_llr"), 4).alias("log_weight"),
+        )
+    )

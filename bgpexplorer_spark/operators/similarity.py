@@ -130,6 +130,7 @@ def ivf_centroids(
 def ivf_assign(
     df: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    keep_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, cid): each vector assigned to its max-cosine centroid.
 
@@ -153,7 +154,10 @@ def ivf_assign(
         for cid, cvec in cents
     ]
     best = scored[0] if len(scored) == 1 else F.greatest(*scored)
-    return v.select(F.col(id_col), best.getField("cid").alias("cid"))
+    cols = [F.col(id_col), best.getField("cid").alias("cid")]
+    if keep_vec:  # still a pure projection — no join to fetch the vector
+        cols.append(F.col("_v").alias(vec_col))
+    return v.select(*cols)
 
 def ivf_topk(
     df: DataFrame, query_vec: list[float], k: int = 10, nprobe: int = 2,
@@ -261,3 +265,58 @@ def ivf_refine(
         keep = cur.join(newc.select("cid"), "cid", "left_anti")
         cur = newc.unionByName(keep)
     return cur
+
+
+def semantic_dedup(
+    df: DataFrame, threshold: float = 0.95, n_clusters: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster
+    the embedding space, call two items semantic duplicates when their
+    cosine similarity INSIDE a cluster reaches ``threshold``, close
+    duplicate groups transitively, and keep the minimum id per group.
+
+    Scale shape — the paper's observation is that semantic duplicates
+    land in the same k-means cell, so the quadratic stage runs per cell,
+    never corpus-wide: assignment is a pure projection (literal
+    centroids, no shuffle — :func:`ivf_assign`), the pair join shuffles
+    once on cid and is bounded by max cell size, and the group closure
+    is the same log-round connected-components operator the MinHash
+    path uses. A trained k-means quantizer drops in via ``centroids``
+    (:func:`ivf_refine`); the default is the deterministic
+    lowest-id quantizer, same as the IVF index.
+
+    Returns the full keep-list: (id, cid, component, is_kept) — one row
+    per input item; ``is_kept`` marks the group representative."""
+    from bgpexplorer_spark.operators.dedup import connected_components
+
+    cents = centroids if centroids is not None else ivf_centroids(
+        df, n_clusters, id_col, vec_col
+    )
+    assigned = ivf_assign(df, cents, id_col, vec_col, keep_vec=True)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return (
+        assigned.select(F.col(id_col), "cid")
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col), "cid",
+            F.coalesce("component", F.col(id_col)).alias("component"),
+            (F.coalesce("component", F.col(id_col)) == F.col(id_col)).alias(
+                "is_kept"
+            ),
+        )
+    )

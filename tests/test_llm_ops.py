@@ -513,3 +513,83 @@ def test_charlm_nll_model_equivalence(spark):
         cnt2.update(tris(t))
     worst = -math.log(1 / (sum(cnt2.values()) + len(cnt2)))
     assert scored[3] == round(worst, 4)
+
+def test_semantic_dedup_groups(spark):
+    """SemDeDup: items sharing a cluster cell with cosine >= threshold
+    form transitive duplicate groups; the min-id member is kept; items
+    near a centroid but below threshold stay their own group."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # centroid x
+        (1, [0.0, 1.0, 0.0, 0.0]),    # centroid y
+        (2, [0.0, 0.0, 1.0, 0.0]),    # centroid z
+        (3, [0.99, 0.05, 0.0, 0.0]),  # dup of 0 (and of 4)
+        (4, [0.98, 0.08, 0.0, 0.0]),  # chain: {0, 3, 4} one group
+        (5, [0.0, 0.1, 0.99, 0.0]),   # dup of 2 -> {2, 5}
+        (6, [0.5, 0.5, 0.5, 0.5]),    # in some cell, no dup
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        (r.vec_id, r.component, r.is_kept)
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.95, n_clusters=3
+        ).collect()
+    )
+    assert got == [
+        (0, 0, True), (1, 1, True), (2, 2, True), (3, 0, False),
+        (4, 0, False), (5, 2, False), (6, 6, True),
+    ]
+
+def test_dsir_weights_match_reference_model(spark):
+    """dsir_weights equals a pure-Python replica of the DSIR math
+    (hashed unigram+bigram bucket models, add-1 smoothing, summed
+    log-likelihood ratio) on a small corpus — exact to the 4-decimal
+    rounding."""
+    import hashlib
+    import math
+
+    from bgpexplorer_spark.operators.pipeline import dsir_weights
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def grams(t):
+        tk = t.split()
+        return tk + [a + " " + b for a, b in zip(tk, tk[1:])]
+
+    raw_docs = {
+        0: "the cat sat on the mat",
+        1: "stock market rally today",
+        2: "the cat chased the dog",
+    }
+    tgt_docs = ["cat dog pets the cat", "a dog and a cat"]
+    nb, s = 256, 1.0
+
+    def model(texts):
+        cnt = {}
+        for t in texts:
+            for g in grams(t):
+                b = h32(g) % nb
+                cnt[b] = cnt.get(b, 0) + 1
+        return cnt, sum(cnt.values()) + s * nb
+
+    tc, tden = model(tgt_docs)
+    rc, rden = model(raw_docs.values())
+    expect = {
+        d: round(
+            sum(
+                math.log((tc.get(h32(g) % nb, 0) + s) / tden)
+                - math.log((rc.get(h32(g) % nb, 0) + s) / rden)
+                for g in grams(t)
+            ),
+            4,
+        )
+        for d, t in raw_docs.items()
+    }
+    raw = spark.createDataFrame(list(raw_docs.items()), "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(tgt_docs)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.log_weight for r in dsir_weights(raw, target).collect()}
+    assert set(got) == set(expect)
+    for d in expect:
+        assert abs(got[d] - expect[d]) < 2e-4, (d, got[d], expect[d])

@@ -401,3 +401,31 @@ def test_repetition_and_bogon_are_map_side(spark):
     )
     assert "Exchange" not in _plan(bogon_asns(routes))
     assert "Exchange" not in _plan(martian_prefixes(routes))
+
+def test_semantic_dedup_no_cartesian_no_udf(spark):
+    """SemDeDup's quadratic stage is intra-cluster only: the plan has no
+    CartesianProduct (assignment is a literal-centroid projection, pairs
+    join on cid) and no Python eval in the pair path."""
+    from bgpexplorer_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(4)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(semantic_dedup(emb, threshold=0.9, n_clusters=4))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+def test_dsir_ratio_table_is_broadcast(spark):
+    """The DSIR log-likelihood-ratio model is a fixed-size table: the
+    per-doc scoring join must be a broadcast (no shuffle of the exploded
+    gram stream onto the model), with no Python eval anywhere."""
+    from bgpexplorer_spark.operators.pipeline import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} tok{i % 3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(dsir_weights(docs, docs.filter("doc_id % 10 = 0")))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
