@@ -4126,3 +4126,30 @@ def pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))
+
+def _gumbel_sql(k: int = 50) -> str:
+    h = _duck_hash32("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, log_weight,
+           round(log_weight
+                 - ln(-ln(({h} + 0.5) / 4294967296.0)), 4) AS gumbel_key
+    FROM ({_dsir_sql()}) dsir
+    ORDER BY gumbel_key DESC, doc_id
+    LIMIT {k}
+    """
+
+@q("pipe_dsir_resample", _gumbel_sql())
+def pipe_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection end-to-end: importance weights → deterministic
+    Gumbel-top-k resampling (operators/pipeline.gumbel_topk_resample,
+    Kool et al. 2019) — sample-without-replacement ∝ exp(weight), with
+    the Gumbel variate derived from the portable id hash so every rerun
+    selects the same rows. One projection + one TakeOrdered."""
+    from bgpexplorer_spark.operators.pipeline import (
+        dsir_weights,
+        gumbel_topk_resample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))
+    return gumbel_topk_resample(w.drop("n_grams"), k=50)

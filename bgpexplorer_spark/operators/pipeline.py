@@ -258,3 +258,35 @@ def dsir_weights(
             F.round(F.sum("_llr"), 4).alias("log_weight"),
         )
     )
+
+
+def gumbel_topk_resample(
+    weights: DataFrame, k: int, id_col: str = "doc_id",
+    weight_col: str = "log_weight", temperature: float = 1.0,
+) -> DataFrame:
+    """The selection step after :func:`dsir_weights`: sample ``k``
+    documents WITHOUT replacement with probability ∝
+    exp(weight / temperature) via the Gumbel-top-k trick (Kool et al.
+    2019; Xie et al. 2023 §2.3 resample) — add independent Gumbel noise
+    to each logit and take the top k.
+
+    Deterministic by construction, like every sampler here: the Gumbel
+    variate comes from the portable md5 hash of the id
+    (-ln(-ln(u)), u = (h + 0.5) / 2^32 — the +0.5 keeps u strictly
+    inside (0,1) so the double log never hits infinity), so a re-run, a
+    retried stage, or a different executor count selects the same rows.
+    One projection + one top-k (TakeOrdered) — no shuffle beyond it."""
+    h = portable_hash32(F.col(id_col).cast("string"))
+    u = (h + F.lit(0.5)) / F.lit(float(2**32))
+    gumbel = -F.log(-F.log(u))
+    return (
+        weights.select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(
+                F.col(weight_col) / F.lit(float(temperature)) + gumbel, 4
+            ).alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -593,3 +593,30 @@ def test_dsir_weights_match_reference_model(spark):
     assert set(got) == set(expect)
     for d in expect:
         assert abs(got[d] - expect[d]) < 2e-4, (d, got[d], expect[d])
+
+def test_gumbel_topk_resample_deterministic_and_correct(spark):
+    """Gumbel-top-k: keys equal log_weight + -ln(-ln(u)) with u derived
+    from the portable id hash; top-k by key is deterministic across
+    reruns and matches a pure-Python replica."""
+    import hashlib
+    import math
+
+    from bgpexplorer_spark.operators.pipeline import gumbel_topk_resample
+
+    w = spark.createDataFrame(
+        [(i, float(-(i % 7))) for i in range(50)], "doc_id long, log_weight double"
+    )
+
+    def key(i, lw):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return round(lw - math.log(-math.log((h + 0.5) / 2**32)), 4)
+
+    expect = sorted(
+        ((key(i, float(-(i % 7))), -i) for i in range(50)), reverse=True
+    )[:10]
+    for _ in range(2):  # determinism across executions
+        got = [
+            (r.gumbel_key, -r.doc_id)
+            for r in gumbel_topk_resample(w, 10).collect()
+        ]
+        assert got == expect
