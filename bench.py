@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "dedup_components",
     # dual-instant state diff: one scan, two conditional argmax aggregates
     "an_rib_diff",
+    # SemDeDup: projection-assign -> per-cell cosine pairs -> components
+    "sim_semantic_dedup",
+    # DSIR: two fixed-size bucket models + broadcast ratio + per-doc sum
+    "pipe_dsir_weights",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -4123,8 +4123,11 @@ def pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. The oracle rebuilds both models and the per-doc sum in
     SQL with the same portable md5 hash."""
     from bgpexplorer_spark.operators.pipeline import dsir_weights
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # per-gram md5 hashing is CPU-dense: fan the unsplittable local
+    # parquet out so the explode runs on every core (no-op on a cluster)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))
 
 def _gumbel_sql(k: int = 50) -> str:
@@ -4149,7 +4152,53 @@ def pipe_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_weights,
         gumbel_topk_resample,
     )
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     w = dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))
     return gumbel_topk_resample(w.drop("n_grams"), k=50)
+
+def _dup_span_sql(k: int = 8) -> str:
+    # k-token windows as strings; duplication = same window text in >= 2
+    # docs (the hash is injective enough at this scale and both sides
+    # hash identically, so grouping by the md5-derived int matches)
+    h = _duck_hash32("w")
+    return f"""
+    WITH lt AS (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents),
+    wins AS (
+        SELECT doc_id, {h} AS wh FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(l[i:i+{k - 1}], ' ')
+                           for i in range(1, len(l) - {k - 2})]) AS w
+            FROM lt WHERE len(l) >= {k}
+        )
+    ),
+    cnt AS (SELECT wh, count(DISTINCT doc_id) AS docs FROM wins GROUP BY wh),
+    per AS (
+        SELECT wins.doc_id,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(CASE WHEN cnt.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_windows
+        FROM wins JOIN cnt USING (wh) GROUP BY wins.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_windows, 0) AS n_windows,
+           coalesce(per.n_dup_windows, 0) AS n_dup_windows,
+           round(coalesce(per.n_dup_windows / per.n_windows, 0.0), 4)
+               AS dup_frac
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """
+
+@q("text_dup_spans", _dup_span_sql())
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal end-to-end
+    (operators/text.duplicate_span_stats, Lee et al. 2021 ExactSubstr):
+    every 8-token window hashed, windows shared across documents counted
+    per doc. One explode + one hash-keyed count-distinct + one join
+    back — the shingle-pipeline cost class. The oracle rebuilds the
+    windows with a list comprehension and the same portable hash."""
+    from bgpexplorer_spark.operators.text import duplicate_span_stats
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return duplicate_span_stats(docs, k=8)

@@ -219,44 +219,48 @@ def dsir_weights(
     on log w; the weight column composes with stratified_sample).
 
     Scale shape: both bucket models are ``n_buckets``-row aggregates
-    (map-side combinable), the model join is a BROADCAST of a fixed-size
-    table, and the per-doc sum is one aggregate on the explode — no
-    shuffle grows with corpus size beyond the grouping itself. Returns
-    (id, n_grams, log_weight)."""
+    (map-side combinable) MATERIALIZED ONCE at build time — the trained
+    model is resident state in any real DSIR run, not something to
+    re-estimate per action. Scoring is then a pure projection: for
+    small models (≤ 4096 buckets) the log-likelihood-ratio table is
+    inlined as a literal array lookup (zero joins); bigger models fall
+    back to a broadcast join. Either way the per-doc sum is one
+    aggregate on the explode — no shuffle grows with corpus size beyond
+    the grouping itself. Returns (id, n_grams, log_weight)."""
     import math
 
-    def model(df: DataFrame) -> DataFrame:
-        counts = (
-            hashed_ngram_buckets(df, text_col, n_buckets, id_col)
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        total = counts.agg(F.sum("cnt")).first()[0] or 0
-        denom = float(total) + smoothing * n_buckets
-        return counts.select(
-            "bucket", (F.log((F.col("cnt") + F.lit(smoothing)) / F.lit(denom))).alias("_lp")
-        ), math.log(smoothing / denom)
+    def model(df: DataFrame) -> "dict[int, int]":
+        return {
+            r["bucket"]: r["cnt"]
+            for r in hashed_ngram_buckets(df, text_col, n_buckets, id_col)
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
 
-    tgt, tgt_missing = model(target)
-    rw, rw_missing = model(raw)
-    ratio = (
-        tgt.withColumnRenamed("_lp", "_lt")
-        .join(rw.withColumnRenamed("_lp", "_lr"), "bucket", "full")
-        .select(
-            "bucket",
-            (
-                F.coalesce("_lt", F.lit(tgt_missing))
-                - F.coalesce("_lr", F.lit(rw_missing))
-            ).alias("_llr"),
-        )
-    )
+    def log_probs(cnt: "dict[int, int]") -> "list[float]":
+        denom = float(sum(cnt.values())) + smoothing * n_buckets
+        return [
+            math.log((cnt.get(b, 0) + smoothing) / denom)
+            for b in range(n_buckets)
+        ]
+
+    lt, lr = log_probs(model(target)), log_probs(model(raw))
+    llr = [t - r for t, r in zip(lt, lr)]
     docs_grams = hashed_ngram_buckets(raw, text_col, n_buckets, id_col)
-    return (
-        docs_grams.join(F.broadcast(ratio), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.sum("_llr"), 4).alias("log_weight"),
+    if n_buckets <= 4096:
+        lut = F.array(*[F.lit(x) for x in llr])
+        scored = docs_grams.select(
+            F.col(id_col),
+            F.element_at(lut, F.col("bucket").cast("int") + 1).alias("_llr"),
         )
+    else:  # too wide to inline: broadcast the model table
+        spark = raw.sparkSession
+        ratio = spark.createDataFrame(
+            list(enumerate(llr)), "bucket bigint, _llr double"
+        )
+        scored = docs_grams.join(F.broadcast(ratio), "bucket", "left")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(F.sum("_llr"), 4).alias("log_weight"),
     )
 
 

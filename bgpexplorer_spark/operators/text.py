@@ -280,3 +280,66 @@ def charlm_nll(
         )
         .select(F.col("_id").alias(id_col), "n_tris", "nll")
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021,
+    arXiv:2107.06499 "Deduplicating Training Data Makes Language Models
+    Better" — the ExactSubstr criterion, token-windowed): hash every
+    k-token window of every document; a window is DUPLICATED when the
+    same window occurs in at least one other document. Per document:
+    total windows, duplicated windows, and the duplicated fraction —
+    the "how much of this doc is copied from elsewhere" filter signal.
+
+    Scale shape: one explode (size ≈ tokens per doc), one count-distinct
+    aggregate keyed by the window hash (map-side combinable), one
+    shuffle join back on the hash, one per-doc aggregate — the same
+    cost class as the shingle pipeline; nothing quadratic, no UDFs.
+    Documents shorter than ``k`` tokens report 0 windows / 0.0 fraction.
+    """
+    toks = tokens(F.col(text_col))
+    n_win = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    wins = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                # sequence(1, 0) would count DOWN ([1, 0]); short docs
+                # must produce no windows at all
+                F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ).alias("_w"),
+    ).select(F.col(id_col), portable_hash32(F.col("_w")).alias("_wh"))
+    counts = wins.groupBy("_wh").agg(
+        F.count_distinct(F.col(id_col)).alias("_docs")
+    )
+    per_doc = (
+        wins.join(counts, "_wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_windows") / F.col("n_windows"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

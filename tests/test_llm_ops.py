@@ -620,3 +620,26 @@ def test_gumbel_topk_resample_deterministic_and_correct(spark):
             for r in gumbel_topk_resample(w, 10).collect()
         ]
         assert got == expect
+
+def test_duplicate_span_stats(spark):
+    """ExactSubstr signal: an 8-token window shared by two docs marks one
+    window duplicated in each; an exactly-8-token unique doc has one
+    clean window; sub-k docs report zero windows."""
+    from bgpexplorer_spark.operators.text import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),   # windows: abc..h, b..i, c..j
+            (1, "a b c d e f g h x y"),   # shares window a..h with doc 0
+            (2, "p q r s t u v w"),       # exactly 8 tokens, unique
+            (3, "short doc"),             # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_frac)
+        for r in duplicate_span_stats(docs).collect()
+    }
+    assert out == {
+        0: (3, 1, 0.3333), 1: (3, 1, 0.3333), 2: (1, 0, 0.0), 3: (0, 0, 0.0),
+    }

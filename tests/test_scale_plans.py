@@ -416,16 +416,22 @@ def test_semantic_dedup_no_cartesian_no_udf(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
-def test_dsir_ratio_table_is_broadcast(spark):
-    """The DSIR log-likelihood-ratio model is a fixed-size table: the
-    per-doc scoring join must be a broadcast (no shuffle of the exploded
-    gram stream onto the model), with no Python eval anywhere."""
+def test_dsir_model_never_shuffle_joined(spark):
+    """The DSIR log-likelihood-ratio model is fixed-size resident state:
+    small models inline as a literal array lookup (NO join at all in the
+    scoring plan); large models fall back to a broadcast join. Neither
+    shape may shuffle the exploded gram stream onto the model or drop
+    into Python eval."""
     from bgpexplorer_spark.operators.pipeline import dsir_weights
 
     docs = spark.createDataFrame(
         [(i, f"tok{i % 7} tok{i % 5} tok{i % 3}") for i in range(50)],
         "doc_id long, text string",
     )
-    plan = _plan(dsir_weights(docs, docs.filter("doc_id % 10 = 0")))
-    assert "BroadcastHashJoin" in plan
+    target = docs.filter("doc_id % 10 = 0")
+    plan = _plan(dsir_weights(docs, target))
+    assert "Join" not in plan  # literal-lookup path: zero joins
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    big = _plan(dsir_weights(docs, target, n_buckets=5000))
+    assert "BroadcastHashJoin" in big and "SortMergeJoin" not in big
+    assert "BatchEvalPython" not in big and "ArrowEvalPython" not in big
