@@ -4202,3 +4202,45 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return duplicate_span_stats(docs, k=8)
+
+# Multimodal — REAL ISO-BMFF (MP4) metadata decode (operators/mp4.py):
+# duration / display dimensions / frame count from the moov box tree.
+# Fixture fields are formulas of doc_id, so the oracle is analytic while
+# Spark actually walks nested boxes and 16.16 fixed-point fields.
+_MP4_ORACLE = """
+    SELECT doc_id, 'mp4-meta' AS decoder,
+           CAST(32 + (doc_id % 5) * 16 AS INTEGER) AS width,
+           CAST(24 + (doc_id % 3) * 8 AS INTEGER) AS height,
+           CAST(1000 + (doc_id % 10) * 500 AS INTEGER) AS duration_ms
+    FROM documents
+"""
+
+@q("multimodal_decode_mp4", _MP4_ORACLE)
+def multimodal_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real MP4 metadata decode end-to-end (decoder='mp4-meta'):
+    deterministic ISO-BMFF fixtures built by the in-package encoder,
+    box-walked inside Arrow-batched mapInPandas."""
+    from bgpexplorer_spark.operators.mp4 import encode_mp4
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = [
+        (
+            int(d), "video",
+            encode_mp4(
+                duration_ms=1000 + (d % 10) * 500,
+                width=32 + (d % 5) * 16, height=24 + (d % 3) * 8,
+                n_samples=24 + d % 50,
+            ),
+            None,
+        )
+        for d in ids
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return decode_media(media).select(
+        F.col("media_id").alias("doc_id"), "decoder",
+        "width", "height", "duration_ms",
+    )

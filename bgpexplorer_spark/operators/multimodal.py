@@ -17,11 +17,13 @@ gray/RGB/RGBA, uncompressed + PackBits + LZW with the horizontal
 predictor). MPEG audio (MP3) gets a REAL frame-header metadata walk
 via ``operators.mp3`` (``decoder='mp3-meta'``: exact sample rate /
 channels / duration from the 4-byte headers; the waveform itself stays
-undecoded). Remaining compressed formats (video) require libraries
-absent from this container; those rows either fall back to a
-clearly-marked deterministic fake (``decoder='fake'``, mode='auto') or
-raise NotImplementedError (mode='real'). The Spark-side plumbing —
-schema, batching, partition layout — is identical either way.
+undecoded). MP4/MOV video gets the same treatment via the ISO-BMFF box
+walk in ``operators.mp4`` (``decoder='mp4-meta'``: duration, display
+dimensions, frame count from the moov tree). Payloads none of the
+walkers recognize fall back to a clearly-marked deterministic fake
+(``decoder='fake'``, mode='auto') or raise NotImplementedError
+(mode='real'). The Spark-side plumbing — schema, batching, partition
+layout — is identical either way.
 """
 
 from __future__ import annotations
@@ -219,10 +221,22 @@ def _decode_one(raw: bytes, mtype: str, mode: str) -> dict:
             )
             mean = round(sum(raw) / len(raw), 4) if raw else 0.0
             return {**base, "decoder": "mp3-meta", "mean_byte": mean}
+        from bgpexplorer_spark.operators.mp4 import parse_mp4_meta
+
+        mp4 = parse_mp4_meta(raw)
+        if mp4 is not None:
+            # ISO-BMFF box walk: real duration/dimensions/frame count
+            # without a video codec (the frames stay undecoded)
+            base.update(
+                width=mp4.get("width"), height=mp4.get("height"),
+                duration_ms=mp4["duration_ms"],
+            )
+            mean = round(sum(raw) / len(raw), 4) if raw else 0.0
+            return {**base, "decoder": "mp4-meta", "mean_byte": mean}
         if mode == "real":
             raise NotImplementedError(
                 f"no dependency-free decoder for this {mtype} payload "
-                "(video needs codec libraries absent here)"
+                "(full video decode needs codec libraries absent here)"
             )
     w, h, c, mean = _fake_decode(raw)
     base.update(width=w, height=h, channels=c)
@@ -320,15 +334,39 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return df.filter(df.media_type == "image").mapInPandas(batches, schema=RESIZED_SCHEMA)
 
 
-def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+def frame_sample(
+    df: DataFrame, every_ms: int = 1000, use_container: bool = False
+) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
-    timestamp (duration from meta; deterministic without codecs)."""
+    timestamp. ``use_container=True`` reads the REAL duration from the
+    ISO-BMFF box tree (operators/mp4.parse_mp4_meta) inside Arrow
+    batches instead of trusting declared metadata — the shape a real
+    pipeline wants, since upload metadata lies."""
     from pyspark.sql import functions as F
 
     vids = df.filter(df.media_type == "video")
-    n_frames = F.greatest(
-        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
-    )
+    if use_container:
+        from bgpexplorer_spark.operators.mp4 import parse_mp4_meta
+
+        def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                out = []
+                for mid, content, meta in zip(
+                    pdf["media_id"], pdf["content"], pdf["meta"]
+                ):
+                    m = parse_mp4_meta(bytes(content))
+                    dur = (
+                        m["duration_ms"] if m is not None
+                        else (meta or {}).get("duration_ms") or 0
+                    )
+                    out.append((int(mid), int(dur)))
+                yield pd.DataFrame(out, columns=["media_id", "duration_ms"])
+
+        vids = vids.mapInPandas(probe, "media_id long, duration_ms int")
+        dur_col = F.col("duration_ms")
+    else:
+        dur_col = F.col("meta.duration_ms")
+    n_frames = F.greatest((dur_col / every_ms).cast("int"), F.lit(1))
     return vids.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
