@@ -4244,3 +4244,100 @@ def multimodal_decode_mp4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"), "decoder",
         "width", "height", "duration_ms",
     )
+
+# S1 — the full multiprotocol family matrix decoded from REAL wire bytes:
+# the reference ingests 15 RIBs (src/bgprib.rs:807-821); this fixture
+# cycles VPN / labeled-unicast / MDT / VPLS / EVPN / MVPN routes through
+# MRT records and checks rib dispatch, RD/label/key decode, and the
+# canonical nlri_str forms against closed-form SQL.
+_MP_FAM_ORACLE = """
+    SELECT i,
+           CASE i % 6 WHEN 0 THEN 'vpnv4u' WHEN 1 THEN 'ipv4lu'
+                WHEN 2 THEN 'ipv4mdt' WHEN 3 THEN 'l2vpls'
+                WHEN 4 THEN 'evpn' ELSE 'mvpn' END AS rib,
+           CASE i % 6
+             WHEN 0 THEN 'L' || (16 + i % 10) || ':' || (100 + i % 5) || ':'
+                  || (1000 + i % 7) || ':10.' || (i % 16) || '.0.0/24'
+             WHEN 1 THEN 'L' || (33 + i % 4) || ':10.' || (i % 16) || '.0.0/16'
+             WHEN 2 THEN (1 + i % 3) || ':2:10.1.1.' || (1 + i % 9)
+                  || '/32:G232.1.1.' || (1 + i % 9)
+             WHEN 3 THEN 'L2:' || (10 + i % 50) || ':' || (i % 100)
+                  || '-200:2:' || (2 + i % 4) || ':0.0.0.0/0'
+             WHEN 4 THEN 'E2:1:' || (i % 6) || ':10.0.0.' || (i % 200) || '/32'
+             ELSE 'T5:3:' || (i % 5) || ':10.0.1.' || (i % 100) || '/32'
+           END AS nlri_str,
+           CASE i % 6 WHEN 0 THEN 100 + i % 5 WHEN 2 THEN 1 + i % 3
+                WHEN 3 THEN 2 WHEN 4 THEN 1 WHEN 5 THEN 3 END AS rd_hi,
+           CASE i % 6 WHEN 0 THEN 1000 + i % 7 WHEN 2 THEN 2
+                WHEN 3 THEN 2 + i % 4 WHEN 4 THEN i % 6 WHEN 5 THEN i % 5
+           END AS rd_lo,
+           CASE i % 6 WHEN 0 THEN 16 + i % 10 WHEN 1 THEN 33 + i % 4
+                WHEN 3 THEN 4096 + i % 8 WHEN 4 THEN 9 END AS label0,
+           CASE i % 6 WHEN 0 THEN 24 WHEN 1 THEN 16 WHEN 2 THEN 32
+                WHEN 3 THEN 0 WHEN 4 THEN 32 ELSE 32 END AS prefixlen
+    FROM range(300) t(i)
+"""
+
+@q("s1_mrt_mp_families", _MP_FAM_ORACLE)
+def s1_mrt_mp_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprotocol NLRI families decoded from real MRT wire bytes
+    (sources/mrt._decode_mp_nlri; RFC 8277/4364/6037/4761/7432/6514):
+    each record carries one VPN / labeled / MDT / VPLS / EVPN / MVPN
+    route built by the in-package fixture encoders, batch-decoded via
+    binaryFile + mapInPandas."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.sources.mrt import (
+        assign_sessions,
+        encode_evpn_nlri,
+        encode_labeled_nlri,
+        encode_mdt_nlri,
+        encode_mvpn_nlri,
+        encode_update,
+        encode_vpls_nlri,
+        read_mrt,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    recs = b""
+    for i in range(300):
+        kw = dict(ts_sec=1704067200 + i, peer_as=65000, peer_ip=0x0AFF0001,
+                  origin=0, aspath=[(2, [65000, 200])])
+        fam = i % 6
+        if fam == 0:
+            mp = (1, 128, bytes(8) + b"\x0a\x00\x00\x01", encode_labeled_nlri(
+                [16 + i % 10], 0x0A000000 + (i % 16) * 65536, 24,
+                rd=(100 + i % 5, 1000 + i % 7)))
+        elif fam == 1:
+            mp = (1, 4, b"\x0a\x00\x00\x01", encode_labeled_nlri(
+                [33 + i % 4], 0x0A000000 + (i % 16) * 65536, 16))
+        elif fam == 2:
+            mp = (1, 66, b"\x0a\x00\x00\x01", encode_mdt_nlri(
+                (1 + i % 3, 2), 0x0A010101 + i % 9, 0xE8010101 + i % 9))
+        elif fam == 3:
+            mp = (25, 65, b"\x0a\x00\x00\x01", encode_vpls_nlri(
+                (2, 2 + i % 4), ve_id=10 + i % 50, offset=i % 100,
+                vrange=200, label_base=4096 + i % 8))
+        elif fam == 4:
+            mp = (25, 70, b"\x0a\x00\x00\x01", encode_evpn_nlri(
+                2, (1, i % 6), mac=bytes(6),
+                ip=bytes([10, 0, 0, i % 200]), label=9))
+        else:
+            mp = (1, 5, b"\x0a\x00\x00\x01", encode_mvpn_nlri(
+                5, (3, i % 5), source=0x0A000100 + i % 100,
+                group=0xE8010101 + i % 50))
+        recs += encode_update(**kw, mp_reach=mp)
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_mp_fixture.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(recs)
+    os.replace(tmp, path)
+
+    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    return upd.select(
+        (F.col("ts").cast("long") - F.lit(1704067200)).alias("i"),
+        "rib", "nlri_str", "rd_hi", "rd_lo",
+        F.element_at("labels", 1).alias("label0"),
+        "prefixlen",
+    )

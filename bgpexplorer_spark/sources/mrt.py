@@ -118,8 +118,7 @@ def _parse_attrs(
         "aspath": None, "comms": None, "lcomms": None, "extcomms": None,
         "med": None, "localpref": None, "atomicaggregate": None,
         "aggregator_as": None, "originator": None, "clusterlist": None,
-        "_mp_reach": [], "_mp_unreach": [], "_mp_reach_v6": False,
-        "_mp_unreach_v6": False,
+        "_mp_reach": [], "_mp_unreach": [],  # [(key_dict, path_id)]
     }
     asz = 4 if as4 else 2
     afmt = ">I" if as4 else ">H"
@@ -184,20 +183,20 @@ def _parse_attrs(
                 a["nexthop_v6"] = val[1:17]
             elif nhlen == 4:
                 a["nexthop_v4"] = struct.unpack(">I", val[1:5])[0]
-        elif atype == 14 and alen >= 5:  # MP_REACH_NLRI
+        elif atype == 14 and alen >= 5:  # MP_REACH_NLRI — full family matrix
             afi, safi, nhlen = struct.unpack(">HBB", val[:4])
-            p = 4 + nhlen
-            if afi == 2 and safi == 1:
-                if nhlen >= 16:
-                    a["nexthop_v6"] = val[4:20]
-                p += 1  # reserved SNPA byte
-                a["_mp_reach"] = _read_prefixes(val, p, len(val), v6=True, addpath=addpath)
-                a["_mp_reach_v6"] = True
-        elif atype == 15 and alen >= 3:  # MP_UNREACH_NLRI
+            nh = val[4 : 4 + nhlen]
+            if safi in (128, 129) and len(nh) in (12, 24):
+                nh = nh[8:]  # VPN nexthops carry an RD prefix (RFC 4364 §4.3.2)
+            if len(nh) >= 16:
+                a["nexthop_v6"] = nh[:16]
+            elif len(nh) == 4:
+                a["nexthop_v4"] = struct.unpack(">I", nh)[0]
+            p = 4 + nhlen + 1  # + reserved SNPA byte
+            a["_mp_reach"] = _decode_mp_nlri(afi, safi, val, p, len(val), addpath)
+        elif atype == 15 and alen >= 3:  # MP_UNREACH_NLRI — full family matrix
             afi, safi = struct.unpack(">HB", val[:3])
-            if afi == 2 and safi == 1:
-                a["_mp_unreach"] = _read_prefixes(val, 3, len(val), v6=True, addpath=addpath)
-                a["_mp_unreach_v6"] = True
+            a["_mp_unreach"] = _decode_mp_nlri(afi, safi, val, 3, len(val), addpath)
         elif atype == 16:
             a["extcomms"] = [
                 {
@@ -253,6 +252,292 @@ def _v6_key(raw: bytes, plen: int) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Multiprotocol NLRI — the full family matrix the reference ingests into
+# its 15 RIBs (src/bgprib.rs:807-821; wire formats RFC 4760/8277/4364/
+# 4761/7432/6514/6037/8955). Display forms match the engine's canonical
+# nlri_str (tests/ribdata.py and the filter fixtures).
+# ---------------------------------------------------------------------------
+
+_RD_IP_FLAG = 0x10000  # IP-form RD marker (functions/codecs.RD_IP_FLAG)
+
+
+def _rd_decode(b8: bytes) -> tuple[int, int]:
+    """8-byte wire RD → (rd_hi, rd_lo) in the engine's numeric layout
+    (type 1 IP-form carries the 0x10000 marker, src/ribfilter.rs:
+    1089-1129 display convention)."""
+    rtype = struct.unpack(">H", b8[:2])[0]
+    if rtype == 1:
+        ip, num = struct.unpack(">IH", b8[2:8])
+        return _RD_IP_FLAG | (ip >> 16), ((ip & 0xFFFF) << 16) | num
+    if rtype == 2:
+        adm, num = struct.unpack(">IH", b8[2:8])
+        return adm, num
+    adm, num = struct.unpack(">HI", b8[2:8])
+    return adm, num
+
+
+def _rd_str(hi: int, lo: int) -> str:
+    return f"{hi}:{lo}"
+
+
+def _label_stack(buf: bytes, p: int, limit: int) -> tuple[list[int], int]:
+    """RFC 8277 label stack: 3-byte entries, 20-bit label + S bit; the
+    0x800000 compatibility value (withdraws) also ends the stack."""
+    labels = []
+    while p + 3 <= limit:
+        v = (buf[p] << 16) | (buf[p + 1] << 8) | buf[p + 2]
+        p += 3
+        labels.append(v >> 4)
+        if v & 1 or v == 0x800000:
+            break
+    return labels, p
+
+
+def _iter_addpath(buf: bytes, p: int, end: int, addpath: bool):
+    """Yield (path_id, offset) pairs: the caller advances the offset."""
+    pid = 0
+    if addpath and p + 4 <= end:
+        pid = struct.unpack(">I", buf[p : p + 4])[0]
+        p += 4
+    return pid, p
+
+
+def _ip_str(raw: bytes, v6: bool) -> str:
+    if v6:
+        return _v6_str(raw.ljust(16, b"\x00"))
+    return _v4_str(struct.unpack(">I", raw.ljust(4, b"\x00"))[0])
+
+
+def _decode_mp_nlri(
+    afi: int, safi: int, buf: bytes, p: int, end: int, addpath: bool
+) -> "list[tuple[dict, int]]":
+    """MP_REACH/MP_UNREACH NLRI payload → [(key_dict, path_id)] for every
+    family the reference ingests; unknown (afi, safi) decode to nothing
+    (the reference likewise drops families it has no RIB for)."""
+    v6 = afi == 2
+    out: list[tuple[dict, int]] = []
+    if afi in (1, 2) and safi == 1:  # unicast over MP (v4 legal, v6 usual)
+        for raw, plen, pid in _read_prefixes(buf, p, end, v6=v6, addpath=addpath):
+            out.append((_v6_key(raw, plen) if v6 else _v4_key(raw, plen), pid))
+        return out
+    if afi in (1, 2) and safi in (4, 128, 129):  # labeled / VPN unicast+mcast
+        vpn = safi in (128, 129)
+        rib = {
+            (1, 4): "ipv4lu", (2, 4): "ipv6lu",
+            (1, 128): "vpnv4u", (2, 128): "vpnv6u",
+            (1, 129): "vpnv4m", (2, 129): "vpnv6m",
+        }[(afi, safi)]
+        while p < end:
+            pid, p = _iter_addpath(buf, p, end, addpath)
+            if p >= end:
+                break
+            bits = buf[p]
+            p += 1
+            entry_end = p + (bits + 7) // 8
+            if entry_end > end:
+                break
+            labels, q = _label_stack(buf, p, entry_end)
+            key: dict = {"rib": rib, "labels": labels or None}
+            disp = ""
+            if vpn:
+                if q + 8 > entry_end:
+                    break
+                hi, lo = _rd_decode(buf[q : q + 8])
+                q += 8
+                key["rd_hi"], key["rd_lo"] = hi, lo
+                disp = _rd_str(hi, lo) + ":"
+            plen = bits - (q - p) * 8
+            raw = buf[q:entry_end]
+            if plen < 0:
+                break
+            if v6:
+                key["addr_v6"] = raw.ljust(16, b"\x00")[:16]
+            else:
+                key["addr_v4"] = struct.unpack(">I", raw.ljust(4, b"\x00")[:4])[0]
+            key["prefixlen"] = plen
+            disp += f"{_ip_str(raw, v6)}/{plen}"
+            if labels:
+                disp = f"L{','.join(map(str, labels))}:" + disp
+            key["nlri_str"] = disp
+            out.append((key, pid))
+            p = entry_end
+        return out
+    if afi in (1, 2) and safi == 66:  # MDT (RFC 6037): RD + source + group
+        asz = 16 if v6 else 4
+        fixed = 8 + 2 * asz
+        while p < end:
+            pid, p = _iter_addpath(buf, p, end, addpath)
+            if p >= end:
+                break
+            bits = buf[p]  # 0x80 for v4; the body is fixed-size either way
+            p += 1
+            need = max((bits + 7) // 8, fixed) if not v6 else fixed
+            if p + need > end:
+                break
+            hi, lo = _rd_decode(buf[p : p + 8])
+            src = buf[p + 8 : p + 8 + asz]
+            grp = buf[p + 8 + asz : p + 8 + 2 * asz]
+            key = {
+                "rib": "ipv6mdt" if v6 else "ipv4mdt",
+                "rd_hi": hi, "rd_lo": lo,
+                "prefixlen": 128 if v6 else 32,
+            }
+            if v6:
+                key["addr_v6"] = src
+                key["mdt_group_v6"] = grp
+            else:
+                key["addr_v4"] = struct.unpack(">I", src)[0]
+                key["mdt_group_v4"] = struct.unpack(">I", grp)[0]
+            key["nlri_str"] = (
+                f"{_rd_str(hi, lo)}:{_ip_str(src, v6)}/{key['prefixlen']}"
+                f":G{_ip_str(grp, v6)}"
+            )
+            out.append((key, pid))
+            p += need
+        return out
+    if afi == 25 and safi == 65:  # VPLS (RFC 4761 §3.2.2)
+        while p + 2 <= end:
+            pid, p = _iter_addpath(buf, p, end, addpath)
+            if p + 2 > end:
+                break
+            nlen = struct.unpack(">H", buf[p : p + 2])[0]
+            p += 2
+            if nlen < 15 or p + nlen > end:
+                break
+            hi, lo = _rd_decode(buf[p : p + 8])
+            ve, off, rng = struct.unpack(">HHH", buf[p + 8 : p + 14])
+            base = (buf[p + 14] << 16) | (buf[p + 15] << 8) | buf[p + 16]
+            key = {
+                "rib": "l2vpls", "rd_hi": hi, "rd_lo": lo,
+                "l2_site": ve, "l2_offset": off, "l2_range": rng,
+                "labels": [base >> 4], "addr_v4": 0, "prefixlen": 0,
+                "nlri_str": f"L2:{ve}:{off}-{rng}:{_rd_str(hi, lo)}:0.0.0.0/0",
+            }
+            out.append((key, pid))
+            p += nlen
+        return out
+    if afi == 25 and safi == 70:  # EVPN (RFC 7432 §7)
+        while p + 2 <= end:
+            pid, p = _iter_addpath(buf, p, end, addpath)
+            if p + 2 > end:
+                break
+            rtype, rlen = buf[p], buf[p + 1]
+            p += 2
+            if p + rlen > end or rlen < 8:
+                break
+            body = buf[p : p + rlen]
+            hi, lo = _rd_decode(body[:8])
+            key = {
+                "rib": "evpn", "rd_hi": hi, "rd_lo": lo,
+                "evpn_type": rtype, "addr_v4": 0, "prefixlen": 0,
+            }
+            ip_raw, ip_bits = b"", 0
+            if rtype == 2 and len(body) >= 25 + 6:
+                # RD + ESI(10) + EthTag(4) + maclen(1) + MAC(6) + iplen +
+                # IP + MPLS label(s)
+                q = 8 + 10 + 4
+                maclen = body[q] // 8
+                q += 1 + maclen
+                ip_bits = body[q] if q < len(body) else 0
+                ip_raw = body[q + 1 : q + 1 + ip_bits // 8]
+                q += 1 + ip_bits // 8
+                if q + 3 <= len(body):
+                    labels, _ = _label_stack(body, q, len(body))
+                    key["labels"] = labels or None
+            elif rtype == 3 and len(body) >= 13:
+                # RD + EthTag(4) + iplen + originator IP
+                ip_bits = body[12]
+                ip_raw = body[13 : 13 + ip_bits // 8]
+            elif rtype == 5 and len(body) >= 23:
+                # RD + ESI(10) + EthTag(4) + plen + IP prefix
+                ip_bits = body[22]
+                ip_raw = body[23 : 23 + (ip_bits + 7) // 8]
+            if ip_bits in (32, 128) or (rtype == 5 and ip_raw):
+                is6 = ip_bits > 32
+                if is6:
+                    key["addr_v6"] = ip_raw.ljust(16, b"\x00")[:16]
+                    key["addr_v4"] = None
+                else:
+                    key["addr_v4"] = struct.unpack(
+                        ">I", ip_raw.ljust(4, b"\x00")[:4])[0]
+                key["prefixlen"] = ip_bits if rtype == 5 else (128 if is6 else 32)
+                disp_ip = f"{_ip_str(ip_raw, is6)}/{key['prefixlen']}"
+            else:
+                disp_ip = "0.0.0.0/0"
+            key["nlri_str"] = f"E{rtype}:{_rd_str(hi, lo)}:{disp_ip}"
+            out.append((key, pid))
+            p += rlen
+        return out
+    if afi == 1 and safi == 5:  # MVPN (RFC 6514 §4)
+        while p + 2 <= end:
+            pid, p = _iter_addpath(buf, p, end, addpath)
+            if p + 2 > end:
+                break
+            rtype, rlen = buf[p], buf[p + 1]
+            p += 2
+            if p + rlen > end or rlen < 8:
+                break
+            body = buf[p : p + rlen]
+            hi, lo = _rd_decode(body[:8])
+            key = {
+                "rib": "mvpn", "rd_hi": hi, "rd_lo": lo,
+                "mvpn_type": rtype, "addr_v4": 0, "prefixlen": 0,
+            }
+            disp_ip = "0.0.0.0/0"
+            if rtype == 1 and len(body) >= 12:
+                orig = struct.unpack(">I", body[8:12])[0]
+                key["mvpn_originator_v4"] = orig
+                key["addr_v4"], key["prefixlen"] = orig, 32
+                disp_ip = f"{_v4_str(orig)}/32"
+            elif rtype == 5 and len(body) >= 8 + 5 + 5:
+                q = 8
+                sbits = body[q]
+                src = body[q + 1 : q + 1 + sbits // 8]
+                q += 1 + sbits // 8
+                gbits = body[q]
+                grp = body[q + 1 : q + 1 + gbits // 8]
+                if sbits == 32 and gbits == 32:
+                    s = struct.unpack(">I", src)[0]
+                    g = struct.unpack(">I", grp)[0]
+                    key["mvpn_source_v4"], key["mvpn_group_v4"] = s, g
+                    key["addr_v4"], key["prefixlen"] = s, 32
+                    disp_ip = f"{_v4_str(s)}/32"
+            key["nlri_str"] = f"T{rtype}:{_rd_str(hi, lo)}:{disp_ip}"
+            out.append((key, pid))
+            p += rlen
+        return out
+    if afi == 1 and safi == 133:  # FlowSpec v4 (RFC 8955 §4)
+        while p < end:
+            pid, p = _iter_addpath(buf, p, end, addpath)
+            if p >= end:
+                break
+            flen = buf[p]
+            p += 1
+            if flen >= 0xF0:  # 2-byte length form
+                if p >= end:
+                    break
+                flen = ((flen & 0x0F) << 8) | buf[p]
+                p += 1
+            if p + flen > end:
+                break
+            comp = buf[p : p + flen]
+            key = {"rib": "fs4u", "addr_v4": 0, "prefixlen": 0}
+            # surface the destination-prefix component (type 1) as the key
+            if len(comp) >= 2 and comp[0] == 1:
+                plen = comp[1]
+                raw = comp[2 : 2 + (plen + 7) // 8]
+                key["addr_v4"] = struct.unpack(">I", raw.ljust(4, b"\x00")[:4])[0]
+                key["prefixlen"] = plen
+                key["nlri_str"] = f"FS:{_ip_str(raw, False)}/{plen}"
+            else:
+                key["nlri_str"] = "FS:" + comp.hex()
+            out.append((key, pid))
+            p += flen
+        return out
+    return out
+
+
 def parse_bgp_update(
     body: bytes, p: int, end: int, ts, peer_addr: str, peer_as: int,
     as4: bool = True, addpath: bool = False,
@@ -271,12 +556,12 @@ def parse_bgp_update(
 
     for addr, plen, pid in withdrawn:
         yield _emit(ts, peer_addr, peer_as, "withdraw", _v4_key(addr, plen), None, pid)
-    for raw, plen, pid in attrs["_mp_unreach"]:
-        yield _emit(ts, peer_addr, peer_as, "withdraw", _v6_key(raw, plen), None, pid)
+    for key, pid in attrs["_mp_unreach"]:
+        yield _emit(ts, peer_addr, peer_as, "withdraw", key, None, pid)
     for addr, plen, pid in nlri:
         yield _emit(ts, peer_addr, peer_as, "update", _v4_key(addr, plen), attrs, pid)
-    for raw, plen, pid in attrs["_mp_reach"]:
-        yield _emit(ts, peer_addr, peer_as, "update", _v6_key(raw, plen), attrs, pid)
+    for key, pid in attrs["_mp_reach"]:
+        yield _emit(ts, peer_addr, peer_as, "update", key, attrs, pid)
 
 
 def _parse_bgp4mp(body: bytes, ts_sec: int, mtype: int, subtype: int):
@@ -501,6 +786,8 @@ def encode_bgp_update_body(
     extcomms: list[tuple[int, int, int, int]] | None = None,
     lcomms: list[tuple[int, int, int]] | None = None,
     addpath: bool = False,
+    mp_reach: tuple[int, int, bytes, bytes] | None = None,
+    mp_unreach: tuple[int, int, bytes] | None = None,
 ) -> bytes:
     """A BGP UPDATE body (after the 19-byte message header) — shared by
     the MRT and BMP fixture encoders. With ``addpath`` the v4 prefix
@@ -563,6 +850,18 @@ def encode_bgp_update_body(
         for entry in withdrawn6:
             body6 += pfx(entry, v6=True)
         attrs += attr(15, body6, flags=0x80)
+    if mp_reach is not None:
+        # raw-payload form for the non-v6u families: (afi, safi,
+        # nexthop bytes, NLRI payload built by the per-family helpers)
+        afi, safi, nh, payload = mp_reach
+        attrs += attr(
+            14,
+            struct.pack(">HBB", afi, safi, len(nh)) + nh + b"\x00" + payload,
+            flags=0x80,
+        )
+    if mp_unreach is not None:
+        afi, safi, payload = mp_unreach
+        attrs += attr(15, struct.pack(">HB", afi, safi) + payload, flags=0x80)
 
     wd = b"".join(pfx(e, v6=False) for e in (withdrawn or []))
     nl = b"".join(pfx(e, v6=False) for e in (nlri or []))
@@ -792,3 +1091,105 @@ def encode_td1_v4(
         + attrs
     )
     return struct.pack(">IHHI", orig_time, MRT_TABLE_DUMP, 1, len(body)) + body
+
+
+# --- multiprotocol fixture encoders (inverses of _decode_mp_nlri) ----------
+
+
+def encode_rd(hi: int, lo: int) -> bytes:
+    """(rd_hi, rd_lo) numeric layout → 8-byte wire RD (type 1 when the
+    IP-form marker is set, else type 0)."""
+    if hi & _RD_IP_FLAG:
+        ip = ((hi & 0xFFFF) << 16) | (lo >> 16)
+        return struct.pack(">HIH", 1, ip, lo & 0xFFFF)
+    return struct.pack(">HHI", 0, hi, lo)
+
+
+def _enc_labels(labels: "list[int]") -> bytes:
+    out = b""
+    for i, l in enumerate(labels):
+        v = (l << 4) | (1 if i == len(labels) - 1 else 0)
+        out += bytes([(v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return out
+
+
+def encode_labeled_nlri(
+    labels: "list[int]", addr, plen: int, v6: bool = False,
+    rd: "tuple[int, int] | None" = None, path_id: "int | None" = None,
+) -> bytes:
+    """RFC 8277 / RFC 4364 NLRI entry: bit length + label stack
+    [+ RD] + prefix. ``addr``: int (v4) or bytes (v6)."""
+    lab = _enc_labels(labels)
+    rdb = encode_rd(*rd) if rd else b""
+    pfx = (
+        addr[: (plen + 7) // 8] if v6
+        else struct.pack(">I", addr)[: (plen + 7) // 8]
+    )
+    bits = (len(lab) + len(rdb)) * 8 + plen
+    head = struct.pack(">I", path_id) if path_id is not None else b""
+    return head + bytes([bits]) + lab + rdb + pfx
+
+
+def encode_mdt_nlri(rd: "tuple[int, int]", source, group, v6: bool = False) -> bytes:
+    src = source if v6 else struct.pack(">I", source)
+    grp = group if v6 else struct.pack(">I", group)
+    body = encode_rd(*rd) + src + grp
+    return bytes([min(len(body) * 8, 255)]) + body
+
+
+def encode_vpls_nlri(
+    rd: "tuple[int, int]", ve_id: int, offset: int, vrange: int,
+    label_base: int,
+) -> bytes:
+    body = (
+        encode_rd(*rd) + struct.pack(">HHH", ve_id, offset, vrange)
+        + _enc_labels([label_base])[:3]
+    )
+    return struct.pack(">H", len(body)) + body
+
+
+def encode_evpn_nlri(rtype: int, rd: "tuple[int, int]", **kw) -> bytes:
+    """EVPN route (RFC 7432 §7): type 2 (MAC/IP, kw: mac, ip, label),
+    type 3 (IMET, kw: ip), type 5 (prefix, kw: ip, plen)."""
+    rdb = encode_rd(*rd)
+    if rtype == 2:
+        ip = kw.get("ip", b"")
+        body = (
+            rdb + bytes(10) + struct.pack(">I", kw.get("ethtag", 0))
+            + bytes([48]) + kw.get("mac", bytes(6))
+            + bytes([len(ip) * 8]) + ip + _enc_labels([kw.get("label", 0)])
+        )
+    elif rtype == 3:
+        ip = kw.get("ip", b"")
+        body = rdb + struct.pack(">I", kw.get("ethtag", 0)) + bytes([len(ip) * 8]) + ip
+    elif rtype == 5:
+        ip, plen = kw.get("ip", bytes(4)), kw.get("plen", 0)
+        body = (
+            rdb + bytes(10) + struct.pack(">I", kw.get("ethtag", 0))
+            + bytes([plen]) + ip[: (plen + 7) // 8].ljust(len(ip), b"\x00")
+            + ip + _enc_labels([kw.get("label", 0)])
+        )
+    else:
+        body = rdb + kw.get("body", b"")
+    return bytes([rtype, len(body)]) + body
+
+
+def encode_mvpn_nlri(rtype: int, rd: "tuple[int, int]", **kw) -> bytes:
+    """MVPN route (RFC 6514 §4): type 1 (kw: originator), type 5
+    (kw: source, group — v4 ints)."""
+    rdb = encode_rd(*rd)
+    if rtype == 1:
+        body = rdb + struct.pack(">I", kw["originator"])
+    elif rtype == 5:
+        body = (
+            rdb + bytes([32]) + struct.pack(">I", kw["source"])
+            + bytes([32]) + struct.pack(">I", kw["group"])
+        )
+    else:
+        body = rdb + kw.get("body", b"")
+    return bytes([rtype, len(body)]) + body
+
+
+def encode_flowspec_nlri(dst_addr: int, dst_plen: int, extra: bytes = b"") -> bytes:
+    comp = bytes([1, dst_plen]) + struct.pack(">I", dst_addr)[: (dst_plen + 7) // 8] + extra
+    return bytes([len(comp)]) + comp

@@ -1,0 +1,162 @@
+"""Full multiprotocol NLRI family matrix (SURVEY §1.1 — the 15 RIBs the
+reference ingests, src/bgprib.rs:807-821): wire decode of labeled
+unicast (RFC 8277), VPN unicast/multicast (RFC 4364), MDT (RFC 6037),
+VPLS (RFC 4761), EVPN (RFC 7432), MVPN (RFC 6514), and FlowSpec
+(RFC 8955) through the shared parse_bgp_update walk, with canonical
+nlri_str forms matching the filter fixtures (tests/ribdata.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from bgpexplorer_spark.sources.mrt import (
+    encode_bgp_update_body,
+    encode_evpn_nlri,
+    encode_flowspec_nlri,
+    encode_labeled_nlri,
+    encode_mdt_nlri,
+    encode_mvpn_nlri,
+    encode_rd,
+    encode_vpls_nlri,
+    parse_bgp_update,
+)
+
+_TS = dt.datetime(2024, 1, 1)
+
+
+def _rows(body: bytes, addpath: bool = False) -> list[dict]:
+    return list(parse_bgp_update(body, 0, len(body), _TS, "10.0.0.1", 65001,
+                                 addpath=addpath))
+
+
+def _mp_body(afi, safi, payload, nh=b"\x0a\x00\x00\x01", **kw):
+    return encode_bgp_update_body(
+        origin=0, aspath=[(2, [65001])], mp_reach=(afi, safi, nh, payload), **kw
+    )
+
+
+def test_vpnv4_unicast():
+    payload = encode_labeled_nlri([100], 0x0A000000, 24, rd=(100, 1000))
+    # VPN nexthop carries an 8-byte RD prefix (RFC 4364 §4.3.2)
+    rows = _rows(_mp_body(1, 128, payload, nh=bytes(8) + b"\x0a\x00\x00\x01"))
+    [r] = rows
+    assert r["rib"] == "vpnv4u"
+    assert r["nlri_str"] == "L100:100:1000:10.0.0.0/24"
+    assert (r["rd_hi"], r["rd_lo"]) == (100, 1000)
+    assert r["labels"] == [100]
+    assert (r["addr_v4"], r["prefixlen"]) == (0x0A000000, 24)
+    assert r["nexthop_v4"] == 0x0A000001
+
+
+def test_vpnv6_unicast_and_multicast():
+    v6 = bytes([0x2C, 0x0A]) + bytes(14)
+    payload = encode_labeled_nlri([7, 8], v6, 64, v6=True, rd=(200, 5))
+    [r] = _rows(_mp_body(2, 128, payload, nh=bytes(8) + bytes(16)))
+    assert r["rib"] == "vpnv6u" and r["labels"] == [7, 8]
+    assert r["nlri_str"] == "L7,8:200:5:2c0a::/64"
+    [r] = _rows(_mp_body(2, 129, payload, nh=bytes(8) + bytes(16)))
+    assert r["rib"] == "vpnv6m"
+
+
+def test_labeled_unicast_both_families():
+    [r] = _rows(_mp_body(1, 4, encode_labeled_nlri([33], 0x0B000000, 16)))
+    assert (r["rib"], r["labels"], r["nlri_str"]) == (
+        "ipv4lu", [33], "L33:11.0.0.0/16")
+    v6 = bytes([0x2C, 0x0B]) + bytes(14)
+    [r] = _rows(_mp_body(2, 4, encode_labeled_nlri([44], v6, 32, v6=True),
+                         nh=bytes(16)))
+    assert (r["rib"], r["labels"], r["nlri_str"]) == (
+        "ipv6lu", [44], "L44:2c0b::/32")
+
+
+def test_ip_form_rd_roundtrip():
+    from bgpexplorer_spark.functions.codecs import parse_rd
+
+    hi, lo = parse_rd("1.2.3.4:5")
+    assert encode_rd(hi, lo)[:2] == b"\x00\x01"  # type-1 wire RD
+    payload = encode_labeled_nlri([9], 0x0A000000, 24, rd=(hi, lo))
+    [r] = _rows(_mp_body(1, 128, payload, nh=bytes(8) + b"\x0a\x00\x00\x01"))
+    assert (r["rd_hi"], r["rd_lo"]) == (hi, lo)
+
+
+def test_mdt():
+    payload = encode_mdt_nlri((1, 1), 0x0A010101, 0xE8010101)
+    [r] = _rows(_mp_body(1, 66, payload))
+    assert r["rib"] == "ipv4mdt"
+    assert r["nlri_str"] == "1:1:10.1.1.1/32:G232.1.1.1"
+    assert r["mdt_group_v4"] == 0xE8010101
+    assert (r["addr_v4"], r["prefixlen"]) == (0x0A010101, 32)
+
+
+def test_vpls():
+    payload = encode_vpls_nlri((2, 2), ve_id=77, offset=100, vrange=200,
+                               label_base=4096)
+    [r] = _rows(_mp_body(25, 65, payload))
+    assert r["rib"] == "l2vpls"
+    assert r["nlri_str"] == "L2:77:100-200:2:2:0.0.0.0/0"
+    assert (r["l2_site"], r["l2_offset"], r["l2_range"]) == (77, 100, 200)
+    assert r["labels"] == [4096]
+
+
+def test_evpn_types():
+    mac = bytes([0, 0x11, 0x22, 0x33, 0x44, 0x55])
+    t2 = encode_evpn_nlri(2, (1, 1), mac=mac, ip=b"\x0a\x00\x00\x01", label=9)
+    t3 = encode_evpn_nlri(3, (2, 2), ip=b"\x0a\x00\x00\x02")
+    t5 = encode_evpn_nlri(5, (3, 3), ip=b"\x0a\x00\x00\x00", plen=24)
+    rows = _rows(_mp_body(25, 70, t2 + t3 + t5))
+    assert [r["rib"] for r in rows] == ["evpn"] * 3
+    assert [r["evpn_type"] for r in rows] == [2, 3, 5]
+    assert rows[0]["nlri_str"] == "E2:1:1:10.0.0.1/32"
+    assert rows[1]["nlri_str"] == "E3:2:2:10.0.0.2/32"
+    assert rows[2]["nlri_str"] == "E5:3:3:10.0.0.0/24"
+    assert (rows[2]["addr_v4"], rows[2]["prefixlen"]) == (0x0A000000, 24)
+
+
+def test_mvpn_types():
+    t1 = encode_mvpn_nlri(1, (1, 1), originator=0x0A000009)
+    t5 = encode_mvpn_nlri(5, (2, 2), source=0x0A000001, group=0xE8010101)
+    rows = _rows(_mp_body(1, 5, t1 + t5))
+    assert [r["mvpn_type"] for r in rows] == [1, 5]
+    assert rows[0]["nlri_str"] == "T1:1:1:10.0.0.9/32"
+    assert rows[0]["mvpn_originator_v4"] == 0x0A000009
+    assert rows[1]["nlri_str"] == "T5:2:2:10.0.0.1/32"
+    assert (rows[1]["mvpn_source_v4"], rows[1]["mvpn_group_v4"]) == (
+        0x0A000001, 0xE8010101)
+
+
+def test_flowspec_dst_prefix():
+    [r] = _rows(_mp_body(1, 133, encode_flowspec_nlri(0x0B000000, 24)))
+    assert (r["rib"], r["nlri_str"]) == ("fs4u", "FS:11.0.0.0/24")
+    assert (r["addr_v4"], r["prefixlen"]) == (0x0B000000, 24)
+
+
+def test_mp_unreach_withdraws():
+    payload = encode_labeled_nlri([100], 0x0A000000, 24, rd=(100, 1000))
+    body = encode_bgp_update_body(mp_unreach=(1, 128, payload))
+    [r] = _rows(body)
+    assert r["op"] == "withdraw"
+    assert r["rib"] == "vpnv4u" and r["nlri_str"] == "L100:100:1000:10.0.0.0/24"
+
+
+def test_addpath_vpn():
+    payload = encode_labeled_nlri([5], 0x0A000000, 24, rd=(9, 9), path_id=42)
+    [r] = _rows(_mp_body(1, 128, payload, nh=bytes(8) + b"\x0a\x00\x00\x01"),
+                addpath=True)
+    assert (r["path_id"], r["rib"]) == (42, "vpnv4u")
+
+
+def test_unknown_family_dropped():
+    rows = _rows(_mp_body(99, 99, b"\x01\x02\x03"))
+    assert rows == []
+
+
+def test_v6_unicast_unchanged():
+    """The existing v6u path still decodes through the generalized walk."""
+    body = encode_bgp_update_body(
+        origin=0, aspath=[(2, [65001])],
+        nlri6=[(bytes([0x2C, 0x0C]) + bytes(14), 32)],
+        nexthop6=bytes([0xFE, 0x80]) + bytes(14),
+    )
+    [r] = _rows(body)
+    assert (r["rib"], r["nlri_str"]) == ("ipv6u", "2c0c::/32")
+    assert r["nexthop_v6"] == bytes([0xFE, 0x80]) + bytes(14)
