@@ -17,11 +17,16 @@ them; a 100 TB backfill is tens of thousands of files, which saturates
 any cluster without a shuffle.
 
 Supported records: BGP4MP / BGP4MP_ET (types 16/17), subtypes MESSAGE /
-MESSAGE_AS4 (1/4). Attributes: ORIGIN, AS_PATH, NEXT_HOP, MED,
-LOCAL_PREF, ATOMIC_AGGREGATE, AGGREGATOR, COMMUNITY, ORIGINATOR_ID,
-CLUSTER_LIST, MP_REACH_NLRI, MP_UNREACH_NLRI, EXT_COMMUNITIES,
-LARGE_COMMUNITY. Unknown attributes/records are skipped, not fatal —
-dump archives contain junk.
+MESSAGE_AS4[_ADDPATH] and STATE_CHANGE[_AS4]; TABLE_DUMP v1;
+TABLE_DUMP_V2 peer index + RIB v4/v6 unicast[_ADDPATH] + RIB_GENERIC
+(any family). Attributes: ORIGIN, AS_PATH, NEXT_HOP, MED, LOCAL_PREF,
+ATOMIC_AGGREGATE, AGGREGATOR, COMMUNITY, ORIGINATOR_ID, CLUSTER_LIST,
+MP_REACH_NLRI / MP_UNREACH_NLRI across the FULL family matrix the
+reference keeps RIBs for — v4/v6 unicast, labeled unicast (RFC 8277),
+VPN unicast/multicast (RFC 4364), MDT (RFC 6037), VPLS (RFC 4761),
+EVPN (RFC 7432), MVPN (RFC 6514), FlowSpec v4 (RFC 8955) —
+EXT_COMMUNITIES, LARGE_COMMUNITY. Unknown attributes/records/families
+are skipped, not fatal — dump archives contain junk.
 """
 
 from __future__ import annotations
@@ -44,6 +49,7 @@ BGP4MP_MESSAGE_ADDPATH = 6        # RFC 8050
 BGP4MP_MESSAGE_AS4_ADDPATH = 7
 TD2_PEER_INDEX_TABLE = 1
 TD2_RIB_IPV4_UNICAST = 2
+TD2_RIB_GENERIC = 6
 TD2_RIB_IPV6_UNICAST = 4
 TD2_RIB_IPV4_UNICAST_ADDPATH = 8  # RFC 8050
 TD2_RIB_IPV6_UNICAST_ADDPATH = 10
@@ -669,6 +675,49 @@ def _parse_td2_rib(body: bytes, subtype: int, peers: list[tuple[str, int]]):
         yield _emit(ts, peer_addr, peer_as, "update", key, attrs, path_id)
 
 
+def _parse_td2_generic(body: bytes, peers: list[tuple[str, int]]):
+    """TABLE_DUMP_V2 RIB_GENERIC (RFC 6396 §4.3.3): full-RIB snapshot
+    entries for ANY (afi, safi) — the archival form of the VPN/EVPN/...
+    families, keyed through the same _decode_mp_nlri dispatch the live
+    walk uses."""
+    import datetime as dt
+
+    p = 4  # sequence number
+    if p + 3 > len(body):
+        return
+    afi, safi = struct.unpack(">HB", body[p : p + 3])
+    p += 3
+    try:
+        elen = _mp_entry_len(afi, safi, body, p)
+    except (IndexError, struct.error):
+        return
+    decoded = _decode_mp_nlri(afi, safi, body, p, p + elen, addpath=False)
+    if not decoded:
+        return
+    key, _pid = decoded[0]
+    p += elen
+    if p + 2 > len(body):
+        return
+    count = struct.unpack(">H", body[p : p + 2])[0]
+    p += 2
+    for _ in range(count):
+        if p + 8 > len(body):
+            break
+        peer_idx, orig_time = struct.unpack(">HI", body[p : p + 6])
+        p += 6
+        alen = struct.unpack(">H", body[p : p + 2])[0]
+        p += 2
+        attrs = _parse_attrs(body, p, p + alen, as4=True, table_dump=True)
+        p += alen
+        if peer_idx >= len(peers):
+            continue
+        peer_addr, peer_as = peers[peer_idx]
+        ts = dt.datetime.fromtimestamp(orig_time, tz=dt.timezone.utc).replace(
+            tzinfo=None
+        )
+        yield _emit(ts, peer_addr, peer_as, "update", key, attrs, 0)
+
+
 def parse_mrt(data: bytes) -> Iterator[dict]:
     """One MRT byte stream → decoded update/withdraw rows (MRT_SCHEMA
     field order). Handles BGP4MP[-ET] MESSAGE[_AS4][_ADDPATH] updates and
@@ -696,6 +745,8 @@ def parse_mrt(data: bytes) -> Iterator[dict]:
                 TD2_RIB_IPV4_UNICAST_ADDPATH, TD2_RIB_IPV6_UNICAST_ADDPATH,
             ):
                 yield from _parse_td2_rib(body, subtype, peers)
+            elif subtype == TD2_RIB_GENERIC:
+                yield from _parse_td2_generic(body, peers)
             continue
         if mtype not in (MRT_BGP4MP, MRT_BGP4MP_ET):
             continue
@@ -1193,3 +1244,49 @@ def encode_mvpn_nlri(rtype: int, rd: "tuple[int, int]", **kw) -> bytes:
 def encode_flowspec_nlri(dst_addr: int, dst_plen: int, extra: bytes = b"") -> bytes:
     comp = bytes([1, dst_plen]) + struct.pack(">I", dst_addr)[: (dst_plen + 7) // 8] + extra
     return bytes([len(comp)]) + comp
+
+
+def _mp_entry_len(afi: int, safi: int, buf: bytes, p: int) -> int:
+    """Wire length of ONE MP NLRI entry at ``p`` (every family is
+    self-delimiting) — used by TABLE_DUMP_V2 RIB_GENERIC, whose header
+    embeds a single entry with no explicit length (RFC 6396 §4.3.3)."""
+    if afi == 25 and safi == 65:  # VPLS: 2-byte length prefix
+        return 2 + struct.unpack(">H", buf[p : p + 2])[0]
+    if (afi == 25 and safi == 70) or (afi == 1 and safi == 5):
+        return 2 + buf[p + 1]  # EVPN / MVPN: type + len + body
+    if afi in (1, 2) and safi == 66:  # MDT: fixed-size body
+        asz = 16 if afi == 2 else 4
+        return 1 + max((buf[p] + 7) // 8, 8 + 2 * asz) if afi == 1 else 1 + 8 + 2 * asz
+    if afi == 1 and safi == 133:  # FlowSpec: 1- or 2-byte length
+        flen = buf[p]
+        if flen >= 0xF0:
+            return 2 + (((flen & 0x0F) << 8) | buf[p + 1])
+        return 1 + flen
+    return 1 + (buf[p] + 7) // 8  # prefix-based families: bit length
+
+
+def encode_td2_generic(
+    seq: int, afi: int, safi: int, nlri_entry: bytes, entries: list[dict],
+) -> bytes:
+    """TABLE_DUMP_V2 RIB_GENERIC (RFC 6396 §4.3.3): one MP-format NLRI
+    entry (built by the per-family encoders) + RIB entries with the
+    TABLE_DUMP attr form."""
+    body = struct.pack(">I", seq) + struct.pack(">HB", afi, safi) + nlri_entry
+    body += struct.pack(">H", len(entries))
+    for e in entries:
+        attrs = b""
+        if "origin" in e:
+            attrs += bytes([0x40, 1, 1, e["origin"]])
+        if "aspath" in e:
+            seg = b""
+            for kind, asns in e["aspath"]:
+                seg += bytes([kind, len(asns)]) + b"".join(
+                    struct.pack(">I", x) for x in asns
+                )
+            attrs += bytes([0x40, 2, len(seg)]) + seg
+        if "nexthop" in e:
+            attrs += bytes([0x40, 3, 4]) + struct.pack(">I", e["nexthop"])
+        body += struct.pack(">HI", e["peer_idx"], e["orig_time"])
+        body += struct.pack(">H", len(attrs)) + attrs
+    return struct.pack(
+        ">IHHI", 0, MRT_TABLE_DUMP_V2, TD2_RIB_GENERIC, len(body)) + body

@@ -160,3 +160,39 @@ def test_v6_unicast_unchanged():
     [r] = _rows(body)
     assert (r["rib"], r["nlri_str"]) == ("ipv6u", "2c0c::/32")
     assert r["nexthop_v6"] == bytes([0xFE, 0x80]) + bytes(14)
+
+
+def test_td2_rib_generic_vpn_and_evpn():
+    """TABLE_DUMP_V2 RIB_GENERIC (RFC 6396 §4.3.3): full-RIB snapshot
+    entries for VPN and EVPN families through the same family dispatch
+    the live walk uses."""
+    from bgpexplorer_spark.sources.mrt import (
+        encode_peer_index,
+        encode_td2_generic,
+        parse_mrt,
+    )
+
+    data = encode_peer_index([(0x0A000001, 65001), (0x0A000002, 65002)])
+    data += encode_td2_generic(
+        1, 1, 128,
+        encode_labeled_nlri([55], 0x0A000000, 24, rd=(7, 8)),
+        [
+            {"peer_idx": 0, "orig_time": 1704067200, "origin": 0,
+             "aspath": [(2, [65001])], "nexthop": 0x0A000001},
+            {"peer_idx": 1, "orig_time": 1704067260, "origin": 0,
+             "aspath": [(2, [65002])], "nexthop": 0x0A000002},
+        ],
+    )
+    data += encode_td2_generic(
+        2, 25, 70,
+        encode_evpn_nlri(3, (9, 9), ip=b"\x0a\x00\x00\x05"),
+        [{"peer_idx": 0, "orig_time": 1704067300, "origin": 0,
+          "aspath": [(2, [65001])], "nexthop": 0x0A000001}],
+    )
+    rows = list(parse_mrt(data))
+    assert len(rows) == 3
+    assert {r["nlri_str"] for r in rows[:2]} == {"L55:7:8:10.0.0.0/24"}
+    assert {r["peer_as"] for r in rows[:2]} == {65001, 65002}
+    assert rows[0]["rib"] == "vpnv4u" and rows[0]["labels"] == [55]
+    assert rows[2]["rib"] == "evpn"
+    assert rows[2]["nlri_str"] == "E3:9:9:10.0.0.5/32"
