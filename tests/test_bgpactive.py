@@ -233,3 +233,29 @@ def test_passive_caps_union(tmp_path):
     finally:
         for lsn in lsns:
             lsn.stop()
+
+
+def test_live_vpn_family_update(spark):
+    """A vpnv4u UPDATE over a live socket decodes through the same
+    family matrix as the archival walk: RD + label stack + canonical
+    nlri_str land in the micro-batch parquet."""
+    from bgpexplorer_spark.sources.mrt import encode_labeled_nlri
+
+    out = tempfile.mkdtemp()
+    with BgpListener(out, as_num=64512, caps=["ipv4u", "vpnv4u"],
+                     flush_secs=0.2) as lsn:
+        with socket.create_connection((lsn.host, lsn.port), timeout=10) as s:
+            s.sendall(encode_bgp_open(65070, 90, 0x0A000001,
+                                      caps=["ipv4u", "vpnv4u"]))
+            _recv_msg(s), _recv_msg(s)
+            payload = encode_labeled_nlri([100], 0x0A000000, 24, rd=(100, 1000))
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                origin=0, aspath=[(2, [65070])],
+                mp_reach=(1, 128, bytes(8) + b"\x0a\x00\x00\x01", payload),
+            )))
+            time.sleep(0.6)
+        _wait_for_files(out)
+    upd = spark.read.parquet(out)
+    [r] = upd.collect()
+    assert (r.rib, r.nlri_str) == ("vpnv4u", "L100:100:1000:10.0.0.0/24")
+    assert (r.rd_hi, r.rd_lo, r.labels) == (100, 1000, [100])
