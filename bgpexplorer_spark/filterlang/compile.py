@@ -243,21 +243,24 @@ def _key_l2(item: Item) -> Column:
     return _UNKNOWN()
 
 def _key_mvpn(item: Item) -> Column:
-    """BgpMVPN dispatch (src/ribfilter.rs:320-388). T5 exact (rd → else
-    multi(source, group)); T1 rd→originator; others rd-only (the driver
-    data and reference tests exercise T5)."""
+    """BgpMVPN dispatch — the reference's full per-type matrix
+    (src/ribfilter.rs:320-388): T1 rd→originator; T2 rd-only;
+    T3 rd→multi(originator, source, group); T4 originator (the spmsi
+    route key's rd is folded into the decoded rd column);
+    T5 rd→multi(source, group); T6/T7 rd→multi(rp, group) with the RP in
+    the source slot."""
     rd = _key_rd(item)
-    t5 = chain(
-        rd,
-        multi(
-            _key_v4_component(F.col("mvpn_source_v4"), item),
-            _key_v4_component(F.col("mvpn_group_v4"), item),
-        ),
-    )
-    t1 = chain(rd, _key_v4_component(F.col("mvpn_originator_v4"), item))
+    src = _key_v4_component(F.col("mvpn_source_v4"), item)
+    grp = _key_v4_component(F.col("mvpn_group_v4"), item)
+    orig = _key_v4_component(F.col("mvpn_originator_v4"), item)
+    t1 = chain(rd, orig)
+    t3 = chain(rd, multi(orig, src, grp))
+    t5 = chain(rd, multi(src, grp))
     return (
         F.when(F.col("mvpn_type") == 5, t5)
         .when(F.col("mvpn_type") == 1, t1)
+        .when(F.col("mvpn_type").isin(3, 4), t3)
+        .when(F.col("mvpn_type").isin(6, 7), t5)
         .otherwise(rd)
     )
 

@@ -485,27 +485,67 @@ def _decode_mp_nlri(
             if p + rlen > end or rlen < 8:
                 break
             body = buf[p : p + rlen]
-            hi, lo = _rd_decode(body[:8])
+            if rtype == 4 and len(body) >= 14 and body[0] == 3:
+                # Leaf A-D: route key = the embedded S-PMSI route (type +
+                # len + body) + originator (RFC 6514 §4.4) — the RD lives
+                # inside the embedded route
+                hi, lo = _rd_decode(body[2:10])
+                orig_off = 2 + body[1]
+            else:
+                hi, lo = _rd_decode(body[:8])
+                orig_off = None
             key = {
                 "rib": "mvpn", "rd_hi": hi, "rd_lo": lo,
                 "mvpn_type": rtype, "addr_v4": 0, "prefixlen": 0,
             }
             disp_ip = "0.0.0.0/0"
+
+            def sg(q: int) -> "tuple[int | None, int | None]":
+                # mc-source-len + source + mc-group-len + group (§4.3)
+                if q + 5 > len(body) or body[q] != 32:
+                    return None, None
+                s = struct.unpack(">I", body[q + 1 : q + 5])[0]
+                q += 5
+                if q + 5 > len(body) or body[q] != 32:
+                    return s, None
+                return s, struct.unpack(">I", body[q + 1 : q + 5])[0]
+
             if rtype == 1 and len(body) >= 12:
                 orig = struct.unpack(">I", body[8:12])[0]
                 key["mvpn_originator_v4"] = orig
                 key["addr_v4"], key["prefixlen"] = orig, 32
                 disp_ip = f"{_v4_str(orig)}/32"
+            elif rtype == 3 and len(body) >= 8 + 5 + 5 + 4:
+                # S-PMSI A-D: RD + source + group + originating router
+                s, g = sg(8)
+                if s is not None and g is not None:
+                    key["mvpn_source_v4"], key["mvpn_group_v4"] = s, g
+                    orig = struct.unpack(">I", body[18:22])[0]
+                    key["mvpn_originator_v4"] = orig
+                    key["addr_v4"], key["prefixlen"] = s, 32
+                    disp_ip = f"{_v4_str(s)}/32"
+            elif rtype == 4 and orig_off is not None \
+                    and orig_off + 4 <= len(body):
+                orig = struct.unpack(">I", body[orig_off : orig_off + 4])[0]
+                key["mvpn_originator_v4"] = orig
+                # the embedded S-PMSI route's source/group also drive the
+                # reference's nested spmsi match (src/ribfilter.rs:346-353)
+                if len(body) >= 2 + 8 + 5 + 5:
+                    s, g = sg(10)
+                    if s is not None and g is not None:
+                        key["mvpn_source_v4"], key["mvpn_group_v4"] = s, g
+                key["addr_v4"], key["prefixlen"] = orig, 32
+                disp_ip = f"{_v4_str(orig)}/32"
             elif rtype == 5 and len(body) >= 8 + 5 + 5:
-                q = 8
-                sbits = body[q]
-                src = body[q + 1 : q + 1 + sbits // 8]
-                q += 1 + sbits // 8
-                gbits = body[q]
-                grp = body[q + 1 : q + 1 + gbits // 8]
-                if sbits == 32 and gbits == 32:
-                    s = struct.unpack(">I", src)[0]
-                    g = struct.unpack(">I", grp)[0]
+                s, g = sg(8)
+                if s is not None and g is not None:
+                    key["mvpn_source_v4"], key["mvpn_group_v4"] = s, g
+                    key["addr_v4"], key["prefixlen"] = s, 32
+                    disp_ip = f"{_v4_str(s)}/32"
+            elif rtype in (6, 7) and len(body) >= 8 + 4 + 5 + 5:
+                # C-multicast (§4.6/4.7): RD + source-AS + RP/source + group
+                s, g = sg(12)
+                if s is not None and g is not None:
                     key["mvpn_source_v4"], key["mvpn_group_v4"] = s, g
                     key["addr_v4"], key["prefixlen"] = s, 32
                     disp_ip = f"{_v4_str(s)}/32"
@@ -1226,14 +1266,31 @@ def encode_evpn_nlri(rtype: int, rd: "tuple[int, int]", **kw) -> bytes:
 
 
 def encode_mvpn_nlri(rtype: int, rd: "tuple[int, int]", **kw) -> bytes:
-    """MVPN route (RFC 6514 §4): type 1 (kw: originator), type 5
-    (kw: source, group — v4 ints)."""
+    """MVPN route (RFC 6514 §4): type 1 (kw: originator), type 3
+    (kw: source, group, originator), type 4 (kw: spmsi — the embedded
+    type-3 route bytes — and originator), type 5 (kw: source, group),
+    types 6/7 (kw: source_as, source, group). Addresses are v4 ints."""
     rdb = encode_rd(*rd)
     if rtype == 1:
         body = rdb + struct.pack(">I", kw["originator"])
+    elif rtype == 3:
+        body = (
+            rdb + bytes([32]) + struct.pack(">I", kw["source"])
+            + bytes([32]) + struct.pack(">I", kw["group"])
+            + struct.pack(">I", kw["originator"])
+        )
+    elif rtype == 4:
+        body = kw["spmsi"] + struct.pack(">I", kw["originator"])
+        return bytes([4, len(body)]) + body
     elif rtype == 5:
         body = (
             rdb + bytes([32]) + struct.pack(">I", kw["source"])
+            + bytes([32]) + struct.pack(">I", kw["group"])
+        )
+    elif rtype in (6, 7):
+        body = (
+            rdb + struct.pack(">I", kw.get("source_as", 0))
+            + bytes([32]) + struct.pack(">I", kw["source"])
             + bytes([32]) + struct.pack(">I", kw["group"])
         )
     else:

@@ -196,3 +196,34 @@ def test_td2_rib_generic_vpn_and_evpn():
     assert rows[0]["rib"] == "vpnv4u" and rows[0]["labels"] == [55]
     assert rows[2]["rib"] == "evpn"
     assert rows[2]["nlri_str"] == "E3:9:9:10.0.0.5/32"
+
+
+def test_mvpn_all_types_decode():
+    """Types 2/3/4/6/7 (RFC 6514 §4): RD always; t3 source+group+
+    originator; t4's RD and S-PMSI source/group come from the embedded
+    route, originator from the leaf; t6/t7 carry the RP in the source
+    slot."""
+    t2 = encode_mvpn_nlri(2, (4, 4), body=b"\x00\x00\xfd\xe9")
+    t3 = encode_mvpn_nlri(3, (5, 5), source=0x0A000001, group=0xE8010101,
+                          originator=0x0A000099)
+    spmsi = encode_mvpn_nlri(3, (6, 6), source=0x0A000002, group=0xE8010102,
+                             originator=0x0A000098)
+    t4 = encode_mvpn_nlri(4, (0, 0), spmsi=spmsi, originator=0x0A000097)
+    t6 = encode_mvpn_nlri(6, (7, 7), source_as=65001, source=0x0A000003,
+                          group=0xE8010103)
+    rows = _rows(_mp_body(1, 5, t2 + t3 + t4 + t6))
+    assert [r["mvpn_type"] for r in rows] == [2, 3, 4, 6]
+    assert rows[0]["nlri_str"] == "T2:4:4:0.0.0.0/0"
+    r3 = rows[1]
+    assert (r3["mvpn_source_v4"], r3["mvpn_group_v4"],
+            r3["mvpn_originator_v4"]) == (0x0A000001, 0xE8010101, 0x0A000099)
+    assert r3["nlri_str"] == "T3:5:5:10.0.0.1/32"
+    r4 = rows[2]
+    assert (r4["rd_hi"], r4["rd_lo"]) == (6, 6)  # embedded route's RD
+    assert r4["mvpn_originator_v4"] == 0x0A000097  # the LEAF originator
+    assert (r4["mvpn_source_v4"], r4["mvpn_group_v4"]) == (
+        0x0A000002, 0xE8010102)
+    r6 = rows[3]
+    assert (r6["mvpn_source_v4"], r6["mvpn_group_v4"]) == (
+        0x0A000003, 0xE8010103)
+    assert r6["nlri_str"] == "T6:7:7:10.0.0.3/32"
