@@ -451,15 +451,45 @@ def _decode_mp_nlri(
                 if q + 3 <= len(body):
                     labels, _ = _label_stack(body, q, len(body))
                     key["labels"] = labels or None
+            elif rtype == 1 and len(body) >= 25:
+                # Ethernet A-D: RD + ESI(10) + EthTag(4) + label — rd-only
+                # match (src/ribfilter.rs:389-393); keep the label
+                labels, _ = _label_stack(body, 22, len(body))
+                key["labels"] = labels or None
             elif rtype == 3 and len(body) >= 13:
-                # RD + EthTag(4) + iplen + originator IP
+                # IMET: RD + EthTag(4) + iplen + originator IP
                 ip_bits = body[12]
                 ip_raw = body[13 : 13 + ip_bits // 8]
+            elif rtype == 4 and len(body) >= 19:
+                # Ethernet Segment: RD + ESI(10) + iplen + originator IP
+                ip_bits = body[18]
+                ip_raw = body[19 : 19 + ip_bits // 8]
             elif rtype == 5 and len(body) >= 23:
-                # RD + ESI(10) + EthTag(4) + plen + IP prefix
+                # IP prefix: RD + ESI(10) + EthTag(4) + plen + prefix +
+                # GW IP + label. The reference matches the GATEWAY
+                # (src/ribfilter.rs:424-431 gw_ip), so the gateway lands
+                # in the addr columns; the prefix stays in the display.
                 ip_bits = body[22]
-                ip_raw = body[23 : 23 + (ip_bits + 7) // 8]
-            if ip_bits in (32, 128) or (rtype == 5 and ip_raw):
+                nb = (ip_bits + 7) // 8
+                ip_raw = body[23 : 23 + nb]
+                gw_w = 16 if ip_bits > 32 else 4
+                gw = body[23 + nb : 23 + nb + gw_w]
+                if len(gw) == gw_w:
+                    is6 = gw_w == 16
+                    if is6:
+                        key["addr_v6"] = gw
+                        key["addr_v4"] = None
+                    else:
+                        key["addr_v4"] = struct.unpack(">I", gw)[0]
+                    key["prefixlen"] = ip_bits
+                key["nlri_str"] = (
+                    f"E5:{_rd_str(hi, lo)}:{_ip_str(ip_raw, ip_bits > 32)}"
+                    f"/{ip_bits}"
+                )
+                out.append((key, pid))
+                p += rlen
+                continue
+            if ip_bits in (32, 128):
                 is6 = ip_bits > 32
                 if is6:
                     key["addr_v6"] = ip_raw.ljust(16, b"\x00")[:16]
@@ -467,7 +497,7 @@ def _decode_mp_nlri(
                 else:
                     key["addr_v4"] = struct.unpack(
                         ">I", ip_raw.ljust(4, b"\x00")[:4])[0]
-                key["prefixlen"] = ip_bits if rtype == 5 else (128 if is6 else 32)
+                key["prefixlen"] = 128 if is6 else 32
                 disp_ip = f"{_ip_str(ip_raw, is6)}/{key['prefixlen']}"
             else:
                 disp_ip = "0.0.0.0/0"
@@ -1255,10 +1285,12 @@ def encode_evpn_nlri(rtype: int, rd: "tuple[int, int]", **kw) -> bytes:
         body = rdb + struct.pack(">I", kw.get("ethtag", 0)) + bytes([len(ip) * 8]) + ip
     elif rtype == 5:
         ip, plen = kw.get("ip", bytes(4)), kw.get("plen", 0)
+        width = 16 if len(ip) > 4 else 4
+        gw = kw.get("gw", ip.ljust(width, b"\x00"))
         body = (
             rdb + bytes(10) + struct.pack(">I", kw.get("ethtag", 0))
-            + bytes([plen]) + ip[: (plen + 7) // 8].ljust(len(ip), b"\x00")
-            + ip + _enc_labels([kw.get("label", 0)])
+            + bytes([plen]) + ip[: (plen + 7) // 8]
+            + gw + _enc_labels([kw.get("label", 0)])
         )
     else:
         body = rdb + kw.get("body", b"")

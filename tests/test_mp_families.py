@@ -8,6 +8,7 @@ nlri_str forms matching the filter fixtures (tests/ribdata.py)."""
 from __future__ import annotations
 
 import datetime as dt
+import struct
 
 from bgpexplorer_spark.sources.mrt import (
     encode_bgp_update_body,
@@ -227,3 +228,24 @@ def test_mvpn_all_types_decode():
     assert (r6["mvpn_source_v4"], r6["mvpn_group_v4"]) == (
         0x0A000003, 0xE8010103)
     assert r6["nlri_str"] == "T6:7:7:10.0.0.3/32"
+
+
+def test_evpn_t1_t4_and_t5_gateway():
+    """t1 is rd-only with the A-D label kept; t4 matches the ES
+    originator IP; t5's matchable address is the GATEWAY
+    (src/ribfilter.rs:424-431) while the display keeps the prefix."""
+    t1 = encode_evpn_nlri(1, (4, 4), body=struct.pack(">HHHHH", 0, 0, 0, 0, 0)
+                          + bytes(4) + b"\x00\x01\x01")
+    t4 = encode_evpn_nlri(4, (5, 5), body=bytes(10) + bytes([32])
+                          + b"\x0a\x00\x00\x07")
+    t5 = encode_evpn_nlri(5, (6, 6), ip=b"\x0b\x00\x00\x00", plen=24,
+                          gw=b"\x0a\x00\x00\x63", label=3)
+    rows = _rows(_mp_body(25, 70, t1 + t4 + t5))
+    assert [r["evpn_type"] for r in rows] == [1, 4, 5]
+    assert rows[0]["nlri_str"] == "E1:4:4:0.0.0.0/0"
+    assert rows[1]["nlri_str"] == "E4:5:5:10.0.0.7/32"
+    assert rows[1]["addr_v4"] == 0x0A000007
+    r5 = rows[2]
+    assert r5["nlri_str"] == "E5:6:6:11.0.0.0/24"   # display: the prefix
+    assert r5["addr_v4"] == 0x0A000063               # match key: the GW
+    assert r5["prefixlen"] == 24
