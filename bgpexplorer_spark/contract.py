@@ -4341,3 +4341,85 @@ def s1_mrt_mp_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("labels", 1).alias("label0"),
         "prefixlen",
     )
+
+# The filter language applied to WIRE-DECODED VPN routes: the two
+# round-4 threads composed — family decode feeds the compiled 3VL filter
+# (subnet term against the VPN rib), something a reference user does
+# constantly ("show 10.4/16 in this VRF"). Fixture rows with fam i%6==0
+# are vpnv4u 10.(i%16).0.0/24; the subnet 10.4.0.0/16 selects i%16==4,
+# i.e. i ≡ 36 (mod 48) by CRT.
+_WIRE_VPN_ORACLE = """
+    SELECT i,
+           'L' || (16 + i % 10) || ':' || (100 + i % 5) || ':'
+               || (1000 + i % 7) || ':10.4.0.0/24' AS nlri_str,
+           CAST(100 + i % 5 AS BIGINT) AS rd_hi,
+           CAST(1000 + i % 7 AS BIGINT) AS rd_lo
+    FROM range(300) t(i)
+    WHERE i % 6 = 0 AND i % 16 = 4
+"""
+
+@q("f_wire_vpn_subnet", _WIRE_VPN_ORACLE)
+def f_wire_vpn_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire → filter integration: MRT-decoded vpnv4u routes (RD + label
+    stack from real bytes) filtered by the compiled 3VL subnet term on
+    the VPN rib (filterlang F1 dispatch through the rd chain)."""
+    from bgpexplorer_spark.filterlang.compile import matches
+    from bgpexplorer_spark.functions.codecs import aspath_flatten
+    from bgpexplorer_spark.sources.mrt import assign_sessions, read_mrt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # building the family-matrix query writes its MRT fixture eagerly
+    s1_mrt_mp_families(spark, sf_dir)
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_mp_fixture.mrt")
+    upd, _ = assign_sessions(read_mrt(spark, path))
+    upd = upd.withColumn("aspath_flat", aspath_flatten(F.col("aspath")))
+    return (
+        upd.filter(F.col("rib") == "vpnv4u")
+        .filter(matches("10.4.0.0/16", "vpnv4u"))
+        .select(
+            (F.col("ts").cast("long") - F.lit(1704067200)).alias("i"),
+            "nlri_str", "rd_hi", "rd_lo",
+        )
+    )
+
+# Per-VRF (RD) analytics over the wire-decoded VPN table — the "show me
+# my VRFs" rollup: route counts, distinct prefixes, label range.
+_VRF_ORACLE = """
+    SELECT (100 + i % 5) || ':' || (1000 + i % 7) AS vrf,
+           CAST(count(*) AS BIGINT) AS routes,
+           CAST(count(DISTINCT i % 16) AS BIGINT) AS prefixes,
+           CAST(min(16 + i % 10) AS BIGINT) AS min_label,
+           CAST(max(16 + i % 10) AS BIGINT) AS max_label
+    FROM range(300) t(i) WHERE i % 6 = 0
+    GROUP BY 1
+"""
+
+@q("an_vrf_summary", _VRF_ORACLE)
+def an_vrf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-VRF rollup over wire-decoded vpnv4u routes: one aggregate
+    keyed by the RD display form — count, distinct prefixes, label
+    range. Map-side combinable; the VRF key is low-cardinality so the
+    exchange is tiny at any scale."""
+    from bgpexplorer_spark.functions.codecs import rd_to_str
+    from bgpexplorer_spark.sources.mrt import assign_sessions, read_mrt
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    s1_mrt_mp_families(spark, sf_dir)  # writes the MRT fixture eagerly
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_mp_fixture.mrt")
+    upd, _ = assign_sessions(read_mrt(spark, path))
+    return (
+        upd.filter(F.col("rib") == "vpnv4u")
+        .groupBy(rd_to_str(F.col("rd_hi"), F.col("rd_lo")).alias("vrf"))
+        .agg(
+            F.count(F.lit(1)).alias("routes"),
+            F.count_distinct("addr_v4").alias("prefixes"),
+            F.min(F.element_at("labels", 1)).alias("min_label"),
+            F.max(F.element_at("labels", 1)).alias("max_label"),
+        )
+    )
