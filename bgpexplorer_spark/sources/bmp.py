@@ -62,17 +62,24 @@ def parse_bmp(data: bytes) -> Iterator[dict]:
     for mtype, body in _walk_frames(data):
         if mtype != BMP_ROUTE_MONITORING or len(body) < _PER_PEER_LEN + 19:
             continue
-        peer_addr, peer_as, ts_f = _parse_per_peer(body, 0)
-        p = _PER_PEER_LEN
-        # BGP message: 16B marker + length(2) + type(1)
-        btype = body[p + 18]
-        if btype != 2:
+        # one corrupt frame must not abort the stream (nor its Arrow
+        # batch): skip the rest of THAT frame only
+        try:
+            peer_addr, peer_as, ts_f = _parse_per_peer(body, 0)
+            p = _PER_PEER_LEN
+            # BGP message: 16B marker + length(2) + type(1)
+            btype = body[p + 18]
+            if btype != 2:
+                continue
+            p += 19
+            ts = dt.datetime.fromtimestamp(ts_f, tz=dt.timezone.utc).replace(
+                tzinfo=None
+            )
+            yield from parse_bgp_update(
+                body, p, len(body), ts, peer_addr, peer_as, as4=True
+            )
+        except (IndexError, struct.error, ValueError, OverflowError, OSError):
             continue
-        p += 19
-        ts = dt.datetime.fromtimestamp(ts_f, tz=dt.timezone.utc).replace(tzinfo=None)
-        yield from parse_bgp_update(
-            body, p, len(body), ts, peer_addr, peer_as, as4=True
-        )
 
 
 def parse_bmp_sessions(data: bytes) -> list[tuple[str, int]]:

@@ -797,6 +797,18 @@ def parse_mrt(data: bytes) -> Iterator[dict]:
     same file (RFC 6396 §4.3)."""
     off, n = 0, len(data)
     peers: list[tuple[str, int]] = []
+
+    def safe(gen):
+        # one corrupt record must not abort the file (nor, downstream,
+        # its whole Arrow batch in read_mrt): a truncated body raising
+        # mid-walk skips the REST of that record only — same discipline
+        # as the media decoders' never-raise guarantee
+        try:
+            yield from gen
+        except (IndexError, struct.error, ValueError, OverflowError,
+                OSError):
+            return
+
     while off + 12 <= n:
         ts_sec, mtype, subtype, length = struct.unpack(
             ">IHHI", data[off : off + 12]
@@ -805,18 +817,21 @@ def parse_mrt(data: bytes) -> Iterator[dict]:
         body = data[off : off + length]
         off += length
         if mtype == MRT_TABLE_DUMP:
-            yield from _parse_td1(body, subtype)
+            yield from safe(_parse_td1(body, subtype))
             continue
         if mtype == MRT_TABLE_DUMP_V2:
             if subtype == TD2_PEER_INDEX_TABLE:
-                peers = _parse_peer_index(body)
+                try:
+                    peers = _parse_peer_index(body)
+                except (IndexError, struct.error, ValueError):
+                    peers = []
             elif subtype in (
                 TD2_RIB_IPV4_UNICAST, TD2_RIB_IPV6_UNICAST,
                 TD2_RIB_IPV4_UNICAST_ADDPATH, TD2_RIB_IPV6_UNICAST_ADDPATH,
             ):
-                yield from _parse_td2_rib(body, subtype, peers)
+                yield from safe(_parse_td2_rib(body, subtype, peers))
             elif subtype == TD2_RIB_GENERIC:
-                yield from _parse_td2_generic(body, peers)
+                yield from safe(_parse_td2_generic(body, peers))
             continue
         if mtype not in (MRT_BGP4MP, MRT_BGP4MP_ET):
             continue
@@ -825,7 +840,7 @@ def parse_mrt(data: bytes) -> Iterator[dict]:
             BGP4MP_MESSAGE_ADDPATH, BGP4MP_MESSAGE_AS4_ADDPATH,
         ):
             continue
-        yield from _parse_bgp4mp(body, ts_sec, mtype, subtype)
+        yield from safe(_parse_bgp4mp(body, ts_sec, mtype, subtype))
 
 
 def read_mrt(spark: SparkSession, path: str) -> DataFrame:

@@ -256,10 +256,14 @@ class BgpListener(LiveListenerBase):
                 return None  # UPDATE before OPEN — not a session, drop
             sid, peer_addr, peer_as, as4, addpath = sess
             ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-            for r in parse_bgp_update(
-                body, 0, len(body), ts, peer_addr, peer_as, as4=as4,
-                addpath=addpath,
-            ):
+            try:
+                decoded = list(parse_bgp_update(
+                    body, 0, len(body), ts, peer_addr, peer_as, as4=as4,
+                    addpath=addpath,
+                ))
+            except (IndexError, struct.error, ValueError, OverflowError):
+                return None  # malformed UPDATE: drop it, keep the session
+            for r in decoded:
                 r.pop("peer_addr"), r.pop("peer_as")
                 r["session_id"] = sid
                 rows.append(r)

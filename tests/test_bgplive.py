@@ -182,3 +182,26 @@ def test_concurrent_router_sessions(spark):
     # every 11.x route under 65001's sid, every 12.x under 65002's sid
     assert per == {(reg[65001], "11"), (reg[65002], "12")}
     assert upd.count() == 10
+
+
+def test_malformed_update_skipped_session_survives(spark):
+    """A garbled UPDATE body (claims more attribute bytes than it has)
+    is dropped without tearing down the session; the next valid UPDATE
+    still decodes."""
+    out = tempfile.mkdtemp()
+    with BgpListener(out, flush_secs=0.2) as lsn:
+        with socket.create_connection((lsn.host, lsn.port), timeout=10) as s:
+            s.sendall(encode_bgp_open(65011, 30, 0x01010101))
+            _recv_msg(s), _recv_msg(s)
+            # withdrawn-len 0, attrs-len 200 but only 4 attr bytes present
+            bad = struct.pack(">H", 0) + struct.pack(">H", 200) + b"\x40\x01\x01\x00"
+            s.sendall(encode_bgp_message(2, bad))
+            time.sleep(0.2)
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(0x0D000000, 8)], origin=0,
+                aspath=[(2, [65011])], nexthop=0x01010101,
+            )))
+            time.sleep(0.6)
+        _wait_for_files(out)
+    upd = spark.read.parquet(out)
+    assert {r.nlri_str for r in upd.collect()} == {"13.0.0.0/8"}

@@ -249,3 +249,78 @@ def test_evpn_t1_t4_and_t5_gateway():
     assert r5["nlri_str"] == "E5:6:6:11.0.0.0/24"   # display: the prefix
     assert r5["addr_v4"] == 0x0A000063               # match key: the GW
     assert r5["prefixlen"] == 24
+
+
+def test_parse_mrt_never_raises_on_corrupted_archives():
+    """Dump archives contain junk: bit-flipped records must be skipped,
+    never abort the file (which would kill a whole Arrow batch in
+    read_mrt). Covers every family decoder plus TD2 paths."""
+    import random
+
+    from bgpexplorer_spark.sources.mrt import (
+        encode_mdt_nlri,
+        encode_peer_index,
+        encode_td2_generic,
+        encode_update,
+        parse_mrt,
+        parse_mrt_state_changes,
+    )
+
+    base = b""
+    for i in range(12):
+        fam = i % 6
+        kw = dict(ts_sec=1704067200 + i, peer_as=65000, peer_ip=0x0AFF0001,
+                  origin=0, aspath=[(2, [65000])])
+        mp = [
+            (1, 128, bytes(8) + b"\x0a\x00\x00\x01",
+             encode_labeled_nlri([16], 0x0A000000, 24, rd=(1, 2))),
+            (1, 4, b"\x0a\x00\x00\x01", encode_labeled_nlri([33], 0x0B000000, 16)),
+            (1, 66, b"\x0a\x00\x00\x01",
+             encode_mdt_nlri((1, 2), 0x0A010101, 0xE8010101)),
+            (25, 65, b"\x0a\x00\x00\x01",
+             encode_vpls_nlri((2, 2), 1, 0, 8, 100)),
+            (25, 70, b"\x0a\x00\x00\x01",
+             encode_evpn_nlri(2, (1, 1), mac=bytes(6), ip=b"\x0a\x00\x00\x01")),
+            (1, 5, b"\x0a\x00\x00\x01",
+             encode_mvpn_nlri(5, (3, 3), source=0x0A000001, group=0xE8010101)),
+        ][fam]
+        base += encode_update(**kw, mp_reach=mp)
+    base += encode_peer_index([(0x0A000001, 65001)])
+    base += encode_td2_generic(
+        1, 1, 128, encode_labeled_nlri([5], 0x0A000000, 24, rd=(1, 1)),
+        [{"peer_idx": 0, "orig_time": 1704067200, "origin": 0,
+          "aspath": [(2, [65001])], "nexthop": 0x0A000001}])
+
+    rnd = random.Random(7)
+    for _ in range(400):
+        b = bytearray(base)
+        for _f in range(rnd.randint(1, 8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        list(parse_mrt(bytes(b)))            # must never raise
+        list(parse_mrt_state_changes(bytes(b)))
+
+
+def test_parse_bmp_never_raises_on_corrupted_streams():
+    import random
+
+    from bgpexplorer_spark.sources.bmp import (
+        encode_bmp_route_monitoring,
+        parse_bmp,
+    )
+
+    base = b"".join(
+        encode_bmp_route_monitoring(
+            0x0A000001, 65001, 1704067200 + i,
+            encode_bgp_update_body(
+                nlri=[(0x0B000000 + i * 65536, 24)], origin=0,
+                aspath=[(2, [65001])], nexthop=0x0A000001,
+            ),
+        )
+        for i in range(8)
+    )
+    rnd = random.Random(8)
+    for _ in range(400):
+        b = bytearray(base)
+        for _f in range(rnd.randint(1, 8)):
+            b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+        list(parse_bmp(bytes(b)))  # must never raise
