@@ -4423,3 +4423,68 @@ def an_vrf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.element_at("labels", 1)).alias("max_label"),
         )
     )
+
+# Session stability from wire-decoded FSM transitions: the per-4 pattern
+# 1→3, 3→5, 5→6 (reach Established), 6→1 (lose it) gives every peer real
+# up/down structure; peers are i % 6 so the per-peer tallies are a
+# closed-form GROUP BY over the range table.
+_SESSION_STAB_ORACLE = """
+    WITH tr AS (
+        SELECT '10.255.1.' || CAST(i % 6 AS VARCHAR) AS peer_addr,
+               CAST(64900 + i % 6 AS BIGINT) AS peer_as,
+               (1704067000 + i) * 1000 AS ts_ms,
+               CASE i % 4 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 5
+                    ELSE 6 END AS old_state,
+               CASE i % 4 WHEN 0 THEN 3 WHEN 1 THEN 5 WHEN 2 THEN 6
+                    ELSE 1 END AS new_state
+        FROM range(240) t(i)
+    )
+    SELECT peer_addr, peer_as,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN new_state = 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_established,
+           CAST(sum(CASE WHEN old_state = 6 AND new_state <> 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+           CAST(max_by(new_state, ts_ms) AS INTEGER) AS last_state,
+           min(ts_ms) AS first_ts_ms, max(ts_ms) AS last_ts_ms
+    FROM tr GROUP BY 1, 2
+"""
+
+@q("an_session_stability", _SESSION_STAB_ORACLE)
+def an_session_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-health rollup (operators/analytics.session_stability) over
+    REAL wire-decoded BGP4MP_STATE_CHANGE records: Established
+    reached/lost counts, argmax last state, observation span — one
+    map-side-combinable aggregate per peer."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.operators.analytics import session_stability
+    from bgpexplorer_spark.sources.mrt import (
+        encode_state_change,
+        read_mrt_state_changes,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    old_states = [1, 3, 5, 6]
+    new_states = [3, 5, 6, 1]
+    stream = b"".join(
+        encode_state_change(
+            1704067000 + i, 64900 + i % 6, 0x0AFF0100 + i % 6,
+            old_states[i % 4], new_states[i % 4],
+        )
+        for i in range(240)
+    )
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_stab.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(stream)
+    os.replace(tmp, path)
+
+    out = session_stability(read_mrt_state_changes(spark, path))
+    return out.select(
+        "peer_addr", "peer_as", "n_transitions", "n_established", "n_lost",
+        "last_state",
+        ts_to_millis_col(F.col("first_ts")).alias("first_ts_ms"),
+        ts_to_millis_col(F.col("last_ts")).alias("last_ts_ms"),
+    )

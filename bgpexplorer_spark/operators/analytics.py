@@ -483,3 +483,26 @@ def flap_damping(
         .withColumn("suppressed", F.col("penalty") >= F.lit(suppress_threshold))
         .withColumn("reusable", F.col("penalty") < F.lit(reuse_threshold))
     )
+
+
+def session_stability(changes: DataFrame) -> DataFrame:
+    """Per-peer BGP session stability from FSM transitions (RFC 4271 §8;
+    state 6 = Established) — the session-health view a monitoring
+    station keeps next to its RIB (the reference surfaces per-session
+    state through /api/statistics, src/bgpsvc.rs:709-731; the archival
+    transition log is strictly richer): how often the session reached
+    Established, how often it fell out, the last known state, and the
+    observation span. One aggregate keyed by peer — map-side
+    combinable, no window, no join; last_state is an argmax via
+    max(struct), not a sort."""
+    last = F.max(F.struct(F.col("ts"), F.col("new_state")))
+    return changes.groupBy("peer_addr", "peer_as").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum((F.col("new_state") == 6).cast("long")).alias("n_established"),
+        F.sum(
+            ((F.col("old_state") == 6) & (F.col("new_state") != 6)).cast("long")
+        ).alias("n_lost"),
+        last.getField("new_state").alias("last_state"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

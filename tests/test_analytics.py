@@ -377,3 +377,30 @@ def test_flap_damping_decay_and_thresholds(spark):
     expect2 = 1000.0 * math.exp(-lam * 990)
     assert (r2.n_flaps, r2.penalty) == (1, round(expect2, 4))
     assert r2.reusable and not r2.suppressed  # ~0.1 < 750
+
+
+def test_session_stability(spark):
+    """Per-peer FSM rollup: Established reached/lost tallies, argmax
+    last state, observation span."""
+    import datetime as dt
+
+    from bgpexplorer_spark.operators.analytics import session_stability
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # peer A: up, down, up again -> 2 established, 1 lost, ends at 6
+        ("10.0.0.1", 65001, t0, 1, 6),
+        ("10.0.0.1", 65001, t0 + dt.timedelta(seconds=1), 6, 1),
+        ("10.0.0.1", 65001, t0 + dt.timedelta(seconds=2), 1, 6),
+        # peer B: never established, ends at 3
+        ("10.0.0.2", 65002, t0, 1, 2),
+        ("10.0.0.2", 65002, t0 + dt.timedelta(seconds=5), 2, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "peer_addr string, peer_as long, ts timestamp, "
+              "old_state int, new_state int")
+    got = {
+        r.peer_addr: (r.n_transitions, r.n_established, r.n_lost, r.last_state)
+        for r in session_stability(df).collect()
+    }
+    assert got == {"10.0.0.1": (3, 2, 1, 6), "10.0.0.2": (2, 0, 0, 3)}
