@@ -43,6 +43,7 @@ class BgpExplorerService:
         exact_length: bool = False,
         ws_apply_filter: bool = False,
         roas: DataFrame | None = None,
+        state_changes: DataFrame | None = None,
     ):
         from bgpexplorer_spark.streaming.wsfeed import LiveFeed
 
@@ -50,6 +51,8 @@ class BgpExplorerService:
         self.sessions = sessions
         # RFC 6811 ROA table (net, plen, max_len, asn) for /api/analytics/rpki
         self.roas = roas
+        # FSM transition log (read_mrt_state_changes) for /api/analytics/sessions
+        self.state_changes = state_changes
         self.route_counts = dict(route_counts) if route_counts else None
         self.exact_length = exact_length
         self.state = "Established"  # O8 (src/bgpsvc.rs:429-435)
@@ -260,6 +263,32 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_session_stability(self) -> list[dict]:
+        """GET /api/analytics/sessions — per-peer FSM rollup (times
+        Established reached/lost, last state, observation span) from the
+        state-change log, when the service holds one."""
+        if self.state_changes is None:
+            return []
+        from bgpexplorer_spark.functions.timeutil import ts_to_millis
+        from bgpexplorer_spark.operators.analytics import session_stability
+
+        rows = (
+            session_stability(self.state_changes)
+            .withColumn("first_ts_ms", ts_to_millis(F.col("first_ts")))
+            .withColumn("last_ts_ms", ts_to_millis(F.col("last_ts")))
+            .collect()
+        )
+        return [
+            {
+                "peer": r.peer_addr, "peer_as": r.peer_as,
+                "transitions": r.n_transitions,
+                "established": r.n_established, "lost": r.n_lost,
+                "last_state": r.last_state,
+                "first_ts": r.first_ts_ms, "last_ts": r.last_ts_ms,
+            }
+            for r in rows
+        ]
+
     def api_statistics(self) -> dict:
         """GET /api/statistics (O6, src/ribservice.rs:168-219)."""
         rows = statistics(self.history).collect()
@@ -425,6 +454,8 @@ def _make_handler(svc: BgpExplorerService):
                     )
                 if parts[:3] == ["api", "analytics", "bogons"]:
                     return self._send(svc.api_bogons(qs.get("rib", "ipv4u")))
+                if parts[:3] == ["api", "analytics", "sessions"]:
+                    return self._send(svc.api_session_stability())
                 if parts[:3] == ["api", "analytics", "flappers"]:
                     return self._send(
                         svc.api_flappers(qs.get("rib", "ipv4u"), int(qs.get("k", 20)))

@@ -594,3 +594,40 @@ def test_http_damping_endpoint(spark):
         assert 1900 < r[0]["penalty"] <= 2000
     finally:
         httpd.shutdown()
+
+
+def test_http_api_session_stability(spark):
+    """GET /api/analytics/sessions — the per-peer FSM rollup served over
+    HTTP when the service holds a state-change log."""
+    import json
+    import urllib.request
+
+    import datetime as dt
+
+    from bgpexplorer_spark.api import BgpExplorerService, serve
+    from bgpexplorer_spark.operators.ingest import build_history
+
+    from tests.ribdata import make_updates, u
+
+    t0 = dt.datetime(2024, 1, 1)
+    changes = spark.createDataFrame(
+        [
+            ("10.0.0.1", 65001, t0, 1, 6),
+            ("10.0.0.1", 65001, t0 + dt.timedelta(seconds=9), 6, 1),
+        ],
+        "peer_addr string, peer_as long, ts timestamp, "
+        "old_state int, new_state int",
+    )
+    hist = build_history(make_updates(spark, [u("10.0.0.0/24", t=1)])).cache()
+    svc = BgpExplorerService(hist, state_changes=changes)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        got = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/api/analytics/sessions").read())
+    finally:
+        httpd.shutdown()
+    [row] = got
+    assert (row["peer"], row["established"], row["lost"], row["last_state"]) \
+        == ("10.0.0.1", 1, 1, 1)
+    assert row["last_ts"] - row["first_ts"] == 9000
