@@ -4488,3 +4488,71 @@ def an_session_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_to_millis_col(F.col("first_ts")).alias("first_ts_ms"),
         ts_to_millis_col(F.col("last_ts")).alias("last_ts_ms"),
     )
+
+@q(
+    "an_aggregatable",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active),
+    o AS (SELECT DISTINCT addr_v4, prefixlen, origin_as FROM state
+          WHERE prefixlen > 0),
+    sib AS (
+        SELECT prefixlen, origin_as,
+               CAST(addr_v4 - (addr_v4 %
+                    CAST(pow(2, 33 - prefixlen) AS BIGINT)) AS BIGINT)
+                   AS parent,
+               addr_v4
+        FROM o
+    )
+    SELECT CAST(floor(parent / 16777216) % 256 AS BIGINT) || '.' ||
+           CAST(floor(parent / 65536) % 256 AS BIGINT) || '.' ||
+           CAST(floor(parent / 256) % 256 AS BIGINT) || '.' ||
+           CAST(parent % 256 AS BIGINT) || '/' ||
+           CAST(prefixlen - 1 AS VARCHAR) AS agg_nlri,
+           CAST(prefixlen - 1 AS INTEGER) AS agg_plen,
+           origin_as
+    FROM sib
+    GROUP BY parent, prefixlen, origin_as
+    HAVING count(DISTINCT addr_v4) = 2
+    """,
+)
+def an_aggregatable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR-Report-style aggregation potential
+    (operators/analytics.aggregatable_prefixes): same-origin sibling
+    prefix pairs whose parent would cover both — each is one redundant
+    announcement. Distinct + one hash aggregate, no join."""
+    from bgpexplorer_spark.operators.analytics import aggregatable_prefixes
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = _origins_history(spark, sf_dir)
+    return aggregatable_prefixes(current_state(hist))
+
+@q(
+    "text_vocab_stats",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_duck_tokens('text')}) AS token
+        FROM documents
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM tok GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 50
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics (operators/text.vocab_stats): top-50 tokens
+    by corpus count with document frequency — explode + one aggregate +
+    deterministic top-k."""
+    from bgpexplorer_spark.operators.text import vocab_stats
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return vocab_stats(docs, k=50)

@@ -506,3 +506,43 @@ def session_stability(changes: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+def aggregatable_prefixes(
+    state: DataFrame, addr_col: str = "addr_v4",
+    path_col: str = "aspath_flat",
+) -> DataFrame:
+    """CIDR-Report-style aggregation potential: sibling prefix pairs —
+    same length, same origin AS, differing only in their top bit — whose
+    common parent would cover exactly both, i.e. one redundant
+    announcement each (the metric the weekly CIDR Report has tracked
+    since the 90s). One hash aggregate keyed by (parent, plen, origin);
+    distinct + aggregate only, no join, map-side combinable."""
+    span2 = F.pow(F.lit(2.0), F.lit(33) - F.col("prefixlen")).cast("bigint")
+    sib = (
+        state.filter(
+            F.col(addr_col).isNotNull() & (F.col("prefixlen") > 0)
+        )
+        .select(
+            F.col("prefixlen"),
+            F.element_at(F.col(path_col), -1).alias("origin_as"),
+            (F.col(addr_col) - F.col(addr_col) % span2).alias("_parent"),
+            F.col(addr_col).alias("_addr"),
+        )
+        .distinct()
+    )
+    from bgpexplorer_spark.functions.iputil import v4_to_dotted
+
+    return (
+        sib.groupBy("_parent", "prefixlen", "origin_as")
+        .agg(F.count_distinct("_addr").alias("_n"))
+        .filter(F.col("_n") == 2)
+        .select(
+            F.concat_ws(
+                "/", v4_to_dotted(F.col("_parent")),
+                (F.col("prefixlen") - 1).cast("string"),
+            ).alias("agg_nlri"),
+            (F.col("prefixlen") - 1).alias("agg_plen"),
+            "origin_as",
+        )
+    )

@@ -343,3 +343,27 @@ def duplicate_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def vocab_stats(
+    df: DataFrame, text_col: str = "text", k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary statistics: per-token total count and document
+    frequency, top-``k`` by count — the tokenizer-training / vocab-audit
+    primitive (what BPE merges and frequency-cutoff vocabularies start
+    from). One explode + one map-side-combinable aggregate + one top-k;
+    ties break lexicographically so the cut is deterministic."""
+    tok = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("_doc").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )

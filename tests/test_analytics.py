@@ -404,3 +404,37 @@ def test_session_stability(spark):
         for r in session_stability(df).collect()
     }
     assert got == {"10.0.0.1": (3, 2, 1, 6), "10.0.0.2": (2, 0, 0, 3)}
+
+
+def test_aggregatable_prefixes(spark):
+    """Sibling same-origin pairs roll up; a lone child, a mixed-origin
+    pair, and differing lengths don't."""
+    from bgpexplorer_spark.operators.analytics import aggregatable_prefixes
+
+    rows = [
+        # 10.0.0.0/24 + 10.0.1.0/24, same origin 100 -> 10.0.0.0/23
+        (0x0A000000, 24, [1, 100]),
+        (0x0A000100, 24, [2, 100]),
+        # 10.0.2.0/24 alone
+        (0x0A000200, 24, [1, 100]),
+        # 10.1.0.0/24 + 10.1.1.0/24 but DIFFERENT origins
+        (0x0A010000, 24, [1, 100]),
+        (0x0A010100, 24, [1, 200]),
+    ]
+    df = spark.createDataFrame(
+        rows, "addr_v4 long, prefixlen int, aspath_flat array<long>")
+    got = [(r.agg_nlri, r.origin_as)
+           for r in aggregatable_prefixes(df).collect()]
+    assert got == [("10.0.0.0/23", 100)]
+
+
+def test_vocab_stats(spark):
+    from bgpexplorer_spark.operators.text import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "a b b"), (2, "c")],
+        "doc_id long, text string",
+    )
+    got = [(r.token, r.n_occurrences, r.n_docs)
+           for r in vocab_stats(docs, k=10).collect()]
+    assert got == [("a", 3, 2), ("b", 3, 2), ("c", 2, 2)]
