@@ -4556,3 +4556,56 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return vocab_stats(docs, k=50)
+
+# Quality-bucket mix report over the charlm score: the charlm CTEs give
+# per-doc NLL; bucket = 1 + (10 * docs_below) // total in pure integer
+# arithmetic (ties share a bucket; engines agree exactly).
+@q(
+    "pipe_quality_buckets",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    tris AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, strlen(t) - 2),
+                                     i -> substr(t, i, 3))) AS tri
+        FROM d WHERE strlen(t) >= 3
+    ),
+    counts AS (SELECT tri, count(*) AS cnt FROM tris GROUP BY tri),
+    model AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM counts),
+    scores AS (
+        SELECT tr.doc_id,
+               round(-avg(ln((coalesce(c.cnt, 0) + 1)
+                             / (m.total + m.vocab * 1.0))), 4) AS nll
+        FROM tris tr LEFT JOIN counts c USING (tri) CROSS JOIN model m
+        GROUP BY tr.doc_id
+    ),
+    hist AS (SELECT nll, count(*) AS c FROM scores GROUP BY nll),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM hist),
+    cum AS (
+        SELECT nll,
+               CAST(coalesce(sum(c) OVER (ORDER BY nll
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS below
+        FROM hist
+    ),
+    mp AS (SELECT nll, CAST(1 + (10 * below) // t AS INTEGER) AS bucket
+           FROM cum, tot)
+    SELECT mp.bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / (SELECT t * 1.0 FROM tot), 6) AS doc_share,
+           round(min(s.nll), 4) AS score_min,
+           round(max(s.nll), 4) AS score_max
+    FROM scores s JOIN mp ON s.nll = mp.nll
+    GROUP BY mp.bucket
+    """,
+)
+def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucket mix report (operators/pipeline.quality_buckets)
+    over the charlm NLL score: integer-arithmetic quantile buckets
+    (no global sort window), broadcast assignment, one rollup."""
+    from bgpexplorer_spark.operators.pipeline import quality_buckets
+    from bgpexplorer_spark.operators.text import charlm_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = charlm_nll(docs).select("doc_id", "nll")
+    return quality_buckets(scored)

@@ -294,3 +294,41 @@ def gumbel_topk_resample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quality_buckets(
+    scored: DataFrame, score_col: str = "nll", n_buckets: int = 10,
+) -> DataFrame:
+    """Data-mix curation view — the CCNet head/middle/tail cut (Wenzek
+    et al. 2020 §4.3) generalized to ``n_buckets`` quantile buckets over
+    any quality score: per-bucket document counts, shares, and the score
+    range, so a mix designer can decide where to cut.
+
+    Deterministic and scale-safe: NO global sort window. The score
+    histogram (distinct ROUNDED scores — small by construction) is the
+    only driver materialization; a score's bucket is
+    ``1 + (n * docs_below) // total`` in pure integer arithmetic, so
+    ties share a bucket and any engine agrees exactly. Assignment is a
+    broadcast join of the histogram-derived map; the rollup is one
+    aggregate."""
+    hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("_c")).collect()
+    rows = sorted((float(r[score_col]), int(r["_c"])) for r in hist)
+    total = sum(c for _, c in rows) or 1
+    mapping, cum = [], 0
+    for s, c in rows:
+        mapping.append((s, 1 + n_buckets * cum // total))
+        cum += c
+    spark = scored.sparkSession
+    mapdf = spark.createDataFrame(mapping, f"{score_col} double, bucket int")
+    return (
+        scored.join(F.broadcast(mapdf), score_col)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)) / F.lit(float(total)), 6).alias(
+                "doc_share"
+            ),
+            F.round(F.min(score_col), 4).alias("score_min"),
+            F.round(F.max(score_col), 4).alias("score_max"),
+        )
+    )

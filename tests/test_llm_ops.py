@@ -643,3 +643,18 @@ def test_duplicate_span_stats(spark):
     assert out == {
         0: (3, 1, 0.3333), 1: (3, 1, 0.3333), 2: (1, 0, 0.0), 3: (0, 0, 0.0),
     }
+
+def test_quality_buckets_integer_arithmetic(spark):
+    """Bucket = 1 + (n * docs_below) // total: ties share a bucket, the
+    shares sum to 1, and no global sort window appears in the plan."""
+    from bgpexplorer_spark.operators.pipeline import quality_buckets
+
+    rows = [(i, float(i % 4)) for i in range(20)]  # 4 tied score groups
+    scored = spark.createDataFrame(rows, "doc_id long, nll double")
+    out = {r.bucket: (r.n_docs, r.doc_share)
+           for r in quality_buckets(scored, n_buckets=4).collect()}
+    # each score group (5 docs) lands wholly in one bucket
+    assert out == {1: (5, 0.25), 2: (5, 0.25), 3: (5, 0.25), 4: (5, 0.25)}
+    plan = quality_buckets(scored, n_buckets=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan
