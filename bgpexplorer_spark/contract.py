@@ -4609,3 +4609,62 @@ def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     scored = charlm_nll(docs).select("doc_id", "nll")
     return quality_buckets(scored)
+
+# Contamination measurement: eval slice = every 25th doc's first 12
+# tokens (guaranteed overlap with its source doc), probed against the
+# full corpus' distinct shingle set.
+@q(
+    "pipe_contamination_report",
+    f"""
+    WITH ev AS (
+        SELECT doc_id,
+               array_to_string(({_duck_tokens('text')})[1:12], ' ') AS text
+        FROM documents WHERE doc_id % 25 = 0
+    ),
+    evl AS (SELECT doc_id, {_duck_tokens('text')} AS l FROM ev),
+    evg AS (
+        SELECT doc_id,
+               unnest([array_to_string(l[i:i+7], ' ')
+                       for i in range(1, len(l) - 6)]) AS g
+        FROM evl WHERE len(l) >= 8
+    ),
+    trl AS (SELECT {_duck_tokens('text')} AS l FROM documents),
+    trg AS (
+        SELECT DISTINCT unnest([array_to_string(l[i:i+7], ' ')
+                                for i in range(1, len(l) - 6)]) AS g
+        FROM trl WHERE len(l) >= 8
+    ),
+    per AS (
+        SELECT evg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN trg.g IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_overlapping
+        FROM evg LEFT JOIN trg ON evg.g = trg.g
+        GROUP BY evg.doc_id
+    )
+    SELECT ev.doc_id,
+           coalesce(per.n_shingles, 0) AS n_shingles,
+           coalesce(per.n_overlapping, 0) AS n_overlapping,
+           round(coalesce(per.n_overlapping / per.n_shingles, 0.0), 4)
+               AS overlap_frac
+    FROM ev LEFT JOIN per ON per.doc_id = ev.doc_id
+    """,
+)
+def pipe_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc contamination measurement
+    (operators/pipeline.contamination_report): 8-gram overlap fractions
+    against the corpus' distinct shingle set — the report published
+    before decontamination drops anything."""
+    from bgpexplorer_spark.operators.pipeline import contamination_report
+    from bgpexplorer_spark.operators.text import tokens
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ev = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 12)).alias("text"),
+        )
+    )
+    return contamination_report(docs, ev, n=8)

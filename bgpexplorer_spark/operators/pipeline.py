@@ -332,3 +332,66 @@ def quality_buckets(
             F.round(F.max(score_col), 4).alias("score_max"),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The measurement half of :func:`decontaminate`: per EVAL document,
+    how much of it leaks into the training corpus — total word-n-gram
+    shingles, shingles found anywhere in train, and the overlap
+    fraction. This is the table a benchmark owner publishes ("x% of
+    GSM8K n-grams appear in the corpus") before anyone drops data.
+
+    Scale shape: the train shingle set is reduced to DISTINCT hashes
+    first (one map-side-combinable aggregate over the exploded corpus —
+    the only corpus-scale stage), then the tiny eval side probes it with
+    a left join; per-eval-doc rollup is one aggregate."""
+    from bgpexplorer_spark.operators.text import (
+        portable_hash32,
+        shingles_of_tokens,
+        tokens,
+    )
+
+    tr = (
+        train.withColumn("_toks", tokens(F.col(text_col)))
+        .select(F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_g"))
+        .select(portable_hash32(F.col("_g")).alias("_gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ev = (
+        eval_df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("_g"),
+        )
+        .select(F.col(id_col), portable_hash32(F.col("_g")).alias("_gh"))
+    )
+    per = (
+        ev.join(tr, "_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlapping"),
+        )
+    )
+    return (
+        eval_df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlapping", F.lit(0)).alias("n_overlapping"),
+            F.round(
+                F.coalesce(
+                    F.col("n_overlapping") / F.col("n_shingles"), F.lit(0.0)
+                ),
+                4,
+            ).alias("overlap_frac"),
+        )
+    )

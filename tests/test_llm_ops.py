@@ -658,3 +658,30 @@ def test_quality_buckets_integer_arithmetic(spark):
     plan = quality_buckets(scored, n_buckets=4)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Window" not in plan
+
+def test_contamination_report(spark):
+    from bgpexplorer_spark.operators.pipeline import contamination_report
+
+    train = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            # 3 shingles (n=4): 2 present in train doc 0, 1 novel
+            (100, "one two three four five ZZZ"),
+            (101, "totally disjoint words here"),   # 0 shingles hit
+            (102, "short"),                         # < n tokens: 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_overlapping, r.overlap_frac)
+        for r in contamination_report(train, ev, n=4).collect()
+    }
+    assert got == {
+        100: (3, 2, 0.6667), 101: (1, 0, 0.0), 102: (0, 0, 0.0),
+    }
