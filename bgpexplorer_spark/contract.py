@@ -4668,3 +4668,55 @@ def pipe_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return contamination_report(docs, ev, n=8)
+
+# AS-path loop detection over derived paths: every 11th event carries a
+# true loop (a1, 999, a1), every 4th-but-not-11th consecutive prepending
+# (a1, 300, 300 — NOT a loop), the rest are clean.
+@q(
+    "an_aspath_loops",
+    f"""
+    WITH p AS (
+        SELECT event_id,
+               'r' || CAST(event_id AS VARCHAR) AS nlri_str,
+               CASE
+                 WHEN event_id % 11 = 0 THEN
+                   [100 + event_id % 8, 999, 100 + event_id % 8]
+                 WHEN event_id % 4 = 0 THEN
+                   [100 + event_id % 8, 300, 300]
+                 ELSE [100 + event_id % 8, 200 + event_id % 3]
+               END AS flat
+        FROM events
+    ),
+    c AS (
+        SELECT nlri_str, flat,
+               [flat[i] for i in range(1, len(flat) + 1)
+                if i = 1 OR flat[i] <> flat[i - 1]] AS comp
+        FROM p
+    )
+    SELECT nlri_str, comp AS compressed_path,
+           [a for a in list_distinct(comp)
+            if len(list_filter(comp, x -> x = a)) > 1] AS looped_asns
+    FROM c
+    WHERE len(comp) <> len(list_distinct(comp))
+    """,
+)
+def an_aspath_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-adjacent ASN repeats (operators/analytics.aspath_loops):
+    run-compress the path, flag duplicates — prepending stays clean,
+    poisoned/leaked paths surface. Map-only, zero shuffles."""
+    from bgpexplorer_spark.operators.analytics import aspath_loops
+
+    ev = load_table(spark, sf_dir, "events")
+    a1 = (F.lit(100) + F.col("event_id") % 8).cast("long")
+    flat = (
+        F.when(F.col("event_id") % 11 == 0,
+               F.array(a1, F.lit(999).cast("long"), a1))
+        .when(F.col("event_id") % 4 == 0,
+              F.array(a1, F.lit(300).cast("long"), F.lit(300).cast("long")))
+        .otherwise(F.array(a1, (F.lit(200) + F.col("event_id") % 3).cast("long")))
+    )
+    df = ev.select(
+        F.concat(F.lit("r"), F.col("event_id").cast("string")).alias("nlri_str"),
+        flat.alias("aspath_flat"),
+    )
+    return aspath_loops(df)

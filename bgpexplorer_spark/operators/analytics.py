@@ -546,3 +546,36 @@ def aggregatable_prefixes(
             "origin_as",
         )
     )
+
+
+def aspath_loops(
+    state: DataFrame, path_col: str = "aspath_flat",
+) -> DataFrame:
+    """Route-leak / poisoning hygiene: routes whose AS path contains an
+    ASN that REAPPEARS after an intervening different ASN. Benign
+    consecutive prepending (65001 65001 65001) is not a loop; a
+    non-adjacent repeat (65001 3356 65001) is — the signature of path
+    poisoning, leaks through siblings, or misconfigured confederations.
+
+    Pure Column algebra: compress consecutive runs with an indexed
+    filter, then any duplicate in the compressed path is a loop.
+    Map-only projection + filter — zero shuffles, codegen-able."""
+    flat = F.col(path_col)
+    compressed = F.filter(
+        flat, lambda x, i: (i == 0) | (x != F.element_at(flat, i))
+    )
+    staged = state.withColumn("_comp", compressed)
+    comp = F.col("_comp")
+    looped = F.size(comp) != F.size(F.array_distinct(comp))
+    dups = F.filter(
+        F.array_distinct(comp),
+        lambda a: F.size(F.filter(comp, lambda x: x == a)) > 1,
+    )
+    return (
+        staged.filter(flat.isNotNull() & looped)
+        .select(
+            "nlri_str",
+            comp.alias("compressed_path"),
+            dups.alias("looped_asns"),
+        )
+    )

@@ -438,3 +438,23 @@ def test_vocab_stats(spark):
     got = [(r.token, r.n_occurrences, r.n_docs)
            for r in vocab_stats(docs, k=10).collect()]
     assert got == [("a", 3, 2), ("b", 3, 2), ("c", 2, 2)]
+
+
+def test_aspath_loops(spark):
+    """Non-adjacent repeats flag; consecutive prepending doesn't."""
+    from bgpexplorer_spark.operators.analytics import aspath_loops
+
+    rows = [
+        ("10.0.0.0/24", [65001, 3356, 65001]),   # loop
+        ("10.0.1.0/24", [65001, 65001, 3356]),   # prepend only
+        ("10.0.2.0/24", [65001, 3356, 174]),     # clean
+        ("10.0.3.0/24", [1, 2, 1, 2]),           # double loop
+        ("10.0.4.0/24", None),
+    ]
+    df = spark.createDataFrame(rows, "nlri_str string, aspath_flat array<long>")
+    got = {r.nlri_str: (r.compressed_path, sorted(r.looped_asns))
+           for r in aspath_loops(df).collect()}
+    assert got == {
+        "10.0.0.0/24": ([65001, 3356, 65001], [65001]),
+        "10.0.3.0/24": ([1, 2, 1, 2], [1, 2]),
+    }
