@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "sim_semantic_dedup",
     # DSIR: two fixed-size bucket models + broadcast ratio + per-doc sum
     "pipe_dsir_weights",
+    # ExactSubstr: window explode + hash-keyed count-distinct + join back
+    "text_dup_spans",
 ]
 
 def _sf_of(sf_dir: str) -> float:
