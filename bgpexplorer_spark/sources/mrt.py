@@ -110,6 +110,51 @@ def _read_prefixes(buf: bytes, off: int, end: int, v6: bool, addpath: bool = Fal
     return out
 
 
+def _parse_aspath_segments(val: bytes, asz: int, afmt: str) -> list:
+    segs, p = [], 0
+    while p + 2 <= len(val):
+        skind, scount = val[p], val[p + 1]
+        p += 2
+        asns = []
+        for _ in range(scount):
+            if p + asz > len(val):
+                break
+            asns.append(struct.unpack(afmt, val[p : p + asz])[0])
+            p += asz
+        segs.append({"kind": "Set" if skind == 1 else "Seq", "asns": asns})
+    return segs
+
+
+def _merge_as4path(aspath: list, as4path: list) -> list:
+    """RFC 6793 §4.2.3 reconstruction for 2-octet sessions: when
+    AS_PATH (with AS_TRANS placeholders) has at least as many AS numbers
+    as AS4_PATH, the true path is the leading (n - n4) AS numbers of
+    AS_PATH followed by AS4_PATH; otherwise AS4_PATH is ignored. An
+    AS_SET counts as one AS number and is never split."""
+
+    def count(segs: list) -> int:
+        return sum(
+            1 if s["kind"] == "Set" else len(s["asns"]) for s in segs
+        )
+
+    need = count(aspath) - count(as4path)
+    if need < 0:
+        return aspath
+    lead = []
+    for s in aspath:
+        if need <= 0:
+            break
+        if s["kind"] == "Set":
+            lead.append(s)
+            need -= 1
+        else:
+            take = min(need, len(s["asns"]))
+            if take:
+                lead.append({"kind": "Seq", "asns": s["asns"][:take]})
+            need -= take
+    return lead + as4path
+
+
 def _parse_attrs(
     buf: bytes, off: int, end: int, as4: bool,
     table_dump: bool = False, addpath: bool = False,
@@ -146,20 +191,7 @@ def _parse_attrs(
         if atype == 1 and alen >= 1:
             a["origin"] = _ORIGINS.get(val[0])
         elif atype == 2:
-            segs, p = [], 0
-            while p + 2 <= len(val):
-                skind, scount = val[p], val[p + 1]
-                p += 2
-                asns = []
-                for _ in range(scount):
-                    if p + asz > len(val):
-                        break
-                    asns.append(struct.unpack(afmt, val[p : p + asz])[0])
-                    p += asz
-                segs.append(
-                    {"kind": "Set" if skind == 1 else "Seq", "asns": asns}
-                )
-            a["aspath"] = segs
+            a["aspath"] = _parse_aspath_segments(val, asz, afmt)
         elif atype == 3 and alen == 4:
             a["nexthop_v4"] = struct.unpack(">I", val)[0]
         elif atype == 4 and alen == 4:
@@ -203,6 +235,12 @@ def _parse_attrs(
         elif atype == 15 and alen >= 3:  # MP_UNREACH_NLRI — full family matrix
             afi, safi = struct.unpack(">HB", val[:3])
             a["_mp_unreach"] = _decode_mp_nlri(afi, safi, val, 3, len(val), addpath)
+        elif atype == 17 and not as4:
+            # AS4_PATH (RFC 6793 §3): true 4-octet path alongside the
+            # AS_TRANS-laden AS_PATH of a 2-octet session
+            a["_as4path"] = _parse_aspath_segments(val, 4, ">I")
+        elif atype == 18 and not as4 and alen >= 8:
+            a["_as4aggregator"] = struct.unpack(">I", val[:4])[0]
         elif atype == 16:
             a["extcomms"] = [
                 {
@@ -223,6 +261,10 @@ def _parse_attrs(
                 )
                 for i in range(0, len(val) - 11, 12)
             ]
+    if a.get("_as4path") and a.get("aspath") is not None:
+        a["aspath"] = _merge_as4path(a["aspath"], a.pop("_as4path"))
+    if a.get("_as4aggregator") and a.get("aggregator_as") == 23456:
+        a["aggregator_as"] = a.pop("_as4aggregator")
     return a
 
 
@@ -924,6 +966,10 @@ def encode_bgp_update_body(
     addpath: bool = False,
     mp_reach: tuple[int, int, bytes, bytes] | None = None,
     mp_unreach: tuple[int, int, bytes] | None = None,
+    aspath16: list[tuple[int, list[int]]] | None = None,
+    as4path: list[tuple[int, list[int]]] | None = None,
+    aggregator16: tuple[int, int] | None = None,
+    as4aggregator: tuple[int, int] | None = None,
 ) -> bytes:
     """A BGP UPDATE body (after the 19-byte message header) — shared by
     the MRT and BMP fixture encoders. With ``addpath`` the v4 prefix
@@ -950,6 +996,25 @@ def encode_bgp_update_body(
                 struct.pack(">I", x) for x in asns
             )
         attrs += attr(2, seg)
+    if aspath16 is not None:
+        # 2-octet session form (AS_TRANS placeholders, RFC 6793)
+        seg = b""
+        for kind, asns in aspath16:
+            seg += bytes([kind, len(asns)]) + b"".join(
+                struct.pack(">H", x) for x in asns
+            )
+        attrs += attr(2, seg)
+    if as4path is not None:
+        seg = b""
+        for kind, asns in as4path:
+            seg += bytes([kind, len(asns)]) + b"".join(
+                struct.pack(">I", x) for x in asns
+            )
+        attrs += attr(17, seg, flags=0xC0)
+    if aggregator16 is not None:
+        attrs += attr(7, struct.pack(">HI", *aggregator16))
+    if as4aggregator is not None:
+        attrs += attr(18, struct.pack(">II", *as4aggregator), flags=0xC0)
     if nexthop is not None:
         attrs += attr(3, struct.pack(">I", nexthop))
     if med is not None:

@@ -324,3 +324,60 @@ def test_parse_bmp_never_raises_on_corrupted_streams():
         for _f in range(rnd.randint(1, 8)):
             b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
         list(parse_bmp(bytes(b)))  # must never raise
+
+
+def test_as4path_reconstruction():
+    """RFC 6793 §4.2.3: a 2-octet session's AS_PATH carries AS_TRANS
+    placeholders; AS4_PATH restores the true 4-octet tail, leading
+    excess ASNs of AS_PATH are kept, AS_SETs are atomic, a too-long
+    AS4_PATH is ignored, and AS4_AGGREGATOR replaces an AS_TRANS
+    aggregator."""
+    body = encode_bgp_update_body(
+        nlri=[(0x0B000000, 24)], origin=0,
+        aspath16=[(2, [65001, 23456, 23456])],
+        as4path=[(2, [400000, 500000])],
+        aggregator16=(23456, 0x0A000001),
+        as4aggregator=(400000, 0x0A000001),
+        nexthop=0x0A000001,
+    )
+    [r] = list(parse_bgp_update(body, 0, len(body), _TS, "10.0.0.1", 65001,
+                                as4=False))
+    assert [(s["kind"], s["asns"]) for s in r["aspath"]] == [
+        ("Seq", [65001]), ("Seq", [400000, 500000]),
+    ]
+    assert r["aggregator_as"] == 400000
+
+    # AS_SET is atomic: set counts as ONE AS number and is never split
+    body = encode_bgp_update_body(
+        nlri=[(0x0B000000, 24)], origin=0,
+        aspath16=[(1, [65001, 65002]), (2, [23456, 23456])],
+        as4path=[(2, [400000, 500000])],
+        nexthop=0x0A000001,
+    )
+    [r] = list(parse_bgp_update(body, 0, len(body), _TS, "10.0.0.1", 65001,
+                                as4=False))
+    assert [(s["kind"], s["asns"]) for s in r["aspath"]] == [
+        ("Set", [65001, 65002]), ("Seq", [400000, 500000]),
+    ]
+
+    # AS4_PATH longer than AS_PATH: ignored (RFC 6793 §4.2.3)
+    body = encode_bgp_update_body(
+        nlri=[(0x0B000000, 24)], origin=0,
+        aspath16=[(2, [65001])],
+        as4path=[(2, [400000, 500000])],
+        nexthop=0x0A000001,
+    )
+    [r] = list(parse_bgp_update(body, 0, len(body), _TS, "10.0.0.1", 65001,
+                                as4=False))
+    assert [(s["kind"], s["asns"]) for s in r["aspath"]] == [("Seq", [65001])]
+
+    # a 4-octet session never consults AS4_PATH
+    body = encode_bgp_update_body(
+        nlri=[(0x0B000000, 24)], origin=0,
+        aspath=[(2, [65001, 400000])],
+        nexthop=0x0A000001,
+    )
+    [r] = list(parse_bgp_update(body, 0, len(body), _TS, "10.0.0.1", 65001,
+                                as4=True))
+    assert [(s["kind"], s["asns"]) for s in r["aspath"]] == [
+        ("Seq", [65001, 400000])]
