@@ -381,3 +381,62 @@ def test_as4path_reconstruction():
                                 as4=True))
     assert [(s["kind"], s["asns"]) for s in r["aspath"]] == [
         ("Seq", [65001, 400000])]
+
+
+def _one(afi, safi, payload, nh=b"\x0a\x00\x00\x01"):
+    [r] = _rows(_mp_body(afi, safi, payload, nh=nh))
+    return r
+
+
+def test_family_roundtrip_property():
+    """Property round-trips for the family codecs: random RDs (all three
+    wire types), label stacks, prefixes, and MVPN/VPLS fields survive
+    encode → UPDATE → decode exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bgpexplorer_spark.functions.codecs import RD_IP_FLAG
+
+    rd_plain = st.tuples(st.integers(0, 0xFFFF), st.integers(0, 0xFFFFFFFF))
+    rd_ip = st.tuples(
+        st.integers(0, 0xFFFFFFFF), st.integers(0, 0xFFFF)
+    ).map(lambda t: (RD_IP_FLAG | (t[0] >> 16),
+                     ((t[0] & 0xFFFF) << 16) | t[1]))
+    rds = st.one_of(rd_plain, rd_ip)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rd=rds,
+        labels=st.lists(st.integers(0, (1 << 20) - 1), min_size=1, max_size=3),
+        addr=st.integers(0, 0xFFFFFFFF),
+        plen=st.integers(8, 32),
+    )
+    def vpn(rd, labels, addr, plen):
+        addr &= (0xFFFFFFFF << (32 - plen)) & 0xFFFFFFFF
+        r = _one(1, 128, encode_labeled_nlri(labels, addr, plen, rd=rd),
+                 nh=bytes(8) + b"\x0a\x00\x00\x01")
+        assert (r["rd_hi"], r["rd_lo"]) == rd
+        assert r["labels"] == labels
+        assert (r["addr_v4"], r["prefixlen"]) == (addr, plen)
+
+    @settings(max_examples=40, deadline=None)
+    @given(rd=rds, src=st.integers(0, 0xFFFFFFFF), grp=st.integers(0, 0xFFFFFFFF))
+    def mvpn5(rd, src, grp):
+        r = _one(1, 5, encode_mvpn_nlri(5, rd, source=src, group=grp))
+        assert (r["rd_hi"], r["rd_lo"]) == rd
+        assert (r["mvpn_source_v4"], r["mvpn_group_v4"]) == (src, grp)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        rd=rds, ve=st.integers(0, 0xFFFF), off=st.integers(0, 0xFFFF),
+        rng=st.integers(0, 0xFFFF), base=st.integers(0, (1 << 20) - 1),
+    )
+    def vpls(rd, ve, off, rng, base):
+        r = _one(25, 65, encode_vpls_nlri(rd, ve, off, rng, base))
+        assert (r["rd_hi"], r["rd_lo"]) == rd
+        assert (r["l2_site"], r["l2_offset"], r["l2_range"]) == (ve, off, rng)
+        assert r["labels"] == [base]
+
+    vpn()
+    mvpn5()
+    vpls()
