@@ -66,7 +66,64 @@ BENCH_QUERIES = [
 def _sf_of(sf_dir: str) -> float:
     return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
-def _run_set(spark, qs, sf_dir: str) -> dict[str, float]:
+
+class _StageMetrics:
+    """Delta-reader over the driver's AppStatusStore.
+
+    Wall-clock alone can't distinguish "the plan got worse" from "the
+    sandbox was busy"; these counters can. executorRunTime is CPU the
+    query actually consumed — if wall time rises while executorRunTime,
+    task count, and shuffle bytes stay flat, the drift is environmental
+    (scheduler contention / noisy neighbor), not a plan regression.
+    """
+
+    FIELDS = (
+        ("tasks", "numCompleteTasks"),
+        ("shuffle_read_b", "shuffleReadBytes"),
+        ("shuffle_write_b", "shuffleWriteBytes"),
+        ("input_b", "inputBytes"),
+        ("exec_run_ms", "executorRunTime"),
+        ("gc_ms", "jvmGcTime"),
+    )
+
+    def __init__(self, spark) -> None:
+        sc = spark.sparkContext
+        self._store = sc._jsc.sc().statusStore()
+        self._jvm = sc._jvm
+        self._gw = sc._gateway
+        self._seen_max = -1
+
+    def _stages(self):
+        seq = self._store.stageList(
+            self._jvm.java.util.ArrayList(),
+            False,
+            False,
+            self._gw.new_array(self._jvm.double, 0),
+            self._jvm.java.util.ArrayList(),
+        )
+        out = []
+        it = seq.iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
+    def mark(self) -> None:
+        """Forget everything executed so far; the next read() reports
+        only stages submitted after this point."""
+        ids = [s.stageId() for s in self._stages()]
+        if ids:
+            self._seen_max = max(self._seen_max, max(ids))
+
+    def read(self) -> dict[str, int]:
+        agg = {k: 0 for k, _ in self.FIELDS}
+        for s in self._stages():
+            if s.stageId() <= self._seen_max:
+                continue
+            for key, attr in self.FIELDS:
+                agg[key] += int(getattr(s, attr)())
+        return agg
+
+def _run_set(spark, qs, sf_dir: str, collect_metrics: dict | None = None) -> dict[str, float]:
     # steady-state timing, prepared-statement style: build each query's
     # DataFrame ONCE (a resident service prepares its plans once), warm it
     # (JIT + parquet footer caching), then report the median of 5 timed
@@ -78,15 +135,23 @@ def _run_set(spark, qs, sf_dir: str) -> dict[str, float]:
     # against the maintained result — the same way a resident service
     # would hold its clustering and re-serve it.
     times: dict[str, float] = {}
+    metrics = _StageMetrics(spark) if collect_metrics is not None else None
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         df.count()  # warmup execution
+        if metrics is not None:
+            metrics.mark()
         runs = []
         for _ in range(5):
             t0 = time.perf_counter()
             df.count()
             runs.append(time.perf_counter() - t0)
         times[name] = round(sorted(runs)[2], 4)
+        if metrics is not None:
+            # per-timed-execution averages over the 5 runs: CPU actually
+            # burned vs wall-clock median makes env drift visible
+            m = metrics.read()
+            collect_metrics[name] = {k: v // 5 for k, v in m.items()}
         # drop this query's persisted intermediates and force a JVM GC so
         # the ContextCleaner reaps dead shuffle/broadcast state: in a short
         # local session the periodic cleaner (30 min default) never fires,
@@ -156,13 +221,30 @@ def main() -> None:
     # warm the JVM + file metadata once with a trivial action
     spark.range(1).count()
 
-    times = _run_set(spark, qs, sf_dir)
+    load_start = os.getloadavg()
+    qmetrics: dict[str, dict] = {}
+    times = _run_set(spark, qs, sf_dir, collect_metrics=qmetrics)
+    # second back-to-back pass: if run2 differs materially from run1 on
+    # identical plans, the variance is session/machine state, not code
+    times2nd = _run_set(spark, qs, sf_dir)
+    load_end = os.getloadavg()
     total = round(sum(times.values()), 4)
     out = {
         "metric": "headline_queries_steady_state_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_run2": times2nd,
+        "value_run2": round(sum(times2nd.values()), 4),
+        # per-timed-run stage-counter averages (from AppStatusStore):
+        # tasks, shuffle read/write bytes, input bytes, executor CPU ms,
+        # GC ms. Wall-up + CPU-flat = environment; CPU-up = plan/code.
+        "query_metrics": qmetrics,
+        "env": {
+            "loadavg_start": [round(x, 2) for x in load_start],
+            "loadavg_end": [round(x, 2) for x in load_end],
+            "cpus": os.cpu_count(),
+        },
         "sf": _sf_of(sf_dir),
     }
 

@@ -44,6 +44,7 @@ class BgpExplorerService:
         ws_apply_filter: bool = False,
         roas: DataFrame | None = None,
         state_changes: DataFrame | None = None,
+        svc_config=None,
     ):
         from bgpexplorer_spark.streaming.wsfeed import LiveFeed
 
@@ -61,6 +62,16 @@ class BgpExplorerService:
         # on the superset that honors subscriber filters
         self.feed = LiveFeed()
         self.ws_apply_filter = ws_apply_filter
+        # whois deployment knobs (src/config.rs:338-342): registry→server
+        # map (whoisjsonconfig) + pinned resolvers (whoisdns) + timeout
+        self.svc_config = svc_config
+        self.whois_server_map = None
+        if svc_config is not None and getattr(svc_config, "whoisjsonconfig", None):
+            from bgpexplorer_spark.operators.whois import WhoisServerMap
+
+            self.whois_server_map = WhoisServerMap.from_json_file(
+                svc_config.whoisjsonconfig
+            )
 
     def _length(self, rib: str) -> int | None:
         """Maintained count for ``rib``; computed once and memoized when
@@ -360,8 +371,14 @@ class BgpExplorerService:
         section extraction per mode (src/whoissvc.rs:546-590)."""
         from bgpexplorer_spark.operators.whois import query_whois, socket_transport
 
-        transport = getattr(self, "whois_transport", None) or socket_transport()
-        text = self._cached(f"whois:{query}", lambda: query_whois(query, transport)[1])
+        timeout = float(getattr(self.svc_config, "whoisreqtimeout", 30) or 30)
+        transport = getattr(self, "whois_transport", None) or socket_transport(timeout)
+        text = self._cached(
+            f"whois:{query}",
+            lambda: query_whois(
+                query, transport, server_map=self.whois_server_map
+            )[1],
+        )
         if mode == "raw":
             return text
         pattern = self._WHOIS_SECTION_RE.get(mode or "")
@@ -375,7 +392,8 @@ class BgpExplorerService:
         (src/whoissvc.rs:529-543)."""
         from bgpexplorer_spark.operators.whois import query_dns_ptr, udp_dns_transport
 
-        transport = getattr(self, "dns_transport", None) or udp_dns_transport()
+        servers = list(getattr(self.svc_config, "whoisdnses", None) or []) or None
+        transport = getattr(self, "dns_transport", None) or udp_dns_transport(servers)
         return self._cached(f"dns:{target}", lambda: query_dns_ptr(target, transport))
 
 _BOOL = {"true": True, "1": True, "false": False, "0": False}

@@ -38,6 +38,10 @@ class SvcConfig:
     whoisdb: str = "whoisdb"
     whoisreqtimeout: int = 30
     whoiscachesecs: int = 1800        # src/config.rs:580-595
+    whoisjsonconfig: str | None = None  # registry→server map file (src/config.rs:596-605)
+    whoisdnses: list[str] = field(     # resolver addrs, default 1.1.1.1:53
+        default_factory=lambda: ["1.1.1.1:53"]  # src/config.rs:616-638
+    )
     purge_after_withdraws: int = 0
     purge_every: int = 300            # seconds, src/config.rs:542-579
     snapshot_file: str | None = None
@@ -48,6 +52,31 @@ class SvcConfig:
     peers: list[PeerConfig] = field(default_factory=list)
     # engine extension: where the rib_history parquet table lives
     table_path: str | None = None
+
+def _parse_dns_list(raw: str | None) -> list[str]:
+    """``whoisdns`` ini key: comma-separated resolver addrs; a bare host
+    gets ``:53`` appended; invalid entries are skipped with a warning;
+    empty result falls back to 1.1.1.1:53 (src/config.rs:616-638)."""
+    import ipaddress
+
+    out: list[str] = []
+    for part in (raw or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        host, port = part, 53
+        if part.count(":") == 1:  # v4 host:port (v6 literals have many :)
+            host, p = part.rsplit(":", 1)
+            if not p.isdigit():
+                continue
+            port = int(p)
+        try:
+            ipaddress.ip_address(host.strip("[]"))
+        except ValueError:
+            continue
+        out.append(f"{host}:{port}")
+    return out or ["1.1.1.1:53"]
+
 
 def from_inifile(path: str) -> SvcConfig:
     cp = configparser.ConfigParser()
@@ -65,6 +94,8 @@ def from_inifile(path: str) -> SvcConfig:
         whoisdb=m.get("whoisdb", "whoisdb"),
         whoisreqtimeout=m.getint("whois_request_timeout", fallback=30),
         whoiscachesecs=m.getint("whois_cache_seconds", fallback=1800),
+        whoisjsonconfig=m.get("whoisjsonconfig", fallback=None),
+        whoisdnses=_parse_dns_list(m.get("whoisdns", fallback=None)),
         purge_after_withdraws=m.getint("purge_after_withdraws", fallback=0),
         purge_every=m.getint("purge_every", fallback=300),
         snapshot_file=m.get("snapshot", fallback=None),

@@ -297,21 +297,45 @@ def gumbel_topk_resample(
 
 
 def quality_buckets(
-    scored: DataFrame, score_col: str = "nll", n_buckets: int = 10,
+    scored: DataFrame,
+    score_col: str = "nll",
+    n_buckets: int = 10,
+    precision: int = 4,
+    max_distinct: int = 1_000_000,
 ) -> DataFrame:
     """Data-mix curation view — the CCNet head/middle/tail cut (Wenzek
     et al. 2020 §4.3) generalized to ``n_buckets`` quantile buckets over
     any quality score: per-bucket document counts, shares, and the score
     range, so a mix designer can decide where to cut.
 
-    Deterministic and scale-safe: NO global sort window. The score
-    histogram (distinct ROUNDED scores — small by construction) is the
-    only driver materialization; a score's bucket is
+    Deterministic and scale-safe: NO global sort window. The score is
+    quantized internally to ``precision`` decimal places (a 4-dp grid on
+    any bounded score range caps the histogram at a few million cells
+    regardless of corpus size), so the driver-side materialization is the
+    ROUNDED-score histogram, never corpus-cardinality — an unrounded
+    model-produced double is safe to pass directly. A score's bucket is
     ``1 + (n * docs_below) // total`` in pure integer arithmetic, so
     ties share a bucket and any engine agrees exactly. Assignment is a
     broadcast join of the histogram-derived map; the rollup is one
-    aggregate."""
-    hist = scored.groupBy(score_col).agg(F.count(F.lit(1)).alias("_c")).collect()
+    aggregate. As a belt-and-braces guard the collect fails fast (one
+    extra LIMIT row, not an OOM) if the quantized histogram still
+    exceeds ``max_distinct`` cells — raise ``precision`` coarseness
+    rather than the cap if that trips."""
+    scored = scored.withColumn(
+        score_col, F.round(F.col(score_col).cast("double"), precision)
+    )
+    hist = (
+        scored.groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .limit(max_distinct + 1)
+        .collect()
+    )
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"quality_buckets: >{max_distinct} distinct scores after "
+            f"rounding to {precision} dp; lower `precision` (coarser "
+            "grid) or raise `max_distinct`"
+        )
     rows = sorted((float(r[score_col]), int(r["_c"])) for r in hist)
     total = sum(c for _, c in rows) or 1
     mapping, cum = [], 0

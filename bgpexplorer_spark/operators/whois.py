@@ -51,12 +51,84 @@ def socket_transport(timeout: float = 30.0) -> Transport:
 
     return send
 
+class WhoisServerMap:
+    """Registry→server map with per-server query templates — the
+    reference's ``whoisjsonconfig`` file (whois.json:1-9, loaded as
+    ``whoisconfig: WhoIs`` at src/config.rs:338,596-605; format is the
+    whois-rust / node-whois ``servers.json`` shape):
+
+    - top-level keys are domain suffixes (``"org"`` → whois.pir.org);
+      ``""`` is the domain fallback (whois.ripe.net in the shipped file);
+    - the ``"_"`` key holds the IP rule: ``{"ip": {"host", "query"}}``
+      where ``$addr`` in the query template is replaced by the target
+      (ARIN needs ``"n + $addr\\r\\n"``);
+    - any value may be a plain host string or ``{"host", "query"}``.
+
+    ``resolve`` returns (server, wire_query_text) — which server to dial
+    and the exact bytes-before-CRLF to send for this target."""
+
+    DEFAULT_QUERY = "$addr\r\n"
+
+    def __init__(self, mapping: dict | None = None) -> None:
+        self.mapping = mapping or {}
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "WhoisServerMap":
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            return cls(json.load(f))
+
+    @staticmethod
+    def _host_query(entry) -> tuple[str | None, str]:
+        if isinstance(entry, str):
+            return (entry or None), WhoisServerMap.DEFAULT_QUERY
+        if isinstance(entry, dict):
+            return entry.get("host"), entry.get("query", WhoisServerMap.DEFAULT_QUERY)
+        return None, WhoisServerMap.DEFAULT_QUERY
+
+    def resolve(self, target: str, fallback_server: str = "whois.iana.org") -> tuple[str, str]:
+        is_ip = True
+        try:
+            ipaddress.ip_address(target.split("/")[0])
+        except ValueError:
+            # bare AS numbers query like IPs (registry objects, not domains)
+            is_ip = target.upper().startswith("AS") and target[2:].isdigit()
+        if is_ip:
+            entry = (self.mapping.get("_") or {}).get("ip")
+            host, query = self._host_query(entry)
+        else:
+            labels = target.lower().rstrip(".").split(".")
+            host, query = None, self.DEFAULT_QUERY
+            # longest-suffix match, then the "" default
+            for i in range(1, len(labels)):
+                cand = ".".join(labels[i:])
+                if cand in self.mapping:
+                    host, query = self._host_query(self.mapping[cand])
+                    break
+            if host is None and "" in self.mapping:
+                host, query = self._host_query(self.mapping[""])
+        if host is None:
+            host, query = fallback_server, self.DEFAULT_QUERY
+        return host, query.replace("$addr", target)
+
+
 def query_whois(
-    query: str, transport: Transport, start_server: str = "whois.iana.org"
+    query: str,
+    transport: Transport,
+    start_server: str = "whois.iana.org",
+    server_map: WhoisServerMap | None = None,
 ) -> tuple[str, str]:
     """Referral-following whois (src/whoissvc.rs:395-457): follow
     refer:/ReferralServer: responses up to 16 hops, loop-protected.
-    Returns (final_server, response_text)."""
+    With a ``server_map`` (whoisjsonconfig, src/config.rs:596-605) the
+    first hop and its query template come from the map — e.g. ARIN's
+    ``n + $addr`` syntax — instead of the IANA referral walk; referrals
+    from there still follow. Returns (final_server, response_text)."""
+    wire_query = query
+    if server_map is not None:
+        start_server, templated = server_map.resolve(query, start_server)
+        wire_query = templated.rstrip("\r\n")  # transport appends CRLF
     seen: set[str] = set()
     server = start_server
     text = ""
@@ -64,11 +136,13 @@ def query_whois(
         if server in seen:
             break
         seen.add(server)
-        text = transport(server, query)
+        text = transport(server, wire_query)
         m = REFERRAL_RE.search(text)
         if not m or m.group(1).lower() in seen:
             break
         server = m.group(1).lower()
+        # referral hops speak plain whois, not the mapped template
+        wire_query = query
     return server, text
 
 def reverse_dns_name(addr: str) -> str:
@@ -90,17 +164,25 @@ def udp_dns_transport(
 ) -> DnsTransport:
     """Real UDP transport; server choice hashes on the first query byte
     like the reference's ``self.dns[target[0] % len]``
-    (src/whoissvc.rs:349-352)."""
-    servers = servers or ["8.8.8.8", "1.1.1.1"]
+    (src/whoissvc.rs:349-352). Servers come from the ``whoisdns`` ini key
+    (src/config.rs:616-638) as ``host`` or ``host:port`` strings."""
+    servers = servers or ["1.1.1.1:53"]
+    parsed = []
+    for s in servers:
+        if s.count(":") == 1:
+            host, port = s.rsplit(":", 1)
+            parsed.append((host, int(port)))
+        else:
+            parsed.append((s, 53))
 
     def send(packet: bytes) -> bytes:
         import socket
 
         # first question byte (after the 12B header) picks the server
-        server = servers[packet[12] % len(servers)]
+        host, port = parsed[packet[12] % len(parsed)]
         with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
             s.settimeout(timeout)
-            s.sendto(packet, (server, 53))
+            s.sendto(packet, (host, port))
             data, _ = s.recvfrom(4096)
         return data
 

@@ -659,6 +659,32 @@ def test_quality_buckets_integer_arithmetic(spark):
         .executedPlan().toString()
     assert "Window" not in plan
 
+def test_quality_buckets_unrounded_scores_driver_safe(spark):
+    """An unrounded model-produced double score (every row distinct) must
+    not materialize corpus-cardinality rows on the driver: the internal
+    4-dp quantization collapses the histogram first, and a cap on the
+    quantized histogram fails fast instead of collecting."""
+    from bgpexplorer_spark.operators.pipeline import quality_buckets
+
+    # 5000 docs, every score distinct at full double precision but all
+    # inside [0, 0.5) so the 4-dp grid collapses them to <=5000 cells —
+    # and a tight max_distinct proves the guard sees quantized counts
+    scored = spark.range(5000).selectExpr(
+        "id AS doc_id", "(id * 1e-4) + (id * 1e-9) AS nll"
+    )
+    out = quality_buckets(scored, n_buckets=5, max_distinct=10_000).collect()
+    assert sum(r.n_docs for r in out) == 5000
+    assert {r.bucket for r in out} == {1, 2, 3, 4, 5}
+    # share mass sums to 1
+    assert abs(sum(r.doc_share for r in out) - 1.0) < 1e-6
+
+    # guard: quantized histogram still over the cap -> fail fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="distinct scores"):
+        quality_buckets(scored, n_buckets=5, max_distinct=100)
+
+
 def test_contamination_report(spark):
     from bgpexplorer_spark.operators.pipeline import contamination_report
 

@@ -45,6 +45,76 @@ mode = nonsense
     assert len(c.peers) == 1 and c.peers[0].mode == "bmppassive"
     assert c.peers[0].filter_rd == "100:1"
 
+def test_config_whois_server_map_keys(tmp_path):
+    """whoisjsonconfig + whoisdns ini keys round-trip
+    (src/config.rs:596-605, 616-638)."""
+    wj = tmp_path / "whois.json"
+    wj.write_text(json.dumps({"": "whois.ripe.net"}))
+    ini = tmp_path / "t.ini"
+    ini.write_text(
+        f"""
+[main]
+whoisjsonconfig = {wj}
+whoisdns = 8.8.8.8, 9.9.9.9:5353, not-an-ip, 1.1.1.1:bad
+"""
+    )
+    c = cfgmod.from_inifile(str(ini))
+    assert c.whoisjsonconfig == str(wj)
+    # bare host gets :53; bad port / bad host skipped (src/config.rs:620-631)
+    assert c.whoisdnses == ["8.8.8.8:53", "9.9.9.9:5353"]
+    # defaults: no map, 1.1.1.1:53 fallback resolver (src/config.rs:637-638)
+    ini2 = tmp_path / "d.ini"
+    ini2.write_text("[main]\n")
+    d = cfgmod.from_inifile(str(ini2))
+    assert d.whoisjsonconfig is None and d.whoisdnses == ["1.1.1.1:53"]
+
+
+def test_whois_server_map_resolution():
+    """The shipped whois.json semantics (reference whois.json:1-9): IP
+    queries hit the ``_``.ip host with its template (ARIN's ``n + $addr``),
+    domains longest-suffix-match, ``""`` is the domain fallback."""
+    m = whois.WhoisServerMap(
+        {
+            "org": "whois.pir.org",
+            "": "whois.ripe.net",
+            "_": {"ip": {"host": "whois.arin.net", "query": "n + $addr\r\n"}},
+        }
+    )
+    assert m.resolve("192.0.2.1") == ("whois.arin.net", "n + 192.0.2.1\r\n")
+    assert m.resolve("2001:db8::1") == ("whois.arin.net", "n + 2001:db8::1\r\n")
+    assert m.resolve("AS64500") == ("whois.arin.net", "n + AS64500\r\n")
+    assert m.resolve("example.org") == ("whois.pir.org", "example.org\r\n")
+    assert m.resolve("example.net") == ("whois.ripe.net", "example.net\r\n")
+    # no map entry at all -> caller's fallback server
+    empty = whois.WhoisServerMap({})
+    assert empty.resolve("example.com", "whois.iana.org") == (
+        "whois.iana.org",
+        "example.com\r\n",
+    )
+
+
+def test_whois_query_uses_server_map_template():
+    """query_whois with a server map dials the mapped server with the
+    template-formatted query; referral hops revert to the plain query."""
+    m = whois.WhoisServerMap(
+        {"_": {"ip": {"host": "whois.arin.net", "query": "n + $addr\r\n"}}}
+    )
+    calls = []
+
+    def fake(server, q):
+        calls.append((server, q))
+        if server == "whois.arin.net":
+            return "ReferralServer: whois://whois.ripe.net\n"
+        return "OrgName: Example\n"
+
+    srv, text = whois.query_whois("192.0.2.1", fake, server_map=m)
+    assert srv == "whois.ripe.net" and "OrgName" in text
+    assert calls == [
+        ("whois.arin.net", "n + 192.0.2.1"),  # templated first hop
+        ("whois.ripe.net", "192.0.2.1"),      # plain query on referral
+    ]
+
+
 def test_whois_referral_recursion():
     calls = []
 
