@@ -162,16 +162,26 @@ def _run_set(spark, qs, sf_dir: str, collect_metrics: dict | None = None) -> dic
         spark.sparkContext._jvm.System.gc()
     return times
 
-def _bench_streaming(spark, sf_dir: str) -> dict:
+def _bench_streaming(spark, sf_dir: str, amp_factor: int = 10) -> dict:
     """Throughput of the keyed stateful streaming paths
     (applyInPandasWithState): materialize the derived UPDATES_SCHEMA
     events once as a file stream source, then drive live_current_state
-    and live_flap_damping end-to-end (availableNow → noop sink) and
-    report events/s. Regression-tracks the state-store path — the
-    vectorized flap-damping fold, Arrow batch crossing, state
-    (de)serialization — which the batch queries never touch."""
+    and live_flap_damping end-to-end (availableNow → noop sink).
+
+    Two source sizes per operator — the base event set (~10k at sf0.01)
+    and a key-amplified one (``amp_factor``× events AND state keys, the
+    nlri_str carries a replica suffix so damping and upsert state both
+    scale) — and the reported ``steady_events_per_sec`` is the MARGINAL
+    rate (Δevents/Δsec): availableNow job startup, checkpoint
+    bootstrap, and first-batch JIT cancel out of the subtraction, so the
+    figure tracks the per-event state-path cost the fixed-size runs
+    drowned in startup. Regression-tracks the vectorized flap-damping
+    fold, Arrow batch crossing, and state (de)serialization — which the
+    batch queries never touch."""
     import shutil
     import tempfile
+
+    from pyspark.sql import functions as F
 
     from bgpexplorer_spark.contract import derived_updates
     from bgpexplorer_spark.streaming.feed import (
@@ -180,34 +190,63 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         stream_updates_from_files,
     )
 
+    base = derived_updates(spark, sf_dir)
     src = tempfile.mkdtemp(prefix="bench_updates_")
-    derived_updates(spark, sf_dir).write.mode("overwrite").parquet(src)
-    n_events = spark.read.parquet(src).count()
-    out: dict = {"sf": _sf_of(sf_dir), "events": n_events}
+    base.write.mode("overwrite").parquet(src)
+    n_base = spark.read.parquet(src).count()
+    src_amp = tempfile.mkdtemp(prefix="bench_updates_amp_")
+    # replica suffix on the state key: amp_factor x events and x keys
+    (
+        spark.read.parquet(src)
+        .withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(amp_factor - 1))))
+        .withColumn(
+            "nlri_str", F.concat_ws("#", "nlri_str", F.col("_rep").cast("string"))
+        )
+        .drop("_rep")
+        .write.mode("overwrite")
+        .parquet(src_amp)
+    )
+    n_amp = spark.read.parquet(src_amp).count()
+    out: dict = {"sf": _sf_of(sf_dir), "events": n_base, "events_amplified": n_amp}
+
+    def drive(op, path) -> float:
+        ck = tempfile.mkdtemp(prefix="bench_ck_")
+        stream = stream_updates_from_files(spark, path)
+        t0 = time.perf_counter()
+        q = (
+            op(stream)
+            .writeStream.format("noop").outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(ck, ignore_errors=True)
+        return dt
+
     try:
         for name, op in (
             ("st_live_current_state", live_current_state),
             ("st_live_flap_damping", live_flap_damping),
         ):
-            ck = tempfile.mkdtemp(prefix="bench_ck_")
-            stream = stream_updates_from_files(spark, src)
-            t0 = time.perf_counter()
-            q = (
-                op(stream)
-                .writeStream.format("noop").outputMode("update")
-                .option("checkpointLocation", ck)
-                .trigger(availableNow=True)
-                .start()
+            t_base = drive(op, src)
+            t_amp = drive(op, src_amp)
+            marginal = (
+                round((n_amp - n_base) / (t_amp - t_base))
+                if t_amp - t_base > 0.05
+                else None
             )
-            q.awaitTermination()
-            dt = time.perf_counter() - t0
             out[name] = {
-                "sec": round(dt, 4),
-                "events_per_sec": round(n_events / dt) if dt else None,
+                "sec": round(t_base, 4),
+                "events_per_sec": round(n_base / t_base) if t_base else None,
+                "sec_amplified": round(t_amp, 4),
+                "events_per_sec_amplified": round(n_amp / t_amp) if t_amp else None,
+                "steady_events_per_sec": marginal,
             }
-            shutil.rmtree(ck, ignore_errors=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(src_amp, ignore_errors=True)
     return out
 
 
