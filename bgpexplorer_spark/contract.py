@@ -4424,6 +4424,91 @@ def an_vrf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+# Wire → filter composition for the OTHER key-dispatch families: MVPN
+# and EVPN routes built as real NLRI bytes (encode_mvpn_nlri /
+# encode_evpn_nlri → UPDATE → MRT), batch-decoded, then filtered by the
+# SAME compiled 3VL terms the derived-key queries use. MVPN type-5
+# majority vote: source 10.x is never multicast → Unknown; group 232.x →
+# Yes (kept), 224.x → No, 10.x → Unknown. EVPN: type 1 is rd-only →
+# Unknown for a V4 term (dropped); type 2 matches the host IP.
+_WIRE_MVPN_EVPN_ORACLE = """
+    SELECT 'mvpn' AS fam, i,
+           CAST(100 + i % 5 AS BIGINT) AS rd_hi, CAST(1 AS BIGINT) AS rd_lo
+    FROM range(120) t(i) WHERE i % 3 = 0
+    UNION ALL
+    SELECT 'evpn' AS fam, i,
+           CAST(200 + i % 5 AS BIGINT) AS rd_hi, CAST(2 AS BIGINT) AS rd_lo
+    FROM range(120) t(i) WHERE i % 5 <> 0 AND i % 2 = 0
+"""
+
+@q("f_wire_mvpn_evpn", _WIRE_MVPN_EVPN_ORACLE)
+def f_wire_mvpn_evpn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire → filter integration for MVPN/EVPN (the round-4 gap: both
+    halves were oracle-verified separately, never composed): MVPN type-5
+    and EVPN type-1/2 routes travel from fixture-encoded NLRI wire bytes
+    (RFC 6514 §4 / RFC 7432 §7) through the MRT batch decoder into the
+    compiled 3VL filter — multicast majority vote on the mvpn rib, the
+    rd → host-IP dispatch chain on the evpn rib."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.filterlang.compile import matches
+    from bgpexplorer_spark.sources.mrt import (
+        assign_sessions,
+        encode_evpn_nlri,
+        encode_mvpn_nlri,
+        encode_update,
+        read_mrt,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1704200000
+    recs = b""
+    for i in range(120):
+        group = (0xE8000000 if i % 3 == 0 else
+                 0xE0000000 if i % 3 == 1 else 0x0A000000) + i
+        recs += encode_update(
+            ts_sec=base + i, peer_as=65000, peer_ip=0x0AFF0001,
+            origin=0, aspath=[(2, [65000, 200])],
+            mp_reach=(1, 5, b"\x0a\x00\x00\x01", encode_mvpn_nlri(
+                5, (100 + i % 5, 1), source=0x0A000000 + i, group=group)),
+        )
+    for i in range(120):
+        rd = (200 + i % 5, 2)
+        if i % 5 == 0:
+            payload = encode_evpn_nlri(1, rd, label=7)
+        else:
+            ip = bytes([10 if i % 2 == 0 else 192, 168, 0, i % 200])
+            payload = encode_evpn_nlri(
+                2, rd, mac=bytes(6), ip=ip, label=9 + i % 4)
+        recs += encode_update(
+            ts_sec=base + 120 + i, peer_as=65000, peer_ip=0x0AFF0001,
+            origin=0, aspath=[(2, [65000, 200])],
+            mp_reach=(25, 70, b"\x0a\x00\x00\x01", payload),
+        )
+    path = os.path.join(
+        tempfile.gettempdir(), "bgpx_mrt_wirefilter_fixture.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(recs)
+    os.replace(tmp, path)
+
+    upd, _ = assign_sessions(read_mrt(spark, path))
+    ts = F.col("ts").cast("long") - F.lit(base)
+    mvpn = (
+        upd.filter(F.col("rib") == "mvpn")
+        .filter(matches("232.0.0.0/8", "mvpn"))
+        .select(F.lit("mvpn").alias("fam"), ts.alias("i"),
+                "rd_hi", "rd_lo")
+    )
+    evpn = (
+        upd.filter(F.col("rib") == "evpn")
+        .filter(matches("10.0.0.0/8", "evpn"))
+        .select(F.lit("evpn").alias("fam"), (ts - F.lit(120)).alias("i"),
+                "rd_hi", "rd_lo")
+    )
+    return mvpn.unionByName(evpn)
+
 # Session stability from wire-decoded FSM transitions: the per-4 pattern
 # 1→3, 3→5, 5→6 (reach Established), 6→1 (lose it) gives every peer real
 # up/down structure; peers are i % 6 so the per-peer tallies are a
@@ -4720,3 +4805,208 @@ def an_aspath_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
         flat.alias("aspath_flat"),
     )
     return aspath_loops(df)
+
+# --- Corpus-cleaning rule sets (C4 / Gopher), PII scrub, paragraph dedup ---
+# The documents fixture is single-line word soup, so the line/paragraph
+# queries derive structure deterministically on BOTH sides first: ' merge '
+# becomes a sentence break, ' join ' a paragraph break, and every 7th doc
+# gets a 'javascript' marker injected — non-degenerate rule splits without
+# inventing new input data.
+
+_C4_ORACLE = """
+    WITH d AS (
+        SELECT doc_id,
+               replace(CASE WHEN doc_id % 7 = 0
+                            THEN replace(text, ' spark ', ' javascript ')
+                            ELSE text END,
+                       ' merge ', '.' || chr(10)) AS t
+        FROM documents
+    ), l AS (
+        SELECT doc_id, string_split(t, chr(10)) AS lines FROM d
+    ), k AS (
+        SELECT doc_id, lines,
+               list_filter(lines, x ->
+                   regexp_matches(x, '[.!?"'']\\s*$')
+                   AND len(list_filter(string_split_regex(trim(x), '\\s+'),
+                                       w -> w <> '')) >= 5
+                   AND NOT contains(lower(x), 'javascript')
+                   AND NOT contains(lower(x), 'lorem ipsum')
+                   AND NOT contains(lower(x), '{')) AS kept
+        FROM l
+    )
+    SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS c4_text,
+           CAST(len(lines) AS INT) AS c4_lines,
+           CAST(len(kept) AS INT) AS c4_kept,
+           len(kept) >= 3 AS c4_keep
+    FROM k
+"""
+
+@q("pipe_c4_clean", _C4_ORACLE)
+def pipe_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-filtering rules (Raffel et al. 2020 §2.2) over derived
+    multi-line documents: terminal punctuation, ≥5 words, no
+    javascript / lorem-ipsum / brace marker, ≥3 surviving lines per doc
+    (operators/text.c4_clean). Pure per-row Column algebra — the 100 TB
+    plan is one codegen'd scan, no shuffle."""
+    from bgpexplorer_spark.operators.text import c4_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.replace(F.col("text"), F.lit(" spark "), F.lit(" javascript ")),
+    ).otherwise(F.col("text"))
+    derived = docs.select(
+        "doc_id", F.replace(base, F.lit(" merge "), F.lit(".\n")).alias("text")
+    )
+    return c4_clean(derived).select(
+        "doc_id", "c4_text", "c4_lines", "c4_kept", "c4_keep"
+    )
+
+def _gopher_sql() -> str:
+    from bgpexplorer_spark.operators.text import STOPWORDS
+
+    stop = _duck_marker_hits("text", STOPWORDS)
+    return f"""
+    WITH m AS (
+        SELECT doc_id,
+               len(toks) AS n, greatest(len(toks), 1) AS n1,
+               coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS sum_len,
+               len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+               n_sym, n_stop
+        FROM (
+            SELECT doc_id, {_duck_tokens('text')} AS toks,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+                   ({stop}) AS n_stop
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS g_words,
+           round(sum_len / n1, 4) AS g_mean_word_len,
+           round(n_sym / n1, 4) AS g_symbol_ratio,
+           round(n_alpha / n1, 4) AS g_alpha_ratio,
+           CAST(n_stop AS BIGINT) AS g_stop_words,
+           n >= 50 AND n <= 100000 AS g_ok_words,
+           (sum_len / n1) >= 3 AND (sum_len / n1) <= 10 AS g_ok_mean_len,
+           (n_sym / n1) <= 0.1 AS g_ok_symbols,
+           (n_alpha / n1) >= 0.8 AS g_ok_alpha,
+           n_stop >= 2 AS g_ok_stop,
+           (n >= 50 AND n <= 100000) AND ((sum_len / n1) >= 3 AND (sum_len / n1) <= 10)
+               AND ((n_sym / n1) <= 0.1) AND ((n_alpha / n1) >= 0.8)
+               AND (n_stop >= 2) AS gopher_keep
+    FROM m
+    """
+
+@q("text_gopher_rules", _gopher_sql())
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape quality gates (Rae et al. 2021, table A1)
+    with the measured ratios kept in the output so thresholds can be
+    re-swept without rescanning (operators/text.gopher_rules). Map-only,
+    zero shuffles."""
+    from bgpexplorer_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs.select("doc_id", "text")).drop("text")
+
+def _pii_sql() -> str:
+    from bgpexplorer_spark.operators.text import PII_PATTERNS
+
+    # DuckDB string literals are raw (no backslash processing), so the
+    # Java-regex pattern strings drop in verbatim
+    em_e, ip_e, ph_e = (p for p, _ in PII_PATTERNS)
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               text || ' reach user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com from 10.'
+                    || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+                    || CAST(1 + doc_id % 250 AS VARCHAR)
+                    || ' call 555-01' || CAST(10 + doc_id % 90 AS VARCHAR)
+                    || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+        FROM documents
+    ), s AS (
+        SELECT doc_id, t,
+               regexp_replace(t, '{em_e}', '<EMAIL>', 'g') AS t1
+        FROM d
+    ), s2 AS (
+        SELECT doc_id, t, t1,
+               regexp_replace(t1, '{ip_e}', '<IP>', 'g') AS t2
+        FROM s
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '{ph_e}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t, '{em_e}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t1, '{ip_e}')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(t2, '{ph_e}')) AS INT) AS n_phone
+    FROM s2
+    """
+
+@q("text_pii_scrub", _pii_sql())
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/text.pii_scrub/pii_counts): emails,
+    dotted-quad IPs, phone-shaped digit runs masked in a fixed order —
+    verified on documents with deterministic PII appended so every class
+    fires. regexp_replace chain, map-only."""
+    from bgpexplorer_spark.operators.text import pii_counts, pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit(" reach user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+        (F.col("doc_id") % 250 + 1).cast("string"),
+        F.lit(" call 555-01"), (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit("-"), (F.col("doc_id") % 9000 + 1000).cast("string"),
+    )
+    c = pii_counts(t)
+    return docs.select(
+        "doc_id",
+        pii_scrub(t).alias("scrubbed"),
+        c.getField("email").alias("n_email"),
+        c.getField("ip").alias("n_ip"),
+        c.getField("phone").alias("n_phone"),
+    )
+
+_PARA_DEDUP_ORACLE = """
+    WITH f AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       replace(text, ' join ', chr(10) || chr(10)),
+                       '\\n\\n+'),
+                   p -> trim(p) <> '') AS ps
+        FROM documents
+    ), e AS (
+        SELECT doc_id,
+               unnest(ps) AS para,
+               unnest(generate_series(1, len(ps))) AS idx
+        FROM f
+    ), r AS (
+        SELECT doc_id, para,
+               row_number() OVER (PARTITION BY md5(trim(para))
+                                  ORDER BY doc_id, idx) AS rnk
+        FROM e
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rnk = 1 THEN length(para) ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM r GROUP BY doc_id
+"""
+
+@q("dedup_paragraphs", _PARA_DEDUP_ORACLE)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (operators/dedup.paragraph_dedup):
+    corpus-wide keep-first over md5(paragraph) with a deterministic
+    (doc_id, index) winner — boilerplate that repeats across documents
+    is removed without near-dup machinery. One explode + one window
+    shuffle on the paragraph hash."""
+    from bgpexplorer_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    derived = docs.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit(" join "), F.lit("\n\n")).alias("text"),
+    )
+    return paragraph_dedup(derived)

@@ -486,3 +486,38 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    sep: str = r"\n\n+",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the sub-document granularity every
+    large crawl pipeline runs — boilerplate headers/footers repeat
+    across documents that are NOT near-dups as wholes): explode
+    paragraphs with their in-document index, hash each, keep the first
+    corpus-wide occurrence (ordered by (doc_id, paragraph index) so the
+    winner is deterministic), and return per-document retention stats.
+
+    Scale: one explode + one window over hashpartitioning(para_hash) —
+    the same single-shuffle class as exact_dedup; duplicate-heavy hashes
+    skew at most by the boilerplate multiplicity, which AQE skew-join
+    handling splits.
+    """
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), sep),
+                lambda p: F.trim(p) != "",
+            )
+        ).alias("_idx", "_para"),
+    ).withColumn("_h", F.md5(F.trim(F.col("_para"))))
+    w = Window.partitionBy("_h").orderBy("_id", "_idx")
+    kept = paras.withColumn("_rank", F.row_number().over(w))
+    return kept.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum(F.when(F.col("_rank") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("_rank") == 1, F.length("_para")).otherwise(0))
+        .alias("kept_chars"),
+    )

@@ -367,3 +367,120 @@ def vocab_stats(
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-cleaning rule sets (C4 / Gopher) and PII scrubbing — the standard
+# pre-training filters, all pure Column algebra (zero UDFs, zero shuffles:
+# every rule is a per-row projection, so the 100 TB plan is a single
+# codegen'd scan).
+
+# C4 (Raffel et al. 2020 §2.2) line-keep rule: terminal punctuation,
+# at least five words, no curly brace / lorem ipsum / javascript marker.
+_C4_MIN_WORDS = 5
+
+
+def _c4_keep_line(line: Column) -> Column:
+    low = F.lower(line)
+    return (
+        line.rlike(r"""[.!?"']\s*$""")
+        & (F.size(F.filter(F.split(F.trim(line), r"\s+"),
+                           lambda t: t != "")) >= _C4_MIN_WORDS)
+        & ~low.contains("javascript")
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line filtering: split the document into lines, keep lines
+    that end in terminal punctuation, have ≥5 words, and carry no
+    javascript / lorem-ipsum / curly-brace marker; a document survives
+    only if ≥3 lines remain (C4's three-sentence floor). Adds
+    ``c4_text`` (the retained lines rejoined), ``c4_lines``/``c4_kept``
+    counts, and the ``c4_keep`` document verdict."""
+    lines = F.split(F.col(text_col), r"\n")
+    kept = F.filter(lines, _c4_keep_line)
+    return df.select(
+        "*",
+        F.concat_ws("\n", kept).alias("c4_text"),
+        F.size(lines).alias("c4_lines"),
+        F.size(kept).alias("c4_kept"),
+        (F.size(kept) >= 3).alias("c4_keep"),
+    )
+
+
+# Gopher quality rules (Rae et al. 2021, table A1): the repetition class
+# is covered by repetition_features(); these are the document-shape
+# gates.
+def gopher_rules(
+    df: DataFrame, text_col: str = "text",
+    min_words: int = 50, max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher document-shape filters: word count in [min_words,
+    max_words], mean word length in [3, 10], ≤10% symbol-word ratio
+    (# and …), ≥80% of words contain an alphabetic character, ≥2 stop
+    words. Emits the measured ratios plus per-rule booleans and the
+    conjunction ``gopher_keep`` — keep the ratios in the output so a
+    filter sweep can re-threshold without rescanning."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    mean_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    ) / n1
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_stop = _marker_hits(t, STOPWORDS)
+    r_words = (n >= min_words) & (n <= max_words)
+    r_mean = (mean_len >= 3) & (mean_len <= 10)
+    r_sym = (n_sym / n1) <= 0.1
+    r_alpha = (n_alpha / n1) >= 0.8
+    r_stop = n_stop >= 2
+    return df.select(
+        "*",
+        n.alias("g_words"),
+        F.round(mean_len, 4).alias("g_mean_word_len"),
+        F.round(n_sym / n1, 4).alias("g_symbol_ratio"),
+        F.round(n_alpha / n1, 4).alias("g_alpha_ratio"),
+        n_stop.alias("g_stop_words"),
+        r_words.alias("g_ok_words"),
+        r_mean.alias("g_ok_mean_len"),
+        r_sym.alias("g_ok_symbols"),
+        r_alpha.alias("g_ok_alpha"),
+        r_stop.alias("g_ok_stop"),
+        (r_words & r_mean & r_sym & r_alpha & r_stop).alias("gopher_keep"),
+    )
+
+
+# PII scrub patterns — kept to the regex subset Java (Spark) and RE2
+# (DuckDB oracle) treat identically: no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b(\+?\d[\d -]{7,}\d)\b", "<PHONE>"),
+)
+
+
+def pii_scrub(col: Column) -> Column:
+    """Replace emails, dotted-quad IPs, and phone-shaped digit runs with
+    typed placeholder tokens (applied in that order, so an IP inside an
+    email never half-matches). Pure regexp_replace chain."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-class PII hit counts (email, ip, phone) — the audit
+    side of :func:`pii_scrub`, same order-sensitive masking sequence."""
+    email = F.regexp_count(col, F.lit(PII_PATTERNS[0][0]))
+    after_email = F.regexp_replace(col, PII_PATTERNS[0][0], PII_PATTERNS[0][1])
+    ip = F.regexp_count(after_email, F.lit(PII_PATTERNS[1][0]))
+    after_ip = F.regexp_replace(after_email, PII_PATTERNS[1][0], PII_PATTERNS[1][1])
+    phone = F.regexp_count(after_ip, F.lit(PII_PATTERNS[2][0]))
+    return F.struct(
+        email.alias("email"), ip.alias("ip"), phone.alias("phone")
+    )

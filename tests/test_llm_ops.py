@@ -711,3 +711,75 @@ def test_contamination_report(spark):
     assert got == {
         100: (3, 2, 0.6667), 101: (1, 0, 0.0), 102: (0, 0, 0.0),
     }
+
+
+def test_c4_clean_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "Good line with five words here.\n"
+                "too short.\n"
+                "no terminal punctuation at all\n"
+                "this one has javascript inside it.\n"
+                "A brace { breaks this perfectly fine line.\n"
+                "Lorem Ipsum dolor sit amet consectetur.\n"
+                "Another proper sentence with enough words!\n"
+                'Quoted line also counts as terminal words."'),
+            (1, "one good line is not enough words."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.c4_clean(df).collect()}
+    assert out[0].c4_lines == 8
+    # kept: line 1, 7, 8 — short/unterminated/javascript/brace/lorem drop
+    assert out[0].c4_kept == 3
+    assert out[0].c4_keep is True
+    assert out[0].c4_text.splitlines() == [
+        "Good line with five words here.",
+        "Another proper sentence with enough words!",
+        'Quoted line also counts as terminal words."',
+    ]
+    assert out[1].c4_kept == 1 and out[1].c4_keep is False
+
+
+def test_gopher_rules_gates(spark):
+    long_ok = " ".join(["the", "of", "and", "word"] * 20)  # 80 words
+    short = "tiny doc the of"
+    symbols = " ".join(["the", "of", "and"] * 20) + " " + "# " * 30
+    df = spark.createDataFrame(
+        [(0, long_ok), (1, short), (2, symbols)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.gopher_rules(df).collect()}
+    assert out[0].gopher_keep is True and out[0].g_words == 80
+    assert out[1].g_ok_words is False and out[1].gopher_keep is False
+    assert out[2].g_ok_symbols is False  # 30 hashes / 90 words > 0.1
+
+
+def test_pii_scrub_and_counts(spark):
+    s = ("mail a@b.co and c.d+e@f.org, host 192.168.0.1, "
+         "call 555-0134-7788 now")
+    df = spark.createDataFrame([(0, s)], "doc_id long, text string")
+    r = df.select(
+        text.pii_scrub(F.col("text")).alias("t"),
+        text.pii_counts(F.col("text")).alias("c"),
+    ).collect()[0]
+    assert "<EMAIL>" in r.t and "<IP>" in r.t and "<PHONE>" in r.t
+    assert "a@b.co" not in r.t and "192.168" not in r.t and "555-0134" not in r.t
+    assert (r.c.email, r.c.ip, r.c.phone) == (2, 1, 1)
+
+
+def test_paragraph_dedup_keep_first(spark):
+    boiler = "subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [
+            (0, f"unique intro zero\n\n{boiler}\n\nunique body zero"),
+            (1, f"{boiler}\n\nunique body one"),
+            (2, f"unique body two\n\n{boiler}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert out[0].n_paras == 3 and out[0].n_kept == 3  # first owner keeps it
+    assert out[1].n_paras == 2 and out[1].n_kept == 1
+    assert out[2].n_paras == 2 and out[2].n_kept == 1
+    assert out[2].kept_chars == len("unique body two")

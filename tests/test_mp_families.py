@@ -440,3 +440,99 @@ def test_family_roundtrip_property():
     vpn()
     mvpn5()
     vpls()
+
+
+def test_as4_merge_rfc6793_properties():
+    """RFC 6793 §4.2.3 invariants over hypothesis-generated
+    (AS_PATH, AS4_PATH) segment pairs: when AS_PATH carries at least as
+    many AS numbers as AS4_PATH (an AS_SET counting as one), the result
+    is the leading excess of AS_PATH followed by AS4_PATH verbatim and
+    its AS-number count equals AS_PATH's; AS_SETs are never split; an
+    over-long AS4_PATH is ignored outright; AS4_AGGREGATOR replaces the
+    aggregator only when AS_PATH's aggregator is AS_TRANS."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bgpexplorer_spark.sources.mrt import _merge_as4path
+
+    seg = st.tuples(
+        st.sampled_from(["Seq", "Set"]),
+        st.lists(st.integers(1, 0xFFFFFFFF), min_size=1, max_size=4),
+    ).map(lambda t: {"kind": t[0], "asns": list(t[1])})
+    segs = st.lists(seg, min_size=0, max_size=4)
+
+    def count(path):
+        return sum(1 if s["kind"] == "Set" else len(s["asns"]) for s in path)
+
+    def tokens(path):
+        out = []
+        for s in path:
+            if s["kind"] == "Set":
+                out.append(("Set", tuple(s["asns"])))
+            else:
+                out.extend(("AS", a) for a in s["asns"])
+        return out
+
+    @settings(max_examples=250, deadline=None)
+    @given(aspath=segs, as4path=segs)
+    def merge(aspath, as4path):
+        out = _merge_as4path(
+            [dict(s) for s in aspath], [dict(s) for s in as4path]
+        )
+        n, n4 = count(aspath), count(as4path)
+        if n4 > n:
+            assert out == aspath          # over-long AS4_PATH ignored
+            return
+        assert count(out) == n            # length preserved (Set = 1)
+        # result IS the leading (n - n4) AS numbers of AS_PATH, then
+        # AS4_PATH verbatim (tokens() emits one token per AS number, so
+        # slicing by n - n4 is exact) — hence no AS_SET is ever split
+        assert tokens(out) == tokens(aspath)[: n - n4] + tokens(as4path)
+        in_sets = [s["asns"] for s in aspath + as4path if s["kind"] == "Set"]
+        for s in out:
+            if s["kind"] == "Set":
+                assert s["asns"] in in_sets
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        aggr_as=st.one_of(st.just(23456), st.integers(1, 0xFFFF)),
+        as4_as=st.integers(0x10000, 0xFFFFFFFF),
+    )
+    def aggregator(aggr_as, as4_as):
+        body = encode_bgp_update_body(
+            nlri=[(0x0B000000, 24)], origin=0,
+            aspath16=[(2, [65001])],
+            aggregator16=(aggr_as, 0x0A000001),
+            as4aggregator=(as4_as, 0x0A000001),
+            nexthop=0x0A000001,
+        )
+        [r] = list(parse_bgp_update(body, 0, len(body), _TS, "10.0.0.1",
+                                    65001, as4=False))
+        assert r["aggregator_as"] == (as4_as if aggr_as == 23456 else aggr_as)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        path=st.lists(st.integers(1, 0xFFFFFFFF), min_size=1, max_size=8),
+        split=st.integers(0, 8),
+    )
+    def wire(path, split):
+        # a 2-octet speaker sends AS_PATH with AS_TRANS placeholders and
+        # AS4_PATH carrying the trailing (post-split) true ASNs; the
+        # leading split ASNs are recoverable only in 2-octet form
+        split = min(split, len(path))
+        body = encode_bgp_update_body(
+            nlri=[(0x0B000000, 24)], origin=0,
+            aspath16=[(2, [23456 if a > 0xFFFF else a for a in path])],
+            as4path=[(2, path[split:])] if path[split:] else None,
+            nexthop=0x0A000001,
+        )
+        [r] = list(parse_bgp_update(body, 0, len(body), _TS, "10.0.0.1",
+                                    65001, as4=False))
+        got = [a for s in r["aspath"] for a in s["asns"]]
+        want = [23456 if a > 0xFFFF else a for a in path[:split]] \
+            + path[split:]
+        assert got == want
+
+    merge()
+    aggregator()
+    wire()

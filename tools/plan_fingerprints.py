@@ -28,10 +28,43 @@ import re
 from pathlib import Path
 
 FP_FILE = Path(__file__).resolve().parent / "plan_fingerprints.json"
+# normalized plan TEXTS pinned alongside the hashes, so a fingerprint
+# mismatch can be diffed to the exact operator line that moved instead
+# of reducing to "hash changed"
+FP_TEXTS = Path(__file__).resolve().parent / "plan_fingerprint_texts.json.gz"
 SF_DIR = "/root/testdata/sf0.001"
 
+
+def write_pins(plans: "dict[str, str]") -> None:
+    import gzip
+
+    fps = {
+        name: hashlib.sha256(p.encode()).hexdigest()[:16]
+        for name, p in plans.items()
+    }
+    FP_FILE.write_text(json.dumps(fps, indent=2, sort_keys=True) + "\n")
+    FP_TEXTS.write_bytes(
+        gzip.compress(json.dumps(plans, sort_keys=True).encode(), mtime=0)
+    )
+
+
+def read_pinned_texts() -> "dict[str, str]":
+    import gzip
+
+    if not FP_TEXTS.exists():
+        return {}
+    return json.loads(gzip.decompress(FP_TEXTS.read_bytes()))
+
 _NOISE = [
+    # lambda variables (higher-order functions) carry a session-global
+    # monotonically-increasing counter IN THE NAME (lambda x_7), not
+    # just in the expr id — normalize before the #id pass
+    (re.compile(r"(lambda [a-zA-Z]+)_\d+"), r"\1_L"),
     (re.compile(r"#\d+[L]?"), "#N"),            # expression ids
+    # FileScan truncates DataFilters at a fixed RAW width, so the cut
+    # point shifts with expression-id digit counts; the full predicate
+    # is covered by the Filter node + PushedFilters anyway
+    (re.compile(r"DataFilters: \[.*?(?=, Format:)"), "DataFilters: <df>"),
     (re.compile(r"\[id=#?\d+\]"), "[id=N]"),    # codegen / exchange ids
     (re.compile(r"plan_id=\d+"), "plan_id=N"),
     (re.compile(r"@[0-9a-fA-F]{6,}"), "@ADDR"),  # JVM object addresses
@@ -57,15 +90,37 @@ def plan_fingerprint(df) -> str:
     return hashlib.sha256(normalize_plan(raw).encode()).hexdigest()[:16]
 
 
-def compute_all(spark, sf_dir: str = SF_DIR) -> dict[str, str]:
+def compute_plans(spark, sf_dir: str = SF_DIR) -> "dict[str, str]":
+    """Normalized pre-execution plan TEXT per bench query."""
     import sys
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bench import BENCH_QUERIES
     from bgpexplorer_spark.contract import all_queries
 
+    # The CacheManager substitutes InMemoryTableScan into any plan whose
+    # logical subtree matches a persisted one, so the fingerprint would
+    # depend on whatever the session cached before this call (e.g. other
+    # tests in a shared pytest session). Clear it: fingerprints are then
+    # a pure function of (code, input schema) in BENCH_QUERIES order —
+    # persists registered by earlier queries IN this loop are part of
+    # that deterministic order.
+    spark.catalog.clearCache()
     qs = all_queries()
-    return {name: plan_fingerprint(qs[name](spark, sf_dir)) for name in BENCH_QUERIES}
+    return {
+        name: normalize_plan(
+            qs[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        for name in BENCH_QUERIES
+    }
+
+
+def compute_all(spark, sf_dir: str = SF_DIR) -> dict[str, str]:
+    return {
+        name: hashlib.sha256(plan.encode()).hexdigest()[:16]
+        for name, plan in compute_plans(spark, sf_dir).items()
+    }
 
 
 def main() -> None:
@@ -75,9 +130,9 @@ def main() -> None:
     from bgpexplorer_spark.session import get_spark
 
     spark = get_spark("plan_fingerprints")
-    fps = compute_all(spark)
-    FP_FILE.write_text(json.dumps(fps, indent=2, sort_keys=True) + "\n")
-    print(f"wrote {len(fps)} fingerprints to {FP_FILE}")
+    plans = compute_plans(spark)
+    write_pins(plans)
+    print(f"wrote {len(plans)} fingerprints to {FP_FILE} (+texts)")
     spark.stop()
 
 
