@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "pipe_dsir_weights",
     # ExactSubstr: window explode + hash-keyed count-distinct + join back
     "text_dup_spans",
+    # C4 cleaning rules: per-row line-filter lambdas, zero-shuffle scan
+    "pipe_c4_clean",
+    # paragraph-level keep-first dedup: explode + one hash-window shuffle
+    "dedup_paragraphs",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -435,3 +435,43 @@ def test_dsir_model_never_shuffle_joined(spark):
     big = _plan(dsir_weights(docs, target, n_buckets=5000))
     assert "BroadcastHashJoin" in big and "SortMergeJoin" not in big
     assert "BatchEvalPython" not in big and "ArrowEvalPython" not in big
+
+
+def test_cleaning_rules_are_map_side(spark):
+    """C4 line filters, Gopher shape gates, and PII scrub are per-row
+    projections — zero shuffles, zero Python eval, one codegen'd scan."""
+    from bgpexplorer_spark.operators.text import (
+        c4_clean,
+        gopher_rules,
+        pii_counts,
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Nice line here today.\nshort.\n"), (2, "the of and words")],
+        "doc_id long, text string",
+    )
+    for df in (
+        c4_clean(docs),
+        gopher_rules(docs),
+        docs.select(pii_scrub(F.col("text")), pii_counts(F.col("text"))),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_single_hash_window(spark):
+    """paragraph_dedup is one explode + ONE window shuffle on the
+    paragraph hash (plus the final per-doc rollup): no join, no
+    cartesian, no Python eval."""
+    from bgpexplorer_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b\n\nc d"), (2, "c d\n\ne f")], "doc_id long, text string"
+    )
+    plan = _plan(paragraph_dedup(docs))
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # window partitioning on the hash column, not on doc_id
+    assert "hashpartitioning(_h" in plan
