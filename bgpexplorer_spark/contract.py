@@ -5010,3 +5010,72 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.replace(F.col("text"), F.lit(" join "), F.lit("\n\n")).alias("text"),
     )
     return paragraph_dedup(derived)
+
+_TEMP_MIX_ORACLE = f"""
+    WITH per AS (
+        SELECT source AS stratum,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_duck_tokens('text')})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ), sh AS (
+        SELECT stratum, n_docs, n_tokens,
+               round(n_tokens / (SELECT sum(n_tokens) FROM per), 6)
+                   AS token_share
+        FROM per
+    ), p AS (
+        SELECT *, power(token_share, 0.5) AS _p FROM sh
+    )
+    SELECT stratum, n_docs, n_tokens, token_share,
+           round(_p / (SELECT sum(_p) FROM p), 6) AS sample_weight,
+           CAST(round(_p / (SELECT sum(_p) FROM p) * 1000000) AS BIGINT)
+               AS token_allocation,
+           round(CAST(round(_p / (SELECT sum(_p) FROM p) * 1000000) AS BIGINT)
+                 / greatest(n_tokens, 1), 4) AS epochs
+    FROM p
+"""
+
+@q("pipe_temperature_mixture", _TEMP_MIX_ORACLE)
+def pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling weights (mT5/XLM-R rule:
+    P(s) ∝ token_share^(1/T), T=2) with a 1M-token budget's per-source
+    allocation and implied epochs (operators/pipeline.temperature_mixture).
+    One stratum aggregate + strata-sized arithmetic."""
+    from bgpexplorer_spark.operators.pipeline import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(
+        docs, "source", temperature=2.0, token_budget=1_000_000
+    )
+
+@q(
+    "st_exact_dedup",
+    """
+    SELECT DISTINCT 'ipv4u' AS rib,
+           'p' || CAST(event_id % 500 AS VARCHAR) AS nlri_str,
+           CAST(user_id % 4 AS INT) AS session_id,
+           CAST(0 AS BIGINT) AS path_id, ts
+    FROM events
+    """,
+)
+def st_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming re-delivery dedup (streaming/feed.live_exact_dedup) in
+    its batch-equivalent mode: the input is every key-row delivered
+    TWICE (a BMP session replay), the operator keeps one. The streaming
+    variant bounds state by the watermark horizon via
+    dropDuplicatesWithinWatermark (e2e test in test_streaming.py); the
+    semantics verified here are the same keep-one-per-key."""
+    from bgpexplorer_spark.streaming.feed import live_exact_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    upd = ev.select(
+        "ts",
+        F.lit("ipv4u").alias("rib"),
+        F.concat(F.lit("p"), (F.col("event_id") % 500).cast("string"))
+        .alias("nlri_str"),
+        (F.col("user_id") % 4).cast("int").alias("session_id"),
+        F.lit(0).cast("bigint").alias("path_id"),
+    )
+    doubled = upd.unionAll(upd)
+    return live_exact_dedup(doubled).select(
+        "rib", "nlri_str", "session_id", "path_id", "ts"
+    )

@@ -419,3 +419,46 @@ def contamination_report(
             ).alias("overlap_frac"),
         )
     )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    strata_col: str,
+    temperature: float = 2.0,
+    token_budget: int | None = None,
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum (the multilingual
+    / multi-source balancing rule of mT5 and XLM-R: sample stratum s with
+    probability ∝ share_s^(1/T)). T=1 reproduces natural proportions,
+    T→∞ approaches uniform; low-resource strata get upweighted in
+    between. With a ``token_budget``, also emits each stratum's token
+    allocation and the implied epoch count over its available tokens —
+    the number a mix designer actually schedules.
+
+    Scale: one stratum-keyed aggregate (map-side combinable), then
+    arithmetic over the strata-sized result — no second corpus pass.
+    """
+    per = mixture_stats(docs, strata_col, text_col, n_tokens_col)
+    powed = per.select(
+        "*", F.pow(F.col("token_share"), 1.0 / temperature).alias("_p")
+    )
+    tot = powed.agg(F.sum("_p").alias("_tp"))
+    w = F.col("_p") / F.col("_tp")
+    cols = [
+        F.col("stratum"), F.col("n_docs"), F.col("n_tokens"),
+        F.col("token_share"), F.round(w, 6).alias("sample_weight"),
+    ]
+    if token_budget is not None:
+        cols.append(
+            F.round(w * token_budget).cast("bigint").alias("token_allocation")
+        )
+    out = powed.crossJoin(F.broadcast(tot)).select(*cols)
+    if token_budget is not None:
+        out = out.withColumn(
+            "epochs",
+            F.round(F.col("token_allocation")
+                    / F.greatest(F.col("n_tokens"), F.lit(1)), 4),
+        )
+    return out

@@ -93,7 +93,8 @@ def read_route_counts(spark, path: str) -> dict[str, int] | None:
         stream.close()
 
 def write_snapshot(
-    history: DataFrame, path: str, mode: str = "overwrite", spark=None
+    history: DataFrame, path: str, mode: str = "overwrite", spark=None,
+    bloom_cols: tuple = ("nlri_str", "session_id"),
 ) -> None:
     """S4 — the parquet table IS the snapshot (vs CBOR dump+rename,
     src/bgprib.rs:903-948).
@@ -103,19 +104,23 @@ def write_snapshot(
     index (J2) with partition pruning — and sort within partitions by the
     sortable address forms so parquet min/max row-group stats reproduce
     the BTreeMap range scan (src/ribfilter.rs:231-305) as stats-based
-    skipping.
+    skipping. Point-lookup keys that do NOT correlate with the sort
+    order (``nlri_str`` exact match, ``session_id``) get parquet bloom
+    filters so a single-route probe skips row groups min/max can't
+    (set ``bloom_cols=()`` to disable).
 
     Pass ``spark`` to also refresh the maintained per-rib route counts
     (O3 ``length`` without a per-request scan).
     """
-    (
+    w = (
         history.withColumn("ts_date", F.to_date("ts"))
         .repartition("rib", "ts_date")
         .sortWithinPartitions("addr_v4", "addr_v6", "prefixlen")
         .write.mode(mode)
-        .partitionBy("rib", "ts_date")
-        .parquet(path)
     )
+    for c in bloom_cols:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.partitionBy("rib", "ts_date").parquet(path)
     if spark is not None:
         write_route_counts(spark, history, path)
 

@@ -783,3 +783,30 @@ def test_paragraph_dedup_keep_first(spark):
     assert out[1].n_paras == 2 and out[1].n_kept == 1
     assert out[2].n_paras == 2 and out[2].n_kept == 1
     assert out[2].kept_chars == len("unique body two")
+
+
+def test_temperature_mixture_hand_computed(spark):
+    from bgpexplorer_spark.operators.pipeline import temperature_mixture
+
+    # two sources with a 9:1 token imbalance; T=2 takes sqrt of shares:
+    # sqrt(.9)=.94868, sqrt(.1)=.31623 -> weights .75/.25
+    df = spark.createDataFrame(
+        [(i, "w " * 9, "big") for i in range(10)]
+        + [(100 + i, "w", "small") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    out = {r.stratum: r for r in temperature_mixture(
+        df, "source", temperature=2.0, token_budget=1000).collect()}
+    assert out["big"].n_tokens == 90 and out["small"].n_tokens == 10
+    assert abs(out["big"].sample_weight - 0.75) < 1e-6
+    assert abs(out["small"].sample_weight - 0.25) < 1e-6
+    assert out["big"].token_allocation == 750
+    assert out["small"].token_allocation == 250
+    # the low-resource source gets oversampled: 25 epochs vs ~8.3
+    assert out["small"].epochs == 25.0
+    assert abs(out["big"].epochs - 8.3333) < 1e-3
+
+    # T=1 reproduces natural proportions
+    nat = {r.stratum: r.sample_weight for r in temperature_mixture(
+        df, "source", temperature=1.0).collect()}
+    assert abs(nat["big"] - 0.9) < 1e-6 and abs(nat["small"] - 0.1) < 1e-6

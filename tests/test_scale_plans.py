@@ -475,3 +475,40 @@ def test_paragraph_dedup_single_hash_window(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # window partitioning on the hash column, not on doc_id
     assert "hashpartitioning(_h" in plan
+
+
+def test_snapshot_writes_bloom_filters(spark, tmp_path):
+    """Point-lookup columns (nlri_str, session_id) carry parquet bloom
+    filters in the snapshot — row-group skipping for exact-route probes
+    that the addr sort order can't serve — while sort-correlated columns
+    don't pay the bloom overhead."""
+    hist = build_history(
+        make_updates(spark, [u(f"10.{i}.0.0/16", t=i) for i in range(8)])
+    )
+    d = str(tmp_path / "snap")
+    write_snapshot(hist, d)
+
+    import glob
+
+    [f] = glob.glob(d + "/rib=*/ts_date=*/part-*.parquet")[:1]
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(f), conf
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        cols = reader.getFooter().getBlocks().get(0).getColumns()
+        offsets = {
+            cols.get(i).getPath().toDotString():
+                cols.get(i).getBloomFilterOffset()
+            for i in range(cols.size())
+        }
+    finally:
+        reader.close()
+    assert offsets["nlri_str"] > 0
+    # session_id is fully dictionary-encoded at this size, and parquet-mr
+    # skips the bloom when the dictionary already serves as an exact
+    # filter — the option only pays off once dict pages overflow at scale
+    assert offsets["session_id"] == -1
+    assert offsets["addr_v4"] == -1  # sorted column: min/max stats suffice

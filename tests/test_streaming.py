@@ -413,3 +413,34 @@ def test_publish_batch_rows_capped(spark):
         got.append(json.loads(sub.q.get_nowait())["addrs"]["nlri"])
     # the two newest, delivered oldest-first
     assert got == ["10.0.3.0/24", "10.0.4.0/24"]
+
+
+def test_live_exact_dedup_streaming(spark):
+    from bgpexplorer_spark.streaming.feed import live_exact_dedup
+
+    # the same update delivered twice (BMP session replay) plus a
+    # genuinely distinct later update for the same key
+    rows = [
+        u("10.0.0.0/24", t=1, aspath=[("Seq", [100])]),
+        u("10.0.0.0/24", t=1, aspath=[("Seq", [100])]),  # exact re-delivery
+        u("10.0.0.0/24", t=2, aspath=[("Seq", [100, 200])]),  # new event
+        u("11.0.0.0/24", t=1),
+    ]
+    d = _updates_dir(spark, rows)
+    stream = stream_updates_from_files(spark, d)
+    q = (
+        live_exact_dedup(stream)
+        .writeStream.format("memory").queryName("dedup1").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = [
+        (r.nlri_str, r.ts) for r in
+        spark.sql("SELECT nlri_str, ts FROM dedup1 ORDER BY nlri_str, ts").collect()
+    ]
+    assert len(got) == 3  # the re-delivery is dropped, the new event kept
+    assert [n for n, _ in got] == ["10.0.0.0/24", "10.0.0.0/24", "11.0.0.0/24"]
+
+    # batch-mode fallback keeps the same semantics on bounded input
+    batch = make_updates(spark, rows)
+    assert live_exact_dedup(batch).count() == 3
