@@ -429,6 +429,34 @@ def _make_handler(svc: BgpExplorerService):
                 self.connection, svc.feed, apply_filter=svc.ws_apply_filter
             )
 
+        def _send_file(self, urlpath: str):
+            """S8 — static files from ``httproot`` with the reference's
+            ``"/" → /index.html`` default (src/main.rs:168-173
+            simple_file_send; httproot ini key src/config.rs + shipped
+            contrib/ UI). Paths are resolved inside the root so ``..``
+            traversal can't escape it."""
+            import mimetypes
+            import os
+
+            root = getattr(svc.svc_config, "httproot", None)
+            if not root:
+                return self._send({"error": "not found"}, 404)
+            rel = "/index.html" if urlpath == "/" else urlpath
+            root_abs = os.path.realpath(root)
+            full = os.path.realpath(os.path.join(root_abs, rel.lstrip("/")))
+            if not (full == root_abs or full.startswith(root_abs + os.sep)):
+                return self._send({"error": "not found"}, 404)
+            if not os.path.isfile(full):
+                return self._send({"error": "not found"}, 404)
+            with open(full, "rb") as f:
+                body = f.read()
+            ctype = mimetypes.guess_type(full)[0] or "application/octet-stream"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):  # noqa: N802
             u = urlparse(self.path)
             parts = [p for p in u.path.split("/") if p]
@@ -493,6 +521,8 @@ def _make_handler(svc: BgpExplorerService):
                         if k in qs:
                             params[k] = qs[k]
                     return self._send(svc.api_json(parts[2], **params))
+                if parts[:1] != ["api"]:
+                    return self._send_file(u.path)
                 return self._send({"error": "not found"}, 404)
             except Exception as e:  # surface engine errors as 500 JSON
                 return self._send({"error": str(e)[:500]}, 500)

@@ -701,3 +701,35 @@ def test_http_api_session_stability(spark):
     assert (row["peer"], row["established"], row["lost"], row["last_state"]) \
         == ("10.0.0.1", 1, 1, 1)
     assert row["last_ts"] - row["first_ts"] == 9000
+
+
+def test_http_static_files_from_httproot(spark, tmp_path):
+    """S8 — the reference serves its contrib/ browser UI from httproot
+    with '/' -> /index.html (src/main.rs:168-173); traversal outside the
+    root 404s."""
+    from bgpexplorer_spark.config import SvcConfig
+
+    (tmp_path / "index.html").write_text("<html>bgpexplorer</html>")
+    (tmp_path / "app.js").write_text("console.log(1)")
+    hist = build_history(make_updates(spark, [u("10.0.0.0/24", t=1)])).cache()
+    cfg = SvcConfig(httproot=str(tmp_path))
+    svc = BgpExplorerService(hist, svc_config=cfg)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        r = urllib.request.urlopen(base + "/")
+        assert r.read() == b"<html>bgpexplorer</html>"
+        assert r.headers["Content-Type"].startswith("text/html")
+        r2 = urllib.request.urlopen(base + "/app.js")
+        assert b"console" in r2.read()
+        for bad in ("/../etc/hosts", "/missing.html"):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError("expected 404")
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        # API routes still win over files
+        assert urllib.request.urlopen(base + "/api/ping").read() == b"pong"
+    finally:
+        httpd.shutdown()
