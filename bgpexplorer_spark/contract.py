@@ -5079,3 +5079,78 @@ def st_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return live_exact_dedup(doubled).select(
         "rib", "nlri_str", "session_id", "path_id", "ts"
     )
+
+@q(
+    "an_as_hegemony",
+    """
+    WITH p AS (
+        SELECT CASE WHEN event_id % 11 = 0 THEN
+                   [100 + event_id % 8, 999, 100 + event_id % 8]
+                 WHEN event_id % 4 = 0 THEN
+                   [100 + event_id % 8, 300, 300]
+                 ELSE [100 + event_id % 8, 200 + event_id % 3]
+               END AS flat
+        FROM events
+    ), c AS (
+        SELECT [flat[i] for i in range(1, len(flat) + 1)
+                if i = 1 OR flat[i] <> flat[i - 1]] AS comp
+        FROM p
+    ), t AS (
+        SELECT unnest(list_distinct(comp[1:len(comp) - 1])) AS asn FROM c
+    )
+    SELECT asn, CAST(count(*) AS BIGINT) AS n_routes,
+           round(count(*) / (SELECT count(*) FROM p), 6) AS hegemony
+    FROM t GROUP BY asn
+    """,
+)
+def an_as_hegemony(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-AS transit footprint (operators/analytics.as_hegemony) over
+    derived paths: prepends collapse, loops count once, the origin hop
+    is excluded. Explode + hash-aggregate + broadcast total."""
+    from bgpexplorer_spark.operators.analytics import as_hegemony
+
+    ev = load_table(spark, sf_dir, "events")
+    a1 = (F.lit(100) + F.col("event_id") % 8).cast("long")
+    flat = (
+        F.when(F.col("event_id") % 11 == 0,
+               F.array(a1, F.lit(999).cast("long"), a1))
+        .when(F.col("event_id") % 4 == 0,
+              F.array(a1, F.lit(300).cast("long"), F.lit(300).cast("long")))
+        .otherwise(F.array(a1, (F.lit(200) + F.col("event_id") % 3).cast("long")))
+    )
+    return as_hegemony(ev.select(flat.alias("aspath_flat")))
+
+@q(
+    "an_prefix_visibility",
+    """
+    WITH s AS (
+        SELECT 'ipv4u' AS rib,
+               'p' || CAST(event_id % 50 AS VARCHAR) AS nlri_str,
+               CAST(user_id % 4 AS INT) AS session_id
+        FROM events
+    ), per AS (
+        SELECT rib, nlri_str,
+               CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions
+        FROM s GROUP BY rib, nlri_str
+    ), tot AS (
+        SELECT rib, count(DISTINCT session_id) AS t FROM s GROUP BY rib
+    )
+    SELECT per.rib, nlri_str, n_sessions,
+           round(n_sessions / t, 6) AS visibility
+    FROM per JOIN tot ON per.rib = tot.rib
+    """,
+)
+def an_prefix_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-prefix session visibility (operators/analytics.
+    prefix_visibility): distinct sessions carrying each prefix as a
+    fraction of the rib's sessions. One aggregate + broadcast totals."""
+    from bgpexplorer_spark.operators.analytics import prefix_visibility
+
+    ev = load_table(spark, sf_dir, "events")
+    state = ev.select(
+        F.lit("ipv4u").alias("rib"),
+        F.concat(F.lit("p"), (F.col("event_id") % 50).cast("string"))
+        .alias("nlri_str"),
+        (F.col("user_id") % 4).cast("int").alias("session_id"),
+    )
+    return prefix_visibility(state)

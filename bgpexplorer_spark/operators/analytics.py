@@ -579,3 +579,51 @@ def aspath_loops(
             dups.alias("looped_asns"),
         )
     )
+
+
+def as_hegemony(state: DataFrame, path_col: str = "aspath_flat") -> DataFrame:
+    """Per-AS transit footprint (the Internet Health Report "AS
+    hegemony" idea reduced to one collector's view): for every AS that
+    appears as a TRANSIT hop — any position except the origin (last
+    element), prepends collapsed, loops counted once — the number of
+    routes it carries and that count as a fraction of all routes. The
+    ASes every path funnels through are the infrastructure whose outage
+    would hurt; a sudden hegemony jump is a leak/hijack signal.
+
+    Explode distinct transit hops + one hash-aggregate + a broadcast of
+    the single total row — the as_adjacency cost class."""
+    p = F.col(path_col)
+    comp = F.filter(
+        p, lambda x, i: (i == F.lit(0)) | (x != F.element_at(p, i))
+    )
+    transit = F.array_distinct(
+        F.slice(comp, 1, F.greatest(F.size(comp) - 1, F.lit(0)))
+    )
+    per = (
+        state.select(F.explode(transit).alias("asn"))
+        .groupBy("asn")
+        .agg(F.count(F.lit(1)).alias("n_routes"))
+    )
+    total = state.select(F.count(F.lit(1)).alias("_t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "asn", "n_routes",
+        F.round(F.col("n_routes") / F.col("_t"), 6).alias("hegemony"),
+    )
+
+
+def prefix_visibility(state: DataFrame) -> DataFrame:
+    """Per-prefix visibility: how many of the RIB's sessions carry an
+    active route for it, and the fraction of all sessions that is — the
+    "is this prefix globally seen or leaking from one peer" check every
+    looking-glass answers. One (rib, nlri) aggregate + a broadcast of
+    the per-rib session totals."""
+    per = state.groupBy("rib", "nlri_str").agg(
+        F.count_distinct("session_id").alias("n_sessions")
+    )
+    totals = state.groupBy("rib").agg(
+        F.count_distinct("session_id").alias("_t")
+    )
+    return per.join(F.broadcast(totals), "rib").select(
+        "rib", "nlri_str", "n_sessions",
+        F.round(F.col("n_sessions") / F.col("_t"), 6).alias("visibility"),
+    )

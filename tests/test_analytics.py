@@ -458,3 +458,42 @@ def test_aspath_loops(spark):
         "10.0.0.0/24": ([65001, 3356, 65001], [65001]),
         "10.0.3.0/24": ([1, 2, 1, 2], [1, 2]),
     }
+
+
+def test_as_hegemony_hand_computed(spark):
+    from bgpexplorer_spark.operators.analytics import as_hegemony
+
+    df = spark.createDataFrame(
+        [
+            (1, [10, 20, 30]),        # transit: 10, 20
+            (2, [10, 20, 20, 40]),    # prepend collapses: transit 10, 20
+            (3, [10, 30, 10, 50]),    # loop: 10 counted ONCE, 30
+            (4, [60]),                # origin-only: no transit hops
+        ],
+        "id long, aspath_flat array<bigint>",
+    )
+    out = {r.asn: r for r in as_hegemony(df).collect()}
+    assert out[10].n_routes == 3 and abs(out[10].hegemony - 0.75) < 1e-9
+    assert out[20].n_routes == 2 and abs(out[20].hegemony - 0.5) < 1e-9
+    # 30 is TRANSIT only in route 3 (in route 1 it is the origin)
+    assert out[30].n_routes == 1 and abs(out[30].hegemony - 0.25) < 1e-9
+    assert 40 not in out and 50 not in out and 60 not in out  # origins
+
+
+def test_prefix_visibility_hand_computed(spark):
+    from bgpexplorer_spark.operators.analytics import prefix_visibility
+
+    df = spark.createDataFrame(
+        [
+            ("ipv4u", "10.0.0.0/24", 0), ("ipv4u", "10.0.0.0/24", 1),
+            ("ipv4u", "10.0.0.0/24", 1),  # dup session: counted once
+            ("ipv4u", "11.0.0.0/24", 2),
+            ("ipv6u", "2c0a::/64", 7),
+        ],
+        "rib string, nlri_str string, session_id int",
+    )
+    out = {(r.rib, r.nlri_str): r for r in prefix_visibility(df).collect()}
+    assert out[("ipv4u", "10.0.0.0/24")].n_sessions == 2
+    assert abs(out[("ipv4u", "10.0.0.0/24")].visibility - 2 / 3) < 1e-4
+    assert abs(out[("ipv4u", "11.0.0.0/24")].visibility - 1 / 3) < 1e-4
+    assert out[("ipv6u", "2c0a::/64")].visibility == 1.0
