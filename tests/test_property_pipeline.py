@@ -79,3 +79,91 @@ def test_pack_sequences_matches_model(spark, docs, max_tokens):
             )
             off += nt
     assert set(out) == {i for i, _t, _l in docs}
+
+
+_structured_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.lists(  # paragraphs / lines built from a tiny vocabulary so
+            st.lists(  # cross-doc repeats actually happen
+                st.sampled_from(["alpha", "beta", "gamma", "x", "{", "Lorem",
+                                 "Ipsum", "javascript"]),
+                min_size=0, max_size=7,
+            ).map(" ".join),
+            min_size=0, max_size=5,
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_structured_docs)
+def test_paragraph_dedup_matches_model(spark, docs):
+    from bgpexplorer_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, "\n\n".join(paras)) for i, paras in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_paras, r.n_kept, r.kept_chars)
+           for r in paragraph_dedup(df).collect()}
+
+    seen: set[str] = set()
+    want: dict[int, list] = {}
+    for i, paras in sorted(docs):  # keep-first order = (doc_id, idx)
+        kept = n = chars = 0
+        for p in paras:
+            if p.strip() == "":
+                continue
+            n += 1
+            key = p.strip()
+            if key not in seen:
+                seen.add(key)
+                kept += 1
+                chars += len(p)
+        if n:
+            want[i] = [n, kept, chars]
+    assert got == {i: tuple(v) for i, v in want.items()}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_structured_docs)
+def test_c4_clean_matches_model(spark, docs):
+    import re
+
+    from bgpexplorer_spark.operators.text import c4_clean
+
+    # give some lines terminal punctuation so the rule has both outcomes
+    rows = [
+        (i, "\n".join(l + "." if (i + j) % 2 == 0 else l
+                      for j, l in enumerate(lines)))
+        for i, lines in docs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.c4_lines, r.c4_kept, r.c4_keep, r.c4_text)
+           for r in c4_clean(df).collect()}
+
+    def keep(line: str) -> bool:
+        low = line.lower()
+        return (
+            re.search(r"""[.!?"']\s*$""", line) is not None
+            and len([w for w in re.split(r"\s+", line.strip()) if w]) >= 5
+            and "javascript" not in low
+            and "lorem ipsum" not in low
+            and "{" not in low
+        )
+
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [l for l in lines if keep(l)]
+        assert got[i] == (len(lines), len(kept), len(kept) >= 3,
+                          "\n".join(kept))
