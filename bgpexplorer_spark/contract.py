@@ -5154,3 +5154,117 @@ def an_prefix_visibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4).cast("int").alias("session_id"),
     )
     return prefix_visibility(state)
+
+def _span_removal_sql(k: int = 8) -> str:
+    h = _duck_hash32("w")
+    return f"""
+    WITH lt AS (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents),
+    wins AS (
+        SELECT doc_id, i, {h} AS wh FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(l[i:i+{k - 1}], ' ')
+                           for i in range(1, len(l) - {k - 2})]) AS w,
+                   unnest(range(1, len(l) - {k - 2})) AS i
+            FROM lt WHERE len(l) >= {k}
+        )
+    ),
+    dups AS (
+        SELECT doc_id, i FROM (
+            SELECT doc_id, i,
+                   row_number() OVER (PARTITION BY wh
+                                      ORDER BY doc_id, i) AS rn
+            FROM wins
+        ) WHERE rn > 1
+    ),
+    st AS (SELECT doc_id, list(i) AS starts FROM dups GROUP BY doc_id)
+    SELECT lt.doc_id,
+           coalesce(array_to_string(
+               [l[j] for j in range(1, len(l) + 1)
+                if len(list_filter(coalesce(starts, []),
+                                   s -> s <= j AND j < s + {k})) = 0],
+               ' '), '') AS clean_text,
+           CAST(len(l) AS INT) AS n_tokens,
+           CAST(len(l) - len(
+               [l[j] for j in range(1, len(l) + 1)
+                if len(list_filter(coalesce(starts, []),
+                                   s -> s <= j AND j < s + {k})) = 0]
+           ) AS INT) AS n_removed
+    FROM lt LEFT JOIN st ON lt.doc_id = st.doc_id
+    """
+
+@q("text_span_removal", _span_removal_sql())
+def text_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span removal (operators/text.remove_duplicate_spans):
+    later copies of any duplicated 8-token window are cut, the globally
+    first occurrence survives — the corpus-editing action on the
+    text_dup_spans signal. Window explode + one hash-keyed row_number
+    + per-doc rebuild."""
+    from bgpexplorer_spark.operators.text import remove_duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs)
+
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE {_lsh_pair_ctes()},
+    pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(cnt / (na.n + nb.n - cnt), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+    allc AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    k AS (
+        SELECT component, doc_id AS keeper_id FROM (
+            SELECT component, doc_id,
+                   row_number() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM allc
+        ) WHERE rn = 1
+    )
+    SELECT a.doc_id, a.component, k.keeper_id,
+           a.doc_id = k.keeper_id AS keep
+    FROM allc a JOIN k USING (component)
+"""
+
+@q("dedup_keep_best", _KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup keeper (operators/dedup.keep_best): the
+    same LSH → verify → components pipeline as dedup_components, but
+    each group keeps its HIGHEST-quality member (n_chars as the score
+    proxy; ties → lowest id) instead of min-id — the keep-the-best-copy
+    policy production dedup ships."""
+    from bgpexplorer_spark.operators.dedup import (
+        connected_components,
+        keep_best,
+        neardup_pairs,
+    )
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_pairs(
+        fan_out(docs, spark), "doc_id", n=3, threshold=0.5, k=16, bands=4
+    )
+    comp = connected_components(pairs)
+    allc = (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .withColumn("component", F.coalesce("component", F.col("node")))
+    )
+    return keep_best(
+        allc, docs.select("doc_id", F.col("n_chars").alias("score"))
+    )

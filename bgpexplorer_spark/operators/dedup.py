@@ -521,3 +521,38 @@ def paragraph_dedup(
         F.sum(F.when(F.col("_rank") == 1, F.length("_para")).otherwise(0))
         .alias("kept_chars"),
     )
+
+
+def keep_best(
+    components: DataFrame, scored: DataFrame,
+    id_col: str = "doc_id", score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware group keeper: given (node, component) from
+    :func:`connected_components` and a per-document quality score, the
+    keeper of each near-dup group is the HIGHEST-scoring member (ties →
+    lowest id, deterministic) instead of min-id — what production dedup
+    actually ships: keep the best copy, not the first-crawled one.
+
+    One broadcast-able join on the node id + one component-keyed
+    ``max_by`` aggregate (map-side combinable) + one join back. Returns
+    (id, component, keeper_id, keep).
+    """
+    labeled = components.join(
+        scored.select(
+            F.col(id_col).cast("bigint").alias("node"),
+            F.col(score_col).alias("_score"),
+        ),
+        "node",
+    )
+    keepers = labeled.groupBy("component").agg(
+        F.expr("max_by(node, struct(_score, -node))").alias("keeper_id")
+    )
+    return (
+        labeled.join(keepers, "component")
+        .select(
+            F.col("node").alias(id_col),
+            "component",
+            "keeper_id",
+            (F.col("node") == F.col("keeper_id")).alias("keep"),
+        )
+    )

@@ -6,7 +6,7 @@ whole pipeline stays in whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # A "BPE-ish" pre-tokenizer: letter runs, digit runs, single punctuation.
@@ -483,4 +483,66 @@ def pii_counts(col: Column) -> Column:
     phone = F.regexp_count(after_ip, F.lit(PII_PATTERNS[2][0]))
     return F.struct(
         email.alias("email"), ip.alias("ip"), phone.alias("phone")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (the action Lee et al. 2021 take on the
+    signal :func:`duplicate_span_stats` computes): every occurrence of a
+    duplicated k-token window EXCEPT the globally first one (ordered by
+    (doc_id, window start)) is cut out of its document — the first copy
+    survives, later copies lose the span, approximating the paper's
+    keep-one-occurrence suffix-array semantics at window granularity.
+    Returns (id, clean_text, n_tokens, n_removed).
+
+    Scale shape: one window explode carrying only (id, start, hash) —
+    never the token array — one row_number window on the hash (the same
+    shuffle key class as the stats pass), a per-doc start-list aggregate
+    bounded by the document's own window count, and one join back. No
+    UDFs; the rebuild is array algebra on the already-materialized token
+    column.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n_win = F.greatest(F.size("_toks") - (k - 1), F.lit(0))
+    wins = base.select(
+        "_id",
+        F.explode(
+            F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_i"),
+        "_toks",
+    ).select(
+        "_id", "_i",
+        portable_hash32(
+            F.concat_ws(" ", F.slice("_toks", F.col("_i"), k))
+        ).alias("_wh"),
+    )
+    w = Window.partitionBy("_wh").orderBy("_id", "_i")
+    dup_starts = (
+        wins.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .groupBy("_id")
+        .agg(F.collect_list("_i").alias("_starts"))
+    )
+    joined = base.join(dup_starts, "_id", "left").withColumn(
+        "_starts", F.coalesce("_starts", F.array().cast("array<int>"))
+    )
+    starts = F.col("_starts")
+    kept = F.filter(
+        F.col("_toks"),
+        lambda x, i0: ~F.exists(
+            starts, lambda s: (s <= i0 + 1) & (i0 + 1 < s + F.lit(k))
+        ),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
     )

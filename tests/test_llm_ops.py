@@ -810,3 +810,35 @@ def test_temperature_mixture_hand_computed(spark):
     nat = {r.stratum: r.sample_weight for r in temperature_mixture(
         df, "source", temperature=1.0).collect()}
     assert abs(nat["big"] - 0.9) < 1e-6 and abs(nat["small"] - 0.1) < 1e-6
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h tail zero"),
+            (1, "intro one a b c d e f g h tail one"),  # later copy cut
+            (2, "short doc"),                            # < k tokens: kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.remove_duplicate_spans(df, k=8).collect()}
+    assert out[0].clean_text == "a b c d e f g h tail zero"  # first copy survives
+    assert out[0].n_removed == 0
+    # the shared span is 9 tokens (two overlapping dup windows cover
+    # 'a..h' and 'b..tail')
+    assert out[1].clean_text == "intro one one" and out[1].n_removed == 9
+    assert out[2].clean_text == "short doc" and out[2].n_removed == 0
+
+
+def test_keep_best_prefers_high_score(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "node long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.1)], "doc_id long, score double"
+    )
+    out = {r.doc_id: r for r in dedup.keep_best(comps, scores).collect()}
+    # 2 and 3 tie at 0.9 -> lowest id (2) wins
+    assert out[2].keep is True and out[3].keep is False and out[1].keep is False
+    assert out[1].keeper_id == 2
+    assert out[7].keep is True  # singleton keeps itself
