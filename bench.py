@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "pipe_c4_clean",
     # paragraph-level keep-first dedup: explode + one hash-window shuffle
     "dedup_paragraphs",
+    # ExactSubstr span removal: window explode + hash row_number + rebuild
+    "text_span_removal",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -512,3 +512,25 @@ def test_snapshot_writes_bloom_filters(spark, tmp_path):
     # filter — the option only pays off once dict pages overflow at scale
     assert offsets["session_id"] == -1
     assert offsets["addr_v4"] == -1  # sorted column: min/max stats suffice
+
+
+def test_span_removal_never_carries_token_arrays(spark):
+    """remove_duplicate_spans' window explode must carry only
+    (id, start, hash) — exploding WITH the token array would be
+    O(tokens²) data motion — and the whole plan has no Python eval and
+    no cartesian."""
+    from bgpexplorer_spark.operators.text import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h x y")],
+        "doc_id long, text string",
+    )
+    plan = _plan(remove_duplicate_spans(docs, k=8))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the Generate (explode) output feeding the hash shuffle projects the
+    # window index, not _toks: no exchange should ship an array column
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "_toks" not in m.group(1)
