@@ -4509,6 +4509,71 @@ def f_wire_mvpn_evpn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return mvpn.unionByName(evpn)
 
+# PMSI tunnel attribute (RFC 6514 §5) riding I-PMSI/S-PMSI A-D routes:
+# the reference interns it as the 13th BgpAttrs field (`pmsi_ta`,
+# src/bgpattrs.rs:34, store src/bgprib.rs:805). Fixture tunnels cycle
+# ingress-replication / PIM-SSM / mLDP; PIM-SSM carries an 8-byte
+# sender+group identifier, the others a 4-byte endpoint — so both the
+# field decode (flags / type / 20-bit label) and the variable-length
+# opaque identifier are closed-form over the range table.
+_PMSI_ORACLE = """
+    SELECT i,
+           CAST(i % 2 AS INTEGER) AS flags,
+           CAST(CASE i % 3 WHEN 0 THEN 6 WHEN 1 THEN 3 ELSE 2 END
+                AS INTEGER) AS tunnel_type,
+           CAST(16 + i % 50 AS INTEGER) AS label,
+           CAST(CASE i % 3 WHEN 1 THEN 8 ELSE 4 END AS INTEGER) AS tid_len,
+           CAST(167772160 + i AS BIGINT) AS tunnel_v4
+    FROM range(90) t(i)
+"""
+
+@q("s1_mrt_pmsi_tunnel", _PMSI_ORACLE)
+def s1_mrt_pmsi_tunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 attr parity — PMSI tunnel attribute (attr 22, RFC 6514 §5)
+    decoded from fixture-encoded MVPN type-1 I-PMSI A-D routes: flags
+    (Leaf-Info-Required), tunnel type, the 20-bit MPLS label out of the
+    3-octet field, and the opaque tunnel identifier bytes."""
+    import os
+    import tempfile
+
+    from bgpexplorer_spark.sources.mrt import (
+        assign_sessions,
+        encode_mvpn_nlri,
+        encode_update,
+        read_mrt,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = 1704300000
+    recs = b""
+    for i in range(90):
+        ep = (0x0A000000 + i).to_bytes(4, "big")
+        tid = ep + bytes([232, 1, 0, i % 200]) if i % 3 == 1 else ep
+        recs += encode_update(
+            ts_sec=base + i, peer_as=65000, peer_ip=0x0AFF0001,
+            origin=0, aspath=[(2, [65000, 300])],
+            pmsi=(i % 2, (6, 3, 2)[i % 3], 16 + i % 50, tid),
+            mp_reach=(1, 5, b"\x0a\x00\x00\x01", encode_mvpn_nlri(
+                1, (300 + i % 7, 1), originator=0x0A000000 + i)),
+        )
+    path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_pmsi_fixture.mrt")
+    tmp = path + ".part"
+    with open(tmp, "wb") as f:
+        f.write(recs)
+    os.replace(tmp, path)
+
+    upd, _ = assign_sessions(read_mrt(spark, path))
+    p = F.col("pmsi_ta")
+    return upd.filter(F.col("rib") == "mvpn").select(
+        (F.col("ts").cast("long") - F.lit(base)).alias("i"),
+        p.getField("flags").alias("flags"),
+        p.getField("tunnel_type").alias("tunnel_type"),
+        p.getField("label").alias("label"),
+        F.length(p.getField("tunnel_id")).alias("tid_len"),
+        F.conv(F.hex(F.expr("substring(pmsi_ta.tunnel_id, 1, 4)")), 16, 10)
+        .cast("long").alias("tunnel_v4"),
+    )
+
 # Session stability from wire-decoded FSM transitions: the per-4 pattern
 # 1→3, 3→5, 5→6 (reach Established), 6→1 (lose it) gives every peer real
 # up/down structure; peers are i % 6 so the per-peer tallies are a

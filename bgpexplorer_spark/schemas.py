@@ -24,7 +24,8 @@ RIB_NAMES = [
     "l2vpls", "mvpn", "evpn", "fs4u", "ipv4mdt", "ipv6mdt",
 ]
 
-# BgpAttrs — 13 fields (reference: src/bgpattrs.rs:20-35).
+# BgpAttrs — the reference's 13 fields (src/bgpattrs.rs:20-35); 14 here
+# because nexthop splits into sortable v4/v6 forms.
 ASPATH_SEGMENT = T.StructType([
     T.StructField("kind", T.StringType()),          # 'Seq' | 'Set'
     T.StructField("asns", T.ArrayType(T.LongType())),
@@ -36,11 +37,27 @@ LARGE_COMMUNITY = T.StructType([
     T.StructField("ldp2", T.LongType()),
 ])
 
+# ctype/subtype are unsigned wire octets that DO exceed 127 in the wild
+# (generic-experimental / FlowSpec action communities are ctype 0x80,
+# RFC 8955 §7) — signed ByteType would overflow at Arrow conversion, so
+# they are kept as ints.
 EXT_COMMUNITY = T.StructType([
-    T.StructField("ctype", T.ByteType()),
-    T.StructField("subtype", T.ByteType()),
+    T.StructField("ctype", T.IntegerType()),
+    T.StructField("subtype", T.IntegerType()),
     T.StructField("a", T.LongType()),
     T.StructField("b", T.LongType()),
+])
+
+# PMSI tunnel attribute (RFC 6514 §5; reference field `pmsi_ta`,
+# src/bgpattrs.rs:34 / interned store src/bgprib.rs:805). Flags carries
+# the Leaf-Info-Required bit; label is the upper 20 bits of the 3-octet
+# MPLS field; tunnel_id is the type-specific opaque identifier bytes
+# (sender+group for PIM trees, endpoint address for ingress replication).
+PMSI_TUNNEL = T.StructType([
+    T.StructField("flags", T.IntegerType()),      # unsigned wire octet
+    T.StructField("tunnel_type", T.IntegerType()),  # 0xFA-0xFF possible
+    T.StructField("label", T.IntegerType()),
+    T.StructField("tunnel_id", T.BinaryType()),
 ])
 
 ATTR_FIELDS = [
@@ -57,6 +74,7 @@ ATTR_FIELDS = [
     T.StructField("aggregator_as", T.LongType()),
     T.StructField("originator", T.LongType()),
     T.StructField("clusterlist", T.ArrayType(T.LongType())),
+    T.StructField("pmsi_ta", PMSI_TUNNEL),
 ]
 
 # Route-key columns — the superset of all 15 per-SAFI key types

@@ -169,6 +169,7 @@ def _parse_attrs(
         "aspath": None, "comms": None, "lcomms": None, "extcomms": None,
         "med": None, "localpref": None, "atomicaggregate": None,
         "aggregator_as": None, "originator": None, "clusterlist": None,
+        "pmsi_ta": None,
         "_mp_reach": [], "_mp_unreach": [],  # [(key_dict, path_id)]
     }
     asz = 4 if as4 else 2
@@ -251,6 +252,17 @@ def _parse_attrs(
                 }
                 for i in range(0, len(val) - 7, 8)
             ]
+        elif atype == 22 and alen >= 5:
+            # PMSI tunnel attribute (RFC 6514 §5; reference `pmsi_ta`,
+            # src/bgpattrs.rs:34): flags, tunnel type, 3-octet MPLS
+            # label (value in the upper 20 bits), then the
+            # type-specific tunnel identifier.
+            a["pmsi_ta"] = {
+                "flags": val[0],
+                "tunnel_type": val[1],
+                "label": (val[2] << 16 | val[3] << 8 | val[4]) >> 4,
+                "tunnel_id": val[5:] or None,
+            }
         elif atype == 32:
             a["lcomms"] = [
                 dict(
@@ -970,11 +982,13 @@ def encode_bgp_update_body(
     as4path: list[tuple[int, list[int]]] | None = None,
     aggregator16: tuple[int, int] | None = None,
     as4aggregator: tuple[int, int] | None = None,
+    pmsi: tuple[int, int, int, bytes] | None = None,
 ) -> bytes:
     """A BGP UPDATE body (after the 19-byte message header) — shared by
     the MRT and BMP fixture encoders. With ``addpath`` the v4 prefix
     tuples are (addr, plen, path_id). extcomms entries are
-    (ctype, subtype, a_u16, b_u32); lcomms are (ga, ldp1, ldp2)."""
+    (ctype, subtype, a_u16, b_u32); lcomms are (ga, ldp1, ldp2); pmsi is
+    (flags, tunnel_type, label, tunnel_id_bytes) per RFC 6514 §5."""
     attrs = b""
 
     def attr(atype: int, val: bytes, flags: int = 0x40) -> bytes:
@@ -1041,6 +1055,10 @@ def encode_bgp_update_body(
         attrs += attr(
             32, b"".join(struct.pack(">III", ga, l1, l2) for ga, l1, l2 in lcomms)
         )
+    if pmsi is not None:
+        pflags, ptype, plabel, ptid = pmsi
+        lab3 = (plabel << 4).to_bytes(3, "big")
+        attrs += attr(22, bytes([pflags, ptype]) + lab3 + ptid, flags=0xC0)
     if nlri6 is not None:
         body6 = struct.pack(">HBB", 2, 1, 16) + (nexthop6 or bytes(16)) + b"\x00"
         for entry in nlri6:

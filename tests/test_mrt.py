@@ -225,6 +225,37 @@ def test_all_attrs_roundtrip():
     assert r["lcomms"] == [{"ga": 10, "ldp1": 20, "ldp2": 30}]
 
 
+def test_pmsi_tunnel_attr():
+    """PMSI tunnel attribute (attr 22, RFC 6514 §5; reference `pmsi_ta`
+    field src/bgpattrs.rs:34): flags + tunnel type + 20-bit label out of
+    the 3-octet field + opaque tunnel identifier. An attribute with no
+    identifier bytes (tunnel type 0 'no tunnel info') decodes with
+    tunnel_id=None; a high-bit ctype ext-community (FlowSpec action
+    range, RFC 8955 §7) decodes without signed-byte overflow."""
+    rec = encode_update(
+        1704067400, 65010, 0x0AFF0001,
+        nlri=[(0x0A000000, 8)], origin=0, aspath=[(2, [100])], nexthop=1,
+        pmsi=(1, 6, 0xFFFFF, b"\xc0\x00\x02\x01"),
+        extcomms=[(0x80, 0x06, 1, 0)],  # traffic-rate action, ctype 128
+    )
+    r = next(iter(parse_mrt(rec)))
+    assert r["pmsi_ta"] == {
+        "flags": 1, "tunnel_type": 6, "label": 0xFFFFF,
+        "tunnel_id": b"\xc0\x00\x02\x01",
+    }
+    assert r["extcomms"] == [{"ctype": 128, "subtype": 6, "a": 1, "b": 0}]
+
+    rec2 = encode_update(
+        1704067401, 65010, 0x0AFF0001,
+        nlri=[(0x0A000000, 8)], origin=0, aspath=[(2, [100])], nexthop=1,
+        pmsi=(0, 0, 0, b""),
+    )
+    r2 = next(iter(parse_mrt(rec2)))
+    assert r2["pmsi_ta"] == {
+        "flags": 0, "tunnel_type": 0, "label": 0, "tunnel_id": None,
+    }
+
+
 def test_mrt_roundtrip_property():
     """Property: encode → parse is the identity on the decoded fields,
     over randomized updates (hypothesis-style fuzz of the wire codec —

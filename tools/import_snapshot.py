@@ -386,6 +386,25 @@ def _attr_row(entry: dict) -> dict:
         v = attrs.get(src)
         if isinstance(v, int):
             row[dst] = v
+    pmsi = attrs.get("PmsiTa")
+    if isinstance(pmsi, dict):
+        # zettabgp BgpPMSITunnel serde: tolerate either our field names
+        # or the crate's (flags/tunnel_type/mpls_label + an id blob)
+        tid = pmsi.get("tunnel_id")
+        if isinstance(tid, list):
+            tid = bytes(x & 0xFF for x in tid if isinstance(x, int))
+        row["pmsi_ta"] = {
+            "flags": pmsi.get("flags") if isinstance(pmsi.get("flags"), int) else None,
+            "tunnel_type": next(
+                (pmsi[k] for k in ("tunnel_type", "tunneltype") if isinstance(pmsi.get(k), int)),
+                None,
+            ),
+            "label": next(
+                (pmsi[k] for k in ("label", "mpls_label") if isinstance(pmsi.get(k), int)),
+                None,
+            ),
+            "tunnel_id": tid if isinstance(tid, bytes) else None,
+        }
     return row
 
 
