@@ -300,6 +300,41 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_as_relationships(self, rib: str = "ipv4u") -> list[dict]:
+        """GET /api/analytics/relationships[?rib=] — Gao-style
+        c2p/p2c/p2p inference over the active state's AS paths."""
+        from bgpexplorer_spark.operators.analytics import as_relationships
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = as_relationships(st).orderBy("as_low", "as_high").collect()
+        return [
+            {
+                "as_low": r.as_low, "as_high": r.as_high, "rel": r.rel,
+                "votes_low_customer": r.n_low_customer,
+                "votes_high_customer": r.n_high_customer,
+            }
+            for r in rows
+        ]
+
+    def api_customer_cones(self, rib: str = "ipv4u", k: int = 50) -> list[dict]:
+        """GET /api/analytics/cones[?rib=&k=] — top-k customer-cone
+        sizes from the inferred relationship graph."""
+        from bgpexplorer_spark.operators.analytics import (
+            as_relationships,
+            customer_cone,
+        )
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = (
+            customer_cone(as_relationships(st))
+            .orderBy(F.col("cone_size").desc(), "asn")
+            .limit(k)
+            .collect()
+        )
+        return [{"asn": r.asn, "cone_size": r.cone_size} for r in rows]
+
     def api_statistics(self) -> dict:
         """GET /api/statistics (O6, src/ribservice.rs:168-219)."""
         rows = statistics(self.history).collect()
@@ -502,6 +537,16 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(svc.api_bogons(qs.get("rib", "ipv4u")))
                 if parts[:3] == ["api", "analytics", "sessions"]:
                     return self._send(svc.api_session_stability())
+                if parts[:3] == ["api", "analytics", "relationships"]:
+                    return self._send(
+                        svc.api_as_relationships(qs.get("rib", "ipv4u"))
+                    )
+                if parts[:3] == ["api", "analytics", "cones"]:
+                    return self._send(
+                        svc.api_customer_cones(
+                            qs.get("rib", "ipv4u"), int(qs.get("k", 50))
+                        )
+                    )
                 if parts[:3] == ["api", "analytics", "flappers"]:
                     return self._send(
                         svc.api_flappers(qs.get("rib", "ipv4u"), int(qs.get("k", 20)))

@@ -3037,6 +3037,136 @@ def an_as_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = _origins_history(spark, sf_dir)
     return as_adjacency(current_state(hist))
 
+# Gao-style relationship inference + customer cone. The path fixture
+# builds a 3-tier topology from events — stubs 10-14, transits 50-52,
+# origins 100-106 — with three deliberate wrinkles: direct stub→origin
+# paths (e%4), a stub-origin-stub detour that manufactures conflicting
+# orientations → p2p (e%13==2), and a prepended transit hop that the
+# Spark-side collapse must erase (e%13==5; the oracle never sees it, so
+# a broken collapse breaks the hash). Both engines then run the same
+# deterministic algorithm: per-path summit = highest degree (ties → the
+# earliest position), uphill votes c2p, downhill p2c.
+_AS_REL_PATH_CASE = """CASE WHEN event_id % 13 = 2
+      THEN [10 + user_id % 5, 100 + event_id % 7, 10 + (user_id + 1) % 5]
+      WHEN event_id % 4 = 0
+      THEN [10 + user_id % 5, 100 + event_id % 7]
+      ELSE [10 + user_id % 5, 50 + (user_id + event_id) % 3,
+            100 + event_id % 7]
+      END"""
+
+_AS_REL_CTES = f"""raw AS (
+        SELECT DISTINCT {_AS_REL_PATH_CASE} AS path FROM events
+    ),
+    hops AS (
+        SELECT path, CAST(unnest(range(1, len(path) + 1)) AS INTEGER) AS pos,
+               unnest(path) AS asn
+        FROM raw
+    ),
+    edges AS (
+        SELECT path, pos, path[pos] AS a, path[pos + 1] AS b
+        FROM hops WHERE pos < len(path)
+    ),
+    und AS (
+        SELECT DISTINCT a, b
+        FROM (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)
+    ),
+    deg AS (SELECT a AS asn, count(*) AS degree FROM und GROUP BY 1),
+    top AS (
+        SELECT path, pos AS top_pos FROM (
+            SELECT h.path, h.pos,
+                   row_number() OVER (PARTITION BY h.path
+                                      ORDER BY d.degree DESC, h.pos) AS rn
+            FROM hops h JOIN deg d USING (asn)
+        ) WHERE rn = 1
+    ),
+    votes AS (
+        SELECT CAST(least(a, b) AS BIGINT) AS as_low,
+               CAST(greatest(a, b) AS BIGINT) AS as_high,
+               CASE WHEN pos < top_pos THEN a < b ELSE b < a END
+                   AS low_is_customer
+        FROM edges JOIN top USING (path)
+    ),
+    rels AS (
+        SELECT as_low, as_high,
+               CAST(sum(CASE WHEN low_is_customer THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low_customer,
+               CAST(sum(CASE WHEN low_is_customer THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_high_customer,
+               CASE WHEN sum(CASE WHEN low_is_customer THEN 1 ELSE 0 END) > 0
+                         AND sum(CASE WHEN low_is_customer THEN 0 ELSE 1 END) > 0
+                    THEN 'p2p'
+                    WHEN sum(CASE WHEN low_is_customer THEN 1 ELSE 0 END) > 0
+                    THEN 'c2p'
+                    ELSE 'p2c' END AS rel
+        FROM votes GROUP BY 1, 2
+    )"""
+
+def _as_rel_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u, e = F.col("user_id"), F.col("event_id")
+    s = F.lit(10) + u % 5
+    s2 = F.lit(10) + (u + 1) % 5
+    mm = F.lit(50) + (u + e) % 3
+    o = F.lit(100) + e % 7
+    path = (
+        F.when(e % 13 == 2, F.array(s, o, s2))
+        .when(e % 4 == 0, F.array(s, o))
+        .when(e % 13 == 5, F.array(s, mm, mm, o))  # prepend → collapses
+        .otherwise(F.array(s, mm, o))
+    )
+    return ev.select(path.cast("array<long>").alias("aspath_flat"))
+
+@q("an_as_relationships", f"WITH {_AS_REL_CTES} SELECT * FROM rels")
+def an_as_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gao-style provider/customer/peer inference
+    (operators/analytics.as_relationships) over a derived 3-tier path
+    set — c2p/p2c/p2p classes, prepend collapse, and the deterministic
+    degree-with-position tie-break all exercised."""
+    from bgpexplorer_spark.operators.analytics import as_relationships
+
+    return as_relationships(_as_rel_routes(spark, sf_dir))
+
+@q(
+    "an_customer_cone",
+    f"""
+    WITH RECURSIVE {_AS_REL_CTES},
+    pc AS (
+        SELECT DISTINCT
+               CASE WHEN rel = 'p2c' THEN as_low ELSE as_high END AS provider,
+               CASE WHEN rel = 'p2c' THEN as_high ELSE as_low END AS customer
+        FROM rels WHERE rel <> 'p2p'
+    ),
+    reach AS (
+        SELECT provider, customer FROM pc
+        UNION
+        SELECT r.provider, e.customer
+        FROM reach r JOIN pc e ON r.customer = e.provider
+    ),
+    nodes AS (
+        SELECT DISTINCT asn FROM (
+            SELECT provider AS asn FROM pc
+            UNION ALL SELECT customer FROM pc
+        )
+    )
+    SELECT n.asn, CAST(COALESCE(s.cnt, 0) + 1 AS BIGINT) AS cone_size
+    FROM nodes n LEFT JOIN (
+        SELECT provider, count(*) AS cnt
+        FROM (SELECT DISTINCT provider, customer FROM reach) GROUP BY 1
+    ) s ON n.asn = s.provider
+    """,
+)
+def an_customer_cone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-cone sizes (operators/analytics.customer_cone) from the
+    inferred relationship graph — iterative provider→customer closure
+    vs the oracle's recursive CTE."""
+    from bgpexplorer_spark.operators.analytics import (
+        as_relationships,
+        customer_cone,
+    )
+
+    rels = as_relationships(_as_rel_routes(spark, sf_dir))
+    return customer_cone(rels)
+
 @q(
     "pipe_mixture_stats",
     f"""

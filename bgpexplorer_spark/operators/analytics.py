@@ -627,3 +627,143 @@ def prefix_visibility(state: DataFrame) -> DataFrame:
         "rib", "nlri_str", "n_sessions",
         F.round(F.col("n_sessions") / F.col("_t"), 6).alias("visibility"),
     )
+
+
+def _collapse_prepends(p: Column) -> Column:
+    """Drop consecutive duplicate hops (prepends) from a flat AS path."""
+    return F.filter(
+        p, lambda x, i: (i == F.lit(0)) | (x != F.element_at(p, i))
+    )
+
+
+def as_relationships(
+    state: DataFrame, path_col: str = "aspath_flat"
+) -> DataFrame:
+    """Gao-style AS relationship inference (Gao 2001, "On inferring
+    autonomous system relationships in the Internet") from one
+    collector's announced paths — the classification CAIDA's AS-rank
+    publishes, computable from exactly the data the reference's RIB
+    holds (src/bgpattrs.rs aspath).
+
+    Per distinct collapsed path: the highest-degree AS is the summit;
+    edges before it vote customer→provider (uphill), edges at/after it
+    vote provider→customer (downhill). Per undirected edge the votes
+    resolve to ``c2p`` (as_low is as_high's customer), ``p2c``, or
+    ``p2p`` when paths disagree. Ties on degree break to the earliest
+    position, so the result is deterministic.
+
+    Scale: everything after the initial ``distinct`` runs on the AS
+    *graph* (distinct paths / edges / nodes), which stays millions of
+    rows however big the RIB is — explode + two hash-aggregates + one
+    equi-join of hops against degrees. No driver state, no iteration.
+    """
+    p = _collapse_prepends(F.col(path_col))
+    paths = (
+        state.select(p.alias("path"))
+        .filter(F.size("path") >= 2)
+        .distinct()
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("path") - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(F.col("path"), i).alias("a"),
+            F.element_at(F.col("path"), i + 1).alias("b"),
+        ),
+    )
+    edges = paths.select("path", F.explode(pairs).alias("e")).select(
+        "path", F.col("e.pos").alias("pos"),
+        F.col("e.a").alias("a"), F.col("e.b").alias("b"),
+    )
+    und = (
+        edges.select("a", "b")
+        .union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("asn")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    hops = paths.select(
+        "path", F.posexplode("path").alias("pos0", "asn")
+    ).select("path", (F.col("pos0") + 1).alias("pos"), "asn")
+    top = (
+        hops.join(deg, "asn")
+        .groupBy("path")
+        .agg(
+            F.min_by(
+                "pos", F.struct((-F.col("degree")).alias("d"), F.col("pos"))
+            ).alias("top_pos")
+        )
+    )
+    votes = edges.join(top, "path").select(
+        F.least("a", "b").alias("as_low"),
+        F.greatest("a", "b").alias("as_high"),
+        F.when(F.col("pos") < F.col("top_pos"), F.col("a") < F.col("b"))
+        .otherwise(F.col("b") < F.col("a"))
+        .alias("low_is_customer"),
+    )
+    lo_c = F.sum(F.when(F.col("low_is_customer"), 1).otherwise(0))
+    hi_c = F.sum(F.when(F.col("low_is_customer"), 0).otherwise(1))
+    return (
+        votes.groupBy("as_low", "as_high")
+        .agg(lo_c.alias("n_low_customer"), hi_c.alias("n_high_customer"))
+        .select(
+            "as_low", "as_high", "n_low_customer", "n_high_customer",
+            F.when(
+                (F.col("n_low_customer") > 0) & (F.col("n_high_customer") > 0),
+                "p2p",
+            )
+            .when(F.col("n_low_customer") > 0, "c2p")
+            .otherwise("p2c")
+            .alias("rel"),
+        )
+    )
+
+
+def customer_cone(
+    rels: DataFrame, max_iters: int = 16
+) -> DataFrame:
+    """Customer-cone size per AS (CAIDA AS-rank's headline metric) from
+    :func:`as_relationships` output: the number of ASes reachable by
+    walking provider→customer edges, self included — the "how much of
+    the Internet does this AS sell transit to" measure.
+
+    Iterative frontier expansion over the provider→customer edge set
+    with ``localCheckpoint`` per round to cut lineage; the AS hierarchy
+    is shallow (≤10 tiers in practice), so the loop converges in a
+    handful of rounds, and every round is one equi-join + distinct on
+    the graph-sized edge table — independent of RIB size. ``p2p`` edges
+    contribute nothing, exactly as in the published metric."""
+    pc = rels.filter(F.col("rel") != "p2p").select(
+        F.when(F.col("rel") == "p2c", F.col("as_low"))
+        .otherwise(F.col("as_high"))
+        .alias("provider"),
+        F.when(F.col("rel") == "p2c", F.col("as_high"))
+        .otherwise(F.col("as_low"))
+        .alias("customer"),
+    ).distinct()
+    pc = pc.localCheckpoint(eager=True)
+    reach = pc
+    for _ in range(max_iters):
+        grown = (
+            reach.alias("r")
+            .join(pc.alias("e"), F.col("r.customer") == F.col("e.provider"))
+            .select(F.col("r.provider"), F.col("e.customer"))
+            .union(reach)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == reach.count():
+            reach = grown
+            break
+        reach = grown
+    nodes = pc.select(F.col("provider").alias("asn")).union(
+        pc.select(F.col("customer").alias("asn"))
+    ).distinct()
+    sizes = reach.groupBy(F.col("provider").alias("asn")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return nodes.join(sizes, "asn", "left").select(
+        "asn",
+        (F.coalesce(F.col("n_customers"), F.lit(0)) + 1).alias("cone_size"),
+    )

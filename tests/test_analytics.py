@@ -497,3 +497,61 @@ def test_prefix_visibility_hand_computed(spark):
     assert abs(out[("ipv4u", "10.0.0.0/24")].visibility - 2 / 3) < 1e-4
     assert abs(out[("ipv4u", "11.0.0.0/24")].visibility - 1 / 3) < 1e-4
     assert out[("ipv6u", "2c0a::/64")].visibility == 1.0
+
+
+def test_as_relationships_hand_computed(spark):
+    """3-tier toy topology, every classification checked by hand:
+    AS5 is the high-degree summit (deg 5); stub→5 edges vote c2p,
+    5→origin edges p2c; the [9,1] / [9,1,7] detours make AS1 the local
+    summit there (deg 3 > 2); [4,6] vs [6,4] conflict → p2p; the
+    prepend in [1,5,5,8] collapses into [1,5,8]."""
+    from bgpexplorer_spark.operators.analytics import as_relationships
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 5, 9]),
+            (2, [2, 5, 9]),
+            (3, [3, 5, 8]),
+            (4, [1, 5, 5, 8]),   # prepend → [1,5,8]
+            (5, [9, 1]),
+            (6, [4, 6]),
+            (7, [9, 1, 7]),
+            (8, [6, 4]),
+        ],
+        "id long, aspath_flat array<bigint>",
+    )
+    out = {(r.as_low, r.as_high): r for r in as_relationships(df).collect()}
+    assert out[(1, 5)].rel == "c2p" and out[(1, 5)].n_low_customer == 2
+    assert out[(2, 5)].rel == "c2p" and out[(3, 5)].rel == "c2p"
+    assert out[(5, 8)].rel == "p2c" and out[(5, 8)].n_high_customer == 2
+    assert out[(5, 9)].rel == "p2c"
+    # [9,1]: deg(1)=3 (nbrs 5,9,7) > deg(9)=2 → summit is AS1 at pos 2,
+    # so 9 rides uphill into it: 9 is AS1's customer
+    assert out[(1, 9)].rel == "p2c" and out[(1, 9)].n_high_customer == 2
+    assert out[(1, 7)].rel == "p2c"
+    # [4,6] (tie → pos-1 summit → 4 provider) vs [6,4] (6 provider)
+    assert out[(4, 6)].rel == "p2p"
+    assert out[(4, 6)].n_low_customer == 1 and out[(4, 6)].n_high_customer == 1
+    assert len(out) == 8
+
+
+def test_customer_cone_hand_computed(spark):
+    """Cone over the inferred graph above: 5 sells transit (directly or
+    through AS1) to {1,2,3,7,8,9} → cone 7; AS1 to {7,9} → cone 3;
+    leaves → 1. The p2p-only pair (4,6) contributes no edges."""
+    from bgpexplorer_spark.operators.analytics import (
+        as_relationships,
+        customer_cone,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 5, 9]), (2, [2, 5, 9]), (3, [3, 5, 8]),
+            (4, [1, 5, 5, 8]), (5, [9, 1]), (6, [4, 6]),
+            (7, [9, 1, 7]), (8, [6, 4]),
+        ],
+        "id long, aspath_flat array<bigint>",
+    )
+    out = {r.asn: r.cone_size for r in
+           customer_cone(as_relationships(df)).collect()}
+    assert out == {5: 7, 1: 3, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1}

@@ -534,3 +534,21 @@ def test_span_removal_never_carries_token_arrays(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "_toks" not in m.group(1)
+
+
+def test_as_relationships_plan_is_graph_sized(spark):
+    """as_relationships must reduce to the distinct-path graph before
+    any join (the RIB-sized input is touched exactly once by the
+    distinct), and the whole plan stays JVM-side with no cartesian."""
+    from bgpexplorer_spark.operators.analytics import as_relationships
+
+    df = spark.createDataFrame(
+        [(1, [1, 5, 9]), (2, [2, 5, 9])],
+        "id long, aspath_flat array<bigint>",
+    )
+    plan = _plan(as_relationships(df))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # joins run on the deduped path/degree tables, so every join key is
+    # either the path array or the asn — never the raw input row id
+    assert "id#" not in plan.split("HashAggregate")[0]

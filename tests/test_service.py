@@ -733,3 +733,37 @@ def test_http_static_files_from_httproot(spark, tmp_path):
         assert urllib.request.urlopen(base + "/api/ping").read() == b"pong"
     finally:
         httpd.shutdown()
+
+
+def test_http_relationship_endpoints(spark):
+    """GET /api/analytics/relationships and /cones — the Gao inference
+    and cone rollup served over the active state: [10,50,100] paths up
+    and over transit AS 50 (summit by degree)."""
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/16", t=0, aspath=[("Seq", [10, 50, 100])]),
+                u("10.1.0.0/16", t=1, aspath=[("Seq", [11, 50, 100])]),
+                u("10.2.0.0/16", t=2, aspath=[("Seq", [12, 50, 101])]),
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        rels = json.loads(
+            urllib.request.urlopen(base + "/api/analytics/relationships").read()
+        )
+        by_pair = {(r["as_low"], r["as_high"]): r["rel"] for r in rels}
+        # 50 has degree 5; stubs ride uphill into it, origins downhill
+        assert by_pair[(10, 50)] == "c2p" and by_pair[(11, 50)] == "c2p"
+        assert by_pair[(50, 100)] == "p2c" and by_pair[(50, 101)] == "p2c"
+        cones = json.loads(
+            urllib.request.urlopen(base + "/api/analytics/cones?k=2").read()
+        )
+        assert cones[0] == {"asn": 50, "cone_size": 6}
+    finally:
+        httpd.shutdown()
