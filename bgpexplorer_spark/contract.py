@@ -1177,6 +1177,73 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
 
+def _incremental_dedup_sql(k: int = 16, bands: int = 4) -> str:
+    """Oracle for the cross-run incremental check: docs with
+    doc_id % 3 <> 0 are 'yesterday's corpus' whose index exists; the
+    % 3 = 0 batch is flagged against it with the SAME minhash/banding
+    the index builder uses."""
+    from bgpexplorer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    params = _minhash_params(k)
+    h = _duck_hash32("sh")
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, md5("
+        + " || ',' || ".join(f"CAST(m{bnd * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS bucket FROM sigs"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
+        )) AS sh
+        FROM (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents)
+    ),
+    hashes AS (SELECT doc_id, {h} AS h FROM toks),
+    sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+    buckets AS ({band_rows}),
+    corpus_b AS (
+        SELECT DISTINCT band, bucket FROM buckets WHERE doc_id % 3 <> 0
+    ),
+    near AS (
+        SELECT DISTINCT b.doc_id FROM buckets b
+        JOIN corpus_b c USING (band, bucket)
+        WHERE b.doc_id % 3 = 0
+    ),
+    corpus_h AS (
+        SELECT DISTINCT md5(text) AS content_hash FROM documents
+        WHERE doc_id % 3 <> 0
+    )
+    SELECT d.doc_id, md5(d.text) AS content_hash,
+           (ch.content_hash IS NOT NULL) AS exact_dup,
+           (nr.doc_id IS NOT NULL) AS near_dup,
+           (ch.content_hash IS NULL AND nr.doc_id IS NULL) AS keep
+    FROM documents d
+    LEFT JOIN corpus_h ch ON md5(d.text) = ch.content_hash
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    WHERE d.doc_id % 3 = 0
+    """
+
+@q("dedup_incremental", _incremental_dedup_sql())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-run) dedup: build yesterday's corpus index
+    (operators/dedup.dedup_index — exact hashes + LSH band-buckets in
+    one narrow mergeable table), then flag today's batch against it
+    (incremental_dedup) without re-reading the old corpus."""
+    from bgpexplorer_spark.operators.dedup import dedup_index, incremental_dedup
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = dedup_index(corpus, "doc_id", k=16, n=3, bands=4)
+    return incremental_dedup(batch, idx, "doc_id", k=16, n=3, bands=4)
+
 _CC_ORACLE = f"""
     WITH RECURSIVE {_lsh_pair_ctes()},
     pairs AS (
@@ -5463,3 +5530,45 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best(
         allc, docs.select("doc_id", F.col("n_chars").alias("score"))
     )
+
+
+_SOURCE_STATS_ORACLE = f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(len({_duck_tokens('text')})) AS BIGINT) AS n_tokens,
+           round(avg(len({_duck_tokens('text')})), 2) AS avg_tokens,
+           round(1 - count(DISTINCT md5(text)) / count(*), 4) AS dup_frac,
+           round(avg(round(len(regexp_extract_all(text, '[^\\w\\s]'))
+                           / greatest(length(text), 1), 4)), 4)
+               AS avg_punct_ratio
+    FROM documents GROUP BY source
+"""
+
+@q("pipe_source_stats", _SOURCE_STATS_ORACLE)
+def pipe_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation signals (operators/pipeline.source_stats):
+    per-source doc/token counts, exact-dup fraction, quality ratios."""
+    from bgpexplorer_spark.operators.pipeline import source_stats
+
+    return source_stats(load_table(spark, sf_dir, "documents"))
+
+@q(
+    "pipe_source_filter",
+    f"""
+    WITH st AS (
+        SELECT source, avg(len({_duck_tokens('text')})) AS avg_tok
+        FROM documents GROUP BY source
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN st ON d.source = st.source
+    WHERE round(st.avg_tok, 2) >= 53
+    """,
+)
+def pipe_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level filtering (operators/pipeline.filter_sources): keep
+    every document of every source whose mean token count clears the
+    bar — the broadcast keep-list path."""
+    from bgpexplorer_spark.operators.pipeline import filter_sources
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_sources(docs, min_avg_tokens=53).select("doc_id", "source")

@@ -556,3 +556,81 @@ def keep_best(
             (F.col("node") == F.col("keeper_id")).alias("keep"),
         )
     )
+
+
+def dedup_index(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 16, n: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Build the persistable dedup index of a corpus: one narrow
+    (kind, key) table holding every exact content hash and every
+    MinHash LSH band-bucket the corpus occupies.
+
+    This is the state an INCREMENTAL pipeline carries between runs:
+    write it as parquet partitioned by ``kind``; merge tomorrow's index
+    with ``union().distinct()``. At 100 TB the index is corpus-sized
+    but two columns wide, and both consumers join it by its key — no
+    row of the old corpus text is ever re-read."""
+    exact = df.select(
+        F.lit("exact").alias("kind"), F.md5(F.col(text_col)).alias("key")
+    )
+    sig = minhash_signatures(df, id_col, text_col, k=k, n=n)
+    lsh = lsh_buckets(sig, id_col, bands=bands, k=k).select(
+        F.lit("lsh").alias("kind"),
+        F.concat_ws(":", F.col("band").cast("string"), F.col("bucket")).alias("key"),
+    )
+    return exact.unionByName(lsh).distinct()
+
+
+def incremental_dedup(
+    new_df: DataFrame, index: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 16, n: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Flag a new batch against an existing corpus ``dedup_index``
+    WITHOUT touching the old corpus: ``exact_dup`` when the content
+    hash is already indexed, ``near_dup`` when any LSH band-bucket is,
+    ``keep`` = neither. Intra-batch duplicates are deliberately NOT
+    flagged here — run :func:`exact_dedup` / the pair pipeline within
+    the batch; this operator is the cross-run containment check.
+
+    Two hash equi-joins against the narrow index (left for the hash
+    flag, semi for the bucket flag) — each shuffles only the new batch
+    and the index keys, never the indexed corpus text."""
+    ex_keys = (
+        index.filter(F.col("kind") == "exact")
+        .select(F.col("key").alias("content_hash"))
+        .distinct()
+        .withColumn("_ex", F.lit(True))
+    )
+    lsh_keys = (
+        index.filter(F.col("kind") == "lsh").select("key").distinct()
+    )
+    sig = minhash_signatures(new_df, id_col, text_col, k=k, n=n)
+    near = (
+        lsh_buckets(sig, id_col, bands=bands, k=k)
+        .select(
+            id_col,
+            F.concat_ws(
+                ":", F.col("band").cast("string"), F.col("bucket")
+            ).alias("key"),
+        )
+        .join(lsh_keys, "key", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        new_df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .join(ex_keys, "content_hash", "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            "content_hash",
+            F.coalesce(F.col("_ex"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("_near"), F.lit(False)).alias("near_dup"),
+            (
+                ~F.coalesce(F.col("_ex"), F.lit(False))
+                & ~F.coalesce(F.col("_near"), F.lit(False))
+            ).alias("keep"),
+        )
+    )

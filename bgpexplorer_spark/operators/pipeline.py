@@ -462,3 +462,65 @@ def temperature_mixture(
                     / F.greatest(F.col("n_tokens"), F.lit(1)), 4),
         )
     return out
+
+
+def source_stats(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-source (domain) corpus rollup — the signal table behind
+    domain-level curation (the RefinedWeb/FineWeb move: judge the
+    DOMAIN, then keep or drop all its documents): document and token
+    counts, exact-duplicate fraction, and mean quality ratios.
+
+    One map-side pass computes the per-doc features, one hash
+    aggregate per source; count_distinct over the content hash is the
+    only non-trivially-combinable term and it partial-aggregates too.
+    Nothing here scales with anything but the number of sources."""
+    from bgpexplorer_spark.operators.text import tokens
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        F.md5(t).alias("_h"),
+        n_tok.alias("_nt"),
+        F.round(
+            F.regexp_count(t, F.lit(r"[^\w\s]"))
+            / F.greatest(F.length(t), F.lit(1)),
+            4,
+        ).alias("_punct"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+        F.round(
+            F.lit(1) - F.count_distinct("_h") / F.count(F.lit(1)), 4
+        ).alias("dup_frac"),
+        F.round(F.avg("_punct"), 4).alias("avg_punct_ratio"),
+    )
+
+
+def filter_sources(
+    df: DataFrame,
+    stats: DataFrame | None = None,
+    source_col: str = "source",
+    text_col: str = "text",
+    min_docs: int = 1,
+    min_avg_tokens: float = 0.0,
+    max_dup_frac: float = 1.0,
+    max_avg_punct_ratio: float = 1.0,
+) -> DataFrame:
+    """Keep only documents whose SOURCE passes the domain-level
+    thresholds (see :func:`source_stats`, computed here when not
+    passed). The keep-list is source-cardinality-sized → broadcast
+    semi-join against the corpus; the corpus itself never shuffles."""
+    st = stats if stats is not None else source_stats(df, source_col, text_col)
+    good = st.filter(
+        (F.col("n_docs") >= F.lit(min_docs))
+        & (F.col("avg_tokens") >= F.lit(min_avg_tokens))
+        & (F.col("dup_frac") <= F.lit(max_dup_frac))
+        & (F.col("avg_punct_ratio") <= F.lit(max_avg_punct_ratio))
+    ).select(F.col("source").alias(source_col))
+    return df.join(F.broadcast(good), source_col, "left_semi")

@@ -842,3 +842,90 @@ def test_keep_best_prefers_high_score(spark):
     assert out[2].keep is True and out[3].keep is False and out[1].keep is False
     assert out[1].keeper_id == 2
     assert out[7].keep is True  # singleton keeps itself
+
+
+def test_incremental_dedup_flags(spark):
+    """Cross-run dedup against a persisted index: exact copy flagged
+    exact+near, a one-word edit flagged near only, novel text kept, and
+    an intra-batch duplicate pair deliberately NOT flagged."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different corpus text about spark partitioning"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),
+            (11, "the quick brown fox jumps over the lazy cat again and again"),
+            (12, "totally novel text that shares nothing with yesterday corpus"),
+            (13, "intra batch twin text never seen before in the old corpus"),
+            (14, "intra batch twin text never seen before in the old corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = dedup.dedup_index(corpus, "doc_id", k=16, n=3, bands=4)
+    out = {r.doc_id: r for r in
+           dedup.incremental_dedup(batch, idx, "doc_id", k=16, n=3, bands=4)
+           .collect()}
+    assert out[10].exact_dup and out[10].near_dup and not out[10].keep
+    assert not out[11].exact_dup and out[11].near_dup and not out[11].keep
+    assert not out[12].exact_dup and not out[12].near_dup and out[12].keep
+    # cross-run operator ignores intra-batch twins by design
+    assert out[13].keep and out[14].keep
+
+
+def test_dedup_index_merge_is_union_distinct(spark):
+    """Two daily indexes merge with union().distinct() and flag the
+    same batch as the index built over the union of the corpora."""
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    day2 = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    merged = dedup.dedup_index(day1, "doc_id").unionByName(
+        dedup.dedup_index(day2, "doc_id")
+    ).distinct()
+    full = dedup.dedup_index(day1.unionByName(day2), "doc_id")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_source_stats_and_filter(spark):
+    from bgpexplorer_spark.operators.pipeline import filter_sources, source_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "mirror", "same text repeated here ok"),
+            (2, "mirror", "same text repeated here ok"),     # exact dup
+            (3, "mirror", "same text repeated here ok"),     # exact dup
+            (4, "mirror", "one fresh page on the mirror"),
+            (5, "clean", "plenty of unique words in this document body"),
+            (6, "clean", "another unique document with different content"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    st = {r.source: r for r in source_stats(df).collect()}
+    assert st["mirror"].n_docs == 4 and st["mirror"].dup_frac == 0.5
+    assert st["clean"].dup_frac == 0.0
+    kept = sorted(
+        r.doc_id
+        for r in filter_sources(df, max_dup_frac=0.25).collect()
+    )
+    assert kept == [5, 6]  # the whole mirror domain dropped
+
+
+def test_filter_sources_broadcasts_keep_list(spark):
+    from bgpexplorer_spark.operators.pipeline import filter_sources
+
+    df = spark.createDataFrame(
+        [(1, "a", "x y z"), (2, "b", "p q r")],
+        "doc_id long, source string, text string",
+    )
+    plan = filter_sources(df, min_docs=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
