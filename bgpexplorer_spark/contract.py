@@ -5572,3 +5572,40 @@ def pipe_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return filter_sources(docs, min_avg_tokens=53).select("doc_id", "source")
+
+
+_BM25_ORACLE = f"""
+    WITH dl AS (
+        SELECT doc_id, len({_duck_tokens('text')}) AS dl FROM documents
+    ),
+    corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, unnest({_duck_tokens('text')}) AS term
+              FROM documents)
+        WHERE term IN ('spark', 'window', 'hash')
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+    contrib AS (
+        SELECT tf.doc_id,
+               round(ln(1.0 + (c.n_docs - d.df_t + 0.5) / (d.df_t + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / c.avgdl)), 6)
+                   AS c
+        FROM tf JOIN dft d USING (term) JOIN dl USING (doc_id), corpus c
+    )
+    SELECT doc_id, round(sum(c), 4) AS score
+    FROM contrib GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+@q("text_bm25_topk", _BM25_ORACLE)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/text.bm25_topk) for the query
+    {spark, window, hash}: map-side term filter, broadcast df/avgdl,
+    TakeOrdered top-10."""
+    from bgpexplorer_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "window", "hash"], k=10)

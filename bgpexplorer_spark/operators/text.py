@@ -546,3 +546,59 @@ def remove_duplicate_spans(
         F.size("_toks").alias("n_tokens"),
         (F.size("_toks") - F.size(kept)).alias("n_removed"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones weighting) for a
+    bag of query terms — the search primitive over the corpus the
+    TF-IDF top-k operator doesn't give (that one ranks terms within a
+    doc; this ranks docs for a query).
+
+    Cost shape at 100 TB: the corpus-wide explode is filtered to the
+    query terms BEFORE any shuffle (non-matching tokens die map-side),
+    so the tf aggregate shuffles only matching (doc, term) rows; the
+    per-term document frequencies and the (N, avgdl) singleton ride
+    broadcasts. Per-term contributions are pre-rounded (6 dp) so the
+    final sum is engine-order-insensitive, then the doc score rounds
+    to 4 dp; top-k is a TakeOrdered, never a global sort."""
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    dl = df.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    j = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    contrib = F.round(
+        idf
+        * F.col("tf") * (F.lit(k1) + 1)
+        / (F.col("tf") + F.lit(k1) * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    return (
+        j.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_c"), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -929,3 +929,46 @@ def test_filter_sources_broadcasts_keep_list(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_matches_python_model(spark):
+    import math
+
+    rows = [
+        (1, "spark join spark window"),
+        (2, "merge sort filter table"),
+        (3, "spark spark spark spark spark"),
+        (4, "window hash window data line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.score
+           for r in text.bm25_topk(df, ["spark", "window"], k=4).collect()}
+
+    docs = {i: t.split() for i, t in rows}
+    n = len(docs)
+    avgdl = sum(map(len, docs.values())) / n
+    dft = {t: sum(1 for d in docs.values() if t in d) for t in ("spark", "window")}
+    exp = {}
+    for i, d in docs.items():
+        s = 0.0
+        for t in ("spark", "window"):
+            tf = d.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dft[t] + 0.5) / (dft[t] + 0.5))
+            s += round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl)), 6)
+        if s:
+            exp[i] = round(s, 4)
+    assert out == exp
+    assert 2 not in out  # no query term -> not retrieved
+
+
+def test_bm25_plan_is_takeordered(spark):
+    df = spark.createDataFrame(
+        [(1, "spark window"), (2, "hash join")], "doc_id long, text string"
+    )
+    plan = text.bm25_topk(df, ["spark"], k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
