@@ -5609,3 +5609,50 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "window", "hash"], k=10)
+
+
+_PQ_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    sub AS (
+        SELECT vec_id, s, a[s*16 + 1 : s*16 + 16] AS sv FROM e, ss
+    ),
+    cb AS (SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 8),
+    dists AS (
+        SELECT t.vec_id, t.s, c.code,
+               list_sum([ (t.sv[i] - c.cv[i]) * (t.sv[i] - c.cv[i])
+                          for i in range(1, 17) ]) AS d
+        FROM sub t JOIN cb c USING (s)
+    ),
+    assigned AS (
+        SELECT vec_id, s, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qsub AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
+    adc AS (
+        SELECT a.vec_id,
+               round(list_sum([ (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i])
+                                for i in range(1, 17) ]), 6) AS pd
+        FROM assigned a
+        JOIN cb c ON a.s = c.s AND a.code = c.code
+        JOIN qsub q ON q.s = a.s
+    )
+    SELECT vec_id, round(sum(pd), 4) AS approx_dist
+    FROM adc GROUP BY vec_id
+    ORDER BY approx_dist, vec_id LIMIT 10
+"""
+
+@q("sim_pq_topk", _PQ_ORACLE)
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/similarity.pq_encode +
+    pq_topk): 64-dim vectors → 4 sub-codes from deterministic 8-entry
+    codebooks, per-query literal distance LUT, top-10 by approximate L2
+    vs the vec_id=0 query."""
+    from bgpexplorer_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(emb, qv, k=10, m=4, codes=8, dim=64)

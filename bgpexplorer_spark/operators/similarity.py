@@ -320,3 +320,120 @@ def semantic_dedup(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product quantization for
+# nearest neighbor search"): vectors compress to m one-byte-ish codes,
+# search scans CODES with a per-query lookup table — the memory-side
+# companion of IVF (FAISS's IVFPQ = ivf_assign partitioning + this).
+# Codebooks are deterministic (per-subspace subvectors of the lowest-id
+# vectors, like ivf_centroids) so the index reproduces across engines;
+# a trained quantizer drops in by swapping pq_codebooks.
+# ---------------------------------------------------------------------------
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    df: DataFrame, m: int = 4, codes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub, code, cvec): per-subspace codebooks — subspace ``s`` of the
+    ``codes`` lowest-id vectors. m*codes rows total: driver-sized by
+    construction, the PQ analog of the coarse IVF quantizer."""
+    d = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    subs = F.array(*[
+        F.struct(
+            F.lit(s).alias("sub"), F.slice(v, s * d + 1, d).alias("cvec")
+        )
+        for s in range(m)
+    ])
+    return (
+        df.filter(F.col(id_col) < codes)
+        .select(F.col(id_col).alias("code"), F.explode(subs).alias("_e"))
+        .select(F.col("_e.sub").alias("sub"), "code", F.col("_e.cvec").alias("cvec"))
+    )
+
+
+def pq_encode(
+    df: DataFrame, codebooks: DataFrame, m: int = 4, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes ARRAY<INT>): each subvector mapped to its nearest
+    (L2) codebook entry, ties to the lowest code. The codebook is
+    collected and inlined as literals, so encoding is a pure projection
+    over the corpus — the index build is one scan, no shuffle, and the
+    output is m ints per vector instead of ``dim`` floats (the whole
+    point at 100 TB: the code table is ~100× smaller than the vectors).
+    """
+    d = dim // m
+    cb: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in codebooks.collect():
+        cb.setdefault(r["sub"], []).append((r["code"], [float(x) for x in r["cvec"]]))
+    v = F.col(vec_col).cast("array<double>")
+    code_cols = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        scored = [
+            F.struct(
+                _l2(sub, F.array(*[F.lit(x) for x in cvec])).alias("dist"),
+                F.lit(code).cast("int").alias("code"),
+            )
+            for code, cvec in sorted(cb[s])
+        ]
+        best = scored[0] if len(scored) == 1 else F.least(*scored)
+        code_cols.append(best.getField("code"))
+    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    m: int = 4, codes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query's per-subspace
+    distance table to every codebook entry is computed ONCE on the
+    driver (m*codes doubles), inlined as literal arrays, and each
+    stored vector's approximate distance is m array lookups summed — a
+    pure projection over the CODE table followed by a TakeOrdered.
+    Pass ``encoded`` (persisted pq_encode output) in a real deployment;
+    the vectors themselves are never touched at query time."""
+    d = dim // m
+    cbdf = pq_codebooks(df, m, codes, dim, id_col, vec_col)
+    cb: dict[int, dict[int, list[float]]] = {}
+    for r in cbdf.collect():
+        cb.setdefault(r["sub"], {})[r["code"]] = [float(x) for x in r["cvec"]]
+    if encoded is None:
+        encoded = pq_encode(df, cbdf, m, dim, id_col, vec_col)
+    # per-subspace LUT, 6-dp pre-round so the cross-engine sum of m
+    # entries is order-insensitive (same trick as bm25_topk)
+    lut: list[list[float]] = []
+    for s in range(m):
+        q_s = query_vec[s * d : (s + 1) * d]
+        row = []
+        for code in sorted(cb[s]):
+            acc = 0.0
+            for qx, cx in zip(q_s, cb[s][code]):
+                acc += (float(qx) - cx) * (float(qx) - cx)
+            row.append(round(acc, 6))
+        lut.append(row)
+    dist = None
+    for s in range(m):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut[s]]),
+            F.element_at("codes", s + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    return (
+        encoded.select(F.col(id_col), F.round(dist, 4).alias("approx_dist"))
+        .orderBy("approx_dist", id_col)
+        .limit(k)
+    )

@@ -972,3 +972,46 @@ def test_bm25_plan_is_takeordered(spark):
     assert "TakeOrderedAndProject" in plan  # never a global sort
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pq_encode_and_adc_hand_checked(spark):
+    """Codebook entries encode to themselves (distance 0 per subspace);
+    a vector near entry 1 in both subspaces gets code [1, 1]; ADC to a
+    query equal to entry 0 ranks entry 0 first."""
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (2, [2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0]),
+        (3, [3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0]),
+        (10, [1.1, 0.9, 1.0, 1.0, 0.8, 1.2, 1.0, 1.0]),
+        (11, [2.9, 3.1, 3.0, 3.0, 3.0, 3.0, 2.8, 3.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = similarity.pq_codebooks(df, m=2, codes=4, dim=8)
+    enc = {r.vec_id: list(r.codes)
+           for r in similarity.pq_encode(df, cb, m=2, dim=8).collect()}
+    assert enc[0] == [0, 0] and enc[3] == [3, 3]
+    assert enc[10] == [1, 1] and enc[11] == [3, 3]
+
+    out = similarity.pq_topk(df, [0.0] * 8, k=3, m=2, codes=4, dim=8).collect()
+    assert out[0].vec_id == 0 and out[0].approx_dist == 0.0
+    # 10 quantizes to entry 1 -> its ADC distance equals entry 1's
+    ids = [r.vec_id for r in out]
+    assert ids[1:] == [1, 10]
+
+
+def test_pq_search_plan_is_projection_over_codes(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    cb = similarity.pq_codebooks(df, m=2, codes=4, dim=8)
+    enc = similarity.pq_encode(df, cb, m=2, dim=8)
+    plan = similarity.pq_topk(
+        df, [0.0] * 8, k=3, m=2, codes=4, dim=8, encoded=enc
+    )._jdf.queryExecution().executedPlan().toString()
+    # with a persisted code table the query is LUT projection + top-k:
+    # no join, no python, no global sort
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
