@@ -67,6 +67,14 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     # ExactSubstr span removal: window explode + hash row_number + rebuild
     "text_span_removal",
+    # cross-run dedup: index build (hashes + LSH buckets) + two key joins
+    "dedup_incremental",
+    # Gao inference: distinct-path graph, degree join, vote aggregate
+    "an_as_relationships",
+    # BM25: map-side term filter, broadcast df/avgdl, TakeOrdered
+    "text_bm25_topk",
+    # PQ ADC: literal-LUT projection over codes + TakeOrdered
+    "sim_pq_topk",
 ]
 
 def _sf_of(sf_dir: str) -> float:
