@@ -155,3 +155,51 @@ def test_import_snapshot_current_state_matches(spark, tmp_path):
     # the withdrawn route's tombstone is present but inactive
     gone = cur.filter(F.col("nlri_str") == "10.1.0.0/16").collect()
     assert len(gone) == 1 and not gone[0].active
+
+
+def test_export_import_roundtrip(spark, tmp_path):
+    """The reverse migration path (tools/export_snapshot): engine
+    history → reference CBOR shape → import → identical history on
+    every field both directions carry, including RD+label keys, mixed
+    Seq/Set paths, large communities, the PMSI tunnel attribute, and a
+    withdraw tombstone. The mvpn route must be SKIPPED (non-prefix key),
+    not lossily emitted."""
+    from pyspark.sql import functions as F
+
+    from bgpexplorer_spark.operators.ingest import build_history
+    from tests.ribdata import make_updates, u
+    from tools.export_snapshot import export_snapshot
+
+    rows = [
+        u("10.0.0.0/24", t=0, session_id=1,
+          aspath=[("Seq", [65001, 65002])], comms=[0x10001],
+          nexthop="10.0.0.1", med=100, localpref=200,
+          lcomms=[(10, 20, 30)],
+          pmsi_ta={"flags": 1, "tunnel_type": 6, "label": 3000,
+                   "tunnel_id": b"\xc0\x00\x02\x01"}),
+        u("10.0.0.0/24", t=60, session_id=1, op="withdraw"),
+        u("192.168.0.0/24", rib="vpnv4u", rd="100:1", labels=[30], t=0,
+          session_id=2, nexthop="10.0.0.2",
+          aspath=[("Set", [200, 300]), ("Seq", [65001])]),
+        u("2001:db8::/32", rib="ipv6u", t=0, session_id=1,
+          nexthop="2001:db8::1", aspath=[("Seq", [65001])]),
+        u("10.9.0.0/32", rib="mvpn", rd="1:1", t=0,
+          mvpn=(5, "10.9.0.1", "232.0.0.1")),
+    ]
+    hist = build_history(make_updates(spark, rows))
+    snap = tmp_path / "snap.cbor"
+    counts = export_snapshot(hist, str(snap))
+    assert "mvpn" not in counts and counts["ipv4u"] == 2
+    hist2 = import_snapshot(spark, str(snap))
+
+    cols = [
+        "rib", "nlri_str", "rd_hi", "rd_lo", "addr_v4", "addr_v6",
+        "prefixlen", "labels", "session_id", "path_id", "ts", "active",
+        "origin", "nexthop_v4", "nexthop_v6", "aspath", "comms",
+        "lcomms", "med", "localpref", "pmsi_ta",
+    ]
+    orig = sorted(
+        map(repr, hist.filter(F.col("rib") != "mvpn").select(cols).collect())
+    )
+    back = sorted(map(repr, hist2.select(cols).collect()))
+    assert back == orig

@@ -358,6 +358,11 @@ def _attr_row(entry: dict) -> dict:
                 # zettabgp BgpAS { value: u32 }
                 flat_run.append(item["value"])
             elif isinstance(item, dict) and len(item) == 1:
+                # a Set segment closes any pending Seq run FIRST so the
+                # segment order round-trips (Seq hops may follow a Set)
+                if flat_run:
+                    segs.append({"kind": "Seq", "asns": flat_run})
+                    flat_run = []
                 kind, asns = next(iter(item.items()))
                 segs.append(
                     {
@@ -386,6 +391,32 @@ def _attr_row(entry: dict) -> dict:
         v = attrs.get(src)
         if isinstance(v, int):
             row[dst] = v
+    aa = attrs.get("Atomicaggregate")
+    if isinstance(aa, bool):
+        row["atomicaggregate"] = aa
+    orig = attrs.get("Originator")
+    if isinstance(orig, int):
+        row["originator"] = orig
+    elif isinstance(orig, dict) and isinstance(orig.get("value"), int):
+        row["originator"] = orig["value"]
+    cl = attrs.get("Clusterlist")
+    if isinstance(cl, list):
+        vals = [
+            c["value"] if isinstance(c, dict) and isinstance(c.get("value"), int)
+            else c
+            for c in cl
+        ]
+        if all(isinstance(c, int) for c in vals):
+            row["clusterlist"] = vals or None
+    lc = attrs.get("LComms")
+    if isinstance(lc, list):
+        out = []
+        for c in lc:
+            if isinstance(c, dict) and all(
+                isinstance(c.get(f), int) for f in ("ga", "ldp1", "ldp2")
+            ):
+                out.append({"ga": c["ga"], "ldp1": c["ldp1"], "ldp2": c["ldp2"]})
+        row["lcomms"] = out or None
     pmsi = attrs.get("PmsiTa")
     if isinstance(pmsi, dict):
         # zettabgp BgpPMSITunnel serde: tolerate either our field names
