@@ -5656,3 +5656,59 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return pq_topk(emb, qv, k=10, m=4, codes=8, dim=64)
+
+
+@q(
+    "st_moas_alerts",
+    """
+    WITH upd AS (
+        SELECT ts, 'ipv4u' AS rib,
+               'p' || CAST(event_id % 10 AS VARCHAR) AS nlri_str,
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_as
+        FROM events WHERE event_id % 7 <> 0
+    ),
+    w AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start,
+               rib, nlri_str,
+               string_agg(DISTINCT CAST(origin_as AS VARCHAR), ','
+                          ORDER BY CAST(origin_as AS VARCHAR)) AS origins_str,
+               count(DISTINCT origin_as) AS n_origins,
+               count(*) AS n_updates
+        FROM upd GROUP BY 1, 2, 3
+    )
+    SELECT * FROM w WHERE n_origins >= 2
+    """,
+)
+def st_moas_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live MOAS/hijack alerting (streaming/feed.live_moas_alerts) in
+    its batch-equivalent mode: per daily window, prefixes announced
+    from ≥ 2 distinct origin ASes. The streaming variant adds only the
+    watermark (e2e in test_streaming.py); the windowed aggregation
+    verified here is the same plan."""
+    from bgpexplorer_spark.streaming.feed import live_moas_alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    upd = ev.filter(F.col("event_id") % 7 != 0).select(
+        "ts",
+        F.lit("ipv4u").alias("rib"),
+        F.concat(F.lit("p"), (F.col("event_id") % 10).cast("string"))
+        .alias("nlri_str"),
+        F.lit("update").alias("op"),
+        F.array(
+            F.struct(
+                F.lit("Seq").alias("kind"),
+                F.array(
+                    (F.lit(100) + F.col("user_id") % 8).cast("long"),
+                    (F.lit(200) + F.col("event_id") % 3).cast("long"),
+                ).alias("asns"),
+            )
+        ).alias("aspath"),
+    )
+    out = live_moas_alerts(upd, window="1 day")
+    return out.select(
+        "win_start", "rib", "nlri_str",
+        F.array_join(F.col("origins").cast("array<string>"), ",")
+        .alias("origins_str"),
+        F.col("n_origins").cast("long").alias("n_origins"),
+        "n_updates",
+    )

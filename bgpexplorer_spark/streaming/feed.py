@@ -296,3 +296,36 @@ def live_exact_dedup(
     if updates.isStreaming:
         return wm.dropDuplicatesWithinWatermark(list(keys))
     return updates.dropDuplicates(list(keys))
+
+
+def live_moas_alerts(
+    updates: DataFrame, window: str = "10 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Live Multiple-Origin-AS alerting — the streaming analog of
+    operators/analytics.moas_conflicts: per event-time tumbling window,
+    prefixes announced with ≥ 2 distinct origin ASes (the classic
+    hijack/leak alarm a live BGP monitor exists to raise).
+
+    Incremental windowed aggregation keyed by (window, rib, nlri_str);
+    collect_set is bounded by the real origin diversity of a prefix
+    (single digits even under a hijack), and the watermark bounds
+    state. Works identically on a batch frame (no watermark applied),
+    which is what the oracle verifies."""
+    from bgpexplorer_spark.functions.codecs import aspath_flatten
+    from bgpexplorer_spark.operators.analytics import origin_as
+
+    src = updates.filter(F.col("op") == "update").select(
+        "ts", "rib", "nlri_str",
+        origin_as(aspath_flatten(F.col("aspath"))).alias("origin_as"),
+    ).filter(F.col("origin_as").isNotNull())
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    g = src.groupBy(F.window("ts", window).alias("win"), "rib", "nlri_str").agg(
+        F.array_sort(F.collect_set("origin_as")).alias("origins"),
+        F.count(F.lit(1)).alias("n_updates"),
+    )
+    return g.filter(F.size("origins") >= 2).select(
+        F.col("win.start").alias("win_start"),
+        "rib", "nlri_str", "origins",
+        F.size("origins").alias("n_origins"), "n_updates",
+    )

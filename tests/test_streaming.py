@@ -444,3 +444,33 @@ def test_live_exact_dedup_streaming(spark):
     # batch-mode fallback keeps the same semantics on bounded input
     batch = make_updates(spark, rows)
     assert live_exact_dedup(batch).count() == 3
+
+
+def test_live_moas_alerts_streaming(spark):
+    """Streaming hijack alarm e2e: two origins for 10.0.0.0/24 inside
+    one window -> one alert with the sorted origin set; the
+    single-origin prefix and the withdraw never alert."""
+    from bgpexplorer_spark.streaming.feed import live_moas_alerts
+
+    d = _updates_dir(
+        spark,
+        [
+            u("10.0.0.0/24", t=1, aspath=[("Seq", [100, 300])]),
+            u("10.0.0.0/24", t=20, session_id=1, aspath=[("Seq", [100, 301])]),
+            u("10.0.0.0/24", t=30, aspath=[("Seq", [100, 300])]),
+            u("10.1.0.0/16", t=5, aspath=[("Seq", [200, 400])]),
+            u("10.2.0.0/16", t=6, op="withdraw"),
+        ],
+    )
+    stream = stream_updates_from_files(spark, d)
+    q = (
+        live_moas_alerts(stream, window="1 minute", watermark="1 minute")
+        .writeStream.format("memory").queryName("moasal")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM moasal").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.nlri_str == "10.0.0.0/24" and r.origins == [300, 301]
+    assert r.n_origins == 2 and r.n_updates == 3
