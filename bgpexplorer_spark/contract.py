@@ -5712,3 +5712,38 @@ def st_moas_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_origins").cast("long").alias("n_origins"),
         "n_updates",
     )
+
+
+@q(
+    "an_as_degree_summary",
+    f"""
+    WITH {_AS_REL_CTES},
+    sides AS (
+        SELECT as_low AS asn,
+               CASE WHEN rel = 'c2p' THEN 1 ELSE 0 END AS p,
+               CASE WHEN rel = 'p2c' THEN 1 ELSE 0 END AS c,
+               CASE WHEN rel = 'p2p' THEN 1 ELSE 0 END AS e
+        FROM rels
+        UNION ALL
+        SELECT as_high,
+               CASE WHEN rel = 'p2c' THEN 1 ELSE 0 END,
+               CASE WHEN rel = 'c2p' THEN 1 ELSE 0 END,
+               CASE WHEN rel = 'p2p' THEN 1 ELSE 0 END
+        FROM rels
+    )
+    SELECT asn, CAST(sum(p) AS BIGINT) AS n_providers,
+           CAST(sum(c) AS BIGINT) AS n_customers,
+           CAST(sum(e) AS BIGINT) AS n_peers,
+           CASE WHEN sum(c) > 0 THEN 'transit' ELSE 'stub' END AS role
+    FROM sides GROUP BY asn
+    """,
+)
+def an_as_degree_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-AS provider/customer/peer counts + stub/transit role
+    (operators/analytics.as_degree_summary) over the inferred graph."""
+    from bgpexplorer_spark.operators.analytics import (
+        as_degree_summary,
+        as_relationships,
+    )
+
+    return as_degree_summary(as_relationships(_as_rel_routes(spark, sf_dir)))

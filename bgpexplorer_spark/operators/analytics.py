@@ -767,3 +767,36 @@ def customer_cone(
         "asn",
         (F.coalesce(F.col("n_customers"), F.lit(0)) + 1).alias("cone_size"),
     )
+
+
+def as_degree_summary(rels: DataFrame) -> DataFrame:
+    """Per-AS relationship profile from :func:`as_relationships`
+    output: provider / customer / peer counts and the derived role
+    (stub = no customers, transit otherwise) — the one-line summary an
+    operator reads before the full cone. Two narrow projections of the
+    edge table + one hash aggregate; graph-sized."""
+    lo = rels.select(
+        F.col("as_low").alias("asn"),
+        F.when(F.col("rel") == "c2p", 1).otherwise(0).alias("p"),
+        F.when(F.col("rel") == "p2c", 1).otherwise(0).alias("c"),
+        F.when(F.col("rel") == "p2p", 1).otherwise(0).alias("e"),
+    )
+    hi = rels.select(
+        F.col("as_high").alias("asn"),
+        F.when(F.col("rel") == "p2c", 1).otherwise(0).alias("p"),
+        F.when(F.col("rel") == "c2p", 1).otherwise(0).alias("c"),
+        F.when(F.col("rel") == "p2p", 1).otherwise(0).alias("e"),
+    )
+    return (
+        lo.unionByName(hi)
+        .groupBy("asn")
+        .agg(
+            F.sum("p").alias("n_providers"),
+            F.sum("c").alias("n_customers"),
+            F.sum("e").alias("n_peers"),
+        )
+        .withColumn(
+            "role",
+            F.when(F.col("n_customers") > 0, "transit").otherwise("stub"),
+        )
+    )

@@ -555,3 +555,27 @@ def test_customer_cone_hand_computed(spark):
     out = {r.asn: r.cone_size for r in
            customer_cone(as_relationships(df)).collect()}
     assert out == {5: 7, 1: 3, 2: 1, 3: 1, 7: 1, 8: 1, 9: 1}
+
+
+def test_as_degree_summary_hand_computed(spark):
+    from bgpexplorer_spark.operators.analytics import (
+        as_degree_summary,
+        as_relationships,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 5, 9]), (2, [2, 5, 9]), (3, [3, 5, 8]),
+            (4, [1, 5, 5, 8]), (5, [9, 1]), (6, [4, 6]),
+            (7, [9, 1, 7]), (8, [6, 4]),
+        ],
+        "id long, aspath_flat array<bigint>",
+    )
+    out = {r.asn: r for r in
+           as_degree_summary(as_relationships(df)).collect()}
+    # AS5: customers {1,2,3,8,9}; AS1: provider 5, customers {7,9}
+    assert (out[5].n_customers, out[5].n_providers, out[5].role) == (5, 0, "transit")
+    assert (out[1].n_providers, out[1].n_customers) == (1, 2)
+    # the p2p-only pair both count one peer and stay stubs
+    assert out[4].n_peers == 1 and out[4].role == "stub"
+    assert out[2].role == "stub" and out[2].n_providers == 1
