@@ -983,6 +983,7 @@ def encode_bgp_update_body(
     aggregator16: tuple[int, int] | None = None,
     as4aggregator: tuple[int, int] | None = None,
     pmsi: tuple[int, int, int, bytes] | None = None,
+    atomicaggregate: bool = False,
 ) -> bytes:
     """A BGP UPDATE body (after the 19-byte message header) — shared by
     the MRT and BMP fixture encoders. With ``addpath`` the v4 prefix
@@ -1035,6 +1036,8 @@ def encode_bgp_update_body(
         attrs += attr(4, struct.pack(">I", med))
     if localpref is not None:
         attrs += attr(5, struct.pack(">I", localpref))
+    if atomicaggregate:
+        attrs += attr(6, b"")
     if aggregator is not None:
         attrs += attr(7, struct.pack(">II", aggregator[0], aggregator[1]))
     if comms is not None:
@@ -1477,3 +1480,126 @@ def encode_td2_generic(
         body += struct.pack(">H", len(attrs)) + attrs
     return struct.pack(
         ">IHHI", 0, MRT_TABLE_DUMP_V2, TD2_RIB_GENERIC, len(body)) + body
+
+
+def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
+    """MRT_SCHEMA rows → BGP4MP_MESSAGE_AS4[_ADDPATH] MRT files — the
+    archival EXPORT path (read_mrt's inverse): one record per row, one
+    file per partition, written executor-side via tmp+rename so a
+    failed task never leaves a partial archive visible.
+
+    v4 and v6 unicast rows (incl. ADD-PATH ids and the full scalar attr
+    set: origin, AS path Seq/Set, nexthop, MED, localpref, communities,
+    ext/large communities, atomic-aggregate, originator, cluster list,
+    PMSI) encode losslessly; rows of the decorated-key families or with
+    non-v4 peers are SKIPPED and counted — emitting a half-faithful
+    record would corrupt an archive rather than export it.
+
+    Returns the manifest (file, n_records, n_skipped) — an action on it
+    drives the write, mirroring how the parquet sinks behave."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    names = [f.name for f in MRT_FIELDS]
+    origin_codes = {"IGP": 0, "EGP": 1, "Incomplete": 2}
+
+    def _has(v) -> bool:
+        # pandas renders nullable scalars as NaN, not None
+        if v is None:
+            return False
+        if isinstance(v, float) and v != v:
+            return False
+        return True
+
+    def _encode_row(r: dict) -> bytes | None:
+        peer = r["peer_addr"]
+        if not _has(peer) or ":" in peer:
+            return None
+        peer_ip = 0
+        for part in peer.split("."):
+            peer_ip = (peer_ip << 8) | int(part)
+        ts_sec = int(pd.Timestamp(r["ts"]).timestamp())
+        pid = int(r["path_id"]) if _has(r["path_id"]) else 0
+        kw: dict = {}
+        if r["rib"] == "ipv4u":
+            entry = (int(r["addr_v4"]), int(r["prefixlen"]))
+            if pid:
+                kw["addpath"] = True
+                entry = entry + (pid,)
+            kw["nlri" if r["op"] == "update" else "withdrawn"] = [entry]
+        elif r["rib"] == "ipv6u":
+            entry6 = (bytes(r["addr_v6"]), int(r["prefixlen"]))
+            kw["nlri6" if r["op"] == "update" else "withdrawn6"] = [entry6]
+            if r["op"] == "update" and _has(r["nexthop_v6"]):
+                kw["nexthop6"] = bytes(r["nexthop_v6"])
+        else:
+            return None
+        if r["op"] == "update":
+            if _has(r["origin"]):
+                kw["origin"] = origin_codes.get(r["origin"], 2)
+            if _has(r["aspath"]):
+                kw["aspath"] = [
+                    (1 if s["kind"] == "Set" else 2, [int(a) for a in s["asns"]])
+                    for s in r["aspath"]
+                ]
+            if r["rib"] == "ipv4u" and r["nexthop_v4"] is not None:
+                kw["nexthop"] = int(r["nexthop_v4"])
+            if _has(r["med"]):
+                kw["med"] = int(r["med"])
+            if _has(r["localpref"]):
+                kw["localpref"] = int(r["localpref"])
+            if _has(r["comms"]):
+                kw["comms"] = [int(c) for c in r["comms"]]
+            if _has(r["atomicaggregate"]) and r["atomicaggregate"]:
+                kw["atomicaggregate"] = True
+            if _has(r["originator"]):
+                kw["originator"] = int(r["originator"])
+            if _has(r["clusterlist"]):
+                kw["clusterlist"] = [int(c) for c in r["clusterlist"]]
+            if _has(r["extcomms"]):
+                kw["extcomms"] = [
+                    (e["ctype"], e["subtype"], e["a"], e["b"]) for e in r["extcomms"]
+                ]
+            if _has(r["lcomms"]):
+                kw["lcomms"] = [
+                    (c["ga"], c["ldp1"], c["ldp2"]) for c in r["lcomms"]
+                ]
+            p = r["pmsi_ta"]
+            if p is not None:
+                kw["pmsi"] = (
+                    p["flags"], p["tunnel_type"], p["label"],
+                    bytes(p["tunnel_id"]) if p["tunnel_id"] is not None else b"",
+                )
+        return encode_update(
+            ts_sec=ts_sec, peer_as=int(r["peer_as"]), peer_ip=peer_ip, **kw
+        )
+
+    def _write(batches):
+        blob = bytearray()
+        n_rec = n_skip = 0
+        for pdf in batches:
+            for r in pdf.sort_values("ts").to_dict("records"):
+                rec = _encode_row(r)
+                if rec is None:
+                    n_skip += 1
+                else:
+                    blob += rec
+                    n_rec += 1
+        if n_rec or n_skip:
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.mrt")
+            if n_rec:
+                tmp = path + ".part"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(blob))
+                os.replace(tmp, path)
+            yield pd.DataFrame(
+                [{"file": path if n_rec else None,
+                  "n_records": n_rec, "n_skipped": n_skip}]
+            )
+
+    return df.select(*names).mapInPandas(
+        _write, "file string, n_records long, n_skipped long"
+    )

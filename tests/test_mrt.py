@@ -8,6 +8,7 @@ import struct
 
 import pytest
 
+from pyspark.sql import functions as F
 from bgpexplorer_spark.sources.mrt import (
     MRT_SCHEMA,
     assign_sessions,
@@ -419,3 +420,75 @@ def test_table_dump_v1_decode(spark, tmp_path):
     f.write_bytes(stream)
     got = read_mrt(spark, str(f)).collect()
     assert len(got) == 2 and got[0].op == "update" and got[0].peer_as == 65001
+
+
+def test_write_mrt_roundtrip(spark, tmp_path):
+    """Archival export (write_mrt, read_mrt's inverse): v4/v6 unicast
+    rows with the full scalar attr set — ADD-PATH id, Seq+Set path,
+    communities of all three kinds, atomic-aggregate, originator,
+    cluster list, PMSI — re-read identically; a VPN row and a v6-peer
+    row are skipped and counted, never half-encoded."""
+    import datetime as dt
+
+    from bgpexplorer_spark.sources.mrt import MRT_SCHEMA, read_mrt, write_mrt
+
+    names = [f.name for f in MRT_SCHEMA.fields]
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(**kw):
+        base = {n: None for n in names}
+        base.update(
+            ts=t0, peer_addr="10.255.0.1", peer_as=65010, op="update",
+            path_id=0,
+        )
+        base.update(kw)
+        return tuple(base[n] for n in names)
+
+    rows = [
+        row(rib="ipv4u", nlri_str="10.0.0.0/8", addr_v4=10 * 2**24,
+            prefixlen=8, origin="IGP",
+            aspath=[{"kind": "Seq", "asns": [65001]},
+                    {"kind": "Set", "asns": [200, 300]}],
+            nexthop_v4=0x0A0000FE, med=7, localpref=300,
+            comms=[0x10001], atomicaggregate=True,
+            originator=0x0A000005, clusterlist=[1001, 2002],
+            extcomms=[{"ctype": 128, "subtype": 6, "a": 1, "b": 9}],
+            lcomms=[{"ga": 1, "ldp1": 2, "ldp2": 3}],
+            pmsi_ta={"flags": 1, "tunnel_type": 6, "label": 3000,
+                     "tunnel_id": b"\xc0\x00\x02\x01"}),
+        row(ts=t0 + dt.timedelta(seconds=9), rib="ipv4u",
+            nlri_str="10.2.0.0/16", addr_v4=0x0A020000, prefixlen=16,
+            op="withdraw"),
+        row(ts=t0 + dt.timedelta(seconds=5), rib="ipv4u", path_id=5,
+            nlri_str="10.1.0.0/16", addr_v4=0x0A010000, prefixlen=16,
+            origin="Incomplete",
+            aspath=[{"kind": "Seq", "asns": [65001, 65002]}],
+            nexthop_v4=0x0A0000FE),
+        row(ts=t0 + dt.timedelta(seconds=2), rib="ipv6u",
+            nlri_str="2001:db8::/32",
+            addr_v6=b"\x20\x01\x0d\xb8" + bytes(12), prefixlen=32,
+            origin="IGP", aspath=[{"kind": "Seq", "asns": [65001]}],
+            nexthop_v6=b"\x20\x01\x0d\xb8" + bytes(11) + b"\x01"),
+        # skipped: decorated key family
+        row(rib="vpnv4u", nlri_str="100:1:192.168.0.0/24", rd_hi=100,
+            rd_lo=1, addr_v4=0xC0A80000, prefixlen=24, origin="IGP"),
+        # skipped: v6 peer in a v4 BGP4MP header
+        row(peer_addr="2001:db8::9", rib="ipv4u", nlri_str="10.3.0.0/16",
+            addr_v4=0x0A030000, prefixlen=16, origin="IGP"),
+    ]
+    df = spark.createDataFrame(rows, MRT_SCHEMA)
+    out = str(tmp_path / "archive")
+    manifest = write_mrt(df, out).collect()
+    assert sum(m.n_records for m in manifest) == 4
+    assert sum(m.n_skipped for m in manifest) == 2
+
+    back = read_mrt(spark, out)
+    keep_cols = [n for n in names]
+    orig = sorted(
+        map(repr, df.filter(
+            (F.col("rib").isin("ipv4u", "ipv6u"))
+            & ~F.col("peer_addr").contains(":")
+        ).select(keep_cols).collect())
+    )
+    got = sorted(map(repr, back.select(keep_cols).collect()))
+    assert got == orig
