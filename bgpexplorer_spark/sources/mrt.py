@@ -1143,6 +1143,13 @@ def encode_td2_rib_v4(
             attrs += bytes([0x40, 2, len(seg)]) + seg
         if "nexthop" in e:
             attrs += bytes([0x40, 3, 4]) + struct.pack(">I", e["nexthop"])
+        if "med" in e:
+            attrs += bytes([0x80, 4, 4]) + struct.pack(">I", e["med"])
+        if "localpref" in e:
+            attrs += bytes([0x40, 5, 4]) + struct.pack(">I", e["localpref"])
+        if "comms" in e:
+            cb = b"".join(struct.pack(">I", c) for c in e["comms"])
+            attrs += bytes([0xC0, 8, len(cb)]) + cb
         body += struct.pack(">HI", e["peer_idx"], e["orig_time"])
         if addpath:
             body += struct.pack(">I", e.get("path_id", 0))
@@ -1602,4 +1609,125 @@ def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
 
     return df.select(*names).mapInPandas(
         _write, "file string, n_records long, n_skipped long"
+    )
+
+
+def write_rib_dump(
+    state: DataFrame, sessions: DataFrame, out_dir: str
+) -> DataFrame:
+    """Active v4-unicast state → TABLE_DUMP_V2 MRT RIB dump files (the
+    RouteViews/RIS interchange format; read back by the S5 decoder).
+
+    Each output file is self-contained: the (tiny) PEER_INDEX_TABLE is
+    prepended per file, then one RIB record per prefix holding all its
+    per-peer entries — which is why the write repartitions on the
+    prefix first: TABLE_DUMP_V2 REQUIRES a prefix's entries in one
+    record, so prefix-colocation is the format's own shuffle, not an
+    extra one. Sequence numbers are per-file counters (readers treat
+    them as record ids, not global ordinals). Non-ipv4u rows are
+    skipped and counted. Returns the manifest
+    (file, n_prefixes, n_entries, n_skipped)."""
+    import os
+    import uuid
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    peers = sorted(
+        (int(r["session_id"]), r["peer1_addr"], int(r["peer1_as"]))
+        for r in sessions.collect()
+    )
+    sess_to_idx: dict[int, int] = {}
+    peer_list: list[tuple[int, int]] = []
+    for sid, addr, asn in peers:
+        if ":" in addr:
+            continue  # v4-form peer index entries only
+        ip = 0
+        for part in addr.split("."):
+            ip = (ip << 8) | int(part)
+        sess_to_idx[sid] = len(peer_list)
+        peer_list.append((ip, asn))
+    index_bytes = encode_peer_index(peer_list)
+    origin_codes = {"IGP": 0, "EGP": 1, "Incomplete": 2}
+
+    cols = [
+        "rib", "addr_v4", "prefixlen", "session_id", "path_id", "ts",
+        "origin", "aspath", "nexthop_v4", "med", "localpref", "comms",
+    ]
+
+    def _has(v) -> bool:
+        if v is None:
+            return False
+        if isinstance(v, float) and v != v:
+            return False
+        return True
+
+    def _write(pdf_iter):
+        records = bytearray()
+        seq = 0
+        n_pfx = n_ent = n_skip = 0
+        for pdf in pdf_iter:
+            bad = pdf["rib"] != "ipv4u"
+            n_skip += int(bad.sum())
+            pdf = pdf[~bad]
+            for (addr, plen), grp in pdf.groupby(["addr_v4", "prefixlen"]):
+                entries = []
+                addpath = False
+                for r in grp.sort_values("session_id").to_dict("records"):
+                    sid = int(r["session_id"])
+                    if sid not in sess_to_idx:
+                        n_skip += 1
+                        continue
+                    e: dict = {
+                        "peer_idx": sess_to_idx[sid],
+                        "orig_time": int(pd.Timestamp(r["ts"]).timestamp()),
+                    }
+                    pid = int(r["path_id"]) if _has(r["path_id"]) else 0
+                    if pid:
+                        e["path_id"] = pid
+                        addpath = True
+                    if _has(r["origin"]):
+                        e["origin"] = origin_codes.get(r["origin"], 2)
+                    if _has(r["aspath"]):
+                        e["aspath"] = [
+                            (1 if s["kind"] == "Set" else 2,
+                             [int(a) for a in s["asns"]])
+                            for s in r["aspath"]
+                        ]
+                    if _has(r["nexthop_v4"]):
+                        e["nexthop"] = int(r["nexthop_v4"])
+                    if _has(r["med"]):
+                        e["med"] = int(r["med"])
+                    if _has(r["localpref"]):
+                        e["localpref"] = int(r["localpref"])
+                    if _has(r["comms"]):
+                        e["comms"] = [int(c) for c in r["comms"]]
+                    entries.append(e)
+                if not entries:
+                    continue
+                records += encode_td2_rib_v4(
+                    seq, int(addr), int(plen), entries, addpath=addpath
+                )
+                seq += 1
+                n_pfx += 1
+                n_ent += len(entries)
+        if n_pfx or n_skip:
+            path = os.path.join(out_dir, f"rib-{uuid.uuid4().hex}.mrt")
+            if n_pfx:
+                tmp = path + ".part"
+                with open(tmp, "wb") as f:
+                    f.write(index_bytes + bytes(records))
+                os.replace(tmp, path)
+            yield pd.DataFrame(
+                [{"file": path if n_pfx else None, "n_prefixes": n_pfx,
+                  "n_entries": n_ent, "n_skipped": n_skip}]
+            )
+
+    return (
+        state.select(*cols)
+        .repartition("addr_v4", "prefixlen")
+        .mapInPandas(
+            _write,
+            "file string, n_prefixes long, n_entries long, n_skipped long",
+        )
     )
