@@ -5747,3 +5747,98 @@ def an_as_degree_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return as_degree_summary(as_relationships(_as_rel_routes(spark, sf_dir)))
+
+
+@q(
+    "an_route_age",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    counted AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY nlri_str, session_id
+                                  ORDER BY ts DESC) AS rn,
+               count(*) OVER (PARTITION BY nlri_str, session_id) AS n,
+               min(ts) OVER (PARTITION BY nlri_str, session_id) AS first_ts
+        FROM hist2 WHERE ts <= make_timestamp({_ASOF_MS} * 1000)
+    )
+    SELECT nlri_str, session_id,
+           epoch_ms(ts) AS last_change_ms,
+           epoch_ms(first_ts) AS first_seen_ms,
+           CAST(floor({_ASOF_MS} / 1000.0 - epoch(ts)) AS BIGINT) AS age_sec,
+           CAST(n AS BIGINT) AS n_events
+    FROM counted WHERE rn = 1 AND active
+    """,
+)
+def an_route_age(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route stability (operators/analytics.route_age_report): per
+    active route at the as-of instant, its last-change time, first-seen
+    time, age, and per-key event count."""
+    from bgpexplorer_spark.operators.analytics import route_age_report
+
+    hist = _origins_history(spark, sf_dir)
+    out = route_age_report(hist, _ASOF_MS)
+    return out.select(
+        "nlri_str", "session_id",
+        ts_to_millis_col(F.col("last_change_ts")).alias("last_change_ms"),
+        ts_to_millis_col(F.col("first_seen_ts")).alias("first_seen_ms"),
+        "age_sec", "n_events",
+    )
+
+@q(
+    "an_update_burstiness",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    pb AS (
+        SELECT session_id,
+               CAST(floor(epoch(ts) / 60) AS BIGINT) AS b,
+               count(*) AS c
+        FROM hist2 GROUP BY 1, 2
+    )
+    SELECT session_id, CAST(sum(c) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           round(max(c) / (sum(c) / count(*)), 4) AS burst_ratio
+    FROM pb GROUP BY session_id
+    """,
+)
+def an_update_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session burstiness (operators/analytics.update_burstiness):
+    total events, active minute-buckets, busiest bucket, burst ratio."""
+    from bgpexplorer_spark.operators.analytics import update_burstiness
+
+    return update_burstiness(_origins_history(spark, sf_dir), bucket_sec=60)
+
+@q(
+    "an_peer_agreement",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT DISTINCT session_id, nlri_str FROM latest
+              WHERE rn = 1 AND active),
+    sizes AS (SELECT session_id, count(*) AS n FROM state GROUP BY 1),
+    shared AS (
+        SELECT a.session_id AS session_a, b.session_id AS session_b,
+               count(*) AS n_shared
+        FROM state a JOIN state b
+             ON a.nlri_str = b.nlri_str AND a.session_id < b.session_id
+        GROUP BY 1, 2
+    )
+    SELECT session_a, session_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / (na.n + nb.n - n_shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.session_id = session_a
+    JOIN sizes nb ON nb.session_id = session_b
+    """,
+)
+def an_peer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise session agreement (operators/analytics.peer_agreement):
+    Jaccard overlap of active prefix sets, joined on shared prefixes."""
+    from bgpexplorer_spark.operators.analytics import peer_agreement
+    from bgpexplorer_spark.operators.rib import current_state
+
+    st = current_state(_origins_history(spark, sf_dir))
+    return peer_agreement(st)

@@ -800,3 +800,94 @@ def as_degree_summary(rels: DataFrame) -> DataFrame:
             F.when(F.col("n_customers") > 0, "transit").otherwise("stub"),
         )
     )
+
+
+def route_age_report(
+    history: DataFrame, asof_ms: int | None = None
+) -> DataFrame:
+    """Per active route: when it last changed, how old it is at the
+    evaluation instant, and how many history events its key has seen —
+    the stability view ("is this route settled or still churning")
+    operators read next to the flap report. One pass: the same
+    newest-per-key window the state queries use plus per-key count."""
+    w = Window.partitionBy(*KEY_COLS).orderBy(F.col("ts").desc())
+    at = (
+        F.lit(asof_ms).cast("double") / 1000.0
+        if asof_ms is not None
+        else F.unix_timestamp(F.current_timestamp()).cast("double")
+    )
+    src = history
+    if asof_ms is not None:
+        src = src.filter(F.col("ts") <= ts_cutoff_str(asof_ms))
+    ranked = src.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(*KEY_COLS))
+    ).withColumn(
+        "_first", F.min("ts").over(Window.partitionBy(*KEY_COLS))
+    )
+    return (
+        ranked.filter((F.col("_rn") == 1) & F.col("active"))
+        .select(
+            "rib", "nlri_str", "session_id", "path_id",
+            F.col("ts").alias("last_change_ts"),
+            F.col("_first").alias("first_seen_ts"),
+            (at - F.col("ts").cast("double")).cast("long").alias("age_sec"),
+            F.col("_n").alias("n_events"),
+        )
+    )
+
+
+def update_burstiness(
+    history: DataFrame, bucket_sec: int = 60
+) -> DataFrame:
+    """Per session: total events, active time buckets, the busiest
+    bucket, and the burst ratio (busiest / mean-per-active-bucket) —
+    the "is this peer melting down or steady" signal. Two map-side-
+    combinable aggregates (bucket counts, then the per-session rollup).
+    """
+    b = (F.col("ts").cast("long") / bucket_sec).cast("long")
+    per_bucket = history.groupBy(
+        F.col("session_id"), b.alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    return per_bucket.groupBy("session_id").agg(
+        F.sum("_c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("_c").alias("max_bucket"),
+        F.round(
+            F.max("_c") / (F.sum("_c") / F.count(F.lit(1))), 4
+        ).alias("burst_ratio"),
+    )
+
+
+def peer_agreement(state: DataFrame) -> DataFrame:
+    """Pairwise Jaccard agreement of the active prefix sets between
+    sessions — "does this new peer see the same Internet" / "which
+    feed is missing routes". The join runs on shared prefixes (never a
+    session cross-product), and the per-session sizes ride a broadcast:
+    cost is edge-count-of-shared-prefixes, which is how every pairwise
+    set-similarity on this engine is shaped (cf. the dedup pipeline)."""
+    keys = state.select("session_id", "rib", "nlri_str").distinct()
+    sizes = keys.groupBy("session_id").agg(F.count(F.lit(1)).alias("_n"))
+    a, b = keys.alias("a"), keys.alias("b")
+    shared = (
+        a.join(b, ["rib", "nlri_str"])
+        .filter(F.col("a.session_id") < F.col("b.session_id"))
+        .groupBy(
+            F.col("a.session_id").alias("session_a"),
+            F.col("b.session_id").alias("session_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("session_id").alias("session_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("session_id").alias("session_b"), F.col("_n").alias("_nb"))
+    return (
+        shared.join(F.broadcast(sa), "session_a")
+        .join(F.broadcast(sb), "session_b")
+        .select(
+            "session_a", "session_b", "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

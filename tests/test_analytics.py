@@ -579,3 +579,46 @@ def test_as_degree_summary_hand_computed(spark):
     # the p2p-only pair both count one peer and stay stubs
     assert out[4].n_peers == 1 and out[4].role == "stub"
     assert out[2].role == "stub" and out[2].n_providers == 1
+
+
+def test_route_age_report(hist):
+    # at t=40: 10.0/16 s0 last changed at t=30 (age 10), 3 events;
+    # s1 at t=10 (age 30); 10.2/16 withdrawn -> absent
+    out = {(r.nlri_str, r.session_id): r
+           for r in analytics.route_age_report(hist, _millis(40)).collect()}
+    a = out[("10.0.0.0/16", 0)]
+    assert a.age_sec == 10 and a.n_events == 3
+    assert a.first_seen_ts.isoformat().startswith("2024-01-01T00:00:00")
+    assert out[("10.0.0.0/16", 1)].age_sec == 30
+    assert ("10.2.0.0/16", 0) not in out
+
+
+def test_update_burstiness(spark):
+    rows = (
+        [u(f"10.{i}.0.0/16", t=i) for i in range(4)]       # bucket 0: 4 events
+        + [u("10.9.0.0/16", t=120)]                        # bucket 2: 1 event
+    )
+    hist = build_history(make_updates(spark, rows))
+    out = {r.session_id: r
+           for r in analytics.update_burstiness(hist, 60).collect()}
+    r = out[0]
+    assert (r.n_events, r.n_buckets, r.max_bucket) == (5, 2, 4)
+    assert r.burst_ratio == 1.6  # 4 / (5/2)
+
+
+def test_peer_agreement(spark):
+    rows = [
+        u("10.0.0.0/16", t=0, session_id=0),
+        u("10.1.0.0/16", t=1, session_id=0),
+        u("10.0.0.0/16", t=2, session_id=1),
+        u("10.1.0.0/16", t=3, session_id=1),
+        u("10.2.0.0/16", t=4, session_id=1),
+        u("11.0.0.0/16", t=5, session_id=2),
+    ]
+    st = current_state(build_history(make_updates(spark, rows)))
+    out = {(r.session_a, r.session_b): r
+           for r in analytics.peer_agreement(st).collect()}
+    # s0 {10.0,10.1}, s1 {10.0,10.1,10.2}: shared 2 / union 3
+    assert out[(0, 1)].n_shared == 2 and out[(0, 1)].jaccard == 0.6667
+    # disjoint peers never appear (join on shared prefixes)
+    assert (0, 2) not in out and (1, 2) not in out
