@@ -5842,3 +5842,30 @@ def an_peer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = current_state(_origins_history(spark, sf_dir))
     return peer_agreement(st)
+
+
+@q(
+    "pipe_deterministic_shuffle",
+    """
+    SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS rank,
+           CAST(CAST((
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456 +
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216 +
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576 +
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536 +
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096 +
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256 +
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substring(md5('ep1:' || CAST(doc_id AS VARCHAR)), 8, 1)) - 1)
+           ) AS BIGINT) % 16 AS INTEGER) AS shard
+    FROM documents
+    """,
+)
+def pipe_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch ordering
+    (operators/pipeline.deterministic_shuffle): salt-keyed md5 rank +
+    shard assignment, pure projection."""
+    from bgpexplorer_spark.operators.pipeline import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", salt="ep1", n_shards=16)

@@ -524,3 +524,24 @@ def filter_sources(
         & (F.col("avg_punct_ratio") <= F.lit(max_avg_punct_ratio))
     ).select(F.col("source").alias(source_col))
     return df.join(F.broadcast(good), source_col, "left_semi")
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, salt: str = "", n_shards: int = 16
+) -> DataFrame:
+    """Reproducible global shuffle order for training epochs: every row
+    gets a content-independent pseudo-random rank md5(salt:id) and a
+    shard; readers consume shards in order, rows within a shard by
+    rank — the SAME order on any cluster size, any partitioning, any
+    retry (a nondeterministic shuffle makes a training run
+    unreproducible). A different ``salt`` decorrelates epochs without
+    touching the data. Pure projection — the actual reorder happens at
+    write time (partitionBy(shard) + sortWithinPartitions(rank)),
+    never as a global sort in this plan."""
+    rank = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(rank, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    return df.select("*", rank.alias("rank"), shard.alias("shard"))

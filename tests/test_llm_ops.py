@@ -1015,3 +1015,23 @@ def test_pq_search_plan_is_projection_over_codes(spark):
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_deterministic_shuffle_reproducible_and_salted(spark):
+    from bgpexplorer_spark.operators.pipeline import deterministic_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = [r.doc_id for r in
+         deterministic_shuffle(df, "doc_id", salt="e1")
+         .orderBy("shard", "rank").collect()]
+    b = [r.doc_id for r in
+         deterministic_shuffle(df.repartition(7), "doc_id", salt="e1")
+         .orderBy("shard", "rank").collect()]
+    assert a == b          # partitioning-independent epoch order
+    assert a != list(range(200))  # actually shuffled
+    c = [r.doc_id for r in
+         deterministic_shuffle(df, "doc_id", salt="e2")
+         .orderBy("shard", "rank").collect()]
+    assert a != c          # a new salt decorrelates the epoch
+    shards = {r.shard for r in deterministic_shuffle(df, "doc_id").collect()}
+    assert shards <= set(range(16)) and len(shards) > 8
