@@ -167,3 +167,60 @@ def test_c4_clean_matches_model(spark, docs):
         kept = [l for l in lines if keep(l)]
         assert got[i] == (len(lines), len(kept), len(kept) >= 3,
                           "\n".join(kept))
+
+
+_paths = st.lists(
+    st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=5),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _rel_model(paths):
+    """Pure-Python Gao model mirroring operators/analytics
+    .as_relationships: collapse prepends, distinct paths, undirected
+    degree, summit = max degree (tie -> earliest position), uphill c2p
+    votes / downhill p2c votes, p2p on disagreement."""
+    collapsed = set()
+    for p in paths:
+        c = [p[0]] + [x for i, x in enumerate(p[1:]) if x != p[i]]
+        if len(c) >= 2:
+            collapsed.add(tuple(c))
+    nbrs: dict[int, set[int]] = {}
+    for p in collapsed:
+        for a, b in zip(p, p[1:]):
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+    votes: dict[tuple[int, int], list[int]] = {}
+    for p in collapsed:
+        deg = [len(nbrs[x]) for x in p]
+        top = max(range(len(p)), key=lambda i: (deg[i], -i))
+        for i, (a, b) in enumerate(zip(p, p[1:])):
+            lo, hi = min(a, b), max(a, b)
+            low_customer = (a < b) if i < top else (b < a)
+            v = votes.setdefault((lo, hi), [0, 0])
+            v[0 if low_customer else 1] += 1
+    out = {}
+    for (lo, hi), (nl, nh) in votes.items():
+        rel = "p2p" if (nl and nh) else ("c2p" if nl else "p2c")
+        out[(lo, hi)] = (nl, nh, rel)
+    return out
+
+
+@settings(
+    max_examples=25, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(paths=_paths)
+def test_as_relationships_matches_model(spark, paths):
+    from bgpexplorer_spark.operators.analytics import as_relationships
+
+    df = spark.createDataFrame(
+        [(i, list(p)) for i, p in enumerate(paths)],
+        "id long, aspath_flat array<bigint>",
+    )
+    got = {
+        (r.as_low, r.as_high): (r.n_low_customer, r.n_high_customer, r.rel)
+        for r in as_relationships(df).collect()
+    }
+    assert got == _rel_model(paths)
