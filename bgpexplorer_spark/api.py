@@ -300,6 +300,47 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_route_ages(self, rib: str = "ipv4u", asof=None, k: int = 100) -> list[dict]:
+        """GET /api/analytics/ages[?rib=&asof=&k=] — oldest-first route
+        age report over the (optionally time-traveled) active state."""
+        from bgpexplorer_spark.functions.timeutil import parse_ts_param
+        from bgpexplorer_spark.operators.analytics import route_age_report
+
+        at = (
+            int(parse_ts_param(asof).timestamp() * 1000)
+            if asof is not None
+            else None
+        )
+        rows = (
+            route_age_report(self.history.filter(F.col("rib") == rib), at)
+            .orderBy(F.col("age_sec").desc(), "nlri_str")
+            .limit(k)
+            .collect()
+        )
+        return [
+            {
+                "nlri": r.nlri_str, "session_id": r.session_id,
+                "age_sec": r.age_sec, "n_events": r.n_events,
+            }
+            for r in rows
+        ]
+
+    def api_peer_agreement(self, rib: str = "ipv4u") -> list[dict]:
+        """GET /api/analytics/agreement[?rib=] — pairwise Jaccard of the
+        sessions' active prefix sets."""
+        from bgpexplorer_spark.operators.analytics import peer_agreement
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = peer_agreement(st).orderBy("session_a", "session_b").collect()
+        return [
+            {
+                "session_a": r.session_a, "session_b": r.session_b,
+                "n_shared": r.n_shared, "jaccard": r.jaccard,
+            }
+            for r in rows
+        ]
+
     def api_as_relationships(self, rib: str = "ipv4u") -> list[dict]:
         """GET /api/analytics/relationships[?rib=] — Gao-style
         c2p/p2c/p2p inference over the active state's AS paths."""
@@ -537,6 +578,17 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(svc.api_bogons(qs.get("rib", "ipv4u")))
                 if parts[:3] == ["api", "analytics", "sessions"]:
                     return self._send(svc.api_session_stability())
+                if parts[:3] == ["api", "analytics", "ages"]:
+                    return self._send(
+                        svc.api_route_ages(
+                            qs.get("rib", "ipv4u"), qs.get("asof"),
+                            int(qs.get("k", 100)),
+                        )
+                    )
+                if parts[:3] == ["api", "analytics", "agreement"]:
+                    return self._send(
+                        svc.api_peer_agreement(qs.get("rib", "ipv4u"))
+                    )
                 if parts[:3] == ["api", "analytics", "relationships"]:
                     return self._send(
                         svc.api_as_relationships(qs.get("rib", "ipv4u"))

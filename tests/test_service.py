@@ -767,3 +767,37 @@ def test_http_relationship_endpoints(spark):
         assert cones[0] == {"asn": 50, "cone_size": 6}
     finally:
         httpd.shutdown()
+
+
+def test_http_ages_and_agreement_endpoints(spark):
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/16", t=0, session_id=0, aspath=[("Seq", [100])]),
+                u("10.0.0.0/16", t=30, session_id=1, aspath=[("Seq", [100])]),
+                u("10.1.0.0/16", t=10, session_id=0, aspath=[("Seq", [200])]),
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        at = int(T0.timestamp() * 1000) + 100_000
+        ages = json.loads(
+            urllib.request.urlopen(base + f"/api/analytics/ages?asof={at}").read()
+        )
+        by = {(a["nlri"], a["session_id"]): a for a in ages}
+        assert by[("10.0.0.0/16", 0)]["age_sec"] == 100
+        assert by[("10.0.0.0/16", 1)]["age_sec"] == 70
+        assert by[("10.1.0.0/16", 0)]["age_sec"] == 90
+        agree = json.loads(
+            urllib.request.urlopen(base + "/api/analytics/agreement").read()
+        )
+        assert agree == [
+            {"session_a": 0, "session_b": 1, "n_shared": 1, "jaccard": 0.5}
+        ]
+    finally:
+        httpd.shutdown()
