@@ -5869,3 +5869,78 @@ def pipe_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(docs, "doc_id", salt="ep1", n_shards=16)
+
+
+def _ivfpq_sql(k: int = 10, nprobe: int = 2, n_centroids: int = 8) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {n_centroids}),
+    qv AS (SELECT a AS q FROM v WHERE vec_id = 0),
+    probes AS (
+        SELECT cid FROM c, qv ORDER BY {cos('cvec', 'q')} DESC, cid LIMIT {nprobe}
+    ),
+    ivf AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    ),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    sub AS (SELECT vec_id, s, a[s*16 + 1 : s*16 + 16] AS sv FROM v, ss),
+    cb AS (SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 8),
+    dists AS (
+        SELECT t.vec_id, t.s, c.code,
+               list_sum([ (t.sv[i] - c.cv[i]) * (t.sv[i] - c.cv[i])
+                          for i in range(1, 17) ]) AS d
+        FROM sub t JOIN cb c USING (s)
+    ),
+    pq_assigned AS (
+        SELECT vec_id, s, code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                         ORDER BY d, code) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    qsub AS (SELECT s, sv AS qsv FROM sub WHERE vec_id = 0),
+    adc AS (
+        SELECT a.vec_id,
+               round(list_sum([ (q.qsv[i] - c.cv[i]) * (q.qsv[i] - c.cv[i])
+                                for i in range(1, 17) ]), 6) AS pd
+        FROM pq_assigned a
+        JOIN cb c ON a.s = c.s AND a.code = c.code
+        JOIN qsub q ON q.s = a.s
+        WHERE a.vec_id IN (SELECT vec_id FROM ivf
+                           WHERE cid IN (SELECT cid FROM probes))
+    )
+    SELECT vec_id, round(sum(pd), 4) AS approx_dist
+    FROM adc GROUP BY vec_id
+    ORDER BY approx_dist, vec_id LIMIT {k}
+    """
+
+@q("sim_ivfpq_topk", _ivfpq_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition (operators/similarity.ivfpq_topk): nprobe
+    coarse cells, ADC over the probed cells' PQ codes only — the
+    FAISS-scale configuration, both index tables persisted."""
+    from bgpexplorer_spark.operators.similarity import (
+        ivf_assign, ivf_centroids, ivfpq_topk, pq_codebooks, pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    assigned = ivf_assign(emb, ivf_centroids(emb, 8)).persist()
+    encoded = pq_encode(emb, pq_codebooks(emb, 4, 8, 64)).persist()
+    return ivfpq_topk(
+        emb, qv, k=10, nprobe=2, n_centroids=8, m=4, codes=8, dim=64,
+        assigned=assigned, encoded=encoded,
+    )

@@ -437,3 +437,40 @@ def pq_topk(
         .orderBy("approx_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    nprobe: int = 2, n_centroids: int = 8,
+    m: int = 4, codes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ — the FAISS-scale composition: the coarse quantizer picks
+    ``nprobe`` cells (partition pruning at rest), and within the probed
+    cells the ranking is asymmetric-distance over PQ CODES, so the query
+    reads m ints per candidate instead of ``dim`` floats. Pass the
+    persisted ``assigned`` (ivf_assign) and ``encoded`` (pq_encode)
+    index tables in a real deployment; both are build-once state."""
+    cents = ivf_centroids(df, n_centroids, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = (
+        cents.select("cid", cosine(F.col("cvec"), q).alias("_qs"))
+        .orderBy(F.col("_qs").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    if assigned is None:
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+    if encoded is None:
+        encoded = pq_encode(
+            df, pq_codebooks(df, m, codes, dim, id_col, vec_col),
+            m, dim, id_col, vec_col,
+        )
+    cand = encoded.join(assigned, id_col).join(
+        F.broadcast(probes), "cid", "left_semi"
+    ).select(id_col, "codes")
+    return pq_topk(
+        df, query_vec, k, m, codes, dim, id_col, vec_col, encoded=cand
+    )

@@ -1035,3 +1035,18 @@ def test_deterministic_shuffle_reproducible_and_salted(spark):
     assert a != c          # a new salt decorrelates the epoch
     shards = {r.shard for r in deterministic_shuffle(df, "doc_id").collect()}
     assert shards <= set(range(16)) and len(shards) > 8
+
+
+def test_ivfpq_only_scores_probed_cells(spark):
+    """IVF-PQ: candidates outside the probed coarse cells never appear,
+    however close their codes would rank."""
+    rows = [(i, [float(i % 4) * 10 + j * 0.01 for j in range(8)])
+            for i in range(16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.ivfpq_topk(
+        df, rows[2][1], k=16, nprobe=1, n_centroids=4, m=2, codes=4, dim=8,
+    ).collect()
+    # centroid set = vecs 0..3 (values 0/10/20/30); query = vec 2's
+    # pattern (20.x) -> probe lands on cid 2; only i%4==2 vectors rank
+    assert {r.vec_id for r in out} == {i for i in range(16) if i % 4 == 2}
+    assert out[0].vec_id == 2 and out[0].approx_dist == 0.0
