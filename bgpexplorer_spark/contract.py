@@ -5944,3 +5944,78 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, qv, k=10, nprobe=2, n_centroids=8, m=4, codes=8, dim=64,
         assigned=assigned, encoded=encoded,
     )
+
+
+@q(
+    "an_top_communities",
+    f"""
+    WITH {_DERIVED_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active),
+    ex AS (
+        SELECT CAST(65536 * (600 + session_id % 4)
+                    + floor(addr_v4 / 65536) % 50 AS BIGINT) AS comm
+        FROM state
+    )
+    SELECT comm,
+           CAST(floor(comm / 65536) AS BIGINT) || ':' ||
+           CAST(comm % 65536 AS BIGINT) AS comm_str,
+           count(*) AS n_routes
+    FROM ex GROUP BY comm
+    ORDER BY n_routes DESC, comm LIMIT 20
+    """,
+)
+def an_top_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community inventory (operators/analytics.top_communities): the
+    most-attached community values with asn:value display forms."""
+    from bgpexplorer_spark.operators.analytics import top_communities
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = _derived_updates_history(spark, sf_dir)
+    st = current_state(hist).withColumn(
+        "comms",
+        F.array(
+            (
+                F.lit(65536) * (F.lit(600) + F.col("session_id") % 4)
+                + F.floor(F.col("addr_v4") / 65536) % 50
+            ).cast("long")
+        ),
+    )
+    return top_communities(st, k=20)
+
+@q(
+    "an_prefixlen_distribution",
+    f"""
+    WITH {_DERIVED_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active),
+    per AS (
+        SELECT prefixlen, count(*) AS n_routes,
+               count(DISTINCT nlri_str) AS n_prefixes
+        FROM state GROUP BY prefixlen
+    ),
+    tot AS (SELECT sum(n_routes) AS t FROM per)
+    SELECT 'ipv4u' AS rib, prefixlen, n_routes,
+           CAST(n_prefixes AS BIGINT) AS n_prefixes,
+           round(n_routes / t, 4) AS share
+    FROM per, tot
+    """,
+)
+def an_prefixlen_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-length table (operators/analytics
+    .prefix_length_distribution): routes/prefixes/share per length."""
+    from bgpexplorer_spark.operators.analytics import (
+        prefix_length_distribution,
+    )
+    from bgpexplorer_spark.operators.rib import current_state
+
+    st = current_state(_derived_updates_history(spark, sf_dir))
+    return prefix_length_distribution(st)

@@ -891,3 +891,43 @@ def peer_agreement(state: DataFrame) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def top_communities(state: DataFrame, k: int = 20) -> DataFrame:
+    """The k most-attached community values across the active state,
+    with route counts and the display form the reference prints
+    (asn:value, src/bgpattrs.rs comms display) — the traffic-engineering
+    inventory ("which TE tags are actually in use"). One explode + one
+    map-side-combinable aggregate + TakeOrdered."""
+    return (
+        state.select(F.explode("comms").alias("comm"))
+        .groupBy("comm")
+        .agg(F.count(F.lit(1)).alias("n_routes"))
+        .select(
+            "comm",
+            F.concat_ws(
+                ":",
+                F.floor(F.col("comm") / 65536).cast("long"),
+                (F.col("comm") % 65536).cast("long"),
+            ).alias("comm_str"),
+            "n_routes",
+        )
+        .orderBy(F.col("n_routes").desc(), "comm")
+        .limit(k)
+    )
+
+
+def prefix_length_distribution(state: DataFrame) -> DataFrame:
+    """Routes and distinct prefixes per (rib, prefixlen) plus each
+    length's share of its rib — the table every looking glass shows
+    first and the deaggregation-pressure signal. One aggregate plus a
+    broadcast of per-rib totals."""
+    per = state.groupBy("rib", "prefixlen").agg(
+        F.count(F.lit(1)).alias("n_routes"),
+        F.count_distinct("nlri_str").alias("n_prefixes"),
+    )
+    totals = state.groupBy("rib").agg(F.count(F.lit(1)).alias("_t"))
+    return per.join(F.broadcast(totals), "rib").select(
+        "rib", "prefixlen", "n_routes", "n_prefixes",
+        F.round(F.col("n_routes") / F.col("_t"), 4).alias("share"),
+    )

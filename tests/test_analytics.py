@@ -622,3 +622,28 @@ def test_peer_agreement(spark):
     assert out[(0, 1)].n_shared == 2 and out[(0, 1)].jaccard == 0.6667
     # disjoint peers never appear (join on shared prefixes)
     assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_top_communities(spark):
+    rows = [
+        u("10.0.0.0/16", t=0, comms=[65536 * 100 + 1, 65536 * 100 + 2]),
+        u("10.1.0.0/16", t=1, comms=[65536 * 100 + 1]),
+        u("10.2.0.0/16", t=2),  # no communities
+    ]
+    st = current_state(build_history(make_updates(spark, rows)))
+    out = analytics.top_communities(st, k=5).collect()
+    assert out[0].comm_str == "100:1" and out[0].n_routes == 2
+    assert out[1].comm_str == "100:2" and out[1].n_routes == 1
+
+
+def test_prefix_length_distribution(spark):
+    rows = [
+        u("10.0.0.0/16", t=0, session_id=0),
+        u("10.0.0.0/16", t=1, session_id=1),   # same prefix, 2 routes
+        u("10.1.0.0/24", t=2),
+    ]
+    st = current_state(build_history(make_updates(spark, rows)))
+    out = {r.prefixlen: r
+           for r in analytics.prefix_length_distribution(st).collect()}
+    assert out[16].n_routes == 2 and out[16].n_prefixes == 1
+    assert out[16].share == 0.6667 and out[24].share == 0.3333
