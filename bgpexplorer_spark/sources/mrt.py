@@ -1063,7 +1063,9 @@ def encode_bgp_update_body(
         lab3 = (plabel << 4).to_bytes(3, "big")
         attrs += attr(22, bytes([pflags, ptype]) + lab3 + ptid, flags=0xC0)
     if nlri6 is not None:
-        body6 = struct.pack(">HBB", 2, 1, 16) + (nexthop6 or bytes(16)) + b"\x00"
+        # nhlen=0 is legal MP_REACH and round-trips "no nexthop" exactly
+        nh6 = nexthop6 or b""
+        body6 = struct.pack(">HBB", 2, 1, len(nh6)) + nh6 + b"\x00"
         for entry in nlri6:
             body6 += pfx(entry, v6=True)
         attrs += attr(14, body6, flags=0x80)
@@ -1552,7 +1554,7 @@ def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
                     (1 if s["kind"] == "Set" else 2, [int(a) for a in s["asns"]])
                     for s in r["aspath"]
                 ]
-            if r["rib"] == "ipv4u" and r["nexthop_v4"] is not None:
+            if r["rib"] == "ipv4u" and _has(r["nexthop_v4"]):
                 kw["nexthop"] = int(r["nexthop_v4"])
             if _has(r["med"]):
                 kw["med"] = int(r["med"])
@@ -1567,17 +1569,21 @@ def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
             if _has(r["clusterlist"]):
                 kw["clusterlist"] = [int(c) for c in r["clusterlist"]]
             if _has(r["extcomms"]):
+                # struct fields arrive as pandas floats when any row of
+                # the batch is null-bearing — coerce back to ints
                 kw["extcomms"] = [
-                    (e["ctype"], e["subtype"], e["a"], e["b"]) for e in r["extcomms"]
+                    (int(e["ctype"]), int(e["subtype"]), int(e["a"]), int(e["b"]))
+                    for e in r["extcomms"]
                 ]
             if _has(r["lcomms"]):
                 kw["lcomms"] = [
-                    (c["ga"], c["ldp1"], c["ldp2"]) for c in r["lcomms"]
+                    (int(c["ga"]), int(c["ldp1"]), int(c["ldp2"]))
+                    for c in r["lcomms"]
                 ]
             p = r["pmsi_ta"]
-            if p is not None:
+            if _has(p):
                 kw["pmsi"] = (
-                    p["flags"], p["tunnel_type"], p["label"],
+                    int(p["flags"]), int(p["tunnel_type"]), int(p["label"]),
                     bytes(p["tunnel_id"]) if p["tunnel_id"] is not None else b"",
                 )
         return encode_update(

@@ -528,3 +528,82 @@ def test_write_rib_dump_roundtrip(spark, tmp_path, mrt_file):
         )
     )
     assert got == orig
+
+
+def test_write_mrt_roundtrip_randomized(spark, tmp_path):
+    """Fuzz the archival writer: 150 random v4/v6 rows with random attr
+    presence combinations must survive write_mrt -> read_mrt exactly."""
+    import datetime as dt
+    import random
+
+    from bgpexplorer_spark.sources.mrt import MRT_SCHEMA, read_mrt, write_mrt
+
+    rng = random.Random(20260814)
+    names = [f.name for f in MRT_SCHEMA.fields]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(150):
+        base = {n: None for n in names}
+        base.update(
+            ts=t0 + dt.timedelta(seconds=i),
+            peer_addr=f"10.255.0.{rng.randint(0, 3)}",
+            peer_as=rng.getrandbits(32) or 1,
+            op="update" if rng.random() < 0.8 else "withdraw",
+            path_id=0,
+        )
+        if rng.random() < 0.7:
+            plen = rng.randint(0, 32)
+            addr = rng.getrandbits(32) & ((0xFFFFFFFF << (32 - plen)) & 0xFFFFFFFF if plen else 0)
+            base.update(rib="ipv4u", addr_v4=addr, prefixlen=plen,
+                        nlri_str=f"{addr >> 24}.{(addr >> 16) & 255}.{(addr >> 8) & 255}.{addr & 255}/{plen}")
+            if base["op"] == "update" and rng.random() < 0.5:
+                base["path_id"] = rng.randint(1, 100)
+        else:
+            plen = rng.randint(0, 128)
+            raw = rng.getrandbits(128) if plen else 0
+            mask = ((1 << plen) - 1) << (128 - plen) if plen else 0
+            addr6 = (raw & mask).to_bytes(16, "big")
+            import ipaddress
+            base.update(rib="ipv6u", addr_v6=addr6, prefixlen=plen,
+                        nlri_str=f"{ipaddress.IPv6Address(addr6)}/{plen}")
+        if base["op"] == "update":
+            base["origin"] = rng.choice([None, "IGP", "EGP", "Incomplete"])
+            if rng.random() < 0.9:
+                base["aspath"] = [
+                    {"kind": rng.choice(["Seq", "Set"]),
+                     "asns": [rng.getrandbits(32) for _ in range(rng.randint(1, 4))]}
+                    for _ in range(rng.randint(1, 3))
+                ]
+            if base["rib"] == "ipv4u" and rng.random() < 0.8:
+                base["nexthop_v4"] = rng.getrandbits(32)
+            if base["rib"] == "ipv6u" and rng.random() < 0.8:
+                base["nexthop_v6"] = rng.getrandbits(128).to_bytes(16, "big")
+            if rng.random() < 0.4:
+                base["med"] = rng.getrandbits(32)
+            if rng.random() < 0.4:
+                base["localpref"] = rng.getrandbits(32)
+            if rng.random() < 0.4:
+                base["comms"] = [rng.getrandbits(32) for _ in range(rng.randint(1, 4))]
+            if rng.random() < 0.2:
+                base["lcomms"] = [{"ga": rng.getrandbits(32), "ldp1": 1, "ldp2": 2}]
+            if rng.random() < 0.2:
+                base["extcomms"] = [{"ctype": rng.randint(0, 255),
+                                     "subtype": rng.randint(0, 255),
+                                     "a": rng.getrandbits(16),
+                                     "b": rng.getrandbits(32)}]
+            if rng.random() < 0.2:
+                base["atomicaggregate"] = True
+            if rng.random() < 0.15:
+                base["pmsi_ta"] = {"flags": rng.randint(0, 255),
+                                   "tunnel_type": rng.randint(0, 255),
+                                   "label": rng.getrandbits(20),
+                                   "tunnel_id": rng.randbytes(rng.randint(1, 12))}
+        rows.append(tuple(base[n] for n in names))
+
+    df = spark.createDataFrame(rows, MRT_SCHEMA)
+    out = str(tmp_path / "fuzzarchive")
+    manifest = write_mrt(df.repartition(4), out).collect()
+    assert sum(m.n_records for m in manifest) == 150
+    got = sorted(map(repr, read_mrt(spark, out).collect()))
+    orig = sorted(map(repr, df.collect()))
+    assert got == orig
