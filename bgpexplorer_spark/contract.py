@@ -6019,3 +6019,70 @@ def an_prefixlen_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     st = current_state(_derived_updates_history(spark, sf_dir))
     return prefix_length_distribution(st)
+
+
+@q(
+    "st_rpki_rates",
+    f"""
+    WITH r AS (
+        SELECT ts, addr_v4, prefixlen,
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_as,
+               CAST(floor(addr_v4 / 65536) AS BIGINT) % 256 AS u
+        FROM ({_DERIVED_ROUTES_SQL})
+    ),
+    cls AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start,
+               CASE
+                   WHEN u % 4 = 3 THEN 'NotFound'
+                   WHEN (prefixlen <= 24 AND origin_as = 200 + u % 3)
+                     OR (u % 2 = 0 AND prefixlen >= 20
+                         AND CAST(floor(addr_v4 / 4096) AS BIGINT) % 16 = 0
+                         AND prefixlen <= 28 AND origin_as = 200 + u % 2)
+                       THEN 'Valid'
+                   ELSE 'Invalid'
+               END AS validity
+        FROM r
+    )
+    SELECT win_start,
+           CAST(sum(CASE WHEN validity = 'Valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN validity = 'Invalid' THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+           CAST(sum(CASE WHEN validity = 'NotFound' THEN 1 ELSE 0 END) AS BIGINT) AS n_notfound,
+           count(*) AS n_total
+    FROM cls GROUP BY win_start
+    """,
+)
+def st_rpki_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live RPKI validity mix (streaming/feed.live_rpki_rates) in its
+    batch-equivalent mode over daily windows: join-only verdicts (one
+    broadcast left join per ROA length, exists over the ROA lists), one
+    windowed count — the only stateful operator a stream would run."""
+    from bgpexplorer_spark.streaming.feed import live_rpki_rates
+
+    routes = derived_routes(spark, sf_dir)
+    upd = routes.select(
+        "ts", "addr_v4", "prefixlen",
+        F.lit("update").alias("op"),
+        F.array(
+            F.struct(
+                F.lit("Seq").alias("kind"),
+                F.array(
+                    F.lit(100).cast("long"),
+                    (F.lit(200) + F.col("event_id") % 3).cast("long"),
+                ).alias("asns"),
+            )
+        ).alias("aspath"),
+    )
+    u = spark.range(64).select(F.col("id").alias("u"))
+    base = (F.lit(10 * 16777216) + F.col("u") * 65536).cast("bigint")
+    roa16 = u.filter(F.col("u") % 4 != 3).select(
+        base.alias("net"), F.lit(16).alias("plen"),
+        F.lit(24).alias("max_len"),
+        (F.lit(200) + F.col("u") % 3).cast("bigint").alias("asn"),
+    )
+    roa20 = u.filter(F.col("u") % 2 == 0).select(
+        base.alias("net"), F.lit(20).alias("plen"),
+        F.lit(28).alias("max_len"),
+        (F.lit(200) + F.col("u") % 2).cast("bigint").alias("asn"),
+    )
+    roas = roa16.unionByName(roa20)
+    return live_rpki_rates(upd, roas, roa_plens=[16, 20], window="1 day")

@@ -329,3 +329,83 @@ def live_moas_alerts(
         "rib", "nlri_str", "origins",
         F.size("origins").alias("n_origins"), "n_updates",
     )
+
+
+def live_rpki_rates(
+    updates: DataFrame,
+    roas: DataFrame,
+    roa_plens: list[int],
+    window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Live RFC 6811 validity mix: per event-time window, how many
+    announced v4 routes were Valid / Invalid / NotFound against the
+    (static) ROA table — the "are we suddenly propagating invalids"
+    monitor.
+
+    Streaming-safe by construction: the batch validator's per-route
+    ``max(ok)`` aggregation is replaced by one broadcast LEFT JOIN PER
+    ROA PREFIX LENGTH against per-(net, plen) ROA lists pre-aggregated
+    on the static side, with the verdict an ``exists`` over the joined
+    lists — so the only stateful operator in the plan is the final
+    windowed count. ``roa_plens`` is required (a stream cannot run the
+    discovery action). len(roa_plens) is ~15 for the real v4 table;
+    each join is against a broadcast dim."""
+    from functools import reduce
+
+    from bgpexplorer_spark.functions.codecs import aspath_flatten
+    from bgpexplorer_spark.operators.analytics import origin_as
+
+    src = updates.filter(
+        (F.col("op") == "update") & F.col("addr_v4").isNotNull()
+    ).select(
+        "ts", "addr_v4", "prefixlen",
+        origin_as(aspath_flatten(F.col("aspath"))).alias("origin_as"),
+    )
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    roa_sets = roas.groupBy("net", "plen").agg(
+        F.collect_list(F.struct("max_len", "asn")).alias("_rl")
+    )
+    cur = src
+    covered = []
+    oks = []
+    for pl in sorted(roa_plens):
+        span = 2 ** (32 - pl)
+        net = (F.floor(F.col("addr_v4") / span).cast("bigint") * span)
+        rs = roa_sets.filter(F.col("plen") == pl).select(
+            F.col("net").alias(f"_net{pl}"), F.col("_rl").alias(f"_rl{pl}")
+        )
+        cur = cur.withColumn(
+            f"_net{pl}", F.when(F.col("prefixlen") >= pl, net)
+        ).join(F.broadcast(rs), f"_net{pl}", "left")
+        covered.append(F.col(f"_rl{pl}").isNotNull())
+        oks.append(
+            F.coalesce(
+                F.exists(
+                    F.col(f"_rl{pl}"),
+                    lambda x: (F.col("prefixlen") <= x["max_len"])
+                    & (F.col("origin_as") == x["asn"]),
+                ),
+                F.lit(False),
+            )
+        )
+    is_cov = reduce(lambda a, b: a | b, covered)
+    is_ok = reduce(lambda a, b: a | b, oks)
+    validity = (
+        F.when(~is_cov, "NotFound").when(is_ok, "Valid").otherwise("Invalid")
+    )
+    return (
+        cur.select("ts", validity.alias("validity"))
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.sum(F.when(F.col("validity") == "Valid", 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("validity") == "Invalid", 1).otherwise(0)).alias("n_invalid"),
+            F.sum(F.when(F.col("validity") == "NotFound", 1).otherwise(0)).alias("n_notfound"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_valid", "n_invalid", "n_notfound", "n_total",
+        )
+    )

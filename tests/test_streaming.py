@@ -474,3 +474,37 @@ def test_live_moas_alerts_streaming(spark):
     r = rows[0]
     assert r.nlri_str == "10.0.0.0/24" and r.origins == [300, 301]
     assert r.n_origins == 2 and r.n_updates == 3
+
+
+def test_live_rpki_rates_streaming(spark):
+    """RPKI validity mix as a real stream: the verdict path is
+    join-only (one broadcast left join per ROA length), so the windowed
+    count is the sole stateful operator and the query runs in append
+    mode under availableNow."""
+    from bgpexplorer_spark.streaming.feed import live_rpki_rates
+
+    d = _updates_dir(
+        spark,
+        [
+            u("10.0.0.0/24", t=1, aspath=[("Seq", [65000, 100])]),   # Valid
+            u("10.0.1.0/24", t=2, aspath=[("Seq", [65000, 999])]),   # Invalid
+            u("10.0.2.0/28", t=3, aspath=[("Seq", [100])]),          # > max_len
+            u("11.0.0.0/24", t=4, aspath=[("Seq", [100])]),          # NotFound
+            u("10.0.3.0/24", t=5, op="withdraw"),                    # ignored
+        ],
+    )
+    roas = spark.createDataFrame(
+        [(10 * 2**24, 16, 24, 100)], "net long, plen int, max_len int, asn long"
+    )
+    stream = stream_updates_from_files(spark, d)
+    q = (
+        live_rpki_rates(stream, roas, roa_plens=[16],
+                        window="1 minute", watermark="1 minute")
+        .writeStream.format("memory").queryName("rpkirates")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rpkirates").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_valid, r.n_invalid, r.n_notfound, r.n_total) == (1, 2, 1, 4)
