@@ -658,10 +658,13 @@ def as_relationships(
     equi-join of hops against degrees. No driver state, no iteration.
     """
     p = _collapse_prepends(F.col(path_col))
+    # the distinct path graph feeds three branches (edges, hops, degree);
+    # cache it so the RIB-sized distinct runs once, not per branch
     paths = (
         state.select(p.alias("path"))
         .filter(F.size("path") >= 2)
         .distinct()
+        .cache()
     )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("path") - 1),
