@@ -6086,3 +6086,47 @@ def st_rpki_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     roas = roa16.unionByName(roa20)
     return live_rpki_rates(upd, roas, roa_plens=[16, 20], window="1 day")
+
+
+@q(
+    "an_route_leaks",
+    f"""
+    WITH {_AS_REL_CTES},
+    typed AS (
+        SELECT e.path, e.pos, e.a, e.b,
+               CASE WHEN r.rel = 'p2p' THEN 'peer'
+                    WHEN (r.rel = 'c2p' AND e.a < e.b)
+                      OR (r.rel = 'p2c' AND e.a > e.b) THEN 'up'
+                    ELSE 'down' END AS dir
+        FROM edges e
+        JOIN rels r ON least(e.a, e.b) = r.as_low
+                   AND greatest(e.a, e.b) = r.as_high
+        WHERE len(e.path) >= 3
+    ),
+    spans AS (
+        SELECT path,
+               min(CASE WHEN dir IN ('down', 'peer') THEN pos END) AS dp,
+               max(CASE WHEN dir IN ('up', 'peer') THEN pos END) AS upmax
+        FROM typed GROUP BY path
+    ),
+    leaks AS (SELECT * FROM spans WHERE dp < upmax)
+    SELECT array_to_string(t.path, ' ') AS path_str,
+           CAST(arg_min(t.a, t.pos) AS BIGINT) AS leaker_asn,
+           CAST(min(t.pos) AS INTEGER) AS leak_pos
+    FROM typed t JOIN leaks l ON t.path = l.path
+    WHERE t.dir IN ('up', 'peer') AND t.pos > l.dp
+    GROUP BY t.path
+    """,
+)
+def an_route_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 7908 route-leak candidates (operators/analytics.route_leaks):
+    valley-free violations under the inferred relationship graph — an
+    up/peer edge after the path has already gone down/peer — with the
+    re-exporting AS named."""
+    from bgpexplorer_spark.operators.analytics import (
+        as_relationships,
+        route_leaks,
+    )
+
+    routes = _as_rel_routes(spark, sf_dir)
+    return route_leaks(routes, as_relationships(routes))

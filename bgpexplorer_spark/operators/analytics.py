@@ -934,3 +934,78 @@ def prefix_length_distribution(state: DataFrame) -> DataFrame:
         "rib", "prefixlen", "n_routes", "n_prefixes",
         F.round(F.col("n_routes") / F.col("_t"), 4).alias("share"),
     )
+
+
+def route_leaks(
+    state: DataFrame, rels: DataFrame | None = None,
+    path_col: str = "aspath_flat",
+) -> DataFrame:
+    """RFC 7908 route-leak candidates: paths that violate valley-free
+    export order under the inferred relationship graph
+    (:func:`as_relationships`, computed from the same state when not
+    passed). Traversing a path, every edge is ``up`` (customer→provider),
+    ``down`` or ``peer``; a clean path is up* peer? down* — so a leak is
+    exactly "an up/peer edge AFTER a down/peer edge", i.e.
+    ``min(pos of down|peer) < max(pos of up|peer)``. The AS that
+    re-exported upward (the leaker) is the left node of the first
+    up/peer edge after the valley starts.
+
+    Everything runs on the distinct-path graph: one edge/rels equi-join,
+    one per-path aggregate, one join back for the leaker. Edges with no
+    inferred relationship (never co-observed) count as unknown and are
+    skipped conservatively."""
+    if rels is None:
+        rels = as_relationships(state, path_col)
+    p = _collapse_prepends(F.col(path_col))
+    paths = (
+        state.select(p.alias("path")).filter(F.size("path") >= 3).distinct()
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("path") - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(F.col("path"), i).alias("a"),
+            F.element_at(F.col("path"), i + 1).alias("b"),
+        ),
+    )
+    edges = paths.select("path", F.explode(pairs).alias("e")).select(
+        "path", F.col("e.pos").alias("pos"),
+        F.col("e.a").alias("a"), F.col("e.b").alias("b"),
+    )
+    typed = edges.join(
+        rels.select("as_low", "as_high", "rel"),
+        (F.least("a", "b") == F.col("as_low"))
+        & (F.greatest("a", "b") == F.col("as_high")),
+    ).select(
+        "path", "pos", "a", "b",
+        F.when(F.col("rel") == "p2p", "peer")
+        .when(
+            ((F.col("rel") == "c2p") & (F.col("a") < F.col("b")))
+            | ((F.col("rel") == "p2c") & (F.col("a") > F.col("b"))),
+            "up",
+        )
+        .otherwise("down")
+        .alias("dir"),
+    ).cache()
+    spans = typed.groupBy("path").agg(
+        F.min(
+            F.when(F.col("dir").isin("down", "peer"), F.col("pos"))
+        ).alias("_dp"),
+        F.max(
+            F.when(F.col("dir").isin("up", "peer"), F.col("pos"))
+        ).alias("_upmax"),
+    ).filter(F.col("_dp") < F.col("_upmax"))
+    leaker_edge = (
+        typed.join(spans, "path")
+        .filter(
+            F.col("dir").isin("up", "peer") & (F.col("pos") > F.col("_dp"))
+        )
+        .groupBy("path")
+        .agg(F.min_by(F.col("a"), F.col("pos")).alias("leaker_asn"),
+             F.min("pos").alias("leak_pos"))
+    )
+    return leaker_edge.select(
+        F.concat_ws(" ", F.transform("path", lambda x: x.cast("string")))
+        .alias("path_str"),
+        "leaker_asn", "leak_pos",
+    )

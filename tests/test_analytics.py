@@ -647,3 +647,29 @@ def test_prefix_length_distribution(spark):
            for r in analytics.prefix_length_distribution(st).collect()}
     assert out[16].n_routes == 2 and out[16].n_prefixes == 1
     assert out[16].share == 0.6667 and out[24].share == 0.3333
+
+
+def test_route_leaks_hand_computed(spark):
+    """Valley-free checks against an EXPLICIT relationship graph:
+    down-then-up (path poisoning shape) and peer-then-peer (textbook
+    peer re-export) are leaks with the re-exporting AS named; monotone
+    up*down* paths and 2-hop paths never flag."""
+    from bgpexplorer_spark.operators.analytics import route_leaks
+
+    rels = spark.createDataFrame(
+        [(1, 5, "c2p"), (5, 9, "p2c"), (3, 4, "p2p"), (4, 6, "p2p")],
+        "as_low long, as_high long, rel string",
+    )
+    st = spark.createDataFrame(
+        [
+            (1, [1, 5, 9]),    # up, down -> clean
+            (2, [5, 9, 5]),    # down, up -> leak by AS 9
+            (3, [3, 4, 6]),    # peer, peer -> leak by AS 4
+            (4, [3, 4]),       # 2 hops: skipped
+        ],
+        "id long, aspath_flat array<bigint>",
+    )
+    out = {r.path_str: r for r in route_leaks(st, rels).collect()}
+    assert set(out) == {"5 9 5", "3 4 6"}
+    assert out["5 9 5"].leaker_asn == 9 and out["5 9 5"].leak_pos == 2
+    assert out["3 4 6"].leaker_asn == 4 and out["3 4 6"].leak_pos == 2
