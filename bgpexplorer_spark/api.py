@@ -358,6 +358,25 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_route_leaks(self, rib: str = "ipv4u", k: int = 100) -> list[dict]:
+        """GET /api/analytics/leaks[?rib=&k=] — RFC 7908 valley-free
+        violations over the active state's paths under the inferred
+        relationship graph."""
+        from bgpexplorer_spark.operators.analytics import route_leaks
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = (
+            route_leaks(st).orderBy("path_str").limit(k).collect()
+        )
+        return [
+            {
+                "path": r.path_str, "leaker_asn": r.leaker_asn,
+                "leak_pos": r.leak_pos,
+            }
+            for r in rows
+        ]
+
     def api_customer_cones(self, rib: str = "ipv4u", k: int = 50) -> list[dict]:
         """GET /api/analytics/cones[?rib=&k=] — top-k customer-cone
         sizes from the inferred relationship graph."""
@@ -592,6 +611,12 @@ def _make_handler(svc: BgpExplorerService):
                 if parts[:3] == ["api", "analytics", "relationships"]:
                     return self._send(
                         svc.api_as_relationships(qs.get("rib", "ipv4u"))
+                    )
+                if parts[:3] == ["api", "analytics", "leaks"]:
+                    return self._send(
+                        svc.api_route_leaks(
+                            qs.get("rib", "ipv4u"), int(qs.get("k", 100))
+                        )
                     )
                 if parts[:3] == ["api", "analytics", "cones"]:
                     return self._send(

@@ -801,3 +801,31 @@ def test_http_ages_and_agreement_endpoints(spark):
         ]
     finally:
         httpd.shutdown()
+
+
+def test_http_leaks_endpoint(spark):
+    """GET /api/analytics/leaks — the down-then-up loop path flags with
+    the re-exporting AS; the clean path does not."""
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/16", t=0, aspath=[("Seq", [1, 5, 9])]),
+                u("10.1.0.0/16", t=1, aspath=[("Seq", [2, 5, 9])]),
+                u("10.2.0.0/16", t=2, aspath=[("Seq", [5, 9, 5])]),
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        leaks = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/analytics/leaks"
+            ).read()
+        )
+        assert len(leaks) == 1
+        assert leaks[0]["path"] == "5 9 5" and leaks[0]["leaker_asn"] == 9
+    finally:
+        httpd.shutdown()
