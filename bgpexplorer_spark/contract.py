@@ -6130,3 +6130,64 @@ def an_route_leaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     routes = _as_rel_routes(spark, sf_dir)
     return route_leaks(routes, as_relationships(routes))
+
+
+@q(
+    "an_origin_footprint",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active),
+    pfx AS (SELECT DISTINCT origin_as, addr_v4, prefixlen FROM state)
+    SELECT origin_as, count(*) AS n_prefixes,
+           CAST(sum(CAST(pow(2, 32 - prefixlen) AS BIGINT)) AS BIGINT)
+               AS n_addresses
+    FROM pfx GROUP BY origin_as
+    ORDER BY n_addresses DESC, origin_as LIMIT 50
+    """,
+)
+def an_origin_footprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-origin announced address-space footprint
+    (operators/analytics.origin_footprint): distinct prefixes + summed
+    address span, the hijack-magnitude axis."""
+    from bgpexplorer_spark.operators.analytics import origin_footprint
+    from bgpexplorer_spark.operators.rib import current_state
+
+    return origin_footprint(current_state(_origins_history(spark, sf_dir)))
+
+@q(
+    "pipe_corpus_report",
+    f"""
+    WITH per AS (
+        SELECT md5(text) AS h, len({_duck_tokens('text')}) AS nt,
+               length(text) AS nc, lang
+        FROM documents
+    ),
+    totals AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(nt) AS BIGINT) AS n_tokens,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               round(1 - count(DISTINCT h) / count(*), 4) AS dup_frac,
+               CAST(min(nt) AS INTEGER) AS min_tokens,
+               round(avg(nt), 2) AS avg_tokens,
+               CAST(max(nt) AS INTEGER) AS max_tokens
+        FROM per
+    ),
+    top AS (
+        SELECT lang AS top_lang, count(*) AS c
+        FROM per GROUP BY lang ORDER BY c DESC, lang LIMIT 1
+    )
+    SELECT t.*, top.top_lang, round(top.c / t.n_docs, 4) AS top_lang_share
+    FROM totals t, top
+    """,
+)
+def pipe_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary (operators/pipeline.corpus_report): one-row
+    doc/token/char totals, dup fraction, length stats, dominant lang."""
+    from bgpexplorer_spark.operators.pipeline import corpus_report
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))

@@ -1009,3 +1009,29 @@ def route_leaks(
         .alias("path_str"),
         "leaker_asn", "leak_pos",
     )
+
+
+def origin_footprint(state: DataFrame, k: int = 50) -> DataFrame:
+    """Announced v4 address-space footprint per origin AS: distinct
+    prefixes and the total address count they span (distinct prefixes
+    summed — covering/covered overlaps within one origin intentionally
+    both count, as in announcement-magnitude dashboards). The "how much
+    of the Internet does this AS originate" view and the magnitude axis
+    of a hijack alert. One distinct + one aggregate + TakeOrdered."""
+    o = origin_as(F.col("aspath_flat"))
+    pfx = (
+        state.filter(F.col("addr_v4").isNotNull())
+        .select(o.alias("origin_as"), "addr_v4", "prefixlen")
+        .filter(F.col("origin_as").isNotNull())
+        .distinct()
+    )
+    span = F.pow(F.lit(2.0), F.lit(32) - F.col("prefixlen")).cast("bigint")
+    return (
+        pfx.groupBy("origin_as")
+        .agg(
+            F.count(F.lit(1)).alias("n_prefixes"),
+            F.sum(span).alias("n_addresses"),
+        )
+        .orderBy(F.col("n_addresses").desc(), "origin_as")
+        .limit(k)
+    )

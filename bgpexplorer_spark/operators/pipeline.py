@@ -545,3 +545,49 @@ def deterministic_shuffle(
         F.conv(F.substring(rank, 1, 8), 16, 10).cast("long") % n_shards
     ).cast("int")
     return df.select("*", rank.alias("rank"), shard.alias("shard"))
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", lang_col: str | None = "lang"
+) -> DataFrame:
+    """The dataset-card summary in one pass: document/token/char
+    totals, exact-duplicate fraction, token-length min/mean/max, and
+    the dominant language with its share (when a language column
+    exists). One global aggregate plus a broadcast of the 1-row
+    top-language frame — the first numbers anyone asks of a new corpus
+    and what a training run's data card records."""
+    from bgpexplorer_spark.operators.text import tokens
+
+    t = F.col(text_col)
+    per = df.select(
+        F.md5(t).alias("_h"),
+        F.size(tokens(t)).alias("_nt"),
+        F.length(t).alias("_nc"),
+        *([F.col(lang_col).alias("_lang")] if lang_col else []),
+    )
+    totals = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.round(F.lit(1) - F.count_distinct("_h") / F.count(F.lit(1)), 4)
+        .alias("dup_frac"),
+        F.min("_nt").alias("min_tokens"),
+        F.round(F.avg("_nt"), 2).alias("avg_tokens"),
+        F.max("_nt").alias("max_tokens"),
+    )
+    if not lang_col:
+        return totals
+    top = (
+        per.groupBy("_lang")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), "_lang")
+        .limit(1)
+        .select(F.col("_lang").alias("top_lang"), "_c")
+    )
+    return (
+        totals.crossJoin(F.broadcast(top))
+        .withColumn(
+            "top_lang_share", F.round(F.col("_c") / F.col("n_docs"), 4)
+        )
+        .drop("_c")
+    )

@@ -673,3 +673,30 @@ def test_route_leaks_hand_computed(spark):
     assert set(out) == {"5 9 5", "3 4 6"}
     assert out["5 9 5"].leaker_asn == 9 and out["5 9 5"].leak_pos == 2
     assert out["3 4 6"].leaker_asn == 4 and out["3 4 6"].leak_pos == 2
+
+
+def test_origin_footprint(spark):
+    rows = [
+        u("10.0.0.0/16", t=0, aspath=[("Seq", [1, 100])]),
+        u("10.0.0.0/16", t=1, session_id=1, aspath=[("Seq", [2, 100])]),  # dup prefix
+        u("10.1.0.0/24", t=2, aspath=[("Seq", [1, 100])]),
+        u("10.2.0.0/24", t=3, aspath=[("Seq", [1, 200])]),
+    ]
+    st = current_state(build_history(make_updates(spark, rows)))
+    out = {r.origin_as: r for r in analytics.origin_footprint(st).collect()}
+    assert out[100].n_prefixes == 2 and out[100].n_addresses == 65536 + 256
+    assert out[200].n_prefixes == 1 and out[200].n_addresses == 256
+
+
+def test_corpus_report(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en"), (2, "a b c", "en"),  # exact dup
+            (3, "x y", "de"), (4, "p q r s", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    r = pipeline.corpus_report(df).collect()[0]
+    assert r.n_docs == 4 and r.n_tokens == 12 and r.dup_frac == 0.25
+    assert (r.min_tokens, r.avg_tokens, r.max_tokens) == (2, 3.0, 4)
+    assert r.top_lang == "en" and r.top_lang_share == 0.75
