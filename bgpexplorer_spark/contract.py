@@ -6191,3 +6191,61 @@ def pipe_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.pipeline import corpus_report
 
     return corpus_report(load_table(spark, sf_dir, "documents"))
+
+
+def _fuzzy_decon_sql(k: int = 16, bands: int = 4) -> str:
+    """Roles-swapped incremental oracle: doc_id % 11 = 0 plays the eval
+    benchmark, the rest is the training corpus being cleaned."""
+    from bgpexplorer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    params = _minhash_params(k)
+    h = _duck_hash32("sh")
+    mins = ", ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {bnd} AS band, md5("
+        + " || ',' || ".join(f"CAST(m{bnd * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS bucket FROM sigs"
+        for bnd in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
+        )) AS sh
+        FROM (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents)
+    ),
+    hashes AS (SELECT doc_id, {h} AS h FROM toks),
+    sigs AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+    buckets AS ({band_rows}),
+    eval_b AS (SELECT DISTINCT band, bucket FROM buckets WHERE doc_id % 11 = 0),
+    near AS (
+        SELECT DISTINCT b.doc_id FROM buckets b
+        JOIN eval_b e USING (band, bucket)
+        WHERE b.doc_id % 11 <> 0
+    ),
+    eval_h AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 11 = 0)
+    SELECT d.doc_id,
+           (eh.h IS NOT NULL) AS exact_hit,
+           (nr.doc_id IS NOT NULL) AS near_hit,
+           (eh.h IS NULL AND nr.doc_id IS NULL) AS keep
+    FROM documents d
+    LEFT JOIN eval_h eh ON md5(d.text) = eh.h
+    LEFT JOIN near nr ON d.doc_id = nr.doc_id
+    WHERE d.doc_id % 11 <> 0
+    """
+
+@q("pipe_decontaminate_fuzzy", _fuzzy_decon_sql())
+def pipe_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (operators/pipeline.decontaminate_fuzzy):
+    the corpus flagged against the eval split's exact+LSH index."""
+    from bgpexplorer_spark.operators.pipeline import decontaminate_fuzzy
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    return decontaminate_fuzzy(corpus, ev, k=16, n=3, bands=4)

@@ -591,3 +591,29 @@ def corpus_report(
         )
         .drop("_c")
     )
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame, eval_df: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 16, n: int = 3, bands: int = 4,
+) -> DataFrame:
+    """Fuzzy eval-set decontamination (the near-match variant of
+    :func:`decontaminate` that modern pipelines run alongside the exact
+    n-gram pass): index the EVAL set (exact hashes + MinHash LSH
+    band-buckets — it is tiny, so the index is too) and flag every
+    corpus document that collides exactly or shares any LSH bucket.
+    Exactly the cross-run :func:`bgpexplorer_spark.operators.dedup
+    .incremental_dedup` machinery with the roles swapped — the corpus
+    is 'the new batch', the benchmark is 'yesterday's index'. Returns
+    per-corpus-doc (id, exact_dup→exact_hit, near_dup→near_hit, keep).
+    """
+    from bgpexplorer_spark.operators.dedup import dedup_index, incremental_dedup
+
+    idx = dedup_index(eval_df, id_col, text_col, k=k, n=n, bands=bands)
+    out = incremental_dedup(corpus, idx, id_col, text_col, k=k, n=n, bands=bands)
+    return out.select(
+        id_col,
+        F.col("exact_dup").alias("exact_hit"),
+        F.col("near_dup").alias("near_hit"),
+        "keep",
+    )

@@ -1050,3 +1050,24 @@ def test_ivfpq_only_scores_probed_cells(spark):
     # pattern (20.x) -> probe lands on cid 2; only i%4==2 vectors rank
     assert {r.vec_id for r in out} == {i for i in range(16) if i % 4 == 2}
     assert out[0].vec_id == 2 and out[0].approx_dist == 0.0
+
+
+def test_decontaminate_fuzzy_flags(spark):
+    from bgpexplorer_spark.operators.pipeline import decontaminate_fuzzy
+
+    ev = spark.createDataFrame(
+        [(100, "the benchmark question about spark partitioning semantics")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the benchmark question about spark partitioning semantics"),
+            (2, "the benchmark question about flink partitioning semantics"),
+            (3, "completely unrelated training document text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in decontaminate_fuzzy(corpus, ev).collect()}
+    assert out[1].exact_hit and not out[1].keep
+    assert not out[2].exact_hit and out[2].near_hit and not out[2].keep
+    assert out[3].keep
