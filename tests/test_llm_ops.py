@@ -1055,14 +1055,14 @@ def test_ivfpq_only_scores_probed_cells(spark):
 def test_decontaminate_fuzzy_flags(spark):
     from bgpexplorer_spark.operators.pipeline import decontaminate_fuzzy
 
-    ev = spark.createDataFrame(
-        [(100, "the benchmark question about spark partitioning semantics")],
-        "doc_id long, text string",
-    )
+    words = [f"tok{i}" for i in range(40)]
+    base = " ".join(words)
+    edited = " ".join(words[:20] + ["changed"] + words[21:])  # 1-word edit
+    ev = spark.createDataFrame([(100, base)], "doc_id long, text string")
     corpus = spark.createDataFrame(
         [
-            (1, "the benchmark question about spark partitioning semantics"),
-            (2, "the benchmark question about flink partitioning semantics"),
+            (1, base),
+            (2, edited),
             (3, "completely unrelated training document text here"),
         ],
         "doc_id long, text string",
