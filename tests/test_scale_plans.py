@@ -552,3 +552,57 @@ def test_as_relationships_plan_is_graph_sized(spark):
     # joins run on the deduped path/degree tables, so every join key is
     # either the path array or the asn — never the raw input row id
     assert "id#" not in plan.split("HashAggregate")[0]
+
+
+def test_route_leaks_plan_is_graph_sized(spark):
+    """route_leaks joins edges to rels and back — all graph tables; no
+    cartesian, no Python eval anywhere in the plan."""
+    from bgpexplorer_spark.operators.analytics import route_leaks
+
+    rels = spark.createDataFrame(
+        [(1, 5, "c2p"), (5, 9, "p2c")], "as_low long, as_high long, rel string"
+    )
+    st = spark.createDataFrame(
+        [(1, [1, 5, 9]), (2, [5, 9, 5])], "id long, aspath_flat array<bigint>"
+    )
+    plan = _plan(route_leaks(st, rels))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_live_rpki_rates_single_stateful_aggregate(spark):
+    """The streaming-safe RPKI plan: ONE broadcast join per ROA length,
+    the verdict is pure expression work, and the windowed count is the
+    only aggregate over the update-stream side — the property that
+    makes it legal as a stream."""
+    from bgpexplorer_spark.streaming.feed import live_rpki_rates
+
+    upd = spark.createDataFrame(
+        [],
+        "ts timestamp, addr_v4 long, prefixlen int, op string, "
+        "aspath array<struct<kind:string,asns:array<bigint>>>",
+    )
+    roas = spark.createDataFrame(
+        [(10 * 2**24, 16, 24, 100), (10 * 2**24, 20, 28, 100)],
+        "net long, plen int, max_len int, asn long",
+    )
+    out = live_rpki_rates(upd, roas, roa_plens=[16, 20], window="1 hour")
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") == 2  # one per ROA length
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # stream-side aggregation appears once (partial+final pair max);
+    # the ROA-list pre-aggregation hangs off the broadcast build side
+    stream_side = plan.split("BroadcastExchange")[0]
+    assert stream_side.count("HashAggregate") <= 2
+
+
+def test_origin_footprint_is_takeordered(spark):
+    from bgpexplorer_spark.operators.analytics import origin_footprint
+
+    st = spark.createDataFrame(
+        [(167772160, 16, [1, 100])],
+        "addr_v4 long, prefixlen int, aspath_flat array<bigint>",
+    )
+    plan = _plan(origin_footprint(st))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
