@@ -6249,3 +6249,92 @@ def pipe_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 11 == 0)
     corpus = docs.filter(F.col("doc_id") % 11 != 0)
     return decontaminate_fuzzy(corpus, ev, k=16, n=3, bands=4)
+
+
+# v6 martian fixture: event_id % 8 picks the RFC 6890 block (7 = clean
+# global space, filtered out); the address embeds user/event offset
+# bytes so each block holds many distinct addresses. Both engines build
+# the same 32-hex-char string; Spark additionally round-trips it
+# through real BINARY(16) and the byte-range classifier.
+_V6_MARTIAN_ORACLE = """
+    WITH p AS (
+        SELECT event_id,
+               lpad(upper(hex(user_id % 256)), 2, '0') AS b,
+               lpad(upper(hex(event_id % 256)), 2, '0') AS c,
+               event_id % 8 AS cat
+        FROM events
+    ),
+    built AS (
+        SELECT event_id,
+               CASE cat
+                   WHEN 0 THEN repeat('00', 15) ||
+                        CASE WHEN event_id % 2 = 1 THEN '01' ELSE '00' END
+                   WHEN 1 THEN repeat('00', 10) || 'FFFF' || b || c || b || c
+                   WHEN 2 THEN '0100000000000000' || b || c || repeat('00', 6)
+                   WHEN 3 THEN '20010DB8' || b || c || repeat('00', 10)
+                   WHEN 4 THEN CASE WHEN event_id % 2 = 1 THEN 'FD' ELSE 'FC' END
+                        || b || c || repeat('00', 13)
+                   WHEN 5 THEN 'FE' ||
+                        lpad(upper(hex(128 + event_id % 64)), 2, '0')
+                        || b || repeat('00', 13)
+                   WHEN 6 THEN 'FF' || b || c || repeat('00', 13)
+               END AS addr_hex,
+               CASE cat
+                   WHEN 0 THEN 'unspecified-loopback'
+                   WHEN 1 THEN 'ipv4-mapped'
+                   WHEN 2 THEN 'discard-only'
+                   WHEN 3 THEN 'doc-2001db8'
+                   WHEN 4 THEN 'ula'
+                   WHEN 5 THEN 'link-local'
+                   WHEN 6 THEN 'multicast'
+               END AS martian
+        FROM p WHERE cat <> 7
+    )
+    SELECT event_id, addr_hex, martian FROM built
+"""
+
+@q("an_martian_v6", _V6_MARTIAN_ORACLE)
+def an_martian_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 special-purpose detection (operators/analytics
+    .martian_prefixes_v6, RFC 6890): addresses constructed inside each
+    block classify back to it through the BINARY(16) range CASE; the
+    clean-global category never flags."""
+    from bgpexplorer_spark.operators.analytics import martian_prefixes_v6
+
+    ev = load_table(spark, sf_dir, "events")
+    # materialize the shared hex pieces behind a collapse barrier so the
+    # 8-branch constructor references plain columns — inlined, the
+    # lpad/hex subtrees replicate into every branch and the classifier's
+    # 14 range comparisons, and the generated method passes 64 KB
+    ev = ev.select(
+        "event_id",
+        F.lpad(F.hex(F.col("user_id") % 256), 2, "0").alias("_b"),
+        F.lpad(F.hex(F.col("event_id") % 256), 2, "0").alias("_c"),
+    ).repartition(8)
+    b, c = F.col("_b"), F.col("_c")
+    cat = F.col("event_id") % 8
+    hexs = (
+        F.when(cat == 0, F.concat(
+            F.lit("00" * 15),
+            F.when(F.col("event_id") % 2 == 1, "01").otherwise("00")))
+        .when(cat == 1, F.concat(F.lit("00" * 10 + "FFFF"), b, c, b, c))
+        .when(cat == 2, F.concat(F.lit("0100000000000000"), b, c, F.lit("00" * 6)))
+        .when(cat == 3, F.concat(F.lit("20010DB8"), b, c, F.lit("00" * 10)))
+        .when(cat == 4, F.concat(
+            F.when(F.col("event_id") % 2 == 1, "FD").otherwise("FC"),
+            b, c, F.lit("00" * 13)))
+        .when(cat == 5, F.concat(
+            F.lit("FE"), F.lpad(F.hex(F.lit(128) + F.col("event_id") % 64), 2, "0"),
+            b, F.lit("00" * 13)))
+        .when(cat == 6, F.concat(F.lit("FF"), b, c, F.lit("00" * 13)))
+        .otherwise(F.concat(F.lit("2A00"), b, c, F.lit("00" * 12)))  # clean
+    )
+    # localCheckpoint: the classifier's null-filter would otherwise push
+    # through any exchange back into this 8-branch constructor and the
+    # combined stage overflows 64 KB codegen (fixture-only concern — the
+    # operator itself compiles fine over real route columns)
+    routes = ev.select("event_id", F.unhex(hexs).alias("addr_v6")).localCheckpoint()
+    out = martian_prefixes_v6(routes)
+    return out.select(
+        "event_id", F.upper(F.hex("addr_v6")).alias("addr_hex"), "martian"
+    )

@@ -1035,3 +1035,43 @@ def origin_footprint(state: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("n_addresses").desc(), "origin_as")
         .limit(k)
     )
+
+
+# (name, first addr, last addr) — IPv6 special-purpose blocks that must
+# not be announced in the DFZ (RFC 6890 registry; BINARY(16) big-endian
+# forms compare lexicographically = numerically)
+def _v6(hexstr: str) -> bytes:
+    return bytes.fromhex(hexstr)
+
+
+MARTIAN_V6_RANGES: list[tuple[str, bytes, bytes]] = [
+    ("unspecified-loopback", _v6("00" * 16), _v6("00" * 15 + "01")),  # ::/128, ::1
+    ("ipv4-mapped", _v6("00" * 10 + "ffff" + "00" * 4),
+     _v6("00" * 10 + "ffff" + "ff" * 4)),                              # ::ffff:0:0/96
+    ("discard-only", _v6("0100" + "00" * 14),
+     _v6("0100000000000000" + "ff" * 8)),                              # 100::/64
+    ("doc-2001db8", _v6("20010db8" + "00" * 12),
+     _v6("20010db8" + "ff" * 12)),                                     # 2001:db8::/32
+    ("ula", _v6("fc" + "00" * 15), _v6("fd" + "ff" * 15)),             # fc00::/7
+    ("link-local", _v6("fe80" + "00" * 14),
+     _v6("febf" + "ff" * 14)),                                         # fe80::/10
+    ("multicast", _v6("ff" + "00" * 15), _v6("ff" + "ff" * 15)),       # ff00::/8
+]
+
+
+def martian_prefixes_v6(
+    state: DataFrame, addr_col: str = "addr_v6"
+) -> DataFrame:
+    """IPv6 counterpart of :func:`martian_prefixes`: announcements whose
+    network address falls in an RFC 6890 special-purpose block
+    (loopback/unspecified, v4-mapped, discard-only, documentation, ULA,
+    link-local, multicast). BINARY(16) big-endian compares
+    lexicographically, so each range is a pure BETWEEN over binary
+    literals — zero shuffles, codegen-able."""
+    a = F.col(addr_col)
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(MARTIAN_V6_RANGES):
+        expr = F.when(
+            a.isNotNull() & (a >= F.lit(lo)) & (a <= F.lit(hi)), F.lit(name)
+        ).otherwise(expr)
+    return state.withColumn("martian", expr).filter(F.col("martian").isNotNull())

@@ -700,3 +700,32 @@ def test_corpus_report(spark):
     assert r.n_docs == 4 and r.n_tokens == 12 and r.dup_frac == 0.25
     assert (r.min_tokens, r.avg_tokens, r.max_tokens) == (2, 3.0, 4)
     assert r.top_lang == "en" and r.top_lang_share == 0.75
+
+
+def test_martian_prefixes_v6_boundaries(spark):
+    from bgpexplorer_spark.operators.analytics import martian_prefixes_v6
+
+    def b(hexstr):
+        return bytes.fromhex(hexstr)
+
+    rows = [
+        (1, b("00" * 16)),                  # :: -> unspecified-loopback
+        (2, b("00" * 15 + "01")),           # ::1 -> unspecified-loopback
+        (3, b("00" * 15 + "02")),           # ::2 -> clean (outside /127)
+        (4, b("00" * 10 + "ffff" + "0a000001")),  # ::ffff:10.0.0.1
+        (5, b("20010db8" + "00" * 12)),     # doc
+        (6, b("20010db9" + "00" * 12)),     # just past doc -> clean
+        (7, b("fdff" + "ff" * 14)),         # top of ULA
+        (8, b("fe00" + "00" * 14)),         # between ULA and link-local -> clean
+        (9, b("febf" + "ff" * 14)),         # top of link-local
+        (10, b("fec0" + "00" * 14)),        # past link-local -> clean
+        (11, b("ff" + "00" * 15)),          # multicast base
+        (12, None),                         # null address never flags
+    ]
+    df = spark.createDataFrame(rows, "id long, addr_v6 binary")
+    out = {r.id: r.martian for r in martian_prefixes_v6(df).collect()}
+    assert out == {
+        1: "unspecified-loopback", 2: "unspecified-loopback",
+        4: "ipv4-mapped", 5: "doc-2001db8", 7: "ula",
+        9: "link-local", 11: "multicast",
+    }
