@@ -358,6 +358,27 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_martians(self, rib: str = "ipv4u") -> list[dict]:
+        """GET /api/analytics/martians[?rib=] — active routes inside
+        RFC 6890 special-purpose space, v4 and v6 registries."""
+        from bgpexplorer_spark.functions.iputil import v4_to_dotted
+        from bgpexplorer_spark.operators.analytics import (
+            martian_prefixes,
+            martian_prefixes_v6,
+        )
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        v4 = martian_prefixes(st.filter(F.col("addr_v4").isNotNull()))
+        v6 = martian_prefixes_v6(st.filter(F.col("addr_v6").isNotNull()))
+        rows = (
+            v4.select("nlri_str", "martian")
+            .unionByName(v6.select("nlri_str", "martian"))
+            .orderBy("nlri_str")
+            .collect()
+        )
+        return [{"nlri": r.nlri_str, "range": r.martian} for r in rows]
+
     def api_route_leaks(self, rib: str = "ipv4u", k: int = 100) -> list[dict]:
         """GET /api/analytics/leaks[?rib=&k=] — RFC 7908 valley-free
         violations over the active state's paths under the inferred
@@ -612,6 +633,8 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(
                         svc.api_as_relationships(qs.get("rib", "ipv4u"))
                     )
+                if parts[:3] == ["api", "analytics", "martians"]:
+                    return self._send(svc.api_martians(qs.get("rib", "ipv4u")))
                 if parts[:3] == ["api", "analytics", "leaks"]:
                     return self._send(
                         svc.api_route_leaks(

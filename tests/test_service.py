@@ -829,3 +829,33 @@ def test_http_leaks_endpoint(spark):
         assert leaks[0]["path"] == "5 9 5" and leaks[0]["leaker_asn"] == 9
     finally:
         httpd.shutdown()
+
+
+def test_http_martians_endpoint(spark):
+    hist = build_history(
+        make_updates(
+            spark,
+            [
+                u("10.0.0.0/8", t=0),                      # rfc1918-10
+                u("8.8.8.0/24", t=1),                      # clean
+                u("224.0.1.0/24", t=2),                    # multicast
+                u("2001:db8::/32", rib="ipv4u", t=3),      # v6 doc (key v6)
+            ],
+        )
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        got = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/analytics/martians"
+            ).read()
+        )
+        by = {g["nlri"]: g["range"] for g in got}
+        assert by["10.0.0.0/8"] == "rfc1918-10"
+        assert by["224.0.1.0/24"] == "multicast"
+        assert by["2001:db8::/32"] == "doc-2001db8"
+        assert "8.8.8.0/24" not in by
+    finally:
+        httpd.shutdown()
