@@ -3218,7 +3218,8 @@ def an_as_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.asn, CAST(COALESCE(s.cnt, 0) + 1 AS BIGINT) AS cone_size
     FROM nodes n LEFT JOIN (
         SELECT provider, count(*) AS cnt
-        FROM (SELECT DISTINCT provider, customer FROM reach) GROUP BY 1
+        FROM (SELECT DISTINCT provider, customer FROM reach
+              WHERE provider <> customer) GROUP BY 1
     ) s ON n.asn = s.provider
     """,
 )

@@ -763,8 +763,12 @@ def customer_cone(
     nodes = pc.select(F.col("provider").alias("asn")).union(
         pc.select(F.col("customer").alias("asn"))
     ).distinct()
-    sizes = reach.groupBy(F.col("provider").alias("asn")).agg(
-        F.count(F.lit(1)).alias("n_customers")
+    # a p2c cycle puts (n, n) into the closure — drop it so a member of
+    # a cycle counts itself once (via the +1), not twice
+    sizes = (
+        reach.filter(F.col("provider") != F.col("customer"))
+        .groupBy(F.col("provider").alias("asn"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
     return nodes.join(sizes, "asn", "left").select(
         "asn",

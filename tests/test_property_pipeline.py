@@ -224,3 +224,47 @@ def test_as_relationships_matches_model(spark, paths):
         for r in as_relationships(df).collect()
     }
     assert got == _rel_model(paths)
+
+
+@settings(
+    max_examples=20, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(paths=_paths)
+def test_customer_cone_matches_model(spark, paths):
+    """The iterative provider→customer closure must equal a pure-Python
+    transitive closure over the same inferred p2c edges — including on
+    cyclic inferred graphs, where both sides converge to the full
+    reachable set."""
+    from bgpexplorer_spark.operators.analytics import (
+        as_relationships,
+        customer_cone,
+    )
+
+    rels = _rel_model(paths)
+    pc: dict[int, set[int]] = {}
+    nodes = set()
+    for (lo, hi), (nl, nh, rel) in rels.items():
+        if rel == "p2p":
+            continue
+        prov, cust = (hi, lo) if rel == "c2p" else (lo, hi)
+        pc.setdefault(prov, set()).add(cust)
+        nodes.update((prov, cust))
+    exp = {}
+    for n in nodes:
+        seen: set[int] = set()
+        frontier = set(pc.get(n, ()))
+        while frontier:
+            seen |= frontier
+            frontier = {
+                c for f in frontier for c in pc.get(f, ())
+            } - seen
+        exp[n] = len(seen - {n}) + 1 if n in seen else len(seen) + 1
+
+    df = spark.createDataFrame(
+        [(i, list(p)) for i, p in enumerate(paths)],
+        "id long, aspath_flat array<bigint>",
+    )
+    got = {r.asn: r.cone_size
+           for r in customer_cone(as_relationships(df)).collect()}
+    assert got == exp
