@@ -659,12 +659,15 @@ def as_relationships(
     """
     p = _collapse_prepends(F.col(path_col))
     # the distinct path graph feeds three branches (edges, hops, degree);
-    # cache it so the RIB-sized distinct runs once, not per branch
+    # materialize it once via localCheckpoint — unlike .cache(), whose
+    # CacheManager entry outlives the request and accumulates across
+    # serving calls, checkpoint blocks are dropped when this DataFrame
+    # is garbage-collected
     paths = (
         state.select(p.alias("path"))
         .filter(F.size("path") >= 2)
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     pairs = F.transform(
         F.sequence(F.lit(1), F.size("path") - 1),
@@ -990,7 +993,10 @@ def route_leaks(
         )
         .otherwise("down")
         .alias("dir"),
-    ).cache()
+        # feeds spans + leaker_edge; localCheckpoint instead of cache so
+        # a long-running service doesn't accumulate CacheManager entries
+        # per request (blocks free on GC of this frame)
+    ).localCheckpoint(eager=True)
     spans = typed.groupBy("path").agg(
         F.min(
             F.when(F.col("dir").isin("down", "peer"), F.col("pos"))

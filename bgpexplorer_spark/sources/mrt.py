@@ -996,9 +996,15 @@ def encode_bgp_update_body(
         return bytes([flags, atype, len(val)]) + val
 
     def pfx(entry, v6: bool) -> bytes:
-        if addpath and not v6:
-            addr, plen, pid = entry
-            return struct.pack(">I", pid) + _prefix_bytes(addr, plen, v6=False)
+        # ADD-PATH applies per record (RFC 7911 + MRT _ADDPATH subtype):
+        # EVERY prefix in the message — v4 NLRI and v6 MP_REACH/MP_UNREACH
+        # alike — carries the 4-byte path id, defaulting to 0 for
+        # entries that don't specify one.
+        if addpath:
+            pid = entry[2] if len(entry) == 3 else 0
+            return struct.pack(">I", pid) + _prefix_bytes(
+                entry[0], entry[1], v6=v6
+            )
         addr, plen = entry[0], entry[1]
         return _prefix_bytes(addr, plen, v6=v6)
 
@@ -1499,8 +1505,10 @@ def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
 
     v4 and v6 unicast rows (incl. ADD-PATH ids and the full scalar attr
     set: origin, AS path Seq/Set, nexthop, MED, localpref, communities,
-    ext/large communities, atomic-aggregate, originator, cluster list,
-    PMSI) encode losslessly; rows of the decorated-key families or with
+    ext/large communities, atomic-aggregate, aggregator AS (the address
+    is not stored engine-side and re-encodes as 0.0.0.0), originator,
+    cluster list, PMSI) encode losslessly; rows of the decorated-key
+    families or with
     non-v4 peers are SKIPPED and counted — emitting a half-faithful
     record would corrupt an archive rather than export it.
 
@@ -1541,6 +1549,12 @@ def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
             kw["nlri" if r["op"] == "update" else "withdrawn"] = [entry]
         elif r["rib"] == "ipv6u":
             entry6 = (bytes(r["addr_v6"]), int(r["prefixlen"]))
+            if pid:
+                # ADD-PATH is per-record, so v6 path ids ride the same
+                # _ADDPATH subtype as v4 (read_mrt emits them for
+                # BGP4MP_ADDPATH / TD2 v6 addpath records)
+                kw["addpath"] = True
+                entry6 = entry6 + (pid,)
             kw["nlri6" if r["op"] == "update" else "withdrawn6"] = [entry6]
             if r["op"] == "update" and _has(r["nexthop_v6"]):
                 kw["nexthop6"] = bytes(r["nexthop_v6"])
@@ -1564,6 +1578,11 @@ def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
                 kw["comms"] = [int(c) for c in r["comms"]]
             if _has(r["atomicaggregate"]) and r["atomicaggregate"]:
                 kw["atomicaggregate"] = True
+            if _has(r["aggregator_as"]):
+                # the engine stores only the aggregator AS (read_mrt
+                # drops the address); re-encode attr 7 with 0.0.0.0 so
+                # the AS survives the archive instead of being lost
+                kw["aggregator"] = (int(r["aggregator_as"]), 0)
             if _has(r["originator"]):
                 kw["originator"] = int(r["originator"])
             if _has(r["clusterlist"]):
@@ -1672,7 +1691,17 @@ def write_rib_dump(
         records = bytearray()
         seq = 0
         n_pfx = n_ent = n_skip = 0
-        for pdf in pdf_iter:
+        # mapInPandas delivers a partition as MULTIPLE ~10k-row Arrow
+        # batches; grouping per batch would emit a prefix that straddles
+        # a batch boundary as two RIB records, violating TABLE_DUMP_V2's
+        # one-record-per-prefix shape. Concatenate the partition first —
+        # it's a 12-column projection already split by the
+        # (addr_v4, prefixlen) repartition, so it fits comfortably.
+        batches = list(pdf_iter)
+        if batches:
+            pdf = batches[0] if len(batches) == 1 else pd.concat(
+                batches, ignore_index=True
+            )
             bad = pdf["rib"] != "ipv4u"
             n_skip += int(bad.sum())
             pdf = pdf[~bad]

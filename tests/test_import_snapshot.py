@@ -175,6 +175,11 @@ def test_export_import_roundtrip(spark, tmp_path):
           aspath=[("Seq", [65001, 65002])], comms=[0x10001],
           nexthop="10.0.0.1", med=100, localpref=200,
           lcomms=[(10, 20, 30)],
+          # Option<IpAddr> attrs in the reference (src/bgpattrs.rs:30-33):
+          # must export as {"V4": [octets]}, not bool/uint, or the file
+          # is unloadable by a reference deployment
+          atomicaggregate=True,
+          originator=(192 << 24) | (0 << 16) | (2 << 8) | 1,
           pmsi_ta={"flags": 1, "tunnel_type": 6, "label": 3000,
                    "tunnel_id": b"\xc0\x00\x02\x01"}),
         u("10.0.0.0/24", t=60, session_id=1, op="withdraw"),
@@ -190,13 +195,28 @@ def test_export_import_roundtrip(spark, tmp_path):
     snap = tmp_path / "snap.cbor"
     counts = export_snapshot(hist, str(snap))
     assert "mvpn" not in counts and counts["ipv4u"] == 2
+
+    # the at-rest bytes must carry the strict serde Option<IpAddr> enum
+    # shape (not the legacy bool/uint the import also tolerates) — a
+    # reference deployment rejects anything else
+    dec = CborDecoder(snap.read_bytes())
+    ipv4u_tbl = dec.decode()
+    (wire_attrs,) = {
+        str(k): v for k, v in ipv4u_tbl.items()
+    }.values()  # one prefix in ipv4u
+    first_entry = next(iter(next(iter(next(iter(
+        wire_attrs.values())).values())).values()))
+    assert first_entry["Attrs"]["Atomicaggregate"] == {"V4": [0, 0, 0, 0]}
+    assert first_entry["Attrs"]["Originator"] == {"V4": [192, 0, 2, 1]}
+
     hist2 = import_snapshot(spark, str(snap))
 
     cols = [
         "rib", "nlri_str", "rd_hi", "rd_lo", "addr_v4", "addr_v6",
         "prefixlen", "labels", "session_id", "path_id", "ts", "active",
         "origin", "nexthop_v4", "nexthop_v6", "aspath", "comms",
-        "lcomms", "med", "localpref", "pmsi_ta",
+        "lcomms", "med", "localpref", "atomicaggregate", "originator",
+        "pmsi_ta",
     ]
     orig = sorted(
         map(repr, hist.filter(F.col("rib") != "mvpn").select(cols).collect())

@@ -566,6 +566,10 @@ def test_write_mrt_roundtrip_randomized(spark, tmp_path):
             import ipaddress
             base.update(rib="ipv6u", addr_v6=addr6, prefixlen=plen,
                         nlri_str=f"{ipaddress.IPv6Address(addr6)}/{plen}")
+            # v6 ADD-PATH (BGP4MP_ADDPATH MP_REACH/MP_UNREACH): distinct
+            # path ids must survive the archive, on withdraws too
+            if rng.random() < 0.5:
+                base["path_id"] = rng.randint(1, 100)
         if base["op"] == "update":
             base["origin"] = rng.choice([None, "IGP", "EGP", "Incomplete"])
             if rng.random() < 0.9:
@@ -593,6 +597,8 @@ def test_write_mrt_roundtrip_randomized(spark, tmp_path):
                                      "b": rng.getrandbits(32)}]
             if rng.random() < 0.2:
                 base["atomicaggregate"] = True
+            if rng.random() < 0.2:
+                base["aggregator_as"] = rng.getrandbits(32) or 1
             if rng.random() < 0.15:
                 base["pmsi_ta"] = {"flags": rng.randint(0, 255),
                                    "tunnel_type": rng.randint(0, 255),
@@ -607,3 +613,45 @@ def test_write_mrt_roundtrip_randomized(spark, tmp_path):
     got = sorted(map(repr, read_mrt(spark, out).collect()))
     orig = sorted(map(repr, df.collect()))
     assert got == orig
+
+
+def test_write_rib_dump_one_record_per_prefix_across_batches(spark, tmp_path):
+    """TABLE_DUMP_V2 requires ONE RIB record per prefix; mapInPandas
+    delivers a partition as multiple Arrow batches, so a prefix whose
+    entries straddle a batch boundary must still be grouped across
+    batches, not emitted once per batch."""
+    import datetime as dt
+
+    from bgpexplorer_spark.sources.mrt import read_mrt, write_rib_dump
+
+    n_sessions = 40
+    sessions = spark.createDataFrame(
+        [(i, f"10.255.0.{i}", 65000 + i) for i in range(n_sessions)],
+        "session_id int, peer1_addr string, peer1_as long",
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    state = spark.createDataFrame(
+        [
+            ("ipv4u", 0x0A000000, 8, i, 0, t0, "IGP",
+             [{"kind": "Seq", "asns": [65001, 65000 + i]}],
+             0x0A0000FE, None, None, None)
+            for i in range(n_sessions)
+        ],
+        "rib string, addr_v4 long, prefixlen int, session_id int, "
+        "path_id long, ts timestamp, origin string, "
+        "aspath array<struct<kind:string,asns:array<long>>>, "
+        "nexthop_v4 long, med long, localpref long, comms array<long>",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        out = str(tmp_path / "straddle")
+        manifest = write_rib_dump(state, sessions, out).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert sum(m.n_entries for m in manifest) == n_sessions
+    # the invariant under test: one prefix -> exactly one RIB record
+    assert sum(m.n_prefixes for m in manifest) == 1
+    back = read_mrt(spark, out)
+    assert back.count() == n_sessions
+    assert back.select("nlri_str").distinct().collect()[0][0] == "10.0.0.0/8"

@@ -113,9 +113,20 @@ def _attrs_obj(row) -> dict:
         "ExtComms": None,
         "Med": row["med"],
         "Localpref": row["localpref"],
-        "Atomicaggregate": row["atomicaggregate"],
+        # Both are Option<std::net::IpAddr> in the reference
+        # (src/bgpattrs.rs:30-33, strict serde deserialize) — emit the
+        # serde non-human-readable IpAddr shape {"V4": [octets]}, never a
+        # bool/uint, or the reference cannot load the file. The engine
+        # stores only the atomic-aggregate FLAG (wire attr 6 is
+        # zero-length), so flag-present is encoded as 0.0.0.0.
+        "Atomicaggregate": (
+            {"V4": [0, 0, 0, 0]} if row["atomicaggregate"] else None
+        ),
         "Aggregatoras": None,
-        "Originator": row["originator"],
+        "Originator": (
+            {"V4": _v4_octets(int(row["originator"]))}
+            if row["originator"] is not None else None
+        ),
         "Clusterlist": (
             [int(c) for c in row["clusterlist"]] if row["clusterlist"] else None
         ),

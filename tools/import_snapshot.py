@@ -391,14 +391,25 @@ def _attr_row(entry: dict) -> dict:
         v = attrs.get(src)
         if isinstance(v, int):
             row[dst] = v
+    # Atomicaggregate / Originator are Option<std::net::IpAddr> in the
+    # reference (src/bgpattrs.rs:30-33): serde non-human-readable shape is
+    # the enum map {"V4": [4 octets]} / {"V6": [16 octets]}. Accept that
+    # (reference- and export_snapshot-written files) plus the legacy
+    # bool/int forms older engine exports emitted.
     aa = attrs.get("Atomicaggregate")
     if isinstance(aa, bool):
         row["atomicaggregate"] = aa
+    elif isinstance(aa, dict) and ("V4" in aa or "V6" in aa):
+        row["atomicaggregate"] = True
     orig = attrs.get("Originator")
     if isinstance(orig, int):
         row["originator"] = orig
     elif isinstance(orig, dict) and isinstance(orig.get("value"), int):
         row["originator"] = orig["value"]
+    elif isinstance(orig, dict) and isinstance(orig.get("V4"), list):
+        o = orig["V4"]
+        if len(o) == 4 and all(isinstance(x, int) for x in o):
+            row["originator"] = (o[0] << 24) | (o[1] << 16) | (o[2] << 8) | o[3]
     cl = attrs.get("Clusterlist")
     if isinstance(cl, list):
         vals = [
