@@ -123,9 +123,22 @@ class BgpExplorerService:
             "items": items,
         }
 
-    def api_moas(self, rib: str = "ipv4u", asof=None) -> list[dict]:
-        """GET /api/analytics/moas[?rib=&asof=] — Multiple-Origin-AS
-        conflicts over the (optionally time-traveled) active state."""
+    @staticmethod
+    def _page(df, k: int, skip: int):
+        """Serving-layer result cap (deterministic order assumed set by
+        the caller): every analytics endpoint collects at most ``k``
+        rows after ``skip`` — at DFZ scale these reports run 10^3-10^5
+        rows and an uncapped collect is a driver-memory DoS."""
+        if skip:
+            df = df.offset(skip)
+        return df.limit(k)
+
+    def api_moas(
+        self, rib: str = "ipv4u", asof=None, k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/moas[?rib=&asof=&k=&skip=] — Multiple-
+        Origin-AS conflicts over the (optionally time-traveled) active
+        state."""
         from bgpexplorer_spark.operators.analytics import moas_conflicts, rib_asof
         from bgpexplorer_spark.operators.rib import current_state
 
@@ -134,11 +147,10 @@ class BgpExplorerService:
             if asof is not None
             else current_state(self.history)
         )
-        rows = (
-            moas_conflicts(st.filter(F.col("rib") == rib))
-            .orderBy("nlri_str")
-            .collect()
-        )
+        rows = self._page(
+            moas_conflicts(st.filter(F.col("rib") == rib)).orderBy("nlri_str"),
+            k, skip,
+        ).collect()
         return [
             {
                 "nlri": r.nlri_str,
@@ -148,11 +160,14 @@ class BgpExplorerService:
             for r in rows
         ]
 
-    def api_rpki(self, rib: str = "ipv4u", asof=None) -> dict:
-        """GET /api/analytics/rpki[?rib=&asof=] — RFC 6811 route-origin
-        validation of the (optionally time-traveled) active state against
-        the configured ROA table: per-verdict counts plus the Invalid
-        routes themselves (the list an operator actually acts on)."""
+    def api_rpki(
+        self, rib: str = "ipv4u", asof=None, k: int = 1000, skip: int = 0
+    ) -> dict:
+        """GET /api/analytics/rpki[?rib=&asof=&k=&skip=] — RFC 6811
+        route-origin validation of the (optionally time-traveled) active
+        state against the configured ROA table: per-verdict counts (over
+        the FULL state — aggregates, not row collects) plus up to ``k``
+        of the Invalid routes themselves (the list an operator acts on)."""
         from bgpexplorer_spark.operators.analytics import (
             origin_as, rib_asof, rpki_validate,
         )
@@ -177,8 +192,11 @@ class BgpExplorerService:
                        v.groupBy("validity").agg(F.count(F.lit(1)).alias("n")).collect()}
             invalid = [
                 {"nlri": r.nlri_str, "origin_as": r.origin_as}
-                for r in v.filter(F.col("validity") == "Invalid")
-                .orderBy("nlri_str", "origin_as").collect()
+                for r in self._page(
+                    v.filter(F.col("validity") == "Invalid")
+                    .orderBy("nlri_str", "origin_as"),
+                    k, skip,
+                ).collect()
             ]
         finally:
             v.unpersist()
@@ -190,18 +208,22 @@ class BgpExplorerService:
             "invalid_routes": invalid,
         }
 
-    def api_diff(self, rib: str = "ipv4u", t1=None, t2=None) -> list[dict]:
-        """GET /api/analytics/diff?t1=&t2=[&rib=] — per-prefix diff of
-        two time-traveled states (added / removed / origin_changed)."""
+    def api_diff(
+        self, rib: str = "ipv4u", t1=None, t2=None,
+        k: int = 1000, skip: int = 0,
+    ) -> list[dict]:
+        """GET /api/analytics/diff?t1=&t2=[&rib=&k=&skip=] — per-prefix
+        diff of two time-traveled states (added / removed /
+        origin_changed)."""
         from bgpexplorer_spark.operators.analytics import rib_diff
 
         if t1 is None or t2 is None:
             return [{"error": "t1 and t2 are required"}]
-        rows = (
+        rows = self._page(
             rib_diff(self.history.filter(F.col("rib") == rib), t1, t2)
-            .orderBy("nlri_str")
-            .collect()
-        )
+            .orderBy("nlri_str"),
+            k, skip,
+        ).collect()
         return [
             {
                 "nlri": r.nlri_str,
@@ -212,32 +234,49 @@ class BgpExplorerService:
             for r in rows
         ]
 
-    def api_bogons(self, rib: str = "ipv4u") -> list[dict]:
-        """GET /api/analytics/bogons[?rib=] — active routes whose AS path
-        carries a reserved/private ASN, plus martian-prefix offenders."""
+    def api_bogons(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/bogons[?rib=&k=&skip=] — active routes
+        whose AS path carries a reserved/private ASN, plus
+        martian-prefix offenders. Both detectors union into one paged
+        report so the cap spans the whole result, not each list."""
         from bgpexplorer_spark.operators.analytics import (
             bogon_asns, martian_prefixes,
         )
         from bgpexplorer_spark.operators.rib import current_state
 
         st = current_state(self.history).filter(F.col("rib") == rib)
-        out = [
-            {"nlri": r.nlri_str, "kind": "bogon-asn",
-             "detail": ",".join(str(a) for a in r.bogon_asns)}
-            for r in bogon_asns(st).orderBy("nlri_str").collect()
+        asns = bogon_asns(st).select(
+            "nlri_str",
+            F.lit("bogon-asn").alias("kind"),
+            F.concat_ws(
+                ",", F.transform("bogon_asns", lambda a: a.cast("string"))
+            ).alias("detail"),
+        )
+        martians = martian_prefixes(
+            st.filter(F.col("addr_v4").isNotNull())
+        ).select(
+            "nlri_str",
+            F.lit("martian-prefix").alias("kind"),
+            F.col("martian").alias("detail"),
+        )
+        rows = self._page(
+            asns.unionByName(martians).orderBy("kind", "nlri_str"), k, skip
+        ).collect()
+        return [
+            {"nlri": r.nlri_str, "kind": r.kind, "detail": r.detail}
+            for r in rows
         ]
-        out += [
-            {"nlri": r.nlri_str, "kind": "martian-prefix", "detail": r.martian}
-            for r in martian_prefixes(
-                st.filter(F.col("addr_v4").isNotNull())
-            ).orderBy("nlri_str").collect()
-        ]
-        return out
 
-    def api_damping(self, rib: str = "ipv4u", at=None, half_life: int = 900) -> list[dict]:
-        """GET /api/analytics/damping[?rib=&at=&half_life=] — RFC 2439
-        flap-damping figures (decayed penalties, suppress/reuse) at the
-        evaluation instant (default: the newest event in the table)."""
+    def api_damping(
+        self, rib: str = "ipv4u", at=None, half_life: int = 900,
+        k: int = 1000, skip: int = 0,
+    ) -> list[dict]:
+        """GET /api/analytics/damping[?rib=&at=&half_life=&k=&skip=] —
+        RFC 2439 flap-damping figures (decayed penalties, suppress/reuse)
+        at the evaluation instant (default: the newest event in the
+        table), highest-penalty first."""
         import datetime
 
         from bgpexplorer_spark.operators.analytics import flap_damping
@@ -250,11 +289,11 @@ class BgpExplorerService:
             at = int(
                 newest.replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
             )
-        rows = (
+        rows = self._page(
             flap_damping(h, at, half_life_sec=float(half_life))
-            .orderBy(F.col("penalty").desc(), "nlri_str")
-            .collect()
-        )
+            .orderBy(F.col("penalty").desc(), "nlri_str"),
+            k, skip,
+        ).collect()
         return [
             {
                 "nlri": r.nlri_str, "n_flaps": r.n_flaps, "penalty": r.penalty,
@@ -274,21 +313,22 @@ class BgpExplorerService:
             for r in rows
         ]
 
-    def api_session_stability(self) -> list[dict]:
-        """GET /api/analytics/sessions — per-peer FSM rollup (times
-        Established reached/lost, last state, observation span) from the
-        state-change log, when the service holds one."""
+    def api_session_stability(self, k: int = 1000, skip: int = 0) -> list[dict]:
+        """GET /api/analytics/sessions[?k=&skip=] — per-peer FSM rollup
+        (times Established reached/lost, last state, observation span)
+        from the state-change log, when the service holds one."""
         if self.state_changes is None:
             return []
         from bgpexplorer_spark.functions.timeutil import ts_to_millis
         from bgpexplorer_spark.operators.analytics import session_stability
 
-        rows = (
+        rows = self._page(
             session_stability(self.state_changes)
             .withColumn("first_ts_ms", ts_to_millis(F.col("first_ts")))
             .withColumn("last_ts_ms", ts_to_millis(F.col("last_ts")))
-            .collect()
-        )
+            .orderBy("peer_addr", "peer_as"),
+            k, skip,
+        ).collect()
         return [
             {
                 "peer": r.peer_addr, "peer_as": r.peer_as,
@@ -325,14 +365,18 @@ class BgpExplorerService:
             for r in rows
         ]
 
-    def api_peer_agreement(self, rib: str = "ipv4u") -> list[dict]:
-        """GET /api/analytics/agreement[?rib=] — pairwise Jaccard of the
-        sessions' active prefix sets."""
+    def api_peer_agreement(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/agreement[?rib=&k=&skip=] — pairwise
+        Jaccard of the sessions' active prefix sets."""
         from bgpexplorer_spark.operators.analytics import peer_agreement
         from bgpexplorer_spark.operators.rib import current_state
 
         st = current_state(self.history.filter(F.col("rib") == rib))
-        rows = peer_agreement(st).orderBy("session_a", "session_b").collect()
+        rows = self._page(
+            peer_agreement(st).orderBy("session_a", "session_b"), k, skip
+        ).collect()
         return [
             {
                 "session_a": r.session_a, "session_b": r.session_b,
@@ -341,14 +385,18 @@ class BgpExplorerService:
             for r in rows
         ]
 
-    def api_as_relationships(self, rib: str = "ipv4u") -> list[dict]:
-        """GET /api/analytics/relationships[?rib=] — Gao-style
+    def api_as_relationships(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/relationships[?rib=&k=&skip=] — Gao-style
         c2p/p2c/p2p inference over the active state's AS paths."""
         from bgpexplorer_spark.operators.analytics import as_relationships
         from bgpexplorer_spark.operators.rib import current_state
 
         st = current_state(self.history.filter(F.col("rib") == rib))
-        rows = as_relationships(st).orderBy("as_low", "as_high").collect()
+        rows = self._page(
+            as_relationships(st).orderBy("as_low", "as_high"), k, skip
+        ).collect()
         return [
             {
                 "as_low": r.as_low, "as_high": r.as_high, "rel": r.rel,
@@ -358,9 +406,11 @@ class BgpExplorerService:
             for r in rows
         ]
 
-    def api_martians(self, rib: str = "ipv4u") -> list[dict]:
-        """GET /api/analytics/martians[?rib=] — active routes inside
-        RFC 6890 special-purpose space, v4 and v6 registries."""
+    def api_martians(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/martians[?rib=&k=&skip=] — active routes
+        inside RFC 6890 special-purpose space, v4 and v6 registries."""
         from bgpexplorer_spark.functions.iputil import v4_to_dotted
         from bgpexplorer_spark.operators.analytics import (
             martian_prefixes,
@@ -371,25 +421,27 @@ class BgpExplorerService:
         st = current_state(self.history.filter(F.col("rib") == rib))
         v4 = martian_prefixes(st.filter(F.col("addr_v4").isNotNull()))
         v6 = martian_prefixes_v6(st.filter(F.col("addr_v6").isNotNull()))
-        rows = (
+        rows = self._page(
             v4.select("nlri_str", "martian")
             .unionByName(v6.select("nlri_str", "martian"))
-            .orderBy("nlri_str")
-            .collect()
-        )
+            .orderBy("nlri_str"),
+            k, skip,
+        ).collect()
         return [{"nlri": r.nlri_str, "range": r.martian} for r in rows]
 
-    def api_route_leaks(self, rib: str = "ipv4u", k: int = 100) -> list[dict]:
-        """GET /api/analytics/leaks[?rib=&k=] — RFC 7908 valley-free
-        violations over the active state's paths under the inferred
-        relationship graph."""
+    def api_route_leaks(
+        self, rib: str = "ipv4u", k: int = 100, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/leaks[?rib=&k=&skip=] — RFC 7908
+        valley-free violations over the active state's paths under the
+        inferred relationship graph."""
         from bgpexplorer_spark.operators.analytics import route_leaks
         from bgpexplorer_spark.operators.rib import current_state
 
         st = current_state(self.history.filter(F.col("rib") == rib))
-        rows = (
-            route_leaks(st).orderBy("path_str").limit(k).collect()
-        )
+        rows = self._page(
+            route_leaks(st).orderBy("path_str"), k, skip
+        ).collect()
         return [
             {
                 "path": r.path_str, "leaker_asn": r.leaker_asn,
@@ -398,9 +450,11 @@ class BgpExplorerService:
             for r in rows
         ]
 
-    def api_customer_cones(self, rib: str = "ipv4u", k: int = 50) -> list[dict]:
-        """GET /api/analytics/cones[?rib=&k=] — top-k customer-cone
-        sizes from the inferred relationship graph."""
+    def api_customer_cones(
+        self, rib: str = "ipv4u", k: int = 50, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/cones[?rib=&k=&skip=] — top-k
+        customer-cone sizes from the inferred relationship graph."""
         from bgpexplorer_spark.operators.analytics import (
             as_relationships,
             customer_cone,
@@ -408,12 +462,11 @@ class BgpExplorerService:
         from bgpexplorer_spark.operators.rib import current_state
 
         st = current_state(self.history.filter(F.col("rib") == rib))
-        rows = (
+        rows = self._page(
             customer_cone(as_relationships(st))
-            .orderBy(F.col("cone_size").desc(), "asn")
-            .limit(k)
-            .collect()
-        )
+            .orderBy(F.col("cone_size").desc(), "asn"),
+            k, skip,
+        ).collect()
         return [{"asn": r.asn, "cone_size": r.cone_size} for r in rows]
 
     def api_statistics(self) -> dict:
@@ -593,63 +646,60 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(svc.api_state())
                 if parts[:2] == ["api", "statistics"]:
                     return self._send(svc.api_statistics())
+                rib = qs.get("rib", "ipv4u")
+
+                def page(default_k=1000):
+                    # every analytics list endpoint takes the same
+                    # k (limit) + skip (offset) cap
+                    return {"k": int(qs.get("k", default_k)),
+                            "skip": int(qs.get("skip", 0))}
+
                 if parts[:3] == ["api", "analytics", "moas"]:
                     return self._send(
-                        svc.api_moas(qs.get("rib", "ipv4u"), qs.get("asof"))
+                        svc.api_moas(rib, qs.get("asof"), **page())
                     )
                 if parts[:3] == ["api", "analytics", "rpki"]:
                     return self._send(
-                        svc.api_rpki(qs.get("rib", "ipv4u"), qs.get("asof"))
+                        svc.api_rpki(rib, qs.get("asof"), **page())
                     )
                 if parts[:3] == ["api", "analytics", "diff"]:
                     return self._send(
                         svc.api_diff(
-                            qs.get("rib", "ipv4u"), qs.get("t1"), qs.get("t2")
+                            rib, qs.get("t1"), qs.get("t2"), **page()
                         )
                     )
                 if parts[:3] == ["api", "analytics", "damping"]:
                     return self._send(
                         svc.api_damping(
-                            qs.get("rib", "ipv4u"), qs.get("at"),
-                            int(qs.get("half_life", 900)),
+                            rib, qs.get("at"),
+                            int(qs.get("half_life", 900)), **page(),
                         )
                     )
                 if parts[:3] == ["api", "analytics", "bogons"]:
-                    return self._send(svc.api_bogons(qs.get("rib", "ipv4u")))
+                    return self._send(svc.api_bogons(rib, **page()))
                 if parts[:3] == ["api", "analytics", "sessions"]:
-                    return self._send(svc.api_session_stability())
+                    return self._send(svc.api_session_stability(**page()))
                 if parts[:3] == ["api", "analytics", "ages"]:
                     return self._send(
                         svc.api_route_ages(
-                            qs.get("rib", "ipv4u"), qs.get("asof"),
-                            int(qs.get("k", 100)),
+                            rib, qs.get("asof"), int(qs.get("k", 100)),
                         )
                     )
                 if parts[:3] == ["api", "analytics", "agreement"]:
-                    return self._send(
-                        svc.api_peer_agreement(qs.get("rib", "ipv4u"))
-                    )
+                    return self._send(svc.api_peer_agreement(rib, **page()))
                 if parts[:3] == ["api", "analytics", "relationships"]:
                     return self._send(
-                        svc.api_as_relationships(qs.get("rib", "ipv4u"))
+                        svc.api_as_relationships(rib, **page())
                     )
                 if parts[:3] == ["api", "analytics", "martians"]:
-                    return self._send(svc.api_martians(qs.get("rib", "ipv4u")))
+                    return self._send(svc.api_martians(rib, **page()))
                 if parts[:3] == ["api", "analytics", "leaks"]:
-                    return self._send(
-                        svc.api_route_leaks(
-                            qs.get("rib", "ipv4u"), int(qs.get("k", 100))
-                        )
-                    )
+                    return self._send(svc.api_route_leaks(rib, **page(100)))
                 if parts[:3] == ["api", "analytics", "cones"]:
-                    return self._send(
-                        svc.api_customer_cones(
-                            qs.get("rib", "ipv4u"), int(qs.get("k", 50))
-                        )
-                    )
+                    return self._send(svc.api_customer_cones(rib, **page(50)))
                 if parts[:3] == ["api", "analytics", "flappers"]:
                     return self._send(
-                        svc.api_flappers(qs.get("rib", "ipv4u"), int(qs.get("k", 20)))
+                        svc.api_flappers(rib, int(qs.get("k", 20)))
                     )
                 if parts[:2] == ["api", "sessions"]:
                     return self._send(svc.api_sessions())

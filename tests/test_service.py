@@ -859,3 +859,54 @@ def test_http_martians_endpoint(spark):
         assert "8.8.8.0/24" not in by
     finally:
         httpd.shutdown()
+
+
+def test_http_analytics_pagination_caps(spark):
+    """Every analytics list endpoint takes k (limit) + skip (offset):
+    at DFZ scale these reports run 10^3-10^5 rows, so an uncapped
+    collect is a driver-memory DoS. Asserts truncation AND that
+    skip-paging walks the same deterministic order."""
+    # 12 MOAS conflicts + 12 martians so defaults vs k=3 differ
+    rows = []
+    for i in range(12):
+        rows.append(u(f"11.{i}.0.0/16", t=0, session_id=0,
+                      aspath=[("Seq", [100, 300])]))
+        rows.append(u(f"11.{i}.0.0/16", t=1, session_id=1,
+                      aspath=[("Seq", [100, 301])]))
+        rows.append(u(f"192.168.{i}.0/24", t=2,
+                      aspath=[("Seq", [100, 200 + i])]))
+    hist = build_history(make_updates(spark, rows)).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+
+    def get(path):
+        return json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}{path}").read()
+        )
+
+    try:
+        full = get("/api/analytics/moas")
+        assert len(full) == 12
+        page1 = get("/api/analytics/moas?k=3")
+        assert page1 == full[:3]
+        page2 = get("/api/analytics/moas?k=3&skip=3")
+        assert page2 == full[3:6]
+
+        mart = get("/api/analytics/martians")
+        assert len(mart) == 12
+        assert get("/api/analytics/martians?k=5") == mart[:5]
+        assert get("/api/analytics/martians?k=5&skip=10") == mart[10:]
+
+        bog = get("/api/analytics/bogons")
+        assert len(bog) == 12  # all martian-prefix rows
+        assert get("/api/analytics/bogons?k=4&skip=2") == bog[2:6]
+
+        rel = get("/api/analytics/relationships")
+        assert len(rel) > 2
+        assert get("/api/analytics/relationships?k=2") == rel[:2]
+
+        agr = get("/api/analytics/agreement?k=1")
+        assert len(agr) <= 1
+    finally:
+        httpd.shutdown()
