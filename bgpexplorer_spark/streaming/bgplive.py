@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import datetime as dt
 import struct
+import time
 
 from bgpexplorer_spark.sources.mrt import parse_bgp_update
 from bgpexplorer_spark.streaming.livebase import (  # noqa: F401  (re-export)
@@ -91,6 +92,11 @@ def encode_bgp_open(
         + cap
     )
     return encode_bgp_message(BGP_OPEN, body)
+
+
+def encode_bgp_notification(code: int, subcode: int = 0, data: bytes = b"") -> bytes:
+    """NOTIFICATION message (RFC 4271 §4.5); code 4 = Hold Timer Expired."""
+    return encode_bgp_message(BGP_NOTIFICATION, bytes([code, subcode]) + data)
 
 
 def encode_bgp_keepalive() -> bytes:
@@ -219,7 +225,40 @@ class BgpListener(LiveListenerBase):
             off += msglen
         return buf[off:]
 
+    def _tick(self, conn) -> bool:
+        """RFC 4271 timers, the reference's lifecycle cadence
+        (src/bgppeer.rs:181-258): proactively send KEEPALIVE every
+        negotiated hold/3 (not only as an echo), and when the peer has
+        been silent for a full hold time, send NOTIFICATION code 4
+        (Hold Timer Expired), clear the session slot, and drop the
+        connection. Negotiated hold 0 disables both timers (RFC 4271
+        §4.2). Runs on the connection's own serve thread at the recv
+        timeout's ~0.2 s resolution."""
+        ht = getattr(self._tls, "hold_time", 0)
+        if not ht or getattr(self._tls, "dead", False) \
+                or getattr(self._tls, "session", None) is None:
+            return True
+        now = time.monotonic()
+        if now - self._tls.last_sent >= ht / 3.0:
+            try:
+                conn.sendall(encode_bgp_keepalive())
+                self._tls.last_sent = now
+            except OSError:
+                return False
+        if now - self._tls.last_recv >= ht:
+            try:
+                conn.sendall(encode_bgp_notification(4))
+            except OSError:
+                pass
+            self._tls.dead = True
+            self._tls.session = None
+            return False
+        return True
+
     def _dispatch(self, conn, mtype: int, body: bytes, rows: list[dict]):
+        # any complete message from the peer restarts its hold timer
+        # (RFC 4271 §8: KeepaliveTimer_Expires / UpdateMsg both reset)
+        self._tls.last_recv = time.monotonic()
         if mtype == BGP_OPEN:
             peer_as, hold_time, as4, peer_mp, peer_ap = parse_bgp_open(
                 body, with_mp=True, with_addpath=True)
@@ -232,6 +271,8 @@ class BgpListener(LiveListenerBase):
             # (RFC 4271 §4.2); 0 is valid and means "no keepalives" —
             # echo it rather than coercing to our own
             negotiated = min(self.hold_time, hold_time)
+            self._tls.hold_time = negotiated
+            self._tls.last_sent = self._tls.last_recv = time.monotonic()
             try:
                 if self.active:
                     # we already sent OPEN on connect (src/bgppeer.rs:
@@ -248,6 +289,7 @@ class BgpListener(LiveListenerBase):
         elif mtype == BGP_KEEPALIVE:
             try:
                 conn.sendall(encode_bgp_keepalive())  # src/bgppeer.rs:225-229
+                self._tls.last_sent = time.monotonic()
             except OSError:
                 pass
         elif mtype == BGP_UPDATE:
@@ -293,7 +335,9 @@ class BgpConnector(DialOutMixin, BgpListener):
 
     def _greet(self, conn) -> None:
         # the dial thread is reused across reconnects: clear the
-        # NOTIFICATION tombstone and any stale session before OPEN
+        # NOTIFICATION tombstone, any stale session, and the previous
+        # connection's hold-timer state before OPEN
         self._tls.dead = False
         self._tls.session = None
+        self._tls.hold_time = 0
         conn.sendall(self._open_bytes())

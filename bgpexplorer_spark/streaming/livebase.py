@@ -159,9 +159,18 @@ class LiveListenerBase:
                     self._flush(rows, raw)
                     rows, raw = [], []
                     last_flush = time.monotonic()
+                if not self._tick(conn):
+                    break  # protocol timer expired — tear the session down
         finally:
             self._flush(rows, raw)
             conn.close()
+
+    def _tick(self, conn) -> bool:
+        """Per-loop protocol timer hook (the recv timeout bounds its
+        latency to ~0.2 s). Return False to tear the connection down.
+        The BGP listener overrides this with RFC 4271 keepalive
+        scheduling + hold-timer expiry; BMP has no such timers."""
+        return True
 
     def _consume(self, conn, buf: bytes, rows: list[dict], raw: list[bytes]) -> bytes:
         raise NotImplementedError

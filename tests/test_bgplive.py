@@ -205,3 +205,50 @@ def test_malformed_update_skipped_session_survives(spark):
         _wait_for_files(out)
     upd = spark.read.parquet(out)
     assert {r.nlri_str for r in upd.collect()} == {"13.0.0.0/8"}
+
+
+def test_hold_timer_keepalive_cadence_and_expiry():
+    """RFC 4271 timer enforcement (src/bgppeer.rs:181-258 semantics):
+    with a negotiated 3 s hold time the listener proactively sends
+    KEEPALIVE every ~1 s (hold/3) without being prompted, and when the
+    peer goes fully silent for a hold time it receives NOTIFICATION
+    code 4 (Hold Timer Expired) and the connection is closed."""
+    out = tempfile.mkdtemp()
+    with BgpListener(out, flush_secs=0.2) as lsn:
+        with socket.create_connection((lsn.host, lsn.port), timeout=10) as s:
+            s.sendall(encode_bgp_open(65010, 3, 0x01010101))
+            assert _recv_msg(s)[0] == BGP_OPEN
+            assert _recv_msg(s)[0] == BGP_KEEPALIVE  # immediate confirm
+            t0 = time.monotonic()
+            # stay SILENT: the next two keepalives must be listener-
+            # initiated on the hold/3 cadence (~1 s apart), not echoes
+            ka_times = []
+            mtype = BGP_KEEPALIVE
+            while mtype == BGP_KEEPALIVE and len(ka_times) < 6:
+                mtype, body = _recv_msg(s)
+                ka_times.append(time.monotonic() - t0)
+            # at least two unprompted keepalives before expiry
+            assert len([t for t in ka_times if t < 3.0]) >= 2
+            # then the hold timer (3 s of our silence) expires:
+            # NOTIFICATION code 4, and the socket closes
+            assert mtype == BGP_NOTIFICATION and body[0] == 4
+            expiry_at = ka_times[-1]
+            assert 2.5 <= expiry_at <= 6.0
+            assert s.recv(4096) == b""  # orderly close from the listener
+
+
+def test_hold_time_zero_disables_timers():
+    """Negotiated hold 0 means no keepalives and no expiry (RFC 4271
+    §4.2): a silent session stays up."""
+    out = tempfile.mkdtemp()
+    with BgpListener(out, flush_secs=0.2, hold_time=0) as lsn:
+        with socket.create_connection((lsn.host, lsn.port), timeout=2) as s:
+            s.sendall(encode_bgp_open(65010, 3, 0x01010101))
+            assert _recv_msg(s)[0] == BGP_OPEN
+            assert _recv_msg(s)[0] == BGP_KEEPALIVE
+            # no more traffic: neither keepalives nor a notification
+            try:
+                extra = _recv_msg(s)
+            except socket.timeout:
+                extra = None
+            assert extra is None
