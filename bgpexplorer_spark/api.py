@@ -607,9 +607,19 @@ def _make_handler(svc: BgpExplorerService):
             import mimetypes
             import os
 
-            root = getattr(svc.svc_config, "httproot", None)
-            if not root:
-                return self._send({"error": "not found"}, 404)
+            # no config = the ini default (config.SvcConfig.httproot)
+            root = getattr(svc.svc_config, "httproot", None) or "./contrib"
+            if not os.path.isdir(root):
+                # the ini default "./contrib" is cwd-relative; when it
+                # doesn't exist, serve the UI bundled with the package
+                # so `GET /` works out of the box like the reference's
+                # shipped explorer
+                bundled = os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "contrib",
+                )
+                if os.path.isdir(bundled):
+                    root = bundled
             rel = "/index.html" if urlpath == "/" else urlpath
             root_abs = os.path.realpath(root)
             full = os.path.realpath(os.path.join(root_abs, rel.lstrip("/")))

@@ -910,3 +910,34 @@ def test_http_analytics_pagination_caps(spark):
         assert len(agr) <= 1
     finally:
         httpd.shutdown()
+
+
+def test_http_bundled_ui_served_at_root(spark):
+    """S8 out-of-the-box: GET / serves the bundled explorer UI
+    (contrib/index.html) when the configured httproot doesn't exist as
+    a directory — a user hitting the service root gets the rib
+    selector / filter / nested-history explorer, like the reference's
+    shipped contrib page."""
+    hist = build_history(
+        make_updates(spark, [u("10.0.0.0/24", t=0,
+                               aspath=[("Seq", [100])])])
+    ).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        resp = urllib.request.urlopen(f"http://127.0.0.1:{port}/")
+        assert resp.headers["Content-Type"].startswith("text/html")
+        html = resp.read().decode()
+        # the explorer's functional anchors: rib list, filter box,
+        # nested-history fetch against /api/json, filter help terms
+        assert "/api/json/" in html
+        assert 'id="filter"' in html and 'id="rib"' in html
+        for rib in ("ipv4u", "vpnv6u", "evpn"):
+            assert rib in html
+        for term in ("as:", "community:", "rd:", "nh:", "re:"):
+            assert term in html
+        # statistics + whois panels wired to their endpoints
+        assert "/api/statistics" in html and "/api/whois/" in html
+    finally:
+        httpd.shutdown()
