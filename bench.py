@@ -137,7 +137,10 @@ class _StageMetrics:
                 agg[key] += int(getattr(s, attr)())
         return agg
 
-def _run_set(spark, qs, sf_dir: str, collect_metrics: dict | None = None) -> dict[str, float]:
+def _run_set(
+    spark, qs, sf_dir: str, collect_metrics: dict | None = None,
+    n_runs: int = 5,
+) -> dict[str, float]:
     # steady-state timing, prepared-statement style: build each query's
     # DataFrame ONCE (a resident service prepares its plans once), warm it
     # (JIT + parquet footer caching), then report the median of 5 timed
@@ -156,16 +159,16 @@ def _run_set(spark, qs, sf_dir: str, collect_metrics: dict | None = None) -> dic
         if metrics is not None:
             metrics.mark()
         runs = []
-        for _ in range(5):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df.count()
             runs.append(time.perf_counter() - t0)
-        times[name] = round(sorted(runs)[2], 4)
+        times[name] = round(sorted(runs)[len(runs) // 2], 4)
         if metrics is not None:
-            # per-timed-execution averages over the 5 runs: CPU actually
-            # burned vs wall-clock median makes env drift visible
+            # per-timed-execution averages over the timed runs: CPU
+            # actually burned vs wall-clock median makes env drift visible
             m = metrics.read()
-            collect_metrics[name] = {k: v // 5 for k, v in m.items()}
+            collect_metrics[name] = {k: v // n_runs for k, v in m.items()}
         # drop this query's persisted intermediates and force a JVM GC so
         # the ContextCleaner reaps dead shuffle/broadcast state: in a short
         # local session the periodic cleaner (30 min default) never fires,
@@ -325,6 +328,37 @@ def main() -> None:
         out["superlinear"] = sorted(
             n for n, r in ratios.items() if r and r > data_ratio * 1.2
         )
+
+    # Tertiary LARGE scale factor: 10x the headline sf, generated locally
+    # by tools/gen_sf.py (distribution-faithful replica of the driver
+    # tables — schemas, cardinalities, join fan-outs). This measures the
+    # up-scaling direction the sf0.01 secondary can't: fixed overheads
+    # have already amortized at sf0.1, so a ratio much above the data
+    # ratio here is a REAL superlinearity, not noise. 3 timed runs per
+    # query (it's a scaling check, not the headline figure). Disable with
+    # SPARK_GRAFT_SF1_DIR=""; regenerate with
+    # `python tools/gen_sf.py 1 .localdata/sf1`.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        str(Path(__file__).resolve().parent / ".localdata" / "sf1"),
+    )
+    if sf1_dir and os.path.isdir(sf1_dir):
+        times_sf1 = _run_set(spark, qs, sf1_dir, n_runs=3)
+        ratios1 = {
+            name: round(times_sf1[name] / times[name], 2) if times.get(name) else None
+            for name in times_sf1
+        }
+        data_ratio1 = _sf_of(sf1_dir) / max(_sf_of(sf_dir), 1e-9)
+        out["sf1"] = {
+            "sf": _sf_of(sf1_dir),
+            "value": round(sum(times_sf1.values()), 4),
+            "queries": times_sf1,
+            "scaling_ratio_vs_headline": ratios1,
+            "data_ratio": round(data_ratio1, 2),
+            "superlinear": sorted(
+                n for n, r in ratios1.items() if r and r > data_ratio1 * 1.2
+            ),
+        }
 
     # streaming state-path throughput at the secondary (small) sf: the
     # stateful operators are latency-shaped (per-batch state crossing),

@@ -163,17 +163,31 @@ STATS_SCHEMA = (
 )
 
 
+# A single BMP message can't plausibly exceed this in a capture: route
+# monitoring carries one ≤4 KiB BGP PDU + headers; stats reports a few
+# hundred TLVs. A larger length field is a corrupted byte, not a frame —
+# resync instead of discarding the rest of the capture.
+_MAX_FRAME = 1 << 20
+
+
 def _walk_frames(data: bytes) -> Iterator[tuple[int, bytes]]:
     """The v3 framing walk shared by all BMP parsers (resync on junk,
-    src/bmppeer.rs:65-131)."""
+    src/bmppeer.rs:65-131). Malformed captures are common in the wild:
+    a bad version byte or an implausible/undersized length field skips
+    ONE byte and rescans (so a single flipped byte costs at most the
+    frame it sits in); only a frame that runs past the end of the data
+    — indistinguishable from a truncated tail — stops the walk."""
     off, n = 0, len(data)
     while off + 6 <= n:
         if data[off] != 3:
             off += 1
             continue
         msglen = struct.unpack(">I", data[off + 1 : off + 5])[0]
-        if msglen < 6 or off + msglen > n:
-            break
+        if msglen < 6 or msglen > _MAX_FRAME:
+            off += 1  # corrupted length byte — resync, don't abort
+            continue
+        if off + msglen > n:
+            break  # truncated tail
         yield data[off + 5], data[off + 6 : off + msglen]
         off += msglen
 

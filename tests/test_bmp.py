@@ -215,3 +215,113 @@ def test_lifecycle_and_stats_fuzz_roundtrip():
     ]
     assert got_events == want_events
     assert got_stats == want_stats
+
+
+# --- hypothesis byte-flip sweep over the framing path ----------------------
+# Malformed captures are common in the wild; no single corrupted byte may
+# crash the decoders or abort the rest of the capture (VERDICT r05 item 9).
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from bgpexplorer_spark.sources.bmp import (  # noqa: E402
+    encode_bmp_peer_down,
+    encode_bmp_stats,
+    parse_bmp_peer_events,
+    parse_bmp_stats,
+)
+
+
+def _valid_frames(n_groups: int) -> list[bytes]:
+    frames = []
+    for i in range(n_groups):
+        peer, asn, ts = 0x0AFF0000 + i, 65000 + i, 1704067100 + i
+        frames.append(encode_bmp_peer_up(peer, asn, ts))
+        frames.append(_rm(
+            peer, asn, ts + 1,
+            nlri=[(0x0A000000 + (i << 16), 16)], origin=i % 3,
+            aspath=[(2, [100 + i])], nexthop=0xC0000201,
+        ))
+        frames.append(encode_bmp_stats(peer, asn, ts + 2, [(0, 5 + i)]))
+        frames.append(encode_bmp_peer_down(peer, asn, ts + 3, reason=2))
+    return frames
+
+
+_FRAMES = _valid_frames(3)
+_BASE = b"".join(_FRAMES)
+# byte offset where each frame ends, aligned with the peer index i//4
+_FRAME_ENDS = []
+_acc = 0
+for _f in _FRAMES:
+    _acc += len(_f)
+    _FRAME_ENDS.append(_acc)
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    pos=st.integers(0, len(_BASE) - 1),
+    newbyte=st.integers(0, 255),
+)
+def test_bmp_byte_flip_never_raises(pos, newbyte):
+    """Flip ONE byte anywhere in a 12-frame capture: every parser must
+    terminate without an unhandled raise, and — since the walk resyncs
+    instead of aborting — every frame that ends strictly BEFORE the
+    corrupted byte still decodes (a flip can only eat forward; spurious
+    extra rows from re-synced garbage are allowed, lost prefixes are
+    not)."""
+    data = _BASE[:pos] + bytes([newbyte]) + _BASE[pos + 1 :]
+    rows = list(parse_bmp(data))
+    events = list(parse_bmp_peer_events(data))
+    stats = list(parse_bmp_stats(data))
+    sessions = parse_bmp_sessions(data)
+
+    got_rm = {r["peer_as"] for r in rows}
+    got_ev = {(e["event"], e["peer_as"]) for e in events}
+    got_st = {s["peer_as"] for s in stats}
+    got_sess = set(sessions)
+    for k, end in enumerate(_FRAME_ENDS):
+        if end > pos:
+            break  # this frame contains or follows the flip
+        i, kind = k // 4, k % 4
+        peer_as = 65000 + i
+        if kind == 0:
+            assert ("up", peer_as) in got_ev
+            assert (f"10.255.0.{i}", peer_as) in got_sess
+        elif kind == 1:
+            assert peer_as in got_rm
+        elif kind == 2:
+            assert peer_as in got_st
+        else:
+            assert ("down", peer_as) in got_ev
+
+
+@settings(max_examples=120, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=64), cut=st.integers(0, len(_BASE)))
+def test_bmp_junk_injection_and_truncation(junk, cut):
+    """Arbitrary junk between frames resyncs; truncation mid-frame stops
+    cleanly at the last whole frame. Never raises, never loops."""
+    data = _BASE[:cut] + junk + _BASE[cut:]
+    for parser in (parse_bmp, parse_bmp_peer_events, parse_bmp_stats):
+        list(parser(data))
+    truncated = _BASE[:cut]
+    for parser in (parse_bmp, parse_bmp_peer_events, parse_bmp_stats):
+        list(parser(truncated))
+
+
+def test_bmp_corrupt_length_resyncs_not_aborts():
+    """A corrupted LENGTH field (the nastiest flip: version byte still 3,
+    length now implausible) must not discard the rest of the capture —
+    the walk resyncs and later frames decode."""
+    f1 = _rm(0x0AFF0001, 65010, 1704067200,
+             nlri=[(0x0A000000, 8)], origin=0,
+             aspath=[(2, [100])], nexthop=1)
+    f2 = _rm(0x0AFF0002, 65011, 1704067300,
+             nlri=[(0x0B000000, 8)], origin=1,
+             aspath=[(2, [200])], nexthop=2)
+    corrupted = bytearray(f1 + f2)
+    corrupted[1:5] = (0xFFFFFFFF).to_bytes(4, "big")  # giant bogus length
+    rows = list(parse_bmp(bytes(corrupted)))
+    assert [r["peer_as"] for r in rows] == [65011]  # f2 survives
+    undersized = bytearray(f1 + f2)
+    undersized[1:5] = (3).to_bytes(4, "big")  # < header size
+    rows2 = list(parse_bmp(bytes(undersized)))
+    assert len(rows2) >= 1  # resync finds at least f2
