@@ -127,33 +127,79 @@ def ivf_centroids(
         F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
 
+# Above this many centroids/codes, literal inlining would bloat the plan
+# (expression-tree size and codegen both scale with it); switch to a
+# broadcast of the codebook instead. 1024 literal-inlined 64-d centroids
+# is ~0.5 MB of plan — comfortably under codegen limits.
+INLINE_CODEBOOK_MAX = 1024
+
+
 def ivf_assign(
     df: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
     keep_vec: bool = False,
+    inline_max: int = INLINE_CODEBOOK_MAX,
 ) -> DataFrame:
     """(vec_id, cid): each vector assigned to its max-cosine centroid.
 
-    The centroid set is tiny by construction (a coarse quantizer), so it
-    is collected and inlined as LITERAL vectors: the assignment becomes a
-    pure map — one cosine per centroid per row and a ``greatest`` over
-    the (score, cid) structs — with NO row amplification and NO shuffle.
-    (The previous crossJoin+groupBy shape amplified every row k× and paid
-    an exchange on vec_id; at 100 TB that is k× scan + a full shuffle for
-    what a projection can do.) Ties break to the highest cid (struct
-    ordering), deterministically — identical to max(struct)."""
-    cents = sorted(
-        (r["cid"], [float(x) for x in r["cvec"]]) for r in centroids.collect()
-    )
+    The centroid set is small by construction (a coarse quantizer), so
+    up to ``inline_max`` centroids are collected and inlined as LITERAL
+    vectors: the assignment becomes a pure map — one cosine per centroid
+    per row and a ``greatest`` over the (score, cid) structs — with NO
+    row amplification and NO shuffle. (The previous crossJoin+groupBy
+    shape amplified every row k× and paid an exchange on vec_id; at
+    100 TB that is k× scan + a full shuffle for what a projection can
+    do.) Ties break to the highest cid (struct ordering),
+    deterministically — identical to max(struct).
+
+    Above ``inline_max`` the codebook is attached as ONE broadcast row
+    (array<struct<cid,cvec>>) and the argmax folds over it with
+    ``aggregate`` — still no row amplification and no shuffle of the
+    corpus, but the plan stays constant-size however many centroids
+    there are (the huge-codebook fallback the literal path can't serve).
+    Both paths compute the identical (score, cid) maximum."""
+    head = centroids.limit(inline_max + 1).collect()
     v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
-    scored = [
-        F.struct(
-            cosine(F.col("_v"), F.array(*[F.lit(x) for x in cvec])).alias("score"),
-            F.lit(cid).cast("bigint").alias("cid"),
+    if len(head) <= inline_max:
+        cents = sorted((r["cid"], [float(x) for x in r["cvec"]]) for r in head)
+        scored = [
+            F.struct(
+                cosine(F.col("_v"), F.array(*[F.lit(x) for x in cvec])).alias("score"),
+                F.lit(cid).cast("bigint").alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+        best = scored[0] if len(scored) == 1 else F.greatest(*scored)
+    else:
+        carr = centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid").cast("bigint").alias("cid"),
+                        F.col("cvec").cast("array<double>").alias("cvec"),
+                    )
+                )
+            ).alias("_cents")
         )
-        for cid, cvec in cents
-    ]
-    best = scored[0] if len(scored) == 1 else F.greatest(*scored)
+        v = v.join(F.broadcast(carr))  # 1-row broadcast: no amplification
+        best = F.aggregate(
+            F.col("_cents"),
+            F.struct(
+                F.lit(float("-inf")).alias("score"),
+                F.lit(-1).cast("bigint").alias("cid"),
+            ),
+            lambda acc, c: F.when(
+                F.struct(
+                    cosine(F.col("_v"), c["cvec"]).alias("score"),
+                    c["cid"].alias("cid"),
+                )
+                >= acc,
+                F.struct(
+                    cosine(F.col("_v"), c["cvec"]).alias("score"),
+                    c["cid"].alias("cid"),
+                ),
+            ).otherwise(acc),
+        )
     cols = [F.col(id_col), best.getField("cid").alias("cid")]
     if keep_vec:  # still a pure projection — no join to fetch the vector
         cols.append(F.col("_v").alias(vec_col))
@@ -365,32 +411,72 @@ def pq_codebooks(
 def pq_encode(
     df: DataFrame, codebooks: DataFrame, m: int = 4, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    inline_max: int = INLINE_CODEBOOK_MAX,
 ) -> DataFrame:
     """(id, codes ARRAY<INT>): each subvector mapped to its nearest
-    (L2) codebook entry, ties to the lowest code. The codebook is
-    collected and inlined as literals, so encoding is a pure projection
-    over the corpus — the index build is one scan, no shuffle, and the
-    output is m ints per vector instead of ``dim`` floats (the whole
-    point at 100 TB: the code table is ~100× smaller than the vectors).
-    """
+    (L2) codebook entry, ties to the lowest code. Up to ``inline_max``
+    entries per subspace, the codebook is collected and inlined as
+    literals, so encoding is a pure projection over the corpus — the
+    index build is one scan, no shuffle, and the output is m ints per
+    vector instead of ``dim`` floats (the whole point at 100 TB: the
+    code table is ~100× smaller than the vectors). Larger codebooks
+    attach as ONE broadcast row and the per-subspace argmin folds with
+    ``aggregate`` — constant plan size, same (dist, code) minimum,
+    identical lowest-code tie-break (strict ``<`` over the
+    code-sorted array keeps the first)."""
     d = dim // m
-    cb: dict[int, list[tuple[int, list[float]]]] = {}
-    for r in codebooks.collect():
-        cb.setdefault(r["sub"], []).append((r["code"], [float(x) for x in r["cvec"]]))
+    rows = codebooks.limit(m * inline_max + 1).collect()
     v = F.col(vec_col).cast("array<double>")
     code_cols = []
+    if len(rows) <= m * inline_max:
+        cb: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in rows:
+            cb.setdefault(r["sub"], []).append(
+                (r["code"], [float(x) for x in r["cvec"]])
+            )
+        for s in range(m):
+            sub = F.slice(v, s * d + 1, d)
+            scored = [
+                F.struct(
+                    _l2(sub, F.array(*[F.lit(x) for x in cvec])).alias("dist"),
+                    F.lit(code).cast("int").alias("code"),
+                )
+                for code, cvec in sorted(cb[s])
+            ]
+            best = scored[0] if len(scored) == 1 else F.least(*scored)
+            code_cols.append(best.getField("code"))
+        return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    cbarr = codebooks.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("sub").cast("int").alias("sub"),
+                    F.col("code").cast("int").alias("code"),
+                    F.col("cvec").cast("array<double>").alias("cvec"),
+                )
+            )
+        ).alias("_cb")
+    )
     for s in range(m):
         sub = F.slice(v, s * d + 1, d)
-        scored = [
+        best = F.aggregate(
+            F.filter(F.col("_cb"), lambda c: c["sub"] == s),
             F.struct(
-                _l2(sub, F.array(*[F.lit(x) for x in cvec])).alias("dist"),
-                F.lit(code).cast("int").alias("code"),
-            )
-            for code, cvec in sorted(cb[s])
-        ]
-        best = scored[0] if len(scored) == 1 else F.least(*scored)
+                F.lit(float("inf")).alias("dist"),
+                F.lit(-1).cast("int").alias("code"),
+            ),
+            lambda acc, c: F.when(
+                F.struct(_l2(sub, c["cvec"]).alias("dist"),
+                         c["code"].alias("code")) < acc,
+                F.struct(_l2(sub, c["cvec"]).alias("dist"),
+                         c["code"].alias("code")),
+            ).otherwise(acc),
+        )
         code_cols.append(best.getField("code"))
-    return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    return (
+        df.join(F.broadcast(cbarr))  # 1-row broadcast: no amplification
+        .select(F.col(id_col), F.array(*code_cols).alias("codes"))
+    )
 
 
 def pq_topk(
@@ -398,14 +484,17 @@ def pq_topk(
     m: int = 4, codes: int = 8, dim: int = 64,
     id_col: str = "vec_id", vec_col: str = "embedding",
     encoded: DataFrame | None = None,
+    inline_max: int = INLINE_CODEBOOK_MAX,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query's per-subspace
     distance table to every codebook entry is computed ONCE on the
-    driver (m*codes doubles), inlined as literal arrays, and each
-    stored vector's approximate distance is m array lookups summed — a
-    pure projection over the CODE table followed by a TakeOrdered.
-    Pass ``encoded`` (persisted pq_encode output) in a real deployment;
-    the vectors themselves are never touched at query time."""
+    driver (m*codes doubles), inlined as literal arrays (or, above
+    ``inline_max`` codes, attached as ONE broadcast row so the plan
+    stays constant-size), and each stored vector's approximate distance
+    is m array lookups summed — a pure projection over the CODE table
+    followed by a TakeOrdered. Pass ``encoded`` (persisted pq_encode
+    output) in a real deployment; the vectors themselves are never
+    touched at query time."""
     d = dim // m
     cbdf = pq_codebooks(df, m, codes, dim, id_col, vec_col)
     cb: dict[int, dict[int, list[float]]] = {}
@@ -425,18 +514,34 @@ def pq_topk(
                 acc += (float(qx) - cx) * (float(qx) - cx)
             row.append(round(acc, 6))
         lut.append(row)
-    dist = None
-    for s in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut[s]]),
-            F.element_at("codes", s + 1) + 1,
+    if codes <= inline_max:
+        dist = None
+        for s in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in lut[s]]),
+                F.element_at("codes", s + 1) + 1,
+            )
+            dist = term if dist is None else dist + term
+        scored = encoded.select(
+            F.col(id_col), F.round(dist, 4).alias("approx_dist")
         )
-        dist = term if dist is None else dist + term
-    return (
-        encoded.select(F.col(id_col), F.round(dist, 4).alias("approx_dist"))
-        .orderBy("approx_dist", id_col)
-        .limit(k)
-    )
+    else:
+        # huge-codebook fallback: ship the LUT once per executor as a
+        # single broadcast row instead of m*codes literals in the plan
+        spark = encoded.sparkSession
+        lutdf = spark.createDataFrame([(lut,)], "_lut array<array<double>>")
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("codes"), F.col("_lut"),
+                lambda c, l: F.element_at(l, c + 1),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = encoded.join(F.broadcast(lutdf)).select(
+            F.col(id_col), F.round(dist, 4).alias("approx_dist")
+        )
+    return scored.orderBy("approx_dist", id_col).limit(k)
 
 
 def ivfpq_topk(

@@ -1071,3 +1071,89 @@ def test_decontaminate_fuzzy_flags(spark):
     assert out[1].exact_hit and not out[1].keep
     assert not out[2].exact_hit and out[2].near_hit and not out[2].keep
     assert out[3].keep
+
+
+import pytest as _pytest2
+
+
+@_pytest2.mark.parametrize("inline_max", [1024, 1])  # literal vs broadcast
+def test_ivf_assign_paths_agree(spark, inline_max):
+    """The literal-inline and broadcast-codebook assignment paths must
+    produce identical (vec_id, cid) — same max-cosine argmax, same
+    highest-cid tie-break (VERDICT r05 item 8)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, k=6)
+    got = {
+        r.vec_id: r.cid
+        for r in similarity.ivf_assign(
+            emb, cents, inline_max=inline_max
+        ).collect()
+    }
+    want = {
+        r.vec_id: r.cid
+        for r in similarity.ivf_assign(emb, cents, inline_max=1024).collect()
+    }
+    assert got == want
+    # keep_vec variant also agrees and carries the vector through
+    kv = similarity.ivf_assign(
+        emb, cents, keep_vec=True, inline_max=inline_max
+    ).collect()
+    assert {r.vec_id: r.cid for r in kv} == want
+    assert all(len(r.embedding) == 8 for r in kv)
+
+
+@_pytest2.mark.parametrize("inline_max", [1024, 1])
+def test_pq_paths_agree(spark, inline_max):
+    """pq_encode and pq_topk: literal vs broadcast codebook/LUT paths
+    produce identical codes and identical ADC rankings."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = similarity.pq_codebooks(emb, m=4, codes=4, dim=16)
+    enc_a = {tuple([r.vec_id] + list(r.codes)) for r in
+             similarity.pq_encode(emb, cb, m=4, dim=16,
+                                  inline_max=inline_max).collect()}
+    enc_b = {tuple([r.vec_id] + list(r.codes)) for r in
+             similarity.pq_encode(emb, cb, m=4, dim=16,
+                                  inline_max=1024).collect()}
+    assert enc_a == enc_b
+    q = [rng.uniform(-1, 1) for _ in range(16)]
+    top_a = [(r.vec_id, r.approx_dist) for r in
+             similarity.pq_topk(emb, q, k=10, m=4, codes=4, dim=16,
+                                inline_max=inline_max).collect()]
+    top_b = [(r.vec_id, r.approx_dist) for r in
+             similarity.pq_topk(emb, q, k=10, m=4, codes=4, dim=16,
+                                inline_max=1024).collect()]
+    assert top_a == top_b
+
+
+def test_huge_codebook_no_literal_blowup(spark):
+    """At k=16384 centroids the assignment plan must stay constant-size
+    (broadcast codebook), not inline 16k vectors as literals."""
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 97 + 1).cast("double")
+                  for i in range(8)]).alias("embedding"),
+    )
+    cents = spark.range(16384).select(
+        F.col("id").alias("cid"),
+        F.array(*[(F.col("id") * (i + 3) % 89 + 1).cast("double")
+                  for i in range(8)]).alias("cvec"),
+    )
+    out = similarity.ivf_assign(emb, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 100_000, len(plan)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # and it actually runs: every vector gets some centroid
+    assert out.count() == 200
+    assert out.filter(F.col("cid") < 0).count() == 0
