@@ -342,6 +342,15 @@ def main() -> None:
         "SPARK_GRAFT_SF1_DIR",
         str(Path(__file__).resolve().parent / ".localdata" / "sf1"),
     )
+    if sf1_dir and not os.path.isdir(sf1_dir) and "SPARK_GRAFT_SF1_DIR" not in os.environ:
+        # first run in a fresh checkout: generate the sf1 slice once
+        # (~15 s, deterministic seed 42); it is gitignored local data
+        try:
+            from tools.gen_sf import generate
+
+            generate(1.0, sf1_dir)
+        except Exception as e:  # no sf1 section rather than a failed bench
+            print(f"sf1 generation failed: {e}", file=sys.stderr)
     if sf1_dir and os.path.isdir(sf1_dir):
         times_sf1 = _run_set(spark, qs, sf1_dir, n_runs=3)
         ratios1 = {

@@ -1672,7 +1672,7 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from bgpexplorer_spark.operators.ingest import build_history
-    from bgpexplorer_spark.sources.mrt import assign_sessions, encode_update, read_mrt
+    from bgpexplorer_spark.sources.mrt import assign_sessions, encode_update, read_mrt, mrt_peers
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     recs = b""
@@ -1702,7 +1702,7 @@ def s1_mrt_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(recs)
     os.replace(tmp, path)
 
-    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    upd, _sessions = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     hist = build_history(upd)
     return hist.select(
         "ts", "session_id", "nlri_str", "active",
@@ -2180,7 +2180,7 @@ def s1_mrt_v6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from bgpexplorer_spark.sources.mrt import assign_sessions, encode_update, read_mrt
+    from bgpexplorer_spark.sources.mrt import assign_sessions, encode_update, read_mrt, mrt_peers
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     recs = b""
@@ -2201,7 +2201,7 @@ def s1_mrt_v6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(recs)
     os.replace(tmp, path)
 
-    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    upd, _sessions = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     return upd.select(
         "ts", "session_id", "addr_v6", "prefixlen", "nexthop_v6",
         F.expr("aspath[0].asns[0]").alias("as1"),
@@ -2236,7 +2236,8 @@ def s5_mrt_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from bgpexplorer_spark.sources.mrt import (
-        assign_sessions, encode_peer_index, encode_td2_rib_v4, read_mrt,
+        assign_sessions, encode_peer_index, encode_td2_rib_v4, mrt_peers,
+        read_mrt,
     )
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2263,7 +2264,7 @@ def s5_mrt_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(dump)
     os.replace(tmp, path)
 
-    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    upd, _sessions = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     return upd.select(
         "nlri_str", "session_id", "path_id", "ts", "origin", "nexthop_v4",
         F.expr("aspath[0].asns[0]").alias("as1"),
@@ -3634,7 +3635,7 @@ def s5_td1_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from bgpexplorer_spark.sources.mrt import encode_td1_v4, read_mrt
+    from bgpexplorer_spark.sources.mrt import encode_td1_v4, read_mrt, mrt_peers
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = b""
@@ -4529,6 +4530,7 @@ def s1_mrt_mp_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_mvpn_nlri,
         encode_update,
         encode_vpls_nlri,
+        mrt_peers,
         read_mrt,
     )
 
@@ -4567,7 +4569,7 @@ def s1_mrt_mp_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(recs)
     os.replace(tmp, path)
 
-    upd, _sessions = assign_sessions(read_mrt(spark, path))
+    upd, _sessions = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     return upd.select(
         (F.col("ts").cast("long") - F.lit(1704067200)).alias("i"),
         "rib", "nlri_str", "rd_hi", "rd_lo",
@@ -4598,7 +4600,7 @@ def f_wire_vpn_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     the VPN rib (filterlang F1 dispatch through the rd chain)."""
     from bgpexplorer_spark.filterlang.compile import matches
     from bgpexplorer_spark.functions.codecs import aspath_flatten
-    from bgpexplorer_spark.sources.mrt import assign_sessions, read_mrt
+    from bgpexplorer_spark.sources.mrt import assign_sessions, read_mrt, mrt_peers
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # building the family-matrix query writes its MRT fixture eagerly
@@ -4607,7 +4609,7 @@ def f_wire_vpn_subnet(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_mp_fixture.mrt")
-    upd, _ = assign_sessions(read_mrt(spark, path))
+    upd, _ = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     upd = upd.withColumn("aspath_flat", aspath_flatten(F.col("aspath")))
     return (
         upd.filter(F.col("rib") == "vpnv4u")
@@ -4637,7 +4639,7 @@ def an_vrf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     range. Map-side combinable; the VRF key is low-cardinality so the
     exchange is tiny at any scale."""
     from bgpexplorer_spark.functions.codecs import rd_to_str
-    from bgpexplorer_spark.sources.mrt import assign_sessions, read_mrt
+    from bgpexplorer_spark.sources.mrt import assign_sessions, read_mrt, mrt_peers
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     s1_mrt_mp_families(spark, sf_dir)  # writes the MRT fixture eagerly
@@ -4645,7 +4647,7 @@ def an_vrf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     path = os.path.join(tempfile.gettempdir(), "bgpx_mrt_mp_fixture.mrt")
-    upd, _ = assign_sessions(read_mrt(spark, path))
+    upd, _ = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     return (
         upd.filter(F.col("rib") == "vpnv4u")
         .groupBy(rd_to_str(F.col("rd_hi"), F.col("rd_lo")).alias("vrf"))
@@ -4691,6 +4693,7 @@ def f_wire_mvpn_evpn(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_evpn_nlri,
         encode_mvpn_nlri,
         encode_update,
+        mrt_peers,
         read_mrt,
     )
 
@@ -4726,7 +4729,7 @@ def f_wire_mvpn_evpn(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(recs)
     os.replace(tmp, path)
 
-    upd, _ = assign_sessions(read_mrt(spark, path))
+    upd, _ = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     ts = F.col("ts").cast("long") - F.lit(base)
     mvpn = (
         upd.filter(F.col("rib") == "mvpn")
@@ -4773,6 +4776,7 @@ def s1_mrt_pmsi_tunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_sessions,
         encode_mvpn_nlri,
         encode_update,
+        mrt_peers,
         read_mrt,
     )
 
@@ -4795,7 +4799,7 @@ def s1_mrt_pmsi_tunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(recs)
     os.replace(tmp, path)
 
-    upd, _ = assign_sessions(read_mrt(spark, path))
+    upd, _ = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     p = F.col("pmsi_ta")
     return upd.filter(F.col("rib") == "mvpn").select(
         (F.col("ts").cast("long") - F.lit(base)).alias("i"),

@@ -94,7 +94,7 @@ def _read_prefixes(buf: bytes, off: int, end: int, v6: bool, addpath: bool = Fal
         if addpath:
             if off + 5 > end:
                 break
-            path_id = struct.unpack(">I", buf[off : off + 4])[0]
+            path_id = int.from_bytes(buf[off : off + 4], "big")
             off += 4
         plen = buf[off]
         off += 1
@@ -106,20 +106,21 @@ def _read_prefixes(buf: bytes, off: int, end: int, v6: bool, addpath: bool = Fal
         if v6:
             out.append((raw, plen, path_id))
         else:
-            out.append((struct.unpack(">I", raw)[0], plen, path_id))
+            out.append((int.from_bytes(raw, "big"), plen, path_id))
     return out
 
 
 def _parse_aspath_segments(val: bytes, asz: int, afmt: str) -> list:
     segs, p = [], 0
-    while p + 2 <= len(val):
+    n, ifb = len(val), int.from_bytes
+    while p + 2 <= n:
         skind, scount = val[p], val[p + 1]
         p += 2
         asns = []
         for _ in range(scount):
-            if p + asz > len(val):
+            if p + asz > n:
                 break
-            asns.append(struct.unpack(afmt, val[p : p + asz])[0])
+            asns.append(ifb(val[p : p + asz], "big"))
             p += asz
         segs.append({"kind": "Set" if skind == 1 else "Seq", "asns": asns})
     return segs
@@ -155,6 +156,19 @@ def _merge_as4path(aspath: list, as4path: list) -> list:
     return lead + as4path
 
 
+# per-record attrs template: .copy() is measurably cheaper than a 16-key
+# dict literal in the decode hot loop; the two _mp_* entries are
+# reassigned (never mutated in place), so sharing the empty tuples is safe
+_EMPTY_ATTRS: dict = {
+    "origin": None, "nexthop_v4": None, "nexthop_v6": None,
+    "aspath": None, "comms": None, "lcomms": None, "extcomms": None,
+    "med": None, "localpref": None, "atomicaggregate": None,
+    "aggregator_as": None, "originator": None, "clusterlist": None,
+    "pmsi_ta": None,
+    "_mp_reach": (), "_mp_unreach": (),  # [(key_dict, path_id)]
+}
+
+
 def _parse_attrs(
     buf: bytes, off: int, end: int, as4: bool,
     table_dump: bool = False, addpath: bool = False,
@@ -164,16 +178,10 @@ def _parse_attrs(
     ``table_dump``: in TABLE_DUMP_V2 RIB entries MP_REACH_NLRI is encoded
     as nexthop-length + nexthop ONLY (RFC 6396 §4.3.4) — the prefix lives
     in the record header."""
-    a: dict = {
-        "origin": None, "nexthop_v4": None, "nexthop_v6": None,
-        "aspath": None, "comms": None, "lcomms": None, "extcomms": None,
-        "med": None, "localpref": None, "atomicaggregate": None,
-        "aggregator_as": None, "originator": None, "clusterlist": None,
-        "pmsi_ta": None,
-        "_mp_reach": [], "_mp_unreach": [],  # [(key_dict, path_id)]
-    }
+    a: dict = _EMPTY_ATTRS.copy()  # fresh dict per record, shared shape
     asz = 4 if as4 else 2
     afmt = ">I" if as4 else ">H"
+    ifb = int.from_bytes
     while off < end:
         if off + 2 > end:
             break
@@ -182,7 +190,7 @@ def _parse_attrs(
         if flags & 0x10:  # extended length
             if off + 2 > end:
                 break
-            alen = struct.unpack(">H", buf[off : off + 2])[0]
+            alen = ifb(buf[off : off + 2], "big")
             off += 2
         else:
             alen = buf[off]
@@ -194,25 +202,25 @@ def _parse_attrs(
         elif atype == 2:
             a["aspath"] = _parse_aspath_segments(val, asz, afmt)
         elif atype == 3 and alen == 4:
-            a["nexthop_v4"] = struct.unpack(">I", val)[0]
+            a["nexthop_v4"] = ifb(val, "big")
         elif atype == 4 and alen == 4:
-            a["med"] = struct.unpack(">I", val)[0]
+            a["med"] = ifb(val, "big")
         elif atype == 5 and alen == 4:
-            a["localpref"] = struct.unpack(">I", val)[0]
+            a["localpref"] = ifb(val, "big")
         elif atype == 6:
             a["atomicaggregate"] = True
         elif atype == 7 and alen >= asz + 4:
-            a["aggregator_as"] = struct.unpack(afmt, val[:asz])[0]
+            a["aggregator_as"] = ifb(val[:asz], "big")
         elif atype == 8:
             a["comms"] = [
-                struct.unpack(">I", val[i : i + 4])[0]
+                ifb(val[i : i + 4], "big")
                 for i in range(0, len(val) - 3, 4)
             ]
         elif atype == 9 and alen == 4:
-            a["originator"] = struct.unpack(">I", val)[0]
+            a["originator"] = ifb(val, "big")
         elif atype == 10:
             a["clusterlist"] = [
-                struct.unpack(">I", val[i : i + 4])[0]
+                ifb(val[i : i + 4], "big")
                 for i in range(0, len(val) - 3, 4)
             ]
         elif atype == 14 and table_dump and alen >= 1:
@@ -221,34 +229,34 @@ def _parse_attrs(
             if nhlen >= 16:
                 a["nexthop_v6"] = val[1:17]
             elif nhlen == 4:
-                a["nexthop_v4"] = struct.unpack(">I", val[1:5])[0]
+                a["nexthop_v4"] = ifb(val[1:5], "big")
         elif atype == 14 and alen >= 5:  # MP_REACH_NLRI — full family matrix
-            afi, safi, nhlen = struct.unpack(">HBB", val[:4])
+            afi, safi, nhlen = ifb(val[:2], "big"), val[2], val[3]
             nh = val[4 : 4 + nhlen]
             if safi in (128, 129) and len(nh) in (12, 24):
                 nh = nh[8:]  # VPN nexthops carry an RD prefix (RFC 4364 §4.3.2)
             if len(nh) >= 16:
                 a["nexthop_v6"] = nh[:16]
             elif len(nh) == 4:
-                a["nexthop_v4"] = struct.unpack(">I", nh)[0]
+                a["nexthop_v4"] = ifb(nh, "big")
             p = 4 + nhlen + 1  # + reserved SNPA byte
             a["_mp_reach"] = _decode_mp_nlri(afi, safi, val, p, len(val), addpath)
         elif atype == 15 and alen >= 3:  # MP_UNREACH_NLRI — full family matrix
-            afi, safi = struct.unpack(">HB", val[:3])
+            afi, safi = ifb(val[:2], "big"), val[2]
             a["_mp_unreach"] = _decode_mp_nlri(afi, safi, val, 3, len(val), addpath)
         elif atype == 17 and not as4:
             # AS4_PATH (RFC 6793 §3): true 4-octet path alongside the
             # AS_TRANS-laden AS_PATH of a 2-octet session
             a["_as4path"] = _parse_aspath_segments(val, 4, ">I")
         elif atype == 18 and not as4 and alen >= 8:
-            a["_as4aggregator"] = struct.unpack(">I", val[:4])[0]
+            a["_as4aggregator"] = ifb(val[:4], "big")
         elif atype == 16:
             a["extcomms"] = [
                 {
                     "ctype": val[i],
                     "subtype": val[i + 1],
-                    "a": struct.unpack(">H", val[i + 2 : i + 4])[0],
-                    "b": struct.unpack(">I", val[i + 4 : i + 8])[0],
+                    "a": ifb(val[i + 2 : i + 4], "big"),
+                    "b": ifb(val[i + 4 : i + 8], "big"),
                 }
                 for i in range(0, len(val) - 7, 8)
             ]
@@ -282,15 +290,26 @@ def _parse_attrs(
 
 _NULL_KEYS = {f.name: None for f in KEY_FIELDS}
 _ATTR_NAMES = [f.name for f in ATTR_FIELDS]
+# full-null row template: one dict copy + targeted assignments beats
+# rebuilding the 30-key dict field-by-field in the decode hot loop
+_NULL_ROW = {
+    "ts": None, "peer_addr": None, "peer_as": None, "op": None,
+    "path_id": 0, **_NULL_KEYS, **dict.fromkeys(_ATTR_NAMES),
+}
 
 
 def _emit(ts, peer_addr, peer_as, op, key: dict, attrs: dict | None,
           path_id: int = 0) -> dict:
-    row = {"ts": ts, "peer_addr": peer_addr, "peer_as": peer_as,
-           "op": op, "path_id": path_id, **_NULL_KEYS}
+    row = dict(_NULL_ROW)
+    row["ts"] = ts
+    row["peer_addr"] = peer_addr
+    row["peer_as"] = peer_as
+    row["op"] = op
+    row["path_id"] = path_id
     row.update(key)
-    for n in _ATTR_NAMES:
-        row[n] = attrs.get(n) if attrs else None
+    if attrs is not None:
+        for n in _ATTR_NAMES:
+            row[n] = attrs[n]
     return row
 
 
@@ -675,11 +694,11 @@ def parse_bgp_update(
     """One BGP UPDATE body (after the 19-byte message header) → emitted
     rows — shared by the MRT BGP4MP and BMP Route Monitoring walks
     (reference decode src/bgppeer.rs:179-258)."""
-    wlen = struct.unpack(">H", body[p : p + 2])[0]
+    wlen = int.from_bytes(body[p : p + 2], "big")
     p += 2
     withdrawn = _read_prefixes(body, p, p + wlen, v6=False, addpath=addpath)
     p += wlen
-    alen = struct.unpack(">H", body[p : p + 2])[0]
+    alen = int.from_bytes(body[p : p + 2], "big")
     p += 2
     attrs = _parse_attrs(body, p, p + alen, as4, addpath=addpath)
     nlri = _read_prefixes(body, p + alen, end, v6=False, addpath=addpath)
@@ -694,29 +713,45 @@ def parse_bgp_update(
         yield _emit(ts, peer_addr, peer_as, "update", key, attrs, pid)
 
 
+_PEER_STR: dict[bytes, str] = {}
+
+
+def _peer_str(peer_ip: bytes, ipw: int) -> str:
+    """Peer-address rendering memo: an archive has a handful of peers
+    but millions of records; the dict hit replaces per-record int
+    parsing + f-string formatting. Bounded by the distinct-peer count
+    (capped defensively)."""
+    got = _PEER_STR.get(peer_ip)
+    if got is None:
+        got = (
+            _v4_str(int.from_bytes(peer_ip, "big"))
+            if ipw == 4 else _v6_str(peer_ip)
+        )
+        if len(_PEER_STR) < 65536:
+            _PEER_STR[peer_ip] = got
+    return got
+
+
 def _parse_bgp4mp(body: bytes, ts_sec: int, mtype: int, subtype: int):
     import datetime as dt
 
     p = 0
     usec = 0
     if mtype == MRT_BGP4MP_ET:
-        usec = struct.unpack(">I", body[:4])[0]
+        usec = int.from_bytes(body[:4], "big")
         p = 4
     as4 = subtype in (BGP4MP_MESSAGE_AS4, BGP4MP_MESSAGE_AS4_ADDPATH)
     addpath = subtype in (BGP4MP_MESSAGE_ADDPATH, BGP4MP_MESSAGE_AS4_ADDPATH)
     asz = 4 if as4 else 2
-    afmt = ">I" if as4 else ">H"
-    peer_as = struct.unpack(afmt, body[p : p + asz])[0]
+    peer_as = int.from_bytes(body[p : p + asz], "big")
     p += 2 * asz  # peer_as + local_as
     p += 2  # ifindex
-    afi = struct.unpack(">H", body[p : p + 2])[0]
+    afi = int.from_bytes(body[p : p + 2], "big")
     p += 2
     ipw = 4 if afi == 1 else 16
     peer_ip = body[p : p + ipw]
     p += 2 * ipw  # peer + local ip
-    peer_addr = (
-        _v4_str(struct.unpack(">I", peer_ip)[0]) if ipw == 4 else _v6_str(peer_ip)
-    )
+    peer_addr = _peer_str(peer_ip, ipw)
     # BGP message: 16B marker + length(2) + type(1)
     if p + 19 > len(body):
         return
@@ -919,15 +954,50 @@ def read_mrt(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(decode, MRT_SCHEMA)
 
 
-def assign_sessions(mrt_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def mrt_peers(spark: SparkSession, path: str) -> DataFrame:
+    """Distinct (peer_addr, peer_as) of an archive — the sessions
+    dimension scan. Runs the SAME record walk as read_mrt (identical
+    peer visibility: a peer appears iff at least one of its records
+    emits a row) but reduces to the per-file distinct set executor-side,
+    so the global distinct shuffles a peers-sized — not archive-sized —
+    set and nothing full-width crosses Arrow. This is the cheap second
+    pass assign_sessions needs: without it the sessions dimension
+    re-decodes AND re-shuffles the whole archive."""
+    import pandas as pd
+
+    def scan(batches):
+        for pdf in batches:
+            pairs = set()
+            for content in pdf["content"]:
+                for r in parse_mrt(bytes(content)):
+                    pairs.add((r["peer_addr"], r["peer_as"]))
+            yield pd.DataFrame(
+                sorted(pairs), columns=["peer_addr", "peer_as"]
+            ) if pairs else pd.DataFrame(columns=["peer_addr", "peer_as"])
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(
+        scan, "peer_addr string, peer_as long"
+    ).distinct()
+
+
+def assign_sessions(
+    mrt_df: DataFrame, peers_df: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(peer_addr, peer_as) → dense session_id; returns (updates in
     UPDATES_SCHEMA order, sessions dimension). The dimension is tiny (one
     row per peer) so the id join broadcasts; ordering by (peer_addr,
-    peer_as) makes the ids deterministic."""
+    peer_as) makes the ids deterministic.
+
+    ``peers_df``: pass ``mrt_peers(spark, path)`` when the source path is
+    known — the dimension then builds from a peers-sized scan instead of
+    a full-width distinct over the decoded archive (which re-runs the
+    whole decode AND shuffles every row a second time)."""
     from bgpexplorer_spark.operators.sessions import dense_ids
 
     peers = dense_ids(
-        mrt_df.select("peer_addr", "peer_as").distinct(),
+        (peers_df if peers_df is not None
+         else mrt_df.select("peer_addr", "peer_as").distinct()),
         ["peer_addr", "peer_as"],
     )
     upd = (
