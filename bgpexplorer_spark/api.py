@@ -470,9 +470,34 @@ class BgpExplorerService:
         return [{"asn": r.asn, "cone_size": r.cone_size} for r in rows]
 
     def api_statistics(self) -> dict:
-        """GET /api/statistics (O6, src/ribservice.rs:168-219)."""
-        rows = statistics(self.history).collect()
-        return {r.rib: r.asDict() for r in rows}
+        """GET /api/statistics (O6) — the REFERENCE envelope
+        (src/ribservice.rs:168-219): ``stores`` (hash-consing store
+        sizes; here distinct-counts over the event table), ``ribs``
+        (route count per family, 0 for empty — all 15 keys always
+        present like the reference), ``counters`` (updates/withdraws).
+        The engine's richer per-rib detail rides along under
+        ``ribs_detail`` (a superset key the reference doesn't emit)."""
+        rows = [r.asDict() for r in statistics(self.history).collect()]
+        by_rib = {r["rib"]: r for r in rows}
+        return {
+            "stores": {
+                "attrs": sum(r["attrs_store"] for r in rows),
+                "pathes": sum(r["aspath_store"] for r in rows),
+                "comms": sum(r["comms_store"] for r in rows),
+                "lcomms": sum(r["lcomms_store"] for r in rows),
+                "extcomms": sum(r["extcomms_store"] for r in rows),
+                "clusters": sum(r["clusters_store"] for r in rows),
+            },
+            "ribs": {
+                name: by_rib.get(name, {}).get("routes", 0)
+                for name in RIB_NAMES
+            },
+            "counters": {
+                "updates": sum(r["cnt_updates"] or 0 for r in rows),
+                "withdraws": sum(r["cnt_withdraws"] or 0 for r in rows),
+            },
+            "ribs_detail": by_rib,
+        }
 
     def api_sessions(self) -> list[dict]:
         """GET /api/sessions (src/bgpsvc.rs:733-745)."""

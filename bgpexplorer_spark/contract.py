@@ -3635,7 +3635,7 @@ def s5_td1_rib_dump(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from bgpexplorer_spark.sources.mrt import encode_td1_v4, read_mrt, mrt_peers
+    from bgpexplorer_spark.sources.mrt import encode_td1_v4, read_mrt
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = b""

@@ -48,6 +48,7 @@ def statistics(history: DataFrame) -> DataFrame:
         F.approx_count_distinct("comms").alias("comms_store"),
         F.approx_count_distinct("extcomms").alias("extcomms_store"),
         F.approx_count_distinct("lcomms").alias("lcomms_store"),
+        F.approx_count_distinct("clusterlist").alias("clusters_store"),
         F.count_distinct("session_id").alias("sessions"),
     )
 

@@ -655,3 +655,44 @@ def test_write_rib_dump_one_record_per_prefix_across_batches(spark, tmp_path):
     back = read_mrt(spark, out)
     assert back.count() == n_sessions
     assert back.select("nlri_str").distinct().collect()[0][0] == "10.0.0.0/8"
+
+
+def test_mrt_peers_matches_decoded_distinct(spark, tmp_path):
+    """mrt_peers (the peers-sized sessions-dimension scan) must see
+    EXACTLY the peers a full decode sees — a peer appears iff at least
+    one of its records emits a row. Randomized mixed archive: updates,
+    withdraws, EOR-style empty updates (no rows -> peer must NOT appear
+    unless it has other records), v6 peers, junk records."""
+    import random
+
+    from bgpexplorer_spark.sources.mrt import mrt_peers, read_mrt
+
+    rng = random.Random(20260814)
+    recs = b""
+    for i in range(120):
+        peer = rng.randint(0, 7)
+        kw = dict(ts_sec=1704067200 + i, peer_as=65000 + peer,
+                  peer_ip=0x0AFF0000 + peer)
+        kind = rng.randrange(4)
+        if kind == 0:
+            recs += encode_update(**kw, withdrawn=[(0x0A000000, 16)])
+        elif kind == 1:
+            recs += encode_update(
+                **kw, nlri=[(0x0B000000 + (i % 8) * 65536, 16)],
+                origin=0, aspath=[(2, [100])], nexthop=1,
+            )
+        elif kind == 2:
+            recs += encode_update(**kw)  # EOR: no NLRI -> no rows
+        else:
+            recs += struct.pack(">IHHI", 0, 99, 0, 4) + b"\x00" * 4  # junk
+    p = tmp_path / "mixed.mrt"
+    p.write_bytes(recs)
+    full = {
+        (r.peer_addr, r.peer_as)
+        for r in read_mrt(spark, str(p)).select("peer_addr", "peer_as").distinct().collect()
+    }
+    skim = {
+        (r.peer_addr, r.peer_as)
+        for r in mrt_peers(spark, str(p)).collect()
+    }
+    assert skim == full

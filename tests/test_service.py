@@ -321,7 +321,15 @@ def test_http_api_end_to_end(spark):
         assert resp["found"] == 2 and resp["length"] == 3
         assert set(resp["items"]) == {"10.0.0.0/24", "10.0.1.0/24"}
         stats = json.loads(urllib.request.urlopen(base + "/api/statistics").read())
-        assert stats["ipv4u"]["routes"] == 3
+        # the reference envelope (src/ribservice.rs:168-219): stores /
+        # ribs / counters, all 15 rib keys present even when empty
+        assert stats["ribs"]["ipv4u"] == 3 and stats["ribs"]["evpn"] == 0
+        assert len(stats["ribs"]) == 15
+        assert stats["counters"]["updates"] >= 3
+        assert set(stats["stores"]) == {
+            "attrs", "pathes", "comms", "lcomms", "extcomms", "clusters",
+        }
+        assert stats["ribs_detail"]["ipv4u"]["routes"] == 3
         sess = json.loads(urllib.request.urlopen(base + "/api/sessions").read())
         assert sess[0]["peer1_as"] == 65000
         # unknown rib falls back to ipv4u (reference quirk)
