@@ -499,11 +499,22 @@ class BgpExplorerService:
             "ribs_detail": by_rib,
         }
 
-    def api_sessions(self) -> list[dict]:
-        """GET /api/sessions (src/bgpsvc.rs:733-745)."""
+    def api_sessions(self) -> dict:
+        """GET /api/sessions — the reference's BgpSessionStorage map
+        shape (src/bgpsvc.rs:733-745): ``{session_id: {"peer1": {"addr",
+        "as_num"}, "peer2": {...}}}`` (serde_json renders the numeric
+        BTreeMap key as a string). peer2 fields are null for
+        single-sided sources (MRT archives) where only the announcing
+        peer is known."""
         if self.sessions is None:
-            return []
-        return [r.asDict() for r in self.sessions.collect()]
+            return {}
+        return {
+            str(r["session_id"]): {
+                "peer1": {"addr": r["peer1_addr"], "as_num": r["peer1_as"]},
+                "peer2": {"addr": r["peer2_addr"], "as_num": r["peer2_as"]},
+            }
+            for r in self.sessions.collect()
+        }
 
     def api_state(self) -> dict:
         return {"state": self.state}

@@ -331,7 +331,9 @@ def test_http_api_end_to_end(spark):
         }
         assert stats["ribs_detail"]["ipv4u"]["routes"] == 3
         sess = json.loads(urllib.request.urlopen(base + "/api/sessions").read())
-        assert sess[0]["peer1_as"] == 65000
+        # reference BgpSessionStorage map shape: {sid: {peer1, peer2}}
+        assert sess["0"]["peer1"]["as_num"] == 65000
+        assert "addr" in sess["0"]["peer1"] and "peer2" in sess["0"]
         # unknown rib falls back to ipv4u (reference quirk)
         resp2 = json.loads(
             urllib.request.urlopen(base + "/api/json/nonsense?limit=1").read()
