@@ -450,6 +450,55 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_upstream_diversity(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/upstreams[?rib=&k=&skip=] — per-origin
+        distinct penultimate-hop count over the active state (single- vs
+        multi-homed resilience report)."""
+        from bgpexplorer_spark.operators.analytics import upstream_diversity
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = self._page(
+            upstream_diversity(st).orderBy(
+                F.col("n_upstreams"), F.col("n_prefixes").desc(), "origin_as"
+            ),
+            k, skip,
+        ).collect()
+        return [
+            {
+                "origin_as": r.origin_as, "n_upstreams": r.n_upstreams,
+                "n_prefixes": r.n_prefixes, "single_homed": r.single_homed,
+            }
+            for r in rows
+        ]
+
+    def api_deaggregation(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/deagg[?rib=&k=&skip=] — per-origin
+        deaggregation report (prefixes covered by a same-origin shorter
+        mask), worst offenders first."""
+        from bgpexplorer_spark.operators.analytics import deaggregation
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = self._page(
+            deaggregation(st).orderBy(
+                F.col("deagg_ratio").desc(), F.col("n_prefixes").desc(),
+                "origin_as",
+            ),
+            k, skip,
+        ).collect()
+        return [
+            {
+                "origin_as": r.origin_as, "n_prefixes": r.n_prefixes,
+                "n_covered": r.n_covered, "deagg_ratio": r.deagg_ratio,
+            }
+            for r in rows
+        ]
+
     def api_customer_cones(
         self, rib: str = "ipv4u", k: int = 50, skip: int = 0
     ) -> list[dict]:
@@ -739,6 +788,12 @@ def _make_handler(svc: BgpExplorerService):
                     )
                 if parts[:3] == ["api", "analytics", "martians"]:
                     return self._send(svc.api_martians(rib, **page()))
+                if parts[:3] == ["api", "analytics", "upstreams"]:
+                    return self._send(
+                        svc.api_upstream_diversity(rib, **page())
+                    )
+                if parts[:3] == ["api", "analytics", "deagg"]:
+                    return self._send(svc.api_deaggregation(rib, **page()))
                 if parts[:3] == ["api", "analytics", "leaks"]:
                     return self._send(svc.api_route_leaks(rib, **page(100)))
                 if parts[:3] == ["api", "analytics", "cones"]:

@@ -6378,3 +6378,70 @@ def an_martian_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.upper(F.hex("addr_v6")).alias("addr_hex"), "martian"
     )
+
+
+@q(
+    "an_upstream_diversity",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active)
+    SELECT origin_as,
+           count(DISTINCT as1_raw) AS n_upstreams,
+           count(DISTINCT nlri_str) AS n_prefixes,
+           count(DISTINCT as1_raw) = 1 AS single_homed
+    FROM state GROUP BY origin_as
+    """,
+)
+def an_upstream_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-origin upstream diversity (operators/analytics.
+    upstream_diversity): distinct penultimate-hop ASes per origin over
+    the active state — the single/multi-homed resilience report."""
+    from bgpexplorer_spark.operators.analytics import upstream_diversity
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = _origins_history(spark, sf_dir)
+    return upstream_diversity(current_state(hist))
+
+
+@q(
+    "an_deaggregation",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active),
+    pfx AS (SELECT DISTINCT origin_as, addr_v4, prefixlen FROM state),
+    covered AS (
+        SELECT DISTINCT c.origin_as, c.addr_v4, c.prefixlen
+        FROM pfx c JOIN pfx s
+          ON s.origin_as = c.origin_as
+         AND s.prefixlen < c.prefixlen
+         AND c.addr_v4 - (c.addr_v4 % CAST(power(2, 32 - s.prefixlen) AS BIGINT))
+             = s.addr_v4
+    ),
+    totals AS (SELECT origin_as, count(*) AS n_prefixes FROM pfx GROUP BY 1),
+    cov AS (SELECT origin_as, count(*) AS n_covered FROM covered GROUP BY 1)
+    SELECT t.origin_as, t.n_prefixes,
+           coalesce(c.n_covered, 0) AS n_covered,
+           round(coalesce(c.n_covered, 0) / t.n_prefixes, 4) AS deagg_ratio
+    FROM totals t LEFT JOIN cov c USING (origin_as)
+    """,
+)
+def an_deaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-origin deaggregation report (operators/analytics.
+    deaggregation): announced prefixes covered by a same-origin shorter
+    mask — table-bloat measurement; the cover test is truncation
+    equi-joins per distinct mask length, never a range join."""
+    from bgpexplorer_spark.operators.analytics import deaggregation
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = _origins_history(spark, sf_dir)
+    return deaggregation(current_state(hist))

@@ -1085,3 +1085,104 @@ def martian_prefixes_v6(
             a.isNotNull() & (a >= F.lit(lo)) & (a <= F.lit(hi)), F.lit(name)
         ).otherwise(expr)
     return state.withColumn("martian", expr).filter(F.col("martian").isNotNull())
+
+
+def upstream_diversity(
+    state: DataFrame, path_col: str = "aspath_flat"
+) -> DataFrame:
+    """Per-origin upstream diversity: how many DISTINCT penultimate-hop
+    ASes announce each origin's prefixes — the single-homed/multi-homed
+    resilience view an operator reads before a provider migration (and
+    the denominator of "how much of the table would one upstream outage
+    strand"). Prepends are collapsed first so self-prepended origins
+    don't count themselves as an upstream; paths shorter than 2 hops
+    (direct peers / locally originated) are excluded — they have no
+    upstream to diversify.
+
+    Scale: one projection + one hash aggregate over the active state —
+    map-side partial, no joins, no explode."""
+    p = _collapse_prepends(F.col(path_col))
+    rows = (
+        state.filter(F.size(p) >= 2)
+        .select(
+            F.element_at(p, -1).alias("origin_as"),
+            F.element_at(p, -2).alias("upstream_as"),
+            "nlri_str",
+        )
+    )
+    return (
+        rows.groupBy("origin_as")
+        .agg(
+            F.count_distinct("upstream_as").alias("n_upstreams"),
+            F.count_distinct("nlri_str").alias("n_prefixes"),
+        )
+        .withColumn("single_homed", F.col("n_upstreams") == 1)
+    )
+
+
+def deaggregation(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
+    """Per-origin deaggregation report: of each origin's announced v4
+    prefixes, how many are COVERED by another announcement of the SAME
+    origin with a shorter mask (the classic table-bloat signal — a /20
+    plus its sixteen /24s scores 16 covered). Output: origin_as,
+    n_prefixes, n_covered, deagg_ratio.
+
+    Scale shape: the cover test is NOT a range join — each announced
+    prefix emits one truncation per DISTINCT shorter mask length present
+    in the table (≤ 32 for v4, discovered from a 33-row-bounded
+    aggregate, the lpm_join_v4 trick), and coverage is an equi-semi-join
+    on (origin_as, truncated addr, plen). Shuffles on hash keys only."""
+    o = origin_as(F.col("aspath_flat"))
+    pfx = (
+        state.filter(F.col(addr_col).isNotNull())
+        .select(o.alias("origin_as"), F.col(addr_col).alias("_addr"), "prefixlen")
+        .filter(F.col("origin_as").isNotNull())
+        .distinct()
+    )
+    plens = sorted(
+        r["prefixlen"]
+        for r in pfx.select("prefixlen").distinct().collect()  # ≤ 33 rows
+    )
+    truncs = None
+    for p in plens[:-1]:  # the longest mask can't cover anything
+        span = 1 << (32 - p)
+        t = (
+            pfx.filter(F.col("prefixlen") > p)
+            .select(
+                "origin_as",
+                "_addr",
+                "prefixlen",
+                (F.col("_addr") - (F.col("_addr") % span)).alias("_cover_addr"),
+                F.lit(p).alias("_cover_plen"),
+            )
+        )
+        truncs = t if truncs is None else truncs.unionByName(t)
+    if truncs is None:
+        covered = pfx.limit(0)
+    else:
+        covered = truncs.join(
+            pfx.select(
+                "origin_as",
+                F.col("_addr").alias("_cover_addr"),
+                F.col("prefixlen").alias("_cover_plen"),
+            ),
+            ["origin_as", "_cover_addr", "_cover_plen"],
+            "left_semi",
+        ).select("origin_as", "_addr", "prefixlen").distinct()
+    totals = pfx.groupBy("origin_as").agg(
+        F.count(F.lit(1)).alias("n_prefixes")
+    )
+    cov = covered.groupBy("origin_as").agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+    return (
+        totals.join(cov, "origin_as", "left")
+        .select(
+            "origin_as",
+            "n_prefixes",
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) / F.col("n_prefixes"), 4
+            ).alias("deagg_ratio"),
+        )
+    )

@@ -729,3 +729,45 @@ def test_martian_prefixes_v6_boundaries(spark):
         4: "ipv4-mapped", 5: "doc-2001db8", 7: "ula",
         9: "link-local", 11: "multicast",
     }
+
+
+def test_upstream_diversity_hand_computed(spark):
+    """Origin 300: two upstreams (100 via one prefix, 101 via another).
+    Origin 400: single-homed behind 100, with a self-prepend that must
+    NOT count the origin as its own upstream. A direct 1-hop route
+    (origin only) has no upstream and is excluded."""
+    from bgpexplorer_spark.operators.analytics import upstream_diversity
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/24", t=1, session_id=0, aspath=[("Seq", [100, 300])]),
+        u("10.1.0.0/24", t=2, session_id=1, aspath=[("Seq", [101, 300])]),
+        u("10.2.0.0/24", t=3, session_id=0, aspath=[("Seq", [100, 400, 400])]),
+        u("10.3.0.0/24", t=4, session_id=0, aspath=[("Seq", [500])]),  # direct
+    ]))
+    got = {
+        r.origin_as: (r.n_upstreams, r.n_prefixes, r.single_homed)
+        for r in upstream_diversity(current_state(hist)).collect()
+    }
+    assert got == {300: (2, 2, False), 400: (1, 1, True)}
+
+
+def test_deaggregation_hand_computed(spark):
+    """Origin 300 announces 10.0.0.0/16 plus two /24s inside it (covered)
+    and one /24 outside it (not covered); origin 400 announces a /24
+    inside 300's /16 — NOT covered, the cover must share the origin."""
+    from bgpexplorer_spark.operators.analytics import deaggregation
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/16", t=1, aspath=[("Seq", [100, 300])]),
+        u("10.0.1.0/24", t=2, aspath=[("Seq", [100, 300])]),
+        u("10.0.2.0/24", t=3, aspath=[("Seq", [101, 300])]),
+        u("10.9.0.0/24", t=4, aspath=[("Seq", [100, 300])]),
+        u("10.0.3.0/24", t=5, session_id=1, aspath=[("Seq", [100, 400])]),
+    ]))
+    got = {
+        r.origin_as: (r.n_prefixes, r.n_covered, r.deagg_ratio)
+        for r in deaggregation(current_state(hist)).collect()
+    }
+    assert got == {300: (4, 2, 0.5), 400: (1, 0, 0.0)}

@@ -951,3 +951,30 @@ def test_http_bundled_ui_served_at_root(spark):
         assert "/api/statistics" in html and "/api/whois/" in html
     finally:
         httpd.shutdown()
+
+
+def test_http_upstreams_and_deagg_endpoints(spark):
+    """GET /api/analytics/upstreams and /deagg — per-origin resilience
+    and table-bloat reports, paged like every analytics endpoint."""
+    hist = build_history(make_updates(spark, [
+        u("11.0.0.0/16", t=1, aspath=[("Seq", [100, 300])]),
+        u("11.0.1.0/24", t=2, aspath=[("Seq", [101, 300])]),
+        u("11.9.0.0/24", t=3, aspath=[("Seq", [101, 400])]),
+    ])).cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        up = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/upstreams").read())
+        got = {x["origin_as"]: (x["n_upstreams"], x["single_homed"]) for x in up}
+        assert got == {300: (2, False), 400: (1, True)}
+        assert len(json.loads(urllib.request.urlopen(
+            base + "/api/analytics/upstreams?k=1").read())) == 1
+        dg = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/deagg").read())
+        got2 = {x["origin_as"]: (x["n_prefixes"], x["n_covered"]) for x in dg}
+        assert got2 == {300: (2, 1), 400: (1, 0)}
+    finally:
+        httpd.shutdown()
