@@ -6445,3 +6445,65 @@ def an_deaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = _origins_history(spark, sf_dir)
     return deaggregation(current_state(hist))
+
+
+@q(
+    "pipe_chunk_documents",
+    """
+    WITH ch AS (
+        SELECT doc_id, text,
+               CAST(s AS INTEGER) AS chunk_start,
+               CAST((s - 1) / 160 AS INTEGER) AS chunk_idx
+        FROM documents,
+             LATERAL unnest(range(1, greatest(length(text), 1) + 1, 160))
+                 AS t(s)
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           substr(text, chunk_start, 200) AS chunk_text,
+           CAST(count(*) OVER (PARTITION BY doc_id) AS INTEGER) AS n_chunks
+    FROM ch
+    """,
+)
+def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunker (operators/pipeline.chunk_documents): fixed-size
+    overlapping character chunks with provenance offsets; pure map."""
+    from bgpexplorer_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=200, overlap=40)
+
+
+@q(
+    "text_normalize",
+    r"""
+    WITH noisy AS (
+        SELECT doc_id,
+               ' ' || substr(text, 1, 40) || chr(9) || chr(9) || 'x'
+                   || chr(7) || repeat(chr(10), 4)
+                   || substr(text, 41, length(text)) || '  ' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(raw,
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '[ \t]+', ' ', 'g'),
+                   '\n{3,}', chr(10) || chr(10), 'g'),
+                   ' ?\n ?', chr(10), 'g')) AS clean
+    FROM noisy
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization normalization (operators/text.normalize_text):
+    control-char strip + whitespace collapse + paragraph squeeze, run
+    over a deterministically-dirtied copy of the corpus so the oracle
+    exercises every rule (the shipped text is already clean)."""
+    from bgpexplorer_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tail = F.expr("substring(text, 41, length(text))")
+    noisy = F.concat(
+        F.lit(" "), F.substring(F.col("text"), 1, 40),
+        F.lit("\t\tx\x07\n\n\n\n"), tail, F.lit("  "),
+    )
+    return docs.select("doc_id", normalize_text(noisy).alias("clean"))

@@ -617,3 +617,48 @@ def decontaminate_fuzzy(
         F.col("near_dup").alias("near_hit"),
         "keep",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks with
+    provenance offsets — the RAG-indexing / context-window prep stage
+    (LangChain's recursive splitter's flat core, and the shape embedding
+    pipelines feed). Chunk k covers [1 + k*(size-overlap), +size) in
+    1-based character offsets; every document emits at least one chunk
+    (an empty text yields one empty chunk, so provenance never drops a
+    doc). Output: id, chunk_idx (0-based), chunk_start, chunk_text,
+    n_chunks.
+
+    Scale: a pure map — sequence + posexplode + substring, no shuffle,
+    no UDF; output size is input size x (1 + overlap/size)."""
+    if not 0 <= overlap < size:
+        raise ValueError("require 0 <= overlap < size")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(F.col(text_col)), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(starts).alias("n_chunks"),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+            F.col(text_col),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.substring(F.col(text_col), F.col("chunk_start"), size).alias(
+                "chunk_text"
+            ),
+            "n_chunks",
+        )
+    )

@@ -602,3 +602,18 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """Standard pre-tokenization text normalization (the cleanup stage
+    every corpus pipeline runs before dedup/quality so byte-level noise
+    doesn't defeat exact hashes): strip C0/C1 control characters (tab
+    and newline survive), collapse runs of spaces/tabs to one space,
+    collapse 3+ newlines to a paragraph break, trim. Pure
+    regexp_replace chain — whole-stage codegen, no UDF, identical RE2
+    semantics engine-side and in the DuckDB oracle."""
+    c = F.regexp_replace(col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    return F.trim(c)

@@ -1157,3 +1157,40 @@ def test_huge_codebook_no_literal_blowup(spark):
     # and it actually runs: every vector gets some centroid
     assert out.count() == 200
     assert out.filter(F.col("cid") < 0).count() == 0
+
+
+def test_chunk_documents_hand_computed(spark):
+    """size=10, overlap=3 (stride 7): a 20-char doc chunks at 1/8/15
+    with the tail chunk short; an empty doc still emits ONE empty chunk
+    (provenance never drops a doc)."""
+    from bgpexplorer_spark.operators.pipeline import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrst"), (2, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text, r.n_chunks)
+        for r in chunk_documents(docs, size=10, overlap=3).collect()
+    )
+    assert rows == [
+        (1, 0, 1, "abcdefghij", 3),
+        (1, 1, 8, "hijklmnopq", 3),
+        (1, 2, 15, "opqrst", 3),
+        (2, 0, 1, "", 1),
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(docs, size=5, overlap=5)
+
+
+def test_normalize_text_rules(spark):
+    """Each rule: control chars stripped (tab/newline survive as
+    whitespace), space/tab runs collapse, 3+ newlines squeeze to a
+    paragraph break, spaces around newlines drop, ends trimmed."""
+    from bgpexplorer_spark.operators.text import normalize_text
+
+    raw = "  a\x00b\x07c\t\td  \n\n\n\n e\x7f \nf  "
+    df = spark.createDataFrame([(raw,)], "t string")
+    got = df.select(normalize_text(F.col("t")).alias("c")).first()["c"]
+    assert got == "abc d\n\ne\nf"
