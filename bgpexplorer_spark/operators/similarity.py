@@ -22,73 +22,17 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
-
-def _dot_lit(vec: Column, cvec: "list[float]", offset: int = 0) -> Column:
-    """Dot product against a LITERAL vector as flat arithmetic. The
-    zip_with+aggregate form is evaluated per element by the interpreter
-    (higher-order functions don't enter whole-stage codegen); the flat
-    sum does, at ~10x the throughput on 64-dim columns. Term order is
-    identical to aggregate's left fold from 0.0 (0.0+t1 == t1 in IEEE
-    double), so results are bit-equal. Requires the column's arrays to
-    be at least len(cvec) long (the fixed-dim embedding contract)."""
-    t = None
-    for i, c in enumerate(cvec):
-        term = F.element_at(vec, offset + i + 1) * F.lit(float(c))
-        t = term if t is None else t + term
-    return t
-
-
-def _sqnorm_flat(vec: Column, dim: int) -> Column:
-    t = None
-    for i in range(dim):
-        e = F.element_at(vec, i + 1)
-        term = e * e
-        t = term if t is None else t + term
-    return t
-
-
-def cosine_lit(vec: Column, cvec: "list[float]") -> Column:
-    """cosine(vec, literal) with the dot and |vec| as flat codegen-able
-    sums and |literal| folded in Python — bit-equal to
-    ``cosine(vec, F.array(*lits))`` (same IEEE op order; Catalyst
-    constant-folds the literal norm identically)."""
-    import math
-
-    acc = 0.0
-    for c in cvec:
-        acc += float(c) * float(c)
-    nb = math.sqrt(acc)
-    return _dot_lit(vec, cvec) / (
-        F.sqrt(_sqnorm_flat(vec, len(cvec))) * F.lit(nb)
-    )
-
-
-def _l2_lit(vec: Column, cvec: "list[float]", offset: int = 0) -> Column:
-    """Squared L2 distance to a LITERAL vector as flat arithmetic
-    (see _dot_lit); ``offset`` addresses a subvector without a slice()."""
-    t = None
-    for i, c in enumerate(cvec):
-        d = F.element_at(vec, offset + i + 1) - F.lit(float(c))
-        term = d * d
-        t = term if t is None else t + term
-    return t
-
 def cosine_topk(
     df: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force cosine top-k against a literal query vector — the
     exact baseline (one scan, one TakeOrdered; no shuffle beyond top-k)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.select(
             F.col(id_col),
-            F.round(
-                cosine_lit(
-                    F.col(vec_col).cast("array<double>"),
-                    [float(x) for x in query_vec],
-                ),
-                4,
-            ).alias("cos_sim"),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -220,7 +164,7 @@ def ivf_assign(
         cents = sorted((r["cid"], [float(x) for x in r["cvec"]]) for r in head)
         scored = [
             F.struct(
-                cosine_lit(F.col("_v"), cvec).alias("score"),
+                cosine(F.col("_v"), F.array(*[F.lit(x) for x in cvec])).alias("score"),
                 F.lit(cid).cast("bigint").alias("cid"),
             )
             for cid, cvec in cents
@@ -491,9 +435,10 @@ def pq_encode(
                 (r["code"], [float(x) for x in r["cvec"]])
             )
         for s in range(m):
+            sub = F.slice(v, s * d + 1, d)
             scored = [
                 F.struct(
-                    _l2_lit(v, cvec, offset=s * d).alias("dist"),
+                    _l2(sub, F.array(*[F.lit(x) for x in cvec])).alias("dist"),
                     F.lit(code).cast("int").alias("code"),
                 )
                 for code, cvec in sorted(cb[s])
