@@ -233,27 +233,78 @@ def to_nested_json(result: RibQueryResult) -> DataFrame:
     (src/bgpsvc.rs:493-596), newest-first inside each path, sessions and
     paths in ascending numeric order (BTreeMap serialization order). One
     row per route: (nlri_str, items_json) — byte-deterministic across
-    runs/partitionings."""
+    runs/partitionings.
+
+    ONE shuffle: rows group by (rib, nlri_str) once and the
+    session→path→history nesting is built in expression land (distinct
+    ids + per-level filter/sort over the collected array). The previous
+    shape aggregated three times — (…,session,path) → (…,session) →
+    (…,) — which is three exchanges, because a hash partitioning on four
+    keys does not satisfy clustering on their prefix. Per-prefix group
+    sizes are history-depth-bounded, so the in-array nesting is tiny."""
     from bgpexplorer_spark.operators.ingest import attrs_struct
 
     h = result.history.withColumn("_ts_ms", ts_to_millis(F.col("ts")).cast("string"))
     entry = F.to_json(
         F.struct(F.col("active"), attrs_struct().alias("attrs"), F.col("labels"))
     )
-    per_path = (
+    grouped = (
         h.withColumn("_e", entry)
-        .groupBy("rib", "nlri_str", "session_id", "path_id")
+        .groupBy("rib", "nlri_str")
         .agg(
-            F.map_from_entries(
-                F.reverse(F.array_sort(F.collect_list(F.struct(F.col("ts").alias("t"), F.struct(F.col("_ts_ms"), F.col("_e")).alias("kv")))))
-                .getField("kv")
-            ).alias("hist_map")
+            F.collect_list(
+                F.struct(
+                    F.col("session_id").alias("s"),
+                    F.col("path_id").alias("p"),
+                    F.col("ts").alias("t"),
+                    F.struct(F.col("_ts_ms"), F.col("_e")).alias("kv"),
+                )
+            ).alias("_rows")
         )
     )
-    per_sess = per_path.groupBy("rib", "nlri_str", "session_id").agg(
-        _num_sorted_map("path_id", "hist_map").alias("path_map")
+    rows = F.col("_rows")
+
+    def hist_map(s, p):
+        # newest-first per path: same (t, kv) struct sort the 3-level
+        # shape used, reversed — identical tie order
+        ents = F.filter(rows, lambda x: (x["s"] == s) & (x["p"] == p))
+        srt = F.reverse(
+            F.array_sort(
+                F.transform(
+                    ents, lambda x: F.struct(x["t"].alias("t"), x["kv"].alias("kv"))
+                )
+            )
+        )
+        return F.map_from_entries(srt.getField("kv"))
+
+    def path_map(s):
+        paths = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.filter(rows, lambda x: x["s"] == s), lambda x: x["p"]
+                )
+            )
+        )
+        return F.map_from_entries(
+            F.transform(
+                paths,
+                lambda p: F.struct(
+                    p.cast("string").alias("key"), hist_map(s, p).alias("value")
+                ),
+            )
+        )
+
+    sess_ids = F.array_sort(
+        F.array_distinct(F.transform(rows, lambda x: x["s"]))
     )
-    per_route = per_sess.groupBy("rib", "nlri_str").agg(
-        _num_sorted_map("session_id", "path_map").alias("sess_map")
+    sess_map = F.map_from_entries(
+        F.transform(
+            sess_ids,
+            lambda s: F.struct(
+                s.cast("string").alias("key"), path_map(s).alias("value")
+            ),
+        )
     )
-    return per_route.select("rib", "nlri_str", F.to_json(F.col("sess_map")).alias("items_json"))
+    return grouped.select(
+        "rib", "nlri_str", F.to_json(sess_map).alias("items_json")
+    )
