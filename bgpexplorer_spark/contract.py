@@ -2128,6 +2128,7 @@ def s2_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.sources.bmp import (
         encode_bmp_peer_up, encode_bmp_route_monitoring, read_bmp,
     )
+    from bgpexplorer_spark.sources.bmp import bmp_peers
     from bgpexplorer_spark.sources.mrt import assign_sessions, encode_bgp_update_body
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -2150,7 +2151,7 @@ def s2_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f.write(stream)
     os.replace(tmp, path)
 
-    upd, _sessions = assign_sessions(read_bmp(spark, path))
+    upd, _sessions = assign_sessions(read_bmp(spark, path), bmp_peers(spark, path))
     hist = build_history(upd)
     return hist.select(
         "ts", "session_id", "nlri_str", "active", "origin", "nexthop_v4",

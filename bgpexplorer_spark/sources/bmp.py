@@ -115,6 +115,31 @@ def read_bmp(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(decode, MRT_SCHEMA)
 
 
+def bmp_peers(spark: SparkSession, path: str) -> DataFrame:
+    """Distinct (peer_addr, peer_as) of a BMP capture — the sessions
+    dimension scan, mirroring sources.mrt.mrt_peers: the SAME decode
+    walk as read_bmp (identical peer visibility — a peer appears iff one
+    of its Route Monitoring frames emits a row) reduced to the per-file
+    distinct set executor-side, so building the dimension never
+    re-shuffles the full-width decoded capture."""
+    import pandas as pd
+
+    def scan(batches):
+        for pdf in batches:
+            pairs = set()
+            for content in pdf["content"]:
+                for r in parse_bmp(bytes(content)):
+                    pairs.add((r["peer_addr"], r["peer_as"]))
+            yield pd.DataFrame(
+                sorted(pairs), columns=["peer_addr", "peer_as"]
+            ) if pairs else pd.DataFrame(columns=["peer_addr", "peer_as"])
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(
+        scan, "peer_addr string, peer_as long"
+    ).distinct()
+
+
 # --- fixture encoders -------------------------------------------------------
 
 

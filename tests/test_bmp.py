@@ -325,3 +325,27 @@ def test_bmp_corrupt_length_resyncs_not_aborts():
     undersized[1:5] = (3).to_bytes(4, "big")  # < header size
     rows2 = list(parse_bmp(bytes(undersized)))
     assert len(rows2) >= 1  # resync finds at least f2
+
+
+def test_bmp_peers_matches_decoded_distinct(spark, tmp_path):
+    """bmp_peers (the sessions-dimension scan) must see exactly the
+    peers read_bmp's rows see — Route Monitoring only; a peer that only
+    ever sent lifecycle/stats frames emits no rows and must NOT appear."""
+    from bgpexplorer_spark.sources.bmp import bmp_peers, read_bmp
+
+    stream = encode_bmp_peer_up(0x0AFF0009, 65009, 1704067000)  # rows: none
+    for i in range(15):
+        stream += _rm(
+            0x0AFF0000 + i % 3, 65000 + i % 3, 1704067200 + i,
+            nlri=[(0x0A000000 + (i % 4) * 65536, 16)],
+            origin=i % 3, aspath=[(2, [100 + i])], nexthop=7,
+        )
+    p = tmp_path / "cap.bmp"
+    p.write_bytes(stream)
+    full = {
+        (r.peer_addr, r.peer_as)
+        for r in read_bmp(spark, str(p)).select("peer_addr", "peer_as")
+        .distinct().collect()
+    }
+    skim = {(r.peer_addr, r.peer_as) for r in bmp_peers(spark, str(p)).collect()}
+    assert skim == full and ("10.255.0.9", 65009) not in skim
