@@ -606,3 +606,55 @@ def test_origin_footprint_is_takeordered(spark):
     plan = _plan(origin_footprint(st))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nested_json_single_exchange(spark):
+    """to_nested_json builds the session->path->history nesting in ONE
+    aggregation on (rib, nlri_str) — the previous three-level groupBy
+    chain paid three exchanges (a 4-key hash partitioning does not
+    satisfy clustering on its prefix). Guard the shape: exactly one
+    Exchange between the history input and the JSON output."""
+    from bgpexplorer_spark.operators.query import (
+        QueryParams, query_rib, to_nested_json,
+    )
+
+    hist = build_history(make_updates(spark, [
+        u(f"10.{i}.0.0/24", t=i, session_id=i % 2,
+          aspath=[("Seq", [100, 200 + i % 3])])
+        for i in range(8)
+    ]))
+    r = query_rib(hist, "ipv4u", QueryParams(limit=10))
+    # isolate the nesting: plan exchanges added on TOP of the query plan
+    base = _plan(r.history).count("Exchange")
+    full = _plan(to_nested_json(r)).count("Exchange")
+    assert full - base == 1, (base, full)
+
+
+def test_upstream_diversity_plan_no_join(spark):
+    """upstream_diversity is one projection + one hash aggregate — no
+    joins, no explode, no Python."""
+    from bgpexplorer_spark.operators.analytics import upstream_diversity
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/24", t=1, aspath=[("Seq", [100, 300])]),
+    ]))
+    plan = _plan(upstream_diversity(current_state(hist)))
+    for bad in ("Join", "Generate", "BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan, bad
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_deaggregation_plan_no_cartesian(spark):
+    """deaggregation's cover test is truncation EQUI-joins per distinct
+    mask length — never a cartesian/nested-loop range join."""
+    from bgpexplorer_spark.operators.analytics import deaggregation
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/16", t=1, aspath=[("Seq", [100, 300])]),
+        u("10.0.1.0/24", t=2, aspath=[("Seq", [100, 300])]),
+    ]))
+    plan = _plan(deaggregation(current_state(hist)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
