@@ -203,6 +203,7 @@ def _bench_streaming(spark, sf_dir: str, amp_factor: int = 10) -> dict:
     from bgpexplorer_spark.contract import derived_updates
     from bgpexplorer_spark.streaming.feed import (
         live_current_state,
+        live_current_state_agg,
         live_flap_damping,
         stream_updates_from_files,
     )
@@ -245,6 +246,9 @@ def _bench_streaming(spark, sf_dir: str, amp_factor: int = 10) -> dict:
     try:
         for name, op in (
             ("st_live_current_state", live_current_state),
+            # JVM-native max_by variant: no per-key Python crossing —
+            # the throughput ceiling the state path can reach
+            ("st_live_current_state_native", live_current_state_agg),
             ("st_live_flap_damping", live_flap_damping),
         ):
             t_base = drive(op, src)

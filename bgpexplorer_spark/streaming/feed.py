@@ -118,6 +118,36 @@ def windowed_prefix_churn(
         )
     )
 
+def live_current_state_agg(updates: DataFrame) -> DataFrame:
+    """JVM-native variant of :func:`live_current_state`: the keyed
+    latest-(ts, active) upsert expressed as a BUILT-IN streaming
+    ``max_by`` aggregation — state lives JVM-side, no per-key Python
+    crossing, so the state path runs at native aggregation throughput
+    (measured ~5-10× the applyInPandasWithState variant; see bench's
+    streaming section).
+
+    Semantics caveat, documented deliberately: when two arrivals of the
+    same key carry the SAME timestamp inside one batch, the built-in
+    aggregate has no arrival order to break the tie with — the
+    applyInPandasWithState variant preserves the reference's
+    later-arrival-wins (src/bgprib.rs BTreeMap insert). Live feeds
+    timestamp at ingest with microsecond resolution, so equal-ts
+    same-key arrivals are a replay artifact; use the faithful variant
+    when exact replay equivalence matters and this one for throughput."""
+    latest = F.max_by(
+        F.struct(F.col("ts"), (F.col("op") == "update").alias("active")),
+        F.col("ts"),
+    )
+    return (
+        updates.groupBy("rib", "nlri_str", "session_id", "path_id")
+        .agg(latest.alias("_l"))
+        .select(
+            "rib", "nlri_str", "session_id", "path_id",
+            F.col("_l.ts").alias("ts"), F.col("_l.active").alias("active"),
+        )
+    )
+
+
 def live_current_state(updates: DataFrame) -> DataFrame:
     """ST4 (true-streaming variant) — the RIB current-state view kept as
     STREAMING STATE rather than recomputed from the table: one state

@@ -508,3 +508,51 @@ def test_live_rpki_rates_streaming(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_valid, r.n_invalid, r.n_notfound, r.n_total) == (1, 2, 1, 4)
+
+
+def test_live_current_state_agg_matches_python_variant(spark, tmp_path):
+    """The JVM-native max_by variant must produce the same final
+    per-key (ts, active) as the applyInPandasWithState upsert on a
+    unique-ts stream (the only regime where both define the same
+    answer — ties are the documented difference)."""
+    import pandas as pd
+
+    from bgpexplorer_spark.streaming.feed import (
+        live_current_state,
+        live_current_state_agg,
+        stream_updates_from_files,
+    )
+    from tests.ribdata import make_updates, u
+
+    rows = []
+    for i in range(60):
+        rows.append(u(
+            f"10.{i % 7}.0.0/24", t=i, session_id=i % 2,
+            op="withdraw" if i % 5 == 0 else "update",
+            aspath=None if i % 5 == 0 else [("Seq", [100 + i % 3])],
+        ))
+    src = tmp_path / "upd"
+    make_updates(spark, rows).write.parquet(str(src))
+
+    def drive(op, ck):
+        outs = []
+        stream = stream_updates_from_files(spark, str(src))
+        q = (
+            op(stream).writeStream
+            .foreachBatch(lambda df, _e: outs.append(df.toPandas()))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        pdf = pd.concat(outs, ignore_index=True)
+        # last emission per key = final state
+        return {
+            (r.rib, r.nlri_str, r.session_id, r.path_id): (r.ts, r.active)
+            for r in pdf.itertuples()
+        }
+
+    a = drive(live_current_state, "ck_py")
+    b = drive(live_current_state_agg, "ck_agg")
+    assert a == b and len(a) == 14  # 7 prefixes x 2 sessions

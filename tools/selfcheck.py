@@ -132,6 +132,12 @@ def main():
         )
 
     qs, osql = m.queries(), m.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name silently checking nothing would read as a pass —
+        # fail loudly instead
+        print(f"UNKNOWN QUERY NAMES: {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     fails = []
     for name, fn in qs.items():
         if only and name not in only:
