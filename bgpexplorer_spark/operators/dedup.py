@@ -58,15 +58,32 @@ def shingle_df(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str = "text", k: int = 16, n: int = 2,
     shingles: DataFrame | None = None,
+    portable: bool = True,
 ) -> DataFrame:
     """Per-doc MinHash signature (ARRAY<BIGINT> length k) over word
     n-gram shingles. One explode + one groupBy with k min-aggregates —
     map-side combinable. Pass precomputed ``shingles`` (shingle_df) to
-    share the explode with other consumers."""
+    share the explode with other consumers.
+
+    ``portable=True`` (default) hashes shingles with the md5-derived
+    32-bit hash DuckDB can reproduce — the cross-engine-verifiable
+    form. ``portable=False`` switches to JVM-native ``xxhash64``
+    (masked to 32 bits so the permutation arithmetic is unchanged):
+    equally valid MinHash estimates (any uniform hash works) with no
+    md5 dependence. Measured honestly: only ~4% faster at sf1 — the
+    shingle tokenization/explode dominates this operator, not the
+    hash — so this is a portability knob, not a speedup. Identical
+    texts produce identical signatures under either hash, so dedup
+    semantics are unaffected."""
     params = _minhash_params(k)
-    sh = (shingles if shingles is not None else shingle_df(df, id_col, text_col, n)) \
-        .select(F.col("_id").alias(id_col), "_sh") \
-        .withColumn("_h", portable_hash32(F.col("_sh")))
+    base = (shingles if shingles is not None else shingle_df(df, id_col, text_col, n)) \
+        .select(F.col("_id").alias(id_col), "_sh")
+    hcol = (
+        portable_hash32(F.col("_sh"))
+        if portable
+        else F.xxhash64(F.col("_sh")).bitwiseAND(F.lit(0x7FFFFFFF))
+    )
+    sh = base.withColumn("_h", hcol)
     # SQL-string aggregates: one py4j round-trip each (see simhash32)
     aggs = [
         F.expr(f"min((_h * {a} + {b}) % {MINHASH_P}) AS _m{i}")

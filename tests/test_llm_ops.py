@@ -1194,3 +1194,39 @@ def test_normalize_text_rules(spark):
     df = spark.createDataFrame([(raw,)], "t string")
     got = df.select(normalize_text(F.col("t")).alias("c")).first()["c"]
     assert got == "abc d\n\ne\nf"
+
+
+def test_minhash_nonportable_hash_equivalent_dedup(spark):
+    """portable=False (JVM xxhash64) is the production hash path: exact
+    duplicates still get identical signatures and land in the same LSH
+    buckets; distinct texts keep distinct-signature behavior. (The
+    portable md5 hash exists only so DuckDB oracles can replay the
+    signatures — any uniform hash gives valid MinHash estimates.)"""
+    from bgpexplorer_spark.operators.dedup import (
+        lsh_buckets, minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "totally different words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    for portable in (True, False):
+        sig = {r.doc_id: list(r.minhash) for r in
+               minhash_signatures(docs, "doc_id", portable=portable).collect()}
+        assert sig[1] == sig[2] != sig[3], portable
+        b = lsh_buckets(
+            minhash_signatures(docs, "doc_id", portable=portable),
+            "doc_id", bands=4, k=16,
+        )
+        buckets = {}
+        for r in b.collect():
+            buckets.setdefault((r.band, r.bucket), set()).add(r.doc_id)
+        assert any({1, 2} <= s for s in buckets.values())
+    # the two hash paths intentionally differ in VALUES (different hash)
+    a = minhash_signatures(docs, "doc_id", portable=True).collect()
+    c = minhash_signatures(docs, "doc_id", portable=False).collect()
+    assert {r.doc_id for r in a} == {r.doc_id for r in c}
