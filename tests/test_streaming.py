@@ -556,3 +556,61 @@ def test_live_current_state_agg_matches_python_variant(spark, tmp_path):
     a = drive(live_current_state, "ck_py")
     b = drive(live_current_state_agg, "ck_agg")
     assert a == b and len(a) == 14  # 7 prefixes x 2 sessions
+
+
+def test_live_current_state_resumes_from_checkpoint(spark, tmp_path):
+    """State must survive a stream RESTART: phase 2 reuses phase 1's
+    checkpoint, and a LATE (older-ts) arrival for a key seen in phase 1
+    must NOT regress the state — provable only if the keyed state
+    actually crossed the restart."""
+    import os
+
+    import pandas as pd
+
+    from bgpexplorer_spark.streaming.feed import (
+        live_current_state,
+        stream_updates_from_files,
+    )
+    from tests.ribdata import make_updates, u
+
+    src = tmp_path / "upd"
+    ck = str(tmp_path / "ck")
+    outs = []
+
+    def run_once():
+        stream = stream_updates_from_files(spark, str(src))
+        q = (
+            live_current_state(stream).writeStream
+            .foreachBatch(lambda df, _e: outs.append(df.toPandas()))
+            .outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: A announced at t=10
+    make_updates(spark, [
+        u("10.0.0.0/24", t=10, session_id=0, aspath=[("Seq", [100])]),
+    ]).write.mode("overwrite").parquet(str(src))
+    run_once()
+    p1 = pd.concat(outs, ignore_index=True)
+    assert len(p1) == 1 and bool(p1.iloc[0]["active"])
+
+    # phase 2: a LATE replay of A at t=5 (older) plus a new key B;
+    # append as a new file so only it is a new micro-batch
+    extra = make_updates(spark, [
+        u("10.0.0.0/24", t=5, session_id=0, op="withdraw"),
+        u("10.1.0.0/24", t=20, session_id=0, aspath=[("Seq", [200])]),
+    ])
+    extra.write.mode("append").parquet(str(src))
+    outs.clear()
+    run_once()
+    p2 = pd.concat(outs, ignore_index=True)
+    got = {r.nlri_str: (r.active, r.ts) for r in p2.itertuples()}
+    # A: the stale t=5 withdraw must lose to the t=10 state from phase 1
+    assert got["10.0.0.0/24"][0] is True or bool(got["10.0.0.0/24"][0])
+    assert got["10.0.0.0/24"][1].second == 10
+    # B is fresh state
+    assert bool(got["10.1.0.0/24"][0])
+    assert os.path.isdir(ck)
