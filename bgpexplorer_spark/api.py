@@ -526,17 +526,23 @@ class BgpExplorerService:
         present like the reference), ``counters`` (updates/withdraws).
         The engine's richer per-rib detail rides along under
         ``ribs_detail`` (a superset key the reference doesn't emit)."""
+        from bgpexplorer_spark.operators.ingest import attrs_struct
+
         rows = [r.asDict() for r in statistics(self.history).collect()]
         by_rib = {r["rib"]: r for r in rows}
+        # the reference's stores are GLOBAL hash-cons sizes — a per-rib
+        # sum would overcount values shared across families, so the
+        # store counters run as one global distinct-count pass
+        stores = self.history.agg(
+            F.approx_count_distinct(attrs_struct()).alias("attrs"),
+            F.approx_count_distinct("aspath_flat").alias("pathes"),
+            F.approx_count_distinct("comms").alias("comms"),
+            F.approx_count_distinct("lcomms").alias("lcomms"),
+            F.approx_count_distinct("extcomms").alias("extcomms"),
+            F.approx_count_distinct("clusterlist").alias("clusters"),
+        ).first().asDict()
         return {
-            "stores": {
-                "attrs": sum(r["attrs_store"] for r in rows),
-                "pathes": sum(r["aspath_store"] for r in rows),
-                "comms": sum(r["comms_store"] for r in rows),
-                "lcomms": sum(r["lcomms_store"] for r in rows),
-                "extcomms": sum(r["extcomms_store"] for r in rows),
-                "clusters": sum(r["clusters_store"] for r in rows),
-            },
+            "stores": stores,
             "ribs": {
                 name: by_rib.get(name, {}).get("routes", 0)
                 for name in RIB_NAMES
@@ -693,18 +699,23 @@ def _make_handler(svc: BgpExplorerService):
             import os
 
             # no config = the ini default (config.SvcConfig.httproot)
-            root = getattr(svc.svc_config, "httproot", None) or "./contrib"
-            if not os.path.isdir(root):
-                # the ini default "./contrib" is cwd-relative; when it
-                # doesn't exist, serve the UI bundled with the package
-                # so `GET /` works out of the box like the reference's
-                # shipped explorer
+            configured = getattr(svc.svc_config, "httproot", None)
+            root = configured or "./contrib"
+            if not os.path.isdir(root) and configured in (None, "./contrib"):
+                # only when httproot was NOT explicitly configured: the
+                # cwd-relative default is absent, so serve the UI bundled
+                # with the package — `GET /` works out of the box like
+                # the reference's shipped explorer. An explicitly
+                # configured-but-missing root stays a VISIBLE 404 (a
+                # silent fallback would mask the deploy mistake).
                 bundled = os.path.join(
                     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "contrib",
                 )
                 if os.path.isdir(bundled):
                     root = bundled
+            if not os.path.isdir(root):
+                return self._send({"error": "not found"}, 404)
             rel = "/index.html" if urlpath == "/" else urlpath
             root_abs = os.path.realpath(root)
             full = os.path.realpath(os.path.join(root_abs, rel.lstrip("/")))

@@ -755,6 +755,9 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+_ROTATION_CACHE: dict[tuple, list[str]] = {}
+
+
 def _gate_rotation_order(names: list[str]) -> list[str]:
     """Order the declared queries so the driver's 50-query CORRECTNESS
     gate (which samples the FIRST 50 in declaration order) rotates over
@@ -766,9 +769,16 @@ def _gate_rotation_order(names: list[str]) -> list[str]:
     cursor. Every query stays verified every round via
     ``tools/selfcheck.py`` (full-contract arrow-hash log committed as
     ``SELFCHECK_r{N}.log``); this ordering only chooses WHICH slice gets
-    the independent driver-side re-check."""
+    the independent driver-side re-check. Without gate files (fresh
+    clone / install) the order is plain declaration order; the computed
+    order is cached per process so repeated calls don't re-glob."""
     import json
     from pathlib import Path
+
+    cache_key = tuple(names)
+    cached = _ROTATION_CACHE.get(cache_key)
+    if cached is not None:
+        return list(cached)
 
     counts = dict.fromkeys(names, 0)
     root = Path(__file__).resolve().parent.parent
@@ -786,7 +796,9 @@ def _gate_rotation_order(names: list[str]) -> list[str]:
                 if k in counts:
                     counts[k] += 1
     pos = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (counts[n], pos[n]))
+    order = sorted(names, key=lambda n: (counts[n], pos[n]))
+    _ROTATION_CACHE[cache_key] = order
+    return list(order)
 
 def all_queries() -> dict[str, SparkQuery]:
     order = _gate_rotation_order(list(QUERIES))
@@ -6489,8 +6501,8 @@ def pipe_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(raw,
                    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
                    '[ \t]+', ' ', 'g'),
-                   '\n{3,}', chr(10) || chr(10), 'g'),
-                   ' ?\n ?', chr(10), 'g')) AS clean
+                   ' ?\n ?', chr(10), 'g'),
+                   '\n{3,}', chr(10) || chr(10), 'g')) AS clean
     FROM noisy
     """,
 )

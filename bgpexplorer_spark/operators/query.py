@@ -206,28 +206,6 @@ def query_rib(
         history=hist, from_supernet=from_supernet,
     )
 
-def _num_sorted_map(num_key: str, val: str) -> Column:
-    """map_from_entries over entries sorted ASCENDING by the numeric key —
-    the reference serializes BTreeMaps, so sibling order is deterministic
-    ascending (src/bgpsvc.rs:493-596). A bare ``collect_list`` is
-    partition-order-dependent; the comparator lambda sorts on the numeric
-    key alone (the value may contain a map, which Spark cannot order
-    natively)."""
-    entries = F.collect_list(
-        F.struct(
-            F.col(num_key).alias("k"),
-            F.col(num_key).cast("string").alias("ks"),
-            F.col(val).alias("v"),
-        )
-    )
-    srt = F.array_sort(
-        entries,
-        lambda l, r: F.when(l["k"] < r["k"], -1).when(l["k"] > r["k"], 1).otherwise(0),
-    )
-    return F.map_from_entries(
-        F.transform(srt, lambda e: F.struct(e["ks"].alias("key"), e["v"].alias("value")))
-    )
-
 def to_nested_json(result: RibQueryResult) -> DataFrame:
     """O7 — route → {session → {path → {ts_millis → entry}}} JSON shaping
     (src/bgpsvc.rs:493-596), newest-first inside each path, sessions and

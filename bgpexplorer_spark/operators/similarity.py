@@ -182,23 +182,19 @@ def ivf_assign(
             ).alias("_cents")
         )
         v = v.join(F.broadcast(carr))  # 1-row broadcast: no amplification
-        best = F.aggregate(
-            F.col("_cents"),
-            F.struct(
-                F.lit(float("-inf")).alias("score"),
-                F.lit(-1).cast("bigint").alias("cid"),
-            ),
-            lambda acc, c: F.when(
-                F.struct(
-                    cosine(F.col("_v"), c["cvec"]).alias("score"),
-                    c["cid"].alias("cid"),
-                )
-                >= acc,
-                F.struct(
+        # score every centroid ONCE (transform), then lexicographic
+        # array_max over (score, cid) structs — identical to the literal
+        # path's greatest() semantics (ties to the highest cid), without
+        # evaluating the cosine twice per entry the way a when()-fold
+        # would (Spark doesn't CSE across lambda branches)
+        best = F.array_max(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
                     cosine(F.col("_v"), c["cvec"]).alias("score"),
                     c["cid"].alias("cid"),
                 ),
-            ).otherwise(acc),
+            )
         )
     cols = [F.col(id_col), best.getField("cid").alias("cid")]
     if keep_vec:  # still a pure projection — no join to fetch the vector
@@ -459,18 +455,17 @@ def pq_encode(
     )
     for s in range(m):
         sub = F.slice(v, s * d + 1, d)
-        best = F.aggregate(
-            F.filter(F.col("_cb"), lambda c: c["sub"] == s),
-            F.struct(
-                F.lit(float("inf")).alias("dist"),
-                F.lit(-1).cast("int").alias("code"),
-            ),
-            lambda acc, c: F.when(
-                F.struct(_l2(sub, c["cvec"]).alias("dist"),
-                         c["code"].alias("code")) < acc,
-                F.struct(_l2(sub, c["cvec"]).alias("dist"),
-                         c["code"].alias("code")),
-            ).otherwise(acc),
+        # score each codebook entry ONCE, then lexicographic array_min
+        # over (dist, code) — same lowest-code tie-break as F.least over
+        # the code-sorted literal structs, one distance eval per entry
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("_cb"), lambda c: c["sub"] == s),
+                lambda c: F.struct(
+                    _l2(sub, c["cvec"]).alias("dist"),
+                    c["code"].alias("code"),
+                ),
+            )
         )
         code_cols.append(best.getField("code"))
     return (

@@ -614,6 +614,8 @@ def normalize_text(col: Column) -> Column:
     semantics engine-side and in the DuckDB oracle."""
     c = F.regexp_replace(col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     c = F.regexp_replace(c, "[ \\t]+", " ")
-    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    # strip spaces around newlines BEFORE squeezing newline runs, or a
+    # run interleaved with spaces ("\n \n \n") survives un-collapsed
     c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
     return F.trim(c)

@@ -197,6 +197,14 @@ def _parse_attrs(
             off += 1
         val = buf[off : off + alen]
         off += alen
+        if len(val) < alen:
+            # truncated attribute section: the struct.unpack decoders
+            # this walk used to run raised on short slices and the
+            # caller dropped the whole record; int.from_bytes would
+            # silently decode the surviving bytes into a wrong value
+            # (e.g. a 2-byte tail as nexthop 0.0.10.0) — keep the old
+            # drop-the-record contract
+            raise ValueError("truncated path attribute")
         if atype == 1 and alen >= 1:
             a["origin"] = _ORIGINS.get(val[0])
         elif atype == 2:

@@ -1194,6 +1194,11 @@ def test_normalize_text_rules(spark):
     df = spark.createDataFrame([(raw,)], "t string")
     got = df.select(normalize_text(F.col("t")).alias("c")).first()["c"]
     assert got == "abc d\n\ne\nf"
+    # newline runs INTERLEAVED with spaces must still squeeze to one
+    # paragraph break (regression: rule order used to leave "\n\n\n\n")
+    df2 = spark.createDataFrame([("a\n \n \n \nb",)], "t string")
+    got2 = df2.select(normalize_text(F.col("t")).alias("c")).first()["c"]
+    assert got2 == "a\n\nb"
 
 
 def test_minhash_nonportable_hash_equivalent_dedup(spark):

@@ -696,3 +696,26 @@ def test_mrt_peers_matches_decoded_distinct(spark, tmp_path):
         for r in mrt_peers(spark, str(p)).collect()
     }
     assert skim == full
+
+
+def test_truncated_attribute_drops_record():
+    """A record whose attribute section is cut mid-attribute must be
+    DROPPED, not decoded: int.from_bytes would happily turn a 2-byte
+    tail of a claimed-4-byte NEXT_HOP into a wrong address."""
+    good = encode_update(
+        1704067200, 65010, 0x0AFF0001,
+        nlri=[(0x0A000000, 8)], origin=0, aspath=[(2, [100])],
+        nexthop=0xC0000201, med=7,
+    )
+    follow = encode_update(
+        1704067201, 65011, 0x0AFF0002,
+        nlri=[(0x0B000000, 8)], origin=0, aspath=[(2, [200])], nexthop=1,
+    )
+    # cut 2 bytes out of the FIRST record's body (inside its attrs) but
+    # keep its MRT length field claiming the full size: the walk will
+    # consume 2 bytes of the next record as attr payload and the attr
+    # slice at the section tail comes up short
+    cut = bytearray(good[:-2] + follow)
+    rows = list(parse_mrt(bytes(cut)))
+    # record 1 dropped entirely; nothing half-decoded leaks out
+    assert all(r["peer_as"] != 65010 for r in rows)
