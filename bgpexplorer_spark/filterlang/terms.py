@@ -72,8 +72,7 @@ class ExtCommTerm:
     n: int = 0
     a: int = 0
     b: int = 0
-    ip_first: int = 0  # v4 subnet bounds for ip/ipnum forms
-    ip_last: int = 0
+    ip_first: int = 0  # the rt:IP address for ip/ipnum forms
 
 @dataclass(frozen=True)
 class RegexTerm:
@@ -204,14 +203,22 @@ def parse_item(s: str) -> Item | None:
             ip = parse_v4(m.group(1))
         except ValueError:
             return None
-        return ExtCommTerm("ipnum", n=int(m.group(2)), ip_first=ip, ip_last=ip)
+        return ExtCommTerm("ipnum", n=int(m.group(2)), ip_first=ip)
     if m := _RE_RT_IP.match(s):
         try:
             ip = parse_v4(m.group(1))
         except ValueError:
             return None
-        return ExtCommTerm("ip", ip_first=ip, ip_last=ip)
+        return ExtCommTerm("ip", ip_first=ip)
     if m := _RE_RE.match(s):
+        # the reference compiles the Regex at parse time and maps a bad
+        # pattern to FilterItem::None (term dropped, src/ribfilter.rs
+        # FilterTerm::parse) — validate here too, or the invalid pattern
+        # reaches rlike() and crashes the whole query at execution
+        try:
+            re.compile(m.group(1))
+        except re.error:
+            return None
         return RegexTerm(m.group(1))
     return None
 

@@ -23,8 +23,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bgpexplorer_spark.filterlang import parse_filter
-from bgpexplorer_spark.filterlang.compile import filter_to_column
-from bgpexplorer_spark.functions.timeutil import parse_ts_param, ts_to_millis
+from bgpexplorer_spark.filterlang.compile import filter_to_column, pushdown_prefilter
+from bgpexplorer_spark.functions.timeutil import parse_ts_param, ts_cutoff_str, ts_to_millis
 from bgpexplorer_spark.schemas import KEY_COLS
 
 ROUTE_COLS = ["rib", "nlri_str"]  # route identity (sessions/paths nest under it)
@@ -58,10 +58,14 @@ def history_entry_filter(p: QueryParams) -> Column:
     c = F.lit(True)
     if p.onlyactive:
         c = c & F.col("active")
+    # string-literal cutoffs (ts_cutoff_str), not F.lit(datetime): a
+    # datetime literal is interpreted through the session timezone
+    # against TIMESTAMP_NTZ history (host-tz shift) and its cast blocks
+    # parquet pushdown — same rationale as the asof path in query_rib
     if p.changed_before is not None:
-        c = c & (F.col("ts") < F.lit(p.changed_before))
+        c = c & (F.col("ts") < F.lit(ts_cutoff_str(p.changed_before)))
     if p.changed_after is not None:
-        c = c & (F.col("ts") > F.lit(p.changed_after))
+        c = c & (F.col("ts") > F.lit(ts_cutoff_str(p.changed_after)))
     return c
 
 def _route_sort_key() -> list[Column]:
@@ -99,15 +103,29 @@ def matched_routes(
 
     Returns one row per route key with the sortable key columns.
     """
+    terms = parse_filter(p.filter)
     df = history.filter(F.col("rib") == rib)
+    if not supernet:
+        # the 3VL tree below runs ABOVE two windows, where Catalyst
+        # cannot push it; the prefilter's plain range/equality conjuncts
+        # reference only route-KEY columns (constant per KEY_COLS
+        # partition), so applying them before the windows is sound —
+        # whole keys are kept or dropped, never split — and restores
+        # parquet min/max pruning for the serving path. Supernet mode
+        # reverses containment, where the prefilter does not apply.
+        df = df.filter(pushdown_prefilter(terms, rib))
     wk = Window.partitionBy(*KEY_COLS)
     df = df.withColumn("_total", F.count(F.lit(1)).over(wk))
     df = df.filter(history_entry_filter(p))
     df = df.withColumn(
         "_rn_asc", F.row_number().over(wk.orderBy(F.col("ts").asc()))
     )
+    # NB maxdepth=0 ⇒ zero match-window slots ⇒ no route matches: the
+    # reference's own semantics (src/ribfilter.rs:601-606 skips len-0
+    # entries) — deliberately asymmetric with emitted_history's
+    # "0 = unlimited" (src/bgpsvc.rs:521-526), replicated as-is
     df = df.filter(F.col("_rn_asc") > F.col("_total") - F.lit(p.maxdepth))
-    df = df.filter(F.coalesce(filter_to_column(p.filter, rib, supernet), F.lit(False)))
+    df = df.filter(F.coalesce(filter_to_column(terms, rib, supernet), F.lit(False)))
     return df.select(
         "rib", "nlri_str", "rd_hi", "rd_lo", "addr_v4", "addr_v6",
         "prefixlen", "labels",
@@ -184,8 +202,11 @@ def query_rib(
         length = rib_df.dropDuplicates(ROUTE_COLS).count()
 
     terms = parse_filter(p.filter)
-    # cached: the match set feeds both the found count and the page
-    matched = matched_routes(history, rib, p).cache()
+    # materialized once per request: the match set feeds both the found
+    # count and the page. localCheckpoint instead of .cache() so a
+    # long-running HTTP server doesn't accumulate CacheManager entries
+    # per request (blocks free when the request's DataFrames are GC'd)
+    matched = matched_routes(history, rib, p).localCheckpoint(eager=True)
     # O2: count short-circuits to table size on empty filter
     # (src/bgpsvc.rs:603-613)
     found = length if not terms else matched.count()
@@ -198,7 +219,7 @@ def query_rib(
     if found <= p.skip:
         page = page_routes(matched_routes(history, rib, p, supernet=True), p, supernet=True)
         from_supernet = True
-    page = page.cache()
+    page = page.localCheckpoint(eager=True)
     hist = emitted_history(history, page, p)
     return RibQueryResult(
         ribtype=rib, length=length, found=found, skip=p.skip, limit=p.limit,
@@ -253,7 +274,19 @@ def to_nested_json(result: RibQueryResult) -> DataFrame:
                 )
             )
         )
-        return F.map_from_entries(srt.getField("kv"))
+        kvs = srt.getField("kv")
+        # the reference keys history by a BTreeMap<ts> so same-ts rows
+        # CANNOT coexist there (the insert overwrites); the engine's
+        # history table can hold them, and map_from_entries would raise
+        # DUPLICATED_MAP_KEY. Collapse to one entry per ts-millis —
+        # keeping the (t, kv)-max, the deterministic stand-in for the
+        # BTreeMap's last-insert-wins (no arrival order survives batch)
+        dedup = F.filter(
+            kvs,
+            lambda x, i: (i == F.lit(0))
+            | (x["_ts_ms"] != F.element_at(kvs, i)["_ts_ms"]),
+        )
+        return F.map_from_entries(dedup)
 
     def path_map(s):
         paths = F.array_sort(

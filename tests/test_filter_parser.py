@@ -71,8 +71,8 @@ def test_rt():
     assert parse_item("rt:100") == ExtCommTerm("num", n=100)
     assert parse_item("rt:400:500") == ExtCommTerm("pair", a=400, b=500)
     ip = parse_v4("1.2.3.4")
-    assert parse_item("rt:1.2.3.4") == ExtCommTerm("ip", ip_first=ip, ip_last=ip)
-    assert parse_item("target:1.2.3.4:7") == ExtCommTerm("ipnum", n=7, ip_first=ip, ip_last=ip)
+    assert parse_item("rt:1.2.3.4") == ExtCommTerm("ip", ip_first=ip)
+    assert parse_item("target:1.2.3.4:7") == ExtCommTerm("ipnum", n=7, ip_first=ip)
     assert parse_item("ext-target:9:9") == ExtCommTerm("pair", a=9, b=9)
 
 def test_num_regex_and_junk():

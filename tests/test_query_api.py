@@ -274,3 +274,43 @@ def test_ts_cutoff_offsetless_iso_is_utc(monkeypatch):
     assert ts_cutoff_str("2024-01-02T00:00:00") == "2024-01-02 00:00:00.000000"
     # explicit-offset forms still convert to UTC
     assert ts_cutoff_str("2024-01-02T05:30:00+05:30") == "2024-01-02 00:00:00.000000"
+
+
+def test_nested_json_same_timestamp_entries_collapse(spark):
+    """Two same-second updates for one (rib,nlri,session,path): the
+    reference's BTreeMap<ts> cannot hold both (insert overwrites), and
+    map_from_entries would raise DUPLICATED_MAP_KEY — the nested output
+    must collapse them to ONE entry per ts-millis, deterministically,
+    instead of crashing the serving query."""
+    import json as _json
+
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/24", t=0, session_id=0, aspath=[("Seq", [100])]),
+        u("10.0.0.0/24", t=0, session_id=0, aspath=[("Seq", [200])]),
+        u("10.0.0.0/24", t=60, session_id=0, aspath=[("Seq", [300])]),
+    ]))
+    r = query_rib(hist, "ipv4u", QueryParams(limit=10))
+    out = to_nested_json(r).collect()
+    assert len(out) == 1
+    items = _json.loads(out[0].items_json)
+    tsmap = items["0"]["0"]
+    assert len(tsmap) == 2  # the t=0 pair collapsed + the t=60 entry
+    # deterministic winner: the (t, kv)-max of the duplicate pair
+    dup = _json.loads(tsmap[str(1704067200000)])
+    assert dup["attrs"]["aspath"][0]["asns"] in ([100], [200])
+    again = _json.loads(to_nested_json(r).collect()[0].items_json)
+    assert again == items  # byte-deterministic across runs
+
+
+def test_invalid_regex_term_dropped(spark):
+    """An unparseable re: pattern is DROPPED at parse (the reference
+    maps a failed Regex compile to FilterItem::None) — the query runs
+    instead of dying with PatternSyntaxException."""
+    from bgpexplorer_spark.filterlang import parse_filter
+
+    assert parse_filter("re:[") == []
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/24", t=0, aspath=[("Seq", [100])]),
+    ]))
+    r = query_rib(hist, "ipv4u", QueryParams(filter="re:[ 10.0.0.0/8", limit=10))
+    assert r.found == 1  # the bad term vanished; the subnet term ran
