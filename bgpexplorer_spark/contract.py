@@ -6520,3 +6520,279 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\t\tx\x07\n\n\n\n"), tail, F.lit("  "),
     )
     return docs.select("doc_id", normalize_text(noisy).alias("clean"))
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: model-based quality filtering, perceptual image
+# dedup, audio feature extraction, sub-prefix hijack + convergence
+# analytics.
+# ---------------------------------------------------------------------------
+
+_CLS_BUCKETS = 256
+
+
+def _classifier_sql() -> str:
+    h = _duck_hash32("t")
+    w = f"((({h} % {_CLS_BUCKETS}) * 2654435761) % 1000003) / 1000003.0 - 0.5"
+    toks = _duck_tokens("lower(text)")
+    return f"""
+    SELECT doc_id,
+           round(margin, 4) AS margin,
+           margin > 0 AS keep
+    FROM (
+        SELECT doc_id,
+               0.01 + list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), [{w} for t in {toks}]),
+                   (a, b) -> a + b
+               ) / greatest(len({toks}), 1) AS margin
+        FROM documents
+    )
+    """
+
+
+@q("pipe_quality_classifier", _classifier_sql())
+def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (operators/text.hashed_classifier_margin):
+    a trained linear classifier over hashed bag-of-words applied as ONE
+    literal lookup table + token fold — the fasttext/CCNet filtering
+    stage, fully JVM-side. The oracle replays the identical fold (same
+    token order, same double arithmetic) so the margins match exactly."""
+    from bgpexplorer_spark.operators.text import (
+        classifier_weights, hashed_classifier_margin,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    margin = hashed_classifier_margin(
+        F.col("text"), classifier_weights(_CLS_BUCKETS), bias=0.01
+    )
+    return docs.select(
+        "doc_id",
+        F.round(margin, 4).alias("margin"),
+        (margin > 0).alias("keep"),
+    )
+
+
+@q(
+    "an_subprefix_hijack",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    latest AS (
+        SELECT *, row_number() OVER (PARTITION BY nlri_str, session_id
+                                     ORDER BY ts DESC) AS rn
+        FROM hist2
+    ),
+    state AS (SELECT * FROM latest WHERE rn = 1 AND active),
+    o AS (SELECT DISTINCT addr_v4, prefixlen, origin_as FROM state),
+    plens AS (SELECT DISTINCT prefixlen AS cp FROM o),
+    truncs AS (
+        SELECT o.addr_v4, o.prefixlen, o.origin_as,
+               CAST(floor(o.addr_v4 / power(2, 32 - cp)) * power(2, 32 - cp)
+                    AS BIGINT) AS cover_addr,
+               cp AS cover_plen
+        FROM o, plens WHERE cp < o.prefixlen
+    ),
+    cand AS (
+        SELECT t.addr_v4, t.prefixlen, t.origin_as, t.cover_plen,
+               c.origin_as AS cover_origin
+        FROM truncs t
+        JOIN o c ON c.addr_v4 = t.cover_addr AND c.prefixlen = t.cover_plen
+        WHERE c.origin_as <> t.origin_as
+    ),
+    best AS (
+        SELECT addr_v4, prefixlen, origin_as, max(cover_plen) AS cover_plen
+        FROM cand GROUP BY 1, 2, 3
+    ),
+    onbest AS (
+        SELECT DISTINCT b.addr_v4, b.prefixlen, b.origin_as, b.cover_plen,
+               c.cover_origin
+        FROM best b
+        JOIN cand c USING (addr_v4, prefixlen, origin_as, cover_plen)
+    )
+    SELECT addr_v4, prefixlen, origin_as, cover_plen,
+           string_agg(CAST(cover_origin AS VARCHAR), ',' ORDER BY cover_origin)
+               AS cover_origins_str,
+           count(*) AS n_cover_origins
+    FROM onbest GROUP BY 1, 2, 3, 4
+    """,
+)
+def an_subprefix_hijack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-prefix hijack candidates (operators/analytics.subprefix_hijacks):
+    announced more-specifics whose most-specific covering announcement
+    carries a different origin AS — the cover/specific complement of
+    MOAS, detected with the truncation equi-join (no range join)."""
+    from bgpexplorer_spark.operators.analytics import subprefix_hijacks
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = _origins_history(spark, sf_dir)
+    return subprefix_hijacks(current_state(hist))
+
+
+@q(
+    "an_convergence",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    marks AS (
+        SELECT nlri_str, session_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            > 300000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM hist2
+        WINDOW w AS (PARTITION BY nlri_str ORDER BY ts, session_id)
+    ),
+    b AS (
+        SELECT nlri_str, session_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY nlri_str
+                        ORDER BY ts, session_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS burst_id
+        FROM marks
+    )
+    SELECT nlri_str, burst_id, count(*) AS n_events,
+           count(DISTINCT session_id) AS n_sessions,
+           min(ts) AS burst_start,
+           CAST(floor((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000.0)
+                AS BIGINT) AS duration_ms
+    FROM b GROUP BY 1, 2
+    """,
+)
+def an_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence bursts (operators/analytics.convergence_report):
+    gap-sessionized update bursts per prefix with event counts, session
+    fan-out, and burst duration — the classic convergence-time metric."""
+    from bgpexplorer_spark.operators.analytics import convergence_report
+
+    hist = _origins_history(spark, sf_dir)
+    return convergence_report(hist, gap_sec=300)
+
+
+# Perceptual image hash — 16x16 grayscale PGM fixtures whose pixels are a
+# pure formula of doc_id: base = ((doc_id%20)*9 + 3k) % 240 plus a
+# per-doc uniform brightness shift doc_id%5. aHash thresholds at the
+# image mean, so the shift cancels and docs sharing doc_id%20 land in
+# one perceptual group while their md5s all differ — exactly the
+# near-dup class byte hashing misses. All means are integer sums / 4 or
+# /256 (exact in float64), so DuckDB recomputes the bits analytically.
+_PHASH_CELL = (
+    "(p[((b // 8) * 2) * 16 + (b % 8) * 2 + 1]"
+    " + p[((b // 8) * 2) * 16 + (b % 8) * 2 + 2]"
+    " + p[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 1]"
+    " + p[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 2]) / 4.0"
+)
+
+_PHASH_ORACLE = f"""
+    WITH px AS (
+        SELECT doc_id,
+               [ ((doc_id % 20) * 9 + 3 * k) % 240 + doc_id % 5
+                 for k in generate_series(0, 255) ] AS p
+        FROM documents
+    ),
+    g AS (SELECT doc_id, p, list_sum(p) / 256.0 AS gmean FROM px),
+    h AS (
+        SELECT doc_id,
+               array_to_string([
+                   CASE WHEN {_PHASH_CELL} > gmean THEN '1' ELSE '0' END
+                   for b in generate_series(0, 63)], '') AS ahash
+        FROM g
+    )
+    SELECT doc_id, ahash,
+           CAST(list_reduce(
+               list_prepend(0, [CASE WHEN substring(ahash, i, 1) = '1'
+                                     THEN 1 ELSE 0 END
+                                for i in generate_series(1, 16)]),
+               (a, b) -> a * 2 + b) AS INTEGER) AS band,
+           min(doc_id) OVER (PARTITION BY ahash) AS canonical_id,
+           count(*) OVER (PARTITION BY ahash) AS group_size
+    FROM h
+"""
+
+
+@q("multimodal_image_phash", _PHASH_ORACLE)
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (operators/multimodal.ahash_media): REAL
+    PGM decode → grayscale → 8x8 block means → threshold-at-mean bits,
+    then exact grouping on the 64-bit pattern. Brightness-shifted copies
+    hash identically; the oracle recomputes every bit analytically."""
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, ahash_media
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        px = bytes(
+            ((d % 20) * 9 + 3 * k) % 240 + d % 5 for k in range(256)
+        )
+        rows.append((int(d), "image", b"P5\n16 16\n255\n" + px, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    h = ahash_media(media, grid=8)
+    w = Window.partitionBy("ahash")
+    return h.select(
+        F.col("media_id").alias("doc_id"), "ahash", "band",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
+
+# Audio features — 8 kHz mono 16-bit WAV fixtures, samples
+# s_k = ((doc_id*37 + k*97) % 2049) - 1024 over n = 800 + (doc_id%5)*100
+# frames: sums of squares stay integer-valued in float64 (exact), so the
+# RMS/ZCR are bit-reproducible analytically.
+_AUDIO_ORACLE = """
+    WITH s AS (
+        SELECT doc_id,
+               [ ((doc_id * 37 + k * 97) % 2049) - 1024
+                 for k in generate_series(0, 800 + (doc_id % 5) * 100 - 1)
+               ] AS smp
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(len(smp) AS BIGINT) AS n_samples,
+           CAST(len(smp) * 1000 // 8000 AS INTEGER) AS duration_ms,
+           round(sqrt(list_sum([CAST(x * x AS DOUBLE) for x in smp])
+                      / len(smp)), 4) AS rms,
+           CAST(list_max([abs(x) for x in smp]) AS INTEGER) AS peak,
+           CAST(len([k for k in generate_series(1, len(smp) - 1)
+                     if (smp[k] >= 0) <> (smp[k + 1] >= 0)]) AS BIGINT)
+               AS zero_crossings
+    FROM s
+"""
+
+
+@q("multimodal_audio_features", _AUDIO_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (operators/multimodal.audio_features):
+    REAL RIFF/WAVE decode through the stdlib wave module inside Arrow
+    batches → RMS / peak / zero-crossing-rate per clip, the
+    feature-extract stage of an audio training pipeline."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from bgpexplorer_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        n = 800 + (d % 5) * 100
+        smp = ((d * 37 + np.arange(n) * 97) % 2049 - 1024).astype(np.int16)
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(smp.tobytes())
+        rows.append((int(d), "audio", buf.getvalue(), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_features(media).select(
+        F.col("media_id").alias("doc_id"), "sample_rate", "n_samples",
+        "duration_ms", "rms", "peak", "zero_crossings",
+    )

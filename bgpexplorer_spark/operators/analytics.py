@@ -1186,3 +1186,118 @@ def deaggregation(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
             ).alias("deagg_ratio"),
         )
     )
+
+
+def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
+    """Sub-prefix hijack candidates: an announced more-specific whose
+    most-specific COVERING announcement carries a DIFFERENT origin AS —
+    the classic "/24 punched out of someone else's /16" alert. The MOAS
+    complement: :func:`moas_conflicts` flags same-prefix origin splits,
+    this flags cover/more-specific splits (the shape of real sub-prefix
+    hijacks, which MOAS never sees because the exact prefix is new).
+
+    Output: (addr, prefixlen, origin_as) of the suspect more-specific,
+    the covering mask length, the sorted distinct origin set announced
+    on that cover, and how many distinct origins that is.
+
+    Scale shape: identical to :func:`deaggregation` — NO range join.
+    Each announced prefix emits one truncation per distinct shorter mask
+    present (≤ 32 for v4, discovered from a 33-row-bounded aggregate),
+    covers resolve via an equi-join on (cover_addr, cover_plen), and the
+    final per-specific reduction is one hash aggregate. Everything
+    shuffles on hash keys only.
+    """
+    o = origin_as(F.col("aspath_flat"))
+    pfx = (
+        state.filter(F.col(addr_col).isNotNull())
+        .select(o.alias("origin_as"), F.col(addr_col).alias("_addr"), "prefixlen")
+        .filter(F.col("origin_as").isNotNull())
+        .distinct()
+    )
+    plens = sorted(
+        r["prefixlen"]
+        for r in pfx.select("prefixlen").distinct().collect()  # ≤ 33 rows
+    )
+    truncs = None
+    for p in plens[:-1]:  # the longest mask can't cover anything
+        span = 1 << (32 - p)
+        t = pfx.filter(F.col("prefixlen") > p).select(
+            "origin_as",
+            "_addr",
+            "prefixlen",
+            (F.col("_addr") - (F.col("_addr") % span)).alias("_cover_addr"),
+            F.lit(p).alias("_cover_plen"),
+        )
+        truncs = t if truncs is None else truncs.unionByName(t)
+    if truncs is None:
+        return state.sparkSession.createDataFrame(
+            [],
+            "addr_v4 bigint, prefixlen int, origin_as bigint, "
+            "cover_plen int, cover_origins_str string, n_cover_origins long",
+        )
+    covers = pfx.select(
+        F.col("_addr").alias("_cover_addr"),
+        F.col("prefixlen").alias("_cover_plen"),
+        F.col("origin_as").alias("_cover_origin"),
+    )
+    # covers announced by a DIFFERENT origin than the more-specific
+    cand = truncs.join(covers, ["_cover_addr", "_cover_plen"]).filter(
+        F.col("_cover_origin") != F.col("origin_as")
+    )
+    # most-specific mismatching cover per suspect, then its origin set
+    best = cand.groupBy("_addr", "prefixlen", "origin_as").agg(
+        F.max("_cover_plen").alias("cover_plen")
+    )
+    return (
+        cand.withColumnRenamed("_cover_plen", "cover_plen")
+        .join(best, ["_addr", "prefixlen", "origin_as", "cover_plen"])
+        .groupBy("_addr", "prefixlen", "origin_as", "cover_plen")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("_cover_origin")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("cover_origins_str"),
+            F.size(F.collect_set("_cover_origin")).cast("long").alias(
+                "n_cover_origins"
+            ),
+        )
+        .withColumnRenamed("_addr", "addr_v4")
+    )
+
+
+def convergence_report(
+    history: DataFrame, gap_sec: int = 300, key_col: str = "nlri_str"
+) -> DataFrame:
+    """BGP convergence bursts per prefix: consecutive history events for
+    the same key closer than ``gap_sec`` apart form one burst (a routing
+    event propagating), and the burst's duration is the classic
+    convergence-time measurement. Output one row per (key, burst):
+    burst sequence number, event count, sessions touched, start, and
+    duration_ms (0 for a single-event burst).
+
+    Scale shape: the standard gap-sessionization plan — one window over
+    (key ORDER BY ts) for the lag + running-sum burst ids (a single
+    Exchange on the key), then one hash aggregate on (key, burst_id).
+    No self-join, no collect; same keys the ingest path already
+    shuffles on.
+    """
+    w = Window.partitionBy(key_col).orderBy("ts", "session_id")
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = mic - F.lag(mic).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_sec * 1_000_000), 1).otherwise(0)
+    df = history.withColumn("_new", is_new).withColumn(
+        "burst_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return df.groupBy(key_col, "burst_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.min("ts").alias("burst_start"),
+        (
+            (F.unix_micros(F.max("ts").cast("timestamp"))
+             - F.unix_micros(F.min("ts").cast("timestamp"))) / 1000
+        ).cast("bigint").alias("duration_ms"),
+    )

@@ -282,6 +282,33 @@ RESIZED_SCHEMA = (
 )
 
 
+def decode_image_pixels(raw: bytes) -> np.ndarray | None:
+    """Pixel-level image decode dispatch across every in-package codec
+    (BMP/PNM/JPEG/PNG/GIF/TIFF) → (h, w, c) uint8, or None. The shared
+    entry for any operator that needs the actual pixels (resize, aHash)
+    rather than :func:`_decode_one`'s summary stats."""
+    img = decode_bmp(raw)
+    if img is None:
+        img = decode_pnm(raw)
+    if img is None and raw[:2] == b"\xff\xd8":
+        from bgpexplorer_spark.operators.jpeg import decode_jpeg
+
+        img = decode_jpeg(raw)
+    if img is None and raw[:8] == b"\x89PNG\r\n\x1a\n":
+        from bgpexplorer_spark.operators.png import decode_png
+
+        img = decode_png(raw)
+    if img is None and raw[:4] == b"GIF8":
+        from bgpexplorer_spark.operators.gif import decode_gif
+
+        img = decode_gif(raw)
+    if img is None and raw[:4] in (b"II*\x00", b"MM\x00*"):
+        from bgpexplorer_spark.operators.tiff import decode_tiff
+
+        img = decode_tiff(raw)
+    return img
+
+
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Image resize: decodable payloads (BMP/PPM) are REALLY resampled
     (nearest-neighbor numpy) and re-encoded as binary PPM; undecodable
@@ -293,25 +320,7 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 raw = bytes(content)
-                img = decode_bmp(raw)
-                if img is None:
-                    img = decode_pnm(raw)
-                if img is None and raw[:2] == b"\xff\xd8":
-                    from bgpexplorer_spark.operators.jpeg import decode_jpeg
-
-                    img = decode_jpeg(raw)
-                if img is None and raw[:8] == b"\x89PNG\r\n\x1a\n":
-                    from bgpexplorer_spark.operators.png import decode_png
-
-                    img = decode_png(raw)
-                if img is None and raw[:4] == b"GIF8":
-                    from bgpexplorer_spark.operators.gif import decode_gif
-
-                    img = decode_gif(raw)
-                if img is None and raw[:4] in (b"II*\x00", b"MM\x00*"):
-                    from bgpexplorer_spark.operators.tiff import decode_tiff
-
-                    img = decode_tiff(raw)
+                img = decode_image_pixels(raw)
                 if img is not None:
                     if img.shape[2] == 2:  # gray+alpha → gray
                         img = img[:, :, :1]
@@ -371,3 +380,115 @@ def frame_sample(
         "media_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+AHASH_SCHEMA = "media_id long, ahash string, band int, width int, height int"
+
+
+def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash (aHash) image fingerprint — the image
+    analog of MinHash for the dedup pipeline: decode to pixels, collapse
+    channels to grayscale (channel mean), block-average down to
+    ``grid``×``grid`` cells, threshold each cell at the image's global
+    mean, and emit the grid²-bit pattern MSB-first row-major as a bit
+    string plus its first 16 bits as an integer ``band`` for LSH-style
+    bucket joins. Invariant to uniform brightness shifts (pixel and
+    threshold move together) — the exact near-dup class byte hashing
+    misses. Kept as a string so the 64-bit pattern needs no
+    signed-overflow care on either engine.
+
+    Dims not divisible by ``grid`` are cropped to the largest multiple
+    (deterministic); undecodable payloads emit NULL hash. One
+    Arrow-batched mapInPandas, no shuffle — grouping/banding composes
+    downstream on the returned columns.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_image_pixels(bytes(content))
+                if img is None:
+                    out.append((int(mid), None, None, None, None))
+                    continue
+                g = img.astype(np.float64).mean(axis=2)
+                h, w = g.shape
+                th, tw = (h // grid) * grid, (w // grid) * grid
+                if th == 0 or tw == 0:
+                    out.append((int(mid), None, None, int(w), int(h)))
+                    continue
+                g = g[:th, :tw]
+                cells = g.reshape(grid, th // grid, grid, tw // grid).mean(
+                    axis=(1, 3)
+                )
+                bits = (cells > g.mean()).reshape(-1)
+                s = "".join("1" if b else "0" for b in bits)
+                out.append((int(mid), s, int(s[:16], 2), int(w), int(h)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "ahash", "band", "width", "height"]
+            )
+
+    return df.filter(df.media_type == "image").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, duration_ms int, "
+    "rms double, peak int, zero_crossings long"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip scalar audio features over REAL decoded PCM — the
+    feature-extract stage of an audio training pipeline: sample count,
+    duration, RMS amplitude (rounded 4), peak |sample|, and
+    zero-crossing count (sign flips between consecutive samples, the
+    cheap voicing/noisiness proxy). 16-bit samples are exact in float64
+    for any clip shorter than 2^23 samples per Arrow row, so the RMS is
+    bit-reproducible. Multi-channel clips are measured over the
+    interleaved stream (documented, matches the byte order on disk).
+
+    One Arrow-batched mapInPandas; undecodable payloads emit NULLs.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                raw = bytes(content)
+                row = (int(mid), None, None, None, None, None, None)
+                if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+                    try:
+                        with wave.open(io.BytesIO(raw)) as f:
+                            sw, rate = f.getsampwidth(), f.getframerate()
+                            frames = f.readframes(f.getnframes())
+                        if sw == 2:
+                            s = np.frombuffer(frames, np.int16).astype(np.float64)
+                        else:
+                            s = np.frombuffer(frames, np.uint8).astype(
+                                np.float64
+                            ) - 128.0
+                        n = s.size
+                        if n and rate:
+                            rms = round(float(np.sqrt(np.mean(s * s))), 4)
+                            zc = int(np.sum((s[:-1] >= 0) != (s[1:] >= 0)))
+                            row = (
+                                int(mid), int(rate), int(n),
+                                int(n * 1000 // rate), rms,
+                                int(np.abs(s).max()), zc,
+                            )
+                    except (wave.Error, EOFError):
+                        pass
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "sample_rate", "n_samples", "duration_ms",
+                    "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return df.filter(df.media_type == "audio").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )

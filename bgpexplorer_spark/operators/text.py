@@ -619,3 +619,41 @@ def normalize_text(col: Column) -> Column:
     c = F.regexp_replace(c, " ?\\n ?", "\n")
     c = F.regexp_replace(c, "\\n{3,}", "\n\n")
     return F.trim(c)
+
+
+def hashed_classifier_margin(
+    col: Column, weights: list[float], bias: float = 0.0
+) -> Column:
+    """Linear text-classifier margin over hashed bag-of-words — the
+    fasttext/CCNet-style model-based quality filter, scored entirely
+    JVM-side: margin = bias + mean over tokens of
+    ``weights[hash32(lower(token)) % len(weights)]``. Positive margin =
+    keep. Training happens offline; this is the scale path that applies
+    a trained linear model to 100 TB of text with ONE literal lookup
+    table (same ≤-few-k-buckets bound as the IVF codebooks — above that,
+    broadcast-join a (bucket, weight) dim instead).
+
+    Pure fold over the token array (no shuffle, no UDF); the fold order
+    is the token order, so the float sum is bit-reproducible and an
+    oracle that replays the same fold matches exactly.
+    """
+    toks = tokens(F.lower(col))
+    n = len(weights)
+    lut = F.lit([float(w) for w in weights])
+    s = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(lut, (portable_hash32(t) % n).cast("int") + 1),
+    )
+    return F.lit(float(bias)) + s / F.greatest(F.size(toks), F.lit(1))
+
+
+def classifier_weights(n_buckets: int = 256, salt: int = 1) -> list[float]:
+    """Deterministic stand-in weight table for tests/oracles (a real
+    deployment loads trained weights): w[b] centered on 0 via a Knuth
+    multiplicative scramble — exactly recomputable in plain SQL."""
+    return [
+        ((b * 2654435761 * salt) % 1000003) / 1000003 - 0.5
+        for b in range(n_buckets)
+    ]

@@ -771,3 +771,63 @@ def test_deaggregation_hand_computed(spark):
         for r in deaggregation(current_state(hist)).collect()
     }
     assert got == {300: (4, 2, 0.5), 400: (1, 0, 0.0)}
+
+
+def test_subprefix_hijack_hand_computed(spark):
+    """/8 origin 999 over /16s from 100+200 over /24s: the /24 with a
+    foreign origin flags against the most-specific mismatching cover
+    (the /16, both its origins listed); a /24 whose origin matches one
+    /16 origin still flags against the other; same-origin-only covers
+    and uncovered prefixes stay silent."""
+    from bgpexplorer_spark.operators.analytics import subprefix_hijacks
+    from bgpexplorer_spark.operators.rib import current_state
+
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/8", t=1, aspath=[("Seq", [1, 999])]),
+        u("10.0.0.0/16", t=2, aspath=[("Seq", [1, 100])]),
+        u("10.0.0.0/16", t=3, session_id=1, aspath=[("Seq", [1, 200])]),
+        u("10.0.1.0/24", t=4, aspath=[("Seq", [1, 666])]),
+        u("10.0.2.0/24", t=5, aspath=[("Seq", [1, 100])]),
+        u("172.16.0.0/16", t=6, aspath=[("Seq", [1, 300])]),
+        u("172.16.1.0/24", t=7, aspath=[("Seq", [1, 300])]),  # same-origin cover
+        u("192.168.0.0/24", t=8, aspath=[("Seq", [1, 42])]),  # no cover
+    ]))
+    got = {
+        (r.addr_v4, r.prefixlen, r.origin_as): (
+            r.cover_plen, r.cover_origins_str, r.n_cover_origins
+        )
+        for r in subprefix_hijacks(current_state(hist)).collect()
+    }
+    a16 = int(__import__("ipaddress").ip_address("10.0.0.0"))
+    a24_1 = int(__import__("ipaddress").ip_address("10.0.1.0"))
+    a24_2 = int(__import__("ipaddress").ip_address("10.0.2.0"))
+    assert got == {
+        (a16, 16, 100): (8, "999", 1),
+        (a16, 16, 200): (8, "999", 1),
+        (a24_1, 24, 666): (16, "100,200", 2),
+        (a24_2, 24, 100): (16, "200", 1),
+    }
+
+
+def test_convergence_bursts_hand_computed(spark):
+    """Three updates 10 s apart form one burst (duration 20 s); a quiet
+    gap > 300 s opens a second burst; a second prefix gets its own."""
+    from bgpexplorer_spark.operators.analytics import convergence_report
+
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/16", t=0, session_id=0),
+        u("10.0.0.0/16", t=10, session_id=1),
+        u("10.0.0.0/16", t=20, session_id=0, op="withdraw"),
+        u("10.0.0.0/16", t=1000, session_id=0),
+        u("10.0.0.0/16", t=1005, session_id=0, op="withdraw"),
+        u("10.7.0.0/16", t=3, session_id=2),
+    ]), history_mode="every")
+    got = {
+        (r.nlri_str, r.burst_id): (r.n_events, r.n_sessions, r.duration_ms)
+        for r in convergence_report(hist, gap_sec=300).collect()
+    }
+    assert got == {
+        ("10.0.0.0/16", 1): (3, 2, 20000),
+        ("10.0.0.0/16", 2): (2, 1, 5000),
+        ("10.7.0.0/16", 1): (1, 1, 0),
+    }

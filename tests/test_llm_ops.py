@@ -1235,3 +1235,86 @@ def test_minhash_nonportable_hash_equivalent_dedup(spark):
     a = minhash_signatures(docs, "doc_id", portable=True).collect()
     c = minhash_signatures(docs, "doc_id", portable=False).collect()
     assert {r.doc_id for r in a} == {r.doc_id for r in c}
+
+
+def test_hashed_classifier_margin_hand_computed(spark):
+    """Margin replayed in plain Python over the same md5 bucket hash;
+    empty text scores exactly the bias."""
+    import hashlib
+
+    w = text.classifier_weights(16)
+    df = spark.createDataFrame(
+        [(1, "Spark rows FAST"), (2, "")], ["doc_id", "text"]
+    )
+    out = {
+        r.doc_id: r.margin
+        for r in df.select(
+            "doc_id",
+            text.hashed_classifier_margin(F.col("text"), w, bias=0.25).alias(
+                "margin"
+            ),
+        ).collect()
+    }
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 16
+
+    toks = ["spark", "rows", "fast"]
+    want = 0.25 + sum(w[bucket(t)] for t in toks) / len(toks)
+    assert abs(out[1] - want) < 1e-12
+    assert out[2] == 0.25
+
+
+def test_ahash_brightness_invariant_and_bits(spark):
+    """A gradient image and its +40-brightness copy hash identically
+    (threshold shifts with the mean); a white-on-left image yields the
+    hand-computable half-ones pattern; undecodable bytes emit NULLs."""
+    import numpy as np
+
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 12, (16, 1))[..., None]
+    bright = grad + 40
+    half = np.zeros((16, 16, 1), np.uint8)
+    half[:, :8] = 200
+
+    def pgm(a):
+        return b"P5\n16 16\n255\n" + a.tobytes()
+
+    rows = [
+        (1, "image", pgm(grad), None),
+        (2, "image", pgm(bright), None),
+        (3, "image", pgm(half), None),
+        (4, "image", b"not an image", None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.ahash_media(df).collect()}
+    assert got[1].ahash == got[2].ahash
+    assert got[3].ahash == ("1111000011110000" * 4)
+    assert got[3].band == int("1111000011110000", 2)
+    assert got[4].ahash is None and got[4].band is None
+    assert got[1].width == 16 and got[1].height == 16
+
+
+def test_audio_features_hand_computed(spark):
+    """1 kHz-rate clip with samples [3, -1, 0, 5]: RMS, peak, ZCR and
+    duration all hand-checkable; a non-WAV payload emits NULLs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(1000)
+        f.writeframes(np.array([3, -1, 0, 5], np.int16).tobytes())
+    rows = [(1, "audio", buf.getvalue(), None), (2, "audio", b"xx", None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.audio_features(df).collect()}
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_samples, r1.duration_ms) == (1000, 4, 4)
+    assert r1.rms == round((35 / 4) ** 0.5, 4)
+    assert r1.peak == 5
+    # sign flips: 3→-1 and -1→0 (0 counts as non-negative)
+    assert r1.zero_crossings == 2
+    assert got[2].rms is None
