@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "o9_rib_asof",
     # training-pipeline packing (hash shard + running-sum window)
     "pipe_pack_sequences",
+    # model-based quality filter: literal-LUT linear classifier, pure fold
+    "pipe_quality_classifier",
+    # sub-prefix hijack detection: truncation equi-joins, no range join
+    "an_subprefix_hijack",
     # RFC 6811 origin validation: the masked-candidate ROA equi-join is the
     # heaviest analytics shape (LPM-class join + verdict aggregate)
     "an_rpki_validate",
