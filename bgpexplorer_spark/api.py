@@ -518,6 +518,64 @@ class BgpExplorerService:
         ).collect()
         return [{"asn": r.asn, "cone_size": r.cone_size} for r in rows]
 
+    def api_subprefix_hijacks(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/hijacks[?rib=&k=&skip=] — announced
+        more-specifics whose most-specific covering announcement carries
+        a different origin AS (sub-prefix hijack candidates), most
+        suspicious (longest specific) first."""
+        from bgpexplorer_spark.functions.iputil import v4_to_dotted
+        from bgpexplorer_spark.operators.analytics import subprefix_hijacks
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = self._page(
+            subprefix_hijacks(st)
+            .withColumn("prefix", F.concat_ws(
+                "/", v4_to_dotted(F.col("addr_v4")),
+                F.col("prefixlen").cast("string"),
+            ))
+            .orderBy(
+                F.col("prefixlen").desc(), "addr_v4", "origin_as"
+            ),
+            k, skip,
+        ).collect()
+        return [
+            {
+                "prefix": r.prefix, "origin_as": r.origin_as,
+                "cover_plen": r.cover_plen,
+                "cover_origins": r.cover_origins_str,
+            }
+            for r in rows
+        ]
+
+    def api_convergence(
+        self, rib: str = "ipv4u", gap_sec: int = 300,
+        k: int = 1000, skip: int = 0,
+    ) -> list[dict]:
+        """GET /api/analytics/convergence[?rib=&gap=&k=&skip=] —
+        gap-sessionized update bursts per prefix, slowest-converging
+        (longest burst) first."""
+        from bgpexplorer_spark.operators.analytics import convergence_report
+
+        hist = self.history.filter(F.col("rib") == rib)
+        rows = self._page(
+            convergence_report(hist, gap_sec=gap_sec)
+            .orderBy(
+                F.col("duration_ms").desc(), "nlri_str", "burst_id"
+            ),
+            k, skip,
+        ).collect()
+        return [
+            {
+                "prefix": r.nlri_str, "burst": r.burst_id,
+                "n_events": r.n_events, "n_sessions": r.n_sessions,
+                "start": str(r.burst_start), "duration_ms": r.duration_ms,
+            }
+            for r in rows
+        ]
+
     def api_statistics(self) -> dict:
         """GET /api/statistics (O6) — the REFERENCE envelope
         (src/ribservice.rs:168-219): ``stores`` (hash-consing store
@@ -809,6 +867,16 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(svc.api_route_leaks(rib, **page(100)))
                 if parts[:3] == ["api", "analytics", "cones"]:
                     return self._send(svc.api_customer_cones(rib, **page(50)))
+                if parts[:3] == ["api", "analytics", "hijacks"]:
+                    return self._send(
+                        svc.api_subprefix_hijacks(rib, **page())
+                    )
+                if parts[:3] == ["api", "analytics", "convergence"]:
+                    return self._send(
+                        svc.api_convergence(
+                            rib, int(qs.get("gap", 300)), **page()
+                        )
+                    )
                 if parts[:3] == ["api", "analytics", "flappers"]:
                     return self._send(
                         svc.api_flappers(rib, int(qs.get("k", 20)))

@@ -6796,3 +6796,41 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("media_id").alias("doc_id"), "sample_rate", "n_samples",
         "duration_ms", "rms", "peak", "zero_crossings",
     )
+
+
+def _knn_graph_sql(k: int = 5, n_planes: int = 6) -> str:
+    return f"""
+    WITH b AS ({_lsh_bucket_sql(n_planes)}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    pairs AS (
+        SELECT x.vec_id AS src, y.vec_id AS dst,
+               round(
+                   list_sum([va.a[i+1] * vb.a[i+1] for i in range(0, 64)])
+                   / (sqrt(list_sum([va.a[i+1] * va.a[i+1]
+                                     for i in range(0, 64)]))
+                      * sqrt(list_sum([vb.a[i+1] * vb.a[i+1]
+                                       for i in range(0, 64)]))),
+                   4) AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        JOIN v va ON va.vec_id = x.vec_id
+        JOIN v vb ON vb.vec_id = y.vec_id
+    )
+    SELECT src, dst, cos_sim, rank FROM (
+        SELECT src, dst, cos_sim,
+               CAST(row_number() OVER (PARTITION BY src
+                    ORDER BY cos_sim DESC, dst) AS INTEGER) AS rank
+        FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+@q("sim_knn_graph", _knn_graph_sql())
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph (operators/similarity.knn_graph): LSH
+    bucket equi-join candidates → exact cosine → per-source top-k — the
+    SemDeDup/diversity-sampling building block. The oracle replays the
+    same buckets, cosines, and round-before-rank tie order."""
+    from bgpexplorer_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_planes=6)

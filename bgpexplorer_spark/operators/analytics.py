@@ -1133,11 +1133,15 @@ def deaggregation(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     aggregate, the lpm_join_v4 trick), and coverage is an equi-semi-join
     on (origin_as, truncated addr, plen). Shuffles on hash keys only."""
     o = origin_as(F.col("aspath_flat"))
+    # materialized once: feeds plen discovery, every truncation branch,
+    # the cover semi-join side, and the totals (same rationale as
+    # subprefix_hijacks — localCheckpoint, no CacheManager residue)
     pfx = (
         state.filter(F.col(addr_col).isNotNull())
         .select(o.alias("origin_as"), F.col(addr_col).alias("_addr"), "prefixlen")
         .filter(F.col("origin_as").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     plens = sorted(
         r["prefixlen"]
@@ -1208,11 +1212,16 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     shuffles on hash keys only.
     """
     o = origin_as(F.col("aspath_flat"))
+    # the distinct announcement set feeds the plen discovery, every
+    # truncation branch, AND the cover side — materialize it once
+    # (localCheckpoint, not .cache(): blocks drop with this DataFrame,
+    # no CacheManager entry outliving a serving request)
     pfx = (
         state.filter(F.col(addr_col).isNotNull())
         .select(o.alias("origin_as"), F.col(addr_col).alias("_addr"), "prefixlen")
         .filter(F.col("origin_as").isNotNull())
         .distinct()
+        .localCheckpoint(eager=True)
     )
     plens = sorted(
         r["prefixlen"]
@@ -1244,13 +1253,14 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     cand = truncs.join(covers, ["_cover_addr", "_cover_plen"]).filter(
         F.col("_cover_origin") != F.col("origin_as")
     )
-    # most-specific mismatching cover per suspect, then its origin set
-    best = cand.groupBy("_addr", "prefixlen", "origin_as").agg(
-        F.max("_cover_plen").alias("cover_plen")
-    )
+    # most-specific mismatching cover per suspect via one window; the
+    # following groupBy clusters on a superset of the window keys, so
+    # Catalyst reuses the same Exchange (one shuffle, not groupBy+join)
+    wmax = Window.partitionBy("_addr", "prefixlen", "origin_as")
     return (
-        cand.withColumnRenamed("_cover_plen", "cover_plen")
-        .join(best, ["_addr", "prefixlen", "origin_as", "cover_plen"])
+        cand.withColumn("_maxp", F.max("_cover_plen").over(wmax))
+        .filter(F.col("_cover_plen") == F.col("_maxp"))
+        .withColumnRenamed("_cover_plen", "cover_plen")
         .groupBy("_addr", "prefixlen", "origin_as", "cover_plen")
         .agg(
             F.concat_ws(

@@ -6,7 +6,7 @@ aggregate) — JVM-side, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def dot(a: Column, b: Column) -> Column:
@@ -110,6 +110,48 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+def knn_graph(
+    df: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 6, dim: int = 64,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over an embedding column —
+    the building block SemDeDup, density/diversity sampling, and
+    graph-clustering curation recipes all start from: for every vector,
+    its k most-similar neighbors among the vectors sharing its LSH
+    bucket, with exact cosine scores. Output: (src, dst, cos_sim, rank),
+    rank 1 = nearest. Cosines are rounded to 4 decimals BEFORE ranking
+    (ties broken by dst id) so the edge set is deterministic and
+    engine-reproducible.
+
+    Scale shape: ONE bucket equi-join builds candidates (no all-pairs —
+    same bound as :func:`embedding_neardup_pairs`), then one per-source
+    top-k window partitioned by src. Fewer planes → denser candidate
+    sets and better recall at more compute; callers trade off via
+    ``n_planes``. Vectors alone in their bucket emit no edges (callers
+    wanting guaranteed degree re-run those through brute-force
+    :func:`cosine_topk` — at scale that residue is tiny).
+    """
+    b = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).withColumn("_bucket", hyperplane_bucket(F.col("_v"), n_planes, dim))
+    a, c = b.alias("a"), b.alias("b")
+    pairs = (
+        a.join(c, "_bucket")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"b.{id_col}").alias("dst"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
 
 # ---------------------------------------------------------------------------
 # IVF-style ANN: coarse quantizer + probed inverted lists — the classic

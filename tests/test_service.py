@@ -978,3 +978,48 @@ def test_http_upstreams_and_deagg_endpoints(spark):
         assert got2 == {300: (2, 1), 400: (1, 0)}
     finally:
         httpd.shutdown()
+
+
+def test_http_hijacks_and_convergence_endpoints(spark):
+    """GET /api/analytics/hijacks and /convergence — sub-prefix hijack
+    candidates and per-prefix convergence bursts, paged like every
+    analytics endpoint."""
+    hist = build_history(make_updates(spark, [
+        u("11.0.0.0/16", t=0, aspath=[("Seq", [1, 100])]),
+        u("11.0.1.0/24", t=5, aspath=[("Seq", [1, 666])]),
+        u("11.0.1.0/24", t=8, session_id=1, aspath=[("Seq", [1, 666])]),
+        u("11.0.1.0/24", t=700, aspath=[("Seq", [1, 666])]),
+    ]), history_mode="every").cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        hj = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/hijacks").read())
+        assert hj == [{
+            "prefix": "11.0.1.0/24", "origin_as": 666,
+            "cover_plen": 16, "cover_origins": "100",
+        }]
+        assert json.loads(urllib.request.urlopen(
+            base + "/api/analytics/hijacks?k=1&skip=1").read()) == []
+
+        cv = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/convergence").read())
+        got = {(x["prefix"], x["burst"]): (x["n_events"], x["n_sessions"],
+                                           x["duration_ms"]) for x in cv}
+        assert got == {
+            ("11.0.0.0/16", 1): (1, 1, 0),
+            ("11.0.1.0/24", 1): (2, 2, 3000),
+            ("11.0.1.0/24", 2): (1, 1, 0),
+        }
+        # custom gap merges the bursts
+        cv2 = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/convergence?gap=1000").read())
+        assert {(x["prefix"], x["burst"]): x["n_events"] for x in cv2} == {
+            ("11.0.0.0/16", 1): 1, ("11.0.1.0/24", 1): 3,
+        }
+        assert len(json.loads(urllib.request.urlopen(
+            base + "/api/analytics/convergence?k=2").read())) == 2
+    finally:
+        httpd.shutdown()
