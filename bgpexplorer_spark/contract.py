@@ -6834,3 +6834,106 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=5, n_planes=6)
+
+
+def _proto_prune_sql(keep_frac: float = 0.5, n_centroids: int = 8) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {n_centroids}),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    ),
+    scored AS (
+        SELECT v.vec_id, assigned.cid,
+               round({cos('a', 'cvec')}, 4) AS proto_score
+        FROM v JOIN assigned USING (vec_id)
+        JOIN c ON c.cid = assigned.cid
+    ),
+    r AS (
+        SELECT vec_id, cid, proto_score,
+               CAST(row_number() OVER (PARTITION BY cid
+                    ORDER BY proto_score, vec_id) AS INTEGER) AS rank,
+               count(*) OVER (PARTITION BY cid) AS n_c
+        FROM scored
+    )
+    SELECT vec_id, cid, proto_score, rank,
+           rank <= ceil({keep_frac} * n_c) AS kept
+    FROM r
+    """
+
+
+@q("pipe_prototype_prune", _proto_prune_sql())
+def pipe_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype dataset pruning (operators/similarity.prototype_prune,
+    Sorscher et al. 2022): nearest-centroid prototypicality score +
+    per-cluster hardest-first keep quota — assignment is the shuffle-free
+    literal-centroid projection, quota one window on the cluster key."""
+    from bgpexplorer_spark.operators.similarity import (
+        ivf_centroids, prototype_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prototype_prune(emb, ivf_centroids(emb, 8), keep_frac=0.5)
+
+
+@q(
+    "an_path_inflation",
+    f"""
+    WITH r AS (
+        SELECT CAST(floor(addr_v4 / 16777216) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 65536) % 256 AS BIGINT) || '.' ||
+               CAST(floor(addr_v4 / 256) % 256 AS BIGINT) || '.' ||
+               CAST(addr_v4 % 256 AS BIGINT) || '/' ||
+               CAST(prefixlen AS VARCHAR) AS nlri_str,
+               2 + CASE WHEN event_id % 3 > 0 THEN 1 ELSE 0 END AS len
+        FROM ({_DERIVED_ROUTES_SQL})
+    ),
+    w AS (SELECT nlri_str, len,
+                 min(len) OVER (PARTITION BY nlri_str) AS mn
+          FROM r)
+    SELECT nlri_str,
+           CAST(min(len) AS INTEGER) AS min_len,
+           CAST(max(len) AS INTEGER) AS max_len,
+           count(*) AS n_routes,
+           CAST(sum(CASE WHEN len > mn THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inflated
+    FROM w GROUP BY nlri_str
+    """,
+)
+def an_path_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-path inflation (operators/analytics.path_inflation): per-prefix
+    collapsed-path-length spread vs the shortest observed — derived
+    paths [100+u%8, (150+e%5)×(e%3), 200+e%3] collapse to length
+    2 + (e%3 > 0), giving real per-prefix variation."""
+    from bgpexplorer_spark.functions.iputil import v4_to_dotted
+    from bgpexplorer_spark.operators.analytics import path_inflation
+
+    routes = derived_routes(spark, sf_dir)
+    path = F.concat(
+        F.array((F.lit(100) + F.col("user_id") % 8).cast("long")),
+        F.array_repeat(
+            (F.lit(150) + F.col("event_id") % 5).cast("long"),
+            (F.col("event_id") % 3).cast("int"),
+        ),
+        F.array((F.lit(200) + F.col("event_id") % 3).cast("long")),
+    )
+    st = routes.select(
+        F.concat_ws(
+            "/", v4_to_dotted(F.col("addr_v4")), F.col("prefixlen").cast("string")
+        ).alias("nlri_str"),
+        path.alias("aspath_flat"),
+    )
+    return path_inflation(st)

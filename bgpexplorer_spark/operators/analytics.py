@@ -1311,3 +1311,36 @@ def convergence_report(
              - F.unix_micros(F.min("ts").cast("timestamp"))) / 1000
         ).cast("bigint").alias("duration_ms"),
     )
+
+
+def path_inflation(state: DataFrame, path_col: str = "aspath_flat") -> DataFrame:
+    """Per-prefix AS-path inflation report: collapsed (prepend-free)
+    path length of every route vs the SHORTEST collapsed path observed
+    for the same prefix across sessions — the classic measurement of how
+    much longer real routes run than the best available (traffic
+    engineering, de-preferencing, or leak fallout all show up here).
+    Output: nlri_str, min_len, max_len, n_routes, n_inflated (routes
+    strictly longer than the prefix's minimum).
+
+    Scale shape: one projection for the fold-computed collapsed length,
+    then a window min + aggregate BOTH keyed on nlri_str — Catalyst
+    reuses the single Exchange; no join, no second pass.
+    """
+    ln = F.size(_collapse_prepends(F.col(path_col)))
+    per = (
+        state.filter(F.size(F.col(path_col)) > 0)
+        .select("nlri_str", ln.alias("_len"))
+    )
+    w = Window.partitionBy("nlri_str")
+    return (
+        per.withColumn("_min", F.min("_len").over(w))
+        .groupBy("nlri_str")
+        .agg(
+            F.min("_len").alias("min_len"),
+            F.max("_len").alias("max_len"),
+            F.count(F.lit(1)).alias("n_routes"),
+            F.sum(
+                F.when(F.col("_len") > F.col("_min"), 1).otherwise(0)
+            ).cast("bigint").alias("n_inflated"),
+        )
+    )

@@ -179,7 +179,7 @@ INLINE_CODEBOOK_MAX = 1024
 def ivf_assign(
     df: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    keep_vec: bool = False,
+    keep_vec: bool = False, keep_score: bool = False,
     inline_max: int = INLINE_CODEBOOK_MAX,
 ) -> DataFrame:
     """(vec_id, cid): each vector assigned to its max-cosine centroid.
@@ -239,6 +239,8 @@ def ivf_assign(
             )
         )
     cols = [F.col(id_col), best.getField("cid").alias("cid")]
+    if keep_score:  # the max cosine itself (prototypicality) — free here
+        cols.append(best.getField("score").alias("proto_score"))
     if keep_vec:  # still a pure projection — no join to fetch the vector
         cols.append(F.col("_v").alias(vec_col))
     return v.select(*cols)
@@ -615,4 +617,41 @@ def ivfpq_topk(
     ).select(id_col, "codes")
     return pq_topk(
         df, query_vec, k, m, codes, dim, id_col, vec_col, encoded=cand
+    )
+
+
+def prototype_prune(
+    df: DataFrame, centroids: DataFrame, keep_frac: float = 0.5,
+    hard_first: bool = True,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SSL-prototype dataset pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): assign every vector to its nearest centroid,
+    score prototypicality as the cosine to that centroid, and keep
+    ``keep_frac`` of each cluster — the LEAST prototypical (hardest)
+    examples first when ``hard_first`` (the paper's choice for abundant
+    data), most prototypical first otherwise (scarce data). Output:
+    (id, cid, proto_score, rank, kept) — callers filter on ``kept`` but
+    get the full ranking for re-thresholding without a re-run.
+
+    Scale shape: the assignment+score is :func:`ivf_assign`'s
+    shuffle-free literal/broadcast projection (keep_score); the
+    per-cluster quota is ONE window over cid (a single Exchange on the
+    cluster key — no per-cluster collect, no global sort). Deterministic:
+    scores round to 4 decimals before ranking, ties break on id.
+    """
+    a = ivf_assign(df, centroids, id_col, vec_col, keep_score=True)
+    s = a.select(
+        F.col(id_col), "cid", F.round("proto_score", 4).alias("proto_score")
+    )
+    order = F.col("proto_score").asc() if hard_first else F.col("proto_score").desc()
+    w = Window.partitionBy("cid").orderBy(order, F.col(id_col))
+    wc = Window.partitionBy("cid")
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "kept", F.col("rank") <= F.ceil(F.lit(float(keep_frac)) * F.col("_n"))
+        )
+        .drop("_n")
     )

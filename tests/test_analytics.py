@@ -831,3 +831,21 @@ def test_convergence_bursts_hand_computed(spark):
         ("10.0.0.0/16", 2): (2, 1, 5000),
         ("10.7.0.0/16", 1): (1, 1, 0),
     }
+
+
+def test_path_inflation_hand_computed(spark):
+    """Prepends collapse before measuring: [1,1,2,3]→3, [5,5,5]→1; the
+    per-prefix minimum anchors n_inflated; empty paths are ignored."""
+    from bgpexplorer_spark.operators.analytics import path_inflation
+
+    rows = [
+        ("10.0.0.0/16", [1, 2]),
+        ("10.0.0.0/16", [1, 1, 2, 3]),
+        ("10.0.0.0/16", [5, 5, 5]),
+        ("10.1.0.0/16", [9, 9]),
+        ("10.2.0.0/16", []),
+    ]
+    df = spark.createDataFrame(rows, "nlri_str string, aspath_flat array<long>")
+    got = {r.nlri_str: (r.min_len, r.max_len, r.n_routes, r.n_inflated)
+           for r in path_inflation(df).collect()}
+    assert got == {"10.0.0.0/16": (1, 3, 3, 2), "10.1.0.0/16": (1, 1, 1, 0)}

@@ -1343,3 +1343,35 @@ def test_knn_graph_hand_computed(spark):
     assert got[(2, 1)] == (1, 1.0)
     if (3, 1) in got:  # mid co-bucketed → its nearest is either, cos 0.7071
         assert got[(3, 1)][1] == 0.7071
+
+
+def test_prototype_prune_hand_computed(spark):
+    """Two 2-member clusters, keep_frac=0.5 → exactly the hardest
+    (lowest-cosine) member of each survives; hard_first=False flips the
+    keeper to the prototype itself."""
+    import numpy as np
+
+    dim = 64
+    e0 = np.zeros(dim); e0[0] = 1.0
+    e1 = np.zeros(dim); e1[1] = 1.0
+    m0 = e0 * 0.9; m0[1] = 0.2      # near c0, cos < 1
+    m1 = e1 * 0.9; m1[0] = 0.3      # near c1, cos < 1
+    rows = [(0, e0.tolist(), 0), (1, e1.tolist(), 0),
+            (2, m0.tolist(), 0), (3, m1.tolist(), 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cents = similarity.ivf_centroids(df, 2)
+    out = {r.vec_id: r for r in
+           similarity.prototype_prune(df, cents, keep_frac=0.5).collect()}
+    assert {v: out[v].cid for v in out} == {0: 0, 1: 1, 2: 0, 3: 1}
+    assert out[0].proto_score == 1.0 and out[1].proto_score == 1.0
+    # hardest-first: the imperfect member ranks 1 and is kept
+    assert (out[2].rank, out[2].kept) == (1, True)
+    assert (out[0].rank, out[0].kept) == (2, False)
+    assert (out[3].kept, out[1].kept) == (True, False)
+
+    easy = {r.vec_id: r.kept for r in
+            similarity.prototype_prune(
+                df, cents, keep_frac=0.5, hard_first=False).collect()}
+    assert easy == {0: True, 1: True, 2: False, 3: False}
