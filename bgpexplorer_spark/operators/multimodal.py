@@ -126,10 +126,16 @@ def decode_wav(b: bytes) -> dict | None:
                 f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
             )
             raw = f.readframes(nframes)
-    except (wave.Error, EOFError):
+    # the stdlib wave/chunk machinery raises RuntimeError (chunk.seek on a
+    # corrupt size), struct.error, ValueError and OSError on malformed
+    # captures besides its own wave.Error — a decoder must never raise
+    except (wave.Error, EOFError, OSError, RuntimeError, ValueError,
+            struct.error):
         return None
     if sw == 2:
-        samples = np.frombuffer(raw, np.int16)
+        # a truncated capture can return an odd byte count (declared
+        # data size > payload) — clip to whole samples, don't raise
+        samples = np.frombuffer(raw[: len(raw) - len(raw) % 2], np.int16)
         mean = float(np.abs(samples).mean() / 256) if samples.size else 0.0
     else:
         samples = np.frombuffer(raw, np.uint8)
@@ -464,7 +470,12 @@ def audio_features(df: DataFrame) -> DataFrame:
                             sw, rate = f.getsampwidth(), f.getframerate()
                             frames = f.readframes(f.getnframes())
                         if sw == 2:
-                            s = np.frombuffer(frames, np.int16).astype(np.float64)
+                            # clip truncated captures to whole samples
+                            # (declared data size can exceed the payload)
+                            s = np.frombuffer(
+                                frames[: len(frames) - len(frames) % 2],
+                                np.int16,
+                            ).astype(np.float64)
                         else:
                             s = np.frombuffer(frames, np.uint8).astype(
                                 np.float64
@@ -478,8 +489,9 @@ def audio_features(df: DataFrame) -> DataFrame:
                                 int(n * 1000 // rate), rms,
                                 int(np.abs(s).max()), zc,
                             )
-                    except (wave.Error, EOFError):
-                        pass
+                    except (wave.Error, EOFError, OSError, RuntimeError,
+                            ValueError, struct.error):
+                        pass  # same corrupt-capture classes as decode_wav
                 out.append(row)
             yield pd.DataFrame(
                 out,

@@ -128,3 +128,70 @@ def test_decoders_never_raise_on_corrupted_valid_files_deep(seed, flips):
     real progressive-JPEG OverflowError): 15x the examples, deeper flip
     lists. Opt-in via SLOW_FUZZ=1 so the default suite stays bounded."""
     _fuzz_corrupted_valid_files(seed, flips)
+
+
+def _wav(samples, rate=8000, nch=1, sw=2):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(nch)
+        f.setsampwidth(sw)
+        f.setframerate(rate)
+        f.writeframes(np.asarray(samples, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_wav_truncated_odd_payload_no_raise():
+    """A capture whose data chunk declares more frames than the payload
+    holds (and ends on an odd byte) must degrade, not raise — one crash
+    aborts the whole Arrow batch."""
+    import struct
+
+    from bgpexplorer_spark.operators.multimodal import decode_wav
+
+    raw = bytearray(_wav([1, 2, 3]))
+    i = raw.find(b"data")
+    struct.pack_into("<I", raw, i + 4, 100)  # over-declared
+    out = decode_wav(bytes(raw[:-1]))        # odd payload
+    assert out is not None and out["sample_rate"] == 8000
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(min_value=0, max_value=12),
+    cut=st.integers(min_value=0, max_value=40),
+)
+def test_wav_byteflip_sweep_never_raises(seed, n_flips, cut):
+    """decode_wav over randomly corrupted/truncated WAV bytes: any
+    outcome but an unhandled raise."""
+    from bgpexplorer_spark.operators.multimodal import decode_wav
+
+    rng = np.random.default_rng(seed)
+    raw = bytearray(_wav(rng.integers(-500, 500, 64)))
+    for _ in range(n_flips):
+        raw[rng.integers(0, len(raw))] ^= 1 << rng.integers(0, 8)
+    out = decode_wav(bytes(raw[: len(raw) - cut]))
+    assert out is None or isinstance(out, dict)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(min_value=0, max_value=12),
+    cut=st.integers(min_value=0, max_value=40),
+)
+def test_image_pixels_byteflip_sweep_never_raises(seed, n_flips, cut):
+    """decode_image_pixels (the aHash/resize dispatch) over corrupted
+    PGM payloads: decode or None, never an exception."""
+    from bgpexplorer_spark.operators.multimodal import decode_image_pixels
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, 256, dtype=np.uint8)
+    raw = bytearray(b"P5\n16 16\n255\n" + px.tobytes())
+    for _ in range(n_flips):
+        raw[rng.integers(0, len(raw))] ^= 1 << rng.integers(0, 8)
+    img = decode_image_pixels(bytes(raw[: len(raw) - cut]))
+    assert img is None or img.ndim == 3
