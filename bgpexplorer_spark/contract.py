@@ -6937,3 +6937,34 @@ def an_path_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("aspath_flat"),
     )
     return path_inflation(st)
+
+
+@q(
+    "text_bpe_pairs",
+    f"""
+    WITH words AS (
+        SELECT w, count(*) AS wc FROM (
+            SELECT unnest({_duck_tokens('lower(text)')}) AS w FROM documents
+        ) GROUP BY w
+    ),
+    pairs AS (
+        SELECT substring(w, i, 1) AS sym_a, substring(w, i + 1, 1) AS sym_b,
+               wc
+        FROM words, unnest(
+            CASE WHEN length(w) >= 2
+                 THEN [x for x in generate_series(1, length(w) - 1)]
+                 ELSE [] END) AS t(i)
+    )
+    SELECT sym_a, sym_b, CAST(sum(wc) AS BIGINT) AS n
+    FROM pairs GROUP BY sym_a, sym_b
+    ORDER BY n DESC, sym_a, sym_b LIMIT 50
+    """,
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge statistic (operators/text.bpe_pair_counts): adjacent
+    char-pair frequencies over the word-frequency table, top-50 — the
+    per-round count of tokenizer training, corpus touched once."""
+    from bgpexplorer_spark.operators.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, k=50)

@@ -657,3 +657,46 @@ def classifier_weights(n_buckets: int = 256, salt: int = 1) -> list[float]:
         ((b * 2654435761 * salt) % 1000003) / 1000003 - 0.5
         for b in range(n_buckets)
     ]
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """The BPE merge statistic at corpus scale (Sennrich et al. 2016
+    §3.2): adjacent-symbol pair frequencies over the word-frequency
+    table — the count a tokenizer trainer recomputes every merge round,
+    here for the first round (symbols = characters). Output: the k most
+    frequent (sym_a, sym_b, n) pairs, ties broken lexicographically.
+
+    Scale shape: the corpus is touched ONCE for a map-side-combinable
+    word-frequency aggregate; everything after runs on the VOCABULARY
+    (pair explode weighted by word count, one aggregate, TakeOrdered
+    top-k) — the same corpus-vs-vocabulary split tfidf/charlm use.
+    """
+    words = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    n = F.length("w")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.substring(F.col("w"), i, F.lit(1)).alias("sym_a"),
+                    F.substring(F.col("w"), i + 1, F.lit(1)).alias("sym_b"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.sym_a").alias("sym_a"), F.col("p.sym_b").alias("sym_b"))
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.col("n").desc(), "sym_a", "sym_b")
+        .limit(k)
+    )

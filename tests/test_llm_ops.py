@@ -1375,3 +1375,14 @@ def test_prototype_prune_hand_computed(spark):
             similarity.prototype_prune(
                 df, cents, keep_frac=0.5, hard_first=False).collect()}
     assert easy == {0: True, 1: True, 2: False, 3: False}
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """'aab aab ab' → word table {aab:2, ab:1}; pairs: (a,a)×2,
+    (a,b)×3; single-char words contribute nothing."""
+    df = spark.createDataFrame(
+        [(1, "aab aab x"), (2, "ab")], ["doc_id", "text"]
+    )
+    got = {(r.sym_a, r.sym_b): r.n
+           for r in text.bpe_pair_counts(df).collect()}
+    assert got == {("a", "a"): 2, ("a", "b"): 3}
