@@ -6596,7 +6596,6 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                c.origin_as AS cover_origin
         FROM truncs t
         JOIN o c ON c.addr_v4 = t.cover_addr AND c.prefixlen = t.cover_plen
-        WHERE c.origin_as <> t.origin_as
     ),
     best AS (
         SELECT addr_v4, prefixlen, origin_as, max(cover_plen) AS cover_plen
@@ -6613,6 +6612,7 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cover_origins_str,
            count(*) AS n_cover_origins
     FROM onbest GROUP BY 1, 2, 3, 4
+    HAVING max(CASE WHEN cover_origin = origin_as THEN 1 ELSE 0 END) = 0
     """,
 )
 def an_subprefix_hijack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6749,6 +6749,7 @@ _AUDIO_ORACLE = """
     )
     SELECT doc_id,
            CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
            CAST(len(smp) AS BIGINT) AS n_samples,
            CAST(len(smp) * 1000 // 8000 AS INTEGER) AS duration_ms,
            round(sqrt(list_sum([CAST(x * x AS DOUBLE) for x in smp])
@@ -6793,8 +6794,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((int(d), "audio", buf.getvalue(), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     return audio_features(media).select(
-        F.col("media_id").alias("doc_id"), "sample_rate", "n_samples",
-        "duration_ms", "rms", "peak", "zero_crossings",
+        F.col("media_id").alias("doc_id"), "sample_rate", "channels",
+        "n_samples", "duration_ms", "rms", "peak", "zero_crossings",
     )
 
 

@@ -1200,6 +1200,12 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     this flags cover/more-specific splits (the shape of real sub-prefix
     hijacks, which MOAS never sees because the exact prefix is new).
 
+    A more-specific flags only when the origin set of its
+    MOST-SPECIFIC covering announcement does not contain its own origin:
+    a /24 inside the announcer's own /16 is legitimate deaggregation
+    even when some distant /8 above belongs to someone else (the
+    immediate parent is the authority the alert compares against).
+
     Output: (addr, prefixlen, origin_as) of the suspect more-specific,
     the covering mask length, the sorted distinct origin set announced
     on that cover, and how many distinct origins that is.
@@ -1249,13 +1255,13 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
         F.col("prefixlen").alias("_cover_plen"),
         F.col("origin_as").alias("_cover_origin"),
     )
-    # covers announced by a DIFFERENT origin than the more-specific
-    cand = truncs.join(covers, ["_cover_addr", "_cover_plen"]).filter(
-        F.col("_cover_origin") != F.col("origin_as")
-    )
-    # most-specific mismatching cover per suspect via one window; the
-    # following groupBy clusters on a superset of the window keys, so
-    # Catalyst reuses the same Exchange (one shuffle, not groupBy+join)
+    # ALL covers (origin agreement is judged at the most-specific one —
+    # filtering mismatches first would wrongly escalate a legitimate
+    # self-deaggregation to some distant foreign cover above it)
+    cand = truncs.join(covers, ["_cover_addr", "_cover_plen"])
+    # most-specific cover per suspect via one window; the following
+    # groupBy clusters on a superset of the window keys, so Catalyst
+    # reuses the same Exchange (one shuffle, not groupBy+join)
     wmax = Window.partitionBy("_addr", "prefixlen", "origin_as")
     return (
         cand.withColumn("_maxp", F.max("_cover_plen").over(wmax))
@@ -1273,7 +1279,12 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
             F.size(F.collect_set("_cover_origin")).cast("long").alias(
                 "n_cover_origins"
             ),
+            F.max(
+                (F.col("_cover_origin") == F.col("origin_as")).cast("int")
+            ).alias("_own"),
         )
+        .filter(F.col("_own") == 0)
+        .drop("_own")
         .withColumnRenamed("_addr", "addr_v4")
     )
 

@@ -114,10 +114,16 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
-def decode_wav(b: bytes) -> dict | None:
-    """RIFF/WAVE → {channels, sample_rate, duration_ms, mean_byte} via the
-    stdlib wave module (16-bit PCM mean = mean |sample| / 256 so the scale
-    matches byte-space), or None."""
+def _read_pcm(b: bytes) -> tuple[bytes, int, int, int, int] | None:
+    """Guarded RIFF/WAVE PCM read shared by :func:`decode_wav` and
+    :func:`audio_features`: (frames, sample_width, rate, channels,
+    declared_nframes), or None on anything malformed. The stdlib
+    wave/chunk machinery raises RuntimeError (chunk.seek on a corrupt
+    size), struct.error, ValueError and OSError on malformed captures
+    besides its own wave.Error — a decoder must never raise, so every
+    class is caught HERE, once, and 16-bit payloads are clipped to
+    whole samples (a truncated capture with an over-declared data chunk
+    can end on an odd byte)."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         return None
     try:
@@ -126,16 +132,24 @@ def decode_wav(b: bytes) -> dict | None:
                 f.getnchannels(), f.getsampwidth(), f.getframerate(), f.getnframes(),
             )
             raw = f.readframes(nframes)
-    # the stdlib wave/chunk machinery raises RuntimeError (chunk.seek on a
-    # corrupt size), struct.error, ValueError and OSError on malformed
-    # captures besides its own wave.Error — a decoder must never raise
     except (wave.Error, EOFError, OSError, RuntimeError, ValueError,
             struct.error):
         return None
     if sw == 2:
-        # a truncated capture can return an odd byte count (declared
-        # data size > payload) — clip to whole samples, don't raise
-        samples = np.frombuffer(raw[: len(raw) - len(raw) % 2], np.int16)
+        raw = raw[: len(raw) - len(raw) % 2]
+    return raw, sw, rate, nch, nframes
+
+
+def decode_wav(b: bytes) -> dict | None:
+    """RIFF/WAVE → {channels, sample_rate, duration_ms, mean_byte} via the
+    stdlib wave module (16-bit PCM mean = mean |sample| / 256 so the scale
+    matches byte-space; other widths report the raw byte mean), or None."""
+    pcm = _read_pcm(b)
+    if pcm is None:
+        return None
+    raw, sw, rate, nch, nframes = pcm
+    if sw == 2:
+        samples = np.frombuffer(raw, np.int16)
         mean = float(np.abs(samples).mean() / 256) if samples.size else 0.0
     else:
         samples = np.frombuffer(raw, np.uint8)
@@ -423,11 +437,14 @@ def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
                 if th == 0 or tw == 0:
                     out.append((int(mid), None, None, int(w), int(h)))
                     continue
+                gmean = g.mean()  # GLOBAL image mean, before any crop —
+                # the documented threshold (a bright cropped-off edge
+                # must still shift every bit the same way)
                 g = g[:th, :tw]
                 cells = g.reshape(grid, th // grid, grid, tw // grid).mean(
                     axis=(1, 3)
                 )
-                bits = (cells > g.mean()).reshape(-1)
+                bits = (cells > gmean).reshape(-1)
                 s = "".join("1" if b else "0" for b in bits)
                 out.append((int(mid), s, int(s[:16], 2), int(w), int(h)))
             yield pd.DataFrame(
@@ -440,8 +457,8 @@ def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "media_id long, sample_rate int, n_samples long, duration_ms int, "
-    "rms double, peak int, zero_crossings long"
+    "media_id long, sample_rate int, channels int, n_samples long, "
+    "duration_ms int, rms double, peak int, zero_crossings long"
 )
 
 
@@ -452,52 +469,49 @@ def audio_features(df: DataFrame) -> DataFrame:
     zero-crossing count (sign flips between consecutive samples, the
     cheap voicing/noisiness proxy). 16-bit samples are exact in float64
     for any clip shorter than 2^23 samples per Arrow row, so the RMS is
-    bit-reproducible. Multi-channel clips are measured over the
-    interleaved stream (documented, matches the byte order on disk).
+    bit-reproducible. ``n_samples`` counts the interleaved stream
+    across channels (RMS/ZCR are measured over it — documented, matches
+    the byte order on disk); ``duration_ms`` derives from DECODED frames
+    (n_samples / channels), not the declared header. Only 8/16-bit PCM
+    is interpreted; 24/32-bit clips emit NULLs rather than byte-wise
+    garbage (the wave module exposes but can't type them).
 
-    One Arrow-batched mapInPandas; undecodable payloads emit NULLs.
+    One Arrow-batched mapInPandas (PCM read shared with
+    :func:`decode_wav` via ``_read_pcm``); undecodable payloads emit
+    NULLs.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                raw = bytes(content)
-                row = (int(mid), None, None, None, None, None, None)
-                if len(raw) >= 12 and raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
-                    try:
-                        with wave.open(io.BytesIO(raw)) as f:
-                            sw, rate = f.getsampwidth(), f.getframerate()
-                            frames = f.readframes(f.getnframes())
-                        if sw == 2:
-                            # clip truncated captures to whole samples
-                            # (declared data size can exceed the payload)
-                            s = np.frombuffer(
-                                frames[: len(frames) - len(frames) % 2],
-                                np.int16,
-                            ).astype(np.float64)
-                        else:
-                            s = np.frombuffer(frames, np.uint8).astype(
-                                np.float64
-                            ) - 128.0
+                row = (int(mid), None, None, None, None, None, None, None)
+                pcm = _read_pcm(bytes(content))
+                if pcm is not None:
+                    frames, sw, rate, nch, _ = pcm
+                    if sw == 2:
+                        s = np.frombuffer(frames, np.int16).astype(np.float64)
+                    elif sw == 1:
+                        s = np.frombuffer(frames, np.uint8).astype(
+                            np.float64
+                        ) - 128.0
+                    else:
+                        s = None  # 24/32-bit PCM: NULLs, not garbage
+                    if s is not None and s.size and rate and nch:
                         n = s.size
-                        if n and rate:
-                            rms = round(float(np.sqrt(np.mean(s * s))), 4)
-                            zc = int(np.sum((s[:-1] >= 0) != (s[1:] >= 0)))
-                            row = (
-                                int(mid), int(rate), int(n),
-                                int(n * 1000 // rate), rms,
-                                int(np.abs(s).max()), zc,
-                            )
-                    except (wave.Error, EOFError, OSError, RuntimeError,
-                            ValueError, struct.error):
-                        pass  # same corrupt-capture classes as decode_wav
+                        rms = round(float(np.sqrt(np.mean(s * s))), 4)
+                        zc = int(np.sum((s[:-1] >= 0) != (s[1:] >= 0)))
+                        row = (
+                            int(mid), int(rate), int(nch), int(n),
+                            int((n // nch) * 1000 // rate), rms,
+                            int(np.abs(s).max()), zc,
+                        )
                 out.append(row)
             yield pd.DataFrame(
                 out,
                 columns=[
-                    "media_id", "sample_rate", "n_samples", "duration_ms",
-                    "rms", "peak", "zero_crossings",
+                    "media_id", "sample_rate", "channels", "n_samples",
+                    "duration_ms", "rms", "peak", "zero_crossings",
                 ],
             )
 

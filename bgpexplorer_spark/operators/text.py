@@ -635,7 +635,9 @@ def hashed_classifier_margin(
 
     Pure fold over the token array (no shuffle, no UDF); the fold order
     is the token order, so the float sum is bit-reproducible and an
-    oracle that replays the same fold matches exactly.
+    oracle that replays the same fold matches exactly. Corpus-level
+    application (and the above-the-bound broadcast fallback) lives in
+    :func:`classify_quality`.
     """
     toks = tokens(F.lower(col))
     n = len(weights)
@@ -699,4 +701,46 @@ def bpe_pair_counts(
         .agg(F.sum("wc").alias("n"))
         .orderBy(F.col("n").desc(), "sym_a", "sym_b")
         .limit(k)
+    )
+
+
+# Above this many buckets, a literal weight table bloats the serialized
+# plan (same bound rationale as similarity.INLINE_CODEBOOK_MAX: ~0.5 MB
+# of plan); switch to ONE broadcast row instead.
+CLASSIFIER_INLINE_MAX = 65536
+
+
+def classify_quality(
+    df: DataFrame, weights: list[float], bias: float = 0.0,
+    text_col: str = "text", out_col: str = "margin",
+    inline_max: int = CLASSIFIER_INLINE_MAX,
+) -> DataFrame:
+    """Apply the hashed linear quality classifier to a corpus: adds
+    ``out_col`` (the margin) via :func:`hashed_classifier_margin`'s
+    literal lookup table when the weight table is small, or — above
+    ``inline_max`` buckets (real fasttext-style tables run 2^20) — ships
+    the table as ONE broadcast row and folds against the column instead,
+    keeping the plan constant-size (the same fallback shape as
+    ivf_assign's codebooks). Both paths compute the identical margin.
+    """
+    if len(weights) <= inline_max:
+        return df.withColumn(
+            out_col, hashed_classifier_margin(F.col(text_col), weights, bias)
+        )
+    wdf = df.sparkSession.createDataFrame(
+        [([float(w) for w in weights],)], "_w array<double>"
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    n = len(weights)
+    s = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.element_at(F.col("_w"), (portable_hash32(t) % n).cast("int") + 1),
+    )
+    margin = F.lit(float(bias)) + s / F.greatest(F.size(toks), F.lit(1))
+    return (
+        df.join(F.broadcast(wdf))  # 1-row broadcast: no amplification
+        .withColumn(out_col, margin)
+        .drop("_w")
     )

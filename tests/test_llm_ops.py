@@ -1308,16 +1308,38 @@ def test_audio_features_hand_computed(spark):
         f.setsampwidth(2)
         f.setframerate(1000)
         f.writeframes(np.array([3, -1, 0, 5], np.int16).tobytes())
-    rows = [(1, "audio", buf.getvalue(), None), (2, "audio", b"xx", None)]
+    stereo = io.BytesIO()
+    with wave.open(stereo, "wb") as f:
+        f.setnchannels(2)
+        f.setsampwidth(2)
+        f.setframerate(1000)
+        f.writeframes(np.array([3, -1, 0, 5], np.int16).tobytes())
+    deep = io.BytesIO()  # 24-bit PCM: NULLs, not byte-wise garbage
+    with wave.open(deep, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(3)
+        f.setframerate(1000)
+        f.writeframes(b"\x00\x00\x00" * 4)
+    rows = [
+        (1, "audio", buf.getvalue(), None),
+        (2, "audio", b"xx", None),
+        (3, "audio", stereo.getvalue(), None),
+        (4, "audio", deep.getvalue(), None),
+    ]
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {r.media_id: r for r in multimodal.audio_features(df).collect()}
     r1 = got[1]
-    assert (r1.sample_rate, r1.n_samples, r1.duration_ms) == (1000, 4, 4)
+    assert (r1.sample_rate, r1.channels, r1.n_samples, r1.duration_ms) == (
+        1000, 1, 4, 4,
+    )
     assert r1.rms == round((35 / 4) ** 0.5, 4)
     assert r1.peak == 5
     # sign flips: 3→-1 and -1→0 (0 counts as non-negative)
     assert r1.zero_crossings == 2
     assert got[2].rms is None
+    # stereo: 4 interleaved samples = 2 frames → 2 ms, not 4
+    assert (got[3].channels, got[3].n_samples, got[3].duration_ms) == (2, 4, 2)
+    assert got[4].rms is None and got[4].sample_rate is None
 
 
 def test_knn_graph_hand_computed(spark):
@@ -1386,3 +1408,40 @@ def test_bpe_pair_counts_hand_computed(spark):
     got = {(r.sym_a, r.sym_b): r.n
            for r in text.bpe_pair_counts(df).collect()}
     assert got == {("a", "a"): 2, ("a", "b"): 3}
+
+
+def test_classifier_paths_agree_and_no_literal_blowup(spark):
+    """The literal and broadcast weight-table paths compute identical
+    margins, and the broadcast path's plan stays constant-size (no
+    million-literal array) — the ivf_assign codebook discipline."""
+    w = text.classifier_weights(64)
+    df = spark.createDataFrame(
+        [(1, "spark rows fast"), (2, "the the the"), (3, "")],
+        ["doc_id", "text"],
+    )
+    lit_rows = sorted(
+        (r.doc_id, r.margin)
+        for r in text.classify_quality(df, w, bias=0.1).collect()
+    )
+    bc = text.classify_quality(df, w, bias=0.1, inline_max=0)
+    bc_rows = sorted((r.doc_id, r.margin) for r in bc.collect())
+    assert lit_rows == bc_rows
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ahash_nondivisible_dims_use_global_mean(spark):
+    """A 17x16 image whose cropped-off bottom row is very bright: the
+    threshold is the FULL image mean (documented), so the dark top
+    region hashes all-zero — cropping must not silently re-center it."""
+    import numpy as np
+
+    img = np.zeros((17, 16, 1), np.uint8)
+    img[16, :] = 255  # bright row that the 8x8 grid crop discards
+    raw = b"P5\n16 17\n255\n" + img.tobytes()
+    df = spark.createDataFrame(
+        [(1, "image", raw, None)], multimodal.MEDIA_SCHEMA
+    )
+    r = multimodal.ahash_media(df).collect()[0]
+    assert (r.width, r.height) == (16, 17)
+    assert r.ahash == "0" * 64  # every retained cell is below the global mean
