@@ -6969,3 +6969,83 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_pair_counts(docs, k=50)
+
+
+@q(
+    "an_subprefix_hijack_v6",
+    """
+    WITH o AS (
+        SELECT DISTINCT
+               CAST(floor(w / power(2, 64 - plen)) AS BIGINT)
+                 * CAST(power(2, 64 - plen) AS BIGINT) AS w_c,
+               plen, origin
+        FROM (SELECT (user_id % 64) * 65536 + (event_id % 256) * 256 AS w,
+                     48 + (event_id % 5) * 4 AS plen,
+                     200 + event_id % 3 AS origin
+              FROM events)
+    ),
+    plens AS (SELECT DISTINCT plen AS cp FROM o),
+    truncs AS (
+        SELECT o.w_c, o.plen, o.origin,
+               CAST(floor(w_c / power(2, 64 - cp)) AS BIGINT)
+                 * CAST(power(2, 64 - cp) AS BIGINT) AS cw,
+               cp
+        FROM o, plens WHERE cp < o.plen
+    ),
+    cand AS (
+        SELECT t.w_c, t.plen, t.origin, t.cp AS cover_plen,
+               c.origin AS cover_origin
+        FROM truncs t JOIN o c ON c.w_c = t.cw AND c.plen = t.cp
+    ),
+    best AS (
+        SELECT w_c, plen, origin, max(cover_plen) AS cover_plen
+        FROM cand GROUP BY 1, 2, 3
+    ),
+    onbest AS (
+        SELECT DISTINCT b.w_c, b.plen, b.origin, b.cover_plen, c.cover_origin
+        FROM best b JOIN cand c USING (w_c, plen, origin, cover_plen)
+    )
+    SELECT '20010DB8' || upper(lpad(hex(w_c), 8, '0')) || '0000000000000000'
+               AS addr_hex,
+           CAST(plen AS INTEGER) AS prefixlen,
+           origin AS origin_as,
+           CAST(cover_plen AS INTEGER) AS cover_plen,
+           string_agg(CAST(cover_origin AS VARCHAR), ',' ORDER BY cover_origin)
+               AS cover_origins_str,
+           count(*) AS n_cover_origins
+    FROM onbest GROUP BY 1, 2, 3, 4
+    HAVING max(CASE WHEN cover_origin = origin THEN 1 ELSE 0 END) = 0
+    """,
+)
+def an_subprefix_hijack_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 sub-prefix hijack candidates
+    (operators/analytics.subprefix_hijacks_v6): the same
+    most-specific-cover origin test over BINARY(16) addresses — 2001:db8
+    space with the variable 32-bit word in bytes 4-7 (the o5 v6
+    derivation), plens 48..64, origins 200 + e%3."""
+    from bgpexplorer_spark.operators.analytics import subprefix_hijacks_v6
+
+    ev = load_table(spark, sf_dir, "events")
+    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
+    val = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
+        "bigint"
+    )
+    span = F.pow(F.lit(2.0), (F.lit(64) - plen)).cast("bigint")
+    val_c = F.floor(val / span).cast("bigint") * span
+    addr = F.unhex(
+        F.concat(F.lit("20010DB8"), F.lpad(F.hex(val_c), 8, "0"), F.lit("0" * 16))
+    )
+    st = ev.select(
+        addr.alias("addr_v6"),
+        plen.alias("prefixlen"),
+        F.array(
+            (F.lit(100) + F.col("user_id") % 8).cast("long"),
+            (F.lit(200) + F.col("event_id") % 3).cast("long"),
+        ).alias("aspath_flat"),
+    )
+    out = subprefix_hijacks_v6(st)
+    return out.select(
+        F.upper(F.hex(F.col("addr_v6"))).alias("addr_hex"),
+        "prefixlen", "origin_as", "cover_plen",
+        "cover_origins_str", "n_cover_origins",
+    )

@@ -1259,9 +1259,15 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     # filtering mismatches first would wrongly escalate a legitimate
     # self-deaggregation to some distant foreign cover above it)
     cand = truncs.join(covers, ["_cover_addr", "_cover_plen"])
-    # most-specific cover per suspect via one window; the following
-    # groupBy clusters on a superset of the window keys, so Catalyst
-    # reuses the same Exchange (one shuffle, not groupBy+join)
+    return _hijack_reduce(cand, "addr_v4")
+
+
+def _hijack_reduce(cand: DataFrame, addr_out: str) -> DataFrame:
+    """Shared v4/v6 reduction for subprefix_hijacks: most-specific cover
+    per suspect via one window; the following groupBy clusters on a
+    superset of the window keys, so Catalyst reuses the same Exchange
+    (one shuffle, not groupBy+join); a suspect flags only when no origin
+    on that cover matches its own."""
     wmax = Window.partitionBy("_addr", "prefixlen", "origin_as")
     return (
         cand.withColumn("_maxp", F.max("_cover_plen").over(wmax))
@@ -1285,8 +1291,52 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
         )
         .filter(F.col("_own") == 0)
         .drop("_own")
-        .withColumnRenamed("_addr", "addr_v4")
+        .withColumnRenamed("_addr", addr_out)
     )
+
+
+def subprefix_hijacks_v6(state: DataFrame, addr_col: str = "addr_v6") -> DataFrame:
+    """IPv6 :func:`subprefix_hijacks` — identical semantics and scale
+    shape over BINARY(16) addresses: truncation per occurring shorter
+    mask via the literal-plen byte/bit masking of lpm._mask_v6 (no UDF,
+    no range join), then the shared most-specific-cover reduction."""
+    from bgpexplorer_spark.operators.lpm import _mask_v6
+
+    o = origin_as(F.col("aspath_flat"))
+    pfx = (
+        state.filter(F.col(addr_col).isNotNull())
+        .select(o.alias("origin_as"), F.col(addr_col).alias("_addr"), "prefixlen")
+        .filter(F.col("origin_as").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    plens = sorted(
+        r["prefixlen"]
+        for r in pfx.select("prefixlen").distinct().collect()  # ≤ 129 rows
+    )
+    truncs = None
+    for p in plens[:-1]:
+        t = pfx.filter(F.col("prefixlen") > p).select(
+            "origin_as",
+            "_addr",
+            "prefixlen",
+            _mask_v6(F.col("_addr"), p).alias("_cover_addr"),
+            F.lit(p).alias("_cover_plen"),
+        )
+        truncs = t if truncs is None else truncs.unionByName(t)
+    if truncs is None:
+        return state.sparkSession.createDataFrame(
+            [],
+            "addr_v6 binary, prefixlen int, origin_as bigint, "
+            "cover_plen int, cover_origins_str string, n_cover_origins long",
+        )
+    covers = pfx.select(
+        F.col("_addr").alias("_cover_addr"),
+        F.col("prefixlen").alias("_cover_plen"),
+        F.col("origin_as").alias("_cover_origin"),
+    )
+    cand = truncs.join(covers, ["_cover_addr", "_cover_plen"])
+    return _hijack_reduce(cand, "addr_v6")
 
 
 def convergence_report(

@@ -851,3 +851,32 @@ def test_path_inflation_hand_computed(spark):
     got = {r.nlri_str: (r.min_len, r.max_len, r.n_routes, r.n_inflated)
            for r in path_inflation(df).collect()}
     assert got == {"10.0.0.0/16": (1, 3, 3, 2), "10.1.0.0/16": (1, 1, 1, 0)}
+
+
+def test_subprefix_hijack_v6_hand_computed(spark):
+    """v6 mirror of the v4 semantics over BINARY(16): a /48 under a
+    foreign /32 flags; a /64 whose most-specific cover (/48) shares its
+    origin stays silent even under the foreign /32."""
+    import ipaddress
+
+    def b(addr):
+        return ipaddress.ip_address(addr).packed
+
+    rows = [
+        ("2001:db8::", 32, [1, 999]),
+        ("2001:db8:1::", 48, [1, 100]),       # foreign under the /32
+        ("2001:db8:1:1::", 64, [1, 100]),     # own /48 covers → silent
+        ("2001:db8:2::", 48, [1, 999]),       # same-origin under /32 → silent
+    ]
+    df = spark.createDataFrame(
+        [(b(a), p, [int(x) for x in path]) for a, p, path in rows],
+        "addr_v6 binary, prefixlen int, aspath_flat array<long>",
+    )
+    got = {
+        (bytes(r.addr_v6).hex(), r.prefixlen, r.origin_as):
+            (r.cover_plen, r.cover_origins_str)
+        for r in analytics.subprefix_hijacks_v6(df).collect()
+    }
+    assert got == {
+        (b("2001:db8:1::").hex(), 48, 100): (32, "999"),
+    }
