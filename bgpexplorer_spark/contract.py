@@ -7049,3 +7049,65 @@ def an_subprefix_hijack_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefixlen", "origin_as", "cover_plen",
         "cover_origins_str", "n_cover_origins",
     )
+
+
+@q(
+    "an_deaggregation_v6",
+    """
+    WITH o AS (
+        SELECT DISTINCT
+               CAST(floor(w / power(2, 64 - plen)) AS BIGINT)
+                 * CAST(power(2, 64 - plen) AS BIGINT) AS w_c,
+               plen, origin
+        FROM (SELECT (user_id % 64) * 65536 + (event_id % 256) * 256 AS w,
+                     48 + (event_id % 5) * 4 AS plen,
+                     200 + event_id % 3 AS origin
+              FROM events)
+    ),
+    plens AS (SELECT DISTINCT plen AS cp FROM o),
+    truncs AS (
+        SELECT o.w_c, o.plen, o.origin,
+               CAST(floor(w_c / power(2, 64 - cp)) AS BIGINT)
+                 * CAST(power(2, 64 - cp) AS BIGINT) AS cw,
+               cp
+        FROM o, plens WHERE cp < o.plen
+    ),
+    covered AS (
+        SELECT DISTINCT t.origin, t.w_c, t.plen
+        FROM truncs t
+        JOIN o c ON c.origin = t.origin AND c.w_c = t.cw AND c.plen = t.cp
+    ),
+    totals AS (SELECT origin, count(*) AS n_prefixes FROM o GROUP BY 1),
+    cov AS (SELECT origin, count(*) AS n_covered FROM covered GROUP BY 1)
+    SELECT t.origin AS origin_as, t.n_prefixes,
+           coalesce(c.n_covered, 0) AS n_covered,
+           round(coalesce(c.n_covered, 0) / t.n_prefixes, 4) AS deagg_ratio
+    FROM totals t LEFT JOIN cov c USING (origin)
+    """,
+)
+def an_deaggregation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 deaggregation report (operators/analytics.deaggregation_v6):
+    same-origin covered-prefix counting over BINARY(16) — the o5 v6
+    derivation (2001:db8 word in bytes 4-7, plens 48..64, origins
+    200 + e%3)."""
+    from bgpexplorer_spark.operators.analytics import deaggregation_v6
+
+    ev = load_table(spark, sf_dir, "events")
+    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
+    val = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
+        "bigint"
+    )
+    span = F.pow(F.lit(2.0), (F.lit(64) - plen)).cast("bigint")
+    val_c = F.floor(val / span).cast("bigint") * span
+    addr = F.unhex(
+        F.concat(F.lit("20010DB8"), F.lpad(F.hex(val_c), 8, "0"), F.lit("0" * 16))
+    )
+    st = ev.select(
+        addr.alias("addr_v6"),
+        plen.alias("prefixlen"),
+        F.array(
+            (F.lit(100) + F.col("user_id") % 8).cast("long"),
+            (F.lit(200) + F.col("event_id") % 3).cast("long"),
+        ).alias("aspath_flat"),
+    )
+    return deaggregation_v6(st)

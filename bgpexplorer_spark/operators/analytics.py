@@ -1120,18 +1120,25 @@ def upstream_diversity(
     )
 
 
-def deaggregation(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
+def deaggregation(
+    state: DataFrame, addr_col: str = "addr_v4", _mask=None
+) -> DataFrame:
     """Per-origin deaggregation report: of each origin's announced v4
     prefixes, how many are COVERED by another announcement of the SAME
     origin with a shorter mask (the classic table-bloat signal — a /20
     plus its sixteen /24s scores 16 covered). Output: origin_as,
-    n_prefixes, n_covered, deagg_ratio.
+    n_prefixes, n_covered, deagg_ratio. (``_mask`` swaps the truncation
+    expression — :func:`deaggregation_v6` passes the BINARY(16) masker.)
 
     Scale shape: the cover test is NOT a range join — each announced
     prefix emits one truncation per DISTINCT shorter mask length present
     in the table (≤ 32 for v4, discovered from a 33-row-bounded
     aggregate, the lpm_join_v4 trick), and coverage is an equi-semi-join
     on (origin_as, truncated addr, plen). Shuffles on hash keys only."""
+    if _mask is None:
+        def _mask(c: Column, p: int) -> Column:
+            span = 1 << (32 - p)
+            return c - (c % span)
     o = origin_as(F.col("aspath_flat"))
     # materialized once: feeds plen discovery, every truncation branch,
     # the cover semi-join side, and the totals (same rationale as
@@ -1149,14 +1156,13 @@ def deaggregation(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     )
     truncs = None
     for p in plens[:-1]:  # the longest mask can't cover anything
-        span = 1 << (32 - p)
         t = (
             pfx.filter(F.col("prefixlen") > p)
             .select(
                 "origin_as",
                 "_addr",
                 "prefixlen",
-                (F.col("_addr") - (F.col("_addr") % span)).alias("_cover_addr"),
+                _mask(F.col("_addr"), p).alias("_cover_addr"),
                 F.lit(p).alias("_cover_plen"),
             )
         )
@@ -1190,6 +1196,14 @@ def deaggregation(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
             ).alias("deagg_ratio"),
         )
     )
+
+
+def deaggregation_v6(state: DataFrame, addr_col: str = "addr_v6") -> DataFrame:
+    """IPv6 :func:`deaggregation` — identical semantics and scale shape
+    over BINARY(16) addresses via lpm._mask_v6 literal-plen masking."""
+    from bgpexplorer_spark.operators.lpm import _mask_v6
+
+    return deaggregation(state, addr_col, _mask=_mask_v6)
 
 
 def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:

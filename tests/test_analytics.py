@@ -880,3 +880,26 @@ def test_subprefix_hijack_v6_hand_computed(spark):
     assert got == {
         (b("2001:db8:1::").hex(), 48, 100): (32, "999"),
     }
+
+
+def test_deaggregation_v6_hand_computed(spark):
+    """Origin 300's /48 inside its own /32 counts as covered; origin
+    400's /48 inside 300's /32 does not (cover must share the origin)."""
+    import ipaddress
+
+    def b(addr):
+        return ipaddress.ip_address(addr).packed
+
+    rows = [
+        ("2001:db8::", 32, 300),
+        ("2001:db8:1::", 48, 300),
+        ("2001:db8:2::", 48, 400),
+        ("2001:dead::", 48, 300),  # outside the /32 — not covered
+    ]
+    df = spark.createDataFrame(
+        [(b(a), p, [1, o]) for a, p, o in rows],
+        "addr_v6 binary, prefixlen int, aspath_flat array<long>",
+    )
+    got = {r.origin_as: (r.n_prefixes, r.n_covered, r.deagg_ratio)
+           for r in analytics.deaggregation_v6(df).collect()}
+    assert got == {300: (3, 1, 0.3333), 400: (1, 0, 0.0)}
