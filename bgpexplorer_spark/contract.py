@@ -6971,10 +6971,10 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, k=50)
 
 
-@q(
-    "an_subprefix_hijack_v6",
-    """
-    WITH o AS (
+# Shared v6 derivation (the o5 v6 word arithmetic): announced prefixes
+# as (canonical word, plen 48..64, origin 200+e%3), plus the per-plen
+# truncation CTE both v6 analytics oracles reduce over.
+_V6_PREFIX_CTES = """o AS (
         SELECT DISTINCT
                CAST(floor(w / power(2, 64 - plen)) AS BIGINT)
                  * CAST(power(2, 64 - plen) AS BIGINT) AS w_c,
@@ -6991,7 +6991,37 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(power(2, 64 - cp) AS BIGINT) AS cw,
                cp
         FROM o, plens WHERE cp < o.plen
-    ),
+    )"""
+
+
+def _v6_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _V6_PREFIX_CTES's base table: a state-shaped
+    frame (addr_v6 BINARY(16), prefixlen, aspath_flat) over 2001:db8
+    space with the variable 32-bit word in bytes 4-7."""
+    ev = load_table(spark, sf_dir, "events")
+    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
+    val = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
+        "bigint"
+    )
+    span = F.pow(F.lit(2.0), (F.lit(64) - plen)).cast("bigint")
+    val_c = F.floor(val / span).cast("bigint") * span
+    addr = F.unhex(
+        F.concat(F.lit("20010DB8"), F.lpad(F.hex(val_c), 8, "0"), F.lit("0" * 16))
+    )
+    return ev.select(
+        addr.alias("addr_v6"),
+        plen.alias("prefixlen"),
+        F.array(
+            (F.lit(100) + F.col("user_id") % 8).cast("long"),
+            (F.lit(200) + F.col("event_id") % 3).cast("long"),
+        ).alias("aspath_flat"),
+    )
+
+
+@q(
+    "an_subprefix_hijack_v6",
+    f"""
+    WITH {_V6_PREFIX_CTES},
     cand AS (
         SELECT t.w_c, t.plen, t.origin, t.cp AS cover_plen,
                c.origin AS cover_origin
@@ -7025,25 +7055,7 @@ def an_subprefix_hijack_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation), plens 48..64, origins 200 + e%3."""
     from bgpexplorer_spark.operators.analytics import subprefix_hijacks_v6
 
-    ev = load_table(spark, sf_dir, "events")
-    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
-    val = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
-        "bigint"
-    )
-    span = F.pow(F.lit(2.0), (F.lit(64) - plen)).cast("bigint")
-    val_c = F.floor(val / span).cast("bigint") * span
-    addr = F.unhex(
-        F.concat(F.lit("20010DB8"), F.lpad(F.hex(val_c), 8, "0"), F.lit("0" * 16))
-    )
-    st = ev.select(
-        addr.alias("addr_v6"),
-        plen.alias("prefixlen"),
-        F.array(
-            (F.lit(100) + F.col("user_id") % 8).cast("long"),
-            (F.lit(200) + F.col("event_id") % 3).cast("long"),
-        ).alias("aspath_flat"),
-    )
-    out = subprefix_hijacks_v6(st)
+    out = subprefix_hijacks_v6(_v6_state(spark, sf_dir))
     return out.select(
         F.upper(F.hex(F.col("addr_v6"))).alias("addr_hex"),
         "prefixlen", "origin_as", "cover_plen",
@@ -7053,25 +7065,8 @@ def an_subprefix_hijack_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "an_deaggregation_v6",
-    """
-    WITH o AS (
-        SELECT DISTINCT
-               CAST(floor(w / power(2, 64 - plen)) AS BIGINT)
-                 * CAST(power(2, 64 - plen) AS BIGINT) AS w_c,
-               plen, origin
-        FROM (SELECT (user_id % 64) * 65536 + (event_id % 256) * 256 AS w,
-                     48 + (event_id % 5) * 4 AS plen,
-                     200 + event_id % 3 AS origin
-              FROM events)
-    ),
-    plens AS (SELECT DISTINCT plen AS cp FROM o),
-    truncs AS (
-        SELECT o.w_c, o.plen, o.origin,
-               CAST(floor(w_c / power(2, 64 - cp)) AS BIGINT)
-                 * CAST(power(2, 64 - cp) AS BIGINT) AS cw,
-               cp
-        FROM o, plens WHERE cp < o.plen
-    ),
+    f"""
+    WITH {_V6_PREFIX_CTES},
     covered AS (
         SELECT DISTINCT t.origin, t.w_c, t.plen
         FROM truncs t
@@ -7092,22 +7087,4 @@ def an_deaggregation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     200 + e%3)."""
     from bgpexplorer_spark.operators.analytics import deaggregation_v6
 
-    ev = load_table(spark, sf_dir, "events")
-    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
-    val = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
-        "bigint"
-    )
-    span = F.pow(F.lit(2.0), (F.lit(64) - plen)).cast("bigint")
-    val_c = F.floor(val / span).cast("bigint") * span
-    addr = F.unhex(
-        F.concat(F.lit("20010DB8"), F.lpad(F.hex(val_c), 8, "0"), F.lit("0" * 16))
-    )
-    st = ev.select(
-        addr.alias("addr_v6"),
-        plen.alias("prefixlen"),
-        F.array(
-            (F.lit(100) + F.col("user_id") % 8).cast("long"),
-            (F.lit(200) + F.col("event_id") % 3).cast("long"),
-        ).alias("aspath_flat"),
-    )
-    return deaggregation_v6(st)
+    return deaggregation_v6(_v6_state(spark, sf_dir))

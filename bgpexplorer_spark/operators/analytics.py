@@ -1206,13 +1206,18 @@ def deaggregation_v6(state: DataFrame, addr_col: str = "addr_v6") -> DataFrame:
     return deaggregation(state, addr_col, _mask=_mask_v6)
 
 
-def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
+def subprefix_hijacks(
+    state: DataFrame, addr_col: str = "addr_v4", _mask=None
+) -> DataFrame:
     """Sub-prefix hijack candidates: an announced more-specific whose
     most-specific COVERING announcement carries a DIFFERENT origin AS —
     the classic "/24 punched out of someone else's /16" alert. The MOAS
     complement: :func:`moas_conflicts` flags same-prefix origin splits,
     this flags cover/more-specific splits (the shape of real sub-prefix
     hijacks, which MOAS never sees because the exact prefix is new).
+    ``_mask`` swaps the truncation expression, same seam as
+    :func:`deaggregation` — :func:`subprefix_hijacks_v6` passes the
+    BINARY(16) masker.
 
     A more-specific flags only when the origin set of its
     MOST-SPECIFIC covering announcement does not contain its own origin:
@@ -1231,6 +1236,13 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     final per-specific reduction is one hash aggregate. Everything
     shuffles on hash keys only.
     """
+    if _mask is None:
+        def _mask(c: Column, p: int) -> Column:
+            span = 1 << (32 - p)
+            return c - (c % span)
+        addr_type = "bigint"
+    else:
+        addr_type = "binary"
     o = origin_as(F.col("aspath_flat"))
     # the distinct announcement set feeds the plen discovery, every
     # truncation branch, AND the cover side — materialize it once
@@ -1249,19 +1261,18 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     )
     truncs = None
     for p in plens[:-1]:  # the longest mask can't cover anything
-        span = 1 << (32 - p)
         t = pfx.filter(F.col("prefixlen") > p).select(
             "origin_as",
             "_addr",
             "prefixlen",
-            (F.col("_addr") - (F.col("_addr") % span)).alias("_cover_addr"),
+            _mask(F.col("_addr"), p).alias("_cover_addr"),
             F.lit(p).alias("_cover_plen"),
         )
         truncs = t if truncs is None else truncs.unionByName(t)
     if truncs is None:
         return state.sparkSession.createDataFrame(
             [],
-            "addr_v4 bigint, prefixlen int, origin_as bigint, "
+            f"{addr_col} {addr_type}, prefixlen int, origin_as bigint, "
             "cover_plen int, cover_origins_str string, n_cover_origins long",
         )
     covers = pfx.select(
@@ -1273,7 +1284,7 @@ def subprefix_hijacks(state: DataFrame, addr_col: str = "addr_v4") -> DataFrame:
     # filtering mismatches first would wrongly escalate a legitimate
     # self-deaggregation to some distant foreign cover above it)
     cand = truncs.join(covers, ["_cover_addr", "_cover_plen"])
-    return _hijack_reduce(cand, "addr_v4")
+    return _hijack_reduce(cand, addr_col)
 
 
 def _hijack_reduce(cand: DataFrame, addr_out: str) -> DataFrame:
@@ -1311,46 +1322,11 @@ def _hijack_reduce(cand: DataFrame, addr_out: str) -> DataFrame:
 
 def subprefix_hijacks_v6(state: DataFrame, addr_col: str = "addr_v6") -> DataFrame:
     """IPv6 :func:`subprefix_hijacks` — identical semantics and scale
-    shape over BINARY(16) addresses: truncation per occurring shorter
-    mask via the literal-plen byte/bit masking of lpm._mask_v6 (no UDF,
-    no range join), then the shared most-specific-cover reduction."""
+    shape over BINARY(16) addresses via lpm._mask_v6 literal-plen
+    byte/bit masking (the same seam :func:`deaggregation_v6` uses)."""
     from bgpexplorer_spark.operators.lpm import _mask_v6
 
-    o = origin_as(F.col("aspath_flat"))
-    pfx = (
-        state.filter(F.col(addr_col).isNotNull())
-        .select(o.alias("origin_as"), F.col(addr_col).alias("_addr"), "prefixlen")
-        .filter(F.col("origin_as").isNotNull())
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    plens = sorted(
-        r["prefixlen"]
-        for r in pfx.select("prefixlen").distinct().collect()  # ≤ 129 rows
-    )
-    truncs = None
-    for p in plens[:-1]:
-        t = pfx.filter(F.col("prefixlen") > p).select(
-            "origin_as",
-            "_addr",
-            "prefixlen",
-            _mask_v6(F.col("_addr"), p).alias("_cover_addr"),
-            F.lit(p).alias("_cover_plen"),
-        )
-        truncs = t if truncs is None else truncs.unionByName(t)
-    if truncs is None:
-        return state.sparkSession.createDataFrame(
-            [],
-            "addr_v6 binary, prefixlen int, origin_as bigint, "
-            "cover_plen int, cover_origins_str string, n_cover_origins long",
-        )
-    covers = pfx.select(
-        F.col("_addr").alias("_cover_addr"),
-        F.col("prefixlen").alias("_cover_plen"),
-        F.col("origin_as").alias("_cover_origin"),
-    )
-    cand = truncs.join(covers, ["_cover_addr", "_cover_plen"])
-    return _hijack_reduce(cand, "addr_v6")
+    return subprefix_hijacks(state, addr_col, _mask=_mask_v6)
 
 
 def convergence_report(
