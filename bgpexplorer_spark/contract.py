@@ -7088,3 +7088,40 @@ def an_deaggregation_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.analytics import deaggregation_v6
 
     return deaggregation_v6(_v6_state(spark, sf_dir))
+
+
+@q(
+    "text_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id,
+               unnest([substring(text, i, 1)
+                       for i in generate_series(1, length(text))]) AS ch
+        FROM documents WHERE length(text) > 0
+    ),
+    counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2),
+    per AS (
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_chars,
+               count(*) AS n_distinct,
+               list(cnt ORDER BY ch) AS hist
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, n_distinct,
+           round(-list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                   [(CAST(c AS DOUBLE) / n_chars)
+                     * ln(CAST(c AS DOUBLE) / n_chars) for c in hist]),
+               (a, b) -> a + b), 4) AS entropy
+    FROM per
+    """,
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (operators/text.char_entropy):
+    Shannon entropy over each document's char histogram, folded in
+    sorted-character order on both engines so the float sum matches
+    bit-for-bit."""
+    from bgpexplorer_spark.operators.text import char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return char_entropy(docs)

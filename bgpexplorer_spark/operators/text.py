@@ -744,3 +744,44 @@ def classify_quality(
         .withColumn(out_col, margin)
         .drop("_w")
     )
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the classic
+    gibberish/boilerplate signal (near-zero for repeated filler, ~3+ for
+    natural language): H = -Σ (n_c/N) ln(n_c/N) over the character
+    histogram. Output: (id, n_chars, n_distinct, entropy round 4).
+
+    Determinism: the per-character terms are folded in SORTED character
+    order (array_sort before the fold), so the float sum is
+    bit-reproducible and an oracle replaying the same ordered fold
+    matches exactly — an unordered SUM() of logs would flap in the last
+    ulp. Scale shape: one char explode + two map-side-combinable
+    aggregates keyed by the document id (the tf-idf shape, minus the
+    vocabulary join).
+    """
+    chars = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = counts.groupBy("_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("ch"), F.col("cnt")))
+        ).alias("_hist"),
+    )
+    n = F.col("n_chars").cast("double")
+    ent = -F.aggregate(
+        F.col("_hist"),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + (s["cnt"].cast("double") / n) * F.log(s["cnt"].cast("double") / n),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_chars",
+        "n_distinct",
+        F.round(ent, 4).alias("entropy"),
+    )

@@ -1445,3 +1445,21 @@ def test_ahash_nondivisible_dims_use_global_mean(spark):
     r = multimodal.ahash_media(df).collect()[0]
     assert (r.width, r.height) == (16, 17)
     assert r.ahash == "0" * 64  # every retained cell is below the global mean
+
+
+def test_char_entropy_hand_computed(spark):
+    """'aaab' → H = -(3/4 ln 3/4 + 1/4 ln 1/4); uniform 'abcd' → ln 4;
+    single-char filler → 0.0; empty text emits no row."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaab"), (2, "abcd"), (3, "zzzz"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in text.char_entropy(df).collect()}
+    want1 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert got[1].entropy == round(want1, 4)
+    assert (got[1].n_chars, got[1].n_distinct) == (4, 2)
+    assert got[2].entropy == round(math.log(4), 4)
+    assert got[3].entropy == 0.0
+    assert 4 not in got
