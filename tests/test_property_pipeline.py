@@ -9,7 +9,9 @@ import hashlib
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from bgpexplorer_spark.operators import pipeline
+from pyspark.sql import functions as F
+
+from bgpexplorer_spark.operators import pipeline, text
 
 def _hash32(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
@@ -320,3 +322,76 @@ def test_knn_graph_single_bucket_is_exact_topk(spark, n, k, seed):
         for r, (c, d) in enumerate(ranked, start=1):
             assert got[(s_id, r)] == (d, c)
     assert len(got) == n * min(k, n - 1)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n=st.integers(min_value=3, max_value=12),
+    frac=st.sampled_from([0.25, 0.5, 0.75, 1.0]),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_prototype_prune_quota_invariants(spark, n, frac, seed):
+    """Every cluster keeps exactly ceil(frac * cluster_size) members,
+    ranks are a contiguous 1..size permutation, and kept is always the
+    rank prefix."""
+    import math
+
+    import numpy as np
+
+    from bgpexplorer_spark.operators.similarity import (
+        ivf_centroids, prototype_prune,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        v = rng.normal(size=64)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototype_prune(df, ivf_centroids(df, 2), keep_frac=frac).collect()
+    assert len(out) == n
+    by_cid: dict[int, list] = {}
+    for r in out:
+        by_cid.setdefault(r.cid, []).append(r)
+    for members in by_cid.values():
+        size = len(members)
+        ranks = sorted(m.rank for m in members)
+        assert ranks == list(range(1, size + 1))
+        quota = math.ceil(frac * size)
+        assert sum(1 for m in members if m.kept) == quota
+        assert all(m.kept == (m.rank <= quota) for m in members)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc XYZ", min_size=0, max_size=24),
+        min_size=1, max_size=6,
+    ),
+)
+def test_classifier_margin_matches_python_replay(spark, texts):
+    """hashed_classifier_margin over arbitrary text equals an in-order
+    Python replay of the same md5-bucket fold."""
+    from bgpexplorer_spark.operators.text import classifier_weights
+
+    w = classifier_weights(32)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.m
+        for r in df.select(
+            "doc_id",
+            text.hashed_classifier_margin(F.col("text"), w, bias=0.5).alias("m"),
+        ).collect()
+    }
+
+    def replay(t):
+        toks = [x for x in t.lower().split() if x]
+        acc = 0.0
+        for tok in toks:
+            acc += w[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 32]
+        return 0.5 + acc / max(len(toks), 1)
+
+    for i, t in enumerate(texts):
+        assert got[i] == replay(t)
