@@ -6680,8 +6680,9 @@ _PHASH_CELL = (
     " + p[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 2]) / 4.0"
 )
 
-_PHASH_ORACLE = f"""
-    WITH px AS (
+# px/g/h: the analytic aHash recomputation shared by the fingerprint
+# and near-dup-pairs oracles
+_PHASH_HASH_CTES = f"""px AS (
         SELECT doc_id,
                [ ((doc_id % 20) * 9 + 3 * k) % 240 + doc_id % 5
                  for k in generate_series(0, 255) ] AS p
@@ -6694,7 +6695,10 @@ _PHASH_ORACLE = f"""
                    CASE WHEN {_PHASH_CELL} > gmean THEN '1' ELSE '0' END
                    for b in generate_series(0, 63)], '') AS ahash
         FROM g
-    )
+    )"""
+
+_PHASH_ORACLE = f"""
+    WITH {_PHASH_HASH_CTES}
     SELECT doc_id, ahash,
            CAST(list_reduce(
                list_prepend(0, [CASE WHEN substring(ahash, i, 1) = '1'
@@ -7125,3 +7129,53 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return char_entropy(docs)
+
+
+@q(
+    "multimodal_phash_neardup",
+    f"""
+    WITH {_PHASH_HASH_CTES},
+    pairs AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+               x.ahash AS ha, y.ahash AS hb
+        FROM h x JOIN h y ON x.doc_id < y.doc_id AND (
+               substring(x.ahash, 1, 16) = substring(y.ahash, 1, 16)
+            OR substring(x.ahash, 17, 16) = substring(y.ahash, 17, 16)
+            OR substring(x.ahash, 33, 16) = substring(y.ahash, 33, 16)
+            OR substring(x.ahash, 49, 16) = substring(y.ahash, 49, 16))
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               CAST(len([i for i in generate_series(1, 64)
+                         if substring(ha, i, 1) <> substring(hb, i, 1)])
+                    AS INTEGER) AS hamming
+        FROM pairs
+    )
+    SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup pairs
+    (operators/multimodal.phash_neardup_pairs): real PGM decode → aHash →
+    pigeonhole 16-bit band joins → exact bit_count(XOR) Hamming verify,
+    complete for distance ≤ 3 — the image analog of SimHash dedup, over
+    the same brightness-shifted fixture groups as multimodal_image_phash."""
+    from bgpexplorer_spark.operators.multimodal import (
+        MEDIA_SCHEMA, ahash_media, phash_neardup_pairs,
+    )
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        px = bytes(((d % 20) * 9 + 3 * k) % 240 + d % 5 for k in range(256))
+        rows.append((int(d), "image", b"P5\n16 16\n255\n" + px, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    h = ahash_media(media, grid=8).select(
+        F.col("media_id").alias("doc_id"), "ahash"
+    )
+    return phash_neardup_pairs(h, max_hamming=3, id_col="doc_id").select(
+        "id_a", "id_b", "hamming"
+    )

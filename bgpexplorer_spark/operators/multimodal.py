@@ -38,6 +38,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -517,4 +518,56 @@ def audio_features(df: DataFrame) -> DataFrame:
 
     return df.filter(df.media_type == "audio").mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def phash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs from :func:`ahash_media`
+    output — the image analog of SimHash dedup: split the 64-bit pattern
+    into ``max_hamming + 1`` equal bands; by pigeonhole, any pair within
+    the Hamming budget agrees on at least one band, so candidates come
+    from band equi-joins ONLY (no all-pairs), then the exact Hamming
+    distance verifies each candidate via four 16-bit ``bit_count(XOR)``
+    chunks (whole-stage codegen, no per-bit loop). Output: (id_a, id_b,
+    hamming), id_a < id_b, hamming ≤ ``max_hamming`` — complete for the
+    budget, same guarantee as dedup.simhash_candidate_pairs.
+    """
+    nb = max_hamming + 1
+    assert 64 % nb == 0, "band count must divide the 64-bit hash"
+    width = 64 // nb
+    h = hashes.filter(F.col("ahash").isNotNull()).select(
+        F.col(id_col).alias("_id"), "ahash"
+    )
+    cand = None
+    for b in range(nb):
+        key = F.substring("ahash", b * width + 1, width)
+        left = h.select(
+            F.col("_id").alias("id_a"), F.col("ahash").alias("_ha"),
+            key.alias("_band"),
+        )
+        right = h.select(
+            F.col("_id").alias("id_b"), F.col("ahash").alias("_hb"),
+            key.alias("_band"),
+        )
+        t = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b"))
+        cand = t if cand is None else cand.unionByName(t)
+    cand = cand.select("id_a", "id_b", "_ha", "_hb").distinct()
+    chunks = [
+        F.bit_count(
+            F.conv(F.substring("_ha", p * 16 + 1, 16), 2, 10).cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("_hb", p * 16 + 1, 16), 2, 10).cast("long")
+            )
+        )
+        for p in range(4)
+    ]
+    ham = chunks[0]
+    for c in chunks[1:]:
+        ham = ham + c
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -1463,3 +1463,21 @@ def test_char_entropy_hand_computed(spark):
     assert got[2].entropy == round(math.log(4), 4)
     assert got[3].entropy == 0.0
     assert 4 not in got
+
+
+def test_phash_neardup_pairs_hand_computed(spark):
+    """Identical hashes pair at hamming 0; one flipped bit inside band 1
+    still pairs via the other three bands (pigeonhole); a far hash pairs
+    with nothing; NULL hashes are ignored."""
+    base = "10" * 32
+    oneoff = "01" + base[2:]          # 2 bits differ, both in band 1
+    far = "0" * 64
+    rows = [(1, base, None, 16, 16), (2, base, None, 16, 16),
+            (3, oneoff, None, 16, 16), (4, far, None, 16, 16),
+            (5, None, None, None, None)]
+    df = spark.createDataFrame(
+        rows, "media_id long, ahash string, band int, width int, height int"
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in multimodal.phash_neardup_pairs(df).collect()}
+    assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
