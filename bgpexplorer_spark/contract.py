@@ -7179,3 +7179,46 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(h, max_hamming=3, id_col="doc_id").select(
         "id_a", "id_b", "hamming"
     )
+
+
+def _dedup_sweep_sql(thresholds=(0.2, 0.35, 0.5, 0.8)) -> str:
+    tlist = ", ".join(f"CAST({t} AS DOUBLE)" for t in thresholds)
+    return f"""
+    WITH {_lsh_pair_ctes()},
+    pr AS (
+        SELECT id_a, id_b, round(cnt / (na.n + nb.n - cnt), 4) AS j
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(cnt / (na.n + nb.n - cnt), 4) >= 0.2
+    ),
+    ts AS (SELECT unnest([{tlist}]) AS threshold),
+    np AS (
+        SELECT threshold, count(*) AS n_pairs
+        FROM ts, pr WHERE pr.j >= ts.threshold GROUP BY 1
+    ),
+    nd AS (
+        SELECT threshold, count(DISTINCT id) AS n_docs
+        FROM ts, (SELECT id_a AS id, j FROM pr
+                  UNION ALL SELECT id_b AS id, j FROM pr) u
+        WHERE u.j >= ts.threshold GROUP BY 1
+    )
+    SELECT ts.threshold,
+           coalesce(np.n_pairs, 0) AS n_pairs,
+           coalesce(nd.n_docs, 0) AS n_docs
+    FROM ts LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+    """
+
+
+@q("dedup_threshold_sweep", _dedup_sweep_sql())
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup sizing sweep (operators/dedup.dedup_sweep): the
+    LSH-verified pair pass runs ONCE at the loosest candidate threshold,
+    then every sweep point is a conditional aggregate over that pair
+    table — (threshold, surviving pairs, documents touched)."""
+    from bgpexplorer_spark.operators.dedup import dedup_sweep, neardup_pairs
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.2, k=16, bands=4)
+    return dedup_sweep(pairs, [0.2, 0.35, 0.5, 0.8])

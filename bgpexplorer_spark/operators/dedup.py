@@ -651,3 +651,43 @@ def incremental_dedup(
             ).alias("keep"),
         )
     )
+
+
+def dedup_sweep(pairs: DataFrame, thresholds: list[float]) -> DataFrame:
+    """Dedup sizing report from ONE verified near-dup pair table: for
+    each candidate similarity threshold, how many pairs survive and how
+    many distinct documents they touch — the report you read BEFORE
+    committing to a threshold, so the expensive shingle/LSH/verify pass
+    runs once (at the loosest candidate value) instead of once per
+    sweep point. Output: (threshold, n_pairs, n_docs) with zero rows
+    filled in for thresholds nothing reaches.
+
+    Scale shape: the pair table is the already-bounded LSH-verified
+    output; the sweep is one explode over a literal threshold list plus
+    two aggregates keyed by threshold — nothing rescans the corpus.
+    """
+    ts = sorted(float(t) for t in thresholds)
+    spark = pairs.sparkSession
+    base = spark.createDataFrame([(t,) for t in ts], "threshold double")
+    tcol = F.explode(F.lit(ts)).alias("threshold")
+    p = pairs.select("id_a", "id_b", "jaccard", tcol).filter(
+        F.col("jaccard") >= F.col("threshold")
+    )
+    n_pairs = p.groupBy("threshold").agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_docs = (
+        p.select(
+            "threshold",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("_id"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("_id").alias("n_docs"))
+    )
+    return (
+        base.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+    )

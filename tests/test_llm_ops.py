@@ -1481,3 +1481,16 @@ def test_phash_neardup_pairs_hand_computed(spark):
     got = {(r.id_a, r.id_b): r.hamming
            for r in multimodal.phash_neardup_pairs(df).collect()}
     assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
+
+
+def test_dedup_sweep_hand_computed(spark):
+    """Three pairs at j=0.9/0.5/0.3 over four docs: each threshold keeps
+    the expected pair/doc counts, and an unreachable threshold reports
+    zeros instead of vanishing."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.5), (3, 4, 0.3)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r.threshold: (r.n_pairs, r.n_docs)
+           for r in dedup.dedup_sweep(pairs, [0.3, 0.6, 0.95]).collect()}
+    assert got == {0.3: (3, 4), 0.6: (1, 2), 0.95: (0, 0)}
