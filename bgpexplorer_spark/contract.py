@@ -1291,8 +1291,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = dedup_index(corpus, "doc_id", k=16, n=3, bands=4)
     return incremental_dedup(batch, idx, "doc_id", k=16, n=3, bands=4)
 
-_CC_ORACLE = f"""
-    WITH RECURSIVE {_lsh_pair_ctes()},
+# the LSH→verify→transitive-closure chain shared by the component
+# keep-list and cluster-size-histogram oracles
+_CC_CTES = f"""{_lsh_pair_ctes()},
     pairs AS (
         SELECT id_a, id_b
         FROM shared
@@ -1310,11 +1311,16 @@ _CC_ORACLE = f"""
         UNION
         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
     ),
-    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a)
-    SELECT d.doc_id,
-           coalesce(c.component, d.doc_id) AS component,
-           coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
-    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    comp AS (SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a),
+    assign AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )"""
+
+_CC_ORACLE = f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, component, component = doc_id AS is_canonical
+    FROM assign
     """
 
 @q("dedup_components", _CC_ORACLE)
@@ -7222,3 +7228,28 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.2, k=16, bands=4)
     return dedup_sweep(pairs, [0.2, 0.35, 0.5, 0.8])
+
+
+@q(
+    "dedup_cluster_sizes",
+    f"""
+    WITH RECURSIVE {_CC_CTES},
+    csize AS (SELECT component, count(*) AS cluster_size
+              FROM assign GROUP BY component)
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM csize GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution
+    (operators/dedup.cluster_size_histogram) over the full
+    LSH→verify→connected-components keep-list — the boilerplate-family
+    diagnostic every dedup run reads first."""
+    from bgpexplorer_spark.operators.dedup import cluster_size_histogram
+
+    comps = _dedup_components_impl(spark, sf_dir, star=False).select(
+        "doc_id", "component"
+    )
+    return cluster_size_histogram(comps)

@@ -691,3 +691,21 @@ def dedup_sweep(pairs: DataFrame, thresholds: list[float]) -> DataFrame:
             F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
         )
     )
+
+
+def cluster_size_histogram(
+    components: DataFrame, component_col: str = "component"
+) -> DataFrame:
+    """The standard dedup diagnostic over a component keep-list: the
+    duplicate-cluster size distribution — (cluster_size, n_clusters,
+    n_docs). A healthy corpus is dominated by size-1 clusters; a fat
+    tail means boilerplate families worth inspecting before deleting.
+    Two hash aggregates (component → size, size → counts), nothing
+    rescans documents."""
+    sizes = components.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )

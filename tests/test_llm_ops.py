@@ -1494,3 +1494,15 @@ def test_dedup_sweep_hand_computed(spark):
     got = {r.threshold: (r.n_pairs, r.n_docs)
            for r in dedup.dedup_sweep(pairs, [0.3, 0.6, 0.95]).collect()}
     assert got == {0.3: (3, 4), 0.6: (1, 2), 0.95: (0, 0)}
+
+
+def test_cluster_size_histogram_hand_computed(spark):
+    """Components {1,1,1},{4,4},{6} → histogram 3:1, 2:1, 1:1 with doc
+    totals 3/2/1."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, component long",
+    )
+    got = {r.cluster_size: (r.n_clusters, r.n_docs)
+           for r in dedup.cluster_size_histogram(comps).collect()}
+    assert got == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
