@@ -6686,6 +6686,23 @@ _PHASH_CELL = (
     " + p[((b // 8) * 2 + 1) * 16 + (b % 8) * 2 + 2]) / 4.0"
 )
 
+def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _PHASH_HASH_CTES's pixel formula: one 16x16 PGM
+    per document, base ((doc_id%20)*9 + 3k) % 240 plus the doc_id%5
+    brightness shift — shared by both perceptual-hash queries."""
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    rows = []
+    for d in ids:
+        px = bytes(((d % 20) * 9 + 3 * k) % 240 + d % 5 for k in range(256))
+        rows.append((int(d), "image", b"P5\n16 16\n255\n" + px, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 # px/g/h: the analytic aHash recomputation shared by the fingerprint
 # and near-dup-pairs oracles
 _PHASH_HASH_CTES = f"""px AS (
@@ -6723,19 +6740,9 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     PGM decode → grayscale → 8x8 block means → threshold-at-mean bits,
     then exact grouping on the 64-bit pattern. Brightness-shifted copies
     hash identically; the oracle recomputes every bit analytically."""
-    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, ahash_media
+    from bgpexplorer_spark.operators.multimodal import ahash_media
 
-    ids = [
-        r["doc_id"]
-        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
-    ]
-    rows = []
-    for d in ids:
-        px = bytes(
-            ((d % 20) * 9 + 3 * k) % 240 + d % 5 for k in range(256)
-        )
-        rows.append((int(d), "image", b"P5\n16 16\n255\n" + px, None))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = _phash_media(spark, sf_dir)
     h = ahash_media(media, grid=8)
     w = Window.partitionBy("ahash")
     return h.select(
@@ -7167,18 +7174,10 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete for distance ≤ 3 — the image analog of SimHash dedup, over
     the same brightness-shifted fixture groups as multimodal_image_phash."""
     from bgpexplorer_spark.operators.multimodal import (
-        MEDIA_SCHEMA, ahash_media, phash_neardup_pairs,
+        ahash_media, phash_neardup_pairs,
     )
 
-    ids = [
-        r["doc_id"]
-        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
-    ]
-    rows = []
-    for d in ids:
-        px = bytes(((d % 20) * 9 + 3 * k) % 240 + d % 5 for k in range(256))
-        rows.append((int(d), "image", b"P5\n16 16\n255\n" + px, None))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = _phash_media(spark, sf_dir)
     h = ahash_media(media, grid=8).select(
         F.col("media_id").alias("doc_id"), "ahash"
     )
@@ -7187,7 +7186,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dedup_sweep_sql(thresholds=(0.2, 0.35, 0.5, 0.8)) -> str:
+# one sweep list shared by the oracle and the Spark harness so the two
+# sides can never drift; the pair-pass floor is min() of it
+_SWEEP_THRESHOLDS = (0.2, 0.35, 0.5, 0.8)
+
+
+def _dedup_sweep_sql(thresholds=_SWEEP_THRESHOLDS) -> str:
     tlist = ", ".join(f"CAST({t} AS DOUBLE)" for t in thresholds)
     return f"""
     WITH {_lsh_pair_ctes()},
@@ -7196,7 +7200,7 @@ def _dedup_sweep_sql(thresholds=(0.2, 0.35, 0.5, 0.8)) -> str:
         FROM shared
         JOIN sizes na ON na.doc_id = id_a
         JOIN sizes nb ON nb.doc_id = id_b
-        WHERE round(cnt / (na.n + nb.n - cnt), 4) >= 0.2
+        WHERE round(cnt / (na.n + nb.n - cnt), 4) >= {min(thresholds)}
     ),
     ts AS (SELECT unnest([{tlist}]) AS threshold),
     np AS (
@@ -7226,8 +7230,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.sources.tables import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.2, k=16, bands=4)
-    return dedup_sweep(pairs, [0.2, 0.35, 0.5, 0.8])
+    pairs = neardup_pairs(
+        docs, "doc_id", n=3, threshold=min(_SWEEP_THRESHOLDS), k=16, bands=4
+    )
+    return dedup_sweep(pairs, list(_SWEEP_THRESHOLDS))
 
 
 @q(

@@ -1240,9 +1240,7 @@ def subprefix_hijacks(
         def _mask(c: Column, p: int) -> Column:
             span = 1 << (32 - p)
             return c - (c % span)
-        addr_type = "bigint"
-    else:
-        addr_type = "binary"
+    addr_type = state.schema[addr_col].dataType.simpleString()
     o = origin_as(F.col("aspath_flat"))
     # the distinct announcement set feeds the plen discovery, every
     # truncation branch, AND the cover side — materialize it once

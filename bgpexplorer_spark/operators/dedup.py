@@ -666,7 +666,7 @@ def dedup_sweep(pairs: DataFrame, thresholds: list[float]) -> DataFrame:
     output; the sweep is one explode over a literal threshold list plus
     two aggregates keyed by threshold — nothing rescans the corpus.
     """
-    ts = sorted(float(t) for t in thresholds)
+    ts = sorted({float(t) for t in thresholds})
     spark = pairs.sparkSession
     base = spark.createDataFrame([(t,) for t in ts], "threshold double")
     tcol = F.explode(F.lit(ts)).alias("threshold")
