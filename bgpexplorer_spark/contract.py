@@ -7259,3 +7259,71 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component"
     )
     return cluster_size_histogram(comps)
+
+
+_EXIF_ORACLE = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 'Maker' || CAST(doc_id % 7 AS VARCHAR) END AS make,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 'M-' || CAST(doc_id % 4 AS VARCHAR) END AS model,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 1 + doc_id % 8 END AS INTEGER) AS orientation,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE '2024:01:01 00:00:'
+                     || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+           END AS datetime,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 1 END
+                AS BIGINT) AS exposure_num,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 30 + doc_id % 100 END AS BIGINT) AS exposure_den,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 100 + (doc_id % 8) * 50 END AS INTEGER) AS iso,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 4 + doc_id % 8 END AS BIGINT) AS pixel_x,
+           CAST(CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE 6 + doc_id % 6 END AS BIGINT) AS pixel_y
+    FROM documents
+"""
+
+
+@q("multimodal_exif", _EXIF_ORACLE)
+def multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction (operators/multimodal.exif_metadata): REAL JPEG
+    marker scan → APP1 TIFF IFD walk, alternating little/big-endian
+    fixtures built by the in-package APP1 encoder; every 11th payload
+    carries no EXIF and must emit NULLs."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.exif import build_exif_app1, splice_app1
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA, exif_metadata
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    base = encode_jpeg(np.zeros((4, 4), np.uint8), quality=100)
+    rows = []
+    for d in ids:
+        if d % 11 == 0:
+            rows.append((int(d), "image", base, None))
+            continue
+        app1 = build_exif_app1(
+            make=f"Maker{d % 7}",
+            model=f"M-{d % 4}",
+            orientation=1 + d % 8,
+            datetime=f"2024:01:01 00:00:{d % 60:02d}",
+            exposure=(1, 30 + d % 100),
+            iso=100 + (d % 8) * 50,
+            pixel_x=4 + d % 8,
+            pixel_y=6 + d % 6,
+            big_endian=bool(d % 2),
+        )
+        rows.append((int(d), "image", splice_app1(base, app1), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return exif_metadata(media).select(
+        F.col("media_id").alias("doc_id"), "make", "model", "orientation",
+        "datetime", "exposure_num", "exposure_den", "iso",
+        "pixel_x", "pixel_y",
+    )

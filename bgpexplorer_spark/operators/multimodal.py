@@ -571,3 +571,44 @@ def phash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+EXIF_SCHEMA = (
+    "media_id long, make string, model string, orientation int, "
+    "datetime string, exposure_num long, exposure_den long, iso int, "
+    "pixel_x long, pixel_y long"
+)
+
+
+def exif_metadata(df: DataFrame) -> DataFrame:
+    """Typed camera metadata from opaque image bytes — the REAL wire
+    walk (JPEG marker scan → APP1 "Exif\\0\\0" → TIFF IFD tree, both
+    endiannesses; bare TIFF accepted directly) via operators/exif.py.
+    Upload metadata lies; orientation/timestamps/dimensions must come
+    from the bytes before training-set filtering trusts them. Payloads
+    without EXIF emit NULLs. One Arrow-batched mapInPandas, no shuffle.
+    """
+    from bgpexplorer_spark.operators.exif import parse_exif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "make", "model", "orientation", "datetime",
+            "exposure_num", "exposure_den", "iso", "pixel_x", "pixel_y",
+        ]
+        for pdf in it:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                x = parse_exif(bytes(content))
+                if x is None:
+                    out.append((int(mid),) + (None,) * 9)
+                else:
+                    out.append((
+                        int(mid), x["make"], x["model"], x["orientation"],
+                        x["datetime"], x["exposure_num"], x["exposure_den"],
+                        x["iso"], x["pixel_x"], x["pixel_y"],
+                    ))
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.filter(df.media_type == "image").mapInPandas(
+        batches, schema=EXIF_SCHEMA
+    )

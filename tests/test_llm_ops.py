@@ -1506,3 +1506,31 @@ def test_cluster_size_histogram_hand_computed(spark):
     got = {r.cluster_size: (r.n_clusters, r.n_docs)
            for r in dedup.cluster_size_histogram(comps).collect()}
     assert got == {3: (1, 3), 2: (1, 2), 1: (1, 1)}
+
+
+def test_exif_metadata_wire(spark):
+    """Both endiannesses round-trip through the real APP1 walk; a plain
+    JPEG and junk bytes emit NULLs; a decoder-visible image keeps
+    decoding after the splice."""
+    import numpy as np
+
+    from bgpexplorer_spark.operators.exif import build_exif_app1, splice_app1
+    from bgpexplorer_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    base = encode_jpeg(np.full((4, 4), 9, np.uint8), quality=100)
+    le = splice_app1(base, build_exif_app1(
+        make="A", model="B", orientation=3,
+        datetime="2024:02:03 04:05:06", exposure=(1, 60), iso=400,
+        pixel_x=4, pixel_y=4))
+    be = splice_app1(base, build_exif_app1(
+        make="C", orientation=8, big_endian=True))
+    rows = [(1, "image", le, None), (2, "image", be, None),
+            (3, "image", base, None), (4, "image", b"xx", None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.exif_metadata(df).collect()}
+    assert (got[1].make, got[1].model, got[1].orientation) == ("A", "B", 3)
+    assert got[1].datetime == "2024:02:03 04:05:06"
+    assert (got[1].exposure_num, got[1].exposure_den, got[1].iso) == (1, 60, 400)
+    assert (got[2].make, got[2].orientation) == ("C", 8)
+    assert got[3].make is None and got[4].make is None
+    assert decode_jpeg(le) is not None  # APP1 splice keeps the image valid

@@ -195,3 +195,29 @@ def test_image_pixels_byteflip_sweep_never_raises(seed, n_flips, cut):
         raw[rng.integers(0, len(raw))] ^= 1 << rng.integers(0, 8)
     img = decode_image_pixels(bytes(raw[: len(raw) - cut]))
     assert img is None or img.ndim == 3
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    n_flips=st.integers(min_value=0, max_value=16),
+    cut=st.integers(min_value=0, max_value=60),
+    big=st.booleans(),
+)
+def test_exif_byteflip_sweep_never_raises(seed, n_flips, cut, big):
+    """parse_exif over corrupted/truncated APP1-bearing JPEGs: a dict,
+    partial dict, or None — never an unhandled raise."""
+    from bgpexplorer_spark.operators.exif import (
+        build_exif_app1, parse_exif, splice_app1,
+    )
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    base = encode_jpeg(rng.integers(0, 256, (4, 4), dtype=np.uint8))
+    raw = bytearray(splice_app1(base, build_exif_app1(
+        make="Fuzz", model="F1", orientation=1 + int(rng.integers(0, 8)),
+        datetime="2024:01:01 00:00:00", big_endian=big)))
+    for _ in range(n_flips):
+        raw[rng.integers(0, len(raw))] ^= 1 << rng.integers(0, 8)
+    out = parse_exif(bytes(raw[: len(raw) - cut]))
+    assert out is None or isinstance(out, dict)
