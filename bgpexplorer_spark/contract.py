@@ -7327,3 +7327,48 @@ def multimodal_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
         "datetime", "exposure_num", "exposure_den", "iso",
         "pixel_x", "pixel_y",
     )
+
+
+@q(
+    "an_route_uptime",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    b AS (SELECT max(epoch_us(ts)) AS end_us FROM hist2),
+    iv AS (
+        SELECT nlri_str, session_id, ts, active,
+               CAST(floor((coalesce(
+                   lead(epoch_us(ts)) OVER (PARTITION BY nlri_str, session_id
+                                            ORDER BY ts),
+                   (SELECT end_us FROM b)) - epoch_us(ts)) / 1000.0)
+                    AS BIGINT) AS dur
+        FROM hist2
+    ),
+    agg AS (
+        SELECT nlri_str, session_id,
+               min(ts) AS first_seen,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN active THEN dur ELSE 0 END) AS BIGINT)
+                   AS uptime_ms,
+               CAST(sum(dur) AS BIGINT) AS observed_ms
+        FROM iv GROUP BY 1, 2
+    )
+    SELECT nlri_str, session_id, first_seen, n_events, uptime_ms,
+           observed_ms,
+           CASE WHEN observed_ms > 0
+                THEN round(CAST(uptime_ms AS DOUBLE) / observed_ms, 4)
+           END AS uptime_fraction
+    FROM agg
+    """,
+)
+def an_route_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route availability (operators/analytics.route_uptime): interval
+    algebra over the per-key history — announced-time fraction of each
+    route's observed lifetime, window end = newest event."""
+    from bgpexplorer_spark.operators.analytics import route_uptime
+
+    hist = _origins_history(spark, sf_dir)
+    out = route_uptime(hist)
+    return out.select(
+        "nlri_str", "session_id", "first_seen", "n_events",
+        "uptime_ms", "observed_ms", "uptime_fraction",
+    )

@@ -1393,3 +1393,51 @@ def path_inflation(state: DataFrame, path_col: str = "aspath_flat") -> DataFrame
             ).cast("bigint").alias("n_inflated"),
         )
     )
+
+
+def route_uptime(history: DataFrame, window_end=None) -> DataFrame:
+    """Per-route availability report: each history row opens an interval
+    that the key's next event closes (the last one closes at
+    ``window_end``, default = the newest event in the table), and the
+    announced fraction of a route's observed lifetime is the classic
+    stability/uptime metric (the time-weighted complement of flap
+    counting). Output per (rib, nlri_str, session_id, path_id):
+    first_seen, n_events, uptime_ms, observed_ms, uptime_fraction
+    (NULL for keys observed for zero time).
+
+    Scale shape: one lead() window on the ingest partitioning, the
+    window-end bound attached as a one-row broadcast (no driver literal
+    needed), then one hash aggregate on the same keys — no self-join.
+    """
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    if window_end is None:
+        end = history.agg(F.max(mic).alias("_end_us"))
+        h = history.join(F.broadcast(end))
+    else:
+        h = history.withColumn(
+            "_end_us",
+            F.unix_micros(F.lit(ts_cutoff_str(window_end)).cast("timestamp")),
+        )
+    w = Window.partitionBy(*KEY_COLS).orderBy("ts")
+    nxt = F.coalesce(F.lead(mic).over(w), F.col("_end_us"))
+    dur = F.floor((nxt - mic) / 1000).cast("bigint")
+    per = h.select(
+        *KEY_COLS,
+        F.col("ts"),
+        F.col("active"),
+        F.when(F.col("active"), dur).otherwise(F.lit(0)).alias("_up"),
+        dur.alias("_dur"),
+    )
+    out = per.groupBy(*KEY_COLS).agg(
+        F.min("ts").alias("first_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_up").alias("uptime_ms"),
+        F.sum("_dur").alias("observed_ms"),
+    )
+    return out.withColumn(
+        "uptime_fraction",
+        F.when(
+            F.col("observed_ms") > 0,
+            F.round(F.col("uptime_ms") / F.col("observed_ms"), 4),
+        ),
+    )

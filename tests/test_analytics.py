@@ -903,3 +903,23 @@ def test_deaggregation_v6_hand_computed(spark):
     got = {r.origin_as: (r.n_prefixes, r.n_covered, r.deagg_ratio)
            for r in analytics.deaggregation_v6(df).collect()}
     assert got == {300: (3, 1, 0.3333), 400: (1, 0, 0.0)}
+
+
+def test_route_uptime_hand_computed(spark):
+    """announce@0 → withdraw@10 → announce@30, window end 40 (the newest
+    event anywhere): uptime 10 + 10 = 20 of 40 observed → 0.5; an
+    always-up route scores 1.0; a key first seen at the window end
+    observes zero time and gets a NULL fraction."""
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/16", t=0),
+        u("10.0.0.0/16", t=10, op="withdraw"),
+        u("10.0.0.0/16", t=30),
+        u("10.1.0.0/16", t=0),
+        u("10.2.0.0/16", t=40),
+    ]), history_mode="every")
+    got = {r.nlri_str: (r.n_events, r.uptime_ms, r.observed_ms,
+                        r.uptime_fraction)
+           for r in analytics.route_uptime(hist).collect()}
+    assert got["10.0.0.0/16"] == (3, 20000, 40000, 0.5)
+    assert got["10.1.0.0/16"] == (1, 40000, 40000, 1.0)
+    assert got["10.2.0.0/16"] == (1, 0, 0, None)
