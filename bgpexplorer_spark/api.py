@@ -550,6 +550,58 @@ class BgpExplorerService:
             for r in rows
         ]
 
+    def api_path_inflation(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/inflation[?rib=&k=&skip=] — per-prefix
+        collapsed-path-length spread vs the shortest observed route,
+        most inflated first."""
+        from bgpexplorer_spark.operators.analytics import path_inflation
+        from bgpexplorer_spark.operators.rib import current_state
+
+        st = current_state(self.history.filter(F.col("rib") == rib))
+        rows = self._page(
+            path_inflation(st).orderBy(
+                (F.col("max_len") - F.col("min_len")).desc(),
+                F.col("n_inflated").desc(), "nlri_str",
+            ),
+            k, skip,
+        ).collect()
+        return [
+            {
+                "prefix": r.nlri_str, "min_len": r.min_len,
+                "max_len": r.max_len, "n_routes": r.n_routes,
+                "n_inflated": r.n_inflated,
+            }
+            for r in rows
+        ]
+
+    def api_route_uptime(
+        self, rib: str = "ipv4u", k: int = 1000, skip: int = 0
+    ) -> list[dict]:
+        """GET /api/analytics/uptime[?rib=&k=&skip=] — per-route
+        announced-time fraction (interval algebra over the history),
+        least stable first."""
+        from bgpexplorer_spark.operators.analytics import route_uptime
+
+        hist = self.history.filter(F.col("rib") == rib)
+        rows = self._page(
+            route_uptime(hist).orderBy(
+                F.col("uptime_fraction").asc_nulls_last(),
+                F.col("n_events").desc(), "nlri_str", "session_id",
+            ),
+            k, skip,
+        ).collect()
+        return [
+            {
+                "prefix": r.nlri_str, "session_id": r.session_id,
+                "n_events": r.n_events, "uptime_ms": r.uptime_ms,
+                "observed_ms": r.observed_ms,
+                "uptime_fraction": r.uptime_fraction,
+            }
+            for r in rows
+        ]
+
     def api_convergence(
         self, rib: str = "ipv4u", gap_sec: int = 300,
         k: int = 1000, skip: int = 0,
@@ -867,6 +919,12 @@ def _make_handler(svc: BgpExplorerService):
                     return self._send(svc.api_route_leaks(rib, **page(100)))
                 if parts[:3] == ["api", "analytics", "cones"]:
                     return self._send(svc.api_customer_cones(rib, **page(50)))
+                if parts[:3] == ["api", "analytics", "inflation"]:
+                    return self._send(
+                        svc.api_path_inflation(rib, **page())
+                    )
+                if parts[:3] == ["api", "analytics", "uptime"]:
+                    return self._send(svc.api_route_uptime(rib, **page()))
                 if parts[:3] == ["api", "analytics", "hijacks"]:
                     return self._send(
                         svc.api_subprefix_hijacks(rib, **page())

@@ -1023,3 +1023,37 @@ def test_http_hijacks_and_convergence_endpoints(spark):
             base + "/api/analytics/convergence?k=2").read())) == 2
     finally:
         httpd.shutdown()
+
+
+def test_http_inflation_and_uptime_endpoints(spark):
+    """GET /api/analytics/inflation and /uptime — path-inflation spread
+    and time-weighted availability, paged like every analytics list."""
+    hist = build_history(make_updates(spark, [
+        u("11.0.0.0/16", t=0, aspath=[("Seq", [1, 2])]),
+        u("11.0.0.0/16", t=10, session_id=1,
+          aspath=[("Seq", [1, 9, 9, 8, 2])]),  # collapsed len 4
+        u("11.0.0.0/16", t=20, op="withdraw"),
+    ]), history_mode="every").cache()
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        inf = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/inflation").read())
+        # active state: only session 1 (session 0 withdrawn) → one route
+        assert inf == [{"prefix": "11.0.0.0/16", "min_len": 4,
+                        "max_len": 4, "n_routes": 1, "n_inflated": 0}]
+
+        upt = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/uptime").read())
+        got = {(x["prefix"], x["session_id"]):
+               (x["uptime_ms"], x["observed_ms"], x["uptime_fraction"])
+               for x in upt}
+        # s0: up 0-20s of 20s observed; s1: up 10-20s of 10s observed
+        assert got[("11.0.0.0/16", 0)] == (20000, 20000, 1.0)
+        assert got[("11.0.0.0/16", 1)] == (10000, 10000, 1.0)
+        assert len(json.loads(urllib.request.urlopen(
+            base + "/api/analytics/uptime?k=1").read())) == 1
+    finally:
+        httpd.shutdown()
