@@ -589,12 +589,14 @@ class BgpExplorerService:
             route_uptime(hist).orderBy(
                 F.col("uptime_fraction").asc_nulls_last(),
                 F.col("n_events").desc(), "nlri_str", "session_id",
+                "path_id",
             ),
             k, skip,
         ).collect()
         return [
             {
                 "prefix": r.nlri_str, "session_id": r.session_id,
+                "path_id": r.path_id,
                 "n_events": r.n_events, "uptime_ms": r.uptime_ms,
                 "observed_ms": r.observed_ms,
                 "uptime_fraction": r.uptime_fraction,

@@ -1414,9 +1414,13 @@ def route_uptime(history: DataFrame, window_end=None) -> DataFrame:
         end = history.agg(F.max(mic).alias("_end_us"))
         h = history.join(F.broadcast(end))
     else:
-        h = history.withColumn(
+        # events past the cutoff must not open intervals (and the last
+        # in-window interval closes at the cutoff) — same ts<= discipline
+        # as rib_asof; without it post-cutoff rows yield negative durations
+        cutoff = ts_cutoff_str(window_end)
+        h = history.filter(F.col("ts") <= F.lit(cutoff)).withColumn(
             "_end_us",
-            F.unix_micros(F.lit(ts_cutoff_str(window_end)).cast("timestamp")),
+            F.unix_micros(F.lit(cutoff).cast("timestamp")),
         )
     w = Window.partitionBy(*KEY_COLS).orderBy("ts")
     nxt = F.coalesce(F.lead(mic).over(w), F.col("_end_us"))

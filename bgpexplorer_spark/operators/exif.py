@@ -90,13 +90,19 @@ def _tiff_exif(b: bytes) -> dict | None:
     def rat(v):
         return v if isinstance(v, tuple) else (None, None)
 
+    def i32(v):
+        # hostile LONG-typed values can exceed the int32 serving columns;
+        # wrap-or-abort is worse than NULL
+        return v if isinstance(v, int) and 0 <= v < 2**31 else None
+
     exp = rat(sub.get(_TAG_EXPOSURE))
     fnum = rat(sub.get(_TAG_FNUMBER))
+    ori = t0.get(_TAG_ORIENTATION)
     return {
         "make": t0.get(_TAG_MAKE) if isinstance(t0.get(_TAG_MAKE), str) else None,
         "model": t0.get(_TAG_MODEL) if isinstance(t0.get(_TAG_MODEL), str) else None,
-        "orientation": t0.get(_TAG_ORIENTATION)
-        if isinstance(t0.get(_TAG_ORIENTATION), int) else None,
+        "orientation": ori
+        if isinstance(ori, int) and 1 <= ori <= 8 else None,
         "datetime": t0.get(_TAG_DATETIME)
         if isinstance(t0.get(_TAG_DATETIME), str) else None,
         "datetime_original": sub.get(_TAG_DT_ORIGINAL)
@@ -105,7 +111,7 @@ def _tiff_exif(b: bytes) -> dict | None:
         "exposure_den": exp[1],
         "fnumber_num": fnum[0],
         "fnumber_den": fnum[1],
-        "iso": sub.get(_TAG_ISO) if isinstance(sub.get(_TAG_ISO), int) else None,
+        "iso": i32(sub.get(_TAG_ISO)),
         "pixel_x": sub.get(_TAG_PIXEL_X)
         if isinstance(sub.get(_TAG_PIXEL_X), int) else None,
         "pixel_y": sub.get(_TAG_PIXEL_Y)
@@ -126,6 +132,9 @@ def parse_exif(b: bytes) -> dict | None:
             if b[pos] != 0xFF:
                 return None
             marker = b[pos + 1]
+            if marker == 0xFF:  # spec-legal 0xFF fill byte between segments
+                pos += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue

@@ -923,3 +923,18 @@ def test_route_uptime_hand_computed(spark):
     assert got["10.0.0.0/16"] == (3, 20000, 40000, 0.5)
     assert got["10.1.0.0/16"] == (1, 40000, 40000, 1.0)
     assert got["10.2.0.0/16"] == (1, 0, 0, None)
+
+
+def test_route_uptime_explicit_window_end_clips(spark):
+    """An explicit window end excludes later events and closes the last
+    in-window interval at the cutoff — no negative durations."""
+    hist = build_history(make_updates(spark, [
+        u("10.0.0.0/16", t=0),
+        u("10.0.0.0/16", t=100),   # outside the 50 s window
+    ]), history_mode="every")
+    got = analytics.route_uptime(hist, window_end=_millis(50)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_events, r.uptime_ms, r.observed_ms, r.uptime_fraction) == (
+        1, 50000, 50000, 1.0,
+    )

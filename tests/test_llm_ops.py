@@ -1534,3 +1534,40 @@ def test_exif_metadata_wire(spark):
     assert (got[2].make, got[2].orientation) == ("C", 8)
     assert got[3].make is None and got[4].make is None
     assert decode_jpeg(le) is not None  # APP1 splice keeps the image valid
+
+
+def test_exif_fill_bytes_and_hostile_values(spark):
+    """Spec-legal 0xFF fill bytes before APP1 don't hide the EXIF; a
+    hostile LONG orientation/ISO outside the int32/1..8 domain becomes
+    NULL instead of wrapping or killing the Arrow batch."""
+    import struct
+
+    import numpy as np
+
+    from bgpexplorer_spark.operators.exif import (
+        build_exif_app1, parse_exif, splice_app1,
+    )
+    from bgpexplorer_spark.operators.jpeg import encode_jpeg
+
+    base = encode_jpeg(np.zeros((4, 4), np.uint8), quality=100)
+    app1 = build_exif_app1(make="Pad", orientation=2)
+    padded = base[:2] + b"\xff" * 3 + app1 + base[2:]
+    assert parse_exif(padded)["make"] == "Pad"
+
+    # forge orientation as LONG 2^31 (type 4): APP1 = marker(2)+len(2)
+    # +'Exif\0\0'(6) = 10 bytes, TIFF header 8 → IFD0 count at 18
+    evil = bytearray(app1)
+    ifd0 = 10 + 8
+    n = struct.unpack_from("<H", evil, ifd0)[0]
+    for i in range(n):
+        ent = ifd0 + 2 + i * 12
+        tag = struct.unpack_from("<H", evil, ent)[0]
+        if tag == 274:  # orientation → LONG 2^31
+            struct.pack_into("<HHI", evil, ent, 274, 4, 1)
+            struct.pack_into("<I", evil, ent + 8, 2**31)
+    x = parse_exif(splice_app1(base, bytes(evil)))
+    assert x is not None and x["orientation"] is None
+    rows = [(1, "image", splice_app1(base, bytes(evil)), None)]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.exif_metadata(df).collect()[0]
+    assert out.orientation is None and out.make == "Pad"
