@@ -7372,3 +7372,31 @@ def an_route_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nlri_str", "session_id", "first_seen", "n_events",
         "uptime_ms", "observed_ms", "uptime_fraction",
     )
+
+
+@q(
+    "an_top_flappers",
+    f"""
+    WITH {_ORIGIN_HIST_CTES},
+    flips AS (
+        SELECT nlri_str,
+               CASE WHEN lag(active) OVER w IS NOT NULL
+                         AND lag(active) OVER w <> active
+                    THEN 1 ELSE 0 END AS flip
+        FROM hist2
+        WINDOW w AS (PARTITION BY nlri_str, session_id ORDER BY ts)
+    )
+    SELECT nlri_str, count(*) AS n_events,
+           CAST(sum(flip) AS BIGINT) AS n_flips
+    FROM flips GROUP BY nlri_str
+    ORDER BY n_flips DESC, n_events DESC, nlri_str LIMIT 20
+    """,
+)
+def an_top_flappers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k noisiest prefixes (operators/analytics.top_flappers):
+    per-key announce<->withdraw flip counts, TakeOrdered top-20 — the
+    operator dashboard the churn counters feed."""
+    from bgpexplorer_spark.operators.analytics import top_flappers
+
+    hist = _origins_history(spark, sf_dir)
+    return top_flappers(hist, k=20).select("nlri_str", "n_events", "n_flips")
