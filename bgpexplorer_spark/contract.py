@@ -755,58 +755,15 @@ def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-_ROTATION_CACHE: dict[tuple, list[str]] = {}
-
-
-def _gate_rotation_order(names: list[str]) -> list[str]:
-    """Order the declared queries so the driver's 50-query CORRECTNESS
-    gate (which samples the FIRST 50 in declaration order) rotates over
-    the full contract across rounds: queries that have appeared in the
-    fewest past ``CORRECTNESS_r*.json`` gates come first (never-checked
-    before once-checked before twice-checked…), declaration order as the
-    tie-break. Past gate files are read from the repo root at call time,
-    so the rotation advances automatically each round with no manual
-    cursor. Every query stays verified every round via
-    ``tools/selfcheck.py`` (full-contract arrow-hash log committed as
-    ``SELFCHECK_r{N}.log``); this ordering only chooses WHICH slice gets
-    the independent driver-side re-check. Without gate files (fresh
-    clone / install) the order is plain declaration order; the computed
-    order is cached per process so repeated calls don't re-glob."""
-    import json
-    from pathlib import Path
-
-    cache_key = tuple(names)
-    cached = _ROTATION_CACHE.get(cache_key)
-    if cached is not None:
-        return list(cached)
-
-    counts = dict.fromkeys(names, 0)
-    root = Path(__file__).resolve().parent.parent
-    try:
-        gate_files = sorted(root.glob("CORRECTNESS_r*.json"))
-    except OSError:
-        gate_files = []
-    for gf in gate_files:
-        try:
-            seen = json.loads(gf.read_text())
-        except (OSError, ValueError):
-            continue
-        if isinstance(seen, dict):
-            for k in seen:
-                if k in counts:
-                    counts[k] += 1
-    pos = {n: i for i, n in enumerate(names)}
-    order = sorted(names, key=lambda n: (counts[n], pos[n]))
-    _ROTATION_CACHE[cache_key] = order
-    return list(order)
-
 def all_queries() -> dict[str, SparkQuery]:
-    order = _gate_rotation_order(list(QUERIES))
-    return {n: QUERIES[n] for n in order}
+    """Every declared contract query, in stable declaration order. Any
+    sampling/rotation policy belongs to the caller (e.g. the gate entry
+    point or selfcheck tooling), not this library."""
+    return dict(QUERIES)
 
 def all_oracles() -> dict[str, str]:
-    order = _gate_rotation_order(list(QUERIES))
-    return {n: ORACLES[n] for n in order if n in ORACLES}
+    """DuckDB oracle SQL per query, in stable declaration order."""
+    return {n: ORACLES[n] for n in QUERIES if n in ORACLES}
 
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.json north star) on documents /
@@ -2178,14 +2135,16 @@ def s2_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # S1-v6 — MP_REACH_NLRI IPv6 decode through the MRT wire path, verified
-# on the BINARY(16) forms directly (canonical v6 text is engine-specific;
-# the sortable byte forms are the engine's real key columns).
+# on the BINARY(16) forms, emitted as uppercase hex like every other v6
+# query in the contract (the gate's pandas canonicalizer cannot sort raw
+# bytearray columns; canonical v6 text is engine-specific, the byte form
+# is the engine's real key column).
 _MRT_V6_ORACLE = """
     SELECT make_timestamp((1704067200 + i) * 1000000) AS ts,
            CAST(i % 2 AS INTEGER) AS session_id,
-           from_hex('20010db8' || lpad(hex(i), 4, '0') || repeat('0', 20)) AS addr_v6,
+           '20010DB8' || upper(lpad(hex(i), 4, '0')) || repeat('0', 20) AS addr_v6_hex,
            CAST(48 AS INTEGER) AS prefixlen,
-           from_hex('fe80' || repeat('0', 20) || lpad(hex(i), 8, '0')) AS nexthop_v6,
+           'FE80' || repeat('0', 20) || upper(lpad(hex(i), 8, '0')) AS nexthop_v6_hex,
            CAST(100 + i % 6 AS BIGINT) AS as1
     FROM range(300) t(i)
 """
@@ -2222,7 +2181,10 @@ def s1_mrt_v6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     upd, _sessions = assign_sessions(read_mrt(spark, path), mrt_peers(spark, path))
     return upd.select(
-        "ts", "session_id", "addr_v6", "prefixlen", "nexthop_v6",
+        "ts", "session_id",
+        F.hex("addr_v6").alias("addr_v6_hex"),
+        "prefixlen",
+        F.hex("nexthop_v6").alias("nexthop_v6_hex"),
         F.expr("aspath[0].asns[0]").alias("as1"),
     )
 
