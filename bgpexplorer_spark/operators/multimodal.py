@@ -537,8 +537,24 @@ def phash_neardup_pairs(
     nb = max_hamming + 1
     assert 64 % nb == 0, "band count must divide the 64-bit hash"
     width = 64 // nb
+    # the banding + 4×16-bit XOR chunks below assume exactly 64 bits; a
+    # hash from ahash_media(grid != 8) would silently read past the
+    # string (conv('') → NULL hamming → every pair filtered out). Guard
+    # IN-EXPRESSION (raise_error inside the same job) rather than with a
+    # driver-side precheck, which would re-run the upstream media decode.
+    checked = F.when(F.length("ahash") == 64, F.col("ahash")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "phash_neardup_pairs requires 64-bit hashes "
+                    "(ahash_media grid=8); got length "
+                ),
+                F.length("ahash").cast("string"),
+            )
+        )
+    )
     h = hashes.filter(F.col("ahash").isNotNull()).select(
-        F.col(id_col).alias("_id"), "ahash"
+        F.col(id_col).alias("_id"), checked.alias("ahash")
     )
     cand = None
     for b in range(nb):

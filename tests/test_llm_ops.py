@@ -1483,6 +1483,17 @@ def test_phash_neardup_pairs_hand_computed(spark):
     assert got == {(1, 2): 0, (1, 3): 2, (2, 3): 2}
 
 
+def test_phash_neardup_rejects_non_64bit_hash(spark):
+    """A hash from a non-default grid must raise, not silently yield zero
+    pairs (the band/chunk arithmetic assumes exactly 64 bits)."""
+    df = spark.createDataFrame(
+        [(1, "10" * 32, None, 16, 16), (2, "1010", None, 2, 2)],
+        "media_id long, ahash string, band int, width int, height int",
+    )
+    with pytest.raises(Exception, match="64-bit"):
+        multimodal.phash_neardup_pairs(df).collect()
+
+
 def test_dedup_sweep_hand_computed(spark):
     """Three pairs at j=0.9/0.5/0.3 over four docs: each threshold keeps
     the expected pair/doc counts, and an unreachable threshold reports
