@@ -118,8 +118,22 @@ def array_contiguous_subseq(haystack: Column, needle: list[int]) -> Column:
     exists/slice form the most expensive expression in the filter kit).
     ``get`` returns NULL past the end (never throws, ANSI-safe), so a
     start too close to the tail yields NULL and is dropped by filter().
+
+    A membership PREFILTER guards the positional walk: every distinct
+    needle element must appear in the haystack (``array_intersect``
+    size check — one hash-set probe per element), a necessary condition
+    that sheds non-candidate rows before the O(len × k) offset scan.
+    Spark's ``And`` short-circuits, so rows failing the cheap conjunct
+    never pay for the walk; NULL haystacks stay NULL through both
+    conjuncts (3VL unchanged).
     """
     k = len(needle)
+    distinct = sorted(set(needle))
+    member = F.array([F.lit(a).cast("bigint") for a in distinct])
+    prefilter = F.size(F.array_intersect(haystack, member)) == len(distinct)
+    if k == 1:
+        # single-AS needle: membership IS the contiguous-subsequence test
+        return prefilter
 
     def at_offset(x: Column, i: Column) -> Column:
         cond = x == F.lit(needle[0]).cast("bigint")
@@ -127,4 +141,4 @@ def array_contiguous_subseq(haystack: Column, needle: list[int]) -> Column:
             cond = cond & (F.get(haystack, i + F.lit(j)) == F.lit(needle[j]).cast("bigint"))
         return cond
 
-    return F.size(F.filter(haystack, at_offset)) > 0
+    return prefilter & (F.size(F.filter(haystack, at_offset)) > 0)
