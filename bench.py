@@ -77,8 +77,13 @@ BENCH_QUERIES = [
     "an_as_relationships",
     # BM25: map-side term filter, broadcast df/avgdl, TakeOrdered
     "text_bm25_topk",
-    # PQ ADC: literal-LUT projection over codes + TakeOrdered
+    # PQ ADC: literal-LUT projection over codes + TakeOrdered (the full
+    # code-table scan bound — deliberately unpruned)
     "sim_pq_topk",
+    # IVF-PQ: the at-scale ANN flagship — nprobe cell pruning BEFORE the
+    # ADC scan; its sf ratio should track the probed-cell fraction, not
+    # the corpus size
+    "sim_ivfpq_topk",
 ]
 
 def _sf_of(sf_dir: str) -> float:
