@@ -107,6 +107,18 @@ def from_inifile(path: str) -> SvcConfig:
     )
     if cfg.historymode not in ("every", "differ"):
         cfg.historymode = "every"
+    # resolve a relative whoisjsonconfig against the ini's own directory
+    # (the reference ships whois.json beside bgpexplorer.ini and loads it
+    # by that name, src/config.rs:596-605) so a fresh checkout works from
+    # any CWD; an absolute path or a CWD-relative hit is left alone.
+    if cfg.whoisjsonconfig:
+        import os
+
+        w = cfg.whoisjsonconfig
+        if not os.path.isabs(w) and not os.path.exists(w):
+            beside = os.path.join(os.path.dirname(os.path.abspath(path)), w)
+            if os.path.exists(beside):
+                cfg.whoisjsonconfig = beside
     for sect in cp.sections():
         if sect == "main":
             continue

