@@ -180,6 +180,8 @@ def test_export_import_roundtrip(spark, tmp_path):
           # is unloadable by a reference deployment
           atomicaggregate=True,
           originator=(192 << 24) | (0 << 16) | (2 << 8) | 1,
+          extcomms=[(0, 2, 200, 300), (1, 2, 0x0A000001, 77)],
+          aggregator_as=65010,
           pmsi_ta={"flags": 1, "tunnel_type": 6, "label": 3000,
                    "tunnel_id": b"\xc0\x00\x02\x01"}),
         u("10.0.0.0/24", t=60, session_id=1, op="withdraw"),
@@ -208,6 +210,23 @@ def test_export_import_roundtrip(spark, tmp_path):
         wire_attrs.values())).values())).values()))
     assert first_entry["Attrs"]["Atomicaggregate"] == {"V4": [0, 0, 0, 0]}
     assert first_entry["Attrs"]["Originator"] == {"V4": [192, 0, 2, 1]}
+    # BgpExtCommunity {ctype, subtype, a, b} seq + BgpAggregatorAS
+    # {asn, addr} — the zettabgp shapes a reference deployment decodes
+    assert first_entry["Attrs"]["ExtComms"] == [
+        {"ctype": 0, "subtype": 2, "a": 200, "b": 300},
+        {"ctype": 1, "subtype": 2, "a": 0x0A000001, "b": 77},
+    ]
+    assert first_entry["Attrs"]["Aggregatoras"] == {
+        "asn": 65010, "addr": [0, 0, 0, 0]
+    }
+    # ciborium-strict: every one of the reference's 13 BgpAttrs fields
+    # must be PRESENT in declaration order (its deserializer errors on a
+    # missing field, src/bgpattrs.rs:279-298 missing_field)
+    assert list(first_entry["Attrs"].keys()) == [
+        "Origin", "Nexthop", "Aspath", "Comms", "LComms", "ExtComms",
+        "Med", "Localpref", "Atomicaggregate", "Aggregatoras",
+        "Originator", "Clusterlist", "PmsiTa",
+    ]
 
     hist2 = import_snapshot(spark, str(snap))
 
@@ -215,8 +234,8 @@ def test_export_import_roundtrip(spark, tmp_path):
         "rib", "nlri_str", "rd_hi", "rd_lo", "addr_v4", "addr_v6",
         "prefixlen", "labels", "session_id", "path_id", "ts", "active",
         "origin", "nexthop_v4", "nexthop_v6", "aspath", "comms",
-        "lcomms", "med", "localpref", "atomicaggregate", "originator",
-        "pmsi_ta",
+        "lcomms", "extcomms", "med", "localpref", "atomicaggregate",
+        "aggregator_as", "originator", "pmsi_ta",
     ]
     orig = sorted(
         map(repr, hist.filter(F.col("rib") != "mvpn").select(cols).collect())
@@ -286,6 +305,14 @@ def test_export_import_roundtrip_randomized(spark, tmp_path):
             if rng.random() < 0.3:
                 kw["lcomms"] = [(rng.getrandbits(32), 1, 2)]
             if rng.random() < 0.3:
+                kw["extcomms"] = [
+                    (rng.randint(0, 255), rng.randint(0, 255),
+                     rng.getrandbits(32), rng.getrandbits(32))
+                    for _ in range(rng.randint(1, 3))
+                ]
+            if rng.random() < 0.3:
+                kw["aggregator_as"] = rng.getrandbits(32)
+            if rng.random() < 0.3:
                 kw["med"] = rng.getrandbits(32)
             if rng.random() < 0.3:
                 kw["localpref"] = rng.getrandbits(32)
@@ -312,8 +339,8 @@ def test_export_import_roundtrip_randomized(spark, tmp_path):
         "rib", "nlri_str", "rd_hi", "rd_lo", "addr_v4", "addr_v6",
         "prefixlen", "labels", "session_id", "path_id", "ts", "active",
         "origin", "nexthop_v4", "nexthop_v6", "aspath", "comms",
-        "lcomms", "med", "localpref", "atomicaggregate", "originator",
-        "clusterlist", "pmsi_ta",
+        "lcomms", "extcomms", "med", "localpref", "atomicaggregate",
+        "aggregator_as", "originator", "clusterlist", "pmsi_ta",
     ]
     orig = sorted(map(repr, hist.select(cols).collect()))
     back = sorted(map(repr, hist2.select(cols).collect()))

@@ -110,7 +110,16 @@ def _attrs_obj(row) -> dict:
              for x in row["lcomms"]]
             if row["lcomms"] else None
         ),
-        "ExtComms": None,
+        # zettabgp BgpExtCommunity is the flat {ctype, subtype, a, b}
+        # struct (the reference constructs exactly that literal,
+        # src/ribfilter.rs:1996-2000); the list serializes as a plain seq
+        # like Comms/LComms.
+        "ExtComms": (
+            [{"ctype": int(x["ctype"]), "subtype": int(x["subtype"]),
+              "a": int(x["a"]), "b": int(x["b"])}
+             for x in row["extcomms"]]
+            if row["extcomms"] else None
+        ),
         "Med": row["med"],
         "Localpref": row["localpref"],
         # Both are Option<std::net::IpAddr> in the reference
@@ -122,7 +131,15 @@ def _attrs_obj(row) -> dict:
         "Atomicaggregate": (
             {"V4": [0, 0, 0, 0]} if row["atomicaggregate"] else None
         ),
-        "Aggregatoras": None,
+        # Option<BgpAggregatorAS> {asn: u32, addr: Ipv4Addr}
+        # (src/bgpattrs.rs:31). The engine stores only the ASN (the wire
+        # decode drops the router-id half, sources/mrt.py attr 7), so the
+        # addr exports as 0.0.0.0 — same lossy-half convention as the
+        # Atomicaggregate flag.
+        "Aggregatoras": (
+            {"asn": int(row["aggregator_as"]), "addr": [0, 0, 0, 0]}
+            if row["aggregator_as"] is not None else None
+        ),
         "Originator": (
             {"V4": _v4_octets(int(row["originator"]))}
             if row["originator"] is not None else None
@@ -144,8 +161,8 @@ def export_snapshot(history, out_path: str) -> dict[str, int]:
         "rib", "nlri_str", "rd_hi", "rd_lo", "addr_v4", "addr_v6",
         "prefixlen", "labels", "session_id", "path_id", "active",
         "origin", "nexthop_v4", "nexthop_v6", "aspath", "comms", "lcomms",
-        "med", "localpref", "atomicaggregate", "originator",
-        "clusterlist", "pmsi_ta",
+        "extcomms", "med", "localpref", "atomicaggregate", "aggregator_as",
+        "originator", "clusterlist", "pmsi_ta",
     ]
     rows = (
         history.select(*cols, F.col("ts").cast("double").alias("_ts_s"))

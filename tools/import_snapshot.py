@@ -387,6 +387,33 @@ def _attr_row(entry: dict) -> dict:
             elif isinstance(c, dict) and "value" in c:
                 vals.append(c["value"])
         row["comms"] = vals or None
+    ec = attrs.get("ExtComms")
+    if isinstance(ec, dict):
+        ec = ec.get("value") or (list(ec.values())[0] if ec else None)
+    if isinstance(ec, list):
+        out = []
+        for c in ec:
+            # zettabgp BgpExtCommunity {ctype, subtype, a, b}
+            # (src/ribfilter.rs:1996-2000)
+            if isinstance(c, dict) and all(
+                isinstance(c.get(f), int) for f in ("ctype", "subtype", "a", "b")
+            ):
+                out.append({"ctype": c["ctype"], "subtype": c["subtype"],
+                            "a": c["a"], "b": c["b"]})
+        row["extcomms"] = out or None
+    ag = attrs.get("Aggregatoras")
+    if isinstance(ag, int):
+        row["aggregator_as"] = ag
+    elif isinstance(ag, dict):
+        # BgpAggregatorAS {asn, addr} (src/bgpattrs.rs:31); keep the ASN —
+        # the engine column is aggregator_as only (wire decode parity)
+        asn = next(
+            (ag[k] for k in ("asn", "value", "as_num")
+             if isinstance(ag.get(k), int)),
+            None,
+        )
+        if asn is not None:
+            row["aggregator_as"] = asn
     for src, dst in (("Med", "med"), ("Localpref", "localpref")):
         v = attrs.get(src)
         if isinstance(v, int):
