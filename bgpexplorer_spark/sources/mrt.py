@@ -1715,6 +1715,86 @@ def write_mrt(df: DataFrame, out_dir: str) -> DataFrame:
     )
 
 
+def _encode_rib_partition(
+    pdf_iter, sess_to_idx: dict[int, int]
+) -> tuple[bytes, int, int, int]:
+    """Encode one state partition (an iterator of pandas batches, the
+    exact shape mapInPandas delivers) as TABLE_DUMP_V2 RIB records.
+    Returns (record_bytes, n_prefixes, n_entries, n_skipped).
+
+    mapInPandas delivers a partition as MULTIPLE ~10k-row Arrow batches;
+    grouping per batch would emit a prefix that straddles a batch
+    boundary as two RIB records, violating TABLE_DUMP_V2's
+    one-record-per-prefix shape. Concatenate the partition first — it's
+    a 12-column projection already split by the (addr_v4, prefixlen)
+    repartition, so it fits comfortably. Module-level so the property
+    fuzz can drive it with randomized batch boundaries directly."""
+    import pandas as pd
+
+    origin_codes = {"IGP": 0, "EGP": 1, "Incomplete": 2}
+
+    def _has(v) -> bool:
+        if v is None:
+            return False
+        if isinstance(v, float) and v != v:
+            return False
+        return True
+
+    records = bytearray()
+    seq = 0
+    n_pfx = n_ent = n_skip = 0
+    batches = list(pdf_iter)
+    if batches:
+        pdf = batches[0] if len(batches) == 1 else pd.concat(
+            batches, ignore_index=True
+        )
+        bad = pdf["rib"] != "ipv4u"
+        n_skip += int(bad.sum())
+        pdf = pdf[~bad]
+        for (addr, plen), grp in pdf.groupby(["addr_v4", "prefixlen"]):
+            entries = []
+            addpath = False
+            for r in grp.sort_values("session_id").to_dict("records"):
+                sid = int(r["session_id"])
+                if sid not in sess_to_idx:
+                    n_skip += 1
+                    continue
+                e: dict = {
+                    "peer_idx": sess_to_idx[sid],
+                    "orig_time": int(pd.Timestamp(r["ts"]).timestamp()),
+                }
+                pid = int(r["path_id"]) if _has(r["path_id"]) else 0
+                if pid:
+                    e["path_id"] = pid
+                    addpath = True
+                if _has(r["origin"]):
+                    e["origin"] = origin_codes.get(r["origin"], 2)
+                if _has(r["aspath"]):
+                    e["aspath"] = [
+                        (1 if s["kind"] == "Set" else 2,
+                         [int(a) for a in s["asns"]])
+                        for s in r["aspath"]
+                    ]
+                if _has(r["nexthop_v4"]):
+                    e["nexthop"] = int(r["nexthop_v4"])
+                if _has(r["med"]):
+                    e["med"] = int(r["med"])
+                if _has(r["localpref"]):
+                    e["localpref"] = int(r["localpref"])
+                if _has(r["comms"]):
+                    e["comms"] = [int(c) for c in r["comms"]]
+                entries.append(e)
+            if not entries:
+                continue
+            records += encode_td2_rib_v4(
+                seq, int(addr), int(plen), entries, addpath=addpath
+            )
+            seq += 1
+            n_pfx += 1
+            n_ent += len(entries)
+    return bytes(records), n_pfx, n_ent, n_skip
+
+
 def write_rib_dump(
     state: DataFrame, sessions: DataFrame, out_dir: str
 ) -> DataFrame:
@@ -1751,79 +1831,16 @@ def write_rib_dump(
         sess_to_idx[sid] = len(peer_list)
         peer_list.append((ip, asn))
     index_bytes = encode_peer_index(peer_list)
-    origin_codes = {"IGP": 0, "EGP": 1, "Incomplete": 2}
 
     cols = [
         "rib", "addr_v4", "prefixlen", "session_id", "path_id", "ts",
         "origin", "aspath", "nexthop_v4", "med", "localpref", "comms",
     ]
 
-    def _has(v) -> bool:
-        if v is None:
-            return False
-        if isinstance(v, float) and v != v:
-            return False
-        return True
-
     def _write(pdf_iter):
-        records = bytearray()
-        seq = 0
-        n_pfx = n_ent = n_skip = 0
-        # mapInPandas delivers a partition as MULTIPLE ~10k-row Arrow
-        # batches; grouping per batch would emit a prefix that straddles
-        # a batch boundary as two RIB records, violating TABLE_DUMP_V2's
-        # one-record-per-prefix shape. Concatenate the partition first —
-        # it's a 12-column projection already split by the
-        # (addr_v4, prefixlen) repartition, so it fits comfortably.
-        batches = list(pdf_iter)
-        if batches:
-            pdf = batches[0] if len(batches) == 1 else pd.concat(
-                batches, ignore_index=True
-            )
-            bad = pdf["rib"] != "ipv4u"
-            n_skip += int(bad.sum())
-            pdf = pdf[~bad]
-            for (addr, plen), grp in pdf.groupby(["addr_v4", "prefixlen"]):
-                entries = []
-                addpath = False
-                for r in grp.sort_values("session_id").to_dict("records"):
-                    sid = int(r["session_id"])
-                    if sid not in sess_to_idx:
-                        n_skip += 1
-                        continue
-                    e: dict = {
-                        "peer_idx": sess_to_idx[sid],
-                        "orig_time": int(pd.Timestamp(r["ts"]).timestamp()),
-                    }
-                    pid = int(r["path_id"]) if _has(r["path_id"]) else 0
-                    if pid:
-                        e["path_id"] = pid
-                        addpath = True
-                    if _has(r["origin"]):
-                        e["origin"] = origin_codes.get(r["origin"], 2)
-                    if _has(r["aspath"]):
-                        e["aspath"] = [
-                            (1 if s["kind"] == "Set" else 2,
-                             [int(a) for a in s["asns"]])
-                            for s in r["aspath"]
-                        ]
-                    if _has(r["nexthop_v4"]):
-                        e["nexthop"] = int(r["nexthop_v4"])
-                    if _has(r["med"]):
-                        e["med"] = int(r["med"])
-                    if _has(r["localpref"]):
-                        e["localpref"] = int(r["localpref"])
-                    if _has(r["comms"]):
-                        e["comms"] = [int(c) for c in r["comms"]]
-                    entries.append(e)
-                if not entries:
-                    continue
-                records += encode_td2_rib_v4(
-                    seq, int(addr), int(plen), entries, addpath=addpath
-                )
-                seq += 1
-                n_pfx += 1
-                n_ent += len(entries)
+        records, n_pfx, n_ent, n_skip = _encode_rib_partition(
+            pdf_iter, sess_to_idx
+        )
         if n_pfx or n_skip:
             path = os.path.join(out_dir, f"rib-{uuid.uuid4().hex}.mrt")
             if n_pfx:

@@ -719,3 +719,159 @@ def test_truncated_attribute_drops_record():
     rows = list(parse_mrt(bytes(cut)))
     # record 1 dropped entirely; nothing half-decoded leaks out
     assert all(r["peer_as"] != 65010 for r in rows)
+
+
+# --- TABLE_DUMP_V2 writer property fuzz (r6 VERDICT ask #8) -----------------
+# The cross-batch grouping fix (write_rib_dump) was tested at one batch
+# size; sweep (batch boundaries, addpath mix, family mix) and assert the
+# format invariant (ONE RIB record per prefix) plus full re-read parity,
+# driving the extracted per-partition encoder exactly like mapInPandas
+# does (an iterator of pandas batches) and re-parsing with the pure
+# parse_mrt reader. No Spark job per example, so hypothesis can sweep
+# hundreds of cases.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rib_state_strategy():
+    entry = st.fixed_dictionaries({
+        "session_id": st.integers(0, 5),     # 4-5 are NOT in the peer index
+        "path_id": st.one_of(st.just(0), st.integers(1, 9)),  # addpath mix
+        "t_off": st.integers(0, 10_000),
+        "origin": st.sampled_from([None, "IGP", "EGP", "Incomplete"]),
+        "aspath": st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(st.sampled_from(["Seq", "Set"]),
+                          st.lists(st.integers(1, 2**32 - 1), min_size=1,
+                                   max_size=3)),
+                min_size=1, max_size=3,
+            ),
+        ),
+        "nexthop_v4": st.one_of(st.none(), st.integers(1, 2**32 - 1)),
+        "med": st.one_of(st.none(), st.integers(0, 2**32 - 1)),
+        "localpref": st.one_of(st.none(), st.integers(0, 2**32 - 1)),
+        "comms": st.one_of(
+            st.none(),
+            st.lists(st.integers(0, 2**32 - 1), min_size=1, max_size=3),
+        ),
+    })
+    prefix = st.tuples(
+        st.integers(0, 32),                      # plen
+        st.integers(0, 2**32 - 1),               # raw addr (masked to plen)
+        st.sampled_from(["ipv4u", "ipv4u", "ipv4u", "ipv6u", "vpnv4u"]),
+        st.lists(entry, min_size=1, max_size=4),
+    )
+    return st.tuples(
+        st.lists(prefix, min_size=1, max_size=8),
+        st.integers(1, 6),                       # number of batch splits
+        st.randoms(use_true_random=False),
+    )
+
+
+@given(_rib_state_strategy())
+@settings(max_examples=150, deadline=None)
+def test_write_rib_dump_partition_property(case):
+    """Property: for ANY row order and ANY Arrow batch boundaries, the
+    encoder emits exactly one TABLE_DUMP_V2 record per ipv4u prefix
+    (with >=1 indexed-peer entry), counts skips for other families and
+    unknown sessions, and the bytes re-read to the exact input rows."""
+    import datetime as dt
+    import struct as _st
+
+    import pandas as pd
+
+    from bgpexplorer_spark.sources.mrt import (
+        MRT_TABLE_DUMP_V2, _encode_rib_partition, encode_peer_index,
+        parse_mrt,
+    )
+
+    prefixes, n_batches, rng = case
+    peers = [(0x0AFF0000 + i, 65000 + i) for i in range(4)]
+    sess_to_idx = {i: i for i in range(4)}
+    index_bytes = encode_peer_index(peers)
+    t0 = dt.datetime(2024, 1, 1)
+
+    rows = []
+    expected: dict[str, list] = {}
+    n_skip_want = 0
+    seen_keys = set()
+    for plen, rawaddr, rib, entries in prefixes:
+        addr = (rawaddr & (0xFFFFFFFF << (32 - plen))) & 0xFFFFFFFF if plen else 0
+        if (addr, plen) in seen_keys:
+            continue  # distinct prefixes only
+        seen_keys.add((addr, plen))
+        nlri = (f"{addr >> 24}.{(addr >> 16) & 255}.{(addr >> 8) & 255}."
+                f"{addr & 255}/{plen}")
+        for e in entries:
+            rows.append({
+                "rib": rib, "addr_v4": addr, "prefixlen": plen,
+                "session_id": e["session_id"], "path_id": e["path_id"],
+                "ts": t0 + dt.timedelta(seconds=e["t_off"]),
+                "origin": e["origin"],
+                "aspath": (
+                    [{"kind": k, "asns": a} for k, a in e["aspath"]]
+                    if e["aspath"] is not None else None
+                ),
+                "nexthop_v4": e["nexthop_v4"], "med": e["med"],
+                "localpref": e["localpref"], "comms": e["comms"],
+            })
+            if rib != "ipv4u" or e["session_id"] not in sess_to_idx:
+                n_skip_want += 1
+            else:
+                expected.setdefault(nlri, []).append(e)
+
+    rng.shuffle(rows)
+    pdf = pd.DataFrame(rows)
+    # randomized batch boundaries, the mapInPandas delivery shape
+    cuts = sorted(rng.sample(range(len(pdf) + 1), min(n_batches, len(pdf) + 1)))
+    bounds = [0] + cuts + [len(pdf)]
+    batches = [
+        pdf.iloc[a:b].reset_index(drop=True)
+        for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+    records, n_pfx, n_ent, n_skip = _encode_rib_partition(
+        iter(batches), sess_to_idx
+    )
+
+    assert n_pfx == len(expected)
+    assert n_ent == sum(len(v) for v in expected.values())
+    assert n_skip == n_skip_want
+
+    # ONE record per prefix, byte-walked from the raw record headers
+    p, rec_prefixes = 0, []
+    while p < len(records):
+        mtype, sub, ln = _st.unpack(">HHI", records[p + 4 : p + 12])
+        assert mtype == MRT_TABLE_DUMP_V2
+        body = records[p + 12 : p + 12 + ln]
+        plen = body[4]
+        nb = (plen + 7) // 8
+        raw = body[5 : 5 + nb] + b"\x00" * (4 - nb)
+        rec_prefixes.append((int.from_bytes(raw, "big"), plen))
+        p += 12 + ln
+    assert len(rec_prefixes) == len(set(rec_prefixes)) == len(expected)
+
+    # full re-read parity through the real reader
+    got: dict[str, list] = {}
+    for r in parse_mrt(index_bytes + records):
+        got.setdefault(r["nlri_str"], []).append(r)
+    assert set(got) == set(expected)
+    for nlri, want in expected.items():
+        w = sorted(
+            ((e["session_id"], e["path_id"], e["t_off"], e["origin"],
+              e["aspath"], e["nexthop_v4"], e["med"], e["localpref"],
+              e["comms"]) for e in want)
+        )
+        g = sorted(
+            (int(r["peer_as"]) - 65000,
+             int(r["path_id"] or 0),
+             int((r["ts"] - t0).total_seconds()),
+             r["origin"],
+             ([(s["kind"], list(s["asns"])) for s in r["aspath"]]
+              if r["aspath"] else None),
+             r["nexthop_v4"],
+             r["med"], r["localpref"],
+             (list(r["comms"]) if r["comms"] else None))
+            for r in got[nlri]
+        )
+        assert g == w, nlri
