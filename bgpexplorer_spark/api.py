@@ -65,6 +65,16 @@ class BgpExplorerService:
         # whois deployment knobs (src/config.rs:338-342): registry→server
         # map (whoisjsonconfig) + pinned resolvers (whoisdns) + timeout
         self.svc_config = svc_config
+        # per-state memo for the analytics reports that materialize a
+        # localCheckpointed distinct set per request (relationships /
+        # deagg / hijacks): repeated dashboard polls reuse the
+        # checkpointed result instead of rebuilding it. Keyed by
+        # (report, rib, state_version); bump_state_version() invalidates
+        # after new ingest — the same discipline as route_counts. The
+        # memoized frames are report-sized (per-AS / per-pair rows), not
+        # RIB-sized.
+        self._state_version = 0
+        self._analytics_memo: dict[tuple, DataFrame] = {}
         self.whois_server_map = None
         if svc_config is not None and getattr(svc_config, "whoisjsonconfig", None):
             from bgpexplorer_spark.operators.whois import WhoisServerMap
@@ -122,6 +132,28 @@ class BgpExplorerService:
             "found": r.found,
             "items": items,
         }
+
+    def _memo_report(self, name: str, rib: str, build):
+        """Materialize-once serving memo: ``build()`` runs (and is
+        localCheckpointed eagerly) only on the first request for this
+        (report, rib) at the current state version; later identical
+        requests page the checkpointed rows. Old versions drop out of
+        the dict on bump and their blocks are context-cleaned on GC."""
+        key = (name, rib, self._state_version)
+        df = self._analytics_memo.get(key)
+        if df is None:
+            df = build().localCheckpoint(eager=True)
+            self._analytics_memo[key] = df
+        return df
+
+    def bump_state_version(self) -> None:
+        """New state landed (ingest batch applied / snapshot reloaded):
+        invalidate every per-state serving memo — analytics reports and
+        the maintained route counts — so the next request recomputes."""
+        self._state_version += 1
+        self._analytics_memo.clear()
+        if not self.exact_length:
+            self.route_counts = None
 
     @staticmethod
     def _page(df, k: int, skip: int):
@@ -393,10 +425,13 @@ class BgpExplorerService:
         from bgpexplorer_spark.operators.analytics import as_relationships
         from bgpexplorer_spark.operators.rib import current_state
 
-        st = current_state(self.history.filter(F.col("rib") == rib))
-        rows = self._page(
-            as_relationships(st).orderBy("as_low", "as_high"), k, skip
-        ).collect()
+        rel = self._memo_report(
+            "relationships", rib,
+            lambda: as_relationships(
+                current_state(self.history.filter(F.col("rib") == rib))
+            ),
+        )
+        rows = self._page(rel.orderBy("as_low", "as_high"), k, skip).collect()
         return [
             {
                 "as_low": r.as_low, "as_high": r.as_high, "rel": r.rel,
@@ -483,9 +518,14 @@ class BgpExplorerService:
         from bgpexplorer_spark.operators.analytics import deaggregation
         from bgpexplorer_spark.operators.rib import current_state
 
-        st = current_state(self.history.filter(F.col("rib") == rib))
+        report = self._memo_report(
+            "deagg", rib,
+            lambda: deaggregation(
+                current_state(self.history.filter(F.col("rib") == rib))
+            ),
+        )
         rows = self._page(
-            deaggregation(st).orderBy(
+            report.orderBy(
                 F.col("deagg_ratio").desc(), F.col("n_prefixes").desc(),
                 "origin_as",
             ),
@@ -510,10 +550,14 @@ class BgpExplorerService:
         )
         from bgpexplorer_spark.operators.rib import current_state
 
-        st = current_state(self.history.filter(F.col("rib") == rib))
+        rel = self._memo_report(
+            "relationships", rib,  # shared with /relationships
+            lambda: as_relationships(
+                current_state(self.history.filter(F.col("rib") == rib))
+            ),
+        )
         rows = self._page(
-            customer_cone(as_relationships(st))
-            .orderBy(F.col("cone_size").desc(), "asn"),
+            customer_cone(rel).orderBy(F.col("cone_size").desc(), "asn"),
             k, skip,
         ).collect()
         return [{"asn": r.asn, "cone_size": r.cone_size} for r in rows]
@@ -529,9 +573,14 @@ class BgpExplorerService:
         from bgpexplorer_spark.operators.analytics import subprefix_hijacks
         from bgpexplorer_spark.operators.rib import current_state
 
-        st = current_state(self.history.filter(F.col("rib") == rib))
+        report = self._memo_report(
+            "hijacks", rib,
+            lambda: subprefix_hijacks(
+                current_state(self.history.filter(F.col("rib") == rib))
+            ),
+        )
         rows = self._page(
-            subprefix_hijacks(st)
+            report
             .withColumn("prefix", F.concat_ws(
                 "/", v4_to_dotted(F.col("addr_v4")),
                 F.col("prefixlen").cast("string"),

@@ -55,6 +55,7 @@ def run_ingest(
     updates: DataFrame, table_path: str, checkpoint: str,
     history_mode: str = "every",
     feed=None,
+    service=None,
 ) -> "StreamingQuery":  # noqa: F821
     """ST4 — materialize the stream into the partitioned rib_history
     table. Each micro-batch is normalized by the SAME build_history used
@@ -78,6 +79,10 @@ def run_ingest(
         )
         if feed is not None:
             feed.publish_batch(batch_df)
+        if service is not None:
+            # new state landed: drop the serving layer's per-state memos
+            # (analytics reports, maintained route counts)
+            service.bump_state_version()
 
     return (
         updates.writeStream.foreachBatch(sink)

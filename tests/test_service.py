@@ -1108,3 +1108,51 @@ def test_shipped_config_files_boot(tmp_path, monkeypatch):
     finally:
         for ln in listeners:
             ln.stop()
+
+
+def test_http_analytics_memo_reuses_checkpoint(spark):
+    """Repeated dashboard polls of the expensive analytics reports
+    (hijacks/deagg/relationships materialize a localCheckpointed
+    distinct set per build) must reuse the per-state memo: the second
+    identical request pages the checkpointed rows — >=5x faster here —
+    and bump_state_version() invalidates so new state is served."""
+    import time as _t
+
+    # enough prefixes that the first build costs real work
+    rows = []
+    for i in range(400):
+        rows.append(u(f"11.{i % 250}.0.0/16", t=i,
+                      aspath=[("Seq", [1, 100 + i % 7])]))
+        rows.append(u(f"11.{i % 250}.{i % 200}.0/24", t=i,
+                      aspath=[("Seq", [1, 666])]))
+    hist = build_history(make_updates(spark, rows), history_mode="every")
+    svc = BgpExplorerService(hist)
+    httpd = serve(svc, port=0)
+    port = httpd.server_address[1]
+    try:
+        base = f"http://127.0.0.1:{port}"
+        t0 = _t.perf_counter()
+        first = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/hijacks?k=5").read())
+        cold = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        second = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/hijacks?k=5").read())
+        warm = _t.perf_counter() - t0
+        assert second == first and len(first) == 5
+        assert warm * 5 <= cold, (cold, warm)
+        # /relationships and /cones share one memo entry
+        json.loads(urllib.request.urlopen(
+            base + "/api/analytics/relationships?k=3").read())
+        keys = {k[0] for k in svc._analytics_memo}
+        assert keys == {"hijacks", "relationships"}
+
+        # invalidation: new state -> new version -> fresh build
+        v0 = svc._state_version
+        svc.bump_state_version()
+        assert svc._state_version == v0 + 1 and not svc._analytics_memo
+        again = json.loads(urllib.request.urlopen(
+            base + "/api/analytics/hijacks?k=5").read())
+        assert again == first  # same underlying state, rebuilt fresh
+    finally:
+        httpd.shutdown()
