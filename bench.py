@@ -214,6 +214,7 @@ def _bench_streaming(spark, sf_dir: str, amp_factor: int = 10) -> dict:
         live_current_state,
         live_current_state_agg,
         live_flap_damping,
+        run_flap_damping_incremental,
         stream_updates_from_files,
     )
 
@@ -274,6 +275,33 @@ def _bench_streaming(spark, sf_dir: str, amp_factor: int = 10) -> dict:
                 "events_per_sec_amplified": round(n_amp / t_amp) if t_amp else None,
                 "steady_events_per_sec": marginal,
             }
+
+        # JVM-native incremental damping (foreachBatch + batch-to-batch
+        # fold, no per-key Python crossing) vs the keyed-state path above
+        def drive_incr(path) -> float:
+            ck = tempfile.mkdtemp(prefix="bench_ck_")
+            stream = stream_updates_from_files(spark, path)
+            t0 = time.perf_counter()
+            q = run_flap_damping_incremental(stream, ck)
+            q.awaitTermination()
+            dt = time.perf_counter() - t0
+            shutil.rmtree(ck, ignore_errors=True)
+            return dt
+
+        t_base = drive_incr(src)
+        t_amp = drive_incr(src_amp)
+        marginal = (
+            round((n_amp - n_base) / (t_amp - t_base))
+            if t_amp - t_base > 0.05
+            else None
+        )
+        out["st_live_flap_damping_incremental"] = {
+            "sec": round(t_base, 4),
+            "events_per_sec": round(n_base / t_base) if t_base else None,
+            "sec_amplified": round(t_amp, 4),
+            "events_per_sec_amplified": round(n_amp / t_amp) if t_amp else None,
+            "steady_events_per_sec": marginal,
+        }
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src_amp, ignore_errors=True)

@@ -614,3 +614,117 @@ def test_live_current_state_resumes_from_checkpoint(spark, tmp_path):
     # B is fresh state
     assert bool(got["10.1.0.0/24"][0])
     assert os.path.isdir(ck)
+
+
+def test_flap_damping_increment_matches_fold(spark):
+    """The JVM-native batch-to-batch fold (flap_damping_increment) must
+    chain across arbitrary micro-batch splits to the same (penalty,
+    last_us, announced, flaps) as the vectorized reference fold over the
+    whole sequence — randomized keys, event counts, ops, entry states."""
+    import math
+    import random
+
+    import numpy as np
+    import pytest as _pt
+
+    from bgpexplorer_spark.streaming.feed import (
+        FLAP_STATE_SCHEMA, _damping_fold, flap_damping_increment,
+    )
+
+    rnd = random.Random(20260815)
+    lam, fp = math.log(2.0) / 900.0, 1000.0
+    keys = [f"10.0.{i}.0/24" for i in range(12)]
+    events: dict[str, list] = {}
+    for k in keys:
+        n = rnd.randint(1, 15)
+        # distinct, ascending times per key: both formulations sort by
+        # ts, so tie order between a same-instant update+withdraw is
+        # format-ambiguous — excluded by construction here
+        ts = sorted(rnd.sample(range(0, 10_000), n))
+        events[k] = [(t, rnd.random() < 0.5) for t in ts]
+
+    # expected: one whole-sequence fold per key
+    want = {}
+    for k, evs in events.items():
+        t_us = np.array([t * 1_000_000 for t, _ in evs], dtype=np.int64)
+        wd = np.array([w for _, w in evs])
+        want[k] = _damping_fold(0.0, None, False, 0, t_us, wd, lam, fp)
+
+    # got: chain increments over random batch splits (interleaved keys)
+    flat = [
+        (k, t, w) for k, evs in events.items() for t, w in evs
+    ]
+    flat.sort(key=lambda x: x[1])
+    n_splits = rnd.randint(2, 5)
+    cuts = sorted(rnd.sample(range(1, len(flat)), n_splits))
+    bounds = [0] + cuts + [len(flat)]
+    state = spark.createDataFrame([], FLAP_STATE_SCHEMA)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    for a, b in zip(bounds, bounds[1:]):
+        batch = make_updates(spark, [
+            u(k, t=t, op="withdraw" if w else "update")
+            for k, t, w in flat[a:b]
+        ])
+        changed = flap_damping_increment(state, batch, 900.0, fp)
+        state = (
+            changed.select("rib", "nlri_str", "penalty", "last_us",
+                           "announced", "flaps")
+            .unionByName(state.join(changed, ["rib", "nlri_str"], "left_anti"))
+            .localCheckpoint(eager=True)
+        )
+    got = {r.nlri_str: r for r in state.collect()}
+    assert set(got) == set(want)
+    epoch = dt.datetime(1970, 1, 1)
+    for k, (pen, last_us, ann, flaps) in want.items():
+        r = got[k]
+        # make_updates builds ts as t0 + t seconds; map back to the
+        # fold's µs-since-0 clock
+        off_us = int((t0 - epoch).total_seconds() * 1e6)
+        assert r.last_us - off_us == last_us, k
+        assert (r.announced, r.flaps) == (ann, flaps), k
+        assert r.penalty == _pt.approx(round(pen, 4), abs=1e-3), k
+
+
+def test_run_flap_damping_incremental_end_to_end(spark, tmp_path):
+    """foreachBatch incremental damping end-to-end: same figures as the
+    keyed-state live_flap_damping on the same stream, state persisted to
+    the optional parquet state_dir."""
+    import math
+
+    from bgpexplorer_spark.streaming.feed import run_flap_damping_incremental
+
+    d = _updates_dir(
+        spark,
+        [
+            u("10.0.0.0/24", t=0),
+            u("10.0.0.0/24", t=10, op="withdraw"),
+            u("10.0.0.0/24", t=20),
+            u("10.0.0.0/24", t=30, op="withdraw"),
+            u("10.0.1.0/24", t=0, op="withdraw"),
+            u("10.0.2.0/24", t=5),
+        ],
+    )
+    got = {}
+
+    def on_batch(df):
+        for r in df.collect():
+            got[r.nlri_str] = r
+
+    stream = stream_updates_from_files(spark, d)
+    q = run_flap_damping_incremental(
+        stream, str(tmp_path / "ck"), half_life_sec=20.0,
+        on_batch=on_batch, state_dir=str(tmp_path / "state"),
+    )
+    q.awaitTermination(120)
+    lam = math.log(2) / 20.0
+    expect = 1000.0 * math.exp(-lam * 20) + 1000.0
+    r = got["10.0.0.0/24"]
+    assert (r.n_flaps, r.penalty) == (2, round(expect, 4))
+    assert r.suppressed is False and r.reusable is False
+    assert got["10.0.1.0/24"].n_flaps == 0
+    assert got["10.0.2.0/24"].n_flaps == 0
+    # durable state table round-trips
+    st = {r.nlri_str: r for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    assert st["10.0.0.0/24"].flaps == 2 and st["10.0.2.0/24"].announced
