@@ -208,6 +208,21 @@ def start_listeners(cfg: SvcConfig, out_dir: str, raw_dir: str | None = None):
     return listeners
 
 
+def start_snapshot_keeper(cfg: SvcConfig, get_history):
+    """``snapshot`` / ``snapshot_every`` ini keys → a running
+    :class:`bgpexplorer_spark.snapshotd.SnapshotKeeper` (None when the
+    config names no snapshot file). Call ``.stop()`` for the reference's
+    store-on-shutdown; bootstrap history first via
+    ``snapshotd.load_snapshot_dir(spark, cfg.snapshot_file)``."""
+    if not cfg.snapshot_file:
+        return None
+    from bgpexplorer_spark.snapshotd import SnapshotKeeper
+
+    return SnapshotKeeper(
+        get_history, cfg.snapshot_file, cfg.snapshot_every
+    ).start()
+
+
 def parse_caps(caps: str) -> list[str]:
     """The reference's caps-string vocabulary (src/config.rs:189-235):
     'all', ''/'min'/'minimal', or a comma list of family names; unknown

@@ -860,7 +860,8 @@ def test_write_rib_dump_partition_property(case):
         w = sorted(
             ((e["session_id"], e["path_id"], e["t_off"], e["origin"],
               e["aspath"], e["nexthop_v4"], e["med"], e["localpref"],
-              e["comms"]) for e in want)
+              e["comms"]) for e in want),
+            key=repr,
         )
         g = sorted(
             (int(r["peer_as"]) - 65000,
@@ -874,4 +875,6 @@ def test_write_rib_dump_partition_property(case):
              (list(r["comms"]) if r["comms"] else None))
             for r in got[nlri]
         )
+        g = sorted(g, key=repr)
+        w = sorted(w, key=repr)
         assert g == w, nlri
