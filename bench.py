@@ -237,32 +237,40 @@ def _bench_streaming(spark, sf_dir: str, amp_factor: int = 10) -> dict:
     n_amp = spark.read.parquet(src_amp).count()
     out: dict = {"sf": _sf_of(sf_dir), "events": n_base, "events_amplified": n_amp}
 
-    def drive(op, path) -> float:
+    def _noop_sink(op):
+        """op(stream) transformation → a started availableNow query."""
+        def start(stream, ck):
+            return (
+                op(stream)
+                .writeStream.format("noop").outputMode("update")
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+        return start
+
+    def drive(starter, path) -> float:
         ck = tempfile.mkdtemp(prefix="bench_ck_")
         stream = stream_updates_from_files(spark, path)
         t0 = time.perf_counter()
-        q = (
-            op(stream)
-            .writeStream.format("noop").outputMode("update")
-            .option("checkpointLocation", ck)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        starter(stream, ck).awaitTermination()
         dt = time.perf_counter() - t0
         shutil.rmtree(ck, ignore_errors=True)
         return dt
 
     try:
-        for name, op in (
-            ("st_live_current_state", live_current_state),
+        for name, starter in (
+            ("st_live_current_state", _noop_sink(live_current_state)),
             # JVM-native max_by variant: no per-key Python crossing —
             # the throughput ceiling the state path can reach
-            ("st_live_current_state_native", live_current_state_agg),
-            ("st_live_flap_damping", live_flap_damping),
+            ("st_live_current_state_native", _noop_sink(live_current_state_agg)),
+            ("st_live_flap_damping", _noop_sink(live_flap_damping)),
+            # foreachBatch incremental damping: batch-to-batch JVM fold,
+            # its own runner (it manages state + sink itself)
+            ("st_live_flap_damping_incremental", run_flap_damping_incremental),
         ):
-            t_base = drive(op, src)
-            t_amp = drive(op, src_amp)
+            t_base = drive(starter, src)
+            t_amp = drive(starter, src_amp)
             marginal = (
                 round((n_amp - n_base) / (t_amp - t_base))
                 if t_amp - t_base > 0.05
@@ -275,33 +283,6 @@ def _bench_streaming(spark, sf_dir: str, amp_factor: int = 10) -> dict:
                 "events_per_sec_amplified": round(n_amp / t_amp) if t_amp else None,
                 "steady_events_per_sec": marginal,
             }
-
-        # JVM-native incremental damping (foreachBatch + batch-to-batch
-        # fold, no per-key Python crossing) vs the keyed-state path above
-        def drive_incr(path) -> float:
-            ck = tempfile.mkdtemp(prefix="bench_ck_")
-            stream = stream_updates_from_files(spark, path)
-            t0 = time.perf_counter()
-            q = run_flap_damping_incremental(stream, ck)
-            q.awaitTermination()
-            dt = time.perf_counter() - t0
-            shutil.rmtree(ck, ignore_errors=True)
-            return dt
-
-        t_base = drive_incr(src)
-        t_amp = drive_incr(src_amp)
-        marginal = (
-            round((n_amp - n_base) / (t_amp - t_base))
-            if t_amp - t_base > 0.05
-            else None
-        )
-        out["st_live_flap_damping_incremental"] = {
-            "sec": round(t_base, 4),
-            "events_per_sec": round(n_base / t_base) if t_base else None,
-            "sec_amplified": round(t_amp, 4),
-            "events_per_sec_amplified": round(n_amp / t_amp) if t_amp else None,
-            "steady_events_per_sec": marginal,
-        }
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(src_amp, ignore_errors=True)

@@ -70,11 +70,16 @@ class BgpExplorerService:
         # deagg / hijacks): repeated dashboard polls reuse the
         # checkpointed result instead of rebuilding it. Keyed by
         # (report, rib, state_version); bump_state_version() invalidates
-        # after new ingest — the same discipline as route_counts. The
-        # memoized frames are report-sized (per-AS / per-pair rows), not
-        # RIB-sized.
+        # after new ingest — the same discipline as route_counts — and a
+        # TTL (analytics_memo_ttl seconds, default 60) bounds staleness
+        # for deployments that ingest live WITHOUT wiring
+        # run_ingest(service=...), so a memoized report can never
+        # outlive the poll interval by much. TTL 0 disables memoization.
+        # The memoized frames are report-sized (per-AS / per-pair rows),
+        # not RIB-sized.
         self._state_version = 0
-        self._analytics_memo: dict[tuple, DataFrame] = {}
+        self.analytics_memo_ttl = 60.0
+        self._analytics_memo: dict[tuple, tuple[DataFrame, float]] = {}
         self.whois_server_map = None
         if svc_config is not None and getattr(svc_config, "whoisjsonconfig", None):
             from bgpexplorer_spark.operators.whois import WhoisServerMap
@@ -137,13 +142,19 @@ class BgpExplorerService:
         """Materialize-once serving memo: ``build()`` runs (and is
         localCheckpointed eagerly) only on the first request for this
         (report, rib) at the current state version; later identical
-        requests page the checkpointed rows. Old versions drop out of
-        the dict on bump and their blocks are context-cleaned on GC."""
+        requests page the checkpointed rows until the TTL expires or
+        the state version bumps. Old entries drop out of the dict and
+        their blocks are context-cleaned on GC."""
+        import time
+
+        if not self.analytics_memo_ttl:
+            return build()
         key = (name, rib, self._state_version)
-        df = self._analytics_memo.get(key)
-        if df is None:
-            df = build().localCheckpoint(eager=True)
-            self._analytics_memo[key] = df
+        hit = self._analytics_memo.get(key)
+        if hit is not None and time.monotonic() - hit[1] < self.analytics_memo_ttl:
+            return hit[0]
+        df = build().localCheckpoint(eager=True)
+        self._analytics_memo[key] = (df, time.monotonic())
         return df
 
     def bump_state_version(self) -> None:

@@ -66,38 +66,52 @@ class SnapshotKeeper:
         self.every_sec = every_sec
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+        # serializes saves: stop()'s final store must never race a
+        # still-running periodic save on the marker flip
+        self._save_lock = threading.Lock()
 
     def save_once(self) -> str | None:
         """Write one snapshot version and flip the marker; returns the
         new version's directory (None on error, after a warning)."""
         from bgpexplorer_spark.operators.rib import write_snapshot
 
-        try:
-            version = f"v{int(time.time() * 1000)}"
-            vdir = os.path.join(self.path, version)
-            os.makedirs(self.path, exist_ok=True)
-            write_snapshot(self._get_history(), vdir)
-            marker = os.path.join(self.path, _MARKER)
-            tmp = marker + ".part"
-            with open(tmp, "w", encoding="ascii") as f:
-                f.write(version)
-            os.replace(tmp, marker)  # the commit point
-            self._prune(keep=(version,))
-            return vdir
-        except Exception as e:  # noqa: BLE001
-            warnings.warn(f"store_snapshot error: {e}", stacklevel=2)
-            return None
+        with self._save_lock:
+            try:
+                version = f"v{int(time.time() * 1000)}"
+                vdir = os.path.join(self.path, version)
+                os.makedirs(self.path, exist_ok=True)
+                write_snapshot(self._get_history(), vdir)
+                marker = os.path.join(self.path, _MARKER)
+                prev = None
+                try:
+                    with open(marker, encoding="ascii") as f:
+                        prev = f.read().strip()
+                except OSError:
+                    pass
+                tmp = f"{marker}.part-{version}"
+                with open(tmp, "w", encoding="ascii") as f:
+                    f.write(version)
+                os.replace(tmp, marker)  # the commit point
+                self._prune(keep=(version, prev))
+                return vdir
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(f"store_snapshot error: {e}", stacklevel=2)
+                return None
 
     def _prune(self, keep: tuple) -> None:
-        """Drop all versions but the marker's and one predecessor."""
+        """Drop every version dir except the marker's current and its
+        COMMITTED predecessor. Keeping by marker lineage (not by
+        lexicographic recency) means a partial dir left by a failed
+        write is pruned, never retained in place of the last good
+        snapshot."""
         try:
-            versions = sorted(
+            versions = [
                 d for d in os.listdir(self.path)
                 if d.startswith("v") and d[1:].isdigit()
-            )
+            ]
         except OSError:
             return
-        survivors = set(keep) | set(versions[-2:])
+        survivors = {k for k in keep if k}
         for d in versions:
             if d not in survivors:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
@@ -117,9 +131,11 @@ class SnapshotKeeper:
 
     def stop(self) -> None:
         """Stop the cadence and write the final snapshot (the
-        reference's store-on-shutdown)."""
+        reference's store-on-shutdown). A still-running periodic save
+        can't race the final one — saves serialize on ``_save_lock`` and
+        the final save runs last, so CURRENT ends at shutdown state."""
         self._stop.set()
         if self._thread is not None:
-            self._thread.join(timeout=30)
+            self._thread.join(timeout=300)
             self._thread = None
         self.save_once()

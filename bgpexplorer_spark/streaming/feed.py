@@ -412,7 +412,10 @@ def flap_damping_increment(
     )
     out = j.select(
         "rib", "nlri_str",
-        F.round(new_penalty, 4).alias("penalty"),
+        # FULL precision into the carried state (the keyed-state path
+        # rounds only for display; re-rounding each batch would drift
+        # chained increments near the thresholds)
+        new_penalty.alias("penalty_raw"),
         F.col("_t_end").alias("last_us"),
         F.expr("NOT element_at(ev, -1).wd").alias("announced"),
         (F.coalesce(F.col("flaps"), F.lit(0)) + n_counted).alias("flaps"),
@@ -420,11 +423,11 @@ def flap_damping_increment(
     return out.select(
         "rib", "nlri_str",
         F.col("flaps").alias("n_flaps"),
-        "penalty",
-        (F.col("penalty") >= suppress_threshold).alias("suppressed"),
-        (F.col("penalty") < reuse_threshold).alias("reusable"),
+        F.round("penalty_raw", 4).alias("penalty"),
+        (F.col("penalty_raw") >= suppress_threshold).alias("suppressed"),
+        (F.col("penalty_raw") < reuse_threshold).alias("reusable"),
         F.timestamp_micros("last_us").alias("ts"),
-        "last_us", "announced", "flaps",
+        "penalty_raw", "last_us", "announced", "flaps",
     )
 
 
@@ -443,24 +446,68 @@ def run_flap_damping_incremental(
     ``live_flap_damping`` (which stays as the keyed-state formulation).
 
     Per micro-batch: fold the batch into the carried state table with
-    :func:`flap_damping_increment`, localCheckpoint the merged state
-    (cutting lineage; O(state keys) per batch — the cost traded against
-    the state path's O(keys × Python crossing)), and hand the batch's
-    updated figures to ``on_batch``. With ``state_dir`` the merged state
-    is also persisted as parquet each batch, restoring the restart
-    durability the built-in state store gives the keyed path."""
+    :func:`flap_damping_increment` (localCheckpointed ONCE — the fold is
+    reused by the state merge, the anti-join and ``on_batch``), merge
+    into the carried state (O(state keys) per batch — the cost traded
+    against the state path's O(keys × Python crossing)), and hand the
+    batch's updated figures to ``on_batch``. With ``state_dir`` the
+    merged state is also persisted each batch under versioned subdirs
+    with an atomic CURRENT marker (a crash mid-write never destroys the
+    previous durable copy), and a restarted query RESTORES the carried
+    state from it — the restart durability the built-in state store
+    gives the keyed path."""
+    import os
+    import shutil
+
+    def _persist_state(new_state: DataFrame, epoch_id: int) -> None:
+        version = f"v{epoch_id}"
+        os.makedirs(state_dir, exist_ok=True)
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_dir, version)
+        )
+        marker = os.path.join(state_dir, "CURRENT")
+        prev = None
+        try:
+            with open(marker, encoding="ascii") as f:
+                prev = f.read().strip()
+        except OSError:
+            pass
+        tmp = f"{marker}.part-{epoch_id}"
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(version)
+        os.replace(tmp, marker)  # commit point
+        for d in os.listdir(state_dir):
+            if d.startswith("v") and d not in (version, prev):
+                shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+
+    def _restore_state(spark: SparkSession) -> DataFrame | None:
+        if state_dir is None:
+            return None
+        try:
+            with open(os.path.join(state_dir, "CURRENT"), encoding="ascii") as f:
+                current = f.read().strip()
+            return spark.read.parquet(os.path.join(state_dir, current)).select(
+                "rib", "nlri_str", "penalty", "last_us", "announced", "flaps"
+            )
+        except Exception:  # noqa: BLE001 — no durable state yet
+            return None
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         st = getattr(sink, "_state", None)
+        if st is None:
+            st = _restore_state(spark)
         if st is None:
             st = spark.createDataFrame([], FLAP_STATE_SCHEMA)
         changed = flap_damping_increment(
             st, batch_df, half_life_sec, flap_penalty,
             suppress_threshold, reuse_threshold,
-        )
+        ).localCheckpoint(eager=True)
         new_state = (
             changed.select(
-                "rib", "nlri_str", "penalty", "last_us", "announced", "flaps"
+                "rib", "nlri_str",
+                F.col("penalty_raw").alias("penalty"),
+                "last_us", "announced", "flaps",
             )
             .unionByName(
                 st.join(changed, ["rib", "nlri_str"], "left_anti")
@@ -469,7 +516,7 @@ def run_flap_damping_incremental(
         )
         sink._state = new_state
         if state_dir is not None:
-            new_state.write.mode("overwrite").parquet(state_dir)
+            _persist_state(new_state, epoch_id)
         if on_batch is not None:
             on_batch(
                 changed.select(

@@ -1147,6 +1147,14 @@ def test_http_analytics_memo_reuses_checkpoint(spark):
         keys = {k[0] for k in svc._analytics_memo}
         assert keys == {"hijacks", "relationships"}
 
+        # TTL bounds staleness for deployments that never wire
+        # bump_state_version: an expired entry rebuilds
+        svc.analytics_memo_ttl = 0.001
+        json.loads(urllib.request.urlopen(
+            base + "/api/analytics/relationships?k=3").read())
+        assert len([k for k in svc._analytics_memo if k[0] == "relationships"]) == 1
+        svc.analytics_memo_ttl = 60.0
+
         # invalidation: new state -> new version -> fresh build
         v0 = svc._state_version
         svc.bump_state_version()

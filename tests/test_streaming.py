@@ -669,8 +669,9 @@ def test_flap_damping_increment_matches_fold(spark):
         ])
         changed = flap_damping_increment(state, batch, 900.0, fp)
         state = (
-            changed.select("rib", "nlri_str", "penalty", "last_us",
-                           "announced", "flaps")
+            changed.select("rib", "nlri_str",
+                           F.col("penalty_raw").alias("penalty"),
+                           "last_us", "announced", "flaps")
             .unionByName(state.join(changed, ["rib", "nlri_str"], "left_anti"))
             .localCheckpoint(eager=True)
         )
@@ -725,6 +726,32 @@ def test_run_flap_damping_incremental_end_to_end(spark, tmp_path):
     assert r.suppressed is False and r.reusable is False
     assert got["10.0.1.0/24"].n_flaps == 0
     assert got["10.0.2.0/24"].n_flaps == 0
-    # durable state table round-trips
-    st = {r.nlri_str: r for r in spark.read.parquet(str(tmp_path / "state")).collect()}
+    # durable state table round-trips through the versioned layout
+    cur = (tmp_path / "state" / "CURRENT").read_text().strip()
+    st = {r.nlri_str: r for r in
+          spark.read.parquet(str(tmp_path / "state" / cur)).collect()}
     assert st["10.0.0.0/24"].flaps == 2 and st["10.0.2.0/24"].announced
+
+    # restart durability: a NEW query (fresh checkpoint) over new events
+    # restores the carried state from state_dir — the flap count and the
+    # decayed penalty continue, they don't reset
+    d2 = _updates_dir(spark, [
+        u("10.0.0.0/24", t=40),
+        u("10.0.0.0/24", t=50, op="withdraw"),
+    ])
+    got2 = {}
+
+    def on_batch2(df):
+        for r in df.collect():
+            got2[r.nlri_str] = r
+
+    q2 = run_flap_damping_incremental(
+        stream_updates_from_files(spark, d2), str(tmp_path / "ck2"),
+        half_life_sec=20.0, on_batch=on_batch2,
+        state_dir=str(tmp_path / "state"),
+    )
+    q2.awaitTermination(120)
+    r2 = got2["10.0.0.0/24"]
+    assert r2.n_flaps == 3  # 2 restored + 1 new
+    expect2 = (expect * math.exp(-lam * 20)) + 1000.0
+    assert r2.penalty == round(expect2, 4)
