@@ -31,6 +31,9 @@ BENCH_QUERIES = [
     "f1_subnet_match",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    # at-scale SimHash pairs: 60-bit signature, 15-bit bands — tracks the
+    # band-join quadratics the 8-bit-band variant would hit at corpus scale
+    "dedup_simhash60_pairs",
     "sim_cosine_topk",
     "sim_ivf_topk",
     "f5_aspath_subseq",

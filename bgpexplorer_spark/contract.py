@@ -1044,6 +1044,73 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash32(docs, "doc_id")
 
+def _duck_hash60(col: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({col}), {p}, 1)) - 1) * {16 ** (15 - p)}"
+        for p in range(1, 16)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+def _simhash60_sql() -> str:
+    # bitwise ops, NOT floor(h / 2^b): DuckDB's `/` is double division
+    # and a 60-bit h loses low bits above 2^53
+    h = _duck_hash60("t")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return f"""
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+    FROM (
+        SELECT doc_id, {bit_sums}
+        FROM (
+            SELECT doc_id, {h} AS h
+            FROM (SELECT doc_id, unnest({_duck_tokens('text')}) AS t FROM documents)
+        )
+        GROUP BY doc_id
+    )
+    """
+
+def _simhash60_pairs_sql(max_hamming: int = 3) -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"(simhash >> {15 * b}) & 32767 AS key FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+    WITH sigs AS ({_simhash60_sql()}),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                                 AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+@q("dedup_simhash60_pairs", _simhash60_pairs_sql())
+def dedup_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AT-SCALE SimHash near-dup pairs: 60-bit signature, 4×15-bit
+    pigeonhole bands (32768 buckets per band vs simhash32's 256 — the
+    band self-join quadratics cut ×128; same hamming ≤ 3 completeness) —
+    operators/dedup.simhash60_candidate_pairs. The oracle replicates the
+    60-bit md5-prefix hash, the majority vote, the banding and the
+    bit_count verify."""
+    from bgpexplorer_spark.operators.dedup import simhash60_candidate_pairs
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return simhash60_candidate_pairs(docs, "doc_id", max_hamming=3)
+
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
     from bgpexplorer_spark.operators.dedup import MINHASH_P, _minhash_params
 

@@ -291,6 +291,79 @@ def simhash_candidate_pairs(
         .select("id_a", "id_b", "hamming")
     )
 
+def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash — the AT-SCALE signature (simhash32's banding
+    bottleneck fixed): per bit, majority vote of 60-bit token hashes
+    (:func:`text.portable_hash60` — the widest md5 prefix that stays in
+    a signed 64-bit int in both engines). Same one-explode +
+    conditional-sums shape as simhash32; 60 aggregates instead of 32.
+
+    Why it exists: hamming ≤ 3 needs 4 pigeonhole bands, and with a
+    32-bit hash each band key is only 8 bits → 256 buckets per band, so
+    the band self-join grows O(n²/256) with corpus size — quadratic at
+    real scale. 60 bits give 15-bit bands (32768 buckets), shrinking the
+    per-bucket collision quadratics ×128 while keeping the exact same
+    hamming-≤3 completeness guarantee."""
+    from bgpexplorer_spark.operators.text import portable_hash60, tokens
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
+    ).withColumn("_h", portable_hash60(F.col("_t")))
+    aggs = [
+        F.expr(f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS _b{b}")
+        for b in range(60)
+    ]
+    agg = tok.groupBy(id_col).agg(*aggs)
+    assemble = " + ".join(
+        f"CASE WHEN _b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(60)
+    )
+    return agg.select(id_col, F.expr(assemble).alias("simhash"))
+
+
+def simhash60_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs over the 60-bit signature: 4 pigeonhole bands of
+    15 bits (32768 buckets each) → bucket-local joins → exact
+    bit_count(XOR) verify. Identical guarantee to
+    :func:`simhash_candidate_pairs` (complete for hamming ≤ 3) with the
+    band-join quadratics cut ×128 — the variant to run at corpus scale."""
+    sig = simhash60(df, id_col, text_col).cache()
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 15 * b)
+                        .bitwiseAND(F.lit(0x7FFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "_bb.band", "_bb.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    return (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
 ) -> DataFrame:

@@ -117,6 +117,14 @@ def portable_hash32(col: Column) -> Column:
     identically: first 8 hex chars of md5 as an integer."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
 
+
+def portable_hash60(col: Column) -> Column:
+    """Deterministic 60-bit hash (first 15 md5 hex chars): the widest
+    md5 prefix that stays inside a SIGNED 64-bit integer in BOTH engines
+    (16^15 = 2^60 < 2^63), so the cross-engine-verifiable recipe needs
+    no unsigned arithmetic. Used by the at-scale SimHash variant."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
 def repetition_features(
     df: DataFrame, text_col: str = "text", line_sep: str = "\n"
 ) -> DataFrame:

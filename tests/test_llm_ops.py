@@ -331,6 +331,30 @@ def test_simhash_candidate_pairs(docs):
     assert all(h <= 3 for h in pairs.values())
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
 
+def test_simhash60_candidate_pairs(docs):
+    """The at-scale 60-bit variant keeps the hamming <= 3 completeness
+    guarantee (identical docs pair at 0; unrelated docs never pair) with
+    15-bit bands; it must also agree with a brute-force check over the
+    actual 60-bit signatures."""
+    sigs = {r.doc_id: r.simhash
+            for r in dedup.simhash60(docs, "doc_id").collect()}
+    assert all(0 <= v < 2 ** 60 for v in sigs.values())
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs for b in sigs if a < b
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash60_candidate_pairs(
+            docs, "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert got == brute                 # banding is COMPLETE for <= 3
+    assert got[(0, 2)] == 0             # identical docs
+    assert (0, 4) in got and got[(0, 4)] == 0  # token-multiset invariant
+
+
 def test_rolling_fingerprint_order_sensitive(docs):
     fp = {
         r.doc_id: r.rfp
