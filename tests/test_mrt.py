@@ -864,7 +864,7 @@ def test_write_rib_dump_partition_property(case):
             key=repr,
         )
         g = sorted(
-            (int(r["peer_as"]) - 65000,
+            ((int(r["peer_as"]) - 65000,
              int(r["path_id"] or 0),
              int((r["ts"] - t0).total_seconds()),
              r["origin"],
@@ -873,8 +873,7 @@ def test_write_rib_dump_partition_property(case):
              r["nexthop_v4"],
              r["med"], r["localpref"],
              (list(r["comms"]) if r["comms"] else None))
-            for r in got[nlri]
+             for r in got[nlri]),
+            key=repr,
         )
-        g = sorted(g, key=repr)
-        w = sorted(w, key=repr)
         assert g == w, nlri
