@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     # band-join quadratics the 8-bit-band variant would hit at corpus scale
     "dedup_simhash60_pairs",
     "sim_cosine_topk",
+    # exact brute-force at scale: BLAS matvec per Arrow batch + per-batch
+    # top-k pruning (vs the HOF fold above — same results, ~2x faster)
+    "sim_gemm_topk",
     "sim_ivf_topk",
     "f5_aspath_subseq",
     "text_quality",

@@ -1418,6 +1418,30 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return cosine_topk(emb, qv, k=10)
 
+@q(
+    "sim_gemm_topk",
+    """
+    SELECT e.vec_id,
+           round(list_sum([a[i] * qv[i] for i in range(1, 65)]) /
+                 (sqrt(list_sum([a[i] * a[i] for i in range(1, 65)])) *
+                  sqrt(list_sum([qv[i] * qv[i] for i in range(1, 65)]))), 4) AS cos_sim
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings) e
+    CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 via Arrow-batched numpy GEMM
+    (operators/similarity.cosine_topk_gemm) — the at-scale exact path:
+    one BLAS matvec per Arrow batch, per-batch top-k pruning under the
+    final sort order, then a k-row TakeOrdered. Same oracle as
+    sim_cosine_topk (identical result contract, different execution)."""
+    from bgpexplorer_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk_gemm(emb, qv, k=10)
+
 def _lsh_bucket_sql(n_planes: int = 8) -> str:
     projs = []
     for j in range(n_planes):
@@ -5383,6 +5407,49 @@ _TEMP_MIX_ORACLE = f"""
                  / greatest(n_tokens, 1), 4) AS epochs
     FROM p
 """
+
+_UNIMAX_ORACLE = f"""
+    WITH per AS (
+        SELECT lang AS stratum,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_duck_tokens('text')})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ), t AS (
+        -- 2.0 alone is DECIMAL in DuckDB; keep everything DOUBLE like Spark
+        SELECT *, n_tokens * CAST(2.0 AS DOUBLE) AS cap FROM per
+    ), r AS (
+        SELECT *,
+               row_number() OVER (ORDER BY cap, stratum) AS rn,
+               coalesce(sum(cap) OVER (ORDER BY cap, stratum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_excl,
+               count(*) OVER () AS n
+        FROM t
+    ), c AS (
+        SELECT *, (CAST(30000.0 AS DOUBLE) - cum_excl) / (n - rn + 1) AS cand
+        FROM r
+    ), l AS (
+        SELECT min_by(cand, rn) AS line FROM c WHERE cap >= cand
+    )
+    SELECT stratum, n_docs, n_tokens, round(cap, 4) AS cap,
+           round(least(cap, coalesce(line, cap)), 4) AS allocation,
+           round(least(cap, coalesce(line, cap)) / greatest(n_tokens, 1), 4)
+               AS epochs,
+           round(least(cap, coalesce(line, cap)) / CAST(30000.0 AS DOUBLE), 6)
+               AS sample_weight
+    FROM c CROSS JOIN l
+"""
+
+@q("pipe_unimax_allocation", _UNIMAX_ORACLE)
+def pipe_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation per language (Chung et al. 2023
+    water-filling: uniform waterline capped at max_epochs passes per
+    stratum — operators/pipeline.unimax_allocation). The oracle
+    replicates the prefix-sum closed form with the same window order."""
+    from bgpexplorer_spark.operators.pipeline import unimax_allocation
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_allocation(docs, "lang", token_budget=30_000, max_epochs=2.0)
 
 @q("pipe_temperature_mixture", _TEMP_MIX_ORACLE)
 def pipe_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:

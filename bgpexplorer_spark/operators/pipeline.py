@@ -464,6 +464,80 @@ def temperature_mixture(
     return out
 
 
+def unimax_allocation(
+    docs: DataFrame,
+    strata_col: str,
+    token_budget: int,
+    max_epochs: float = 4.0,
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+) -> DataFrame:
+    """UniMax language/stratum budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): distribute ``token_budget`` as uniformly
+    as possible across strata, but cap every stratum at ``max_epochs``
+    passes over its available tokens — the water-filling rule that
+    replaced temperature sampling in mT5-successor mixes. Low-resource
+    strata get their full cap; the remaining budget spreads uniformly
+    over the rest (the waterline).
+
+    Closed form, no iteration: sort strata ascending by cap, take the
+    exclusive prefix sum, and for each rank j the candidate waterline is
+    (budget − prefix_j) / (n − j + 1); the true waterline is the first
+    candidate its own cap reaches. One stratum-keyed aggregate over the
+    corpus, then window arithmetic over the STRATA-SIZED result (a
+    single-partition window over ~languages-many rows — not a data
+    shuffle). Output per stratum: n_docs, n_tokens, cap, allocation,
+    epochs, sample_weight.
+    """
+    per = mixture_stats(docs, strata_col, text_col, n_tokens_col).select(
+        "stratum", "n_docs", "n_tokens"
+    )
+    t = per.withColumn(
+        "cap", F.col("n_tokens").cast("double") * F.lit(float(max_epochs))
+    )
+    w = Window.orderBy("cap", "stratum")
+    t = (
+        t.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_cum_excl",
+            F.coalesce(
+                F.sum("cap").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    cand = (F.lit(float(token_budget)) - F.col("_cum_excl")) / (
+        F.col("_n") - F.col("_rn") + 1
+    )
+    t = t.withColumn("_cand", cand)
+    # waterline = the first (ascending-cap) candidate its own cap reaches;
+    # no such row ⇔ the budget exceeds total capacity ⇔ everyone capped
+    line = t.filter(F.col("cap") >= F.col("_cand")).agg(
+        F.expr("min_by(_cand, _rn)").alias("_line")
+    )
+    alloc = F.least(
+        F.col("cap"), F.coalesce(F.col("_line"), F.col("cap"))
+    )
+    return (
+        t.crossJoin(F.broadcast(line))
+        .select(
+            "stratum", "n_docs", "n_tokens",
+            F.round("cap", 4).alias("cap"),
+            F.round(alloc, 4).alias("allocation"),
+            F.round(alloc / F.greatest(F.col("n_tokens"), F.lit(1)), 4).alias(
+                "epochs"
+            ),
+            F.round(alloc / F.lit(float(token_budget)), 6).alias(
+                "sample_weight"
+            ),
+        )
+    )
+
+
 def source_stats(
     df: DataFrame, source_col: str = "source", text_col: str = "text"
 ) -> DataFrame:

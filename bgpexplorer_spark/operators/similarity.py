@@ -38,6 +38,57 @@ def cosine_topk(
         .limit(k)
     )
 
+def cosine_topk_gemm(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k via Arrow-batched numpy GEMM — the
+    AT-SCALE exact path. Same result contract as :func:`cosine_topk`
+    (round-4 cosine, ties by id), different execution: each Arrow batch
+    becomes one (batch × d) matrix-vector product in BLAS instead of a
+    per-row higher-order-function fold, and only each partition's local
+    top-k rows (k per batch, not the corpus) survive to the final
+    TakeOrdered. At a billion vectors the scan is embarrassingly
+    parallel, the driver sees partitions × k candidate rows, and the
+    arithmetic runs at memory bandwidth. Zero-norm vectors are EXCLUDED
+    (cosine undefined) — stricter than the HOF path, which raises under
+    ANSI division-by-zero."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ qn) / norms
+            # keep each batch's k best finite rows, pruned under the SAME
+            # total order as the final sort (rounded cos desc, id asc) —
+            # pruning by unrounded cos could drop a row the global
+            # tie-break would have kept
+            finite = np.isfinite(cos)
+            idx = np.nonzero(finite)[0]
+            ids = pdf[id_col].to_numpy()[idx]
+            rounded = np.round(cos[idx], 4)
+            if len(idx) > k:
+                order = np.lexsort((ids, -rounded))[:k]
+                ids, rounded = ids[order], rounded[order]
+            yield pd.DataFrame({id_col: ids, "cos_sim": rounded})
+
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(batches, f"{id_col} long, cos_sim double")
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _plane_coef(i: Column, j: int) -> Column:
     """Deterministic pseudo-random hyperplane coefficient for dim i of
     plane j: ((i*31 + j*17) mod 7) - 3 ∈ [-3, 3]."""

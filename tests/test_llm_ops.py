@@ -1606,3 +1606,32 @@ def test_exif_fill_bytes_and_hostile_values(spark):
     df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     out = multimodal.exif_metadata(df).collect()[0]
     assert out.orientation is None and out.make == "Pad"
+
+
+def test_cosine_topk_gemm_matches_hof(spark):
+    """The GEMM exact path returns exactly what the HOF baseline
+    returns (same rounding, same tie order), including with a zero
+    vector in the corpus (NULL cosine → excluded) and k larger than any
+    single batch's survivors."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(200)]
+    rows.append((201, rows[5][1]))      # exact duplicate of id 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = rows[5][1]
+    want = [(r.vec_id, r.cos_sim)
+            for r in similarity.cosine_topk(emb, q, k=12).collect()]
+    got = [(r.vec_id, r.cos_sim)
+           for r in similarity.cosine_topk_gemm(emb, q, k=12).collect()]
+    assert got == want
+    assert got[0][0] == 5 and got[1][0] == 201  # dup ties break by id
+
+    # zero-norm vectors: the GEMM path excludes them (the HOF baseline
+    # raises under ANSI division-by-zero, so no comparison there)
+    with_zero = emb.unionByName(spark.createDataFrame(
+        [(200, [0.0] * 64)], "vec_id long, embedding array<double>"
+    ))
+    got_z = [(r.vec_id, r.cos_sim)
+             for r in similarity.cosine_topk_gemm(with_zero, q, k=12).collect()]
+    assert got_z == want

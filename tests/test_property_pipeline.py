@@ -395,3 +395,31 @@ def test_classifier_margin_matches_python_replay(spark, texts):
 
     for i, t in enumerate(texts):
         assert got[i] == replay(t)
+
+
+def test_unimax_allocation_water_filling(spark):
+    """UniMax (Chung 2023) hand-computed: budget 100, max_epochs 2,
+    strata with 10/20/100 tokens → caps 20/40/200. Waterline: ascending
+    caps [20, 40, 200]; candidates (100-0)/3=33.3 (cap 20 < → capped),
+    (100-20)/2=40 (cap 40 >= 40 → waterline 40): allocations 20/40/40.
+    And with a budget above total capacity, everyone gets their cap."""
+    from bgpexplorer_spark.operators.pipeline import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [("a", "w " * 10), ("b", "w " * 20), ("c", "w " * 100)],
+        "lang string, text string",
+    )
+    got = {r.stratum: r for r in unimax_allocation(
+        docs, "lang", token_budget=100, max_epochs=2.0
+    ).collect()}
+    assert got["a"].allocation == 20.0 and got["a"].epochs == 2.0
+    assert got["b"].allocation == 40.0 and got["b"].epochs == 2.0
+    assert got["c"].allocation == 40.0 and got["c"].epochs == 0.4
+    assert abs(sum(r.allocation for r in got.values()) - 100.0) < 1e-6
+    assert got["c"].sample_weight == 0.4
+
+    over = {r.stratum: r for r in unimax_allocation(
+        docs, "lang", token_budget=10_000, max_epochs=2.0
+    ).collect()}
+    assert all(r.epochs == 2.0 for r in over.values())
+    assert over["c"].allocation == 200.0
