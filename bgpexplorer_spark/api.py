@@ -160,11 +160,18 @@ class BgpExplorerService:
     def bump_state_version(self) -> None:
         """New state landed (ingest batch applied / snapshot reloaded):
         invalidate every per-state serving memo — analytics reports and
-        the maintained route counts — so the next request recomputes."""
+        the maintained route counts — so the next request recomputes.
+        With a ``history_provider`` set (a zero-arg callable returning
+        the current history DataFrame — the live-daemon wiring, since a
+        batch DataFrame binds its file listing at creation), the history
+        itself is refreshed too."""
         self._state_version += 1
         self._analytics_memo.clear()
         if not self.exact_length:
             self.route_counts = None
+        provider = getattr(self, "history_provider", None)
+        if provider is not None:
+            self.history = provider()
 
     @staticmethod
     def _page(df, k: int, skip: int):

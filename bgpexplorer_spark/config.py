@@ -52,6 +52,9 @@ class SvcConfig:
     peers: list[PeerConfig] = field(default_factory=list)
     # engine extension: where the rib_history parquet table lives
     table_path: str | None = None
+    # engine extension: RPKI validator export (RIPE/rpki-client JSON or
+    # routinator vrps CSV) feeding /api/analytics/rpki
+    roas_file: str | None = None
 
 def _parse_dns_list(raw: str | None) -> list[str]:
     """``whoisdns`` ini key: comma-separated resolver addrs; a bare host
@@ -104,21 +107,23 @@ def from_inifile(path: str) -> SvcConfig:
         protolisten=m.get("protolisten", fallback=None),
         peeras=m.getint("peeras", fallback=0),
         table_path=m.get("table_path", fallback=None),
+        roas_file=m.get("roasfile", fallback=None),
     )
     if cfg.historymode not in ("every", "differ"):
         cfg.historymode = "every"
-    # resolve a relative whoisjsonconfig against the ini's own directory
-    # (the reference ships whois.json beside bgpexplorer.ini and loads it
-    # by that name, src/config.rs:596-605) so a fresh checkout works from
-    # any CWD; an absolute path or a CWD-relative hit is left alone.
-    if cfg.whoisjsonconfig:
-        import os
+    # resolve relative companion files (whois.json server map, ROA
+    # export) against the ini's own directory — the reference ships
+    # whois.json beside bgpexplorer.ini and loads it by that name
+    # (src/config.rs:596-605) — so a fresh checkout works from any CWD;
+    # an absolute path or a CWD-relative hit is left alone.
+    import os
 
-        w = cfg.whoisjsonconfig
-        if not os.path.isabs(w) and not os.path.exists(w):
+    for attr in ("whoisjsonconfig", "roas_file"):
+        w = getattr(cfg, attr)
+        if w and not os.path.isabs(w) and not os.path.exists(w):
             beside = os.path.join(os.path.dirname(os.path.abspath(path)), w)
             if os.path.exists(beside):
-                cfg.whoisjsonconfig = beside
+                setattr(cfg, attr, beside)
     for sect in cp.sections():
         if sect == "main":
             continue

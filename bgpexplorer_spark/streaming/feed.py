@@ -56,6 +56,7 @@ def run_ingest(
     history_mode: str = "every",
     feed=None,
     service=None,
+    processing_time: str | None = None,
 ) -> "StreamingQuery":  # noqa: F821
     """ST4 — materialize the stream into the partitioned rib_history
     table. Each micro-batch is normalized by the SAME build_history used
@@ -84,12 +85,16 @@ def run_ingest(
             # (analytics reports, maintained route counts)
             service.bump_state_version()
 
-    return (
-        updates.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    w = updates.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint
     )
+    # availableNow (drain-and-stop) for batch-style runs; a live daemon
+    # passes processing_time for a continuous micro-batch cadence
+    if processing_time is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
 
 def windowed_update_rates(
     updates: DataFrame, window: str = "1 minute", watermark: str = "5 minutes"

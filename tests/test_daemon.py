@@ -1,0 +1,126 @@
+"""Full-system daemon e2e — the reference main() pipeline: ini → RIB
+bootstrap → live BGP ingest → HTTP API → snapshot store-on-stop →
+restart restores the RIB."""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import time
+import urllib.request
+
+from bgpexplorer_spark.daemon import run_from_ini
+
+
+def _ini(tmp_path, snapshot=True) -> str:
+    snap = f"snapshot={tmp_path / 'snap'}\n" if snapshot else ""
+    ini = tmp_path / "bgpexplorer.ini"
+    ini.write_text(
+        "[main]\n"
+        "httplisten=127.0.0.1:0\n"
+        "routerid=10.0.0.9\npeeras=64900\n"
+        "protolisten=127.0.0.1:0\n"
+        "historymode=every\n"
+        f"{snap}snapshot_every=3600\n"
+        "\n[collector]\nmode=bgppassive\ncaps=ipv4u\n"
+    )
+    return str(ini)
+
+
+def _drive_bgp_session(host, port, prefixes):
+    from bgpexplorer_spark.sources.mrt import encode_bgp_update_body
+    from bgpexplorer_spark.streaming.bgplive import (
+        encode_bgp_message, encode_bgp_open,
+    )
+
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(encode_bgp_open(65001, 90, 0x01020304))
+        hdr = b""
+        while len(hdr) < 19:          # their OPEN back
+            hdr += s.recv(19 - len(hdr))
+        msglen = struct.unpack(">H", hdr[16:18])[0]
+        body = b""
+        while len(body) < msglen - 19:
+            body += s.recv(msglen - 19 - len(body))
+        for addr, plen in prefixes:
+            s.sendall(encode_bgp_message(2, encode_bgp_update_body(
+                nlri=[(addr, plen)], origin=0,
+                aspath=[(2, [65001, 64999])], nexthop=0x01020304,
+            )))
+        time.sleep(1.0)               # let the listener flush the batch
+
+
+def _get(base, path):
+    return json.loads(urllib.request.urlopen(base + path, timeout=10).read())
+
+
+def test_daemon_end_to_end_and_restart(spark, tmp_path):
+    d = run_from_ini(spark, _ini(tmp_path), str(tmp_path / "run1"),
+                     processing_time="500 milliseconds")
+    try:
+        assert d.http_port and d.listeners
+        base = f"http://127.0.0.1:{d.http_port}"
+        bgp = d.listeners[0]
+        _drive_bgp_session(bgp.host, bgp.port, [(0x0B000000, 24)])
+
+        # the route must appear through the FULL pipeline: socket →
+        # parquet micro-batch → streaming build_history → table →
+        # state-version bump → HTTP serving layer
+        deadline = time.time() + 120
+        items = {}
+        while time.time() < deadline:
+            got = _get(base, "/api/json/ipv4u?filter=11.0.0.0/24")
+            items = got.get("items", {})
+            if items:
+                break
+            time.sleep(1.0)
+        assert list(items) == ["11.0.0.0/24"]
+
+        stats = _get(base, "/api/statistics")
+        assert stats["ribs"]["ipv4u"] >= 1
+    finally:
+        d.stop()
+
+    # store-on-stop wrote the snapshot; a fresh daemon (new work dir, no
+    # BGP traffic) restores the RIB from it
+    assert (tmp_path / "snap" / "CURRENT").exists()
+    d2 = run_from_ini(spark, _ini(tmp_path), str(tmp_path / "run2"),
+                      processing_time="500 milliseconds")
+    try:
+        base = f"http://127.0.0.1:{d2.http_port}"
+        got = _get(base, "/api/json/ipv4u?filter=11.0.0.0/24")
+        assert list(got.get("items", {})) == ["11.0.0.0/24"]
+    finally:
+        d2.stop()
+
+
+def test_daemon_serves_roas_from_config(spark, tmp_path):
+    (tmp_path / "roas.json").write_text(json.dumps({"roas": [
+        {"asn": "AS64999", "prefix": "11.0.0.0/16", "maxLength": 24, "ta": "t"},
+    ]}))
+    ini = tmp_path / "r.ini"
+    ini.write_text(
+        "[main]\nhttplisten=127.0.0.1:0\nroasfile=roas.json\n"
+        "protolisten=127.0.0.1:0\n\n[c]\nmode=bgppassive\n"
+    )
+    d = run_from_ini(spark, str(ini), str(tmp_path / "run"),
+                     processing_time="500 milliseconds")
+    try:
+        assert d.cfg.roas_file == str(tmp_path / "roas.json")  # ini-relative
+        bgp = d.listeners[0]
+        _drive_bgp_session(bgp.host, bgp.port, [(0x0B000000, 24), (0x0C000000, 24)])
+        base = f"http://127.0.0.1:{d.http_port}"
+        deadline = time.time() + 120
+        rep = {}
+        while time.time() < deadline:
+            rep = _get(base, "/api/analytics/rpki")
+            if rep.get("valid") or rep.get("notfound"):
+                break
+            time.sleep(1.0)
+        # 11.0.0.0/24 covered+authorized (origin 64999, len <= 24);
+        # 12.0.0.0/24 has no covering ROA
+        assert (rep["valid"], rep["invalid"], rep["notfound"]) == (1, 0, 1)
+        assert rep["invalid_routes"] == []
+    finally:
+        d.stop()
