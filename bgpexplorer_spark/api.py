@@ -43,6 +43,7 @@ class BgpExplorerService:
         exact_length: bool = False,
         ws_apply_filter: bool = False,
         roas: DataFrame | None = None,
+        roas_v6: DataFrame | None = None,
         state_changes: DataFrame | None = None,
         svc_config=None,
     ):
@@ -50,8 +51,10 @@ class BgpExplorerService:
 
         self.history = history
         self.sessions = sessions
-        # RFC 6811 ROA table (net, plen, max_len, asn) for /api/analytics/rpki
+        # RFC 6811 ROA tables for /api/analytics/rpki: v4 (net, plen,
+        # max_len, asn) and the BINARY(16)-net v6 form (rib=ipv6u)
         self.roas = roas
+        self.roas_v6 = roas_v6
         # FSM transition log (read_mrt_state_changes) for /api/analytics/sessions
         self.state_changes = state_changes
         self.route_counts = dict(route_counts) if route_counts else None
@@ -219,24 +222,28 @@ class BgpExplorerService:
         the FULL state — aggregates, not row collects) plus up to ``k``
         of the Invalid routes themselves (the list an operator acts on)."""
         from bgpexplorer_spark.operators.analytics import (
-            origin_as, rib_asof, rpki_validate,
+            origin_as, rib_asof, rpki_validate, rpki_validate_v6,
         )
         from bgpexplorer_spark.operators.rib import current_state
 
-        if self.roas is None:
+        v6 = rib.startswith("ipv6")
+        roa_table = self.roas_v6 if v6 else self.roas
+        if roa_table is None:
             return {"error": "no ROA table configured"}
         st = (
             rib_asof(self.history, asof)
             if asof is not None
             else current_state(self.history)
         )
+        addr_col = "addr_v6" if v6 else "addr_v4"
         routes = st.filter(
-            (F.col("rib") == rib) & F.col("addr_v4").isNotNull()
+            (F.col("rib") == rib) & F.col(addr_col).isNotNull()
         ).select(
-            "nlri_str", "addr_v4", "prefixlen",
+            "nlri_str", addr_col, "prefixlen",
             origin_as(F.col("aspath_flat")).alias("origin_as"),
         )
-        v = rpki_validate(routes, self.roas).cache()
+        validate = rpki_validate_v6 if v6 else rpki_validate
+        v = validate(routes, roa_table).cache()
         try:
             summary = {r["validity"]: r["n"] for r in
                        v.groupBy("validity").agg(F.count(F.lit(1)).alias("n")).collect()}

@@ -1397,9 +1397,7 @@ def _dedup_components_impl(spark: SparkSession, sf_dir: str, star: bool) -> Data
         )
     )
 
-@q(
-    "sim_cosine_topk",
-    """
+_COSINE_TOPK_ORACLE = """
     SELECT e.vec_id,
            round(list_sum([a[i] * qv[i] for i in range(1, 65)]) /
                  (sqrt(list_sum([a[i] * a[i] for i in range(1, 65)])) *
@@ -1407,8 +1405,9 @@ def _dedup_components_impl(spark: SparkSession, sf_dir: str, star: bool) -> Data
     FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings) e
     CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
     ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
-)
+"""
+
+@q("sim_cosine_topk", _COSINE_TOPK_ORACLE)
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs the vec_id=0 query vector
     (operators/similarity.cosine_topk)."""
@@ -1418,18 +1417,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return cosine_topk(emb, qv, k=10)
 
-@q(
-    "sim_gemm_topk",
-    """
-    SELECT e.vec_id,
-           round(list_sum([a[i] * qv[i] for i in range(1, 65)]) /
-                 (sqrt(list_sum([a[i] * a[i] for i in range(1, 65)])) *
-                  sqrt(list_sum([qv[i] * qv[i] for i in range(1, 65)]))), 4) AS cos_sim
-    FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings) e
-    CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
-    ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
-)
+@q("sim_gemm_topk", _COSINE_TOPK_ORACLE)
 def sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 via Arrow-batched numpy GEMM
     (operators/similarity.cosine_topk_gemm) — the at-scale exact path:

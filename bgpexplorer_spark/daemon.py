@@ -79,8 +79,18 @@ class BgpExplorerDaemon:
 
         path = self.cfg.roas_file
         loader = load_roas_csv if path.lower().endswith(".csv") else load_roas_json
-        v4, _v6 = loader(self.spark, path)
-        return v4
+        return loader(self.spark, path)  # (v4 table, v6 table)
+
+    @staticmethod
+    def _parse_http(addr: str) -> tuple[str, int]:
+        """httplisten → (host, port): host-only defaults to 8080, a
+        bracketed v6 literal loses its brackets (ThreadingHTTPServer
+        wants the bare address) — same guarded split discipline as
+        config.start_listeners."""
+        host, _, port = addr.rpartition(":")
+        if not (host and port.isdigit()):
+            host, port = addr, "8080"
+        return host.strip("[]") or "127.0.0.1", int(port)
 
     def start(self) -> "BgpExplorerDaemon":
         from bgpexplorer_spark.api import BgpExplorerService, serve
@@ -93,45 +103,53 @@ class BgpExplorerDaemon:
 
         os.makedirs(self.ingest_dir, exist_ok=True)
 
-        # 1. snapshot bootstrap → seed the history table
-        if self.cfg.snapshot_file and not os.path.exists(self.table_dir):
-            restored = load_snapshot_dir(self.spark, self.cfg.snapshot_file)
-            if restored is not None:
-                write_snapshot(restored, self.table_dir)
+        try:
+            # 1. snapshot bootstrap → seed the history table
+            if self.cfg.snapshot_file and not os.path.exists(self.table_dir):
+                restored = load_snapshot_dir(self.spark, self.cfg.snapshot_file)
+                if restored is not None:
+                    write_snapshot(restored, self.table_dir)
 
-        # 4 (service first — the ingest sink bumps it per batch)
-        self.service = BgpExplorerService(
-            self._history(),
-            roas=self._load_roas() if self.cfg.roas_file else None,
-            svc_config=self.cfg,
-            ws_apply_filter=True,
-        )
-        self.service.history_provider = self._history
-
-        # 2. protocol listeners → ingest spool
-        self.listeners = start_listeners(self.cfg, self.ingest_dir)
-
-        # 3. continuous ingest into the history table
-        self.query = run_ingest(
-            stream_updates_from_files(self.spark, self.ingest_dir),
-            self.table_dir,
-            self.checkpoint,
-            history_mode=self.cfg.historymode,
-            feed=self.service.feed,
-            service=self.service,
-            processing_time=self.processing_time,
-        )
-
-        # 5. snapshot lifecycle
-        self.keeper = start_snapshot_keeper(
-            self.cfg, lambda: self.service.history
-        )
-
-        if self.http:
-            host, _, port = self.cfg.httplisten.rpartition(":")
-            self.httpd = serve(
-                self.service, host=host or "127.0.0.1", port=int(port or 8080)
+            # 4 (service first — the ingest sink bumps it per batch)
+            roas_v4 = roas_v6 = None
+            if self.cfg.roas_file:
+                roas_v4, roas_v6 = self._load_roas()
+            self.service = BgpExplorerService(
+                self._history(),
+                roas=roas_v4,
+                roas_v6=roas_v6,
+                svc_config=self.cfg,
+                ws_apply_filter=True,
             )
+            self.service.history_provider = self._history
+
+            # 2. protocol listeners → ingest spool
+            self.listeners = start_listeners(self.cfg, self.ingest_dir)
+
+            # 3. continuous ingest into the history table
+            self.query = run_ingest(
+                stream_updates_from_files(self.spark, self.ingest_dir),
+                self.table_dir,
+                self.checkpoint,
+                history_mode=self.cfg.historymode,
+                feed=self.service.feed,
+                service=self.service,
+                processing_time=self.processing_time,
+            )
+
+            # 5. snapshot lifecycle
+            self.keeper = start_snapshot_keeper(
+                self.cfg, lambda: self.service.history
+            )
+
+            if self.http:
+                host, port = self._parse_http(self.cfg.httplisten)
+                self.httpd = serve(self.service, host=host, port=port)
+        except BaseException:
+            # partial-failure cleanup: never leak running listeners, the
+            # streaming query, or the keeper past a failed start
+            self.stop()
+            raise
         return self
 
     @property
@@ -139,14 +157,37 @@ class BgpExplorerDaemon:
         return self.httpd.server_address[1] if self.httpd else None
 
     def stop(self) -> None:
-        """Reference shutdown order: stop taking input, drain, store the
-        final snapshot, stop serving."""
+        """Reference shutdown order: stop taking input, DRAIN, store the
+        final snapshot, stop serving. The drain is a one-shot
+        availableNow pass over the SAME checkpoint after the continuous
+        query stops — spool files the processingTime cadence had not
+        reached yet are folded into the table exactly-once (the
+        checkpoint tracks processed files), so the stop-snapshot never
+        loses a route the listeners already committed to disk."""
+        from bgpexplorer_spark.streaming.feed import (
+            run_ingest,
+            stream_updates_from_files,
+        )
+
         for lsn in self.listeners:
             lsn.stop()
         self.listeners = []
         if self.query is not None:
             self.query.stop()
             self.query = None
+            try:
+                drain = run_ingest(
+                    stream_updates_from_files(self.spark, self.ingest_dir),
+                    self.table_dir,
+                    self.checkpoint,
+                    history_mode=self.cfg.historymode,
+                    service=self.service,
+                )
+                drain.awaitTermination()
+            except Exception:  # noqa: BLE001 — drain is best-effort
+                import warnings
+
+                warnings.warn("shutdown drain failed", stacklevel=2)
         if self.keeper is not None:
             self.keeper.stop()  # store-on-shutdown
             self.keeper = None

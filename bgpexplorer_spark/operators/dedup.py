@@ -259,6 +259,19 @@ def simhash_candidate_pairs(
     (bit_count of xor) then verifies candidates. Same shape as MinHash
     LSH: one shuffle per band + per-candidate verification."""
     sig = simhash32(df, id_col, text_col).cache()
+    return _banded_hamming_pairs(sig, id_col, band_bits=8, max_hamming=max_hamming)
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame, id_col: str, band_bits: int, max_hamming: int
+) -> DataFrame:
+    """Shared banding/join/verify core for the SimHash variants: explode
+    ``max_hamming + 1`` pigeonhole bands of ``band_bits`` each from the
+    ``simhash`` column, bucket-join per band, then the exact
+    bit_count(XOR) verify — candidates come from bucket-local joins
+    only, never all-pairs."""
+    n_bands = max_hamming + 1
+    mask = (1 << band_bits) - 1
     bands = sig.select(
         F.col(id_col),
         F.explode(
@@ -266,9 +279,10 @@ def simhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", 8 * b).bitwiseAND(F.lit(255)).alias("key"),
+                        F.shiftright("simhash", band_bits * b)
+                        .bitwiseAND(F.lit(mask)).alias("key"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("_bb"),
@@ -330,38 +344,7 @@ def simhash60_candidate_pairs(
     :func:`simhash_candidate_pairs` (complete for hamming ≤ 3) with the
     band-join quadratics cut ×128 — the variant to run at corpus scale."""
     sig = simhash60(df, id_col, text_col).cache()
-    bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", 15 * b)
-                        .bitwiseAND(F.lit(0x7FFF)).alias("key"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("_bb"),
-    ).select(id_col, "_bb.band", "_bb.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
-    return (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return _banded_hamming_pairs(sig, id_col, band_bits=15, max_hamming=max_hamming)
 
 
 def connected_components(

@@ -44,11 +44,12 @@ def cosine_topk_gemm(
 ) -> DataFrame:
     """Exact brute-force cosine top-k via Arrow-batched numpy GEMM — the
     AT-SCALE exact path. Same result contract as :func:`cosine_topk`
-    (round-4 cosine, ties by id), different execution: each Arrow batch
-    becomes one (batch × d) matrix-vector product in BLAS instead of a
-    per-row higher-order-function fold, and only each partition's local
-    top-k rows (k per batch, not the corpus) survive to the final
-    TakeOrdered. At a billion vectors the scan is embarrassingly
+    (round-4 cosine via Spark's F.round so rounding semantics match the
+    HOF path and the SQL oracle exactly, ties by id), different
+    execution: each Arrow batch becomes one (batch × d) matrix-vector
+    product in BLAS instead of a per-row higher-order-function fold, and
+    only each batch's top-k rows (plus a rounding-quantum boundary
+    margin) survive to the final TakeOrdered. At a billion vectors the scan is embarrassingly
     parallel, the driver sees partitions × k candidate rows, and the
     arithmetic runs at memory bandwidth. Zero-norm vectors are EXCLUDED
     (cosine undefined) — stricter than the HOF path, which raises under
@@ -68,22 +69,28 @@ def cosine_topk_gemm(
             norms = np.linalg.norm(m, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (m @ qn) / norms
-            # keep each batch's k best finite rows, pruned under the SAME
-            # total order as the final sort (rounded cos desc, id asc) —
-            # pruning by unrounded cos could drop a row the global
-            # tie-break would have kept
+            # Emit UNROUNDED cosines and round in Spark: F.round's
+            # HALF_UP-on-shortest-repr matches the DuckDB oracle, while
+            # np.round is half-to-even on the fp-scaled value — a
+            # 4th-decimal halfway case would diverge. Prune each batch to
+            # its k best plus a 2e-4 boundary margin: any row the final
+            # (rounded desc, id) order could still rank above the k-th
+            # kept row lies within one rounding quantum of it, so the
+            # margin makes local pruning exact under the global order.
             finite = np.isfinite(cos)
             idx = np.nonzero(finite)[0]
             ids = pdf[id_col].to_numpy()[idx]
-            rounded = np.round(cos[idx], 4)
+            vals = cos[idx]
             if len(idx) > k:
-                order = np.lexsort((ids, -rounded))[:k]
-                ids, rounded = ids[order], rounded[order]
-            yield pd.DataFrame({id_col: ids, "cos_sim": rounded})
+                kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                keep = vals >= kth - 2e-4
+                ids, vals = ids[keep], vals[keep]
+            yield pd.DataFrame({id_col: ids, "cos_sim": vals})
 
     return (
         df.select(id_col, vec_col)
         .mapInPandas(batches, f"{id_col} long, cos_sim double")
+        .select(id_col, F.round("cos_sim", 4).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -57,6 +57,7 @@ def _roa_row(asn_raw, prefix_raw, maxlen_raw, ta) -> tuple | None:
     width = 128 if net.version == 6 else 32
     if not plen <= max_len <= width:
         return None
+    ta = str(ta) if ta is not None else None  # one bad field ≠ fatal load
     if net.version == 6:
         return (True, net.network_address.packed, plen, max_len, asn, ta)
     return (False, int(net.network_address), plen, max_len, asn, ta)
