@@ -124,3 +124,36 @@ def test_daemon_serves_roas_from_config(spark, tmp_path):
         assert rep["invalid_routes"] == []
     finally:
         d.stop()
+
+
+def test_daemon_stop_drains_pending_spool(spark, tmp_path):
+    """An update the listener committed to the spool but the cadence has
+    NOT ingested yet must survive into the stop-snapshot (stop() drains
+    with an availableNow pass before the final store)."""
+    # 1-hour trigger: the continuous query will never fire for this test,
+    # so anything the listener writes stays un-ingested until stop()
+    d = run_from_ini(spark, _ini(tmp_path), str(tmp_path / "run1"),
+                     processing_time="1 hour")
+    try:
+        bgp = d.listeners[0]
+        _drive_bgp_session(bgp.host, bgp.port, [(0x0D000000, 24)])
+        # wait for the listener's flush: the route lands in the spool,
+        # not the table (the 1-hour trigger never fires)
+        import glob
+        deadline = time.time() + 30
+        while time.time() < deadline and not glob.glob(
+            str(tmp_path / "run1" / "updates" / "*.parquet")
+        ):
+            time.sleep(0.5)
+        assert glob.glob(str(tmp_path / "run1" / "updates" / "*.parquet"))
+    finally:
+        d.stop()
+
+    d2 = run_from_ini(spark, _ini(tmp_path), str(tmp_path / "run2"),
+                      processing_time="1 hour")
+    try:
+        base = f"http://127.0.0.1:{d2.http_port}"
+        got = _get(base, "/api/json/ipv4u?filter=13.0.0.0/24")
+        assert list(got.get("items", {})) == ["13.0.0.0/24"]
+    finally:
+        d2.stop()
