@@ -6787,14 +6787,16 @@ def _phash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-# px/g/h: the analytic aHash recomputation shared by the fingerprint
-# and near-dup-pairs oracles
-_PHASH_HASH_CTES = f"""px AS (
+# px: the shared analytic 16x16 pixel recomputation; g/h: the aHash
+# bits on top of it (shared by the fingerprint and near-dup oracles)
+_PHASH_PX_CTE = """px AS (
         SELECT doc_id,
                [ ((doc_id % 20) * 9 + 3 * k) % 240 + doc_id % 5
                  for k in generate_series(0, 255) ] AS p
         FROM documents
-    ),
+    )"""
+
+_PHASH_HASH_CTES = f"""{_PHASH_PX_CTE},
     g AS (SELECT doc_id, p, list_sum(p) / 256.0 AS gmean FROM px),
     h AS (
         SELECT doc_id,
@@ -6835,6 +6837,68 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("group_size"),
     )
 
+
+# DCT pHash oracle: the full orthonormal 16x16 DCT-II recomputed in SQL
+# over the same analytic pixels — coefficient (u=b//8, v=b%8) pairs u
+# with the pixel row y=k//16 and v with the column x=k%16; both engines
+# round coefficients to 6 decimals before the AC-median threshold so the
+# ~1e-13 summation-order noise between BLAS and the sequential list_sum
+# can never flip a bit.
+_DCT_PHASH_ORACLE = f"""
+    WITH {_PHASH_PX_CTE},
+    c AS (
+        SELECT doc_id,
+               [ round(
+                   (CASE WHEN (b // 8) = 0 THEN sqrt(1.0/16)
+                         ELSE sqrt(2.0/16) END) *
+                   (CASE WHEN (b % 8) = 0 THEN sqrt(1.0/16)
+                         ELSE sqrt(2.0/16) END) *
+                   list_sum([ p[k + 1]
+                              * cos(pi() * (2 * (k // 16) + 1) * (b // 8) / 32.0)
+                              * cos(pi() * (2 * (k % 16) + 1) * (b % 8) / 32.0)
+                              for k in generate_series(0, 255) ]), 6)
+                 for b in generate_series(0, 63) ] AS v
+        FROM px
+    ),
+    m AS (SELECT doc_id, v,
+                 list_aggregate(v[2:], 'median') AS med FROM c),
+    h AS (
+        SELECT doc_id,
+               '1' || array_to_string(
+                   [CASE WHEN v[b + 1] > med THEN '1' ELSE '0' END
+                    for b in generate_series(1, 63)], '') AS phash
+        FROM m
+    )
+    SELECT doc_id, phash,
+           CAST(list_reduce(
+               list_prepend(0, [CASE WHEN substring(phash, i, 1) = '1'
+                                     THEN 1 ELSE 0 END
+                                for i in generate_series(1, 16)]),
+               (a, b) -> a * 2 + b) AS INTEGER) AS band,
+           min(doc_id) OVER (PARTITION BY phash) AS canonical_id,
+           count(*) OVER (PARTITION BY phash) AS group_size
+    FROM h
+"""
+
+@q("multimodal_dct_phash", _DCT_PHASH_ORACLE)
+def multimodal_dct_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT perceptual hash (operators/multimodal.dct_phash_media —
+    classic pHash): real PGM decode → grayscale → orthonormal 16x16
+    DCT-II → top-left 8x8 block → strict-> AC-median threshold (constant
+    DC slot), then exact grouping on the 64-bit pattern. The oracle
+    recomputes every DCT coefficient and bit analytically in SQL."""
+    from bgpexplorer_spark.operators.multimodal import dct_phash_media
+
+    media = _phash_media(spark, sf_dir)
+    h = dct_phash_media(media, dct_grid=16, out=8)
+    w = Window.partitionBy("ahash")
+    return h.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("ahash").alias("phash"),
+        "band",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
 
 # Audio features — 8 kHz mono 16-bit WAV fixtures, samples
 # s_k = ((doc_id*37 + k*97) % 2049) - 1024 over n = 800 + (doc_id%5)*100

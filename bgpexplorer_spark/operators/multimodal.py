@@ -457,6 +457,71 @@ def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
+def dct_phash_media(
+    df: DataFrame, dct_grid: int = 16, out: int = 8
+) -> DataFrame:
+    """DCT perceptual hash (classic pHash) — the robust cousin of
+    :func:`ahash_media`: decode to pixels, grayscale, block-average down
+    to a ``dct_grid``×``dct_grid`` working grid (crop to the largest
+    multiple first), orthonormal 2-D DCT-II, keep the top-left
+    ``out``×``out`` low-frequency block, and threshold each coefficient
+    at the MEDIAN of the 63 AC coefficients (strict >; the DC slot —
+    index 0, the brightness term — is emitted as a constant '1' so the
+    64-bit string stays band-compatible with :func:`phash_neardup_pairs`
+    and contributes 0 to every Hamming distance). Adding a constant to
+    every pixel changes ONLY the DC coefficient, so the hash is exactly
+    brightness-shift invariant — and unlike aHash it also survives
+    smooth gradients and mild blur (energy moves within, not across, the
+    low-frequency block).
+
+    Coefficients are rounded to 6 decimals BEFORE the median/compare on
+    both this side and the SQL oracle: the rounding kills the ~1e-13
+    summation-order noise between BLAS and a sequential SQL fold, making
+    the bit pattern engine-reproducible even when structured images put
+    many coefficients at exactly the same value. Same Arrow-batched
+    mapInPandas shape and output schema as aHash."""
+
+    u = np.arange(dct_grid).reshape(-1, 1).astype(np.float64)
+    x = np.arange(dct_grid).reshape(1, -1).astype(np.float64)
+    basis = np.cos(np.pi * (2 * x + 1) * u / (2 * dct_grid))
+    basis *= np.sqrt(2.0 / dct_grid)
+    basis[0, :] = np.sqrt(1.0 / dct_grid)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                img = decode_image_pixels(bytes(content))
+                if img is None:
+                    rows.append((int(mid), None, None, None, None))
+                    continue
+                g = img.astype(np.float64).mean(axis=2)
+                h, w = g.shape
+                th, tw = (h // dct_grid) * dct_grid, (w // dct_grid) * dct_grid
+                if th == 0 or tw == 0:
+                    rows.append((int(mid), None, None, int(w), int(h)))
+                    continue
+                g = g[:th, :tw]
+                cells = g.reshape(
+                    dct_grid, th // dct_grid, dct_grid, tw // dct_grid
+                ).mean(axis=(1, 3))
+                coef = basis @ cells @ basis.T
+                v = np.round(coef[:out, :out].reshape(-1), 6)
+                med = np.median(v[1:])
+                bits = "".join(
+                    "1" if (i == 0 or v[i] > med) else "0"
+                    for i in range(out * out)
+                )
+                rows.append((int(mid), bits, int(bits[:16], 2), int(w), int(h)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ahash", "band", "width", "height"]
+            )
+
+    return df.filter(df.media_type == "image").mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, channels int, n_samples long, "
     "duration_ms int, rms double, peak int, zero_crossings long"

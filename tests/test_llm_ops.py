@@ -1635,3 +1635,46 @@ def test_cosine_topk_gemm_matches_hof(spark):
     got_z = [(r.vec_id, r.cos_sim)
              for r in similarity.cosine_topk_gemm(with_zero, q, k=12).collect()]
     assert got_z == want
+
+
+def test_dct_phash_properties(spark):
+    """DCT pHash: exact brightness-shift invariance (only DC moves),
+    stability under a smooth gradient overlay (energy stays inside the
+    low-frequency block — the case aHash flips bits on), sensitivity to
+    real content change, and NULL for undecodables."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(16, 16))
+
+    def pgm(arr):
+        a = np.clip(arr, 0, 255).astype(np.uint8)
+        return b"P5\n16 16\n255\n" + a.tobytes()
+
+    grad = np.tile(np.arange(16), (16, 1))          # +0..15 left->right
+    other = rng.integers(0, 200, size=(16, 16))     # unrelated content
+    rows = [
+        (1, "image", pgm(base), None),
+        (2, "image", pgm(base + 40), None),         # brightness shift
+        (3, "image", pgm(base + grad), None),       # smooth gradient
+        (4, "image", pgm(other), None),
+        (5, "image", b"\xff\xd8junk", None),        # undecodable
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, meta string"
+    )
+    got = {r.media_id: r for r in multimodal.dct_phash_media(df).collect()}
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(got[a].ahash, got[b].ahash))
+
+    assert got[1].ahash == got[2].ahash          # brightness: identical
+    assert ham(1, 3) <= 3                        # gradient: near-dup
+    assert ham(1, 4) > 10                        # different content: far
+    assert got[5].ahash is None
+    # the gradient case is exactly where aHash degrades: same images
+    # under aHash drift further than under DCT
+    ah = {r.media_id: r.ahash
+          for r in multimodal.ahash_media(df, grid=8).collect()}
+    ah_ham13 = sum(x != y for x, y in zip(ah[1], ah[3]))
+    assert ah_ham13 >= ham(1, 3)
