@@ -6838,6 +6838,63 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audio energy hash oracle: 64 equal frames over the analytic samples,
+# integer-exact mean-square per frame (16-bit squares sum < 2^53), the
+# DOUBLE median (both engines average the middle pair) as threshold.
+_AUDIO_HASH_ORACLE = """
+    WITH s AS (
+        SELECT doc_id,
+               [ ((doc_id * 37 + k * 97) % 2049) - 1024
+                 for k in generate_series(0, 800 + (doc_id % 5) * 100 - 1)
+               ] AS smp
+        FROM documents
+    ),
+    f AS (SELECT doc_id, smp, len(smp) // 64 AS flen FROM s),
+    e AS (
+        SELECT doc_id,
+               [ list_sum([CAST(smp[b * flen + j] * smp[b * flen + j]
+                                AS DOUBLE)
+                           for j in generate_series(1, flen)]) / flen
+                 for b in generate_series(0, 63) ] AS ms
+        FROM f
+    ),
+    m AS (SELECT doc_id, ms, list_aggregate(ms, 'median') AS med FROM e),
+    h AS (
+        SELECT doc_id,
+               array_to_string(
+                   [CASE WHEN ms[b] > med THEN '1' ELSE '0' END
+                    for b in generate_series(1, 64)], '') AS ahash
+        FROM m
+    )
+    SELECT doc_id, ahash,
+           CAST(list_reduce(
+               list_prepend(0, [CASE WHEN substring(ahash, i, 1) = '1'
+                                     THEN 1 ELSE 0 END
+                                for i in generate_series(1, 16)]),
+               (a, b) -> a * 2 + b) AS INTEGER) AS band,
+           min(doc_id) OVER (PARTITION BY ahash) AS canonical_id,
+           count(*) OVER (PARTITION BY ahash) AS group_size
+    FROM h
+"""
+
+@q("multimodal_audio_hash", _AUDIO_HASH_ORACLE)
+def multimodal_audio_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gain-invariant audio fingerprint
+    (operators/multimodal.audio_energy_hash): REAL WAV decode → mono →
+    64 frame mean-square energies → strict-> median threshold, grouped
+    on the 64-bit pattern; the oracle recomputes every frame energy and
+    bit analytically over the same sample formulas."""
+    from bgpexplorer_spark.operators.multimodal import audio_energy_hash
+
+    media = _audio_media(spark, sf_dir)
+    h = audio_energy_hash(media, frames=64)
+    w = Window.partitionBy("ahash")
+    return h.select(
+        F.col("media_id").alias("doc_id"), "ahash", "band",
+        F.min("media_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
+    )
+
 # DCT pHash oracle: the full orthonormal 16x16 DCT-II recomputed in SQL
 # over the same analytic pixels — coefficient (u=b//8, v=b%8) pairs u
 # with the pixel row y=k//16 and v with the column x=k%16; both engines
@@ -6927,20 +6984,17 @@ _AUDIO_ORACLE = """
 """
 
 
-@q("multimodal_audio_features", _AUDIO_ORACLE)
-def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction (operators/multimodal.audio_features):
-    REAL RIFF/WAVE decode through the stdlib wave module inside Arrow
-    batches → RMS / peak / zero-crossing-rate per clip, the
-    feature-extract stage of an audio training pipeline."""
+def _audio_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of the audio oracles' sample formula: one 8 kHz
+    mono 16-bit WAV per document, s_k = ((doc_id*37 + k*97) % 2049) -
+    1024 over n = 800 + (doc_id%5)*100 samples — shared by the
+    feature-extract and fingerprint queries."""
     import io as _io
     import wave as _wave
 
     import numpy as np
 
-    from bgpexplorer_spark.operators.multimodal import (
-        MEDIA_SCHEMA, audio_features,
-    )
+    from bgpexplorer_spark.operators.multimodal import MEDIA_SCHEMA
 
     ids = [
         r["doc_id"]
@@ -6957,7 +7011,18 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             f.setframerate(8000)
             f.writeframes(smp.tobytes())
         rows.append((int(d), "audio", buf.getvalue(), None))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+@q("multimodal_audio_features", _AUDIO_ORACLE)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (operators/multimodal.audio_features):
+    REAL RIFF/WAVE decode through the stdlib wave module inside Arrow
+    batches → RMS / peak / zero-crossing-rate per clip, the
+    feature-extract stage of an audio training pipeline."""
+    from bgpexplorer_spark.operators.multimodal import audio_features
+
+    media = _audio_media(spark, sf_dir)
     return audio_features(media).select(
         F.col("media_id").alias("doc_id"), "sample_rate", "channels",
         "n_samples", "duration_ms", "rms", "peak", "zero_crossings",

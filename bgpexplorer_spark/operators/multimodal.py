@@ -522,6 +522,65 @@ def dct_phash_media(
     )
 
 
+def audio_energy_hash(df: DataFrame, frames: int = 64) -> DataFrame:
+    """Perceptual AUDIO fingerprint — the clip analog of
+    :func:`ahash_media` for the dedup pipeline: decode PCM, collapse to
+    mono (per-sample channel mean), split into ``frames`` equal time
+    frames (tail remainder dropped), compute each frame's mean-square
+    energy, and threshold every frame at the MEDIAN frame energy
+    (strict >). Scaling the volume multiplies every frame energy AND the
+    median by the same factor, so the hash is exactly gain-invariant —
+    the near-dup class (same recording, different loudness) byte hashing
+    misses. Emits the same (media_id, ahash, band, …) shape as the image
+    hashes, so banding/near-dup pairs reuse :func:`phash_neardup_pairs`
+    unchanged. 16-bit sums of squares stay integer-exact in float64, so
+    the bits are engine-reproducible with no rounding step. Clips
+    shorter than ``frames`` samples (or undecodable / >16-bit payloads)
+    emit NULL."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = _read_pcm(bytes(content))
+                row = (int(mid), None, None, None, None)
+                if pcm is not None:
+                    raw, sw, rate, nch, _n = pcm
+                    s = None
+                    if sw == 2:
+                        s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    elif sw == 1:
+                        s = np.frombuffer(raw, dtype=np.uint8).astype(
+                            np.float64
+                        ) - 128.0
+                    if s is not None and nch:
+                        s = s[: (s.size // nch) * nch]
+                        mono = s.reshape(-1, nch).mean(axis=1)
+                        flen = mono.size // frames
+                        if flen:
+                            f = mono[: flen * frames].reshape(frames, flen)
+                            ms = (f * f).mean(axis=1)
+                            med = np.median(ms)
+                            bits = "".join(
+                                "1" if v > med else "0" for v in ms
+                            )
+                            row = (
+                                int(mid), bits, int(bits[:16], 2),
+                                int(rate), int(nch),
+                            )
+                rows.append(row)
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "ahash", "band", "sample_rate", "channels"],
+            )
+
+    return df.filter(df.media_type == "audio").mapInPandas(
+        batches,
+        schema="media_id long, ahash string, band int, "
+               "sample_rate int, channels int",
+    )
+
+
 AUDIO_FEATURES_SCHEMA = (
     "media_id long, sample_rate int, channels int, n_samples long, "
     "duration_ms int, rms double, peak int, zero_crossings long"

@@ -1678,3 +1678,46 @@ def test_dct_phash_properties(spark):
           for r in multimodal.ahash_media(df, grid=8).collect()}
     ah_ham13 = sum(x != y for x, y in zip(ah[1], ah[3]))
     assert ah_ham13 >= ham(1, 3)
+
+
+def test_audio_energy_hash_properties(spark):
+    """Audio fingerprint: exact gain invariance (every frame energy and
+    the median scale together), sensitivity to different content, mono
+    collapse of stereo, NULL for too-short/undecodable clips."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+
+    def wav(samples, nch=1):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(nch)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(np.asarray(samples, dtype=np.int16).tobytes())
+        return buf.getvalue()
+
+    base = rng.integers(-8000, 8000, size=1000)
+    stereo = np.column_stack([base, base]).reshape(-1)  # same signal L=R
+    rows = [
+        (1, "audio", wav(base), None),
+        (2, "audio", wav(base // 2), None),          # -6 dB gain
+        (3, "audio", wav(rng.integers(-8000, 8000, size=1000)), None),
+        (4, "audio", wav(stereo, nch=2), None),      # stereo of the same
+        (5, "audio", wav(base[:32]), None),          # < 64 samples: NULL
+        (6, "audio", b"RIFFjunk", None),             # undecodable: NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, meta string"
+    )
+    got = {r.media_id: r for r in multimodal.audio_energy_hash(df).collect()}
+    assert len(got[1].ahash) == 64
+    assert got[1].ahash == got[2].ahash            # gain-invariant
+    assert got[1].ahash == got[4].ahash            # stereo mono-izes
+    assert got[4].channels == 2
+    diff = sum(a != b for a, b in zip(got[1].ahash, got[3].ahash))
+    assert diff > 10                               # different content
+    assert got[5].ahash is None and got[6].ahash is None
