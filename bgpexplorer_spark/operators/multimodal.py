@@ -141,6 +141,19 @@ def _read_pcm(b: bytes) -> tuple[bytes, int, int, int, int] | None:
     return raw, sw, rate, nch, nframes
 
 
+def _pcm_samples(raw: bytes, sw: int) -> "np.ndarray | None":
+    """PCM bytes → centered float64 samples — THE sample-typing policy,
+    shared by every audio operator: 16-bit signed, 8-bit unsigned
+    offset-128, anything else (24/32-bit, which the wave module exposes
+    but can't type) → None so callers emit NULLs instead of byte-wise
+    garbage."""
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    if sw == 1:
+        return np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    return None
+
+
 def decode_wav(b: bytes) -> dict | None:
     """RIFF/WAVE → {channels, sample_rate, duration_ms, mean_byte} via the
     stdlib wave module (16-bit PCM mean = mean |sample| / 256 so the scale
@@ -428,26 +441,17 @@ def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
         for pdf in it:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                img = decode_image_pixels(bytes(content))
-                if img is None:
-                    out.append((int(mid), None, None, None, None))
+                gray, cells, w, h = _gray_cells(bytes(content), grid)
+                if cells is None:
+                    out.append((int(mid), None, None, w, h))
                     continue
-                g = img.astype(np.float64).mean(axis=2)
-                h, w = g.shape
-                th, tw = (h // grid) * grid, (w // grid) * grid
-                if th == 0 or tw == 0:
-                    out.append((int(mid), None, None, int(w), int(h)))
-                    continue
-                gmean = g.mean()  # GLOBAL image mean, before any crop —
-                # the documented threshold (a bright cropped-off edge
-                # must still shift every bit the same way)
-                g = g[:th, :tw]
-                cells = g.reshape(grid, th // grid, grid, tw // grid).mean(
-                    axis=(1, 3)
-                )
+                # GLOBAL image mean, before any crop — the documented
+                # threshold (a bright cropped-off edge must still shift
+                # every bit the same way)
+                gmean = gray.mean()
                 bits = (cells > gmean).reshape(-1)
                 s = "".join("1" if b else "0" for b in bits)
-                out.append((int(mid), s, int(s[:16], 2), int(w), int(h)))
+                out.append((int(mid), s, int(s[:16], 2), w, h))
             yield pd.DataFrame(
                 out, columns=["media_id", "ahash", "band", "width", "height"]
             )
@@ -455,6 +459,27 @@ def ahash_media(df: DataFrame, grid: int = 8) -> DataFrame:
     return df.filter(df.media_type == "image").mapInPandas(
         batches, schema=AHASH_SCHEMA
     )
+
+
+def _gray_cells(content: bytes, grid: int):
+    """Shared perceptual-hash prologue (ahash/dct-phash): decode,
+    channel-mean grayscale, crop to the largest ``grid`` multiple,
+    block-average to a ``grid``×``grid`` cell matrix. Returns
+    (gray_uncropped, cells, width, height); (None, None, None, None)
+    for undecodables and (gray, None, w, h) for images smaller than one
+    cell — callers emit their NULL-hash rows from that."""
+    img = decode_image_pixels(content)
+    if img is None:
+        return None, None, None, None
+    g = img.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    th, tw = (h // grid) * grid, (w // grid) * grid
+    if th == 0 or tw == 0:
+        return g, None, int(w), int(h)
+    cells = g[:th, :tw].reshape(grid, th // grid, grid, tw // grid).mean(
+        axis=(1, 3)
+    )
+    return g, cells, int(w), int(h)
 
 
 def dct_phash_media(
@@ -491,20 +516,10 @@ def dct_phash_media(
         for pdf in it:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                img = decode_image_pixels(bytes(content))
-                if img is None:
-                    rows.append((int(mid), None, None, None, None))
+                _gray, cells, w, h = _gray_cells(bytes(content), dct_grid)
+                if cells is None:
+                    rows.append((int(mid), None, None, w, h))
                     continue
-                g = img.astype(np.float64).mean(axis=2)
-                h, w = g.shape
-                th, tw = (h // dct_grid) * dct_grid, (w // dct_grid) * dct_grid
-                if th == 0 or tw == 0:
-                    rows.append((int(mid), None, None, int(w), int(h)))
-                    continue
-                g = g[:th, :tw]
-                cells = g.reshape(
-                    dct_grid, th // dct_grid, dct_grid, tw // dct_grid
-                ).mean(axis=(1, 3))
                 coef = basis @ cells @ basis.T
                 v = np.round(coef[:out, :out].reshape(-1), 6)
                 med = np.median(v[1:])
@@ -512,7 +527,7 @@ def dct_phash_media(
                     "1" if (i == 0 or v[i] > med) else "0"
                     for i in range(out * out)
                 )
-                rows.append((int(mid), bits, int(bits[:16], 2), int(w), int(h)))
+                rows.append((int(mid), bits, int(bits[:16], 2), w, h))
             yield pd.DataFrame(
                 rows, columns=["media_id", "ahash", "band", "width", "height"]
             )
@@ -546,13 +561,7 @@ def audio_energy_hash(df: DataFrame, frames: int = 64) -> DataFrame:
                 row = (int(mid), None, None, None, None)
                 if pcm is not None:
                     raw, sw, rate, nch, _n = pcm
-                    s = None
-                    if sw == 2:
-                        s = np.frombuffer(raw, dtype="<i2").astype(np.float64)
-                    elif sw == 1:
-                        s = np.frombuffer(raw, dtype=np.uint8).astype(
-                            np.float64
-                        ) - 128.0
+                    s = _pcm_samples(raw, sw)
                     if s is not None and nch:
                         s = s[: (s.size // nch) * nch]
                         mono = s.reshape(-1, nch).mean(axis=1)
@@ -614,14 +623,7 @@ def audio_features(df: DataFrame) -> DataFrame:
                 pcm = _read_pcm(bytes(content))
                 if pcm is not None:
                     frames, sw, rate, nch, _ = pcm
-                    if sw == 2:
-                        s = np.frombuffer(frames, np.int16).astype(np.float64)
-                    elif sw == 1:
-                        s = np.frombuffer(frames, np.uint8).astype(
-                            np.float64
-                        ) - 128.0
-                    else:
-                        s = None  # 24/32-bit PCM: NULLs, not garbage
+                    s = _pcm_samples(frames, sw)
                     if s is not None and s.size and rate and nch:
                         n = s.size
                         rms = round(float(np.sqrt(np.mean(s * s))), 4)

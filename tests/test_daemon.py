@@ -146,6 +146,12 @@ def test_daemon_stop_drains_pending_spool(spark, tmp_path):
         ):
             time.sleep(0.5)
         assert glob.glob(str(tmp_path / "run1" / "updates" / "*.parquet"))
+        # guard against a vacuous pass: the route must NOT be served yet
+        # (the 1-hour cadence hasn't ingested it) — if it is, batch 0 ran
+        # after the flush and this test isn't exercising the drain
+        base = f"http://127.0.0.1:{d.http_port}"
+        got = _get(base, "/api/json/ipv4u?filter=13.0.0.0/24")
+        assert not got.get("items"), "route ingested before stop: drain untested"
     finally:
         d.stop()
 
