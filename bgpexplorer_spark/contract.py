@@ -5754,6 +5754,51 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, ["spark", "window", "hash"], k=10)
 
 
+# Hybrid RRF oracle: both branch oracles verbatim as subqueries (their
+# LIMIT 10 IS the fusion pool), explicit ranks, fused score in DOUBLE
+# (bare 1.0 is DECIMAL in DuckDB).
+_HYBRID_RRF_ORACLE = f"""
+    WITH lex AS (
+        SELECT doc_id AS id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rl
+        FROM ({_BM25_ORACLE}) b
+    ),
+    den AS (
+        SELECT vec_id AS id,
+               CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id)
+                    AS INTEGER) AS rd
+        FROM ({_COSINE_TOPK_ORACLE}) c
+    ),
+    f AS (
+        SELECT coalesce(l.id, d.id) AS doc_id, l.rl, d.rd
+        FROM lex l FULL OUTER JOIN den d ON l.id = d.id
+    )
+    SELECT doc_id,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rl), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + rd), 0), 6)
+               AS rrf_score,
+           rl AS lexical_rank, rd AS dense_rank
+    FROM f
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+@q("pipe_hybrid_rrf", _HYBRID_RRF_ORACLE)
+def pipe_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — Reciprocal Rank Fusion of the BM25 lexical
+    top-10 and the dense cosine top-10 (operators/pipeline.
+    hybrid_rrf_topk; Cormack 2009, the standard RAG retrieval pattern);
+    doc_id and vec_id are aligned in the driver tables. The oracle fuses
+    the two branch oracles verbatim."""
+    from bgpexplorer_spark.operators.pipeline import hybrid_rrf_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return hybrid_rrf_topk(
+        docs, emb, ["spark", "window", "hash"], qv, k=10, pool=10
+    )
+
 _PQ_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
     ss AS (SELECT unnest(range(0, 4)) AS s),

@@ -464,6 +464,66 @@ def temperature_mixture(
     return out
 
 
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 20,
+    rrf_k: int = 60,
+    doc_id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009)
+    — the standard RAG retrieval pattern: fuse the BM25 lexical
+    top-``pool`` with the dense cosine top-``pool`` as
+    ``score(d) = Σ_lists 1/(rrf_k + rank_d(list))`` (a document missing
+    from one list simply contributes no term), then take the fused
+    top-``k``. Ranks come from each list's own deterministic order
+    (score desc, id), so ties fuse reproducibly; the fused score rounds
+    to 6 dp.
+
+    Scale shape: each branch is its own corpus-wide TakeOrdered (BM25's
+    map-side term filter / cosine's scan — both shuffle only k-sized
+    results); the fusion itself is a full-outer join of two POOL-sized
+    lists — broadcast-trivial at any corpus size."""
+    from bgpexplorer_spark.operators.similarity import cosine_topk
+    from bgpexplorer_spark.operators.text import bm25_topk
+
+    def ranked(df: DataFrame, id_col: str, score_col: str) -> DataFrame:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        return df.select(
+            F.col(id_col).alias("id"), F.row_number().over(w).alias("_r")
+        )
+
+    lex = ranked(bm25_topk(docs, query_terms, id_col=doc_id_col, k=pool),
+                 doc_id_col, "score")
+    den = ranked(cosine_topk(embeddings, query_vec, id_col=vec_id_col, k=pool),
+                 vec_id_col, "cos_sim")
+    fused = (
+        lex.withColumnRenamed("_r", "_rl")
+        .join(den.withColumnRenamed("_r", "_rd"), "id", "full_outer")
+    )
+    score = F.round(
+        F.when(F.col("_rl").isNotNull(), 1.0 / (F.lit(rrf_k) + F.col("_rl")))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("_rd").isNotNull(), 1.0 / (F.lit(rrf_k) + F.col("_rd")))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            F.col("id").alias(doc_id_col),
+            score.alias("rrf_score"),
+            F.col("_rl").alias("lexical_rank"),
+            F.col("_rd").alias("dense_rank"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(doc_id_col))
+        .limit(k)
+    )
+
+
 def unimax_allocation(
     docs: DataFrame,
     strata_col: str,

@@ -423,3 +423,32 @@ def test_unimax_allocation_water_filling(spark):
     ).collect()}
     assert all(r.epochs == 2.0 for r in over.values())
     assert over["c"].allocation == 200.0
+
+
+def test_hybrid_rrf_fusion_hand_computed(spark):
+    """RRF on tiny hand-built lists: a doc in both lists outranks a doc
+    first in one list only; missing-list docs contribute a single term;
+    ties break by id."""
+    from bgpexplorer_spark.operators.pipeline import hybrid_rrf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark window"), (3, "nothing here"),
+         (4, "window")],
+        "doc_id long, text string",
+    )
+    # embeddings: doc 2 closest to the query, then 3; 1 and 4 opposite
+    emb = spark.createDataFrame(
+        [(1, [-1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.9, 0.1]), (4, [0.0, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.doc_id: r for r in hybrid_rrf_topk(
+        docs, emb, ["spark", "window"], [1.0, 0.0], k=4, pool=2
+    ).collect()}
+    # lexical pool (bm25 top2): 2 (both terms), then 1 or 4; dense pool:
+    # 2 then 3. Doc 2 is rank-1 in BOTH lists -> highest fused score.
+    assert got[2].rrf_score == round(1 / 61 + 1 / 61, 6)
+    assert got[2].lexical_rank == 1 and got[2].dense_rank == 1
+    assert got[3].lexical_rank is None and got[3].dense_rank == 2
+    assert got[3].rrf_score == round(1 / 62, 6)
+    top = sorted(got.values(), key=lambda r: (-r.rrf_score, r.doc_id))
+    assert top[0].doc_id == 2
