@@ -5140,9 +5140,11 @@ def pipe_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if i = 1 OR flat[i] <> flat[i - 1]] AS comp
         FROM p
     )
-    SELECT nlri_str, comp AS compressed_path,
-           [a for a in list_distinct(comp)
-            if len(list_filter(comp, x -> x = a)) > 1] AS looped_asns
+    SELECT nlri_str,
+           array_to_string(comp, ',') AS compressed_path,
+           array_to_string([a for a in list_distinct(comp)
+                            if len(list_filter(comp, x -> x = a)) > 1],
+                           ',') AS looped_asns
     FROM c
     WHERE len(comp) <> len(list_distinct(comp))
     """,
@@ -5150,7 +5152,10 @@ def pipe_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def an_aspath_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-adjacent ASN repeats (operators/analytics.aspath_loops):
     run-compress the path, flag duplicates — prepending stays clean,
-    poisoned/leaked paths surface. Map-only, zero shuffles."""
+    poisoned/leaked paths surface. Map-only, zero shuffles. Array
+    outputs are comma-joined at this contract boundary (the driver
+    gate's canonicalizer only sorts scalar columns); the operator
+    itself keeps its typed ARRAY<BIGINT> API."""
     from bgpexplorer_spark.operators.analytics import aspath_loops
 
     ev = load_table(spark, sf_dir, "events")
@@ -5166,7 +5171,11 @@ def an_aspath_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("r"), F.col("event_id").cast("string")).alias("nlri_str"),
         flat.alias("aspath_flat"),
     )
-    return aspath_loops(df)
+    return aspath_loops(df).select(
+        "nlri_str",
+        F.concat_ws(",", "compressed_path").alias("compressed_path"),
+        F.concat_ws(",", "looped_asns").alias("looped_asns"),
+    )
 
 # --- Corpus-cleaning rule sets (C4 / Gopher), PII scrub, paragraph dedup ---
 # The documents fixture is single-line word soup, so the line/paragraph
