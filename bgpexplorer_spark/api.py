@@ -83,6 +83,14 @@ class BgpExplorerService:
         self._state_version = 0
         self.analytics_memo_ttl = 60.0
         self._analytics_memo: dict[tuple, tuple[DataFrame, float]] = {}
+        # ThreadingHTTPServer serves requests from many threads and the
+        # ingest sink bumps the version from the foreachBatch thread:
+        # _memo_lock guards the memo dicts, _memo_building holds one
+        # per-key build lock so concurrent first requests for the SAME
+        # report build it once (different reports still build in
+        # parallel)
+        self._memo_lock = threading.Lock()
+        self._memo_building: dict[tuple, threading.Lock] = {}
         self.whois_server_map = None
         if svc_config is not None and getattr(svc_config, "whoisjsonconfig", None):
             from bgpexplorer_spark.operators.whois import WhoisServerMap
@@ -152,12 +160,30 @@ class BgpExplorerService:
 
         if not self.analytics_memo_ttl:
             return build()
+        # capture the version ONCE: a bump between lookup and store must
+        # not change the key mid-request (the stored frame stays keyed to
+        # the state it was built from and ages out on the next clear)
         key = (name, rib, self._state_version)
-        hit = self._analytics_memo.get(key)
-        if hit is not None and time.monotonic() - hit[1] < self.analytics_memo_ttl:
-            return hit[0]
-        df = build().localCheckpoint(eager=True)
-        self._analytics_memo[key] = (df, time.monotonic())
+        with self._memo_lock:
+            hit = self._analytics_memo.get(key)
+            if (
+                hit is not None
+                and time.monotonic() - hit[1] < self.analytics_memo_ttl
+            ):
+                return hit[0]
+            keylock = self._memo_building.setdefault(key, threading.Lock())
+        with keylock:
+            with self._memo_lock:
+                hit = self._analytics_memo.get(key)
+                if (
+                    hit is not None
+                    and time.monotonic() - hit[1] < self.analytics_memo_ttl
+                ):
+                    return hit[0]
+            df = build().localCheckpoint(eager=True)
+            with self._memo_lock:
+                self._analytics_memo[key] = (df, time.monotonic())
+                self._memo_building.pop(key, None)
         return df
 
     def bump_state_version(self) -> None:
@@ -168,8 +194,10 @@ class BgpExplorerService:
         the current history DataFrame — the live-daemon wiring, since a
         batch DataFrame binds its file listing at creation), the history
         itself is refreshed too."""
-        self._state_version += 1
-        self._analytics_memo.clear()
+        with self._memo_lock:
+            self._state_version += 1
+            self._analytics_memo.clear()
+            self._memo_building.clear()
         if not self.exact_length:
             self.route_counts = None
         provider = getattr(self, "history_provider", None)

@@ -145,6 +145,48 @@ def from_inifile(path: str) -> SvcConfig:
     return cfg
 
 
+def parse_hostport(
+    addr: str, default_port: int, default_host: str = "0.0.0.0"
+) -> tuple[str, int]:
+    """``host[:port]`` → ``(host, port)``, with the v6 forms handled the
+    way they are written for getaddrinfo: ``[v6]:port``, ``[v6]`` and a
+    bare ``v6`` literal (more than one ``:`` → the whole string is the
+    address). Brackets are stripped (the socket API wants the bare
+    address). Malformed forms fail LOUDLY instead of binding to a
+    garbage address — ``'::1'`` must not become host ``':'`` port 1, and
+    a bare ``'8080'`` must not become host ``'8080'``."""
+    addr = addr.strip()
+    if addr.startswith("["):
+        host, sep, rest = addr[1:].partition("]")
+        if not sep or (rest and not (rest.startswith(":") and rest[1:].isdigit())):
+            raise ValueError(f"invalid listen address {addr!r}")
+        return host or default_host, int(rest[1:]) if rest else default_port
+    if addr.count(":") > 1:
+        import ipaddress
+
+        try:
+            ipaddress.IPv6Address(addr)
+        except ValueError as exc:
+            raise ValueError(
+                f"invalid listen address {addr!r} (bracket the host as "
+                "'[v6]:port' to attach a port to an IPv6 literal)"
+            ) from exc
+        return addr, default_port
+    host, sep, port = addr.partition(":")
+    if sep:
+        if not port.isdigit():
+            raise ValueError(f"invalid port in listen address {addr!r}")
+        return host or default_host, int(port)
+    if not addr:
+        return default_host, default_port
+    if addr.isdigit():
+        raise ValueError(
+            f"ambiguous listen address {addr!r} — write ':{addr}' for a "
+            "port on all interfaces, or 'host:port'"
+        )
+    return addr, default_port
+
+
 def routerid_int(cfg: SvcConfig) -> int:
     """Dotted router-id → the 32-bit int the OPEN encoder wants."""
     parts = [int(x) for x in cfg.routerid.split(".")]
@@ -168,9 +210,7 @@ def start_listeners(cfg: SvcConfig, out_dir: str, raw_dir: str | None = None):
     from bgpexplorer_spark.streaming.bgplive import BgpConnector, BgpListener
     from bgpexplorer_spark.streaming.bmplive import BmpConnector, BmpListener
 
-    def split(addr: str, default_port: int) -> tuple[str, int]:
-        host, _, port = addr.rpartition(":")
-        return (host or addr, int(port) if port and host else default_port)
+    split = parse_hostport
 
     listeners = []
     passive = [p for p in cfg.peers if p.mode == "bgppassive"]

@@ -85,12 +85,12 @@ class BgpExplorerDaemon:
     def _parse_http(addr: str) -> tuple[str, int]:
         """httplisten → (host, port): host-only defaults to 8080, a
         bracketed v6 literal loses its brackets (ThreadingHTTPServer
-        wants the bare address) — same guarded split discipline as
-        config.start_listeners."""
-        host, _, port = addr.rpartition(":")
-        if not (host and port.isdigit()):
-            host, port = addr, "8080"
-        return host.strip("[]") or "127.0.0.1", int(port)
+        wants the bare address), and malformed forms ('::1' with an
+        intended port, a bare '8080') fail loudly — the shared guarded
+        split (config.parse_hostport)."""
+        from bgpexplorer_spark.config import parse_hostport
+
+        return parse_hostport(addr, 8080, default_host="127.0.0.1")
 
     def start(self) -> "BgpExplorerDaemon":
         from bgpexplorer_spark.api import BgpExplorerService, serve

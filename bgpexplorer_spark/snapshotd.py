@@ -21,6 +21,7 @@ are pruned.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import threading
 import time
@@ -41,7 +42,9 @@ def load_snapshot_dir(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         with open(marker, encoding="ascii") as f:
             current = f.read().strip()
-        if not current or "/" in current or os.sep in current:
+        # confine to the generated shape ('v<epoch>'): a tampered or
+        # garbled marker ('..', absolute paths) must not escape `path`
+        if not re.fullmatch(r"v\d+", current):
             raise ValueError(f"bad snapshot marker {current!r}")
         return read_snapshot(spark, os.path.join(path, current))
     except Exception as e:  # noqa: BLE001 — any load error means fresh start

@@ -422,7 +422,14 @@ def flap_damping_increment(
         # chained increments near the thresholds)
         new_penalty.alias("penalty_raw"),
         F.col("_t_end").alias("last_us"),
-        F.expr("NOT element_at(ev, -1).wd").alias("announced"),
+        # the stored flag only advances on in-order data: a batch whose
+        # newest event predates the carried clock (out-of-order delivery)
+        # must not overwrite `announced` with stale polarity
+        F.when(
+            F.expr("element_at(ev, -1).ts_us")
+            >= F.coalesce(F.col("last_us"), F.lit(0)),
+            F.expr("NOT element_at(ev, -1).wd"),
+        ).otherwise(F.col("announced")).alias("announced"),
         (F.coalesce(F.col("flaps"), F.lit(0)) + n_counted).alias("flaps"),
     )
     return out.select(
@@ -460,7 +467,12 @@ def run_flap_damping_incremental(
     with an atomic CURRENT marker (a crash mid-write never destroys the
     previous durable copy), and a restarted query RESTORES the carried
     state from it — the restart durability the built-in state store
-    gives the keyed path."""
+    gives the keyed path. foreachBatch is at-least-once and the state is
+    persisted BEFORE Spark commits the epoch to the streaming
+    checkpoint, so a same-checkpoint restart that REPLAYS the last epoch
+    onto state that already folded it skips the fold (idempotent per
+    epoch; the persisted CKPT file scopes the epoch comparison to one
+    checkpoint lineage)."""
     import os
     import shutil
 
@@ -470,6 +482,13 @@ def run_flap_damping_incremental(
         new_state.write.mode("overwrite").parquet(
             os.path.join(state_dir, version)
         )
+        # CKPT records WHICH streaming checkpoint produced this state:
+        # epoch ids are only comparable within one checkpoint lineage
+        # (a fresh-checkpoint restart renumbers from 0)
+        ckpt_file = os.path.join(state_dir, "CKPT")
+        with open(f"{ckpt_file}.part", "w", encoding="utf-8") as f:
+            f.write(os.path.abspath(checkpoint))
+        os.replace(f"{ckpt_file}.part", ckpt_file)
         marker = os.path.join(state_dir, "CURRENT")
         prev = None
         try:
@@ -485,15 +504,27 @@ def run_flap_damping_incremental(
             if d.startswith("v") and d not in (version, prev):
                 shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
-    def _restore_state(spark: SparkSession) -> DataFrame | None:
+    def _restore_state(spark: SparkSession) -> tuple[DataFrame, int] | None:
+        """(state df, last folded epoch) — epoch is -1 when the persisted
+        state came from a DIFFERENT streaming checkpoint (fresh-checkpoint
+        restart renumbers epochs from 0, so the ids aren't comparable and
+        every incoming epoch must fold)."""
         if state_dir is None:
             return None
         try:
             with open(os.path.join(state_dir, "CURRENT"), encoding="ascii") as f:
                 current = f.read().strip()
-            return spark.read.parquet(os.path.join(state_dir, current)).select(
+            df = spark.read.parquet(os.path.join(state_dir, current)).select(
                 "rib", "nlri_str", "penalty", "last_us", "announced", "flaps"
             )
+            epoch = -1
+            try:
+                with open(os.path.join(state_dir, "CKPT"), encoding="utf-8") as f:
+                    if f.read().strip() == os.path.abspath(checkpoint):
+                        epoch = int(current[1:])
+            except OSError:
+                pass
+            return df, epoch
         except Exception:  # noqa: BLE001 — no durable state yet
             return None
 
@@ -501,7 +532,37 @@ def run_flap_damping_incremental(
         spark = batch_df.sparkSession
         st = getattr(sink, "_state", None)
         if st is None:
-            st = _restore_state(spark)
+            restored = _restore_state(spark)
+            if restored is not None:
+                st, restored_epoch = restored
+                if epoch_id <= restored_epoch:
+                    # foreachBatch is at-least-once: the state for this
+                    # epoch was persisted but the crash hit before the
+                    # streaming checkpoint committed, so the epoch is
+                    # replayed onto state that ALREADY folded it. Folding
+                    # again would double-count penalty/flaps — skip the
+                    # fold and re-emit the batch keys' persisted figures
+                    # instead (idempotent per epoch).
+                    sink._state = st.localCheckpoint(eager=True)
+                    if on_batch is not None:
+                        on_batch(
+                            sink._state
+                            .join(
+                                batch_df.select("rib", "nlri_str").distinct(),
+                                ["rib", "nlri_str"],
+                            )
+                            .select(
+                                "rib", "nlri_str",
+                                F.col("flaps").alias("n_flaps"),
+                                F.round("penalty", 4).alias("penalty"),
+                                (F.col("penalty") >= suppress_threshold)
+                                .alias("suppressed"),
+                                (F.col("penalty") < reuse_threshold)
+                                .alias("reusable"),
+                                F.timestamp_micros("last_us").alias("ts"),
+                            )
+                        )
+                    return
         if st is None:
             st = spark.createDataFrame([], FLAP_STATE_SCHEMA)
         changed = flap_damping_increment(

@@ -45,6 +45,43 @@ mode = nonsense
     assert len(c.peers) == 1 and c.peers[0].mode == "bmppassive"
     assert c.peers[0].filter_rd == "100:1"
 
+def test_parse_hostport_forms():
+    """Shared guarded listen-address split (daemon httplisten + all
+    config listeners): v6 forms land on the right host, malformed forms
+    fail loudly instead of binding to a garbage address."""
+    import pytest
+
+    p = cfgmod.parse_hostport
+    assert p("127.0.0.1:8080", 80) == ("127.0.0.1", 8080)
+    assert p("example.com", 80) == ("example.com", 80)
+    assert p(":8080", 80, default_host="127.0.0.1") == ("127.0.0.1", 8080)
+    assert p("", 80, default_host="0.0.0.0") == ("0.0.0.0", 80)
+    # v6: bracketed with/without port, bare literal → whole-string host
+    assert p("[::1]:8080", 80) == ("::1", 8080)
+    assert p("[2001:db8::1]", 80) == ("2001:db8::1", 80)
+    assert p("::1", 80) == ("::1", 80)
+    # malformed: must raise, not mis-bind ('::1' is NOT host ':' port 1,
+    # '8080' is NOT host '8080')
+    for bad in ("8080", "host:port", "[::1", "[::1]x", "[::1]:x",
+                "a:b:c", "host:"):
+        with pytest.raises(ValueError):
+            p(bad, 80)
+
+
+def test_daemon_parse_http_uses_guarded_split():
+    from bgpexplorer_spark.daemon import BgpExplorerDaemon
+
+    f = BgpExplorerDaemon._parse_http
+    assert f("127.0.0.1:0") == ("127.0.0.1", 0)
+    assert f("myhost") == ("myhost", 8080)
+    assert f("[::1]:9090") == ("::1", 9090)
+    assert f("::1") == ("::1", 8080)
+    import pytest
+
+    with pytest.raises(ValueError):
+        f("8080")
+
+
 def test_config_whois_server_map_keys(tmp_path):
     """whoisjsonconfig + whoisdns ini keys round-trip
     (src/config.rs:596-605, 616-638)."""
@@ -1164,3 +1201,45 @@ def test_http_analytics_memo_reuses_checkpoint(spark):
         assert again == first  # same underlying state, rebuilt fresh
     finally:
         httpd.shutdown()
+
+
+def test_memo_report_builds_once_under_concurrency(spark):
+    """ThreadingHTTPServer fans requests across threads: concurrent
+    FIRST requests for the same report must build it once (per-key build
+    lock), while different reports still build in parallel; a version
+    bump mid-build must not poison the memo for the new version."""
+    import threading as _th
+
+    hist = build_history(
+        make_updates(spark, [u("10.0.0.0/24", t=1)]), history_mode="every"
+    )
+    svc = BgpExplorerService(hist)
+    calls = {"n": 0}
+    gate = _th.Barrier(4)
+
+    def build():
+        calls["n"] += 1
+        import time as _t
+
+        _t.sleep(0.2)  # widen the race window
+        return hist.limit(1)
+
+    def worker():
+        gate.wait()
+        svc._memo_report("r", "ipv4u", build)
+
+    threads = [_th.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert calls["n"] == 1
+
+    # a bump between lookup and store keys the frame to the version it
+    # was built from: the new version's first request rebuilds
+    v_key = ("r", "ipv4u", svc._state_version)
+    assert v_key in svc._analytics_memo
+    svc.bump_state_version()
+    assert not svc._analytics_memo
+    svc._memo_report("r", "ipv4u", build)
+    assert calls["n"] == 2

@@ -59,6 +59,12 @@ def test_load_missing_or_garbled_starts_fresh(spark, tmp_path):
     (snap / "CURRENT").write_text("v123")
     with pytest.warns(UserWarning, match="Error loading snapshot"):
         assert load_snapshot_dir(spark, str(snap)) is None
+    # '..' has no separator but escapes `path` — must be rejected by the
+    # v<digits> shape check, not read from the parent directory
+    for bad in ("..", ".", "v12x", "xv12", "~root", "v"):
+        (snap / "CURRENT").write_text(bad)
+        with pytest.warns(UserWarning, match="bad snapshot marker"):
+            assert load_snapshot_dir(spark, str(snap)) is None
 
 
 def test_periodic_and_stop_saves(spark, tmp_path):

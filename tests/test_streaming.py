@@ -755,3 +755,90 @@ def test_run_flap_damping_incremental_end_to_end(spark, tmp_path):
     assert r2.n_flaps == 3  # 2 restored + 1 new
     expect2 = (expect * math.exp(-lam * 20)) + 1000.0
     assert r2.penalty == round(expect2, 4)
+
+
+def test_run_flap_damping_incremental_epoch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: state_dir is persisted BEFORE the
+    epoch commits to the streaming checkpoint, so a crash in that window
+    replays the epoch onto state that already folded it. The replay must
+    NOT double-count — the sink skips the fold when the persisted
+    marker's epoch (same checkpoint lineage) is >= the incoming epoch,
+    and re-emits the batch keys' persisted figures."""
+    import math
+    import os as _os
+
+    import pytest as _pt
+
+    from bgpexplorer_spark.streaming.feed import run_flap_damping_incremental
+
+    d = _updates_dir(
+        spark,
+        [
+            u("10.0.0.0/24", t=0),
+            u("10.0.0.0/24", t=10, op="withdraw"),
+            u("10.0.0.0/24", t=20),
+            u("10.0.0.0/24", t=30, op="withdraw"),
+        ],
+    )
+    ck, sd = str(tmp_path / "ck"), str(tmp_path / "state")
+    q = run_flap_damping_incremental(
+        stream_updates_from_files(spark, d), ck,
+        half_life_sec=20.0, state_dir=sd,
+    )
+    q.awaitTermination(120)
+    lam = math.log(2) / 20.0
+    expect = 1000.0 * math.exp(-lam * 20) + 1000.0
+
+    # simulate the crash window: state v0 persisted, epoch-0 commit gone
+    # (drop the hidden .crc twins too — a stale ChecksumFs crc makes the
+    # replayed commit write fail)
+    commits = _os.path.join(ck, "commits")
+    assert any(not f.startswith(".") for f in _os.listdir(commits))
+    for f in _os.listdir(commits):
+        _os.remove(_os.path.join(commits, f))
+
+    got = {}
+    q2 = run_flap_damping_incremental(
+        stream_updates_from_files(spark, d), ck,
+        half_life_sec=20.0, state_dir=sd,
+        on_batch=lambda df: got.update({r.nlri_str: r for r in df.collect()}),
+    )
+    q2.awaitTermination(120)
+    # the replayed epoch re-emits the persisted figures, unchanged
+    r = got["10.0.0.0/24"]
+    assert (r.n_flaps, r.penalty) == (2, round(expect, 4))
+    cur = (tmp_path / "state" / "CURRENT").read_text().strip()
+    st = {x.nlri_str: x for x in
+          spark.read.parquet(str(tmp_path / "state" / cur)).collect()}
+    assert st["10.0.0.0/24"].flaps == 2  # not 4
+    assert st["10.0.0.0/24"].penalty == _pt.approx(expect, abs=1e-3)
+
+
+def test_flap_damping_increment_late_batch_keeps_announced(spark):
+    """A batch whose events are ALL older than the carried clock must not
+    overwrite `announced` with stale last-event polarity (out-of-order
+    delivery would otherwise flip state and miscount later flaps)."""
+    import datetime as dt
+
+    from bgpexplorer_spark.streaming.feed import (
+        FLAP_STATE_SCHEMA, flap_damping_increment,
+    )
+
+    # make_updates timestamps are t0(2024-01-01) + t seconds
+    off_us = int(
+        (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).total_seconds()
+        * 1e6
+    )
+    state = spark.createDataFrame(
+        [("ipv4u", "10.0.0.0/24", 1000.0, off_us + 50_000_000, True, 1)],
+        FLAP_STATE_SCHEMA,
+    )
+    # one late withdraw at t=10 (carried clock t=50)
+    batch = make_updates(spark, [u("10.0.0.0/24", t=10, op="withdraw")])
+    r = flap_damping_increment(state, batch, 900.0, 1000.0).collect()[0]
+    assert r.announced is True               # stale polarity NOT taken
+    assert r.last_us == off_us + 50_000_000  # clock clamped (pre-existing)
+    # in-order delivery still advances the flag
+    batch2 = make_updates(spark, [u("10.0.0.0/24", t=60, op="withdraw")])
+    r2 = flap_damping_increment(state, batch2, 900.0, 1000.0).collect()[0]
+    assert r2.announced is False and r2.last_us == off_us + 60_000_000
