@@ -1029,12 +1029,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (hamming ≤ 3 via byte-band
     bucket-joins + exact verification —
     operators/dedup.simhash_candidate_pairs); the oracle replicates the
-    banding and the bit_count check."""
+    banding and the bit_count check. Pinned to the 32-bit signature the
+    oracle replicates; the operator's default is the at-scale 60-bit
+    form (`dedup_simhash60_pairs` covers it)."""
     from bgpexplorer_spark.operators.dedup import simhash_candidate_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
-    return simhash_candidate_pairs(docs, "doc_id", max_hamming=3)
+    return simhash_candidate_pairs(docs, "doc_id", max_hamming=3, bits=32)
 
 @q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -119,18 +119,22 @@ def array_contiguous_subseq(haystack: Column, needle: list[int]) -> Column:
     ``get`` returns NULL past the end (never throws, ANSI-safe), so a
     start too close to the tail yields NULL and is dropped by filter().
 
-    A membership PREFILTER guards the positional walk: every distinct
-    needle element must appear in the haystack (``array_intersect``
-    size check — one hash-set probe per element), a necessary condition
-    that sheds non-candidate rows before the O(len × k) offset scan.
-    Spark's ``And`` short-circuits, so rows failing the cheap conjunct
-    never pay for the walk; NULL haystacks stay NULL through both
-    conjuncts (3VL unchanged).
+    Two PREFILTERS guard the positional walk, cheapest first (Spark's
+    ``And`` short-circuits, so rows shed by an early conjunct never pay
+    for the later ones): (1) ``size(haystack) >= k`` — a path shorter
+    than the needle can't contain it, and the length probe is O(1) vs
+    the intersect's hash-set build; (2) every distinct needle element
+    must appear in the haystack (``array_intersect`` size check). Both
+    are necessary conditions ahead of the O(len × k) offset scan; NULL
+    haystacks stay NULL through every conjunct (3VL unchanged —
+    ``size(NULL)`` is NULL under ANSI).
     """
     k = len(needle)
     distinct = sorted(set(needle))
     member = F.array([F.lit(a).cast("bigint") for a in distinct])
-    prefilter = F.size(F.array_intersect(haystack, member)) == len(distinct)
+    prefilter = (F.size(haystack) >= k) & (
+        F.size(F.array_intersect(haystack, member)) == len(distinct)
+    )
     if k == 1:
         # single-AS needle: membership IS the contiguous-subsequence test
         return prefilter

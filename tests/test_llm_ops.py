@@ -324,12 +324,32 @@ def test_multimodal_real_decoders(spark):
 def test_simhash_candidate_pairs(docs):
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in dedup.simhash_candidate_pairs(docs, "doc_id", max_hamming=3).collect()
+        for r in dedup.simhash_candidate_pairs(
+            docs, "doc_id", max_hamming=3, bits=32
+        ).collect()
     }
     assert pairs[(0, 2)] == 0          # identical docs: distance 0
     assert (0, 4) in pairs and pairs[(0, 4)] == 0  # token-multiset invariant
     assert all(h <= 3 for h in pairs.values())
     assert not any(3 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash_candidate_pairs_defaults_to_60_bit(docs):
+    """The default `bits` routes to the at-scale 60-bit signature
+    (identical pairs to calling simhash60_candidate_pairs directly)."""
+    import pytest
+
+    got = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_candidate_pairs(docs, "doc_id").collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash60_candidate_pairs(docs, "doc_id").collect()
+    )
+    assert got == want
+    with pytest.raises(ValueError, match="bits"):
+        dedup.simhash_candidate_pairs(docs, "doc_id", bits=48)
 
 def test_simhash60_candidate_pairs(docs):
     """The at-scale 60-bit variant keeps the hamming <= 3 completeness
