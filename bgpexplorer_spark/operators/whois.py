@@ -29,17 +29,29 @@ from bgpexplorer_spark.schemas import WHOIS_CACHE_SCHEMA
 
 Transport = Callable[[str, str], str]  # (server, query) -> response text
 
-REFERRAL_RE = re.compile(r"(?:refer|ReferralServer|whois):\s*(?:whois://)?([A-Za-z0-9.\-]+)", re.IGNORECASE)
+# ARIN-style referrals carry a port ("ReferralServer: whois://whois.arin.net:43")
+REFERRAL_RE = re.compile(
+    r"(?:refer|ReferralServer|whois):\s*(?:whois://)?"
+    r"([A-Za-z0-9.\-]+(?::\d+)?)",
+    re.IGNORECASE,
+)
 MAX_REFERRALS = 16  # src/whoissvc.rs:395-457
 
 def socket_transport(timeout: float = 30.0) -> Transport:
-    """Real port-43 transport (whois_request_timeout default 30 s,
-    src/config.rs:580-595)."""
+    """Real whois TCP transport (whois_request_timeout default 30 s,
+    src/config.rs:580-595). ``server`` is ``host`` (port 43) or
+    ``host:port`` — map entries and ARIN-style referrals both carry
+    explicit ports in the wild."""
 
     def send(server: str, query: str) -> str:
         import socket
 
-        with socket.create_connection((server, 43), timeout=timeout) as s:
+        host, port = server, 43
+        if server.count(":") == 1:
+            h, p = server.rsplit(":", 1)
+            if p.isdigit():
+                host, port = h, int(p)
+        with socket.create_connection((host, port), timeout=timeout) as s:
             s.sendall((query + "\r\n").encode())
             chunks = []
             while True:

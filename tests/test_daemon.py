@@ -163,3 +163,72 @@ def test_daemon_stop_drains_pending_spool(spark, tmp_path):
         assert list(got.get("items", {})) == ["13.0.0.0/24"]
     finally:
         d2.stop()
+
+
+def test_daemon_restart_multi_family_snapshot(spark, tmp_path):
+    """Restart durability at realistic state breadth: a snapshot spanning
+    unicast, v6, VPN (RD), labeled, add-path, L2VPLS, EVPN, MVPN and MDT
+    families must reload with every map intact (the reference restores
+    all per-family maps and reindexes — src/bgprib.rs:973-1015, 471-508).
+    Asserts BYTE parity of each family's /api/json/<rib> envelope across
+    the restart."""
+    import urllib.request as _rq
+
+    from bgpexplorer_spark.operators.ingest import build_history
+    from bgpexplorer_spark.snapshotd import SnapshotKeeper
+    from tests.ribdata import make_updates, u
+
+    rows = [
+        u("11.0.0.0/24", t=1, aspath=[("Seq", [65001, 64999])]),
+        u("11.0.0.0/24", t=2, path_id=7,       # add-path sibling
+          aspath=[("Seq", [65002, 64999])]),
+        u("2c0a::/64", rib="ipv6u", t=3),
+        u("10.1.0.1/32", rib="vpnv4u", rd="100:1000", t=4),
+        u("10.2.0.0/24", rib="ipv4lu", labels=[1021], t=5),
+        u("10.3.0.1/32", rib="l2vpls", l2=(5, 0, 8), rd="100:2000", t=6),
+        u("10.4.0.1/32", rib="evpn", evpn=2, rd="100:3000", t=7),
+        u("10.5.0.1/32", rib="mvpn", mvpn=(5, "1.2.3.4", "232.1.1.1"),
+          rd="100:4000", t=8),
+        u("10.6.0.1/32", rib="ipv4mdt", mdt_group="239.1.1.1", t=9),
+    ]
+    hist = build_history(make_updates(spark, rows), history_mode="every")
+    snap = str(tmp_path / "snap")
+    assert SnapshotKeeper(lambda: hist, snap).save_once() is not None
+
+    fams = ["ipv4u", "ipv6u", "vpnv4u", "ipv4lu", "l2vpls", "evpn",
+            "mvpn", "ipv4mdt"]
+
+    def envelopes(port):
+        out = {}
+        for rib in fams:
+            with _rq.urlopen(
+                f"http://127.0.0.1:{port}/api/json/{rib}", timeout=10
+            ) as r:
+                out[rib] = r.read()
+        return out
+
+    ini = tmp_path / "bgpexplorer.ini"
+    ini.write_text(
+        "[main]\nhttplisten=127.0.0.1:0\nrouterid=10.0.0.9\npeeras=64900\n"
+        f"historymode=every\nsnapshot={snap}\nsnapshot_every=3600\n"
+    )
+    d1 = run_from_ini(spark, str(ini), str(tmp_path / "run1"),
+                      processing_time="1 hour")
+    try:
+        first = envelopes(d1.http_port)
+    finally:
+        d1.stop()
+    # every family served rows (guards against a vacuous byte-compare)
+    for rib in fams:
+        assert json.loads(first[rib])["items"], rib
+    # add-path siblings nest as session → path_id → ts
+    v4 = json.loads(first["ipv4u"])["items"]["11.0.0.0/24"]
+    assert set(v4["0"]) == {"0", "7"}
+
+    d2 = run_from_ini(spark, str(ini), str(tmp_path / "run2"),
+                      processing_time="1 hour")
+    try:
+        second = envelopes(d2.http_port)
+    finally:
+        d2.stop()
+    assert first == second  # byte parity per family across the restart

@@ -80,3 +80,118 @@ def test_csv_missing_column_raises(spark, tmp_path):
     p.write_text("foo,bar\n1,2\n")
     with pytest.raises(ValueError, match="missing CSV column"):
         load_roas_csv(spark, str(p))
+
+
+# --- Hypothesis sweep: skip-don't-crash over arbitrary malformed rows -------
+# (the byte-flip discipline bmp.py got, applied to the validator-export
+# loaders: wrong types, missing keys, garbage prefixes, out-of-range
+# maxLength must SKIP — valid rows always survive, nothing raises.)
+
+from hypothesis import given, settings, strategies as st
+
+from bgpexplorer_spark.sources.roas import _roa_row
+
+
+def _mk_valid(draw):
+    v6 = draw(st.booleans())
+    width = 128 if v6 else 32
+    plen = draw(st.integers(0, width))
+    addr = draw(st.integers(0, 2**width - 1))
+    import ipaddress as _ip
+
+    # explicit family: ip_network((int, plen)) guesses v4 for small ints
+    net = (_ip.IPv6Network if v6 else _ip.IPv4Network)(
+        (addr, plen), strict=False
+    )
+    asn = draw(st.integers(0, 2**32 - 1))
+    asn_raw = draw(st.sampled_from([asn, f"AS{asn}", f"as{asn}", str(asn)]))
+    maxlen = draw(st.one_of(st.none(), st.integers(plen, width)))
+    ta = draw(st.one_of(st.none(), st.text(max_size=8)))
+    return {
+        "asn": asn_raw, "prefix": str(net),
+        "maxLength": maxlen, "ta": ta,
+        "_expect": (v6, asn, net.prefixlen,
+                    maxlen if maxlen is not None else net.prefixlen),
+    }
+
+
+_garbage_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-2**70, 2**70),
+    st.floats(allow_nan=True), st.text(max_size=20),
+    st.binary(max_size=8).map(lambda b: b.decode("latin1")),
+)
+_garbage_row = st.fixed_dictionaries(
+    {},
+    optional={
+        "asn": _garbage_scalar, "prefix": _garbage_scalar,
+        "maxLength": _garbage_scalar, "ta": _garbage_scalar,
+    },
+)
+_valid_row = st.builds(lambda: None).flatmap(
+    lambda _: st.composite(lambda draw: _mk_valid(draw))()
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(row=st.one_of(_garbage_row, _valid_row))
+def test_roa_row_never_raises_and_keeps_valid(row):
+    expect = row.pop("_expect", None) if isinstance(row, dict) else None
+    out = _roa_row(
+        row.get("asn"), row.get("prefix"), row.get("maxLength"), row.get("ta")
+    )
+    if expect is not None:
+        v6, asn, plen, maxlen = expect
+        assert out is not None
+        assert out[0] == v6 and out[2] == plen and out[3] == maxlen
+        assert out[4] == asn
+    elif out is not None:
+        # whatever survives garbage must satisfy the table invariants
+        is_v6, net, plen, max_len, asn, ta = out
+        width = 128 if is_v6 else 32
+        assert 0 <= plen <= max_len <= width
+        assert 0 <= asn < 2**32
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(st.one_of(_garbage_row, _valid_row, _garbage_scalar),
+                  max_size=12),
+    fmt=st.sampled_from(["json", "csv"]),
+)
+def test_roa_loaders_skip_dont_crash(spark, tmp_path_factory, data, fmt):
+    """Whole-file sweep through the REAL loaders: arbitrary row soup
+    parses without raising, every definitely-valid row lands in the
+    right family table."""
+    import csv as _csv
+
+    tmp = tmp_path_factory.mktemp("roas")
+    rows = []
+    n_valid_v4 = n_valid_v6 = 0
+    for r in data:
+        if isinstance(r, dict) and "_expect" in r:
+            exp = r.pop("_expect")
+            if exp[0]:
+                n_valid_v6 += 1
+            else:
+                n_valid_v4 += 1
+        rows.append(r)
+    if fmt == "json":
+        path = tmp / "r.json"
+        path.write_text(json.dumps({"roas": rows}, default=str))
+        v4, v6 = load_roas_json(spark, str(path))
+    else:
+        path = tmp / "r.csv"
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["ASN", "IP Prefix", "Max Length", "Trust Anchor"])
+            for r in rows:
+                if isinstance(r, dict):
+                    w.writerow([
+                        r.get("asn", ""), r.get("prefix", ""),
+                        "" if r.get("maxLength") is None else r.get("maxLength"),
+                        r.get("ta", ""),
+                    ])
+                else:
+                    w.writerow([r])
+        v4, v6 = load_roas_csv(spark, str(path))
+    assert v4.count() >= n_valid_v4 and v6.count() >= n_valid_v6

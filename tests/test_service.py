@@ -1243,3 +1243,162 @@ def test_memo_report_builds_once_under_concurrency(spark):
     assert not svc._analytics_memo
     svc._memo_report("r", "ipv4u", build)
     assert calls["n"] == 2
+
+
+# --- S9/S10 loopback socket e2e ---------------------------------------------
+# Canned-response listeners on 127.0.0.1 drive the REAL TCP (whois) and
+# UDP (DNS) stacks end-to-end through the HTTP serving layer — transports
+# built from config, no injection (reference src/whoissvc.rs:395-457
+# referral walk, :251-394 DNS wire path).
+
+
+class _CannedWhoisListener:
+    """One-shot-per-connection whois responder (port 43 protocol shape:
+    read to CRLF, write text, close)."""
+
+    def __init__(self, responder):
+        import socket as _sk
+        import threading as _th
+
+        self.sock = _sk.socket()
+        self.sock.setsockopt(_sk.SOL_SOCKET, _sk.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(5)
+        self.port = self.sock.getsockname()[1]
+        self.queries = []
+        self._responder = responder
+        _th.Thread(target=self._run, daemon=True).start()
+
+    def _run(self):
+        while True:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            with conn:
+                data = b""
+                while not data.endswith(b"\r\n"):
+                    b = conn.recv(4096)
+                    if not b:
+                        break
+                    data += b
+                q = data.decode().strip()
+                self.queries.append(q)
+                conn.sendall(self._responder(q).encode())
+
+    def close(self):
+        self.sock.close()
+
+
+class _CannedDnsListener:
+    """UDP responder: echoes tid + question, answers one PTR record."""
+
+    def __init__(self, ptr_name: str):
+        import socket as _sk
+        import threading as _th
+
+        self.sock = _sk.socket(_sk.AF_INET, _sk.SOCK_DGRAM)
+        self.sock.bind(("127.0.0.1", 0))
+        self.port = self.sock.getsockname()[1]
+        self.requests = []
+        self._ptr = ptr_name
+        _th.Thread(target=self._run, daemon=True).start()
+
+    def _run(self):
+        import struct as _st
+
+        while True:
+            try:
+                data, addr = self.sock.recvfrom(4096)
+            except OSError:
+                return
+            self.requests.append(data)
+            q = data[12:]  # single question, nothing else in the request
+            rdata = b"".join(
+                bytes([len(p)]) + p.encode()
+                for p in self._ptr.rstrip(".").split(".")
+            ) + b"\x00"
+            rr = (b"\xc0\x0c"  # name: pointer to the question name
+                  + _st.pack(">HHIH", 12, 1, 60, len(rdata)) + rdata)
+            resp = data[:2] + _st.pack(">HHHHH", 0x8180, 1, 1, 0, 0) + q + rr
+            self.sock.sendto(resp, addr)
+
+    def close(self):
+        self.sock.close()
+
+
+def test_whois_dns_loopback_socket_e2e(spark, tmp_path):
+    """GET /api/whois/<mode>?query= and /api/dns/<addr> through the real
+    socket stack: config-built transports, templated first hop (ARIN
+    'n $addr' syntax), ReferralServer hop WITH a port, PTR wire
+    round-trip, and the stale-while-revalidate TTL cache refreshing from
+    the live socket."""
+    import time as _t
+
+    final_text = {"v": "aut-num: AS65001\nOrgName: Final Org\n"}
+    arin = _CannedWhoisListener(lambda q: final_text["v"])
+    iana = _CannedWhoisListener(
+        lambda q: "% IANA stub\n"
+                  f"ReferralServer: whois://127.0.0.1:{arin.port}\n"
+    )
+    dns = _CannedDnsListener("host.example.com.")
+    wj = tmp_path / "whois.json"
+    wj.write_text(json.dumps({
+        "_": {"ip": {"host": f"127.0.0.1:{iana.port}",
+                     "query": "n $addr\r\n"}},
+        "": f"127.0.0.1:{iana.port}",
+    }))
+    ini = tmp_path / "w.ini"
+    ini.write_text(
+        f"[main]\nwhoisjsonconfig = {wj}\n"
+        f"whoisdns = 127.0.0.1:{dns.port}\n"
+        "whois_request_timeout = 10\n"
+    )
+    cfg = cfgmod.from_inifile(str(ini))
+    hist = build_history(
+        make_updates(spark, [u("10.0.0.0/24", t=1)]), history_mode="every"
+    )
+    svc = BgpExplorerService(hist, svc_config=cfg)
+    httpd = serve(svc, port=0)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # AS form routes via the map's "_".ip entry with its query
+        # template, then follows the :port-carrying referral
+        got = urllib.request.urlopen(
+            base + "/api/whois/as?query=AS65001", timeout=15
+        ).read().decode()
+        assert got == "aut-num: AS65001\nOrgName: Final Org"
+        assert iana.queries == ["n AS65001"]       # templated first hop
+        assert arin.queries == ["AS65001"]         # referral speaks plain
+
+        # stale-while-revalidate: age the cache entry past the TTL — the
+        # stale text serves immediately and a background refresh hits the
+        # live socket again
+        final_text["v"] = "aut-num: AS65001\nOrgName: Renewed Org\n"
+        key = "whois:AS65001"
+        ts, val = svc._ttl_cache[key]
+        svc._ttl_cache[key] = (ts - 3600.0, val)
+        stale = urllib.request.urlopen(
+            base + "/api/whois/raw?query=AS65001", timeout=15
+        ).read().decode()
+        assert "Final Org" in stale                # stale served instantly
+        deadline = _t.time() + 30
+        while _t.time() < deadline:
+            if "Renewed Org" in svc._ttl_cache[key][1]:
+                break
+            _t.sleep(0.2)
+        assert "Renewed Org" in svc._ttl_cache[key][1]
+        assert len(arin.queries) == 2              # the refresh re-walked
+
+        # DNS PTR through the real UDP stack (config-pinned resolver)
+        name = urllib.request.urlopen(
+            base + "/api/dns/11.22.33.44", timeout=15
+        ).read().decode()
+        assert name == "host.example.com."
+        # the wire packet asked for the reference's reverse-name form
+        assert b"IN-ADDR" in dns.requests[0].upper() or b"in-addr" in dns.requests[0]
+    finally:
+        httpd.shutdown()
+        arin.close()
+        iana.close()
+        dns.close()
