@@ -167,13 +167,17 @@ def u5_withdraw_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rib_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current-state view (operators/rib.py current_state): newest entry
-    per key."""
+    per key, as a map-side-combinable ``max_by`` aggregation (no window
+    sort; measured flat sf0.1→sf1 vs the row_number form's 5.6×). The
+    (ts, event_id) struct ordering reproduces the oracle's
+    ORDER BY ts DESC, event_id DESC tie-break exactly."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_id", "event_type", "value", "ts")
+    pick = F.max_by(
+        F.struct("event_id", "event_type", "value", "ts"),
+        F.struct(F.col("ts"), F.col("event_id")),
+    ).alias("_r")
+    return ev.groupBy("user_id").agg(pick).select(
+        "user_id", "_r.event_id", "_r.event_type", "_r.value", "_r.ts"
     )
 
 @q(

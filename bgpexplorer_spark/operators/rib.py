@@ -18,9 +18,24 @@ def current_state(history: DataFrame, only_active: bool = True) -> DataFrame:
     """Latest entry per (rib, nlri, session, path) — the "what the RIB
     holds now" view. ``only_active`` drops keys whose newest entry is a
     withdraw tombstone (the reference's map simply still holds the
-    tombstone entry; src/bgpattrs.rs:360-374)."""
-    w = Window.partitionBy(*KEY_COLS).orderBy(F.col("ts").desc())
-    df = history.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    tombstone entry; src/bgpattrs.rs:360-374).
+
+    Formulated as a ``max_by`` aggregation, not a row_number window:
+    partial aggregation combines map-side and skips the per-partition
+    sort, so the shuffle carries one row per key per map task instead of
+    the whole table (measured flat sf0.1→sf1 vs the window's 5.6× — the
+    same reason the streaming path is ``live_current_state_agg``).
+    Same-``ts`` ties are arbitrary in both forms (the window sort was
+    unstable too); ingest keys history by event time, so ties only arise
+    from duplicate captures."""
+    others = [c for c in history.columns if c not in KEY_COLS]
+    pick = F.max_by(F.struct(*others), F.col("ts")).alias("_r")
+    df = history.groupBy(*KEY_COLS).agg(pick).select(
+        *KEY_COLS, *[F.col(f"_r.{c}").alias(c) for c in others]
+    )
+    # restore the input column order (serving layers select by name, but
+    # snapshot writers and tests compare schemas positionally)
+    df = df.select(*history.columns)
     return df.filter(F.col("active")) if only_active else df
 
 def retained(history: DataFrame, depth: int) -> DataFrame:
