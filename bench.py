@@ -90,6 +90,11 @@ BENCH_QUERIES = [
     # ADC scan; its sf ratio should track the probed-cell fraction, not
     # the corpus size
     "sim_ivfpq_topk",
+    # MIPS retrieval scoring: one scan + TakeOrdered (HOF dot product)
+    "sim_mips_topk",
+    # spectral prep: per-batch BLAS partial Gram, O(batches×dim²) shuffle —
+    # its sf ratio tracks the scan, the shuffle is corpus-size-independent
+    "pipe_embedding_gram",
 ]
 
 def _sf_of(sf_dir: str) -> float:

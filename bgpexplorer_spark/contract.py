@@ -7673,3 +7673,63 @@ def an_top_flappers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = _origins_history(spark, sf_dir)
     return top_flappers(hist, k=20).select("nlri_str", "n_events", "n_flips")
+
+
+# --- MIPS retrieval + spectral embedding prep (r8) --------------------------
+
+@q(
+    "sim_mips_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    q AS (SELECT a AS qa FROM e WHERE vec_id = 0)
+    SELECT vec_id,
+           round(list_sum([a[i] * qa[i] for i in range(1, 65)]), 4)
+               AS inner_product
+    FROM e, q
+    ORDER BY inner_product DESC, vec_id LIMIT 10
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-10 (operators/similarity.mips_topk) vs
+    the vec_id=0 query — dual-encoder retrieval scoring (unnormalized
+    dot). One scan + TakeOrdered; the at-scale path is the
+    norm-augmentation reduction to cosine ANN (similarity.mips_augment,
+    property-tested equivalent)."""
+    from bgpexplorer_spark.operators.similarity import mips_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return mips_topk(emb, qv, k=10)
+
+
+@q(
+    "pipe_embedding_gram",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS a FROM embeddings),
+    ij AS (
+        SELECT ii.i AS i, jj.j AS j
+        FROM (SELECT unnest(range(0, 64)) AS i) ii,
+             (SELECT unnest(range(0, 64)) AS j) jj
+        WHERE ii.i <= jj.j
+    )
+    SELECT i, j,
+           -- + 0.0 canonicalizes IEEE negative zero after rounding
+           round(sum(a[i + 1] * a[j + 1]), 3) + 0.0 AS val
+    FROM e, ij
+    GROUP BY i, j
+    """,
+)
+def pipe_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX in long form
+    (operators/similarity.gram_matrix) — the one-pass reduction PCA /
+    whitening / ZCA start from (similarity.pca_fit eigendecomposes the
+    collected dim² result driver-side). Each Arrow batch contributes one
+    BLAS partial product; the only shuffle is O(batches × dim²) rows,
+    independent of corpus size."""
+    from bgpexplorer_spark.operators.similarity import gram_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix(emb, dim=64)
+    return g.select(
+        "i", "j", (F.round("val", 3) + F.lit(0.0)).alias("val")
+    )

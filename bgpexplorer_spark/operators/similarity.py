@@ -713,3 +713,180 @@ def prototype_prune(
         )
         .drop("_n")
     )
+
+
+def mips_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximum-inner-product top-k against a literal query vector — the
+    retrieval scoring used by dual-encoder rankers (unnormalized dot,
+    NOT cosine: vector magnitude is part of the learned score). One
+    scan, one TakeOrdered; the HOF dot product stays JVM-side.
+
+    At scale, MIPS reduces to cosine ANN by norm augmentation
+    (:func:`mips_augment`): append sqrt(M² − ‖x‖²) to every vector (M =
+    corpus max norm) and 0 to the query — the augmented corpus is
+    constant-norm M, so cosine order on the augmented space IS
+    inner-product order and the whole IVF/PQ kit applies unchanged
+    (Bachrach et al. 2014, the Shrivastava-Li ALSH simplification)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(dot(F.col(vec_col).cast("array<double>"), q), 4).alias(
+                "inner_product"
+            ),
+        )
+        .orderBy(F.col("inner_product").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def mips_augment(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, float]:
+    """Norm-augmentation transform reducing MIPS to cosine similarity:
+    returns (df with ``vec_col`` replaced by the (dim+1)-vector
+    ``[x, sqrt(M² − ‖x‖²)]``, M) where M is the corpus max norm (one
+    tiny aggregate). Query vectors get a 0 appended
+    (:func:`mips_query_augment`); cosine/IVF/PQ top-k on the augmented
+    space returns inner-product order on the original space."""
+    m = df.select(F.max(norm(F.col(vec_col).cast("array<double>"))).alias("m")
+                  ).first()["m"]
+    m = float(m)
+    v = F.col(vec_col).cast("array<double>")
+    pad = F.sqrt(F.greatest(F.lit(m * m) - dot(v, v), F.lit(0.0)))
+    out = df.withColumn(vec_col, F.concat(v, F.array(pad)))
+    return out, m
+
+
+def mips_query_augment(query_vec: list[float]) -> list[float]:
+    return [float(x) for x in query_vec] + [0.0]
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64,
+    center: bool = False,
+) -> DataFrame:
+    """Distributed Gram / scatter matrix XᵀX as a long-form table
+    (i, j, val), upper triangle (i ≤ j) — the one-pass reduction every
+    spectral embedding step (PCA, whitening, ZCA) needs. Each Arrow
+    batch contributes ONE dim×dim partial product in BLAS
+    (``m.T @ m``), emitted as dim(dim+1)/2 rows; the final groupBy sums
+    #batches × O(dim²) tiny rows — the only shuffle, independent of the
+    corpus size. ``center=True`` subtracts the column means first
+    (computed driver-side from the same pass's sums is NOT possible in
+    one mapInPandas, so centering recomputes means in one built-in agg —
+    still two scans max) making the output n·Cov(X).
+
+    100 TB posture: the corpus scan is embarrassingly parallel, the
+    shuffle is O(partitions × dim²) regardless of row count, and the
+    result is driver-sized (dim² numbers) — collect it and
+    eigendecompose with :func:`pca_fit`."""
+    import numpy as np
+
+    mean = None
+    if center:
+        # column means in one built-in agg (dim sums + a count)
+        v = F.col(vec_col).cast("array<double>")
+        agg = df.select(
+            *[F.sum(F.get(v, i)).alias(f"s{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        n = agg["n"]
+        mean = np.array([agg[f"s{i}"] / n for i in range(dim)])
+
+    iu = np.triu_indices(dim)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if mean is not None:
+                m = m - mean
+            g = m.T @ m
+            yield pd.DataFrame({
+                "i": iu[0].astype(np.int32),
+                "j": iu[1].astype(np.int32),
+                "val": g[iu],
+            })
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(batches, "i int, j int, val double")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"))
+    )
+
+
+def pca_fit(
+    df: DataFrame, n_components: int, vec_col: str = "embedding",
+    dim: int = 64,
+) -> dict:
+    """Fit PCA on an embedding column: one distributed
+    :func:`gram_matrix` pass (centered) + a driver-side dim×dim ``eigh``
+    — the correct split at any scale (the data never leaves the
+    executors; only the dim² scatter matrix does). Returns
+    ``{"components": k×dim list (rows = descending-eigenvalue
+    eigenvectors, sign-fixed so each row's largest-|coef| entry is
+    positive), "explained_variance": k list, "mean": dim list, "n":
+    rows}``."""
+    import numpy as np
+
+    agg = df.select(
+        *[
+            F.sum(F.get(F.col(vec_col).cast("array<double>"), i)).alias(f"s{i}")
+            for i in range(dim)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n = agg["n"]
+    mean = np.array([agg[f"s{i}"] / n for i in range(dim)])
+
+    rows = gram_matrix(df, vec_col, dim).collect()
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r.i, r.j] = r.val
+        g[r.j, r.i] = r.val
+    cov = g / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = vecs[:, order].T
+    # eigenvector sign is arbitrary: fix each so its largest-|coef|
+    # entry is positive (deterministic across BLAS builds)
+    for r in range(comps.shape[0]):
+        if comps[r, np.argmax(np.abs(comps[r]))] < 0:
+            comps[r] = -comps[r]
+    return {
+        "components": comps.tolist(),
+        "explained_variance": [float(vals[i]) for i in order],
+        "mean": mean.tolist(),
+        "n": int(n),
+    }
+
+
+def pca_project(
+    df: DataFrame, model: dict, vec_col: str = "embedding",
+    out_col: str = "pca", whiten: bool = False, eps: float = 1e-12,
+) -> DataFrame:
+    """Apply a :func:`pca_fit` model: center by the literal mean, dot
+    with each literal component row (JVM HOF math — the same literal-
+    projection shape as :func:`ivf_assign`), optionally whiten (divide
+    by sqrt(eigenvalue) → unit variance per output dim). Map-only, zero
+    shuffles; the model is a plan literal with the usual broadcast
+    fallback territory at large k×dim."""
+    v = F.col(vec_col).cast("array<double>")
+    mean = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    centered = F.zip_with(v, mean, lambda x, m: x - m)
+    outs = []
+    for r, comp in enumerate(model["components"]):
+        c = F.array(*[F.lit(float(x)) for x in comp])
+        d = dot(centered, c)
+        if whiten:
+            d = d / F.lit(float(max(model["explained_variance"][r], eps)) ** 0.5)
+        outs.append(d)
+    return df.withColumn(out_col, F.array(*outs))

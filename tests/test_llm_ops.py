@@ -1741,3 +1741,102 @@ def test_audio_energy_hash_properties(spark):
     diff = sum(a != b for a, b in zip(got[1].ahash, got[3].ahash))
     assert diff > 10                               # different content
     assert got[5].ahash is None and got[6].ahash is None
+
+
+# --- MIPS + Gram/PCA (r8) ----------------------------------------------------
+
+def _rand_emb(spark, n=60, dim=8, seed=7):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.uniform(-2, 2) for _ in range(dim)]) for i in range(n)]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_mips_topk_matches_numpy(spark):
+    import numpy as np
+
+    rows, df = _rand_emb(spark)
+    q = rows[0][1]
+    got = [r.vec_id for r in similarity.mips_topk(df, q, k=5).collect()]
+    m = np.array([v for _, v in rows])
+    ips = np.round(m @ np.array(q), 4)
+    want = sorted(range(len(rows)), key=lambda i: (-ips[i], i))[:5]
+    assert got == want
+
+
+def test_mips_augment_reduces_to_cosine(spark):
+    """Cosine order on the norm-augmented space must equal inner-product
+    order on the original space (exact columns, no rounding)."""
+    rows, df = _rand_emb(spark, n=40)
+    q = rows[3][1]
+    aug, m = similarity.mips_augment(df)
+    qa = similarity.mips_query_augment(q)
+    qcol = F.array(*[F.lit(float(x)) for x in qa])
+    by_cos = [
+        r.vec_id
+        for r in aug.select(
+            "vec_id",
+            similarity.cosine(F.col("embedding"), qcol).alias("c"),
+        ).orderBy(F.col("c").desc(), "vec_id").collect()
+    ]
+    by_ip = [
+        r.vec_id
+        for r in df.select(
+            "vec_id",
+            similarity.dot(F.col("embedding"),
+                           F.array(*[F.lit(float(x)) for x in q])).alias("d"),
+        ).orderBy(F.col("d").desc(), "vec_id").collect()
+    ]
+    assert by_cos == by_ip
+    # augmented vectors all have norm M
+    import numpy as np
+
+    for r in aug.collect():
+        assert math.isclose(np.linalg.norm(r.embedding), m, rel_tol=1e-9)
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+
+    rows, df = _rand_emb(spark, n=50, dim=6)
+    m = np.array([v for _, v in rows])
+    for center in (False, True):
+        x = m - m.mean(axis=0) if center else m
+        want = x.T @ x
+        got = np.zeros((6, 6))
+        for r in similarity.gram_matrix(df, dim=6, center=center).collect():
+            got[r.i, r.j] = r.val
+            got[r.j, r.i] = r.val
+        assert np.allclose(got, want, atol=1e-8), center
+
+
+def test_pca_fit_project_properties(spark):
+    import numpy as np
+
+    rows, df = _rand_emb(spark, n=80, dim=6, seed=11)
+    model = similarity.pca_fit(df, n_components=3, dim=6)
+    comps = np.array(model["components"])
+    ev = model["explained_variance"]
+    # orthonormal rows, descending variance
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    assert ev[0] >= ev[1] >= ev[2] > 0
+    # matches numpy eigh on the sample covariance
+    m = np.array([v for _, v in rows])
+    cov = np.cov(m, rowvar=False, bias=True)
+    vals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(ev, vals[:3], atol=1e-8)
+
+    proj = similarity.pca_project(df, model)
+    p = np.array([r.pca for r in proj.collect()])
+    # projected covariance is diag(explained_variance)
+    pcov = np.cov(p, rowvar=False, bias=True)
+    assert np.allclose(pcov, np.diag(ev), atol=1e-8)
+    assert np.allclose(p.mean(axis=0), 0, atol=1e-9)
+    # whitened projection has identity covariance
+    pw = np.array([
+        r.pca for r in similarity.pca_project(df, model, whiten=True).collect()
+    ])
+    assert np.allclose(np.cov(pw, rowvar=False, bias=True), np.eye(3), atol=1e-7)
