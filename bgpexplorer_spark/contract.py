@@ -7733,3 +7733,58 @@ def pipe_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "i", "j", (F.round("val", 3) + F.lit(0.0)).alias("val")
     )
+
+
+@q(
+    "st_heavy_hitters",
+    """
+    WITH upd AS (
+        SELECT ts, 'ipv4u' AS rib,
+               'p' || CAST(CASE WHEN event_id % 5 = 0 THEN 0
+                                ELSE event_id % 23 END AS VARCHAR) AS nlri_str
+        FROM events
+    ),
+    c AS (
+        SELECT time_bucket(INTERVAL 1 DAY, ts) AS win_start, rib, nlri_str,
+               count(*) AS n_updates
+        FROM upd GROUP BY 1, 2, 3
+    ),
+    r AS (
+        SELECT *,
+               sum(n_updates) OVER (PARTITION BY win_start) AS tot,
+               row_number() OVER (PARTITION BY win_start
+                                  ORDER BY n_updates DESC, rib, nlri_str)
+                   AS rank
+        FROM c
+    )
+    SELECT win_start, rib, nlri_str, n_updates,
+           round(n_updates / tot, 4) AS share, rank
+    FROM r WHERE rank <= 5 AND round(n_updates / tot, 4) >= 0.04
+    """,
+)
+def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitter alerting (streaming/feed.live_key_counts +
+    heavy_hitters): per event-time daily window, the top-5 keys by
+    update count that also hold ≥ 4% of the window's updates — the
+    prefix-flap / deaggregation-storm alarm. The counts half is the
+    streaming-safe incremental aggregation (watermark-bounded state);
+    the rank finisher runs on closed windows. Every 5th event floods
+    key p0 so a real hitter exists in every window."""
+    from bgpexplorer_spark.streaming.feed import heavy_hitters, live_key_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    upd = ev.select(
+        "ts",
+        F.lit("ipv4u").alias("rib"),
+        F.concat(
+            F.lit("p"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(0))
+            .otherwise(F.col("event_id") % 23)
+            .cast("string"),
+        ).alias("nlri_str"),
+    )
+    counts = live_key_counts(upd, window="1 day")
+    return heavy_hitters(counts, k=5, min_share=0.04).select(
+        "win_start", "rib", "nlri_str", "n_updates", "share",
+        F.col("rank").cast("long").alias("rank"),
+    )

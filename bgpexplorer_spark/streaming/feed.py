@@ -21,7 +21,7 @@ Structured Streaming DataFrame:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bgpexplorer_spark.filterlang.compile import matches
@@ -127,6 +127,52 @@ def windowed_prefix_churn(
             F.sum(F.when(F.col("op") == "withdraw", 1).otherwise(0)).alias("withdraws"),
         )
     )
+
+def live_key_counts(
+    updates: DataFrame, window: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-window per-key event counts — the streaming-safe half of
+    heavy-hitter detection. Incremental windowed aggregation keyed by
+    (window, rib, nlri_str), map-side combinable, watermark-bounded
+    state; works identically on a batch frame (no watermark applied).
+    Ranking needs the window CLOSED, so it stays a finishing step
+    (:func:`heavy_hitters`) run on the emitted counts — the same
+    split as live_rpki_rates' verdict join."""
+    src = updates
+    if src.isStreaming:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy(
+        F.window("ts", window).alias("win"), "rib", "nlri_str"
+    ).agg(F.count(F.lit(1)).alias("n_updates"))
+
+
+def heavy_hitters(
+    counts: DataFrame, k: int = 10, min_share: float = 0.0
+) -> DataFrame:
+    """Finish :func:`live_key_counts` into per-window heavy hitters:
+    keys ranked by count inside each window, kept while rank ≤ k AND
+    share ≥ ``min_share`` (the φ of the classic φ-heavy-hitter
+    definition — a key flooding ≥ φ of a window's updates is the
+    prefix-flap / deaggregation-storm alarm). One window partition for
+    the total and the rank — the window total via a window-partitioned
+    sum shares the rank's Exchange (partition key is a prefix of the
+    sort key's partitioning)."""
+    w_tot = Window.partitionBy("win")
+    w_rank = Window.partitionBy("win").orderBy(
+        F.col("n_updates").desc(), "rib", "nlri_str"
+    )
+    return (
+        counts.withColumn("_tot", F.sum("n_updates").over(w_tot))
+        .withColumn("share", F.round(F.col("n_updates") / F.col("_tot"), 4))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter((F.col("rank") <= k) & (F.col("share") >= min_share))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "rib", "nlri_str", "n_updates", "share", "rank",
+        )
+    )
+
 
 def live_current_state_agg(updates: DataFrame) -> DataFrame:
     """JVM-native variant of :func:`live_current_state`: the keyed

@@ -842,3 +842,37 @@ def test_flap_damping_increment_late_batch_keeps_announced(spark):
     batch2 = make_updates(spark, [u("10.0.0.0/24", t=60, op="withdraw")])
     r2 = flap_damping_increment(state, batch2, 900.0, 1000.0).collect()[0]
     assert r2.announced is False and r2.last_us == off_us + 60_000_000
+
+
+def test_live_key_counts_heavy_hitters_streaming(spark):
+    """Heavy hitters end-to-end: streaming windowed counts (watermark
+    state) finished by the closed-window rank — the flooding key tops
+    every window it floods, share and rank match the batch math."""
+    from bgpexplorer_spark.streaming.feed import heavy_hitters, live_key_counts
+
+    rows = []
+    # minute 0: p0 floods (6 updates), p1/p2 get 2 and 1
+    rows += [u("10.0.0.0/24", t=i) for i in range(0, 30, 5)]
+    rows += [u("10.0.1.0/24", t=2), u("10.0.1.0/24", t=7)]
+    rows += [u("10.0.2.0/24", t=9)]
+    # minute 1: p2 floods (3), p0 once
+    rows += [u("10.0.2.0/24", t=61), u("10.0.2.0/24", t=65),
+             u("10.0.2.0/24", t=69), u("10.0.0.0/24", t=63)]
+    d = _updates_dir(spark, rows)
+    stream = stream_updates_from_files(spark, d)
+    q = (
+        live_key_counts(stream, window="1 minute")
+        .writeStream.format("memory").queryName("hh_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    counts = spark.table("hh_counts")
+    out = heavy_hitters(counts, k=2, min_share=0.2)
+    got = {(r.win_start.minute, r.rank): (r.nlri_str, r.n_updates, r.share)
+           for r in out.collect()}
+    assert got[(0, 1)] == ("10.0.0.0/24", 6, round(6 / 9, 4))
+    assert got[(0, 2)] == ("10.0.1.0/24", 2, round(2 / 9, 4))
+    assert got[(1, 1)] == ("10.0.2.0/24", 3, 0.75)
+    assert got[(1, 2)] == ("10.0.0.0/24", 1, 0.25)
+    # p2 in minute 0 (share 1/9) fails the 0.2 phi gate
+    assert len(got) == 4
