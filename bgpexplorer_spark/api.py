@@ -194,15 +194,21 @@ class BgpExplorerService:
         the current history DataFrame — the live-daemon wiring, since a
         batch DataFrame binds its file listing at creation), the history
         itself is refreshed too."""
+        # refresh the history FIRST: bumping before the refresh opens a
+        # window where a request computes a new-version memo key but
+        # build() still reads the old history — the stale frame would
+        # then serve under the new version for a full TTL. A request
+        # racing ahead of the bump memos new history under the OLD
+        # version, which the clear below discards — harmless.
+        provider = getattr(self, "history_provider", None)
+        if provider is not None:
+            self.history = provider()
+        if not self.exact_length:
+            self.route_counts = None
         with self._memo_lock:
             self._state_version += 1
             self._analytics_memo.clear()
             self._memo_building.clear()
-        if not self.exact_length:
-            self.route_counts = None
-        provider = getattr(self, "history_provider", None)
-        if provider is not None:
-            self.history = provider()
 
     @staticmethod
     def _page(df, k: int, skip: int):

@@ -765,9 +765,22 @@ def mips_query_augment(query_vec: list[float]) -> list[float]:
     return [float(x) for x in query_vec] + [0.0]
 
 
+def _column_means(df: DataFrame, vec_col: str, dim: int):
+    """(mean ndarray, row count) in one built-in agg (dim sums + count)."""
+    import numpy as np
+
+    v = F.col(vec_col).cast("array<double>")
+    agg = df.select(
+        *[F.sum(F.get(v, i)).alias(f"s{i}") for i in range(dim)],
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    n = agg["n"]
+    return np.array([agg[f"s{i}"] / n for i in range(dim)]), n
+
+
 def gram_matrix(
     df: DataFrame, vec_col: str = "embedding", dim: int = 64,
-    center: bool = False,
+    center: bool = False, mean=None,
 ) -> DataFrame:
     """Distributed Gram / scatter matrix XᵀX as a long-form table
     (i, j, val), upper triangle (i ≤ j) — the one-pass reduction every
@@ -776,9 +789,10 @@ def gram_matrix(
     (``m.T @ m``), emitted as dim(dim+1)/2 rows; the final groupBy sums
     #batches × O(dim²) tiny rows — the only shuffle, independent of the
     corpus size. ``center=True`` subtracts the column means first
-    (computed driver-side from the same pass's sums is NOT possible in
-    one mapInPandas, so centering recomputes means in one built-in agg —
-    still two scans max) making the output n·Cov(X).
+    (one extra built-in agg — two scans max; pass a precomputed ``mean``
+    to skip it) making the output n·Cov(X) computed as Σ(x−μ)ᵀ(x−μ) —
+    the cancellation-free form (g/n − μμᵀ loses the variance in float
+    rounding when ‖μ‖ ≫ σ).
 
     100 TB posture: the corpus scan is embarrassingly parallel, the
     shuffle is O(partitions × dim²) regardless of row count, and the
@@ -786,16 +800,10 @@ def gram_matrix(
     eigendecompose with :func:`pca_fit`."""
     import numpy as np
 
-    mean = None
-    if center:
-        # column means in one built-in agg (dim sums + a count)
-        v = F.col(vec_col).cast("array<double>")
-        agg = df.select(
-            *[F.sum(F.get(v, i)).alias(f"s{i}") for i in range(dim)],
-            F.count(F.lit(1)).alias("n"),
-        ).first()
-        n = agg["n"]
-        mean = np.array([agg[f"s{i}"] / n for i in range(dim)])
+    if mean is not None:
+        mean = np.asarray(mean, dtype=np.float64)
+    elif center:
+        mean, _ = _column_means(df, vec_col, dim)
 
     iu = np.triu_indices(dim)
 
@@ -837,22 +845,15 @@ def pca_fit(
     rows}``."""
     import numpy as np
 
-    agg = df.select(
-        *[
-            F.sum(F.get(F.col(vec_col).cast("array<double>"), i)).alias(f"s{i}")
-            for i in range(dim)
-        ],
-        F.count(F.lit(1)).alias("n"),
-    ).first()
-    n = agg["n"]
-    mean = np.array([agg[f"s{i}"] / n for i in range(dim)])
-
-    rows = gram_matrix(df, vec_col, dim).collect()
+    mean, n = _column_means(df, vec_col, dim)
+    # centered gram (Σ(x−μ)ᵀ(x−μ)) — NOT g/n − μμᵀ, which cancels the
+    # variance away in float rounding when the embedding mean dominates
+    rows = gram_matrix(df, vec_col, dim, mean=mean).collect()
     g = np.zeros((dim, dim))
     for r in rows:
         g[r.i, r.j] = r.val
         g[r.j, r.i] = r.val
-    cov = g / n - np.outer(mean, mean)
+    cov = g / n
     vals, vecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(vals)[::-1][:n_components]
     comps = vecs[:, order].T

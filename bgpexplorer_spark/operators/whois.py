@@ -37,6 +37,16 @@ REFERRAL_RE = re.compile(
 )
 MAX_REFERRALS = 16  # src/whoissvc.rs:395-457
 
+def _server_hostport(server: str) -> tuple[str, int]:
+    """whois server string → (host, port 43 default) via the shared
+    guarded split (config.parse_hostport): handles ``host``,
+    ``host:port``, bracketed v6, and bare v6 literals; malformed
+    strings fail loudly instead of feeding garbage to getaddrinfo."""
+    from bgpexplorer_spark.config import parse_hostport
+
+    return parse_hostport(server, 43)
+
+
 def socket_transport(timeout: float = 30.0) -> Transport:
     """Real whois TCP transport (whois_request_timeout default 30 s,
     src/config.rs:580-595). ``server`` is ``host`` (port 43) or
@@ -46,11 +56,7 @@ def socket_transport(timeout: float = 30.0) -> Transport:
     def send(server: str, query: str) -> str:
         import socket
 
-        host, port = server, 43
-        if server.count(":") == 1:
-            h, p = server.rsplit(":", 1)
-            if p.isdigit():
-                host, port = h, int(p)
+        host, port = _server_hostport(server)
         with socket.create_connection((host, port), timeout=timeout) as s:
             s.sendall((query + "\r\n").encode())
             chunks = []
@@ -141,16 +147,25 @@ def query_whois(
     if server_map is not None:
         start_server, templated = server_map.resolve(query, start_server)
         wire_query = templated.rstrip("\r\n")  # transport appends CRLF
-    seen: set[str] = set()
+
+    def key(s: str) -> tuple[str, int]:
+        # loop protection on (host, port), not the raw spelling:
+        # 'whois.arin.net' and 'whois.arin.net:43' are the SAME server
+        try:
+            return _server_hostport(s.lower())
+        except ValueError:
+            return (s.lower(), 43)
+
+    seen: set[tuple[str, int]] = set()
     server = start_server
     text = ""
     for _ in range(MAX_REFERRALS):
-        if server in seen:
+        if key(server) in seen:
             break
-        seen.add(server)
+        seen.add(key(server))
         text = transport(server, wire_query)
         m = REFERRAL_RE.search(text)
-        if not m or m.group(1).lower() in seen:
+        if not m or key(m.group(1)) in seen:
             break
         server = m.group(1).lower()
         # referral hops speak plain whois, not the mapped template

@@ -522,19 +522,31 @@ def run_flap_damping_incremental(
     import os
     import shutil
 
+    def _lineage_id() -> str | None:
+        """The streaming query id from the checkpoint's own metadata —
+        stable across same-checkpoint restarts, NEW when the checkpoint
+        dir is wiped/recreated (epochs renumber then). The path alone
+        can't tell those apart."""
+        import json as _json
+
+        try:
+            with open(os.path.join(checkpoint, "metadata"), encoding="utf-8") as f:
+                return _json.load(f)["id"]
+        except Exception:  # noqa: BLE001 — no metadata → no lineage claim
+            return None
+
     def _persist_state(new_state: DataFrame, epoch_id: int) -> None:
         version = f"v{epoch_id}"
         os.makedirs(state_dir, exist_ok=True)
-        new_state.write.mode("overwrite").parquet(
-            os.path.join(state_dir, version)
-        )
-        # CKPT records WHICH streaming checkpoint produced this state:
-        # epoch ids are only comparable within one checkpoint lineage
-        # (a fresh-checkpoint restart renumbers from 0)
-        ckpt_file = os.path.join(state_dir, "CKPT")
-        with open(f"{ckpt_file}.part", "w", encoding="utf-8") as f:
-            f.write(os.path.abspath(checkpoint))
-        os.replace(f"{ckpt_file}.part", ckpt_file)
+        vdir = os.path.join(state_dir, version)
+        new_state.write.mode("overwrite").parquet(vdir)
+        # the lineage id lives INSIDE the version dir, before the marker
+        # flip — marker and lineage can never disagree (the old marker
+        # keeps pointing at the old vdir with its own _LINEAGE)
+        lineage = _lineage_id()
+        if lineage is not None:
+            with open(os.path.join(vdir, "_LINEAGE"), "w", encoding="ascii") as f:
+                f.write(lineage)
         marker = os.path.join(state_dir, "CURRENT")
         prev = None
         try:
@@ -552,22 +564,24 @@ def run_flap_damping_incremental(
 
     def _restore_state(spark: SparkSession) -> tuple[DataFrame, int] | None:
         """(state df, last folded epoch) — epoch is -1 when the persisted
-        state came from a DIFFERENT streaming checkpoint (fresh-checkpoint
-        restart renumbers epochs from 0, so the ids aren't comparable and
-        every incoming epoch must fold)."""
+        state came from a DIFFERENT streaming query lineage (fresh or
+        recreated checkpoint renumbers epochs from 0, so the ids aren't
+        comparable and every incoming epoch must fold)."""
         if state_dir is None:
             return None
         try:
             with open(os.path.join(state_dir, "CURRENT"), encoding="ascii") as f:
                 current = f.read().strip()
-            df = spark.read.parquet(os.path.join(state_dir, current)).select(
+            vdir = os.path.join(state_dir, current)
+            df = spark.read.parquet(vdir).select(
                 "rib", "nlri_str", "penalty", "last_us", "announced", "flaps"
             )
             epoch = -1
             try:
-                with open(os.path.join(state_dir, "CKPT"), encoding="utf-8") as f:
-                    if f.read().strip() == os.path.abspath(checkpoint):
-                        epoch = int(current[1:])
+                with open(os.path.join(vdir, "_LINEAGE"), encoding="ascii") as f:
+                    stored = f.read().strip()
+                if stored and stored == _lineage_id():
+                    epoch = int(current[1:])
             except OSError:
                 pass
             return df, epoch

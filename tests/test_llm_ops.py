@@ -1840,3 +1840,21 @@ def test_pca_fit_project_properties(spark):
         r.pca for r in similarity.pca_project(df, model, whiten=True).collect()
     ])
     assert np.allclose(np.cov(pw, rowvar=False, bias=True), np.eye(3), atol=1e-7)
+
+
+def test_pca_fit_survives_large_mean_offset(spark):
+    """The centered-gram form keeps precision when the embedding mean
+    dwarfs the variance (g/n − μμᵀ would cancel the variance away)."""
+    import numpy as np
+    import random
+
+    rnd = random.Random(3)
+    rows = [
+        (i, [1e6 + rnd.uniform(-1, 1) for _ in range(4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = similarity.pca_fit(df, n_components=2, dim=4)
+    m = np.array([v for _, v in rows])
+    want = np.sort(np.linalg.eigvalsh(np.cov(m, rowvar=False, bias=True)))[::-1]
+    got = model["explained_variance"]
+    assert np.allclose(got, want[:2], rtol=1e-6)

@@ -1402,3 +1402,23 @@ def test_whois_dns_loopback_socket_e2e(spark, tmp_path):
         arin.close()
         iana.close()
         dns.close()
+
+
+def test_whois_referral_loop_protection_normalizes_ports():
+    """'whois.arin.net' and 'whois.arin.net:43' are the same server —
+    the port-carrying referral must not trigger a duplicate query."""
+    calls = []
+
+    def fake(server, q):
+        calls.append(server)
+        return "ReferralServer: whois://whois.arin.net:43\n"
+
+    m = whois.WhoisServerMap(
+        {"_": {"ip": {"host": "whois.arin.net", "query": "$addr\r\n"}}}
+    )
+    srv, _ = whois.query_whois("192.0.2.1", fake, server_map=m)
+    assert calls == ["whois.arin.net"]  # one dial, referral recognized
+
+    # bracketed v6 server strings parse to the bare address
+    assert whois._server_hostport("[2001:db8::1]:4343") == ("2001:db8::1", 4343)
+    assert whois._server_hostport("2001:db8::1") == ("2001:db8::1", 43)

@@ -813,6 +813,26 @@ def test_run_flap_damping_incremental_epoch_replay_idempotent(spark, tmp_path):
     assert st["10.0.0.0/24"].flaps == 2  # not 4
     assert st["10.0.0.0/24"].penalty == _pt.approx(expect, abs=1e-3)
 
+    # a WIPED-and-recreated checkpoint at the SAME path is a new query
+    # lineage (new query id, epochs renumber from 0): the guard must NOT
+    # skip — new data folds onto the restored state
+    import shutil as _sh
+
+    _sh.rmtree(ck)
+    d2 = _updates_dir(spark, [
+        u("10.0.0.0/24", t=40),
+        u("10.0.0.0/24", t=50, op="withdraw"),
+    ])
+    q3 = run_flap_damping_incremental(
+        stream_updates_from_files(spark, d2), ck,
+        half_life_sec=20.0, state_dir=sd,
+    )
+    q3.awaitTermination(120)
+    cur = (tmp_path / "state" / "CURRENT").read_text().strip()
+    st = {x.nlri_str: x for x in
+          spark.read.parquet(str(tmp_path / "state" / cur)).collect()}
+    assert st["10.0.0.0/24"].flaps == 3  # 2 restored + 1 NEW (not skipped)
+
 
 def test_flap_damping_increment_late_batch_keeps_announced(spark):
     """A batch whose events are ALL older than the carried clock must not
