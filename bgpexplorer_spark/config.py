@@ -155,12 +155,18 @@ def parse_hostport(
     address). Malformed forms fail LOUDLY instead of binding to a
     garbage address — ``'::1'`` must not become host ``':'`` port 1, and
     a bare ``'8080'`` must not become host ``'8080'``."""
+    def port_of(p: str) -> int:
+        n = int(p)
+        if not 0 <= n <= 65535:
+            raise ValueError(f"port out of range in listen address {addr!r}")
+        return n
+
     addr = addr.strip()
     if addr.startswith("["):
         host, sep, rest = addr[1:].partition("]")
         if not sep or (rest and not (rest.startswith(":") and rest[1:].isdigit())):
             raise ValueError(f"invalid listen address {addr!r}")
-        return host or default_host, int(rest[1:]) if rest else default_port
+        return host or default_host, port_of(rest[1:]) if rest else default_port
     if addr.count(":") > 1:
         import ipaddress
 
@@ -176,7 +182,7 @@ def parse_hostport(
     if sep:
         if not port.isdigit():
             raise ValueError(f"invalid port in listen address {addr!r}")
-        return host or default_host, int(port)
+        return host or default_host, port_of(port)
     if not addr:
         return default_host, default_port
     if addr.isdigit():

@@ -1422,3 +1422,56 @@ def test_whois_referral_loop_protection_normalizes_ports():
     # bracketed v6 server strings parse to the bare address
     assert whois._server_hostport("[2001:db8::1]:4343") == ("2001:db8::1", 4343)
     assert whois._server_hostport("2001:db8::1") == ("2001:db8::1", 43)
+
+
+def test_parse_hostport_property_sweep():
+    """Hypothesis sweep: valid forms round-trip exactly; arbitrary junk
+    either parses to a sane (host, port) or raises ValueError — never a
+    silently-wrong bind target like host ':' or a numeric host."""
+    from hypothesis import given, settings, strategies as st
+
+    p = cfgmod.parse_hostport
+
+    host_names = st.from_regex(r"[a-z]([a-z0-9\-]{0,10}[a-z0-9])?(\.[a-z]{2,6}){0,3}", fullmatch=True).filter(
+        lambda h: not h.replace(".", "").isdigit()
+    )
+    v4 = st.tuples(*[st.integers(0, 255)] * 4).map(
+        lambda t: ".".join(map(str, t))
+    )
+    v6 = st.integers(0, 2**128 - 1).map(
+        lambda n: __import__("ipaddress").IPv6Address(n).compressed
+    )
+    ports = st.integers(0, 65535)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        host=st.one_of(host_names, v4, v6),
+        port=st.one_of(st.none(), ports),
+        default=ports,
+    )
+    def valid_forms(host, port, default):
+        is_v6 = ":" in host
+        if port is None:
+            # bare host (v6 literals carry their own colons)
+            assert p(host, default) == (host, default)
+            if is_v6:
+                assert p(f"[{host}]", default) == (host, default)
+        else:
+            addr = f"[{host}]:{port}" if is_v6 else f"{host}:{port}"
+            assert p(addr, default) == (host, port)
+
+    valid_forms()
+
+    @settings(max_examples=150, deadline=None)
+    @given(junk=st.text(max_size=24), default=ports)
+    def junk_never_misbinds(junk, default):
+        try:
+            host, port = p(junk, default, default_host="0.0.0.0")
+        except ValueError:
+            return
+        assert 0 <= port <= 65535  # engine-enforced port range
+        assert host != ":" and not host.startswith("[")
+        # a pure-digit host is the classic silent mis-bind — banned
+        assert not (host.isdigit() and host == junk.strip())
+
+    junk_never_misbinds()
