@@ -658,3 +658,44 @@ def test_deaggregation_plan_no_cartesian(spark):
     plan = _plan(deaggregation(current_state(hist)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_matrix_single_small_shuffle(spark):
+    """The Gram reduction's only Exchange carries the per-batch partial
+    rows (O(batches × dim²)) — never the corpus; the scan side reads only
+    the vector column."""
+    from bgpexplorer_spark.operators.similarity import gram_matrix
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(gram_matrix(df, dim=2))
+    assert plan.count("Exchange") == 1          # the i,j rollup only
+    assert "vec_id" not in plan.split("MapInPandas")[0]  # column pruned
+
+
+def test_mips_topk_is_scan_plus_takeordered(spark):
+    from bgpexplorer_spark.operators.similarity import mips_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(mips_topk(df, [1.0, 2.0], k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_shares_one_exchange(spark):
+    """The window total (partition by win) and the rank (partition by
+    win, ordered) must reuse ONE hash partitioning — a second Exchange
+    would double the shuffle for no reason."""
+    from bgpexplorer_spark.streaming.feed import heavy_hitters, live_key_counts
+
+    upd = make_updates(spark, [u(f"10.0.{i % 5}.0/24", t=i) for i in range(40)])
+    counts = live_key_counts(upd, window="1 minute")
+    plan = _plan(heavy_hitters(counts, k=3))
+    # one Exchange for the groupBy counts, one for the shared window key
+    assert plan.count("Exchange") == 2
