@@ -7788,3 +7788,76 @@ def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "win_start", "rib", "nlri_str", "n_updates", "share",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@q(
+    "an_roa_delta",
+    f"""
+    WITH r AS (
+        SELECT event_id, addr_v4, prefixlen,
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_as,
+               CAST(floor(addr_v4 / 65536) AS BIGINT) % 256 AS u
+        FROM ({_DERIVED_ROUTES_SQL})
+    ),
+    v AS (
+        SELECT event_id, addr_v4, prefixlen, origin_as,
+               -- current set: /16 ROAs (max_len 24, asn 200+u%3) on 3/4 of
+               -- the space + /20s (max_len 28, asn 200+u%2) on even /16s
+               CASE
+                   WHEN u % 4 = 3 THEN 'NotFound'
+                   WHEN (prefixlen <= 24 AND origin_as = 200 + u % 3)
+                     OR (u % 2 = 0 AND prefixlen >= 20
+                         AND CAST(floor(addr_v4 / 4096) AS BIGINT) % 16 = 0
+                         AND prefixlen <= 28 AND origin_as = 200 + u % 2)
+                       THEN 'Valid'
+                   ELSE 'Invalid'
+               END AS validity_before,
+               -- proposed set: the /20s are withdrawn and the /16s move
+               -- to asn 200+(u+1)%3 (an origin migration)
+               CASE
+                   WHEN u % 4 = 3 THEN 'NotFound'
+                   WHEN prefixlen <= 24 AND origin_as = 200 + (u + 1) % 3
+                       THEN 'Valid'
+                   ELSE 'Invalid'
+               END AS validity_after
+        FROM r
+    )
+    SELECT event_id, addr_v4, prefixlen, origin_as,
+           validity_before, validity_after
+    FROM v WHERE validity_before <> validity_after
+    """,
+)
+def an_roa_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROA change-impact report (operators/analytics.roa_delta): the
+    an_rpki_validate fixture ROAs as the CURRENT set; the PROPOSED set
+    withdraws the /20s and migrates the /16s to asn 200+(u+1)%3 —
+    routes whose RFC 6811 verdict changes, both closed forms in the
+    oracle. Two chained narrow-key validations, no extra join."""
+    from bgpexplorer_spark.operators.analytics import roa_delta
+
+    routes = derived_routes(spark, sf_dir).select(
+        "event_id", "addr_v4", "prefixlen",
+        (F.lit(200) + F.col("event_id") % 3).cast("bigint").alias("origin_as"),
+    )
+    uu = spark.range(64).select(F.col("id").alias("u"))
+    base = (F.lit(10 * 16777216) + F.col("u") * 65536).cast("bigint")
+    roa16 = uu.filter(F.col("u") % 4 != 3).select(
+        base.alias("net"), F.lit(16).alias("plen"), F.lit(24).alias("max_len"),
+        (F.lit(200) + F.col("u") % 3).cast("bigint").alias("asn"),
+    )
+    roa20 = uu.filter(F.col("u") % 2 == 0).select(
+        base.alias("net"), F.lit(20).alias("plen"), F.lit(28).alias("max_len"),
+        (F.lit(200) + F.col("u") % 2).cast("bigint").alias("asn"),
+    )
+    before = roa16.unionByName(roa20)
+    after = uu.filter(F.col("u") % 4 != 3).select(
+        base.alias("net"), F.lit(16).alias("plen"), F.lit(24).alias("max_len"),
+        (F.lit(200) + (F.col("u") + 1) % 3).cast("bigint").alias("asn"),
+    )
+    return roa_delta(
+        routes, before, after,
+        roa_plens_before=[16, 20], roa_plens_after=[16],
+    ).select(
+        "event_id", "addr_v4", "prefixlen", "origin_as",
+        "validity_before", "validity_after",
+    )

@@ -1451,3 +1451,49 @@ def route_uptime(history: DataFrame, window_end=None) -> DataFrame:
             F.round(F.col("uptime_ms") / F.col("observed_ms"), 4),
         ),
     )
+
+
+def roa_delta(
+    routes: DataFrame,
+    roas_before: DataFrame,
+    roas_after: DataFrame,
+    addr_col: str = "addr_v4",
+    plen_col: str = "prefixlen",
+    origin_col: str = "origin_as",
+    roa_plens_before: list[int] | None = None,
+    roa_plens_after: list[int] | None = None,
+    changed_only: bool = True,
+    v6: bool = False,
+) -> DataFrame:
+    """ROA change-impact report: every route's RFC 6811 validity under
+    the CURRENT ROA set vs a PROPOSED one — the pre-deployment check an
+    operator runs before publishing new ROAs ("which of my announcements
+    would go Invalid?"). Output: the route columns +
+    (validity_before, validity_after), filtered to changed verdicts by
+    default (``changed_only=False`` keeps the diagonal for a full
+    transition matrix — :func:`roa_delta_summary`).
+
+    Scale shape: the two validations CHAIN (the second runs over the
+    first's output, which is routes + one string column), so each set
+    pays exactly its own masked-candidate equi-join + narrow-key verdict
+    aggregate (the rpki_validate shape) and no extra join is needed to
+    line the verdicts up."""
+    fn = rpki_validate_v6 if v6 else rpki_validate
+    before = fn(
+        routes, roas_before, addr_col, plen_col, origin_col, roa_plens_before
+    ).withColumnRenamed("validity", "validity_before")
+    out = fn(
+        before, roas_after, addr_col, plen_col, origin_col, roa_plens_after
+    ).withColumnRenamed("validity", "validity_after")
+    if changed_only:
+        out = out.filter(F.col("validity_before") != F.col("validity_after"))
+    return out
+
+
+def roa_delta_summary(delta: DataFrame) -> DataFrame:
+    """Transition matrix over a :func:`roa_delta` run (changed_only=False
+    for the full diagonal): route counts per
+    (validity_before, validity_after) — the one-line go/no-go view."""
+    return delta.groupBy("validity_before", "validity_after").agg(
+        F.count(F.lit(1)).alias("routes")
+    )

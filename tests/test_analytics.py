@@ -938,3 +938,41 @@ def test_route_uptime_explicit_window_end_clips(spark):
     assert (r.n_events, r.uptime_ms, r.observed_ms, r.uptime_fraction) == (
         1, 50000, 50000, 1.0,
     )
+
+
+def test_roa_delta_and_summary(spark):
+    """Pre-deployment ROA change impact: only changed verdicts surface
+    (changed_only), the full run feeds the transition matrix."""
+    routes = spark.createDataFrame(
+        [
+            (1, 10 * 2**24, 24, 100),   # Valid -> Invalid (origin migrates)
+            (2, 10 * 2**24, 24, 200),   # Invalid -> Valid
+            (3, 11 * 2**24, 24, 100),   # NotFound both (no ROA ever)
+            (4, 10 * 2**24, 24, 999),   # Invalid both
+        ],
+        "rid long, addr_v4 long, prefixlen int, origin_as long",
+    )
+    before = spark.createDataFrame(
+        [(10 * 2**24, 16, 24, 100)], "net long, plen int, max_len int, asn long"
+    )
+    after = spark.createDataFrame(
+        [(10 * 2**24, 16, 24, 200)], "net long, plen int, max_len int, asn long"
+    )
+    delta = analytics.roa_delta(
+        routes, before, after, roa_plens_before=[16], roa_plens_after=[16]
+    )
+    got = {r.rid: (r.validity_before, r.validity_after) for r in delta.collect()}
+    assert got == {1: ("Valid", "Invalid"), 2: ("Invalid", "Valid")}
+
+    full = analytics.roa_delta(
+        routes, before, after,
+        roa_plens_before=[16], roa_plens_after=[16], changed_only=False,
+    )
+    matrix = {
+        (r.validity_before, r.validity_after): r.routes
+        for r in analytics.roa_delta_summary(full).collect()
+    }
+    assert matrix == {
+        ("Valid", "Invalid"): 1, ("Invalid", "Valid"): 1,
+        ("NotFound", "NotFound"): 1, ("Invalid", "Invalid"): 1,
+    }
