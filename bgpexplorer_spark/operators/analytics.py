@@ -1457,7 +1457,7 @@ def roa_delta(
     routes: DataFrame,
     roas_before: DataFrame,
     roas_after: DataFrame,
-    addr_col: str = "addr_v4",
+    addr_col: str | None = None,
     plen_col: str = "prefixlen",
     origin_col: str = "origin_as",
     roa_plens_before: list[int] | None = None,
@@ -1477,8 +1477,11 @@ def roa_delta(
     first's output, which is routes + one string column), so each set
     pays exactly its own masked-candidate equi-join + narrow-key verdict
     aggregate (the rpki_validate shape) and no extra join is needed to
-    line the verdicts up."""
+    line the verdicts up. ``addr_col`` defaults to the family's
+    canonical column (addr_v6 under ``v6=True``, addr_v4 otherwise)."""
     fn = rpki_validate_v6 if v6 else rpki_validate
+    if addr_col is None:
+        addr_col = "addr_v6" if v6 else "addr_v4"
     before = fn(
         routes, roas_before, addr_col, plen_col, origin_col, roa_plens_before
     ).withColumnRenamed("validity", "validity_before")

@@ -160,9 +160,10 @@ def query_whois(
     server = start_server
     text = ""
     for _ in range(MAX_REFERRALS):
-        if key(server) in seen:
+        k = key(server)
+        if k in seen:
             break
-        seen.add(key(server))
+        seen.add(k)
         text = transport(server, wire_query)
         m = REFERRAL_RE.search(text)
         if not m or key(m.group(1)) in seen:
@@ -192,15 +193,13 @@ def udp_dns_transport(
     """Real UDP transport; server choice hashes on the first query byte
     like the reference's ``self.dns[target[0] % len]``
     (src/whoissvc.rs:349-352). Servers come from the ``whoisdns`` ini key
-    (src/config.rs:616-638) as ``host`` or ``host:port`` strings."""
+    (src/config.rs:616-638) as ``host`` or ``host:port`` strings — split
+    by the shared guarded parser (bracketed v6 works, malformed fails
+    loudly at construction, not at send time)."""
+    from bgpexplorer_spark.config import parse_hostport
+
     servers = servers or ["1.1.1.1:53"]
-    parsed = []
-    for s in servers:
-        if s.count(":") == 1:
-            host, port = s.rsplit(":", 1)
-            parsed.append((host, int(port)))
-        else:
-            parsed.append((s, 53))
+    parsed = [parse_hostport(s, 53) for s in servers]
 
     def send(packet: bytes) -> bytes:
         import socket

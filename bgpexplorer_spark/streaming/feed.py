@@ -522,18 +522,42 @@ def run_flap_damping_incremental(
     import os
     import shutil
 
-    def _lineage_id() -> str | None:
+    _lineage_cache: list = []  # [id-or-None]; the query id never changes
+
+    def _lineage_id(spark: SparkSession) -> str | None:
         """The streaming query id from the checkpoint's own metadata —
         stable across same-checkpoint restarts, NEW when the checkpoint
         dir is wiped/recreated (epochs renumber then). The path alone
-        can't tell those apart."""
+        can't tell those apart. Local checkpoints read directly;
+        non-local URIs (hdfs://, s3a://) go through the session's Hadoop
+        filesystem. Cached after the first successful read — the id is
+        immutable for the query's lifetime."""
         import json as _json
 
+        if _lineage_cache:
+            return _lineage_cache[0]
+        meta = os.path.join(checkpoint, "metadata")
+        lineage = None
         try:
-            with open(os.path.join(checkpoint, "metadata"), encoding="utf-8") as f:
-                return _json.load(f)["id"]
-        except Exception:  # noqa: BLE001 — no metadata → no lineage claim
-            return None
+            with open(meta, encoding="utf-8") as f:
+                lineage = _json.load(f)["id"]
+        except Exception:  # noqa: BLE001 — not a local path; try Hadoop FS
+            try:
+                jvm = spark._jvm
+                p = jvm.org.apache.hadoop.fs.Path(meta)
+                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+                stream = fs.open(p)
+                try:
+                    text = jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+                lineage = _json.loads(text)["id"]
+            except Exception:  # noqa: BLE001 — no metadata → no lineage claim
+                lineage = None
+        _lineage_cache.append(lineage)
+        return lineage
 
     def _persist_state(new_state: DataFrame, epoch_id: int) -> None:
         version = f"v{epoch_id}"
@@ -543,7 +567,7 @@ def run_flap_damping_incremental(
         # the lineage id lives INSIDE the version dir, before the marker
         # flip — marker and lineage can never disagree (the old marker
         # keeps pointing at the old vdir with its own _LINEAGE)
-        lineage = _lineage_id()
+        lineage = _lineage_id(new_state.sparkSession)
         if lineage is not None:
             with open(os.path.join(vdir, "_LINEAGE"), "w", encoding="ascii") as f:
                 f.write(lineage)
@@ -561,6 +585,10 @@ def run_flap_damping_incremental(
         for d in os.listdir(state_dir):
             if d.startswith("v") and d not in (version, prev):
                 shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
+        try:  # retire the pre-_LINEAGE layout's marker once superseded
+            os.remove(os.path.join(state_dir, "CKPT"))
+        except OSError:
+            pass
 
     def _restore_state(spark: SparkSession) -> tuple[DataFrame, int] | None:
         """(state df, last folded epoch) — epoch is -1 when the persisted
@@ -580,10 +608,18 @@ def run_flap_damping_incremental(
             try:
                 with open(os.path.join(vdir, "_LINEAGE"), encoding="ascii") as f:
                     stored = f.read().strip()
-                if stored and stored == _lineage_id():
+                if stored and stored == _lineage_id(spark):
                     epoch = int(current[1:])
             except OSError:
-                pass
+                # migration: state persisted by the pre-_LINEAGE layout
+                # recorded the checkpoint PATH in a CKPT file — honor it
+                # (same-path = same lineage was that layout's contract)
+                try:
+                    with open(os.path.join(state_dir, "CKPT"), encoding="utf-8") as f:
+                        if f.read().strip() == os.path.abspath(checkpoint):
+                            epoch = int(current[1:])
+                except OSError:
+                    pass
             return df, epoch
         except Exception:  # noqa: BLE001 — no durable state yet
             return None

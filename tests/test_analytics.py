@@ -976,3 +976,24 @@ def test_roa_delta_and_summary(spark):
         ("Valid", "Invalid"): 1, ("Invalid", "Valid"): 1,
         ("NotFound", "NotFound"): 1, ("Invalid", "Invalid"): 1,
     }
+
+
+def test_roa_delta_v6_default_addr_col(spark):
+    """v6=True must default to the family's canonical addr_v6 column."""
+    import ipaddress
+
+    net = ipaddress.IPv6Network("2001:db8::/32")
+    routes = spark.createDataFrame(
+        [(1, net.network_address.packed, 48, 100)],
+        "rid long, addr_v6 binary, prefixlen int, origin_as long",
+    )
+    mk = lambda asn: spark.createDataFrame(
+        [(net.network_address.packed, 32, 64, asn)],
+        "net binary, plen int, max_len int, asn long",
+    )
+    delta = analytics.roa_delta(
+        routes, mk(100), mk(200), v6=True,
+        roa_plens_before=[32], roa_plens_after=[32],
+    )
+    r = delta.collect()[0]
+    assert (r.validity_before, r.validity_after) == ("Valid", "Invalid")

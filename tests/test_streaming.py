@@ -896,3 +896,53 @@ def test_live_key_counts_heavy_hitters_streaming(spark):
     assert got[(1, 2)] == ("10.0.0.0/24", 1, 0.25)
     # p2 in minute 0 (share 1/9) fails the 0.2 phi gate
     assert len(got) == 4
+
+
+def test_run_flap_damping_incremental_legacy_ckpt_migration(spark, tmp_path):
+    """State persisted by the pre-_LINEAGE layout (a CKPT file recording
+    the checkpoint path) must still be honored: a same-path replay after
+    upgrading skips the fold instead of double-counting, and the next
+    persist retires the legacy marker."""
+    import math
+    import os as _os
+
+    import pytest as _pt
+
+    from bgpexplorer_spark.streaming.feed import run_flap_damping_incremental
+
+    d = _updates_dir(spark, [
+        u("10.0.0.0/24", t=0),
+        u("10.0.0.0/24", t=10, op="withdraw"),
+        u("10.0.0.0/24", t=20),
+        u("10.0.0.0/24", t=30, op="withdraw"),
+    ])
+    ck, sd = str(tmp_path / "ck"), str(tmp_path / "state")
+    q = run_flap_damping_incremental(
+        stream_updates_from_files(spark, d), ck,
+        half_life_sec=20.0, state_dir=sd,
+    )
+    q.awaitTermination(120)
+
+    # devolve the state dir to the legacy layout: drop _LINEAGE, write
+    # the CKPT path marker the old code used
+    cur = (tmp_path / "state" / "CURRENT").read_text().strip()
+    _os.remove(_os.path.join(sd, cur, "_LINEAGE"))
+    (tmp_path / "state" / "CKPT").write_text(_os.path.abspath(ck))
+
+    # crash window: epoch commit gone -> replay
+    commits = _os.path.join(ck, "commits")
+    for f in _os.listdir(commits):
+        _os.remove(_os.path.join(commits, f))
+    q2 = run_flap_damping_incremental(
+        stream_updates_from_files(spark, d), ck,
+        half_life_sec=20.0, state_dir=sd,
+    )
+    q2.awaitTermination(120)
+    lam = math.log(2) / 20.0
+    expect = 1000.0 * math.exp(-lam * 20) + 1000.0
+    cur = (tmp_path / "state" / "CURRENT").read_text().strip()
+    st = {x.nlri_str: x for x in
+          spark.read.parquet(str(tmp_path / "state" / cur)).collect()}
+    assert st["10.0.0.0/24"].flaps == 2  # replay skipped, not 4
+    assert st["10.0.0.0/24"].penalty == _pt.approx(expect, abs=1e-3)
+    assert not (tmp_path / "state" / "CKPT").exists()  # legacy retired
