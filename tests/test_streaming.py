@@ -945,4 +945,13 @@ def test_run_flap_damping_incremental_legacy_ckpt_migration(spark, tmp_path):
           spark.read.parquet(str(tmp_path / "state" / cur)).collect()}
     assert st["10.0.0.0/24"].flaps == 2  # replay skipped, not 4
     assert st["10.0.0.0/24"].penalty == _pt.approx(expect, abs=1e-3)
+
+    # the NEXT real fold persists the new layout and retires the legacy
+    # marker (the skip path never persists, so retirement waits for it)
+    d2 = _updates_dir(spark, [u("10.0.0.0/24", t=40)])
+    q3 = run_flap_damping_incremental(
+        stream_updates_from_files(spark, d2), str(tmp_path / "ck2"),
+        half_life_sec=20.0, state_dir=sd,
+    )
+    q3.awaitTermination(120)
     assert not (tmp_path / "state" / "CKPT").exists()  # legacy retired
