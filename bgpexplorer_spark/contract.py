@@ -7861,3 +7861,95 @@ def an_roa_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "addr_v4", "prefixlen", "origin_as",
         "validity_before", "validity_after",
     )
+
+
+@q(
+    "an_roa_delta_v6",
+    """
+    WITH r AS (
+        SELECT event_id,
+               48 + (event_id % 5) * 4 AS plen,
+               (user_id % 64) * 65536 + (event_id % 256) * 256 AS w,
+               user_id % 64 AS u,
+               CAST(200 + event_id % 3 AS BIGINT) AS origin_as
+        FROM events
+    ),
+    v AS (
+        SELECT event_id,
+               '20010DB8' || upper(lpad(hex(w), 8, '0')) || '0000000000000000'
+                   AS addr_hex,
+               plen AS prefixlen, origin_as,
+               -- current set: /48s (max 56, asn 200+u%3) on u%4<>3 plus
+               -- /52s (max 60, asn 200+u%2) on the first /52 of even /48s
+               CASE
+                   WHEN NOT (u % 4 <> 3)
+                        AND NOT (u % 2 = 0 AND w % 65536 < 4096 AND plen >= 52)
+                       THEN 'NotFound'
+                   WHEN (u % 4 <> 3 AND plen <= 56 AND origin_as = 200 + u % 3)
+                     OR (u % 2 = 0 AND w % 65536 < 4096 AND plen >= 52
+                         AND plen <= 60 AND origin_as = 200 + u % 2)
+                       THEN 'Valid'
+                   ELSE 'Invalid'
+               END AS validity_before,
+               -- proposed: /52s withdrawn, /48s migrate to asn 200+(u+1)%3
+               CASE
+                   WHEN u % 4 = 3 THEN 'NotFound'
+                   WHEN plen <= 56 AND origin_as = 200 + (u + 1) % 3
+                       THEN 'Valid'
+                   ELSE 'Invalid'
+               END AS validity_after
+        FROM r
+    )
+    SELECT event_id, addr_hex, prefixlen, origin_as,
+           validity_before, validity_after
+    FROM v WHERE validity_before <> validity_after
+    """,
+)
+def an_roa_delta_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 ROA change impact (analytics.roa_delta, v6=True) over real
+    BINARY(16) keys: the an_rpki_validate_v6 fixture ROAs as the current
+    set; the proposed set withdraws the /52s and migrates the /48s to
+    asn 200+(u+1)%3. Both closed forms in the oracle; same chained
+    narrow-key shape as the v4 delta."""
+    from bgpexplorer_spark.operators.analytics import roa_delta
+
+    ev = load_table(spark, sf_dir, "events")
+    plen = (F.lit(48) + (F.col("event_id") % 5) * 4).cast("int")
+    w = ((F.col("user_id") % 64) * 65536 + (F.col("event_id") % 256) * 256).cast(
+        "bigint"
+    )
+    to_bin = lambda word: F.unhex(  # noqa: E731
+        F.concat(F.lit("20010DB8"), F.lpad(F.hex(word), 8, "0"), F.lit("0" * 16))
+    )
+    routes = ev.select(
+        "event_id",
+        to_bin(w).alias("addr_v6"),
+        plen.alias("prefixlen"),
+        (F.lit(200) + F.col("event_id") % 3).cast("bigint").alias("origin_as"),
+    )
+    uu = spark.range(64).select(F.col("id").alias("u"))
+    w48 = (F.col("u") * 65536).cast("bigint")
+    roa48 = uu.filter(F.col("u") % 4 != 3).select(
+        to_bin(w48).alias("net"), F.lit(48).alias("plen"),
+        F.lit(56).alias("max_len"),
+        (F.lit(200) + F.col("u") % 3).cast("bigint").alias("asn"),
+    )
+    roa52 = uu.filter(F.col("u") % 2 == 0).select(
+        to_bin(w48).alias("net"), F.lit(52).alias("plen"),
+        F.lit(60).alias("max_len"),
+        (F.lit(200) + F.col("u") % 2).cast("bigint").alias("asn"),
+    )
+    before = roa48.unionByName(roa52)
+    after = uu.filter(F.col("u") % 4 != 3).select(
+        to_bin(w48).alias("net"), F.lit(48).alias("plen"),
+        F.lit(56).alias("max_len"),
+        (F.lit(200) + (F.col("u") + 1) % 3).cast("bigint").alias("asn"),
+    )
+    return roa_delta(
+        routes, before, after, v6=True,
+        roa_plens_before=[48, 52], roa_plens_after=[48],
+    ).select(
+        "event_id",
+        F.upper(F.hex("addr_v6")).alias("addr_hex"),
+        "prefixlen", "origin_as", "validity_before", "validity_after",
+    )
