@@ -586,10 +586,16 @@ def paragraph_dedup(
     corpus-wide occurrence (ordered by (doc_id, paragraph index) so the
     winner is deterministic), and return per-document retention stats.
 
-    Scale: one explode + one window over hashpartitioning(para_hash) —
-    the same single-shuffle class as exact_dedup; duplicate-heavy hashes
-    skew at most by the boilerplate multiplicity, which AQE skew-join
-    handling splits.
+    Scale: one explode + two MAP-SIDE-COMBINABLE aggregates instead of a
+    window — the per-hash winner is ``min(struct(id, idx, len))``
+    (lexicographic struct order ≡ the (doc_id, index) first-occurrence
+    rule; (id, idx) is unique so len never decides), so each map task
+    emits one candidate per distinct hash and NO sort runs; the winner
+    and total aggregates are doc-sized when they meet in the final join.
+    The old row_number formulation shuffled every exploded paragraph AND
+    sorted each hash partition, then paid a second doc-keyed Exchange;
+    boilerplate-heavy hashes skewed the sort, here they combine away
+    map-side.
     """
     paras = df.select(
         F.col(id_col).alias("_id"),
@@ -600,13 +606,23 @@ def paragraph_dedup(
             )
         ).alias("_idx", "_para"),
     ).withColumn("_h", F.md5(F.trim(F.col("_para"))))
-    w = Window.partitionBy("_h").orderBy("_id", "_idx")
-    kept = paras.withColumn("_rank", F.row_number().over(w))
-    return kept.groupBy(F.col("_id").alias(id_col)).agg(
-        F.count(F.lit(1)).alias("n_paras"),
-        F.sum(F.when(F.col("_rank") == 1, 1).otherwise(0)).alias("n_kept"),
-        F.sum(F.when(F.col("_rank") == 1, F.length("_para")).otherwise(0))
-        .alias("kept_chars"),
+    totals = paras.groupBy(F.col("_id").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_paras")
+    )
+    winners = (
+        paras.groupBy("_h")
+        .agg(F.min(F.struct("_id", "_idx", F.length("_para").alias("_len")))
+             .alias("_w"))
+        .groupBy(F.col("_w._id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("_w._len").alias("kept_chars"),
+        )
+    )
+    return totals.join(winners, id_col, "left").select(
+        id_col, "n_paras",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
     )
 
 

@@ -461,20 +461,26 @@ def test_cleaning_rules_are_map_side(spark):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_paragraph_dedup_single_hash_window(spark):
-    """paragraph_dedup is one explode + ONE window shuffle on the
-    paragraph hash (plus the final per-doc rollup): no join, no
-    cartesian, no Python eval."""
+def test_paragraph_dedup_no_sort_all_partial_aggs(spark):
+    """paragraph_dedup is one explode + two map-side-combinable
+    aggregates (per-hash min-struct winner, per-doc totals) met by a
+    doc-sized join: NO Sort anywhere (the old row_number window sorted
+    every hash partition), no cartesian, no Python eval, and the winner
+    aggregate partially aggregates before its Exchange."""
     from bgpexplorer_spark.operators.dedup import paragraph_dedup
 
     docs = spark.createDataFrame(
         [(1, "a b\n\nc d"), (2, "c d\n\ne f")], "doc_id long, text string"
     )
     plan = _plan(paragraph_dedup(docs))
-    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # window partitioning on the hash column, not on doc_id
+    assert "Window" not in plan        # the row_number formulation is gone
+    # winner agg keyed on the hash column WITH a map-side partial_min
+    # ahead of its Exchange (struct-min sorts per task, but the shuffle
+    # carries one candidate per distinct hash, not every paragraph)
     assert "hashpartitioning(_h" in plan
+    assert "partial_min" in plan.split("Exchange hashpartitioning(_h")[1]
 
 
 def test_snapshot_writes_bloom_filters(spark, tmp_path):
