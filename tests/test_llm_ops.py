@@ -1858,3 +1858,17 @@ def test_pca_fit_survives_large_mean_offset(spark):
     want = np.sort(np.linalg.eigvalsh(np.cov(m, rowvar=False, bias=True)))[::-1]
     got = model["explained_variance"]
     assert np.allclose(got, want[:2], rtol=1e-6)
+
+
+def test_paragraph_dedup_null_id_and_empty_doc(spark):
+    """A NULL doc id is still one document's stats (struct-wrapped join
+    keys are null-safe), and a zero-paragraph doc reports (0, 0, 0)."""
+    df = spark.createDataFrame(
+        [(None, "a b\n\nc d"), (7, "\n\n"), (8, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_paras, r.n_kept, r.kept_chars)
+           for r in dedup.paragraph_dedup(df).collect()}
+    assert out[None] == (2, 2, 6)   # NULL id keeps its true stats
+    assert out[7] == (0, 0, 0)      # empty doc present, not dropped
+    assert out[8] == (1, 0, 0)      # 'a b' already kept by the NULL doc

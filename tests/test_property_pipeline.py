@@ -128,8 +128,10 @@ def test_paragraph_dedup_matches_model(spark, docs):
                 seen.add(key)
                 kept += 1
                 chars += len(p)
-        if n:
-            want[i] = [n, kept, chars]
+        # zero-paragraph docs still report (0, 0, 0): every input
+        # document gets retention stats (the old window formulation
+        # dropped them with the explode)
+        want[i] = [n, kept, chars]
     assert got == {i: tuple(v) for i, v in want.items()}
 
 
