@@ -92,6 +92,13 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     # MIPS retrieval scoring: one scan + TakeOrdered (HOF dot product)
     "sim_mips_topk",
+    # ROA change impact: TWO chained RFC 6811 validations (masked-candidate
+    # equi-join + narrow-key verdict aggregate each) — the heaviest
+    # analytics composition in the kit
+    "an_roa_delta",
+    # phi-heavy-hitters: incremental windowed counts + closed-window
+    # rank/share finisher sharing one Exchange
+    "st_heavy_hitters",
     # spectral prep: per-batch BLAS partial Gram, O(batches×dim²) shuffle —
     # its sf ratio tracks the scan, the shuffle is corpus-size-independent
     "pipe_embedding_gram",
