@@ -955,3 +955,46 @@ def test_run_flap_damping_incremental_legacy_ckpt_migration(spark, tmp_path):
     )
     q3.awaitTermination(120)
     assert not (tmp_path / "state" / "CKPT").exists()  # legacy retired
+
+
+def test_heavy_hitters_matches_python_model(spark):
+    """Property check: rank, share, and the joint (rank <= k AND share >=
+    phi) gate match a pure-Python model over randomized multi-window
+    count tables."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from bgpexplorer_spark.streaming.feed import heavy_hitters, live_key_counts
+
+    @settings(max_examples=8, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1), k=st.integers(1, 4),
+           phi=st.sampled_from([0.0, 0.1, 0.3]))
+    def check(seed, k, phi):
+        rnd = random.Random(seed)
+        rows = [
+            u(f"10.0.{rnd.randrange(6)}.0/24", t=rnd.randrange(3) * 60 + rnd.randrange(60))
+            for _ in range(rnd.randrange(5, 40))
+        ]
+        counts = live_key_counts(make_updates(spark, rows), window="1 minute")
+        got = {
+            (r.win_start.minute, r.nlri_str): (r.n_updates, r.share, r.rank)
+            for r in heavy_hitters(counts, k=k, min_share=phi).collect()
+        }
+        # model
+        from collections import Counter
+
+        per_win: dict[int, Counter] = {}
+        for r in rows:
+            per_win.setdefault(r["ts"].minute, Counter())[r["nlri_str"]] += 1
+        want = {}
+        for wmin, c in per_win.items():
+            tot = sum(c.values())
+            ranked = sorted(c.items(), key=lambda kv: (-kv[1], "ipv4u", kv[0]))
+            for rank, (key, n) in enumerate(ranked, 1):
+                share = round(n / tot, 4)
+                if rank <= k and share >= phi:
+                    want[(wmin, key)] = (n, share, rank)
+        assert got == want, (seed, k, phi)
+
+    check()
