@@ -5345,14 +5345,19 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 _PARA_DEDUP_ORACLE = """
-    WITH f AS (
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 37 = 0 THEN NULL
+                    WHEN doc_id % 41 = 0 THEN '   '
+                    ELSE replace(text, ' join ', chr(10) || chr(10)) END
+                   AS text
+        FROM documents
+    ), f AS (
         SELECT doc_id,
                list_filter(
-                   string_split_regex(
-                       replace(text, ' join ', chr(10) || chr(10)),
-                       '\\n\\n+'),
+                   string_split_regex(text, '\\n\\n+'),
                    p -> trim(p) <> '') AS ps
-        FROM documents
+        FROM d
     ), e AS (
         SELECT doc_id,
                unnest(ps) AS para,
@@ -5363,13 +5368,19 @@ _PARA_DEDUP_ORACLE = """
                row_number() OVER (PARTITION BY md5(trim(para))
                                   ORDER BY doc_id, idx) AS rnk
         FROM e
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN rnk = 1 THEN length(para) ELSE 0 END)
+                   AS BIGINT) AS kept_chars
+        FROM r GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_paras,
-           CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           CAST(sum(CASE WHEN rnk = 1 THEN length(para) ELSE 0 END) AS BIGINT)
-               AS kept_chars
-    FROM r GROUP BY doc_id
+    SELECT f.doc_id,
+           CAST(coalesce(len(f.ps), 0) AS BIGINT) AS n_paras,
+           coalesce(agg.n_kept, 0) AS n_kept,
+           coalesce(agg.kept_chars, 0) AS kept_chars
+    FROM f LEFT JOIN agg USING (doc_id)
 """
 
 @q("dedup_paragraphs", _PARA_DEDUP_ORACLE)
@@ -5377,14 +5388,24 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-level exact dedup (operators/dedup.paragraph_dedup):
     corpus-wide keep-first over md5(paragraph) with a deterministic
     (doc_id, index) winner — boilerplate that repeats across documents
-    is removed without near-dup machinery. One explode + one window
-    shuffle on the paragraph hash."""
+    is removed without near-dup machinery. Plan shape: two partial
+    aggregates (per-hash struct-min winner, per-doc size totals) met by
+    one doc-sized null-safe join — no window, no full-explode shuffle
+    (one winner candidate per distinct hash per task crosses the wire).
+    The derivation blanks every 37th doc to NULL and every 41st to
+    whitespace so the zero-paragraph contract (every document gets a
+    row, n_paras 0) is exercised, not just promised."""
     from bgpexplorer_spark.operators.dedup import paragraph_dedup
 
     docs = load_table(spark, sf_dir, "documents")
     derived = docs.select(
         "doc_id",
-        F.replace(F.col("text"), F.lit(" join "), F.lit("\n\n")).alias("text"),
+        F.when(F.col("doc_id") % 37 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 41 == 0, F.lit("   "))
+        .otherwise(
+            F.replace(F.col("text"), F.lit(" join "), F.lit("\n\n"))
+        )
+        .alias("text"),
     )
     return paragraph_dedup(derived)
 

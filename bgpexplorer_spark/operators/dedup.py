@@ -272,18 +272,35 @@ def simhash_candidate_pairs(
     if bits != 32:
         raise ValueError(f"bits must be 32 or 60, got {bits}")
     sig = simhash32(df, id_col, text_col).cache()
-    return _banded_hamming_pairs(sig, id_col, band_bits=8, max_hamming=max_hamming)
+    return _banded_hamming_pairs(
+        sig, id_col, band_bits=8, max_hamming=max_hamming, sig_bits=32
+    )
 
 
 def _banded_hamming_pairs(
-    sig: DataFrame, id_col: str, band_bits: int, max_hamming: int
+    sig: DataFrame, id_col: str, band_bits: int, max_hamming: int,
+    sig_bits: int,
 ) -> DataFrame:
     """Shared banding/join/verify core for the SimHash variants: explode
     ``max_hamming + 1`` pigeonhole bands of ``band_bits`` each from the
     ``simhash`` column, bucket-join per band, then the exact
     bit_count(XOR) verify — candidates come from bucket-local joins
-    only, never all-pairs."""
+    only, never all-pairs.
+
+    The pigeonhole argument needs every band to live INSIDE the
+    signature: with ``(max_hamming + 1) * band_bits > sig_bits`` the
+    bands shifted past the top bit key on a constant 0, turning that
+    band's self-join into all-pairs (still correct, silently quadratic)
+    — so that configuration raises instead."""
     n_bands = max_hamming + 1
+    if n_bands * band_bits > sig_bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} bands of "
+            f"{band_bits} bits = {n_bands * band_bits} > the {sig_bits}-bit "
+            "signature — a band past the top bit would degrade the "
+            "bucket-join to all-pairs; use a wider signature or narrower "
+            "bands"
+        )
     mask = (1 << band_bits) - 1
     bands = sig.select(
         F.col(id_col),
@@ -357,7 +374,9 @@ def simhash60_candidate_pairs(
     :func:`simhash_candidate_pairs` (complete for hamming ≤ 3) with the
     band-join quadratics cut ×128 — the variant to run at corpus scale."""
     sig = simhash60(df, id_col, text_col).cache()
-    return _banded_hamming_pairs(sig, id_col, band_bits=15, max_hamming=max_hamming)
+    return _banded_hamming_pairs(
+        sig, id_col, band_bits=15, max_hamming=max_hamming, sig_bits=60
+    )
 
 
 def connected_components(
@@ -609,8 +628,10 @@ def paragraph_dedup(
     # plain-column equi-join below reuses both groupBys' hash
     # partitioning — eqNullSafe keys would wrap in Coalesce and force
     # two extra Exchanges (measured 0.48 s → 1.19 s at sf1)
+    # coalesce per row: a NULL-text document splits to NULL and ANSI
+    # size(NULL) is NULL — the contract is n_paras 0, same as zero-para
     totals = df.groupBy(F.struct(F.col(id_col).alias("i")).alias("_tid")).agg(
-        F.sum(F.size(split_paras)).alias("n_paras")
+        F.sum(F.coalesce(F.size(split_paras), F.lit(0))).alias("n_paras")
     )
     winners = (
         df.select(

@@ -166,9 +166,20 @@ def query_whois(
         seen.add(k)
         text = transport(server, wire_query)
         m = REFERRAL_RE.search(text)
-        if not m or key(m.group(1)) in seen:
+        if not m:
             break
-        server = m.group(1).lower()
+        referral = m.group(1).lower()
+        try:
+            # validate BEFORE hopping: a referral advertising a
+            # malformed/out-of-range port (e.g. 'host:99999') would pass
+            # key()'s tolerant fallback but blow up in the transport —
+            # return the text gathered so far instead of failing the call
+            rk = _server_hostport(referral)
+        except ValueError:
+            break
+        if rk in seen:
+            break
+        server = referral
         # referral hops speak plain whois, not the mapped template
         wire_query = query
     return server, text

@@ -489,6 +489,37 @@ def flap_damping_increment(
     )
 
 
+def _checkpoint_query_id(spark: SparkSession, checkpoint: str) -> str | None:
+    """The streaming query id from the checkpoint's own metadata — stable
+    across same-checkpoint restarts, NEW when the checkpoint dir is
+    wiped/recreated (epochs renumber then). The path alone can't tell
+    those apart. Local checkpoints read directly; non-local URIs
+    (hdfs://, s3a://) go through the session's Hadoop filesystem.
+    Returns None when the metadata can't be read (no lineage claim)."""
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(checkpoint, "metadata")
+    try:
+        with open(meta, encoding="utf-8") as f:
+            return _json.load(f)["id"]
+    except Exception:  # noqa: BLE001 — not a local path; try Hadoop FS
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(meta)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            stream = fs.open(p)
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            return _json.loads(text)["id"]
+        except Exception:  # noqa: BLE001 — no metadata → no lineage claim
+            return None
+
+
 def run_flap_damping_incremental(
     updates: DataFrame,
     checkpoint: str,
@@ -525,38 +556,16 @@ def run_flap_damping_incremental(
     _lineage_cache: list = []  # [id-or-None]; the query id never changes
 
     def _lineage_id(spark: SparkSession) -> str | None:
-        """The streaming query id from the checkpoint's own metadata —
-        stable across same-checkpoint restarts, NEW when the checkpoint
-        dir is wiped/recreated (epochs renumber then). The path alone
-        can't tell those apart. Local checkpoints read directly;
-        non-local URIs (hdfs://, s3a://) go through the session's Hadoop
-        filesystem. Cached after the first successful read — the id is
-        immutable for the query's lifetime."""
-        import json as _json
-
+        """Cached wrapper over :func:`_checkpoint_query_id` — the id is
+        immutable for the query's lifetime, so the first SUCCESSFUL read
+        is cached. A failed read is NOT cached: it is retried on the
+        next call, so one transient metadata-read hiccup doesn't strip
+        replay protection for the rest of the query."""
         if _lineage_cache:
             return _lineage_cache[0]
-        meta = os.path.join(checkpoint, "metadata")
-        lineage = None
-        try:
-            with open(meta, encoding="utf-8") as f:
-                lineage = _json.load(f)["id"]
-        except Exception:  # noqa: BLE001 — not a local path; try Hadoop FS
-            try:
-                jvm = spark._jvm
-                p = jvm.org.apache.hadoop.fs.Path(meta)
-                fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-                stream = fs.open(p)
-                try:
-                    text = jvm.org.apache.commons.io.IOUtils.toString(
-                        stream, "UTF-8"
-                    )
-                finally:
-                    stream.close()
-                lineage = _json.loads(text)["id"]
-            except Exception:  # noqa: BLE001 — no metadata → no lineage claim
-                lineage = None
-        _lineage_cache.append(lineage)
+        lineage = _checkpoint_query_id(spark, checkpoint)
+        if lineage is not None:
+            _lineage_cache.append(lineage)
         return lineage
 
     def _persist_state(new_state: DataFrame, epoch_id: int) -> None:
@@ -568,9 +577,11 @@ def run_flap_damping_incremental(
         # flip — marker and lineage can never disagree (the old marker
         # keeps pointing at the old vdir with its own _LINEAGE)
         lineage = _lineage_id(new_state.sparkSession)
+        wrote_lineage = False
         if lineage is not None:
             with open(os.path.join(vdir, "_LINEAGE"), "w", encoding="ascii") as f:
                 f.write(lineage)
+            wrote_lineage = True
         marker = os.path.join(state_dir, "CURRENT")
         prev = None
         try:
@@ -585,10 +596,15 @@ def run_flap_damping_incremental(
         for d in os.listdir(state_dir):
             if d.startswith("v") and d not in (version, prev):
                 shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
-        try:  # retire the pre-_LINEAGE layout's marker once superseded
-            os.remove(os.path.join(state_dir, "CKPT"))
-        except OSError:
-            pass
+        if wrote_lineage:
+            # retire the pre-_LINEAGE layout's marker ONLY once the new
+            # version dir actually carries a _LINEAGE file — if the
+            # metadata read failed this batch, CKPT stays as the sole
+            # remaining replay guard for a same-checkpoint restart
+            try:
+                os.remove(os.path.join(state_dir, "CKPT"))
+            except OSError:
+                pass
 
     def _restore_state(spark: SparkSession) -> tuple[DataFrame, int] | None:
         """(state df, last folded epoch) — epoch is -1 when the persisted

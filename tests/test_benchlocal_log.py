@@ -1,0 +1,73 @@
+"""The committed full-bench artifact must exist and match the bench set.
+
+The driver's BENCH_r{N}.json retains only the last ~2,000 characters of
+bench.py's output, so the sf0.1 per-query headline numbers are lost to
+history — round-over-round perf claims then need a fresh judge re-run.
+The repo closes that gap unilaterally: every round commits bench.py's
+COMPLETE output as ``BENCHLOCAL_r{N}.json``. This test mirrors
+tests/test_selfcheck_log.py's staleness gate:
+
+- the newest ``BENCHLOCAL_r*.json`` must parse as the bench JSON shape,
+- its ``queries`` keys must be EXACTLY ``bench.BENCH_QUERIES`` (a bench
+  set edit without a re-run fails here),
+- its round number must not trail the newest SELFCHECK log's (a round
+  that refreshed the correctness certificate but forgot the bench
+  artifact fails here).
+
+Regenerate with::
+
+    python bench.py > BENCHLOCAL_r{N}.json
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _latest(pattern: str) -> Path:
+    logs = sorted(
+        ROOT.glob(pattern),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert logs, f"no committed {pattern} at the repo root"
+    return logs[-1]
+
+
+def _round_of(p: Path) -> int:
+    return int(re.search(r"r(\d+)", p.name).group(1))
+
+
+def test_benchlocal_matches_bench_set():
+    import bench
+
+    art = _latest("BENCHLOCAL_r*.json")
+    data = json.loads(art.read_text())
+    assert data.get("unit") == "sec" and "value" in data
+    declared = set(bench.BENCH_QUERIES)
+    got = set(data["queries"])
+    missing, extra = declared - got, got - declared
+    assert not missing and not extra, (
+        f"{art.name} is stale vs bench.BENCH_QUERIES — rerun "
+        f"`python bench.py > {art.name}` (missing={sorted(missing)}, "
+        f"extra={sorted(extra)})"
+    )
+    # the full artifact must carry what the driver's 2k tail drops:
+    # second-pass times, per-query stage counters, and the sf1 section
+    # (sf1 may be absent only if generation failed, which bench reports)
+    assert "queries_run2" in data and "query_metrics" in data
+    assert set(data["query_metrics"]) == declared
+
+
+def test_benchlocal_round_not_behind_selfcheck():
+    bench_round = _round_of(_latest("BENCHLOCAL_r*.json"))
+    selfcheck_round = _round_of(_latest("SELFCHECK_r*.log"))
+    assert bench_round >= selfcheck_round, (
+        f"BENCHLOCAL_r{bench_round:02d}.json trails "
+        f"SELFCHECK_r{selfcheck_round:02d}.log — this round refreshed the "
+        "correctness certificate but not the full bench artifact; rerun "
+        f"`python bench.py > BENCHLOCAL_r{selfcheck_round:02d}.json`"
+    )

@@ -351,6 +351,24 @@ def test_simhash_candidate_pairs_defaults_to_60_bit(docs):
     with pytest.raises(ValueError, match="bits"):
         dedup.simhash_candidate_pairs(docs, "doc_id", bits=48)
 
+def test_simhash_banding_rejects_overflowing_bands(docs):
+    """(max_hamming + 1) * band_bits must fit the signature: bands
+    shifted past the top bit key on a constant 0 and degrade that band's
+    self-join to all-pairs (silently quadratic). Such configs raise."""
+    import pytest
+
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.simhash_candidate_pairs(docs, "doc_id", max_hamming=4, bits=60)
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.simhash_candidate_pairs(docs, "doc_id", max_hamming=4, bits=32)
+    with pytest.raises(ValueError, match="all-pairs"):
+        dedup.simhash60_candidate_pairs(docs, "doc_id", max_hamming=7)
+    # the boundary config (4 bands x 15 bits = 60) still runs
+    assert dedup.simhash60_candidate_pairs(
+        docs, "doc_id", max_hamming=3
+    ).count() >= 0
+
+
 def test_simhash60_candidate_pairs(docs):
     """The at-scale 60-bit variant keeps the hamming <= 3 completeness
     guarantee (identical docs pair at 0; unrelated docs never pair) with
@@ -1872,3 +1890,16 @@ def test_paragraph_dedup_null_id_and_empty_doc(spark):
     assert out[None] == (2, 2, 6)   # NULL id keeps its true stats
     assert out[7] == (0, 0, 0)      # empty doc present, not dropped
     assert out[8] == (1, 0, 0)      # 'a b' already kept by the NULL doc
+
+
+def test_paragraph_dedup_null_text(spark):
+    """A NULL-text document gets a row with n_paras 0 (ANSI size(NULL)
+    is NULL — the operator coalesces it per row, honoring the
+    every-document-gets-a-row contract)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "x y")], "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_paras, r.n_kept, r.kept_chars)
+           for r in dedup.paragraph_dedup(df).collect()}
+    assert out[1] == (0, 0, 0)
+    assert out[2] == (1, 1, 3)

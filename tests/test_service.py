@@ -174,6 +174,21 @@ def test_whois_referral_recursion():
     srv2, _ = whois.query_whois("x", loopy)
     assert srv2 == "whois.iana.org"
 
+def test_whois_referral_malformed_port_returns_text_so_far():
+    """A referral advertising a malformed/out-of-range port must not
+    crash the call (the transport would raise on it) — the loop stops
+    and returns the response gathered so far."""
+    calls = []
+
+    def fake(server, query):
+        calls.append(server)
+        return "OrgName: Example\nReferralServer: whois://evil.example.net:99999\n"
+
+    srv, text = whois.query_whois("192.0.2.1", fake)
+    assert calls == ["whois.iana.org"]  # the bad referral was NOT followed
+    assert srv == "whois.iana.org" and "OrgName" in text
+
+
 def test_reverse_dns_name():
     assert whois.reverse_dns_name("10.1.2.3") == "3.2.1.10.in-addr.arpa"
     assert whois.reverse_dns_name("2001:db8::1").endswith("ip6.arpa")

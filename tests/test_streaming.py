@@ -957,6 +957,58 @@ def test_run_flap_damping_incremental_legacy_ckpt_migration(spark, tmp_path):
     assert not (tmp_path / "state" / "CKPT").exists()  # legacy retired
 
 
+def test_run_flap_damping_incremental_transient_lineage_read(
+    spark, tmp_path, monkeypatch
+):
+    """One transient checkpoint-metadata read failure must not strip
+    replay protection: the failed read is RETRIED on the next batch (not
+    cached as None), and the legacy CKPT marker survives until a batch
+    actually writes a _LINEAGE file for its version dir."""
+    import os as _os
+
+    import bgpexplorer_spark.streaming.feed as feedmod
+
+    d = tempfile.mkdtemp()
+    for row in (u("10.0.0.0/24", t=0), u("10.0.0.0/24", t=10, op="withdraw")):
+        make_updates(spark, [row]).coalesce(1).write.mode("append").parquet(d)
+
+    real = feedmod._checkpoint_query_id
+    seen_ckpt_at_retry = []
+    calls = {"n": 0}
+
+    def flaky(sess, ck):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return None  # simulate a transient metadata-read failure
+        # batch 0 persisted WITHOUT _LINEAGE — the legacy marker must
+        # still be standing when batch 1 comes around
+        seen_ckpt_at_retry.append((tmp_path / "state" / "CKPT").exists())
+        return real(sess, ck)
+
+    monkeypatch.setattr(feedmod, "_checkpoint_query_id", flaky)
+    sd = tmp_path / "state"
+    sd.mkdir()
+    (sd / "CKPT").write_text("/some/previous/checkpoint")
+
+    stream = (
+        spark.readStream.schema(UPDATES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = feedmod.run_flap_damping_incremental(
+        stream, str(tmp_path / "ck"), half_life_sec=20.0, state_dir=str(sd),
+    )
+    q.awaitTermination(120)
+
+    assert calls["n"] >= 2  # the failed read was retried, not cached
+    assert seen_ckpt_at_retry == [True]  # CKPT survived the lineage-less batch
+    cur = (sd / "CURRENT").read_text().strip()
+    assert (sd / cur / "_LINEAGE").exists()  # retry succeeded and persisted
+    assert not (sd / "CKPT").exists()  # retired only AFTER a real _LINEAGE
+    vdirs = sorted(x.name for x in sd.iterdir() if x.name.startswith("v"))
+    assert not (sd / vdirs[0] / "_LINEAGE").exists()  # batch 0 had none
+
+
 def test_heavy_hitters_matches_python_model(spark):
     """Property check: rank, share, and the joint (rank <= k AND share >=
     phi) gate match a pure-Python model over randomized multi-window

@@ -26,6 +26,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from bgpexplorer_spark.session import get_spark  # noqa: E402
 
 
+def engine_digest() -> str:
+    """Digest of the ENGINE STATE a selfcheck certificate was produced
+    from: every ``bgpexplorer_spark/**/*.py`` plus ``__spark_entry__.py``
+    plus ``tools/plan_fingerprints.json``, keyed by repo-relative path.
+    Printed in the log header and re-computed by
+    tests/test_selfcheck_log.py — an operator rewrite landing AFTER the
+    log refresh fails the suite until the log is regenerated (round 8
+    shipped a 185/185 log produced 6 minutes before a bench-set operator
+    rewrite; the query-set gate couldn't see it)."""
+    root = Path(__file__).resolve().parents[1]
+    files = sorted(
+        [*(root / "bgpexplorer_spark").rglob("*.py"), root / "__spark_entry__.py"]
+    )
+    fp = root / "tools" / "plan_fingerprints.json"
+    if fp.exists():
+        files.append(fp)
+    h = hashlib.md5()
+    for f in files:
+        h.update(str(f.relative_to(root)).encode())
+        h.update(b"\0")
+        h.update(f.read_bytes())
+        h.update(b"\0")
+    return h.hexdigest()
+
+
 def type_tag(t: pa.DataType) -> str:
     """Canonical per-column type tag included in the hash. Integer widths
     and signedness are collapsed per *kind* but decimal/float/int stay
@@ -121,6 +146,9 @@ def main():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
 
+    # header FIRST so a full-run log carries the engine state it
+    # certifies (the log-staleness test recomputes and compares)
+    print(f"ENGINE-DIGEST: {engine_digest()}")
     spark = get_spark("selfcheck", cpus=8)
     con = duckdb.connect()
     for t in [
