@@ -102,6 +102,10 @@ BENCH_QUERIES = [
     # spectral prep: per-batch BLAS partial Gram, O(batches×dim²) shuffle —
     # its sf ratio tracks the scan, the shuffle is corpus-size-independent
     "pipe_embedding_gram",
+    # BPE application: vocab-factorized merge fold (one fold per DISTINCT
+    # word) + word join-back + doc-keyed reassembly — the corpus is
+    # scanned once, so its sf ratio tracks the explode/join, not the fold
+    "text_bpe_encode",
 ]
 
 def _sf_of(sf_dir: str) -> float:

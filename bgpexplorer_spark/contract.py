@@ -7974,3 +7974,90 @@ def an_roa_delta_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.hex("addr_v6")).alias("addr_hex"),
         "prefixlen", "origin_as", "validity_before", "validity_after",
     )
+
+
+# BPE application: a fixed, closure-ordered merges table (every rule using
+# a merged token ranks AFTER the rule that created it — the precondition
+# text.bpe_encode documents). Rules 1/11 ('t a' vs 'a t') deliberately
+# compete so the rank-priority path is exercised, and the 'table'/'data'
+# chains exercise multi-step merges over the fixture vocabulary.
+BPE_MERGES = [
+    "t a", "ta b", "tab l", "tabl e",          # -> table
+    "s c", "sc a", "sca n",                    # -> scan
+    "e r", "o w", "r ow",                      # -> row
+    "a t", "d at", "dat a",                    # -> data ('t a' preempts)
+    "o r", "s t", "f a", "fa st",              # -> fast
+    "v a", "l u", "va lu", "valu e",           # -> value
+    "i n", "w in", "d ow", "win dow",          # -> window
+    "q u", "e y", "k ey",                      # -> key
+]
+
+_BPE_MERGES_SQL = "[" + ", ".join(f"'{m}'" for m in BPE_MERGES) + "]"
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, {_duck_tokens('lower(text)')} AS ws FROM documents
+    ), w0 AS (
+        SELECT DISTINCT unnest(ws) AS word FROM d
+    ), enc AS (
+        SELECT word,
+               list_transform(range(1, length(word) + 1), i -> word[i])
+                   AS syms,
+               0 AS step
+        FROM w0
+        UNION ALL
+        SELECT word,
+               syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:],
+               step + 1
+        FROM (
+            SELECT word, syms, step,
+                   list_position(pr, list_min(list_filter(pr, x -> x > 0)))
+                       AS p
+            FROM (
+                SELECT word, syms, step,
+                       list_transform(range(1, len(syms)),
+                           i -> list_position({_BPE_MERGES_SQL},
+                                              syms[i] || ' ' || syms[i+1]))
+                           AS pr
+                FROM enc) t1) t2
+        WHERE p IS NOT NULL AND p > 0
+    ), final AS (
+        SELECT word, syms FROM enc
+        QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+    ), docw AS (
+        SELECT doc_id,
+               unnest(ws) AS word,
+               unnest(generate_series(1, len(ws))) AS idx
+        FROM d
+    ), joined AS (
+        SELECT docw.doc_id, docw.idx, f.syms
+        FROM docw JOIN final f USING (word)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sum(len(j.syms)), 0) AS BIGINT) AS n_tokens,
+           coalesce(string_agg(array_to_string(j.syms, ' '), ' '
+                               ORDER BY j.idx), '') AS tokens
+    FROM d LEFT JOIN joined j ON d.doc_id = j.doc_id
+    GROUP BY d.doc_id
+"""
+
+
+@q("text_bpe_encode", _BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table APPLICATION at corpus scale (text.bpe_encode —
+    the encode stage bpe_pair_counts trains for): the O(L²) merge fold
+    runs once per DISTINCT word (vocabulary-sized), encoded words join
+    back on the word key, and one doc-keyed sorted-collect_list
+    aggregate reassembles document order — the corpus is scanned once
+    and never re-tokenized per repeated word. No UDFs, no driver loop;
+    the oracle replays the identical leftmost-best-pair loop as a
+    DuckDB recursive CTE."""
+    from bgpexplorer_spark.operators.text import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bpe_encode(docs, BPE_MERGES)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.concat_ws(" ", "tokens").alias("tokens"),
+    )

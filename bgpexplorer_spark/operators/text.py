@@ -712,6 +712,126 @@ def bpe_pair_counts(
     )
 
 
+# Above this many merge rules, a literal rank map bloats the serialized
+# plan (GPT-2-class tables run 50k rules); switch to ONE broadcast row
+# carrying the map instead — the column is read per row, not rebuilt.
+BPE_INLINE_MAX = 4096
+
+
+def _bpe_fold_expr(word_sql: str, ranks_sql: str) -> str:
+    """The BPE application loop as ONE data-driven SQL fold (no unrolled
+    steps, so the expression tree stays constant-size regardless of word
+    length): start from the word's characters, and for up to len-1
+    rounds merge the LEFTMOST occurrence of the lowest-rank adjacent
+    pair; a round with no rankable pair is a no-op, so the fold
+    terminates at the fixpoint.
+
+    Leftmost-single-merge is equivalent to the textbook merge-ALL-
+    occurrences step for any TRAINED merges table: a pair involving a
+    merged token can only have been learned after that token existed, so
+    its rank is strictly higher and never preempts the remaining
+    occurrences of the current best pair.
+
+    Nested single-element ``transform`` calls are let-bindings: ``pr``
+    (the per-gap rank vector, 0 = unmergeable) and ``p`` (the 1-based
+    leftmost position of the best rank, 0 = done) are each computed once
+    per round."""
+    step = f"""CASE WHEN size(acc) < 2 THEN acc ELSE
+      element_at(transform(array(transform(sequence(1, size(acc) - 1),
+          i -> coalesce(element_at({ranks_sql},
+                   concat(element_at(acc, i), ' ', element_at(acc, i + 1))),
+               0))), pr ->
+        element_at(transform(array(coalesce(
+            array_position(pr, array_min(filter(pr, x -> x > 0))),
+            CAST(0 AS BIGINT))), p ->
+          CASE WHEN p = 0 THEN acc ELSE
+            concat(slice(acc, 1, CAST(p AS INT) - 1),
+                   array(concat(element_at(acc, CAST(p AS INT)),
+                                element_at(acc, CAST(p AS INT) + 1))),
+                   slice(acc, CAST(p AS INT) + 2, size(acc))) END), 1)), 1)
+      END"""
+    return (
+        f"aggregate(sequence(1, greatest(length({word_sql}) - 1, 1)), "
+        f"split({word_sql}, ''), (acc, _s) -> {step})"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    inline_max: int = BPE_INLINE_MAX,
+) -> DataFrame:
+    """Apply a TRAINED BPE merges table to encode a corpus (Sennrich et
+    al. 2016 §3.2 application pass; :func:`bpe_pair_counts` delivers the
+    statistic a trainer ranks the table from). ``merges`` is the ranked
+    rule list, each ``"left right"``; earlier = higher priority. Output:
+    (id, tokens array<string> in document order, n_tokens), one row per
+    input document (zero-word documents keep a row with [] / 0).
+
+    Scale shape — the corpus is never re-tokenized per occurrence:
+
+    - ONE corpus pass explodes whitespace words (position-tagged);
+    - the O(L²) merge fold (:func:`_bpe_fold_expr`) runs once per
+      DISTINCT word — vocabulary-sized work (Heaps' law: ~corpus^0.5),
+      not corpus-sized;
+    - encoded words join back on the word key (the explode side is
+      already hash-partitioned on it from the distinct) and ONE
+      doc-keyed aggregate reassembles order with the sorted-collect_list
+      idiom.
+
+    The rank table inlines as a literal map below ``inline_max`` rules;
+    above it (GPT-2-class tables are ~50k) it ships as ONE broadcast row
+    holding a map column — constant plan size, same lookups.
+
+    Tokenization is lowercased whitespace words (symbols never contain
+    spaces, so the ``"a b"`` rule keys are unambiguous). Everything is
+    JVM Column algebra — no UDFs, no driver loop.
+    """
+    if len(merges) != len(set(merges)):
+        raise ValueError("duplicate rules in merges")
+    ranks = {m: i + 1 for i, m in enumerate(merges)}
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(tokens(F.lower(F.col(text_col)))).alias("_pos", "_w"),
+    )
+    vocab = ex.select("_w").where(F.col("_w").isNotNull()).distinct()
+    if len(merges) <= inline_max:
+        ranks_sql = "map(" + ", ".join(
+            f"'{k}', {v}" for k, v in ranks.items()
+        ) + ")"
+        vocab_src = vocab
+    else:
+        mdf = df.sparkSession.createDataFrame(
+            [(ranks,)], "_mranks map<string,int>"
+        )
+        vocab_src = vocab.join(F.broadcast(mdf))  # 1-row: no amplification
+        ranks_sql = "_mranks"
+    enc = vocab_src.select(
+        "_w", F.expr(_bpe_fold_expr("_w", ranks_sql)).alias("_toks")
+    )
+    per_doc = (
+        ex.join(enc, "_w", "left")  # left: zero-word docs keep their row
+        .groupBy("_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_toks"))
+                    ),
+                    lambda s: s["_toks"],
+                )
+            ).alias("tokens"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("tokens", F.array().cast("array<string>")).alias("tokens"),
+        F.coalesce(F.size("tokens"), F.lit(0)).alias("n_tokens"),
+    )
+
+
 # Above this many buckets, a literal weight table bloats the serialized
 # plan (same bound rationale as similarity.INLINE_CODEBOOK_MAX: ~0.5 MB
 # of plan); switch to ONE broadcast row instead.

@@ -1903,3 +1903,73 @@ def test_paragraph_dedup_null_text(spark):
            for r in dedup.paragraph_dedup(df).collect()}
     assert out[1] == (0, 0, 0)
     assert out[2] == (1, 1, 3)
+
+
+def _bpe_py(word: str, merges: list[str]) -> list[str]:
+    """Pure-Python reference: merge the LEFTMOST occurrence of the
+    lowest-rank adjacent pair until no pair is rankable."""
+    ranks = {m: i + 1 for i, m in enumerate(merges)}
+    syms = list(word)
+    while len(syms) >= 2:
+        pr = [ranks.get(syms[i] + " " + syms[i + 1], 0)
+              for i in range(len(syms) - 1)]
+        pos = [r for r in pr if r > 0]
+        if not pos:
+            break
+        p = pr.index(min(pos))
+        syms = syms[:p] + [syms[p] + syms[p + 1]] + syms[p + 2:]
+    return syms
+
+
+_BPE_TEST_MERGES = ["a b", "ab ab", "c d", "b a", "ba cd"]
+
+
+def test_bpe_encode_matches_python_model(spark):
+    """The JVM fold encodes every word exactly like the pure-Python BPE
+    loop, across randomized words exercising overlaps, rank priority and
+    multi-step merges; doc order is preserved in the token stream."""
+    import random
+
+    random.seed(11)
+    words = ["".join(random.choices("abcd", k=random.randint(1, 14)))
+             for _ in range(120)]
+    docs_rows = []
+    for i in range(30):
+        picked = random.choices(words, k=random.randint(0, 8))
+        docs_rows.append((i, " ".join(picked)))
+    df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    out = {r.doc_id: (r.tokens, r.n_tokens)
+           for r in text.bpe_encode(df, _BPE_TEST_MERGES).collect()}
+    assert len(out) == 30                     # every doc keeps a row
+    for i, txt in docs_rows:
+        want = [t for w in txt.split() for t in _bpe_py(w, _BPE_TEST_MERGES)]
+        assert out[i] == (want, len(want)), (i, txt)
+
+
+def test_bpe_encode_edge_docs(spark):
+    """Zero-word / NULL-text documents keep a row with ([], 0); text is
+    lowercased before encoding; duplicate merge rules raise."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "   "), (3, "ABAB ab")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.tokens, r.n_tokens)
+           for r in text.bpe_encode(df, _BPE_TEST_MERGES).collect()}
+    assert out[1] == ([], 0)
+    assert out[2] == ([], 0)
+    assert out[3] == (["abab", "ab"], 2)
+    with pytest.raises(ValueError, match="duplicate"):
+        text.bpe_encode(df, ["a b", "a b"])
+
+
+def test_bpe_encode_broadcast_rank_table(spark):
+    """Above inline_max the rank table ships as ONE broadcast row — the
+    plan stays constant-size — and the results are identical to the
+    literal-map path."""
+    df = spark.createDataFrame(
+        [(1, "abab cd xyz"), (2, "bacd bacd a")], "doc_id long, text string"
+    )
+    lit = sorted(text.bpe_encode(df, _BPE_TEST_MERGES).collect())
+    bc = sorted(
+        text.bpe_encode(df, _BPE_TEST_MERGES, inline_max=0).collect()
+    )
+    assert lit == bc

@@ -705,3 +705,34 @@ def test_heavy_hitters_shares_one_exchange(spark):
     plan = _plan(heavy_hitters(counts, k=3))
     # one Exchange for the groupBy counts, one for the shared window key
     assert plan.count("Exchange") == 2
+
+
+def test_bpe_encode_vocab_factorized_no_udf(spark):
+    """bpe_encode's merge fold must run on the DISTINCT-word side only
+    (corpus occurrences join back to encoded words — no per-occurrence
+    re-tokenization), with zero Python eval, no window, no cartesian,
+    and a map-side partial aggregate for both the vocab distinct and the
+    doc reassembly."""
+    from bgpexplorer_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "cd ab")], "doc_id long, text string"
+    )
+    df = bpe_encode(docs, ["a b", "c d"])
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    # doc reassembly partially aggregates before its Exchange (the tree
+    # prints top-down, so the map-side partial is BELOW the Exchange line)
+    assert "partial_collect_list" in plan.split("Exchange hashpartitioning(_id")[1]
+    # the merge fold must appear EXACTLY ONCE, inside the aggregate keyed
+    # on the distinct word (executedPlan elides expressions — use the
+    # formatted explain for expression-level assertions)
+    fmt = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert fmt.count("aggregate(sequence") == 1
+    [node] = [b for b in fmt.split("\n\n") if "aggregate(sequence" in b]
+    assert "Keys [1]: [_w" in node  # attached to the vocab agg, not the corpus
