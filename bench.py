@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "s1_mrt_decode",
     # RIB time travel (ingest build + as-of window)
     "o9_rib_asof",
+    # the SERVED as-of path: daemon-maintained snapshot table, ts_date
+    # partition pruning + max_by only — no wire re-derivation per query.
+    # Its sf ratio should track the pruned scan, not the derivation CTE
+    "o9_rib_asof_served",
     # training-pipeline packing (hash shard + running-sum window)
     "pipe_pack_sequences",
     # model-based quality filter: literal-LUT linear classifier, pure fold

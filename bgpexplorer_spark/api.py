@@ -46,10 +46,21 @@ class BgpExplorerService:
         roas_v6: DataFrame | None = None,
         state_changes: DataFrame | None = None,
         svc_config=None,
+        asof_history=None,
     ):
         from bgpexplorer_spark.streaming.wsfeed import LiveFeed
 
         self.history = history
+        # serving-layer batch view for time-travel requests: a callable
+        # returning the MATERIALIZED history (the daemon's maintained
+        # parquet table / the snapshot keeper's CURRENT version, WITH its
+        # ts_date partition column so the as-of cutoff prunes whole date
+        # partitions) or None to fall back to the live frame. Staleness
+        # contract: the view answers from the last persisted state —
+        # rows ingested after that save are not visible through it, so
+        # wire it only where the table is maintained continuously (the
+        # daemon refreshes it per ingest micro-batch).
+        self.asof_history = asof_history
         self.sessions = sessions
         # RFC 6811 ROA tables for /api/analytics/rpki: v4 (net, plen,
         # max_len, asn) and the BINARY(16)-net v6 form (rib=ipv6u)
@@ -133,7 +144,8 @@ class BgpExplorerService:
         if rib not in RIB_NAMES:
             rib = "ipv4u"
         p = QueryParams(**params)
-        r = query_rib(self.history, rib, p, length=self._length(rib))
+        hist = self._history_for_asof() if p.asof is not None else self.history
+        r = query_rib(hist, rib, p, length=self._length(rib))
         items = {
             row.nlri_str: json.loads(row.items_json)
             for row in to_nested_json(r).collect()
@@ -210,6 +222,19 @@ class BgpExplorerService:
             self._analytics_memo.clear()
             self._memo_building.clear()
 
+    def _history_for_asof(self):
+        """History frame for time-travel (?asof=) requests: the
+        materialized batch view when a provider is wired and answers
+        (daemon table / snapshot CURRENT — partition-prunable, no wire
+        re-derivation), else the live frame. The ts_date partition
+        column the view may carry is consumed by the as-of cutoff
+        (timeutil.asof_prune) before any downstream schema sees it."""
+        if self.asof_history is not None:
+            df = self.asof_history()
+            if df is not None:
+                return df
+        return self.history
+
     @staticmethod
     def _page(df, k: int, skip: int):
         """Serving-layer result cap (deterministic order assumed set by
@@ -230,7 +255,7 @@ class BgpExplorerService:
         from bgpexplorer_spark.operators.rib import current_state
 
         st = (
-            rib_asof(self.history, asof)
+            rib_asof(self._history_for_asof(), asof)
             if asof is not None
             else current_state(self.history)
         )
@@ -265,7 +290,7 @@ class BgpExplorerService:
         if roa_table is None:
             return {"error": "no ROA table configured"}
         st = (
-            rib_asof(self.history, asof)
+            rib_asof(self._history_for_asof(), asof)
             if asof is not None
             else current_state(self.history)
         )

@@ -74,6 +74,16 @@ class BgpExplorerDaemon:
                 history_mode=self.cfg.historymode,
             )
 
+    def _history_with_partitions(self) -> DataFrame | None:
+        """The maintained table WITH its ts_date partition column — the
+        service's as-of batch view (timeutil.asof_prune consumes the
+        column as a real partition filter). None before the first ingest
+        commit creates the table (the service falls back to live)."""
+        try:
+            return self.spark.read.parquet(self.table_dir)
+        except Exception:  # noqa: BLE001 — table not written yet
+            return None
+
     def _load_roas(self):
         from bgpexplorer_spark.sources.roas import load_roas_csv, load_roas_json
 
@@ -120,6 +130,12 @@ class BgpExplorerDaemon:
                 roas_v6=roas_v6,
                 svc_config=self.cfg,
                 ws_apply_filter=True,
+                # time-travel requests read the maintained table WITH its
+                # ts_date partition column: the as-of cutoff then prunes
+                # whole date partitions instead of scanning every file
+                # (the table is refreshed per ingest micro-batch, so the
+                # batch-view staleness window is one trigger interval)
+                asof_history=self._history_with_partitions,
             )
             self.service.history_provider = self._history
 

@@ -52,3 +52,22 @@ def ts_cutoff_str(at) -> str:
         .astimezone(_dt.timezone.utc)
         .strftime("%Y-%m-%d %H:%M:%S.%f")
     )
+
+
+def asof_prune(history, at):
+    """``ts <= at`` with PARTITION pruning: when the frame still carries
+    the snapshot layout's ``ts_date`` partition column (daemon table /
+    snapshot read before the column is dropped), an explicit
+    ``ts_date <= date(at)`` predicate prunes whole date partitions —
+    Spark cannot infer that bound from the ``ts`` filter alone. The
+    column is dropped afterwards so caller-visible schemas stay
+    ts_date-free either way."""
+    from pyspark.sql import functions as F
+
+    cutoff = ts_cutoff_str(at)
+    out = history.filter(F.col("ts") <= F.lit(cutoff))
+    if "ts_date" in history.columns:
+        out = out.filter(
+            F.col("ts_date") <= F.to_date(F.lit(cutoff))
+        ).drop("ts_date")
+    return out

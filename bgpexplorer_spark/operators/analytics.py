@@ -53,14 +53,17 @@ def rib_asof(
     time. ``seq_col`` breaks ts ties (arrival order) deterministically.
 
     One partition-prunable ts filter (the snapshot is partitioned by
-    ts_date) + the one newest-per-key pick the read path already pays —
-    a map-side-combinable ``max_by`` aggregation like
-    :func:`rib.current_state` (no window sort; the shuffle carries one
-    row per key per map task, measured ~4× cheaper at 10× data).
+    ts_date — pass the frame WITH that column, e.g. the daemon's
+    maintained table, and :func:`timeutil.asof_prune` turns the cutoff
+    into real partition pruning) + the one newest-per-key pick the read
+    path already pays — a map-side-combinable ``max_by`` aggregation
+    like :func:`rib.current_state` (no window sort; the shuffle carries
+    one row per key per map task, measured ~4× cheaper at 10× data).
     """
-    cutoff = ts_cutoff_str(at)
-    filtered = history.filter(F.col("ts") <= F.lit(cutoff))
-    others = [c for c in history.columns if c not in KEY_COLS]
+    from bgpexplorer_spark.functions.timeutil import asof_prune
+
+    filtered = asof_prune(history, at)
+    others = [c for c in filtered.columns if c not in KEY_COLS]
     order = (
         F.struct(F.col("ts"), F.col(seq_col)) if seq_col else F.col("ts")
     )
@@ -68,7 +71,7 @@ def rib_asof(
         filtered.groupBy(*KEY_COLS)
         .agg(F.max_by(F.struct(*others), order).alias("_r"))
         .select(*KEY_COLS, *[F.col(f"_r.{c}").alias(c) for c in others])
-        .select(*history.columns)
+        .select(*filtered.columns)
     )
     return df.filter(F.col("active")) if only_active else df
 

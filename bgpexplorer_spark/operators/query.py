@@ -193,9 +193,9 @@ def query_rib(
     under asof (the cutoff filter pushes down to the scan; partition
     pruning on ts_date bounds the read)."""
     if p.asof is not None:
-        from bgpexplorer_spark.functions.timeutil import ts_cutoff_str
+        from bgpexplorer_spark.functions.timeutil import asof_prune
 
-        history = history.filter(F.col("ts") <= F.lit(ts_cutoff_str(p.asof)))
+        history = asof_prune(history, p.asof)
         length = None
     if length is None:
         rib_df = history.filter(F.col("rib") == rib)

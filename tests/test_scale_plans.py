@@ -736,3 +736,31 @@ def test_bpe_encode_vocab_factorized_no_udf(spark):
     assert fmt.count("aggregate(sequence") == 1
     [node] = [b for b in fmt.split("\n\n") if "aggregate(sequence" in b]
     assert "Keys [1]: [_w" in node  # attached to the vocab agg, not the corpus
+
+
+def test_rib_asof_partition_prunes_materialized_snapshot(spark, tmp_path):
+    """rib_asof over a frame still carrying the snapshot's ts_date
+    partition column must turn the cutoff into a REAL partition filter
+    (timeutil.asof_prune) — the served ?asof= path reads only the date
+    partitions at-or-before the instant — while the output schema stays
+    ts_date-free and the newest-per-key pick stays a max_by aggregate
+    (no window sort)."""
+    from bgpexplorer_spark.operators.analytics import rib_asof
+    from bgpexplorer_spark.operators.rib import write_snapshot
+    from tests.ribdata import T0
+
+    rows = [u(f"10.{i}.0.0/16", t=i * 90000) for i in range(5)]  # spans days
+    hist = build_history(make_updates(spark, rows))
+    d = str(tmp_path / "snap")
+    write_snapshot(hist, d)
+
+    at_ms = int(T0.timestamp() * 1000) + 2 * 90000 * 1000
+    df = rib_asof(spark.read.parquet(d), at_ms)
+    assert "ts_date" not in df.columns
+    plan = _plan(df)
+    assert "PartitionFilters: [isnotnull(ts_date" in plan
+    assert "ts_date" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert "PushedFilters: [IsNotNull(ts), LessThanOrEqual(ts," in plan
+    assert "Window" not in plan
+    assert "max_by" in plan
+    assert df.count() == 3  # t=0,1,2 days visible; later partitions pruned
