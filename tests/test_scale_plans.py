@@ -707,6 +707,29 @@ def test_heavy_hitters_shares_one_exchange(spark):
     assert plan.count("Exchange") == 2
 
 
+def test_bm25_two_scans_no_corpus_join(spark, tmp_path):
+    """bm25_topk must read the corpus exactly twice (the term-filtered
+    hits pass and the map-side (N, avgdl) singleton) and never join a
+    corpus-sized frame: the doc length rides the filtered explode, df_t
+    is a count window over the tf rows, and the answer is a TakeOrdered.
+    The first formulation joined the per-doc-length frame onto tf — a
+    third scan plus a full-corpus shuffle for a k-row answer (4.1× at
+    the sf0.1→sf1 decade)."""
+    from bgpexplorer_spark.operators.text import bm25_topk
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "spark window hash join scan") for i in range(40)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = _plan(bm25_topk(df, ["spark", "window"], k=5))
+    assert plan.count("FileScan") == 2
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # broadcasts only past the scans
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bpe_encode_vocab_factorized_no_udf(spark):
     """bpe_encode's merge fold must run on the DISTINCT-word side only
     (corpus occurrences join back to encoded words — no per-occurrence

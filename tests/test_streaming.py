@@ -898,6 +898,87 @@ def test_live_key_counts_heavy_hitters_streaming(spark):
     assert len(got) == 4
 
 
+def test_heavy_hitters_lateness_watermark(spark):
+    """φ-alarm correctness under disorder: late events that arrive INSIDE
+    the watermark merge into their (still-open) window and the closed
+    window's ranks equal a batch recompute over the in-watermark events;
+    late events arriving AFTER their window was finalized are dropped and
+    never perturb (or re-emit) the already-closed ranking. Note Spark's
+    watermark contract is one-directional — a row later than the
+    watermark is only GUARANTEED dropped once its window's state was
+    evicted, so the too-late burst lands in a batch after the emission."""
+    from bgpexplorer_spark.streaming.feed import heavy_hitters, live_key_counts
+
+    d = tempfile.mkdtemp()
+
+    def _append(rows):
+        make_updates(spark, rows).coalesce(1).write.mode("append").parquet(d)
+
+    # batch 0 — minute 0: p0×3, p1×1; minute 2: p1×2, p2×1; a minute-3
+    # sentinel pushes the watermark to t=170 (1-minute delay), past the
+    # minute-0 window's end (60) but NOT past minute 2's (180)
+    _append(
+        [u("10.0.0.0/24", t=0), u("10.0.0.0/24", t=5), u("10.0.0.0/24", t=10),
+         u("10.0.1.0/24", t=20),
+         u("10.0.1.0/24", t=125), u("10.0.1.0/24", t=130),
+         u("10.0.2.0/24", t=135),
+         u("99.0.0.0/24", t=230)]
+    )
+    # batch 1 — p2×2 land late but in-watermark (window end 180 >= 170):
+    # must merge, flipping minute 2's leader from p1 to p2. Minute 0
+    # (end 60 < 170) is emitted and evicted at this batch's close; the
+    # sentinel advances the watermark past minute 2 so IT can finalize.
+    late_in = [u("10.0.2.0/24", t=140), u("10.0.2.0/24", t=150)]
+    _append(late_in + [u("99.0.0.0/24", t=400)])
+    # batch 2 — p9×5 target the FINALIZED minute-0 window: must be
+    # dropped (they would out-rank p0's 3 and force a second, append-
+    # mode-violating emission of the window otherwise)
+    too_late = [u("10.0.9.0/24", t=30 + i) for i in range(5)]
+    _append(too_late + [u("99.0.0.0/24", t=1000)])
+
+    stream = (
+        spark.readStream.schema(UPDATES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        live_key_counts(stream, window="1 minute", watermark="1 minute")
+        .writeStream.format("memory").queryName("hh_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    closed = spark.table("hh_late")
+    got = {
+        (r.win_start.minute, r.rank): (r.nlri_str, r.n_updates, r.share)
+        for r in heavy_hitters(closed, k=5).collect()
+        if r.win_start.minute in (0, 2)
+    }
+    # minute 0 finalized BEFORE the too-late burst: p9 absent, p0 leads
+    assert got[(0, 1)] == ("10.0.0.0/24", 3, 0.75)
+    assert got[(0, 2)] == ("10.0.1.0/24", 1, 0.25)
+    assert not any(n == "10.0.9.0/24" for n, _, _ in got.values())
+    # minute 2 absorbed the in-watermark stragglers: p2 3 > p1 2
+    assert got[(2, 1)] == ("10.0.2.0/24", 3, 0.6)
+    assert got[(2, 2)] == ("10.0.1.0/24", 2, 0.4)
+    # the closed-window ranks equal a batch recompute over exactly the
+    # in-watermark events (everything except the dropped p9 burst)
+    batch_rows = (
+        [u("10.0.0.0/24", t=0), u("10.0.0.0/24", t=5), u("10.0.0.0/24", t=10),
+         u("10.0.1.0/24", t=20),
+         u("10.0.1.0/24", t=125), u("10.0.1.0/24", t=130),
+         u("10.0.2.0/24", t=135)]
+        + late_in
+    )
+    want = {
+        (r.win_start.minute, r.rank): (r.nlri_str, r.n_updates, r.share)
+        for r in heavy_hitters(
+            live_key_counts(make_updates(spark, batch_rows), window="1 minute"),
+            k=5,
+        ).collect()
+    }
+    assert got == want
+
+
 def test_run_flap_damping_incremental_legacy_ckpt_migration(spark, tmp_path):
     """State persisted by the pre-_LINEAGE layout (a CKPT file recording
     the checkpoint path) must still be honored: a same-path replay after
