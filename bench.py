@@ -400,7 +400,14 @@ def main() -> None:
         except Exception as e:  # no sf1 section rather than a failed bench
             print(f"sf1 generation failed: {e}", file=sys.stderr)
     if sf1_dir and os.path.isdir(sf1_dir):
-        times_sf1 = _run_set(spark, qs, sf1_dir, n_runs=3)
+        # stage counters at sf1 too: a creeping sf ratio with CPU
+        # (exec_run_ms) growing in step is real compute growth; CPU flat
+        # while wall grows is environment — the distinction the r8 creep
+        # post-mortem needed and couldn't make from wall times alone
+        qmetrics_sf1: dict[str, dict] = {}
+        times_sf1 = _run_set(
+            spark, qs, sf1_dir, n_runs=3, collect_metrics=qmetrics_sf1
+        )
         ratios1 = {
             name: round(times_sf1[name] / times[name], 2) if times.get(name) else None
             for name in times_sf1
@@ -415,6 +422,7 @@ def main() -> None:
             "superlinear": sorted(
                 n for n, r in ratios1.items() if r and r > data_ratio1 * 1.2
             ),
+            "query_metrics": qmetrics_sf1,
         }
 
     # streaming state-path throughput at the secondary (small) sf: the

@@ -253,86 +253,101 @@ def simhash_candidate_pairs(
     max_hamming: int = 3, bits: int = 60,
 ) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ ``max_hamming``:
-    band the signature into ``max_hamming + 1`` pigeonhole bands and
-    bucket-join per band — any pair within the bound shares at least one
-    unchanged band, so candidates come from bucket-local joins only
-    (never all-pairs); the exact hamming check (bit_count of xor) then
-    verifies candidates. Same shape as MinHash LSH: one shuffle per band
-    + per-candidate verification.
+    AND-OR banding — split the signature into sub-bands, join on every
+    fully-intact sub-band COMBINATION's concatenated key (exact
+    coverage: ≤ max_hamming flips damage ≤ max_hamming sub-bands, so
+    one keyed combination always survives), verify bit_count(XOR)
+    inline in the join. Candidates come from bucket-local joins only,
+    never all-pairs, and never materialize unverified.
 
     ``bits=60`` (the default — the AT-SCALE path) signs with
-    :func:`simhash60`: 15-bit bands → 32768 buckets per band, so the
-    band self-join quadratics are ×128 smaller than the 32-bit form
-    (measured sf0.1→sf1 ratio 3.25× vs 6.51× for 10× data — the 32-bit
-    8-bit-band O(n²/256) growth shows well before 100 TB). ``bits=32``
-    keeps the narrow :func:`simhash32` signature for small corpora or
-    bit-parity with external 32-bit SimHash pipelines."""
+    :func:`simhash60`: 6×10-bit sub-bands, C(6,3) 30-bit keys at the
+    default hamming ≤ 3. ``bits=32`` keeps the narrow :func:`simhash32`
+    signature (4×8-bit sub-bands) for small corpora or bit-parity with
+    external 32-bit SimHash pipelines."""
     if bits == 60:
         return simhash60_candidate_pairs(df, id_col, text_col, max_hamming)
     if bits != 32:
         raise ValueError(f"bits must be 32 or 60, got {bits}")
-    sig = simhash32(df, id_col, text_col).cache()
+    sig = simhash32(df, id_col, text_col)
     return _banded_hamming_pairs(
-        sig, id_col, band_bits=8, max_hamming=max_hamming, sig_bits=32
+        sig, id_col, sub_bits=8, n_sub=4, max_hamming=max_hamming, sig_bits=32
     )
 
 
 def _banded_hamming_pairs(
-    sig: DataFrame, id_col: str, band_bits: int, max_hamming: int,
-    sig_bits: int,
+    sig: DataFrame, id_col: str, sub_bits: int, n_sub: int,
+    max_hamming: int, sig_bits: int,
 ) -> DataFrame:
-    """Shared banding/join/verify core for the SimHash variants: explode
-    ``max_hamming + 1`` pigeonhole bands of ``band_bits`` each from the
-    ``simhash`` column, bucket-join per band, then the exact
-    bit_count(XOR) verify — candidates come from bucket-local joins
-    only, never all-pairs.
+    """Shared banding/join/verify core for the SimHash variants — the
+    AND-OR (key-concatenation) construction: split the signature into
+    ``n_sub`` sub-bands of ``sub_bits``; ≤ ``max_hamming`` bit flips
+    damage at most ``max_hamming`` sub-bands, so any qualifying pair
+    shares at least one FULLY-INTACT combination of
+    ``r = n_sub - max_hamming`` sub-bands — join on every C(n_sub, r)
+    combination's concatenated key (combo id folded into the key) and
+    the coverage is exact, never probabilistic.
 
-    The pigeonhole argument needs every band to live INSIDE the
-    signature: with ``(max_hamming + 1) * band_bits > sig_bits`` the
-    bands shifted past the top bit key on a constant 0, turning that
-    band's self-join into all-pairs (still correct, silently quadratic)
-    — so that configuration raises instead."""
-    n_bands = max_hamming + 1
-    if n_bands * band_bits > sig_bits:
+    Why not one band per allowed flip (r = 1, the classic pigeonhole):
+    single-sub-band keys are NARROW and SimHash bits are correlated on
+    real corpora (common tokens dominate the majority votes), so bucket
+    occupancy is heavily skewed and the per-bucket self-join quadratics
+    explode — measured at 10× data (sf1→sf10, 500k docs): 4×15-bit
+    single-band keys do Σc² ≈ 2.8e9 bucket comparisons (60× wall ratio),
+    the C(6,3) 30-bit concatenated keys do 1.06e8 (max bucket 594).
+    Wider keys buy strictly better occupancy for the same completeness
+    guarantee; the explode factor (20 rows/doc vs 4) is the cheap side
+    of that trade.
+
+    The hamming verify runs INLINE in the join filter — unverified
+    candidates are never materialized, deduplicated, or shuffled (the
+    old shape ran DISTINCT over the raw candidate set, then re-joined
+    the signature table twice to verify — three corpus-scale shuffles
+    of mostly-false candidates); ``distinct`` here sees verified pairs
+    only (≤ C(n_sub, r) duplicates per true pair).
+
+    Every sub-band must live INSIDE the signature, and there must be at
+    least one intact combination to key on — otherwise the join would
+    degrade to all-pairs, so those configurations raise."""
+    import itertools
+
+    r = n_sub - max_hamming
+    if r < 1 or n_sub * sub_bits > sig_bits:
         raise ValueError(
-            f"max_hamming={max_hamming} needs {n_bands} bands of "
-            f"{band_bits} bits = {n_bands * band_bits} > the {sig_bits}-bit "
-            "signature — a band past the top bit would degrade the "
-            "bucket-join to all-pairs; use a wider signature or narrower "
-            "bands"
+            f"max_hamming={max_hamming} with {n_sub} sub-bands of "
+            f"{sub_bits} bits over a {sig_bits}-bit signature leaves no "
+            "fully-intact sub-band combination to key on — the join "
+            "would degrade to all-pairs; use a wider signature or more "
+            "sub-bands"
         )
-    mask = (1 << band_bits) - 1
+    mask = (1 << sub_bits) - 1
+    subs = [
+        F.shiftright("simhash", sub_bits * i).bitwiseAND(F.lit(mask))
+        for i in range(n_sub)
+    ]
+    keys = []
+    for ci, combo in enumerate(itertools.combinations(range(n_sub), r)):
+        key = F.lit(ci).cast("bigint")
+        for i in combo:
+            key = F.shiftleft(key, sub_bits) + subs[i]
+        keys.append(key)
     bands = sig.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", band_bits * b)
-                        .bitwiseAND(F.lit(mask)).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("_bb"),
-    ).select(id_col, "_bb.band", "_bb.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*keys)).alias("key")
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"))
+    a, b = bands.alias("a"), bands.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
-        cand.join(sa, "id_a").join(sb, "id_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).cast("int")
+        a.join(b, "key")
+        .filter(
+            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (F.bit_count(xor) <= max_hamming)
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(xor).cast("int").alias("hamming"),
+        )
+        .distinct()
     )
 
 def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -368,14 +383,16 @@ def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
 def simhash60_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs over the 60-bit signature: 4 pigeonhole bands of
-    15 bits (32768 buckets each) → bucket-local joins → exact
-    bit_count(XOR) verify. Identical guarantee to
-    :func:`simhash_candidate_pairs` (complete for hamming ≤ 3) with the
-    band-join quadratics cut ×128 — the variant to run at corpus scale."""
-    sig = simhash60(df, id_col, text_col).cache()
+    """Near-dup pairs over the 60-bit signature: 6 sub-bands of 10 bits,
+    joined on every C(6, 6 - max_hamming) fully-intact sub-band
+    combination (30-bit concatenated keys at the default hamming ≤ 3) →
+    exact bit_count(XOR) verify inline in the join. Identical result
+    set to brute-force hamming ≤ max_hamming (the combination coverage
+    is exact — see :func:`_banded_hamming_pairs` for why concatenated
+    keys beat one-band-per-flip pigeonhole at corpus scale)."""
+    sig = simhash60(df, id_col, text_col)
     return _banded_hamming_pairs(
-        sig, id_col, band_bits=15, max_hamming=max_hamming, sig_bits=60
+        sig, id_col, sub_bits=10, n_sub=6, max_hamming=max_hamming, sig_bits=60
     )
 
 

@@ -586,8 +586,6 @@ def bm25_topk(
     (6 dp) so the final sum is engine-order-insensitive, then the doc
     score rounds to 4 dp; top-k is a TakeOrdered, never a global
     sort."""
-    from pyspark.sql import Window
-
     qlist = list(query_terms)
     hits = df.select(
         F.col(id_col),

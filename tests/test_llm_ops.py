@@ -352,20 +352,25 @@ def test_simhash_candidate_pairs_defaults_to_60_bit(docs):
         dedup.simhash_candidate_pairs(docs, "doc_id", bits=48)
 
 def test_simhash_banding_rejects_overflowing_bands(docs):
-    """(max_hamming + 1) * band_bits must fit the signature: bands
-    shifted past the top bit key on a constant 0 and degrade that band's
-    self-join to all-pairs (silently quadratic). Such configs raise."""
+    """A max_hamming that leaves NO fully-intact sub-band combination to
+    key on (n_sub - max_hamming < 1) would degrade the bucket-join to
+    all-pairs (silently quadratic) — such configs raise. The AND-OR
+    construction gives the 60-bit form (6 sub-bands) capacity up to
+    hamming ≤ 5 and the 32-bit form (4 sub-bands) up to ≤ 3."""
     import pytest
 
     with pytest.raises(ValueError, match="all-pairs"):
-        dedup.simhash_candidate_pairs(docs, "doc_id", max_hamming=4, bits=60)
+        dedup.simhash_candidate_pairs(docs, "doc_id", max_hamming=6, bits=60)
     with pytest.raises(ValueError, match="all-pairs"):
         dedup.simhash_candidate_pairs(docs, "doc_id", max_hamming=4, bits=32)
     with pytest.raises(ValueError, match="all-pairs"):
         dedup.simhash60_candidate_pairs(docs, "doc_id", max_hamming=7)
-    # the boundary config (4 bands x 15 bits = 60) still runs
+    # boundary configs (exactly one intact combination class) still run
     assert dedup.simhash60_candidate_pairs(
-        docs, "doc_id", max_hamming=3
+        docs, "doc_id", max_hamming=5
+    ).count() >= 0
+    assert dedup.simhash_candidate_pairs(
+        docs, "doc_id", max_hamming=3, bits=32
     ).count() >= 0
 
 
