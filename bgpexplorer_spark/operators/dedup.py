@@ -97,11 +97,25 @@ def minhash_signatures(
 
 def lsh_buckets(
     sig: DataFrame, id_col: str, bands: int = 4, rows_per_band: int | None = None,
-    k: int | None = None,
+    k: int | None = None, max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature: one row per (doc, band) with a bucket hash.
     Docs sharing any (band, bucket) are candidate near-dups. Pass ``k``
-    (signature length) to avoid a discovery action on the pipeline."""
+    (signature length) to avoid a discovery action on the pipeline.
+
+    ``max_bucket`` (default off — the exact banding contract) drops
+    memberships of buckets holding more than that many docs before any
+    self-join sees them. This is the production lever for low-diversity
+    corpora: a mega-bucket is a boilerplate/near-identical cluster whose
+    pairs grow quadratically in its size (and which exact/paragraph
+    dedup already collapses more cheaply); capping bounds the candidate
+    self-join at buckets × cap² at a DOCUMENTED recall cost — pairs
+    whose only shared band lives in a shed bucket are lost. Measured on
+    the sf10 synthetic corpus (31-word vocabulary, the pathological
+    case): uncapped candidate slots grow 120k → 11.9M for 10× docs
+    (chance band collisions are quadratic when shingle diversity is
+    low); real-vocabulary corpora collide at ~per-perm-rate⁴ and stay
+    output-sized."""
     if rows_per_band is None:
         if k is None:
             k = sig.select(F.size("minhash").alias("k")).first()["k"]
@@ -117,19 +131,30 @@ def lsh_buckets(
         )
         for b in range(bands)
     )
-    return sig.select(
+    out = sig.select(
         id_col, F.explode(F.expr(f"array({bands_sql})")).alias("_bb")
     ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        occ = Window.partitionBy("band", "bucket")
+        out = (
+            out.withColumn("_occ", F.count(F.lit(1)).over(occ))
+            .filter(F.col("_occ") <= max_bucket)
+            .drop("_occ")
+        )
+    return out
 
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     k: int = 16, n: int = 2, bands: int = 4,
     shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates: (id_a < id_b, est_jaccard) from
-    bucket-local joins only, est_jaccard = signature agreement rate."""
+    bucket-local joins only, est_jaccard = signature agreement rate.
+    ``max_bucket``: see :func:`lsh_buckets` (mega-bucket shed, default
+    off)."""
     sig = minhash_signatures(df, id_col, text_col, k, n, shingles=shingles).cache()
-    bk = lsh_buckets(sig, id_col, bands)
+    bk = lsh_buckets(sig, id_col, bands, k=k, max_bucket=max_bucket)
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(b, ["band", "bucket"])
@@ -173,6 +198,23 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if candidates is not None:
         ca = candidates.select("id_a", "id_b")
+        # exact-safe size shed BEFORE the per-shingle expansion: shared
+        # ≤ min(na, nb) and J ≥ t ⟺ shared ≥ t(na+nb)/(1+t), which
+        # together require min(na, nb) ≥ t·max(na, nb) — a candidate
+        # failing that can never reach the threshold, so shedding it
+        # here (two doc-count-sized joins over the candidate keys) is
+        # free of semantic change and saves its ~shingles-per-doc
+        # expansion rows in the verify join.
+        if threshold > 0:
+            ca = (
+                ca.join(sizes.select(F.col("_id").alias("id_a"),
+                                     F.col("_n").alias("_sa")), "id_a")
+                .join(sizes.select(F.col("_id").alias("id_b"),
+                                   F.col("_n").alias("_sb")), "id_b")
+                .filter(F.least("_sa", "_sb")
+                        >= F.lit(threshold) * F.greatest("_sa", "_sb"))
+                .select("id_a", "id_b")
+            )
         sa = sh.select(F.col("_id").alias("id_a"), "_sh")
         sb = sh.select(F.col("_id").alias("id_b"), "_sh")
         # per-pair intersection: expand each candidate pair by id_a's
@@ -207,19 +249,30 @@ def ngram_jaccard_pairs(
 def neardup_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3,
     threshold: float = 0.5, k: int = 16, bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """THE composed near-dup path: MinHash+LSH candidate generation →
-    exact n-gram Jaccard verification of candidates only. Linear-ish in
-    corpus size (bucket-local joins + per-candidate intersection), so this
-    is the default at any scale; the standalone exact form of
-    ``ngram_jaccard_pairs`` remains for small verification runs.
+    exact n-gram Jaccard verification of candidates only. Bucket-local
+    joins + per-candidate intersection, so this is the default at any
+    scale; the standalone exact form of ``ngram_jaccard_pairs`` remains
+    for small verification runs. Candidate volume tracks the corpus's
+    shingle diversity — on realistic vocabularies chance band
+    collisions are ~per-perm-rate⁴ and the verify join stays
+    output-sized; on low-diversity corpora they grow quadratically
+    (measured sf1→sf10 on the 31-word synthetic fixture: 120k → 11.9M
+    candidate slots for 10× docs) — that regime is what ``max_bucket``
+    (see :func:`lsh_buckets`) is for, at a documented recall trade.
+    The exact-safe size-ratio shed in :func:`ngram_jaccard_pairs`
+    drops candidates that cannot reach ``threshold`` before their
+    per-shingle expansion, with no semantic change.
 
     The shingle explode (the CPU-dense stage) is computed ONCE and
     persisted — signatures, sizes, and the intersection all read the
     cached (id, shingle) rows instead of re-exploding the corpus 3×."""
     sh = shingle_df(df, id_col, text_col, n).persist()
     cand = minhash_candidate_pairs(
-        df, id_col, text_col, k=k, n=n, bands=bands, shingles=sh
+        df, id_col, text_col, k=k, n=n, bands=bands, shingles=sh,
+        max_bucket=max_bucket,
     )
     return ngram_jaccard_pairs(
         df, id_col, text_col, n=n, threshold=threshold, candidates=cand, shingles=sh

@@ -56,6 +56,67 @@ def test_minhash_lsh(docs):
     }
     assert (0, 2) in pairs and pairs[(0, 2)] == 1.0
 
+def test_lsh_max_bucket_sheds_mega_buckets(spark):
+    """max_bucket drops over-occupied band buckets before the self-join:
+    a 6-copy boilerplate cluster stops producing its quadratic pairs,
+    pairs outside the shed buckets survive, and the capped result is a
+    strict subset of the uncapped one. Default (None) is unchanged."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    distinct_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, boiler) for i in range(6)]
+    rows += [(10, distinct_a), (11, distinct_a)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup.neardup_pairs(
+                df, "doc_id", n=2, threshold=0.5, **kw
+            ).collect()
+        }
+
+    unc = pairs()
+    assert (10, 11) in unc and (0, 1) in unc and len(unc) == 15 + 1
+    capped = pairs(max_bucket=5)  # boilerplate occupies 6 > 5 per bucket
+    assert (10, 11) in capped     # 2-doc buckets survive the cap
+    assert not any(a < 6 and b < 6 for a, b in capped)  # cluster shed
+    assert capped < unc
+
+
+def test_ngram_jaccard_size_shed_is_exact(spark):
+    """The size-ratio shed (min >= t*max shingles) drops only candidates
+    that could NEVER reach the threshold: results with candidates equal
+    the unsheddable brute-force form on a corpus engineered so some
+    candidate pairs fail the ratio test."""
+    rows = [
+        (1, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (2, "a b c d"),                      # tiny subset of 1
+        (3, "a b c d e f g h i j k l m n o p q r s t u v w x y QQ"),
+        (4, "unrelated words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # all-pairs candidates: the shed is the only thing between the
+    # candidate set and the exact intersection
+    ids = [r[0] for r in rows]
+    cand = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", n=2, threshold=0.5, candidates=cand
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, "doc_id", n=2, threshold=0.5)
+        .collect()
+    }
+    assert got == want
+    assert (1, 3) in got          # survives: 24/26 shared bigrams
+    assert not any(2 in p for p in got)  # the subset doc can't reach 0.5
+
+
 def test_simhash(docs):
     out = {r.doc_id: r.simhash for r in dedup.simhash32(docs, "doc_id").collect()}
     assert out[0] == out[2]
