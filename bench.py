@@ -31,8 +31,9 @@ BENCH_QUERIES = [
     "f1_subnet_match",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    # at-scale SimHash pairs: 60-bit signature, 15-bit bands — tracks the
-    # band-join quadratics the 8-bit-band variant would hit at corpus scale
+    # at-scale SimHash pairs: 60-bit signature, AND-OR combination keys
+    # (C(6,3) 30-bit keys) with inline verify — tracks the band-join
+    # quadratics narrow single-band keys hit at corpus scale
     "dedup_simhash60_pairs",
     "sim_cosine_topk",
     # exact brute-force at scale: BLAS matvec per Arrow batch + per-batch

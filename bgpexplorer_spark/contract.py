@@ -1105,12 +1105,15 @@ def _simhash60_pairs_sql(max_hamming: int = 3) -> str:
 
 @q("dedup_simhash60_pairs", _simhash60_pairs_sql())
 def dedup_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AT-SCALE SimHash near-dup pairs: 60-bit signature, 4×15-bit
-    pigeonhole bands (32768 buckets per band vs simhash32's 256 — the
-    band self-join quadratics cut ×128; same hamming ≤ 3 completeness) —
-    operators/dedup.simhash60_candidate_pairs. The oracle replicates the
-    60-bit md5-prefix hash, the majority vote, the banding and the
-    bit_count verify."""
+    """AT-SCALE SimHash near-dup pairs: 60-bit signature, AND-OR
+    banding (6×10-bit sub-bands, C(6,3) 30-bit combination keys, verify
+    inline in the join — same hamming ≤ 3 completeness, bucket
+    occupancy immune to the correlated-bit skew that makes narrow
+    single-band keys quadratic) — operators/dedup.simhash60_candidate_pairs.
+    The oracle replicates the 60-bit md5-prefix hash and the majority
+    vote, and generates candidates with its own (single-band pigeonhole)
+    complete banding — both constructions are complete for hamming ≤ 3,
+    so the verified result sets are identical."""
     from bgpexplorer_spark.operators.dedup import simhash60_candidate_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 

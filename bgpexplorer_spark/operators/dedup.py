@@ -410,12 +410,12 @@ def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     a signed 64-bit int in both engines). Same one-explode +
     conditional-sums shape as simhash32; 60 aggregates instead of 32.
 
-    Why it exists: hamming ≤ 3 needs 4 pigeonhole bands, and with a
-    32-bit hash each band key is only 8 bits → 256 buckets per band, so
-    the band self-join grows O(n²/256) with corpus size — quadratic at
-    real scale. 60 bits give 15-bit bands (32768 buckets), shrinking the
-    per-bucket collision quadratics ×128 while keeping the exact same
-    hamming-≤3 completeness guarantee."""
+    Why it exists: a 32-bit signature leaves at most 8 bits per
+    sub-band, so every banding scheme built on it keys narrowly and
+    the band self-join quadratics explode with corpus size. 60 bits
+    give the AND-OR construction 10-bit sub-bands and 30-bit
+    concatenated combination keys (see :func:`_banded_hamming_pairs`)
+    with the exact same hamming-≤3 completeness guarantee."""
     from bgpexplorer_spark.operators.text import portable_hash60, tokens
 
     tok = df.select(

@@ -577,25 +577,25 @@ def bm25_topk(
     over matching (doc, term) rows. (The first formulation joined the
     corpus-sized per-doc-length frame onto tf — a full-corpus shuffle
     for a k-row answer; measured 4.1× at the sf0.1→sf1 decade, this
-    shape removes it.) The per-term document frequencies come from a
-    count window over the tf rows themselves — tf has exactly one row
-    per (matching doc, term), so the per-term row count IS df_t and the
-    corpus is not rescanned for it. The (N, avgdl) singleton rides a
-    broadcast off a second tokenize pass — a map-side partial aggregate,
-    scan-bound, no shuffle. Per-term contributions are pre-rounded
-    (6 dp) so the final sum is engine-order-insensitive, then the doc
-    score rounds to 4 dp; top-k is a TakeOrdered, never a global
-    sort."""
+    shape removes it.) The per-term document frequencies aggregate OFF
+    the tf rows (map-side combinable to |terms| rows — NOT a window
+    partitioned by term: with a handful of query terms that shape
+    funnels every tf row into |terms| sort partitions, a measured
+    skew hotspot) and broadcast back; the (N, avgdl) singleton rides a
+    broadcast off a second tokenize pass — a map-side partial
+    aggregate, scan-bound, no shuffle. The token array is projected
+    ONCE below the explode (a generator's expression and a sibling
+    projection do not share subexpressions — inlining tokens() into
+    both doubles the tokenize CPU, also measured). Per-term
+    contributions are pre-rounded (6 dp) so the final sum is
+    engine-order-insensitive, then the doc score rounds to 4 dp; top-k
+    is a TakeOrdered, never a global sort."""
     qlist = list(query_terms)
-    hits = df.select(
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    hits = base.select(
         F.col(id_col),
-        F.size(tokens(F.col(text_col))).alias("dl"),
-        F.explode(
-            F.filter(
-                tokens(F.col(text_col)),
-                lambda t: t.isin(qlist),
-            )
-        ).alias("term"),
+        F.size("_toks").alias("dl"),
+        F.explode(F.filter("_toks", lambda t: t.isin(qlist))).alias("term"),
     )
     corpus = df.select(F.size(tokens(F.col(text_col))).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -603,9 +603,8 @@ def bm25_topk(
     tf = hits.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
-    j = tf.withColumn(
-        "df_t", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).crossJoin(F.broadcast(corpus))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    j = tf.join(F.broadcast(dft), "term").crossJoin(F.broadcast(corpus))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))

@@ -707,14 +707,18 @@ def test_heavy_hitters_shares_one_exchange(spark):
     assert plan.count("Exchange") == 2
 
 
-def test_bm25_two_scans_no_corpus_join(spark, tmp_path):
-    """bm25_topk must read the corpus exactly twice (the term-filtered
-    hits pass and the map-side (N, avgdl) singleton) and never join a
-    corpus-sized frame: the doc length rides the filtered explode, df_t
-    is a count window over the tf rows, and the answer is a TakeOrdered.
-    The first formulation joined the per-doc-length frame onto tf — a
-    third scan plus a full-corpus shuffle for a k-row answer (4.1× at
-    the sf0.1→sf1 decade)."""
+def test_bm25_no_corpus_join_no_window(spark, tmp_path):
+    """bm25_topk must never JOIN a corpus-sized frame (the doc length
+    rides the term-filtered explode — the first formulation joined the
+    per-doc-length frame onto tf, a full-corpus shuffle for a k-row
+    answer, 4.1× at the sf0.1→sf1 decade), must not rank df_t through a
+    Window (partitioning by a handful of query terms funnels every tf
+    row into |terms| sort partitions — a measured skew hotspot), must
+    project the token array ONCE below the explode (a generator
+    expression and a sibling projection don't share subexpressions),
+    and finishes with a TakeOrdered. Corpus scans: the hits pass, the
+    (N, avgdl) singleton, and the df_t re-aggregation of tf's exchange
+    — never a scan JOINED at corpus size."""
     from bgpexplorer_spark.operators.text import bm25_topk
 
     p = str(tmp_path / "docs")
@@ -724,9 +728,14 @@ def test_bm25_two_scans_no_corpus_join(spark, tmp_path):
     ).write.parquet(p)
     df = spark.read.parquet(p)
     plan = _plan(bm25_topk(df, ["spark", "window"], k=5))
-    assert plan.count("FileScan") == 2
+    assert plan.count("FileScan") <= 3
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan  # broadcasts only past the scans
+    assert plan.count("Window") == 0
+    # the token array is an attribute below the Generate, not an inline
+    # re-tokenize: the split() that implements tokens() appears once per
+    # corpus scan, not twice in the hits branch
+    assert plan.count("split(") <= plan.count("FileScan")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
