@@ -651,18 +651,32 @@ def phash_neardup_pairs(
     hashes: DataFrame, max_hamming: int = 3, id_col: str = "media_id"
 ) -> DataFrame:
     """Perceptual near-duplicate IMAGE pairs from :func:`ahash_media`
-    output — the image analog of SimHash dedup: split the 64-bit pattern
-    into ``max_hamming + 1`` equal bands; by pigeonhole, any pair within
-    the Hamming budget agrees on at least one band, so candidates come
-    from band equi-joins ONLY (no all-pairs), then the exact Hamming
-    distance verifies each candidate via four 16-bit ``bit_count(XOR)``
-    chunks (whole-stage codegen, no per-bit loop). Output: (id_a, id_b,
-    hamming), id_a < id_b, hamming ≤ ``max_hamming`` — complete for the
-    budget, same guarantee as dedup.simhash_candidate_pairs.
+    output — the image analog of SimHash dedup, with the same AND-OR
+    banding as dedup._banded_hamming_pairs: 6 sub-bands over the 64-bit
+    pattern, join on every C(6, 6 − max_hamming) fully-intact sub-band
+    combination's concatenated key (≤ max_hamming flips damage ≤
+    max_hamming sub-bands, so one keyed combination always survives —
+    exact completeness, and the wide keys resist the correlated-bit
+    bucket skew perceptual hashes share with SimHash), then the exact
+    Hamming distance verifies INLINE in the join via four 16-bit
+    ``bit_count(XOR)`` chunks (whole-stage codegen, no per-bit loop) —
+    unverified candidates never materialize; distinct sees verified
+    pairs only. Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤
+    ``max_hamming`` — complete for the budget, same guarantee as
+    dedup.simhash_candidate_pairs.
     """
-    nb = max_hamming + 1
-    assert 64 % nb == 0, "band count must divide the 64-bit hash"
-    width = 64 // nb
+    import itertools
+
+    n_sub = 6
+    r = n_sub - max_hamming
+    if r < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} with {n_sub} sub-bands leaves no "
+            "fully-intact sub-band combination to key on — the join "
+            "would degrade to all-pairs"
+        )
+    widths = [11, 11, 11, 11, 10, 10]
+    offsets = [1 + sum(widths[:i]) for i in range(n_sub)]
     # the banding + 4×16-bit XOR chunks below assume exactly 64 bits; a
     # hash from ahash_media(grid != 8) would silently read past the
     # string (conv('') → NULL hamming → every pair filtered out). Guard
@@ -682,25 +696,23 @@ def phash_neardup_pairs(
     h = hashes.filter(F.col("ahash").isNotNull()).select(
         F.col(id_col).alias("_id"), checked.alias("ahash")
     )
-    cand = None
-    for b in range(nb):
-        key = F.substring("ahash", b * width + 1, width)
-        left = h.select(
-            F.col("_id").alias("id_a"), F.col("ahash").alias("_ha"),
-            key.alias("_band"),
+    keys = [
+        F.concat_ws(
+            "|", F.lit(str(ci)),
+            *[F.substring("ahash", offsets[i], widths[i]) for i in combo],
         )
-        right = h.select(
-            F.col("_id").alias("id_b"), F.col("ahash").alias("_hb"),
-            key.alias("_band"),
-        )
-        t = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b"))
-        cand = t if cand is None else cand.unionByName(t)
-    cand = cand.select("id_a", "id_b", "_ha", "_hb").distinct()
+        for ci, combo in enumerate(itertools.combinations(range(n_sub), r))
+    ]
+    bands = h.select(
+        "_id", "ahash", F.explode(F.array(*keys)).alias("_band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
     chunks = [
         F.bit_count(
-            F.conv(F.substring("_ha", p * 16 + 1, 16), 2, 10).cast("long")
+            F.conv(F.substring("a.ahash", p * 16 + 1, 16), 2, 10).cast("long")
             .bitwiseXOR(
-                F.conv(F.substring("_hb", p * 16 + 1, 16), 2, 10).cast("long")
+                F.conv(F.substring("b.ahash", p * 16 + 1, 16), 2, 10)
+                .cast("long")
             )
         )
         for p in range(4)
@@ -709,9 +721,14 @@ def phash_neardup_pairs(
     for c in chunks[1:]:
         ham = ham + c
     return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        a.join(b, "_band")
+        .filter((F.col("a._id") < F.col("b._id")) & (ham <= max_hamming))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
     )
 
 

@@ -435,6 +435,52 @@ def test_simhash_banding_rejects_overflowing_bands(docs):
     ).count() >= 0
 
 
+def test_banded_hamming_pairs_complete_property(spark):
+    """Property check of the AND-OR banding core: over random signature
+    tables and every legal max_hamming, _banded_hamming_pairs equals
+    brute-force hamming ≤ max_hamming exactly — the completeness
+    guarantee the candidate-join construction rests on, checked beyond
+    the tokenizer-derived fixtures (including adversarial clustered
+    signatures that differ in few bits)."""
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from bgpexplorer_spark.operators.dedup import _banded_hamming_pairs
+
+    @settings(max_examples=6, deadline=None)
+    @given(seed=st.integers(0, 2**32 - 1), max_h=st.integers(1, 5))
+    def check(seed, max_h):
+        rnd = random.Random(seed)
+        base = [rnd.getrandbits(60) for _ in range(6)]
+        sigs = {}
+        for i in range(40):
+            # half the table clusters around the base signatures with a
+            # few flipped bits — the regime banding exists to catch
+            s = rnd.choice(base) if rnd.random() < 0.5 else rnd.getrandbits(60)
+            for _ in range(rnd.randrange(0, max_h + 2)):
+                s ^= 1 << rnd.randrange(60)
+            sigs[i] = s
+        df = spark.createDataFrame(
+            list(sigs.items()), "doc_id long, simhash long"
+        )
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in _banded_hamming_pairs(
+                df, "doc_id", sub_bits=10, n_sub=6,
+                max_hamming=max_h, sig_bits=60,
+            ).collect()
+        }
+        brute = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a in sigs for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+        }
+        assert got == brute, (seed, max_h)
+
+    check()
+
+
 def test_simhash60_candidate_pairs(docs):
     """The at-scale 60-bit variant keeps the hamming <= 3 completeness
     guarantee (identical docs pair at 0; unrelated docs never pair) with
