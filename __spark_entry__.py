@@ -69,10 +69,15 @@ def _gate_rotation_order(names: list[str]) -> list[str]:
 
     1. queries whose MOST RECENT past gate row failed come first, so a
        fix is always independently re-verified the next round;
-    2. then queries that have appeared in the fewest past gates
-       (never-checked before once-checked before twice-checked…), so the
-       gate rotates over the full contract across rounds;
-    3. declaration order breaks ties.
+    2. then by STALENESS — the round a query was last driver-checked,
+       oldest first (never-checked counts as round 0, so new queries
+       lead). Pure appearance-count rotation (the pre-r10 policy) only
+       MINIMIZED check counts; with ~5 new queries/round a long-green
+       query's re-check gap grew with contract size. Recency-first
+       BOUNDS it: every round the 50 slots take the 50 least-recently
+       verified queries, so the worst-case gap is ceil(N/50) rounds
+       (~4 at N=188) regardless of growth;
+    3. then fewest past appearances, then declaration order.
 
     Past gate results are read from ``CORRECTNESS_r*.json`` at the repo
     root; with none present (fresh clone) this is plain declaration
@@ -81,15 +86,21 @@ def _gate_rotation_order(names: list[str]) -> list[str]:
     ``SELFCHECK_r{N}.log``); this ordering only picks WHICH slice gets
     the driver-side re-check."""
     import json
+    import re
 
     counts = dict.fromkeys(names, 0)
+    last_round = dict.fromkeys(names, 0)
     last_result: dict[str, bool] = {}
     root = Path(__file__).resolve().parent
     try:
-        gate_files = sorted(root.glob("CORRECTNESS_r*.json"))
+        gate_files = sorted(
+            root.glob("CORRECTNESS_r*.json"),
+            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+        )
     except OSError:
         gate_files = []
     for gf in gate_files:
+        rnd = int(re.search(r"r(\d+)", gf.name).group(1))
         try:
             rows = json.loads(gf.read_text())
         except (OSError, ValueError):
@@ -100,6 +111,7 @@ def _gate_rotation_order(names: list[str]) -> list[str]:
             if name not in counts:
                 continue
             counts[name] += 1
+            last_round[name] = max(last_round[name], rnd)
             if isinstance(row, dict):
                 last_result[name] = (
                     row.get("hash_match") is True
@@ -109,7 +121,7 @@ def _gate_rotation_order(names: list[str]) -> list[str]:
     pos = {n: i for i, n in enumerate(names)}
     return sorted(
         names,
-        key=lambda n: (last_result.get(n, True), counts[n], pos[n]),
+        key=lambda n: (last_result.get(n, True), last_round[n], counts[n], pos[n]),
     )
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

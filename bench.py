@@ -334,10 +334,22 @@ def main() -> None:
     times2nd = _run_set(spark, qs, sf_dir)
     load_end = os.getloadavg()
     total = round(sum(times.values()), 4)
+    # digest-tie the artifact to the engine state it measured, the same
+    # header class as the selfcheck log (tools/selfcheck.engine_digest):
+    # a perf rewrite landing after the bench run fails the gate test
+    # until the artifact is regenerated at HEAD
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "selfcheck_mod", Path(__file__).resolve().parent / "tools" / "selfcheck.py"
+    )
+    _mod = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_mod)
     out = {
         "metric": "headline_queries_steady_state_total_runtime",
         "value": total,
         "unit": "sec",
+        "engine_digest": _mod.engine_digest(),
         "queries": times,
         "queries_run2": times2nd,
         "value_run2": round(sum(times2nd.values()), 4),

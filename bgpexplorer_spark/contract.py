@@ -7197,6 +7197,59 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(emb, k=5, n_planes=6)
 
 
+def _knn_capped_sql(k: int = 5, n_planes: int = 6, max_bucket: int = 20) -> str:
+    return f"""
+    WITH b_all AS ({_lsh_bucket_sql(n_planes)}),
+    b AS (
+        SELECT vec_id, bucket FROM b_all
+        WHERE bucket IN (SELECT bucket FROM b_all
+                         GROUP BY bucket HAVING count(*) <= {max_bucket})
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    pairs AS (
+        SELECT x.vec_id AS src, y.vec_id AS dst,
+               round(
+                   list_sum([va.a[i+1] * vb.a[i+1] for i in range(0, 64)])
+                   / (sqrt(list_sum([va.a[i+1] * va.a[i+1]
+                                     for i in range(0, 64)]))
+                      * sqrt(list_sum([vb.a[i+1] * vb.a[i+1]
+                                       for i in range(0, 64)]))),
+                   4) AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        JOIN v va ON va.vec_id = x.vec_id
+        JOIN v vb ON vb.vec_id = y.vec_id
+    )
+    SELECT src, dst, cos_sim, rank FROM (
+        SELECT src, dst, cos_sim,
+               CAST(row_number() OVER (PARTITION BY src
+                    ORDER BY cos_sim DESC, dst) AS INTEGER) AS rank
+        FROM pairs
+    ) WHERE rank <= {k}
+    """
+
+
+@q("sim_knn_capped", _knn_capped_sql())
+def sim_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side mega-bucket shed as a VERIFIED contract
+    (operators/similarity.knn_graph(max_bucket=…) →
+    _shed_mega_buckets): real embedding spaces are anisotropic — sign
+    patterns correlate, so hyperplane-bucket occupancy is far more
+    skewed than the 2^planes uniform ideal, and a mega-bucket's
+    in-bucket self-join grows quadratically in its size. The cap
+    bounds the candidate join at buckets × cap² via the same
+    broadcast-anti-join shape as dedup.lsh_buckets(max_bucket=…); shed
+    vectors join the documented no-edge residue (re-runnable through
+    cosine_topk). The oracle replicates the occupancy filter over the
+    identical bucket rows, and at sf0.01 the cap demonstrably bites
+    (6 of 59 buckets exceed 20 docs, top occupancy 32), so the recall
+    trade is part of the verified contract — the result differs from
+    sim_knn_graph."""
+    from bgpexplorer_spark.operators.similarity import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_planes=6, max_bucket=20)
+
+
 def _proto_prune_sql(keep_frac: float = 0.5, n_centroids: int = 8) -> str:
     def cos(a: str, b: str) -> str:
         return (

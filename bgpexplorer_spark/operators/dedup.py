@@ -135,12 +135,20 @@ def lsh_buckets(
         id_col, F.explode(F.expr(f"array({bands_sql})")).alias("_bb")
     ).select(id_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     if max_bucket is not None:
-        occ = Window.partitionBy("band", "bucket")
-        out = (
-            out.withColumn("_occ", F.count(F.lit(1)).over(occ))
-            .filter(F.col("_occ") <= max_bucket)
-            .drop("_occ")
+        # Over-cap shed as a broadcast ANTI-join, not an occupancy
+        # window: count().over(partitionBy(band,bucket)) would SORT every
+        # band-membership row inside WindowExec just to count — but the
+        # over-cap bucket LIST is tiny by construction (each entry
+        # represents > cap docs), so aggregate to it and anti-join it
+        # back. The aggregate is map-side-combinable; the anti side
+        # broadcasts.
+        over = (
+            out.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_bucket)
+            .select("band", "bucket")
         )
+        out = out.join(F.broadcast(over), ["band", "bucket"], "left_anti")
     return out
 
 def minhash_candidate_pairs(
@@ -198,21 +206,26 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     if candidates is not None:
         ca = candidates.select("id_a", "id_b")
-        # exact-safe size shed BEFORE the per-shingle expansion: shared
-        # ≤ min(na, nb) and J ≥ t ⟺ shared ≥ t(na+nb)/(1+t), which
-        # together require min(na, nb) ≥ t·max(na, nb) — a candidate
-        # failing that can never reach the threshold, so shedding it
-        # here (two doc-count-sized joins over the candidate keys) is
-        # free of semantic change and saves its ~shingles-per-doc
-        # expansion rows in the verify join.
+        # exact-safe size shed BEFORE the per-shingle expansion: jaccard
+        # ≤ min(na, nb)/max(na, nb) always (the best case is the smaller
+        # set contained in the larger), so a candidate whose size ratio
+        # can't reach the threshold is dropped here (two doc-count-sized
+        # joins over the candidate keys), saving its ~shingles-per-doc
+        # expansion rows in the verify join. The comparison uses the
+        # SAME round-4 the final jaccard filter applies — round is
+        # monotone, so round(J,4) ≤ round(min/max,4) and the shed is
+        # provably free of semantic change INCLUDING pairs whose exact
+        # ratio sits in [t−0.00005, t) where the rounded final filter
+        # would still pass them.
         if threshold > 0:
             ca = (
                 ca.join(sizes.select(F.col("_id").alias("id_a"),
                                      F.col("_n").alias("_sa")), "id_a")
                 .join(sizes.select(F.col("_id").alias("id_b"),
                                    F.col("_n").alias("_sb")), "id_b")
-                .filter(F.least("_sa", "_sb")
-                        >= F.lit(threshold) * F.greatest("_sa", "_sb"))
+                .filter(F.round(F.least("_sa", "_sb")
+                                / F.greatest("_sa", "_sb"), 4)
+                        >= F.lit(threshold))
                 .select("id_a", "id_b")
             )
         sa = sh.select(F.col("_id").alias("id_a"), "_sh")
@@ -374,6 +387,14 @@ def _banded_hamming_pairs(
             "sub-bands"
         )
     mask = (1 << sub_bits) - 1
+    # The banded frame is self-joined: without this cache the signature
+    # aggregate (the corpus-scale token explode + per-bit sums) would
+    # run once PER JOIN SIDE unless Catalyst's ReuseExchange happens to
+    # dedupe them — which it does NOT when one side broadcasts (the
+    # exchange types differ), and is canonicalization-dependent
+    # otherwise. The signature is one row per doc (id + one long), so
+    # materializing it is signature-sized, never corpus-sized.
+    sig = sig.cache()
     subs = [
         F.shiftright("simhash", sub_bits * i).bitwiseAND(F.lit(mask))
         for i in range(n_sub)

@@ -142,15 +142,46 @@ def ann_topk(
         bucketed.filter(F.col("_bucket").isin(probe)), query_vec, k, id_col, vec_col
     )
 
+def _shed_mega_buckets(b: DataFrame, max_bucket: int, bucket_col: str = "_bucket") -> DataFrame:
+    """Drop rows of LSH buckets holding more than ``max_bucket`` vectors
+    — the embedding-side mega-bucket shed. Real embedding spaces cluster
+    HARD (anisotropy: most vectors share a dominant direction, so
+    hyperplane sign patterns correlate and occupancy is far more skewed
+    than the 2^planes uniform ideal — the sf0.01 synthetic already puts
+    6.4% of vectors in one of 64 buckets). A mega-bucket's in-bucket
+    self-join grows quadratically in its size, so at 100 TB the cap
+    bounds the candidate join at buckets × cap² — the same lever, same
+    broadcast-anti-join shape as dedup.lsh_buckets(max_bucket=…): the
+    over-cap bucket LIST is tiny by construction (each entry represents
+    > cap vectors), so aggregate to it map-side and anti-join it back;
+    never a count().over() occupancy window, which would sort every
+    bucket-membership row. Recall trade (DOCUMENTED, oracle-verified in
+    sim_knn_capped): a single-band vector in a shed bucket emits no
+    edges — the same residue class as singleton buckets; callers
+    wanting guaranteed degree re-run that residue through
+    :func:`cosine_topk`, and dense near-identical clusters are what
+    :func:`semantic_dedup` collapses more cheaply anyway."""
+    over = (
+        b.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") > max_bucket)
+        .select(bucket_col)
+    )
+    return b.join(F.broadcast(over), bucket_col, "left_anti")
+
 def embedding_neardup_pairs(
     df: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 8, dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: cosine
     computed only within buckets (the embedding analog of MinHash+LSH
-    dedup)."""
+    dedup). ``max_bucket``: see :func:`_shed_mega_buckets` (default off
+    — the exact-banding contract)."""
     b = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
+    if max_bucket is not None:
+        b = _shed_mega_buckets(b, max_bucket)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "_bucket")
@@ -173,6 +204,7 @@ def knn_graph(
     df: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 6, dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over an embedding column —
     the building block SemDeDup, density/diversity sampling, and
@@ -190,10 +222,16 @@ def knn_graph(
     ``n_planes``. Vectors alone in their bucket emit no edges (callers
     wanting guaranteed degree re-run those through brute-force
     :func:`cosine_topk` — at scale that residue is tiny).
+
+    ``max_bucket`` (default off) is the production lever for skewed
+    embedding spaces — see :func:`_shed_mega_buckets`: vectors in shed
+    buckets join the no-edge residue at a documented recall cost.
     """
     b = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).withColumn("_bucket", hyperplane_bucket(F.col("_v"), n_planes, dim))
+    if max_bucket is not None:
+        b = _shed_mega_buckets(b, max_bucket)
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(c, "_bucket")

@@ -682,25 +682,44 @@ def classifier_weights(n_buckets: int = 256, salt: int = 1) -> list[float]:
 
 
 def bpe_pair_counts(
-    df: DataFrame, text_col: str = "text", k: int = 50
+    df: DataFrame, text_col: str = "text", k: int = 50,
+    merges: list[str] | None = None,
 ) -> DataFrame:
     """The BPE merge statistic at corpus scale (Sennrich et al. 2016
     §3.2): adjacent-symbol pair frequencies over the word-frequency
-    table — the count a tokenizer trainer recomputes every merge round,
-    here for the first round (symbols = characters). Output: the k most
-    frequent (sym_a, sym_b, n) pairs, ties broken lexicographically.
+    table — the count a tokenizer trainer recomputes every merge round.
+    With ``merges`` (the rules learned so far, ranked) the words are
+    first re-segmented by the current table (the same data-driven fold
+    :func:`bpe_encode` applies, so trainer and encoder agree on
+    segmentation by construction); without it this is the first round
+    (symbols = characters). Output: the k most frequent
+    (sym_a, sym_b, n) pairs, ties broken lexicographically — a trainer
+    loop takes row 1, appends ``"sym_a sym_b"`` to its table, and
+    recounts (the composition test in tests/test_llm_ops.py drives
+    exactly that loop into :func:`bpe_encode`).
 
     Scale shape: the corpus is touched ONCE for a map-side-combinable
     word-frequency aggregate; everything after runs on the VOCABULARY
-    (pair explode weighted by word count, one aggregate, TakeOrdered
-    top-k) — the same corpus-vs-vocabulary split tfidf/charlm use.
+    (per-round re-segmentation fold, pair explode weighted by word
+    count, one aggregate, TakeOrdered top-k) — the same
+    corpus-vs-vocabulary split tfidf/charlm/bpe_encode use.
     """
     words = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    n = F.length("w")
+    if merges:
+        if len(merges) != len(set(merges)):
+            raise ValueError("duplicate rules in merges")
+        ranks_sql = "map(" + ", ".join(
+            f"'{m}', {i + 1}" for i, m in enumerate(merges)
+        ) + ")"
+        syms = F.expr(_bpe_fold_expr("w", ranks_sql))
+    else:
+        syms = F.split("w", "")
+    words = words.select("wc", syms.alias("_syms"))
+    n = F.size("_syms")
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -710,8 +729,8 @@ def bpe_pair_counts(
             F.transform(
                 idx,
                 lambda i: F.struct(
-                    F.substring(F.col("w"), i, F.lit(1)).alias("sym_a"),
-                    F.substring(F.col("w"), i + 1, F.lit(1)).alias("sym_b"),
+                    F.element_at("_syms", i).alias("sym_a"),
+                    F.element_at("_syms", i + 1).alias("sym_b"),
                 ),
             )
         ).alias("p"),
@@ -774,6 +793,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
     inline_max: int = BPE_INLINE_MAX,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Apply a TRAINED BPE merges table to encode a corpus (Sennrich et
     al. 2016 §3.2 application pass; :func:`bpe_pair_counts` delivers the
@@ -788,10 +808,16 @@ def bpe_encode(
     - the O(L²) merge fold (:func:`_bpe_fold_expr`) runs once per
       DISTINCT word — vocabulary-sized work (Heaps' law: ~corpus^0.5),
       not corpus-sized;
-    - encoded words join back on the word key (the explode side is
-      already hash-partitioned on it from the distinct) and ONE
-      doc-keyed aggregate reassembles order with the sorted-collect_list
-      idiom.
+    - encoded words join back to the corpus explode as a BROADCAST of
+      the vocabulary-sized frame (Heaps' law keeps |vocab| ~ corpus^0.5,
+      far below the corpus), so the corpus side never shuffles on the
+      word key — which is Zipf-skewed in natural language ("the" would
+      land one partition hot in a hash join). ONE doc-keyed aggregate
+      then reassembles order with the sorted-collect_list idiom; the
+      doc id is the only corpus-sized shuffle key. Pass
+      ``broadcast_vocab=False`` for pathological corpora whose distinct
+      "words" don't dedupe (random strings break Heaps' law) — that
+      falls back to a shuffled hash join and accepts the skew.
 
     The rank table inlines as a literal map below ``inline_max`` rules;
     above it (GPT-2-class tables are ~50k) it ships as ONE broadcast row
@@ -823,6 +849,8 @@ def bpe_encode(
     enc = vocab_src.select(
         "_w", F.expr(_bpe_fold_expr("_w", ranks_sql)).alias("_toks")
     )
+    if broadcast_vocab:
+        enc = F.broadcast(enc)
     per_doc = (
         ex.join(enc, "_w", "left")  # left: zero-word docs keep their row
         .groupBy("_id")

@@ -62,6 +62,41 @@ def test_benchlocal_matches_bench_set():
     assert set(data["query_metrics"]) == declared
 
 
+def test_benchlocal_matches_engine_state():
+    """The bench artifact must be tied to the ENGINE STATE it measured,
+    exactly as the selfcheck log is (r9 verdict: an engine perf rewrite
+    landing after the bench run would leave stale numbers certified —
+    the last artifact-staleness class). bench.py writes
+    tools/selfcheck.engine_digest() into the JSON; it must match the
+    working tree."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck_mod", ROOT / "tools" / "selfcheck.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    art = _latest("BENCHLOCAL_r*.json")
+    if _round_of(art) < 10:
+        import pytest
+
+        pytest.skip(f"{art.name} predates the engine_digest field (r10+)")
+    data = json.loads(art.read_text())
+    logged = data.get("engine_digest")
+    assert logged, (
+        f"{art.name} has no engine_digest field — regenerate it with the "
+        "current bench.py"
+    )
+    current = mod.engine_digest()
+    assert logged == current, (
+        f"{art.name} was measured on a DIFFERENT engine state "
+        f"(artifact {logged}, working tree {current}) — an engine edit "
+        "landed after the bench run; rerun `python bench.py > "
+        f"{art.name}` at HEAD"
+    )
+
+
 def test_benchlocal_round_not_behind_selfcheck():
     bench_round = _round_of(_latest("BENCHLOCAL_r*.json"))
     selfcheck_round = _round_of(_latest("SELFCHECK_r*.log"))

@@ -744,7 +744,10 @@ def test_bpe_encode_vocab_factorized_no_udf(spark):
     (corpus occurrences join back to encoded words — no per-occurrence
     re-tokenization), with zero Python eval, no window, no cartesian,
     and a map-side partial aggregate for both the vocab distinct and the
-    doc reassembly."""
+    doc reassembly. The join-back must be a BROADCAST of the
+    vocabulary-sized encoded frame: the corpus explode must NOT shuffle
+    on the word key (Zipf-skewed — "the" would land one partition hot);
+    the only corpus-sized Exchange allowed is the doc-id reassembly."""
     from bgpexplorer_spark.operators.text import bpe_encode
 
     docs = spark.createDataFrame(
@@ -755,6 +758,17 @@ def test_bpe_encode_vocab_factorized_no_udf(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    # join-back strategy: BroadcastHashJoin on _w, never a shuffled join
+    # on the Zipf word key (the vocab distinct may Exchange on _w — that
+    # shuffles a word-sized projection, not the corpus explode)
+    assert "BroadcastHashJoin [_w" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # every hash Exchange is keyed on _id (doc reassembly) or _w (the
+    # vocab distinct's word-sized projection) — no other shuffle keys
+    import re as _re
+
+    keys = _re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k in ("_id", "_w") for k in keys), keys
     # doc reassembly partially aggregates before its Exchange (the tree
     # prints top-down, so the map-side partial is BELOW the Exchange line)
     assert "partial_collect_list" in plan.split("Exchange hashpartitioning(_id")[1]
@@ -796,3 +810,44 @@ def test_rib_asof_partition_prunes_materialized_snapshot(spark, tmp_path):
     assert "Window" not in plan
     assert "max_by" in plan
     assert df.count() == 3  # t=0,1,2 days visible; later partitions pruned
+
+
+def test_banded_hamming_signature_computed_once(spark):
+    """The banded-hamming self-join (simhash32/60, phash) must read the
+    SIGNATURE from a cache on both join sides — without it the
+    corpus-scale signature aggregate runs once per side unless
+    Catalyst's ReuseExchange dedupes them, which it does not when one
+    side broadcasts (exchange types differ) and is
+    canonicalization-dependent otherwise (r9 ADVICE)."""
+    from bgpexplorer_spark.operators.dedup import simhash60_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(20)], "doc_id long, text string"
+    )
+    df = simhash60_candidate_pairs(docs, "doc_id")
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") == 2
+    # the signature aggregate lives only inside the cached relation:
+    # no per-bit conditional sum appears outside an InMemoryRelation
+    live = plan.split("InMemoryRelation")[0]
+    assert "sum(CASE WHEN" not in live
+
+
+def test_lsh_max_bucket_shed_is_anti_join_not_window(spark):
+    """lsh_buckets(max_bucket=…) must shed over-cap buckets with a
+    broadcast ANTI-join against the (tiny) over-cap bucket list — never
+    a count().over(partitionBy(band,bucket)) occupancy window, which
+    sorts EVERY band-membership row inside WindowExec just to count
+    (r9 verdict What's-wrong #3)."""
+    from bgpexplorer_spark.operators.dedup import lsh_buckets, minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(i, "x y z x y z") for i in range(12)], "doc_id long, text string"
+    )
+    sig = minhash_signatures(docs, "doc_id", k=8)
+    df = lsh_buckets(sig, "doc_id", bands=4, k=8, max_bucket=2)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the over-cap list aggregates map-side before its exchange
+    assert "partial_count" in plan

@@ -25,6 +25,7 @@ overwritten until its producer exits 0.
 
 from __future__ import annotations
 
+import os
 import shutil
 import subprocess
 import sys
@@ -62,10 +63,12 @@ def main() -> None:
             [sys.executable, str(ROOT / "tools" / "plan_fingerprints.py")],
         )
         print("   REVIEW: git diff tools/plan_fingerprints.json", flush=True)
+    # fixture dir honors the same env-override convention as
+    # tools/measure_sf10.py, so the pipeline runs on any checkout
+    sf001 = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
     run(
         "selfcheck (full oracle gate, sf0.01)",
-        [sys.executable, str(ROOT / "tools" / "selfcheck.py"),
-         "/root/testdata/sf0.01"],
+        [sys.executable, str(ROOT / "tools" / "selfcheck.py"), sf001],
         capture_to=ROOT / f"SELFCHECK_r{n:02d}.log",
     )
     run(
