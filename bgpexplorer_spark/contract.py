@@ -3593,13 +3593,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH-candidate path — catches a short document embedded in a long one,
     which symmetric Jaccard misses."""
     from bgpexplorer_spark.operators.dedup import (
-        minhash_candidate_pairs, ngram_containment_pairs, shingle_df,
+        minhash_candidate_ids, ngram_containment_pairs, shingle_df,
     )
     from bgpexplorer_spark.sources.tables import fan_out
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     sh = shingle_df(docs, "doc_id", "text", 3).persist()
-    cand = minhash_candidate_pairs(docs, "doc_id", k=16, n=3, bands=4, shingles=sh)
+    cand = minhash_candidate_ids(docs, "doc_id", k=16, n=3, bands=4, shingles=sh)
     return ngram_containment_pairs(
         docs, "doc_id", n=3, threshold=0.6, candidates=cand, shingles=sh
     )
@@ -7248,6 +7248,105 @@ def sim_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=5, n_planes=6, max_bucket=20)
+
+
+def _knn_density_sql(k: int = 5, n_planes: int = 6) -> str:
+    return f"""
+    WITH b AS ({_lsh_bucket_sql(n_planes)}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    pairs AS (
+        SELECT x.vec_id AS src, y.vec_id AS dst,
+               round(
+                   list_sum([va.a[i+1] * vb.a[i+1] for i in range(0, 64)])
+                   / (sqrt(list_sum([va.a[i+1] * va.a[i+1]
+                                     for i in range(0, 64)]))
+                      * sqrt(list_sum([vb.a[i+1] * vb.a[i+1]
+                                       for i in range(0, 64)]))),
+                   4) AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
+        JOIN v va ON va.vec_id = x.vec_id
+        JOIN v vb ON vb.vec_id = y.vec_id
+    ),
+    edges AS (
+        SELECT src, cos_sim FROM (
+            SELECT src, cos_sim,
+                   row_number() OVER (PARTITION BY src
+                        ORDER BY cos_sim DESC, dst) AS rank
+            FROM pairs
+        ) WHERE rank <= {k}
+    )
+    SELECT src AS vec_id, CAST(count(*) AS INTEGER) AS k_found,
+           floor((10.0 * sum(CAST(round(cos_sim * 10000) AS BIGINT))
+                  / count(*) + 5.0) / 10.0) / 10000.0 AS density
+    FROM edges GROUP BY src
+    """
+
+
+@q("sim_knn_density", _knn_density_sql())
+def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector kNN-density outlier score
+    (operators/similarity.knn_density): mean cosine to the ≤5
+    approximate nearest neighbors from the LSH kNN graph — the signal
+    SemDeDup-style curation thresholds on (low density = outlier/junk;
+    within a dup cluster, LOW-density members are the diverse
+    representatives to keep). The mean is exact integer arithmetic on
+    the 1e4-scaled rounded cosines with explicit half-up flooring, so
+    Spark's HALF_UP and DuckDB's half-even rounding modes cannot
+    diverge on grid-halfway means."""
+    from bgpexplorer_spark.operators.similarity import knn_density
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_density(emb, k=5, n_planes=6)
+
+
+def _cluster_sample_sql(n_per_cluster: int = 10, n_centroids: int = 8) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    u = _duck_hash32("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {n_centroids}),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    ),
+    drawn AS (
+        SELECT vec_id, cid, {u} / 4294967296.0 AS u FROM assigned
+    )
+    SELECT vec_id, cid, rank FROM (
+        SELECT vec_id, cid,
+               CAST(row_number() OVER (PARTITION BY cid
+                    ORDER BY u, vec_id) AS INTEGER) AS rank
+        FROM drawn
+    ) WHERE rank <= {n_per_cluster}
+    """
+
+
+@q("pipe_cluster_sample", _cluster_sample_sql())
+def pipe_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling
+    (operators/pipeline.cluster_sample): assign every embedding to its
+    max-cosine coarse centroid (the shuffle-free literal-codebook
+    ivf_assign), keep the 10 lowest deterministic-uniform draws per
+    cluster — head-heavy topics contribute at most n rows, tail
+    clusters survive whole. The oracle replays the identical
+    assignment tiebreak (highest cid), hash draw, and rank order, so
+    the exact sample membership is the verified contract."""
+    from bgpexplorer_spark.operators.pipeline import cluster_sample
+    from bgpexplorer_spark.operators.similarity import ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_sample(emb, ivf_centroids(emb, 8), n_per_cluster=10)
 
 
 def _proto_prune_sql(keep_frac: float = 0.5, n_centroids: int = 8) -> str:

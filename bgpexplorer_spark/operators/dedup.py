@@ -151,6 +151,55 @@ def lsh_buckets(
         out = out.join(F.broadcast(over), ["band", "bucket"], "left_anti")
     return out
 
+def _minhash_cand_and_sig(
+    df: DataFrame, id_col: str, text_col: str,
+    k: int, n: int, bands: int,
+    shingles: DataFrame | None, max_bucket: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core: (candidate id pairs, cached signature frame)."""
+    sig = minhash_signatures(df, id_col, text_col, k, n, shingles=shingles).cache()
+    # The band-membership self-join must NEVER build a hashed relation
+    # from the banded frame: it is corpus×bands-sized, and on a
+    # mid-size corpus its compressed shuffle bytes can fall under the
+    # auto-broadcast threshold while the in-memory HashedRelation is
+    # several× larger — measured at sf10 (2M memberships) the build
+    # OOMs an 8 GB heap already holding the persisted shingle explode.
+    # The merge hint pins SortMergeJoin. (Catalyst does NOT reuse the
+    # two sides' exchanges here — measured, ReusedExchange absent — so
+    # the banded rows shuffle twice; still strictly better than a
+    # corpus-sized broadcast build, and both shuffles read the CACHED
+    # signature, not the corpus.)
+    bk = lsh_buckets(sig, id_col, bands, k=k, max_bucket=max_bucket).hint("merge")
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return cand, sig
+
+
+def minhash_candidate_ids(
+    df: DataFrame, id_col: str, text_col: str = "text",
+    k: int = 16, n: int = 2, bands: int = 4,
+    shingles: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs ONLY — the form the composed
+    verify path (:func:`neardup_pairs`) consumes. Kept separate from
+    :func:`minhash_candidate_pairs` because the est_jaccard decoration
+    costs two corpus-sized signature joins that exact verification
+    immediately discards — and a join can never be pruned by the
+    optimizer, so the split has to live in the API."""
+    cand, _sig = _minhash_cand_and_sig(
+        df, id_col, text_col, k, n, bands, shingles, max_bucket
+    )
+    return cand
+
+
 def minhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
     k: int = 16, n: int = 2, bands: int = 4,
@@ -161,19 +210,15 @@ def minhash_candidate_pairs(
     bucket-local joins only, est_jaccard = signature agreement rate.
     ``max_bucket``: see :func:`lsh_buckets` (mega-bucket shed, default
     off)."""
-    sig = minhash_signatures(df, id_col, text_col, k, n, shingles=shingles).cache()
-    bk = lsh_buckets(sig, id_col, bands, k=k, max_bucket=max_bucket)
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    cand, sig = _minhash_cand_and_sig(
+        df, id_col, text_col, k, n, bands, shingles, max_bucket
     )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("_ma"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("_mb"))
+    # the signature frame is corpus-sized (one array<bigint> per doc):
+    # same never-broadcast rule — its cached columnar size can read
+    # under the threshold while the HashedRelation of 16-long arrays is
+    # several× larger
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("_ma")).hint("merge")
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("_mb")).hint("merge")
     return (
         cand.join(sa, "id_a").join(sb, "id_b")
         .withColumn(
@@ -203,7 +248,14 @@ def ngram_jaccard_pairs(
     ``neardup_pairs``). ``shingles``: precomputed shingle_df to share the
     explode."""
     sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    # doc-count-sized = corpus-derived: never a broadcast build side.
+    # AQE broadcasts this frame when its compressed shuffle bytes fall
+    # under the threshold, but the in-memory HashedRelation is several×
+    # larger and the build shares execution memory with the persisted
+    # shingle explode — measured at sf10 the build OOMs an 8 GB local
+    # heap, and at 100 TB the frame is billions of rows anyway. The
+    # merge hint pins the shuffle join both scales want.
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")).hint("merge")
     if candidates is not None:
         ca = candidates.select("id_a", "id_b")
         # exact-safe size shed BEFORE the per-shingle expansion: jaccard
@@ -228,8 +280,10 @@ def ngram_jaccard_pairs(
                         >= F.lit(threshold))
                 .select("id_a", "id_b")
             )
-        sa = sh.select(F.col("_id").alias("id_a"), "_sh")
-        sb = sh.select(F.col("_id").alias("id_b"), "_sh")
+        # shingle rows are the largest frame in the query: pin the
+        # shuffle join here too (same corpus-derived rule as sizes)
+        sa = sh.select(F.col("_id").alias("id_a"), "_sh").hint("merge")
+        sb = sh.select(F.col("_id").alias("id_b"), "_sh").hint("merge")
         # per-pair intersection: expand each candidate pair by id_a's
         # shingles, keep those id_b also has. Zero-overlap pairs vanish —
         # they could never pass a positive threshold anyway.
@@ -283,7 +337,10 @@ def neardup_pairs(
     persisted — signatures, sizes, and the intersection all read the
     cached (id, shingle) rows instead of re-exploding the corpus 3×."""
     sh = shingle_df(df, id_col, text_col, n).persist()
-    cand = minhash_candidate_pairs(
+    # candidate IDS only: the est_jaccard decoration would add two
+    # corpus-sized signature joins whose output the exact verification
+    # below discards — joins are never optimizer-prunable
+    cand = minhash_candidate_ids(
         df, id_col, text_col, k=k, n=n, bands=bands, shingles=sh,
         max_bucket=max_bucket,
     )
@@ -407,7 +464,10 @@ def _banded_hamming_pairs(
         keys.append(key)
     bands = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*keys)).alias("key")
-    )
+    ).hint("merge")  # corpus×combos-sized: never a broadcast build side
+    # (same OOM class as minhash_candidate_pairs' banded self-join —
+    # both sides canonicalize identically so ReuseExchange ships one
+    # exchange of the banded rows)
     a, b = bands.alias("a"), bands.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     return (
@@ -653,11 +713,20 @@ def ngram_containment_pairs(
     ``candidates`` (LSH) so the intersection is computed per candidate
     pair only; the standalone form is the small-input/verification path."""
     sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    # doc-count-sized = corpus-derived: never a broadcast build side.
+    # AQE broadcasts this frame when its compressed shuffle bytes fall
+    # under the threshold, but the in-memory HashedRelation is several×
+    # larger and the build shares execution memory with the persisted
+    # shingle explode — measured at sf10 the build OOMs an 8 GB local
+    # heap, and at 100 TB the frame is billions of rows anyway. The
+    # merge hint pins the shuffle join both scales want.
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n")).hint("merge")
     if candidates is not None:
         ca = candidates.select("id_a", "id_b")
-        sa = sh.select(F.col("_id").alias("id_a"), "_sh")
-        sb = sh.select(F.col("_id").alias("id_b"), "_sh")
+        # shingle rows are the largest frame in the query: pin the
+        # shuffle join here too (same corpus-derived rule as sizes)
+        sa = sh.select(F.col("_id").alias("id_a"), "_sh").hint("merge")
+        sb = sh.select(F.col("_id").alias("id_b"), "_sh").hint("merge")
         shared = (
             ca.join(sa, "id_a")
             .join(sb, ["id_b", "_sh"])

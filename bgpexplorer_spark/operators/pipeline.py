@@ -796,3 +796,45 @@ def chunk_documents(
             "n_chunks",
         )
     )
+
+
+def cluster_sample(
+    emb: DataFrame, centroids: DataFrame, n_per_cluster: int,
+    id_col: str = "vec_id", vec_col: str = "embedding", salt: str = "",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling — the curation step that
+    keeps a corpus from being dominated by its densest regions: assign
+    every vector to its max-cosine centroid (operators/similarity
+    .ivf_assign — literal/broadcast codebook, a pure map, no shuffle,
+    no row amplification), then keep the ``n_per_cluster`` lowest
+    deterministic-uniform draws per cluster. Head-heavy topics
+    contribute at most n rows each; tail clusters survive whole —
+    the "cluster then sample evenly" recipe SemDeDup-style curation
+    and balanced-mixture builders use. Output: (id, cid, rank), rank
+    1..n within the cluster.
+
+    Determinism: the draw is :func:`uniform01` over ``id||salt`` (the
+    stratified_sample construction — portable bit-for-bit to the
+    DuckDB oracle), ties broken by id, so the sample is reproducible
+    across runs/engines and monotone in n (raising n keeps every
+    previously-sampled row, the append-only growth property).
+
+    Scale shape: ONE shuffle, keyed by cluster id for the per-cluster
+    top-n window. A coarse quantizer at corpus scale runs thousands of
+    centroids, so the key space is wide and the sort inside each hash
+    partition covers ~|corpus|/k rows; if a single mega-cluster
+    dominates (anisotropic spaces — the knn max_bucket discussion),
+    split it by raising k or pre-shed with
+    similarity._shed_mega_buckets before sampling."""
+    from bgpexplorer_spark.operators.similarity import ivf_assign
+
+    if n_per_cluster < 1:
+        raise ValueError("n_per_cluster must be >= 1")
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    u = uniform01(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy("cid").orderBy(u.asc(), F.col(id_col).asc())
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_per_cluster)
+        .select(id_col, "cid", "rank")
+    )

@@ -249,6 +249,53 @@ def knn_graph(
     )
 
 
+def knn_density(
+    df: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 6, dim: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Per-vector kNN-density score — the outlier/junk signal curation
+    recipes threshold on (SemDeDup §3 keeps LOW-similarity items as the
+    diverse representatives; noise filters drop the lowest-density
+    tail): for each vector, the mean cosine to its ≤k approximate
+    nearest neighbors from :func:`knn_graph`. Output: (id, k_found,
+    density round 4); vectors with no bucket-mates emit no row (the
+    same documented residue as knn_graph — at scale it's tiny and a
+    caller can default it to density 0, the most-outlier score).
+
+    Determinism across engines: each edge's cosine is already rounded
+    to 4 decimals; the mean is an EXACT integer sum of the 1e4-scaled
+    cosines, rounded HALF-UP onto the 1e-4 grid with integer floor
+    arithmetic — `floor((10·s/k + 5) / 10)` — so neither
+    float-accumulation order nor an engine's halfway-rounding mode
+    (Spark HALF_UP vs DuckDB half-even) can flap the last decimal
+    against the oracle. (10·s ≤ 5·10⁵ is double-exact, and 10·s/k is
+    at least 1/k away from an integer unless exactly integral, so the
+    floor is stable.)
+
+    Scale shape: knn_graph's bucket equi-join + per-source window, then
+    ONE map-side-combinable aggregate on the source id — nothing new
+    touches the corpus."""
+    g = knn_graph(
+        df, k=k, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, dim=dim, max_bucket=max_bucket,
+    )
+    e4 = F.round(F.col("cos_sim") * 10000).cast("bigint")
+    agg = g.groupBy(F.col("src").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("k_found"),
+        F.sum(e4).alias("_s_e4"),
+    )
+    mean_e4 = F.floor(
+        (F.col("_s_e4") * 10.0 / F.col("k_found") + 5.0) / 10.0
+    )
+    return agg.select(
+        id_col,
+        F.col("k_found").cast("int").alias("k_found"),
+        (mean_e4 / 10000.0).alias("density"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-style ANN: coarse quantizer + probed inverted lists — the classic
 # scale path alongside LSH. Centroids are deterministic (the k lowest-id

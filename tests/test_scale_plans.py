@@ -851,3 +851,33 @@ def test_lsh_max_bucket_shed_is_anti_join_not_window(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # the over-cap list aggregates map-side before its exchange
     assert "partial_count" in plan
+
+
+def test_neardup_corpus_frames_never_broadcast(spark):
+    """In the composed near-dup path every join input except the
+    over-cap bucket list is corpus-derived (banded memberships,
+    signatures, doc sizes, shingle rows) — none may become a broadcast
+    build side. AQE happily broadcasts them when compressed shuffle
+    bytes read under the threshold, but the in-memory HashedRelation is
+    several× larger and the build OOMed an 8 GB local heap at sf10
+    (r10 measurement); at 100 TB they are all billions of rows anyway.
+    Also: the composed path must consume candidate IDS only — the
+    est_jaccard signature joins are unprunable and their output is
+    discarded by exact verification."""
+    from bgpexplorer_spark.operators.dedup import neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 9} w{(i + 1) % 9} w{(i + 2) % 9} x y") for i in range(60)],
+        "doc_id long, text string",
+    )
+    # uncapped: zero broadcast joins anywhere
+    plan = _plan(neardup_pairs(docs, "doc_id", n=2, threshold=0.3))
+    assert plan.count("BroadcastHashJoin") == 0
+    assert "zip_with" not in plan  # no est_jaccard decoration
+    # capped: every broadcast join is the over-cap LeftAnti shed (it
+    # appears once per self-join side — the anti subtree is duplicated
+    # because the two sides' exchanges are not reused)
+    plan_c = _plan(neardup_pairs(docs, "doc_id", n=2, threshold=0.3, max_bucket=5))
+    bhj = [ln for ln in plan_c.splitlines() if "BroadcastHashJoin" in ln]
+    assert bhj and all("LeftAnti" in ln for ln in bhj), bhj
+    assert "zip_with" not in plan_c
