@@ -111,6 +111,15 @@ BENCH_QUERIES = [
     # word) + word join-back + doc-keyed reassembly — the corpus is
     # scanned once, so its sf ratio tracks the explode/join, not the fold
     "text_bpe_encode",
+    # capped kNN graph: the embedding-side mega-bucket shed (broadcast
+    # anti-join) + bucket self-join + per-source top-k window
+    "sim_knn_capped",
+    # kNN-density outlier scores: the graph above + one combinable
+    # integer-mean aggregate keyed on the source id
+    "sim_knn_density",
+    # cluster-balanced diversity sampling: shuffle-free centroid assign
+    # + per-cluster lowest-hash window — ONE shuffle, keyed by cluster
+    "pipe_cluster_sample",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -110,6 +110,18 @@ def test_entry_rotation_prioritizes_failed_rows(tmp_path):
     # then once-checked b, d (declaration order) before twice-checked a
     assert mod._gate_rotation_order(names) == ["c", "b", "d", "a"]
 
+    # staleness beats appearance count (r10 policy): a has MORE total
+    # checks than c but its last check is OLDER, so a rotates in first —
+    # this bounds the worst-case re-verification gap at ceil(N/slots)
+    # rounds instead of letting it grow with the contract
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "c": {"hash_match": True, "err": None},   # c's failure fixed
+        "b": {"hash_match": True, "err": None},
+        "d": {"hash_match": True, "err": None},
+    }))
+    # last checked: a@r2 (count 2) before b,c,d@r3 (counts 2,2,2)
+    assert mod._gate_rotation_order(names) == ["a", "b", "c", "d"]
+
 
 def test_contract_api_is_declaration_ordered():
     """all_queries()/all_oracles() must NOT depend on repo-root grader
