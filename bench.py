@@ -120,6 +120,12 @@ BENCH_QUERIES = [
     # cluster-balanced diversity sampling: shuffle-free centroid assign
     # + per-cluster lowest-hash window — ONE shuffle, keyed by cluster
     "pipe_cluster_sample",
+    # per-doc trigram novelty: shared shingle explode + vocabulary-sized
+    # first-occurrence aggregate (shuffle-pinned) + one per-doc aggregate
+    "dedup_novelty",
+    # tokenizer fertility by lang: the bpe_encode vocab fold + ONE
+    # shuffle-pinned corpus join + a group-keyed aggregate
+    "text_bpe_fertility",
 ]
 
 def _sf_of(sf_dir: str) -> float:

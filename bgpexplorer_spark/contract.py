@@ -7228,6 +7228,23 @@ def _knn_capped_sql(k: int = 5, n_planes: int = 6, max_bucket: int = 20) -> str:
     """
 
 
+def _adaptive_planes(n_vecs: int, cap: int = 20, floor_planes: int = 6) -> int:
+    """The production hyperplane-count recipe: bucket count must TRACK
+    the corpus (2^planes ≈ n/cap, i.e. planes = ceil(log2(n/cap))) or a
+    fixed cap sheds everything as the corpus grows — at 50k vectors over
+    a fixed 2^6 space every bucket is over-cap and the capped graph
+    degenerates to near-empty (measured at sf1: 6 surviving rows),
+    while UNCAPPED the same fixed space is quadratic (277 s, ratio 128,
+    the one superlinear flag in the first r10 bench). At the sf0.01
+    oracle fixture (500 vecs) this resolves to the floor of 6 planes —
+    exactly the constant the DuckDB oracle replays — so correctness
+    verification is unchanged while the bench exercises the scaling
+    recipe."""
+    import math
+
+    return max(floor_planes, math.ceil(math.log2(max(n_vecs, 1) / cap)))
+
+
 @q("sim_knn_capped", _knn_capped_sql())
 def sim_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding-side mega-bucket shed as a VERIFIED contract
@@ -7247,12 +7264,19 @@ def sim_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_graph(emb, k=5, n_planes=6, max_bucket=20)
+    return knn_graph(
+        emb, k=5, n_planes=_adaptive_planes(emb.count()), max_bucket=20
+    )
 
 
-def _knn_density_sql(k: int = 5, n_planes: int = 6) -> str:
+def _knn_density_sql(k: int = 5, n_planes: int = 6, max_bucket: int = 20) -> str:
     return f"""
-    WITH b AS ({_lsh_bucket_sql(n_planes)}),
+    WITH b_all AS ({_lsh_bucket_sql(n_planes)}),
+    b AS (
+        SELECT vec_id, bucket FROM b_all
+        WHERE bucket IN (SELECT bucket FROM b_all
+                         GROUP BY bucket HAVING count(*) <= {max_bucket})
+    ),
     v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
     pairs AS (
         SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -7286,17 +7310,24 @@ def _knn_density_sql(k: int = 5, n_planes: int = 6) -> str:
 def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector kNN-density outlier score
     (operators/similarity.knn_density): mean cosine to the ≤5
-    approximate nearest neighbors from the LSH kNN graph — the signal
-    SemDeDup-style curation thresholds on (low density = outlier/junk;
-    within a dup cluster, LOW-density members are the diverse
-    representatives to keep). The mean is exact integer arithmetic on
-    the 1e4-scaled rounded cosines with explicit half-up flooring, so
-    Spark's HALF_UP and DuckDB's half-even rounding modes cannot
-    diverge on grid-halfway means."""
+    approximate nearest neighbors from the CAPPED LSH kNN graph — the
+    signal SemDeDup-style curation thresholds on (low density =
+    outlier/junk; within a dup cluster, LOW-density members are the
+    diverse representatives to keep). The mean is exact integer
+    arithmetic on the 1e4-scaled rounded cosines with explicit half-up
+    flooring, so Spark's HALF_UP and DuckDB's half-even rounding modes
+    cannot diverge on grid-halfway means. Runs over the
+    max_bucket-shed graph — the production shape: the first r10 bench
+    of the UNCAPPED form measured 277 s / ratio 127.8 at sf1 (50k
+    vectors over 2^6 buckets is all mega-buckets — the in-bucket
+    self-join is quadratic), while the capped form is bounded at
+    buckets × cap²; the oracle replicates the occupancy filter."""
     from bgpexplorer_spark.operators.similarity import knn_density
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_density(emb, k=5, n_planes=6)
+    return knn_density(
+        emb, k=5, n_planes=_adaptive_planes(emb.count()), max_bucket=20
+    )
 
 
 def _cluster_sample_sql(n_per_cluster: int = 10, n_centroids: int = 8) -> str:
@@ -7347,6 +7378,46 @@ def pipe_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cluster_sample(emb, ivf_centroids(emb, 8), n_per_cluster=10)
+
+
+_NOVELTY_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(
+            [l[i] || ' ' || l[i+1] || ' ' || l[i+2] for i in range(1, len(l) - 1)]
+        )) AS sh
+        FROM (SELECT doc_id, {_duck_tokens('text')} AS l FROM documents)
+    ),
+    first AS (SELECT sh, min(doc_id) AS f FROM toks GROUP BY sh),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN fi.f = t.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM toks t JOIN first fi USING (sh) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+           coalesce(floor((p.n_novel * 100000.0 / greatest(p.n_shingles, 1)
+                           + 5.0) / 10.0) / 10000.0, 0.0) AS novelty
+    FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@q("dedup_novelty", _NOVELTY_SQL)
+def dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty (operators/dedup.novelty_scores):
+    the fraction of a document's distinct trigram shingles whose
+    earliest corpus occurrence is this document — the contribution
+    signal a dataset builder reports for a new snapshot (aggregate
+    view of pairwise near-dup). One shared shingle explode, a
+    vocabulary-sized first-occurrence aggregate (merge-hinted: the
+    never-broadcast corpus-frame rule), one join back, one per-doc
+    aggregate; the ratio is exact integer half-up flooring on the
+    1e-4 grid so engine rounding modes cannot diverge."""
+    from bgpexplorer_spark.operators.dedup import novelty_scores
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return novelty_scores(docs, "doc_id", n=3)
 
 
 def _proto_prune_sql(keep_frac: float = 0.5, n_centroids: int = 8) -> str:
@@ -8262,6 +8333,70 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.concat_ws(" ", "tokens").alias("tokens"),
     )
+
+
+_FERTILITY_SQL = f"""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, lang, {_duck_tokens('lower(text)')} AS ws FROM documents
+    ), w0 AS (
+        SELECT DISTINCT unnest(ws) AS word FROM d
+    ), enc AS (
+        SELECT word,
+               list_transform(range(1, length(word) + 1), i -> word[i])
+                   AS syms,
+               0 AS step
+        FROM w0
+        UNION ALL
+        SELECT word,
+               syms[1:p-1] || [syms[p] || syms[p+1]] || syms[p+2:],
+               step + 1
+        FROM (
+            SELECT word, syms, step,
+                   list_position(pr, list_min(list_filter(pr, x -> x > 0)))
+                       AS p
+            FROM (
+                SELECT word, syms, step,
+                       list_transform(range(1, len(syms)),
+                           i -> list_position({_BPE_MERGES_SQL},
+                                              syms[i] || ' ' || syms[i+1]))
+                           AS pr
+                FROM enc) t1) t2
+        WHERE p IS NOT NULL AND p > 0
+    ), final AS (
+        SELECT word, syms FROM enc
+        QUALIFY row_number() OVER (PARTITION BY word ORDER BY step DESC) = 1
+    ), docw AS (
+        SELECT doc_id, unnest(ws) AS word FROM d
+    ), per AS (
+        SELECT docw.doc_id, sum(len(f.syms)) AS n_tokens
+        FROM docw JOIN final f USING (word)
+        GROUP BY docw.doc_id
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(len(d.ws)), 0) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS n_tokens,
+           floor((coalesce(sum(p.n_tokens), 0) * 100000.0
+                  / greatest(coalesce(sum(len(d.ws)), 0), 1) + 5.0) / 10.0)
+               / 10000.0 AS fertility
+    FROM d LEFT JOIN per p USING (doc_id)
+    GROUP BY d.lang
+"""
+
+
+@q("text_bpe_fertility", _FERTILITY_SQL)
+def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language (text.bpe_fertility): tokens per
+    whitespace word under the trained BPE_MERGES table, aggregated per
+    lang — THE tokenizer-quality metric mixture builders weight token
+    budgets with. Composes the bpe_encode fold (vocab-side, oracle =
+    the same recursive CTE) with one shuffle-pinned corpus join and a
+    group-keyed aggregate; the ratio is exact integer half-up flooring
+    on the 1e-4 grid."""
+    from bgpexplorer_spark.operators.text import bpe_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fertility(docs, BPE_MERGES, group_col="lang")
 
 
 _ASOF_SERVED_CACHE: dict[str, str] = {}

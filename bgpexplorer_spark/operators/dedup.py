@@ -988,3 +988,52 @@ def cluster_size_histogram(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+def novelty_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3, shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY — the fraction of a document's
+    distinct n-gram shingles whose EARLIEST corpus occurrence (minimum
+    doc id) is this document. The contribution/ordering signal dataset
+    builders report when deciding what a new crawl snapshot actually
+    adds: near-1 = mostly-new material, near-0 = the corpus already
+    contains this document's phrasing (the aggregate view of what
+    pairwise near-dup detection shows per pair). Output:
+    (id, n_shingles, n_novel, novelty round-half-up 4), one row per
+    input document (zero-shingle docs keep a row with 0/0/0.0).
+
+    Scale shape: ONE shingle explode (pass ``shingles`` to share it
+    with the dedup pipeline), one map-side-combinable min-aggregate
+    per shingle (vocabulary-sized output), one shuffle join back on
+    the shingle key, one per-doc aggregate. The first-occurrence frame
+    is corpus-derived — merge hint, never a broadcast build
+    (the r10 never-broadcast rule). Determinism: the ratio is exact
+    integer arithmetic floored half-up onto the 1e-4 grid (the
+    knn_density construction), immune to engine rounding modes.
+    """
+    sh = shingles if shingles is not None else shingle_df(df, id_col, text_col, n)
+    first = sh.groupBy("_sh").agg(F.min("_id").alias("_first")).hint("merge")
+    per = (
+        sh.join(first, "_sh")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col("_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("_id"))
+    mean_e4 = F.floor(
+        (F.col("n_novel") * 100000.0
+         / F.greatest(F.col("n_shingles"), F.lit(1)) + 5.0) / 10.0
+    )
+    return (
+        ids.join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.coalesce(mean_e4 / 10000.0, F.lit(0.0)).alias("novelty"),
+        )
+    )

@@ -953,3 +953,52 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         "n_distinct",
         F.round(ent, 4).alias("entropy"),
     )
+def bpe_fertility(
+    df: DataFrame, merges: list[str],
+    id_col: str = "doc_id", text_col: str = "text", group_col: str = "lang",
+    inline_max: int = BPE_INLINE_MAX, broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Tokenizer FERTILITY by group — tokens emitted per whitespace
+    word, the standard tokenizer-quality metric (a table trained on
+    English typically shows fertility ~1.2 on English and 2-4+ on
+    underrepresented languages; mixture builders weight token budgets
+    with exactly this number). Applies the trained ``merges`` table via
+    :func:`bpe_encode` and aggregates per ``group_col``. Output:
+    (group, n_docs, n_words, n_tokens, fertility round-half-up 4).
+
+    Scale shape: bpe_encode's corpus-once/vocab-fold shape, plus one
+    corpus-keyed join of the (id, n_tokens) result against the (id,
+    group, n_words) projection — both sides corpus-derived, so the
+    join is pinned to a shuffle (never a broadcast build; the r10
+    rule), then one tiny group-keyed aggregate. The word count uses
+    the SAME tokenizer as the encoder (lowercased whitespace words),
+    so fertility is exactly Σtokens/Σwords over identical word sets.
+    Determinism: exact integer arithmetic floored half-up onto the
+    1e-4 grid (the knn_density construction)."""
+    enc = bpe_encode(
+        df, merges, id_col=id_col, text_col=text_col,
+        inline_max=inline_max, broadcast_vocab=broadcast_vocab,
+    ).select(F.col(id_col).alias("_fid"), "n_tokens").hint("merge")
+    words = df.select(
+        F.col(id_col).alias("_fid"),
+        F.col(group_col).alias("_grp"),
+        F.size(tokens(F.lower(F.col(text_col)))).alias("_nw"),
+    ).hint("merge")
+    agg = (
+        words.join(enc, "_fid")
+        .groupBy("_grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nw").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    fert_e4 = F.floor(
+        (F.col("n_tokens") * 100000.0
+         / F.greatest(F.col("n_words"), F.lit(1)) + 5.0) / 10.0
+    )
+    return agg.select(
+        F.col("_grp").alias(group_col),
+        "n_docs", "n_words", "n_tokens",
+        (fert_e4 / 10000.0).alias("fertility"),
+    )

@@ -2196,3 +2196,48 @@ def test_cluster_sample_balanced_and_monotone(spark):
     assert all(s4[k] == v for k, v in s2.items())  # ranks stable
     with pytest.raises(ValueError):
         cluster_sample(emb, cents, 0)
+
+
+def test_novelty_scores_hand_computed(spark):
+    """novelty = fraction of a doc's distinct trigrams first seen in it:
+    originals score 1, exact dups 0, partial overlap in between;
+    zero-shingle docs keep a row with 0/0/0.0."""
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # trigrams {a b c, b c d} — both new
+            (1, "a b c d"),          # exact dup — nothing new
+            (2, "b c d e f"),        # {b c d, c d e, d e f}: 2 of 3 new
+            (3, "x"),                # too short for trigrams
+            (4, None),               # null text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+           for r in dedup.novelty_scores(df, "doc_id", n=3).collect()}
+    assert out[0] == (2, 2, 1.0)
+    assert out[1] == (2, 0, 0.0)
+    assert out[2] == (3, 2, 0.6667)
+    assert out[3] == (0, 0, 0.0)
+    assert out[4] == (0, 0, 0.0)
+
+
+def test_bpe_fertility_matches_python_model(spark):
+    """Fertility per group equals Σ tokens / Σ words computed by the
+    pure-Python BPE reference over the same lowercased whitespace
+    words, half-up on the 1e-4 grid."""
+    rows = [
+        (0, "en", "ab abab cd"),
+        (1, "en", "ba cd cd"),
+        (2, "xx", "dcba abcd"),
+        (3, "xx", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.lang: (r.n_docs, r.n_words, r.n_tokens, r.fertility)
+           for r in text.bpe_fertility(
+               df, _BPE_TEST_MERGES, group_col="lang").collect()}
+    for lang in ("en", "xx"):
+        docs_l = [(t or "") for i, lg, t in rows if lg == lang]
+        words = [w for t in docs_l for w in t.lower().split()]
+        toks = sum(len(_bpe_py(w, _BPE_TEST_MERGES)) for w in words)
+        fert = math.floor((10.0 * toks * 10000 / max(len(words), 1) + 5.0) / 10.0) / 10000.0
+        assert out[lang] == (len(docs_l), len(words), toks, fert), lang
