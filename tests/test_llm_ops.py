@@ -2241,3 +2241,45 @@ def test_bpe_fertility_matches_python_model(spark):
         toks = sum(len(_bpe_py(w, _BPE_TEST_MERGES)) for w in words)
         fert = math.floor((10.0 * toks * 10000 / max(len(words), 1) + 5.0) / 10.0) / 10000.0
         assert out[lang] == (len(docs_l), len(words), toks, fert), lang
+
+
+def test_novelty_conservation_property(spark):
+    """Conservation: every distinct shingle in the corpus is first-seen
+    exactly once, so Σ n_novel over docs == |distinct shingles in
+    corpus|, and a doc-id permutation changes WHO is novel but never
+    the total. Randomized corpus."""
+    import random
+
+    random.seed(23)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(random.choices(vocab, k=random.randint(0, 15))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.novelty_scores(df, "doc_id", n=3).collect()
+    total_novel = sum(r.n_novel for r in out)
+    corpus_shingles = {
+        " ".join(t.split()[i:i + 3])
+        for _, t in rows for i in range(max(len(t.split()) - 2, 0))
+    }
+    assert total_novel == len(corpus_shingles)
+    # permute ids: totals conserved
+    perm = {i: (i * 7 + 3) % 40 for i in range(40)}
+    df2 = spark.createDataFrame(
+        [(perm[i], t) for i, t in rows], "doc_id long, text string")
+    out2 = dedup.novelty_scores(df2, "doc_id", n=3).collect()
+    assert sum(r.n_novel for r in out2) == len(corpus_shingles)
+    assert sum(r.n_shingles for r in out2) == sum(r.n_shingles for r in out)
+
+
+def test_cluster_sample_full_when_n_exceeds_cluster(spark):
+    """n_per_cluster >= max cluster size keeps EVERY vector exactly once
+    (the sample degenerates to the full assignment)."""
+    from bgpexplorer_spark.operators.pipeline import cluster_sample
+
+    rows = [(i, [1.0 if j == i % 4 else 0.01 for j in range(8)])
+            for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb, 4)
+    out = cluster_sample(emb, cents, n_per_cluster=100).collect()
+    assert sorted(r.vec_id for r in out) == list(range(24))
+    assert len({(r.vec_id) for r in out}) == 24
