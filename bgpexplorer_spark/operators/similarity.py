@@ -98,8 +98,19 @@ def cosine_topk_gemm(
 
 def _plane_coef(i: Column, j: int) -> Column:
     """Deterministic pseudo-random hyperplane coefficient for dim i of
-    plane j: ((i*31 + j*17) mod 7) - 3 ∈ [-3, 3]."""
-    return ((i * 31 + F.lit(j * 17)) % 7 - F.lit(3)).cast("double")
+    plane j: a Knuth multiplicative scramble of (i + 64·j) reduced
+    mod 97, centered — ∈ [-48, 48]. The scramble's j-period is 97
+    planes, so every plane up to n_planes=97 is a DISTINCT hyperplane.
+    (The first construction, ((i·31 + j·17) mod 7) − 3, had period 7 in
+    j — 31 ≡ 17 ≡ 3 (mod 7) makes the coefficient depend only on
+    (i+j) mod 7, so plane j+7 was bit-identical to plane j and the
+    bucket space silently capped at 2^7 patterns no matter how many
+    planes the caller asked for — found by review in r10 after the
+    adaptive-planes recipe asked for 12.) All intermediates stay far
+    below 2^53, so the DuckDB oracle replays the arithmetic exactly."""
+    return (
+        ((i + F.lit(64 * j)) * 2654435761 % 97 - F.lit(48))
+    ).cast("double")
 
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH: sign bit per plane → integer bucket id.
@@ -131,7 +142,10 @@ def ann_topk(
     dim = len(query_vec)
     qb = 0
     for j in range(n_planes):
-        proj = sum(query_vec[i] * (((i * 31 + j * 17) % 7) - 3) for i in range(dim))
+        proj = sum(
+            query_vec[i] * (((i + 64 * j) * 2654435761 % 97) - 48)
+            for i in range(dim)
+        )
         if proj >= 0:
             qb |= 1 << j
     probe = [qb]
@@ -148,7 +162,7 @@ def _shed_mega_buckets(b: DataFrame, max_bucket: int, bucket_col: str = "_bucket
     HARD (anisotropy: most vectors share a dominant direction, so
     hyperplane sign patterns correlate and occupancy is far more skewed
     than the 2^planes uniform ideal — the sf0.01 synthetic already puts
-    6.4% of vectors in one of 64 buckets). A mega-bucket's in-bucket
+    9.2% of vectors in one of its 2^6 buckets). A mega-bucket's in-bucket
     self-join grows quadratically in its size, so at 100 TB the cap
     bounds the candidate join at buckets × cap² — the same lever, same
     broadcast-anti-join shape as dedup.lsh_buckets(max_bucket=…): the

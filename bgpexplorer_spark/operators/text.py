@@ -710,11 +710,11 @@ def bpe_pair_counts(
         .agg(F.count(F.lit(1)).alias("wc"))
     )
     if merges:
-        if len(merges) != len(set(merges)):
-            raise ValueError("duplicate rules in merges")
-        ranks_sql = "map(" + ", ".join(
-            f"'{m}', {i + 1}" for i, m in enumerate(merges)
-        ) + ")"
+        mdf, ranks_sql = _bpe_ranks_source(
+            df.sparkSession, merges, BPE_INLINE_MAX
+        )
+        if mdf is not None:
+            words = words.join(F.broadcast(mdf))  # 1-row: no amplification
         syms = F.expr(_bpe_fold_expr("w", ranks_sql))
     else:
         syms = F.split("w", "")
@@ -747,6 +747,28 @@ def bpe_pair_counts(
 # plan (GPT-2-class tables run 50k rules); switch to ONE broadcast row
 # carrying the map instead — the column is read per row, not rebuilt.
 BPE_INLINE_MAX = 4096
+
+
+def _bpe_ranks_source(
+    spark, merges: list[str], inline_max: int
+):
+    """Shared rank-table delivery for the BPE trainer and encoder:
+    below ``inline_max`` rules, a literal SQL map (rule keys
+    QUOTE-ESCAPED — corpus-derived symbols keep apostrophes, e.g. the
+    trainer learning ``"' t"`` from \"don't\", and an unescaped literal
+    would be unparseable SQL); above it, ONE broadcast row carrying the
+    map, keeping the plan constant-size for GPT-2-class tables. Returns
+    (one_row_map_frame_or_None, ranks_sql). Raises on duplicate rules."""
+    if len(merges) != len(set(merges)):
+        raise ValueError("duplicate rules in merges")
+    ranks = {m: i + 1 for i, m in enumerate(merges)}
+    if len(merges) <= inline_max:
+        lit = ", ".join(
+            "'{}', {}".format(k.replace("'", "''"), v) for k, v in ranks.items()
+        )
+        return None, f"map({lit})"
+    mdf = spark.createDataFrame([(ranks,)], "_mranks map<string,int>")
+    return mdf, "_mranks"
 
 
 def _bpe_fold_expr(word_sql: str, ranks_sql: str) -> str:
@@ -794,6 +816,7 @@ def bpe_encode(
     text_col: str = "text",
     inline_max: int = BPE_INLINE_MAX,
     broadcast_vocab: bool = True,
+    counts_only: bool = False,
 ) -> DataFrame:
     """Apply a TRAINED BPE merges table to encode a corpus (Sennrich et
     al. 2016 §3.2 application pass; :func:`bpe_pair_counts` delivers the
@@ -801,6 +824,10 @@ def bpe_encode(
     rule list, each ``"left right"``; earlier = higher priority. Output:
     (id, tokens array<string> in document order, n_tokens), one row per
     input document (zero-word documents keep a row with [] / 0).
+    ``counts_only=True`` returns just (id, n_tokens) and skips the
+    sorted-collect reassembly of every token — the cheap form for
+    consumers that never read the token stream (fertility, token-budget
+    accounting).
 
     Scale shape — the corpus is never re-tokenized per occurrence:
 
@@ -827,33 +854,33 @@ def bpe_encode(
     spaces, so the ``"a b"`` rule keys are unambiguous). Everything is
     JVM Column algebra — no UDFs, no driver loop.
     """
-    if len(merges) != len(set(merges)):
-        raise ValueError("duplicate rules in merges")
-    ranks = {m: i + 1 for i, m in enumerate(merges)}
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode_outer(tokens(F.lower(F.col(text_col)))).alias("_pos", "_w"),
     )
     vocab = ex.select("_w").where(F.col("_w").isNotNull()).distinct()
-    if len(merges) <= inline_max:
-        ranks_sql = "map(" + ", ".join(
-            f"'{k}', {v}" for k, v in ranks.items()
-        ) + ")"
-        vocab_src = vocab
-    else:
-        mdf = df.sparkSession.createDataFrame(
-            [(ranks,)], "_mranks map<string,int>"
-        )
-        vocab_src = vocab.join(F.broadcast(mdf))  # 1-row: no amplification
-        ranks_sql = "_mranks"
+    mdf, ranks_sql = _bpe_ranks_source(df.sparkSession, merges, inline_max)
+    vocab_src = vocab if mdf is None else vocab.join(F.broadcast(mdf))
     enc = vocab_src.select(
         "_w", F.expr(_bpe_fold_expr("_w", ranks_sql)).alias("_toks")
     )
     if broadcast_vocab:
         enc = F.broadcast(enc)
+    joined = ex.join(enc, "_w", "left")  # left: zero-word docs keep their row
+    if counts_only:
+        # consumers that only need token COUNTS (fertility, budget
+        # accounting) skip the sorted-collect reassembly of every token
+        # — one map-side-combinable sum(size) per doc instead
+        return (
+            joined.groupBy("_id")
+            .agg(F.sum(F.size("_toks")).alias("n_tokens"))
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            )
+        )
     per_doc = (
-        ex.join(enc, "_w", "left")  # left: zero-word docs keep their row
-        .groupBy("_id")
+        joined.groupBy("_id")
         .agg(
             F.flatten(
                 F.transform(
@@ -978,6 +1005,7 @@ def bpe_fertility(
     enc = bpe_encode(
         df, merges, id_col=id_col, text_col=text_col,
         inline_max=inline_max, broadcast_vocab=broadcast_vocab,
+        counts_only=True,  # skips the per-doc token-stream reassembly
     ).select(F.col(id_col).alias("_fid"), "n_tokens").hint("merge")
     words = df.select(
         F.col(id_col).alias("_fid"),

@@ -2283,3 +2283,19 @@ def test_cluster_sample_full_when_n_exceeds_cluster(spark):
     out = cluster_sample(emb, cents, n_per_cluster=100).collect()
     assert sorted(r.vec_id for r in out) == list(range(24))
     assert len({(r.vec_id) for r in out}) == 24
+
+
+def test_bpe_handles_apostrophe_symbols(spark):
+    """Corpus words keep apostrophes (whitespace tokenization), so the
+    trainer can learn rules containing ' — the literal rank map must
+    quote-escape them (unescaped, F.expr raises ParseException)."""
+    df = spark.createDataFrame(
+        [(0, "don't don't won't")], "doc_id long, text string"
+    )
+    top = text.bpe_pair_counts(df, k=1).collect()[0]
+    assert "'" in top.sym_a + top.sym_b  # the hot pair involves a quote
+    merges = [f"{top.sym_a} {top.sym_b}"]
+    nxt = text.bpe_pair_counts(df, k=1, merges=merges).collect()
+    assert nxt  # trainer recount parses and runs with the quoted rule
+    out = {r.doc_id: r.n_tokens for r in text.bpe_encode(df, merges).collect()}
+    assert out[0] == sum(len(_bpe_py(w, merges)) for w in "don't don't won't".split())
