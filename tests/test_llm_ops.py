@@ -2299,3 +2299,20 @@ def test_bpe_handles_apostrophe_symbols(spark):
     assert nxt  # trainer recount parses and runs with the quoted rule
     out = {r.doc_id: r.n_tokens for r in text.bpe_encode(df, merges).collect()}
     assert out[0] == sum(len(_bpe_py(w, merges)) for w in "don't don't won't".split())
+
+
+def test_hyperplane_family_has_no_aliased_planes():
+    """Hash-family periodicity guard (r10: the first coefficient
+    formula had period 7 in the plane index, so plane j+7 was
+    bit-identical to plane j and the bucket space silently capped at
+    2^7 — invisible to the result-equivalence oracle, which replays
+    whatever formula is written). Every pair of planes up to 32 must
+    differ in at least one coefficient, and each plane must take both
+    signs (a constant-sign plane never splits anything)."""
+    planes = [
+        tuple(((i + 64 * j) * 2654435761 % 97) - 48 for i in range(64))
+        for j in range(32)
+    ]
+    assert len(set(planes)) == len(planes), "aliased hyperplanes"
+    for j, pl in enumerate(planes):
+        assert any(c > 0 for c in pl) and any(c < 0 for c in pl), j
