@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     # kNN-density outlier scores: the graph above + one combinable
     # integer-mean aggregate keyed on the source id
     "sim_knn_density",
+    # guaranteed-coverage density: the capped graph (cached, consumed
+    # twice) + merge-pinned residue anti-join + LITERAL-bounded
+    # broadcast-probe nested loop — the residue path's cost must track
+    # the RESIDUE size, not the corpus
+    "sim_knn_complete",
     # cluster-balanced diversity sampling: shuffle-free centroid assign
     # + per-cluster lowest-hash window — ONE shuffle, keyed by cluster
     "pipe_cluster_sample",
@@ -204,6 +209,12 @@ def _run_set(
     # would hold its clustering and re-serve it.
     times: dict[str, float] = {}
     metrics = _StageMetrics(spark) if collect_metrics is not None else None
+    # pre-build every plan once BEFORE any timing: builder-time discovery
+    # actions (e.g. the adaptive-plane recipe's one-off embeddings count,
+    # cached per sf_dir) execute here, outside the per-query loop, so no
+    # query's first-run wall carries another action's scan (r10 ADVICE)
+    for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir)
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
         df.count()  # warmup execution
@@ -462,6 +473,24 @@ def main() -> None:
             spark, sf_dir2 if sf_dir2 and os.path.isdir(sf_dir2) else sf_dir
         )
     print(json.dumps(out))
+    # FINAL stdout line: a compact summary that fits the driver's ~2k
+    # tail capture whole, so BENCH_r{N}.json lands parseable instead of
+    # a truncated fragment of the (large) full line above (r10 verdict
+    # What's-wrong #4). Totals + per-query sf0.1 walls only; everything
+    # else rides the committed BENCHLOCAL artifact.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "queries": {n: round(t, 3) for n, t in times.items()},
+        "value_run2": out["value_run2"],
+        "superlinear": out.get("superlinear", []),
+        "sf1_value": out.get("sf1", {}).get("value"),
+        "sf1_superlinear": out.get("sf1", {}).get("superlinear", []),
+        "engine_digest": out["engine_digest"],
+    }
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 if __name__ == "__main__":

@@ -27,9 +27,13 @@ from bgpexplorer_spark.sources.tables import load_table
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, SparkQuery] = {}
-ORACLES: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables resolved by all_oracles()
+# at ASK time — for oracles whose constants must track the active fixture
+# (e.g. the adaptive hyperplane count derives from the embeddings row
+# count; a hard-coded plane count only matches fixtures ≤ ~1280 vectors)
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
-def q(name: str, sql: str | None):
+def q(name: str, sql: str | Callable[[], str] | None):
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = fn
         if sql is not None:
@@ -766,8 +770,16 @@ def all_queries() -> dict[str, SparkQuery]:
     return dict(QUERIES)
 
 def all_oracles() -> dict[str, str]:
-    """DuckDB oracle SQL per query, in stable declaration order."""
-    return {n: ORACLES[n] for n in QUERIES if n in ORACLES}
+    """DuckDB oracle SQL per query, in stable declaration order. Lazy
+    (callable) oracles resolve HERE, against the fixture dir named by
+    ``SPARK_GRAFT_SF001_DIR`` (default the driver's sf0.01) — so a
+    selfcheck pointed at any fixture gets oracle constants derived from
+    that fixture, not ones baked for the default's size."""
+    return {
+        n: (ORACLES[n]() if callable(ORACLES[n]) else ORACLES[n])
+        for n in QUERIES
+        if n in ORACLES
+    }
 
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (BASELINE.json north star) on documents /
@@ -7264,7 +7276,25 @@ def _adaptive_planes(n_vecs: int, cap: int = 20, floor_planes: int = 6) -> int:
     return max(floor_planes, math.ceil(math.log2(max(n_vecs, 1) / cap)))
 
 
-@q("sim_knn_capped", _knn_capped_sql())
+def _fixture_planes() -> int:
+    """Plane count for the LAZY knn oracles, derived from the embeddings
+    row count of the fixture dir the oracle will run against
+    (``SPARK_GRAFT_SF001_DIR``, default the driver's sf0.01) via the
+    SAME _adaptive_planes recipe the Spark builders use — so the oracle
+    and engine agree for ANY fixture size, not just ones that resolve to
+    the 6-plane floor (r10 review: a hard-coded 6 made a big-fixture
+    selfcheck fail by construction and look like an engine bug). The
+    count is a parquet-footer read — no Spark, no scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF001_DIR", "/root/testdata/sf0.01")
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    return _adaptive_planes(n)
+
+
+@q("sim_knn_capped", lambda: _knn_capped_sql(n_planes=_fixture_planes()))
 def sim_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding-side mega-bucket shed as a VERIFIED contract
     (operators/similarity.knn_graph(max_bucket=…) →
@@ -7283,9 +7313,9 @@ def sim_knn_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.similarity import knn_graph
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = _emb_count(spark, sf_dir)
     return knn_graph(
-        emb, k=5, n_planes=_adaptive_planes(_emb_count(spark, sf_dir)),
-        max_bucket=20,
+        emb, k=5, n_planes=_adaptive_planes(n), max_bucket=20, approx_n=n,
     )
 
 
@@ -7302,7 +7332,7 @@ def _knn_density_sql(k: int = 5, n_planes: int = 6, max_bucket: int = 20) -> str
     """
 
 
-@q("sim_knn_density", _knn_density_sql())
+@q("sim_knn_density", lambda: _knn_density_sql(n_planes=_fixture_planes()))
 def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector kNN-density outlier score
     (operators/similarity.knn_density): mean cosine to the ≤5
@@ -7321,9 +7351,86 @@ def sim_knn_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.similarity import knn_density
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n = _emb_count(spark, sf_dir)
     return knn_density(
-        emb, k=5, n_planes=_adaptive_planes(_emb_count(spark, sf_dir)),
-        max_bucket=20,
+        emb, k=5, n_planes=_adaptive_planes(n), max_bucket=20, approx_n=n,
+    )
+
+
+def _knn_complete_sql(
+    k: int = 5, n_planes: int = 6, max_bucket: int = 20, n_probe: int = 64
+) -> str:
+    # composes the capped-graph oracle verbatim (ONE source of truth for
+    # the shed/cosine/rank chain), then replays the residue fallback:
+    # brute-force cosine against the n_probe lowest-id vectors, top-k,
+    # the same exact-integer half-up mean, 0-defaults for unscorable rows
+    return f"""
+    WITH g AS ({_knn_capped_sql(k, n_planes, max_bucket)}),
+    dens AS (
+        SELECT src AS vec_id, CAST(count(*) AS INTEGER) AS k_found,
+               floor((10.0 * sum(CAST(round(cos_sim * 10000) AS BIGINT))
+                      / count(*) + 5.0) / 10.0) / 10000.0 AS density
+        FROM g GROUP BY src
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    residue AS (
+        SELECT vec_id, a FROM v
+        WHERE vec_id NOT IN (SELECT vec_id FROM dens)
+    ),
+    probe AS (SELECT vec_id AS pid, a AS pa FROM v WHERE vec_id < {n_probe}),
+    rpairs AS (
+        SELECT r.vec_id AS src, p.pid AS dst,
+               round(
+                   list_sum([r.a[i+1] * p.pa[i+1] for i in range(0, 64)])
+                   / (sqrt(list_sum([r.a[i+1] * r.a[i+1]
+                                     for i in range(0, 64)]))
+                      * sqrt(list_sum([p.pa[i+1] * p.pa[i+1]
+                                       for i in range(0, 64)]))),
+                   4) AS cos_sim
+        FROM residue r JOIN probe p ON r.vec_id <> p.pid
+    ),
+    rtop AS (
+        SELECT src, cos_sim FROM (
+            SELECT src, cos_sim,
+                   row_number() OVER (PARTITION BY src
+                        ORDER BY cos_sim DESC, dst) AS rk
+            FROM rpairs
+        ) WHERE rk <= {k}
+    ),
+    rdens AS (
+        SELECT src AS vec_id, CAST(count(*) AS INTEGER) AS k_found,
+               floor((10.0 * sum(CAST(round(cos_sim * 10000) AS BIGINT))
+                      / count(*) + 5.0) / 10.0) / 10000.0 AS density
+        FROM rtop GROUP BY src
+    )
+    SELECT vec_id, k_found, density, FALSE AS residue FROM dens
+    UNION ALL
+    SELECT r.vec_id,
+           CAST(coalesce(d.k_found, 0) AS INTEGER) AS k_found,
+           coalesce(d.density, 0.0) AS density,
+           TRUE AS residue
+    FROM residue r LEFT JOIN rdens d USING (vec_id)
+    """
+
+
+@q("sim_knn_complete", lambda: _knn_complete_sql(n_planes=_fixture_planes()))
+def sim_knn_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-coverage kNN density
+    (operators/similarity.knn_density_complete): every embedding gets
+    exactly one row — bucket-mates scored by the capped LSH graph, the
+    no-edge residue (singleton + shed buckets) scored by the bounded
+    brute-force probe fallback (knn_residue_scores: merge-pinned anti
+    join, LITERAL-bounded broadcast probe set, hoisted norms). At 100 TB
+    the residue of a capped adaptive-plane index is exactly the outlier
+    set a curation pipeline most wants scored, so the fallback is code
+    + contract, not a documented default (r10 review). The oracle
+    replays the capped graph verbatim, then the residue probe chain."""
+    from bgpexplorer_spark.operators.similarity import knn_density_complete
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _emb_count(spark, sf_dir)
+    return knn_density_complete(
+        emb, k=5, n_planes=_adaptive_planes(n), max_bucket=20, approx_n=n,
     )
 
 

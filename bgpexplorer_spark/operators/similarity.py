@@ -156,7 +156,16 @@ def ann_topk(
         bucketed.filter(F.col("_bucket").isin(probe)), query_vec, k, id_col, vec_col
     )
 
-def _shed_mega_buckets(b: DataFrame, max_bucket: int, bucket_col: str = "_bucket") -> DataFrame:
+# Broadcast the over-cap bucket list only while it provably fits a few MB
+# of hashed relation; above this many rows the anti-join falls back to a
+# merge-pinned shuffle (never-broadcast-corpus-derived rule).
+_SHED_BROADCAST_ROW_BOUND = 65536
+
+
+def _shed_mega_buckets(
+    b: DataFrame, max_bucket: int, bucket_col: str = "_bucket",
+    approx_n: int | None = None,
+) -> DataFrame:
     """Drop rows of LSH buckets holding more than ``max_bucket`` vectors
     — the embedding-side mega-bucket shed. Real embedding spaces cluster
     HARD (anisotropy: most vectors share a dominant direction, so
@@ -165,37 +174,83 @@ def _shed_mega_buckets(b: DataFrame, max_bucket: int, bucket_col: str = "_bucket
     9.2% of vectors in one of its 2^6 buckets). A mega-bucket's in-bucket
     self-join grows quadratically in its size, so at 100 TB the cap
     bounds the candidate join at buckets × cap² — the same lever, same
-    broadcast-anti-join shape as dedup.lsh_buckets(max_bucket=…): the
-    over-cap bucket LIST is tiny by construction (each entry represents
-    > cap vectors), so aggregate to it map-side and anti-join it back;
-    never a count().over() occupancy window, which would sort every
-    bucket-membership row. Recall trade (DOCUMENTED, oracle-verified in
-    sim_knn_capped): a single-band vector in a shed bucket emits no
-    edges — the same residue class as singleton buckets; callers
-    wanting guaranteed degree re-run that residue through
-    :func:`cosine_topk`, and dense near-identical clusters are what
-    :func:`semantic_dedup` collapses more cheaply anyway."""
+    anti-join shape as dedup.lsh_buckets(max_bucket=…); never a
+    count().over() occupancy window, which would sort every
+    bucket-membership row.
+
+    Anti-join side strategy: the over-cap list has at most
+    n/(cap+1) rows (each entry represents > cap vectors) — "tiny" only
+    relative to the corpus. Under the ADAPTIVE plane recipe
+    (2^planes ≈ n/cap, mean occupancy ≈ cap) a constant FRACTION of
+    buckets sits over cap, so the list grows Θ(n/cap): a forced
+    broadcast would contradict the never-broadcast-corpus-derived rule
+    at exactly the scales the recipe targets (r10 review). Callers
+    that know the corpus size pass ``approx_n``; the broadcast is kept
+    only while the n/(cap+1) bound stays under
+    ``_SHED_BROADCAST_ROW_BOUND`` rows, else the anti-join is pinned to
+    a shuffled merge join. ``approx_n=None`` (legacy callers) keeps the
+    broadcast and is only sound for FIXED n_planes, where the list is
+    bounded by 2^planes regardless of corpus size.
+
+    Recall trade (DOCUMENTED, oracle-verified in sim_knn_capped): a
+    single-band vector in a shed bucket emits no edges — the same
+    residue class as singleton buckets; callers wanting guaranteed
+    degree re-run that residue through :func:`knn_residue_scores`
+    (driver-verified in sim_knn_complete), and dense near-identical
+    clusters are what :func:`semantic_dedup` collapses more cheaply
+    anyway."""
     over = (
         b.groupBy(bucket_col)
         .agg(F.count(F.lit(1)).alias("_occ"))
         .filter(F.col("_occ") > max_bucket)
         .select(bucket_col)
     )
-    return b.join(F.broadcast(over), bucket_col, "left_anti")
+    small = approx_n is None or (
+        approx_n // (max_bucket + 1) <= _SHED_BROADCAST_ROW_BOUND
+    )
+    over = F.broadcast(over) if small else over.hint("merge")
+    return b.join(over, bucket_col, "left_anti")
+
+def _bucketed_with_norm(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, dim: int,
+    max_bucket: int | None, approx_n: int | None,
+) -> DataFrame:
+    """Shared candidate frame for the in-bucket self-joins: id, the
+    double-cast vector ``_v``, its LSH ``_bucket``, and the HOISTED norm
+    ``_n`` — computed ONCE per vector before the join instead of once
+    per candidate pair (the norm fold is O(dim); inside an in-bucket
+    self-join it would otherwise re-run ~occupancy× per vector — the
+    dominant cost of sim_knn_* at sf1, r10 review). ``dot/(a._n*b._n)``
+    is the same expression tree at the same rounding point as
+    :func:`cosine`, so edge sets are bit-identical. The frame is
+    merge-hinted: it is corpus-derived (id + dim doubles per row), and
+    AQE can auto-broadcast one side of the self-join when compressed
+    shuffle bytes read under the threshold while the HashedRelation is
+    several× larger — the exact sf10 OOM class the dedup family was
+    hardened against (dedup._minhash_cand_and_sig)."""
+    b = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_bucket", hyperplane_bucket(F.col("_v"), n_planes, dim))
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    if max_bucket is not None:
+        b = _shed_mega_buckets(b, max_bucket, approx_n=approx_n)
+    return b.hint("merge")
+
 
 def embedding_neardup_pairs(
     df: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 8, dim: int = 64,
     max_bucket: int | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: cosine
     computed only within buckets (the embedding analog of MinHash+LSH
     dedup). ``max_bucket``: see :func:`_shed_mega_buckets` (default off
-    — the exact-banding contract)."""
-    b = df.withColumn("_bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
-    if max_bucket is not None:
-        b = _shed_mega_buckets(b, max_bucket)
+    — the exact-banding contract); ``approx_n`` bounds the shed's
+    anti-join broadcast."""
+    b = _bucketed_with_norm(df, id_col, vec_col, n_planes, dim, max_bucket, approx_n)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "_bucket")
@@ -204,10 +259,8 @@ def embedding_neardup_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine(
-                    F.col(f"a.{vec_col}").cast("array<double>"),
-                    F.col(f"b.{vec_col}").cast("array<double>"),
-                ),
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
                 4,
             ).alias("cos_sim"),
         )
@@ -219,6 +272,7 @@ def knn_graph(
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 6, dim: int = 64,
     max_bucket: int | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over an embedding column —
     the building block SemDeDup, density/diversity sampling, and
@@ -239,13 +293,11 @@ def knn_graph(
 
     ``max_bucket`` (default off) is the production lever for skewed
     embedding spaces — see :func:`_shed_mega_buckets`: vectors in shed
-    buckets join the no-edge residue at a documented recall cost.
+    buckets join the no-edge residue at a documented recall cost;
+    ``approx_n`` (corpus size, when the caller knows it) bounds the
+    shed's anti-join broadcast.
     """
-    b = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).withColumn("_bucket", hyperplane_bucket(F.col("_v"), n_planes, dim))
-    if max_bucket is not None:
-        b = _shed_mega_buckets(b, max_bucket)
+    b = _bucketed_with_norm(df, id_col, vec_col, n_planes, dim, max_bucket, approx_n)
     a, c = b.alias("a"), b.alias("b")
     pairs = (
         a.join(c, "_bucket")
@@ -253,7 +305,11 @@ def knn_graph(
         .select(
             F.col(f"a.{id_col}").alias("src"),
             F.col(f"b.{id_col}").alias("dst"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
@@ -268,6 +324,7 @@ def knn_density(
     id_col: str = "vec_id", vec_col: str = "embedding",
     n_planes: int = 6, dim: int = 64,
     max_bucket: int | None = None,
+    approx_n: int | None = None,
 ) -> DataFrame:
     """Per-vector kNN-density score — the outlier/junk signal curation
     recipes threshold on (SemDeDup §3 keeps LOW-similarity items as the
@@ -294,9 +351,18 @@ def knn_density(
     g = knn_graph(
         df, k=k, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, dim=dim, max_bucket=max_bucket,
+        approx_n=approx_n,
     )
+    return _density_from_edges(g.select("src", "cos_sim"), id_col)
+
+
+def _density_from_edges(edges: DataFrame, id_col: str) -> DataFrame:
+    """(id, k_found, density) from scored edges — the shared exact
+    integer half-up mean on the 1e4 grid (see :func:`knn_density`):
+    neither float-accumulation order nor an engine's halfway-rounding
+    mode can flap the last decimal against the DuckDB oracle."""
     e4 = F.round(F.col("cos_sim") * 10000).cast("bigint")
-    agg = g.groupBy(F.col("src").alias(id_col)).agg(
+    agg = edges.groupBy(F.col("src").alias(id_col)).agg(
         F.count(F.lit(1)).alias("k_found"),
         F.sum(e4).alias("_s_e4"),
     )
@@ -307,6 +373,98 @@ def knn_density(
         id_col,
         F.col("k_found").cast("int").alias("k_found"),
         (mean_e4 / 10000.0).alias("density"),
+    )
+
+
+def knn_residue_scores(
+    df: DataFrame, scored_ids: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_probe: int = 64,
+) -> DataFrame:
+    """Guaranteed-degree fallback for the bucketed kNN residue — the
+    vectors :func:`knn_graph` emits NO edges for (alone in their LSH
+    bucket, or shed by ``max_bucket``). At 100 TB that residue of a
+    capped, adaptive-plane index is exactly the outlier set a curation
+    pipeline most wants scored, so it gets a real score, not a
+    documented default: exact brute-force cosine against the ``n_probe``
+    lowest-id vectors (the same deterministic, training-free convention
+    as :func:`ivf_centroids`), top-k per residue vector, then the same
+    exact-integer density mean.
+
+    Scale shape: ``scored_ids`` (corpus-derived, possibly corpus-sized)
+    is removed by a merge-pinned LEFT ANTI join — never broadcast; the
+    probe frame is bounded by the LITERAL ``n_probe`` (independent of
+    corpus size), so IT broadcasts into one nested-loop pass over the
+    residue: O(residue × n_probe) with both norms hoisted. Residue
+    vectors with no scorable probe partner (self was the only probe)
+    emit k_found=0 / density 0.0 — the most-outlier score."""
+    residue = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .join(scored_ids.select(id_col).hint("merge"), id_col, "left_anti")
+        .withColumn("_n", norm(F.col("_v")))
+    )
+    probe = F.broadcast(
+        df.filter(F.col(id_col) < n_probe)
+        .select(
+            F.col(id_col).alias("_pid"),
+            F.col(vec_col).cast("array<double>").alias("_pv"),
+        )
+        .withColumn("_pn", norm(F.col("_pv")))
+    )
+    pairs = (
+        residue.join(probe, F.col(id_col) != F.col("_pid"))
+        .select(
+            F.col(id_col).alias("src"),
+            F.col("_pid").alias("dst"),
+            F.round(
+                dot(F.col("_v"), F.col("_pv")) / (F.col("_n") * F.col("_pn")),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    topk = pairs.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= k)
+    scored = _density_from_edges(topk.select("src", "cos_sim"), id_col)
+    return (
+        residue.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("k_found"), F.lit(0)).cast("int").alias("k_found"),
+            F.coalesce(F.col("density"), F.lit(0.0)).alias("density"),
+        )
+    )
+
+
+def knn_density_complete(
+    df: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 6, dim: int = 64,
+    max_bucket: int | None = None,
+    approx_n: int | None = None,
+    n_probe: int = 64,
+) -> DataFrame:
+    """kNN density with GUARANTEED coverage: every input vector gets
+    exactly one row. Bucket-mates are scored by the capped LSH graph
+    (:func:`knn_density` — cheap, candidate-bounded); the no-edge
+    residue (singleton + shed buckets) is scored by the bounded
+    brute-force probe fallback (:func:`knn_residue_scores`). Output:
+    (id, k_found, density, residue) where ``residue`` marks fallback
+    rows — a curation pipeline thresholds density and can weight the
+    two provenances differently."""
+    # cached: consumed twice (the non-residue output rows AND the
+    # residue anti-join side) — without the cache the whole bucketed
+    # graph would execute twice (same precedent as the dedup family's
+    # cached signature frame)
+    dens = knn_density(
+        df, k=k, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, dim=dim, max_bucket=max_bucket, approx_n=approx_n,
+    ).cache()
+    fallback = knn_residue_scores(
+        df, dens, k=k, id_col=id_col, vec_col=vec_col, n_probe=n_probe
+    )
+    return dens.withColumn("residue", F.lit(False)).unionByName(
+        fallback.withColumn("residue", F.lit(True))
     )
 
 

@@ -41,12 +41,32 @@ def _round_of(p: Path) -> int:
     return int(re.search(r"r(\d+)", p.name).group(1))
 
 
+def _parse_artifact(art: Path) -> tuple[dict, dict | None]:
+    """r11+ artifacts are TWO JSON lines: the full record, then the
+    compact summary bench.py emits as its final stdout line so the
+    driver's ~2k tail capture always contains one parseable record
+    (r10 verdict What's-wrong #4). Returns (full, compact-or-None)."""
+    lines = [ln for ln in art.read_text().splitlines() if ln.strip()]
+    full = json.loads(lines[0])
+    compact = json.loads(lines[-1]) if len(lines) > 1 else None
+    return full, compact
+
+
 def test_benchlocal_matches_bench_set():
     import bench
 
     art = _latest("BENCHLOCAL_r*.json")
-    data = json.loads(art.read_text())
+    data, compact = _parse_artifact(art)
     assert data.get("unit") == "sec" and "value" in data
+    if _round_of(art) >= 11:
+        # the compact tail line must exist and agree with the full record
+        assert compact is not None, (
+            f"{art.name} lacks the compact final summary line — "
+            "regenerate with the current bench.py"
+        )
+        assert compact["value"] == data["value"]
+        assert compact["engine_digest"] == data["engine_digest"]
+        assert set(compact["queries"]) == set(data["queries"])
     declared = set(bench.BENCH_QUERIES)
     got = set(data["queries"])
     missing, extra = declared - got, got - declared
@@ -82,7 +102,7 @@ def test_benchlocal_matches_engine_state():
         import pytest
 
         pytest.skip(f"{art.name} predates the engine_digest field (r10+)")
-    data = json.loads(art.read_text())
+    data, _compact = _parse_artifact(art)
     logged = data.get("engine_digest")
     assert logged, (
         f"{art.name} has no engine_digest field — regenerate it with the "

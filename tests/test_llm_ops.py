@@ -2119,19 +2119,43 @@ def test_bpe_train_encode_composition(spark):
             i: [c for w in (t or "").lower().split() for c in w]
             for i, t in rows}
 
+    def nonoverlap_count(tok_lists, pair):
+        # greedy left-to-right non-overlapping occurrences — what ONE
+        # merge application actually removes. For a self-overlapping
+        # pair (sym_a == sym_b, e.g. 'a a' in 'aaa') the trainer's gap
+        # count exceeds this (2 gaps, 1 merge), so the expectation must
+        # use THIS count, not the trainer's n (r10 ADVICE: the fixture
+        # happening to avoid overlapping top pairs made n coincide)
+        cnt = 0
+        for toks in tok_lists:
+            i = 0
+            while i < len(toks) - 1:
+                if (toks[i], toks[i + 1]) == pair:
+                    cnt += 1
+                    i += 2
+                else:
+                    i += 1
+        return cnt
+
     merges: list[str] = []
-    n_total = sum(len(t) for t in corpus_tokens(merges).values())
+    prev_toks = corpus_tokens(merges)
+    n_total = sum(len(t) for t in prev_toks.values())
     for _ in range(6):
         top = text.bpe_pair_counts(df, k=1, merges=merges or None).collect()
         assert top, "trainer ran out of pairs early"
+        pair = (top[0]["sym_a"], top[0]["sym_b"])
         pair_n = top[0]["n"]
-        merges.append(f"{top[0]['sym_a']} {top[0]['sym_b']}")
+        removed = nonoverlap_count(prev_toks.values(), pair)
+        if pair[0] != pair[1]:
+            # a non-self-overlapping pair removes exactly its gap count
+            assert removed == pair_n
+        merges.append(f"{pair[0]} {pair[1]}")
         toks = corpus_tokens(merges)
         new_total = sum(len(t) for t in toks.values())
-        # each counted occurrence of the merged pair collapses 2→1 token
-        assert new_total == n_total - pair_n
+        # each APPLIED occurrence of the merged pair collapses 2→1 token
+        assert new_total == n_total - removed
         assert new_total < n_total
-        n_total = new_total
+        n_total, prev_toks = new_total, toks
 
     # round-trip: token streams re-join to the normalized input text
     out = {r.doc_id: r.tokens for r in text.bpe_encode(df, merges).collect()}
@@ -2316,3 +2340,44 @@ def test_hyperplane_family_has_no_aliased_planes():
     assert len(set(planes)) == len(planes), "aliased hyperplanes"
     for j, pl in enumerate(planes):
         assert any(c > 0 for c in pl) and any(c < 0 for c in pl), j
+
+
+def test_knn_density_complete_scores_residue(spark):
+    """knn_density_complete covers EVERY vector exactly once: graph-scored
+    rows are bit-identical to knn_density, residue rows are exactly the
+    no-edge set, and each residue score equals a NumPy brute-force top-k
+    against the n_probe lowest-id vectors (round-half-up 4-decimal
+    cosine, exact-integer half-up mean — the engine's stated grid)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(40, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(k=3, n_planes=6, max_bucket=4, approx_n=40)
+    dens = {r.vec_id: (r.k_found, r.density)
+            for r in similarity.knn_density(emb, **kw).collect()}
+    out = similarity.knn_density_complete(emb, n_probe=8, **kw).collect()
+    assert sorted(r.vec_id for r in out) == list(range(40))
+    res = {r.vec_id: (r.k_found, r.density) for r in out if r.residue}
+    assert set(res) == set(range(40)) - set(dens)
+    assert res, "fixture must actually exercise the fallback"
+    assert {r.vec_id: (r.k_found, r.density)
+            for r in out if not r.residue} == dens
+
+    def cos4(a, b):
+        c = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return float(Decimal(repr(c)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    for rid, (kf, d) in res.items():
+        sims = sorted(
+            ((cos4(vecs[rid], vecs[p]), p) for p in range(8) if p != rid),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        e4 = sum(round(c * 10000) for c, _ in sims)
+        want = math.floor((10.0 * e4 / len(sims) + 5.0) / 10.0) / 10000.0
+        assert (kf, d) == (len(sims), want), rid

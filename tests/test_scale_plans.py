@@ -881,3 +881,55 @@ def test_neardup_corpus_frames_never_broadcast(spark):
     bhj = [ln for ln in plan_c.splitlines() if "BroadcastHashJoin" in ln]
     assert bhj and all("LeftAnti" in ln for ln in bhj), bhj
     assert "zip_with" not in plan_c
+
+
+def test_knn_selfjoin_and_shed_broadcast_bound(spark):
+    """The kNN family's corpus-derived frames never build a hash
+    relation: the in-bucket self-join is merge-pinned (r10 ADVICE — the
+    bucketed id+64-double frame is the exact AQE-underestimate OOM class
+    the dedup family was hardened against), and the over-cap shed
+    broadcasts ONLY while the n/(cap+1) list bound is provably small —
+    with a large approx_n it falls back to a merge-pinned shuffled
+    anti-join (the adaptive-plane recipe keeps a constant FRACTION of
+    buckets over cap, so the list grows with the corpus)."""
+    from bgpexplorer_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7 - 3) for j in range(64)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(similarity.knn_graph(emb, k=3, n_planes=4))
+    assert "SortMergeJoin" in plan and plan.count("BroadcastHashJoin") == 0
+    # small corpus: only broadcasts are the LeftAnti shed
+    plan_c = _plan(similarity.knn_graph(emb, k=3, n_planes=4, max_bucket=5, approx_n=30))
+    bhj = [ln for ln in plan_c.splitlines() if "BroadcastHashJoin" in ln]
+    assert bhj and all("LeftAnti" in ln for ln in bhj), bhj
+    # corpus past the bound: zero broadcasts anywhere, shed still anti
+    plan_m = _plan(
+        similarity.knn_graph(emb, k=3, n_planes=4, max_bucket=5, approx_n=10**9)
+    )
+    assert plan_m.count("BroadcastHashJoin") == 0
+    assert "LeftAnti" in plan_m
+
+
+def test_knn_residue_fallback_plan_shapes(spark):
+    """knn_density_complete's fallback: the corpus-derived scored-id set
+    leaves via a merge-pinned SortMergeJoin LeftAnti (never broadcast),
+    while the LITERAL-bounded probe set is the broadcast side of one
+    nested-loop pass over the residue."""
+    from bgpexplorer_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7 - 3) for j in range(64)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(
+        similarity.knn_density_complete(
+            emb, k=3, n_planes=4, max_bucket=5, approx_n=30, n_probe=8
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    smj_anti = [ln for ln in anti if "SortMergeJoin" in ln]
+    assert smj_anti, anti
+    assert not any("BroadcastHashJoin" in ln and "_bucket" not in ln for ln in anti)

@@ -138,6 +138,13 @@ def main():
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = set(a for a in args if "/" not in a)
 
+    # lazy oracles (e.g. the adaptive-plane knn family) derive constants
+    # from the fixture named by this env var — pin it to the dir this
+    # check actually runs against, so ANY fixture size verifies
+    import os
+
+    os.environ["SPARK_GRAFT_SF001_DIR"] = sf_dir
+
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
