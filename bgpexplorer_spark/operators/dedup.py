@@ -151,34 +151,52 @@ def lsh_buckets(
         out = out.join(F.broadcast(over), ["band", "bucket"], "left_anti")
     return out
 
+def _bucket_pair_explode(bk: DataFrame, id_col: str) -> DataFrame:
+    """ONE-exchange in-bucket candidate builder: aggregate each
+    (band, bucket) to its sorted member list, then explode the ordered
+    pairs (id_a < id_b) with two chained generators — no self-join at
+    all. The banded rows cross the wire ONCE (the groupBy exchange; a
+    self-join shuffles them twice, since Catalyst does not reuse the two
+    sides' exchanges — measured, ReusedExchange absent under AQE) and
+    nothing sorts: hash aggregate + explode replaces two sorts + SMJ.
+    With zero join there is also zero AQE-broadcast exposure — the
+    never-broadcast posture by construction.
+
+    Pair explosion stays occupancy-bounded: the first explode carries
+    each bucket's id list occ×, the second emits the C(occ, 2) pairs a
+    join would emit anyway — same asymptotics, streamed by the
+    generators (no single giant pairs array is materialized). On capped
+    paths occ ≤ max_bucket; uncapped mega buckets are quadratic in
+    EITHER shape (that regime is what max_bucket exists for)."""
+    grouped = (
+        bk.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    return (
+        grouped.select("_ids", F.explode("_ids").alias("id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("filter(_ids, x -> x > id_a)")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def _minhash_cand_and_sig(
     df: DataFrame, id_col: str, text_col: str,
     k: int, n: int, bands: int,
     shingles: DataFrame | None, max_bucket: int | None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared core: (candidate id pairs, cached signature frame)."""
+    """Shared core: (candidate id pairs, cached signature frame). The
+    candidate builder is :func:`_bucket_pair_explode` — one exchange of
+    the banded rows, no self-join (r10 verdict What's-wrong #2; the
+    prior merge-pinned SMJ self-join shuffled AND sorted the banded
+    frame twice). Both shapes read the CACHED signature, not the
+    corpus; results are identical (same distinct in-bucket pair set)."""
     sig = minhash_signatures(df, id_col, text_col, k, n, shingles=shingles).cache()
-    # The band-membership self-join must NEVER build a hashed relation
-    # from the banded frame: it is corpus×bands-sized, and on a
-    # mid-size corpus its compressed shuffle bytes can fall under the
-    # auto-broadcast threshold while the in-memory HashedRelation is
-    # several× larger — measured at sf10 (2M memberships) the build
-    # OOMs an 8 GB heap already holding the persisted shingle explode.
-    # The merge hint pins SortMergeJoin. (Catalyst does NOT reuse the
-    # two sides' exchanges here — measured, ReusedExchange absent — so
-    # the banded rows shuffle twice; still strictly better than a
-    # corpus-sized broadcast build, and both shuffles read the CACHED
-    # signature, not the corpus.)
-    bk = lsh_buckets(sig, id_col, bands, k=k, max_bucket=max_bucket).hint("merge")
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    bk = lsh_buckets(sig, id_col, bands, k=k, max_bucket=max_bucket)
+    cand = _bucket_pair_explode(bk, id_col)
     return cand, sig
 
 
