@@ -221,3 +221,155 @@ def test_exif_byteflip_sweep_never_raises(seed, n_flips, cut, big):
         raw[rng.integers(0, len(raw))] ^= 1 << rng.integers(0, 8)
     out = parse_exif(bytes(raw[: len(raw) - cut]))
     assert out is None or isinstance(out, dict)
+
+
+# ---------------------------------------------------------------------------
+# Hash-family distinctness / periodicity guards (r10 verdict ask #4).
+# The hyperplane family's first construction had period 7 in the plane
+# index — plane j+7 was BIT-IDENTICAL to plane j, silently capping the
+# bucket space at 2^7, and neither verification layer could see it (the
+# oracle replays whatever formula is written). The same class could
+# degrade every other derived hash family; each gets a distinctness /
+# full-period property over the parameter range the engine actually
+# uses, replaying the ENGINE's own constants/functions wherever they
+# are importable without a SparkSession.
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_permutation_family_distinct_bijections():
+    """(h*a + b) mod P family (dedup._minhash_params, P = 2^31−1 prime):
+    every map must be a BIJECTION of Z_P (a ≢ 0 mod P — P prime makes
+    any nonzero a invertible) and pairwise DISTINCT as functions
+    ((a, b) pairs distinct mod P) over 16× the engine's default k=16,
+    so growing k can't silently alias two permutations (which would
+    make two signature rows always agree — inflated Jaccard estimates,
+    invisible to the oracle)."""
+    from bgpexplorer_spark.operators.dedup import MINHASH_P, _minhash_params
+
+    params = _minhash_params(256)
+    assert len({(a % MINHASH_P, b % MINHASH_P) for a, b in params}) == len(params)
+    for a, _b in params:
+        assert a % MINHASH_P != 0
+    # distinct as FUNCTIONS on a probe set, not just as parameter pairs
+    probe = [0, 1, 2, 7919, 2**20, MINHASH_P - 1]
+    images = [tuple((h * a + b) % MINHASH_P for h in probe) for a, b in params]
+    assert len(set(images)) == len(images)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sig=st.integers(min_value=0, max_value=2**60 - 1),
+    flips=st.lists(st.integers(min_value=0, max_value=59), max_size=3, unique=True),
+)
+def test_simhash60_subband_split_partitions_and_covers(sig, flips):
+    """The AND-OR banding arithmetic (dedup._banded_hamming_pairs,
+    sub_bits=10, n_sub=6): the 6 extracted sub-bands must PARTITION the
+    60-bit signature (re-concatenation reconstructs it exactly — an
+    off-by-one in shift/mask would silently drop or double-count bits),
+    and any signature within hamming ≤ 3 must share at least one intact
+    C(6,3) combination key (the exact-coverage guarantee the join keys
+    on)."""
+    import itertools
+
+    sub_bits, n_sub, max_h = 10, 6, 3
+    mask = (1 << sub_bits) - 1
+
+    def subs(s):
+        return [(s >> (sub_bits * i)) & mask for i in range(n_sub)]
+
+    def keys(s):
+        out = set()
+        for ci, combo in enumerate(itertools.combinations(range(n_sub), n_sub - max_h)):
+            key = ci
+            for i in combo:
+                key = (key << sub_bits) + subs(s)[i]
+            out.add(key)
+        return out
+
+    assert sum(v << (sub_bits * i) for i, v in enumerate(subs(sig))) == sig
+    other = sig
+    for f in flips:
+        other ^= 1 << f
+    assert keys(sig) & keys(other), "hamming<=3 pair lost every combo key"
+
+
+def test_portable_hash_prefix_widths_and_independence():
+    """portable_hash32/60 (text.py): the md5-hex-prefix construction
+    must stay inside its declared width (60 bits SIGNED-safe in both
+    engines), be deterministic, and the two widths must not be related
+    by a fixed shift/scale (a family where hash60 = hash32·2^28 would
+    make every 60-bit band split depend on 32 bits of entropy only).
+    Replays the exact recipe (first 8 / 15 md5 hex chars)."""
+    import hashlib
+
+    def h(s, chars):
+        return int(hashlib.md5(s.encode()).hexdigest()[:chars], 16)
+
+    strs = [f"tok{i}" for i in range(2000)]
+    h32 = [h(s, 8) for s in strs]
+    h60 = [h(s, 15) for s in strs]
+    assert all(0 <= v < 2**32 for v in h32)
+    assert all(0 <= v < 2**60 for v in h60)
+    # hash32 IS hash60's top 32 bits by construction (same md5 prefix) —
+    # the INDEPENDENT entropy the wider family adds is the low 28 bits,
+    # which must not be constant or low-period
+    low = [v & ((1 << 28) - 1) for v in h60]
+    assert len(set(low)) > 1900  # ~uniform: near-zero collisions on 2k draws
+    assert all(v >> 28 == w for v, w in zip(h60, h32))
+
+
+def test_dsir_bucket_family_full_range_and_uniformity():
+    """The DSIR feature hash (pipeline.hashed_ngram_buckets:
+    portable_hash32(gram) % n_buckets) must reach EVERY bucket and stay
+    roughly uniform over a realistic gram population — a modulus
+    interacting with a periodic hash family could leave buckets
+    permanently empty (the same silent-degradation class as the
+    hyperplane aliasing: empty buckets = degenerate importance
+    weights). Replays the engine's md5-prefix-mod recipe."""
+    import hashlib
+    from collections import Counter
+
+    n_buckets = 256
+    grams = [f"w{i}" for i in range(4000)] + [
+        f"w{i} w{i+1}" for i in range(4000)
+    ]
+    buckets = Counter(
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets for g in grams
+    )
+    assert len(buckets) == n_buckets, "some DSIR buckets are unreachable"
+    mean = len(grams) / n_buckets
+    assert max(buckets.values()) < 3 * mean
+    assert min(buckets.values()) > mean / 3
+
+
+def test_pq_subspace_slices_tile_dim_exactly():
+    """The PQ subspace decomposition (similarity.pq_codebooks /
+    pq_encode: subspace s = slice(v, s·d+1, d), d = dim//m): the m
+    slices must tile [1, dim] with no overlap and no gap for every m
+    the engine's contract queries use — a misaligned slice would score
+    ADC distances against the wrong coordinates and the oracle (which
+    replays the same slicing) could never see it."""
+    for dim, m in [(64, 4), (64, 8), (64, 16), (48, 4)]:
+        d = dim // m
+        assert d * m == dim, (dim, m)
+        covered = []
+        for s in range(m):
+            covered.extend(range(s * d + 1, s * d + 1 + d))  # 1-based slice
+        assert covered == list(range(1, dim + 1)), (dim, m)
+
+
+def test_ivf_and_cluster_seed_sets_distinct():
+    """Deterministic 'seed' sets (ivf_centroids / pq_codebooks /
+    cluster_sample draw ids from vec_id < k): the construction is
+    injective by definition, but the DRAW hash used by cluster_sample
+    (portable_hash32 of the DECIMAL id string) must be collision-free
+    over the id ranges the engine samples at — a colliding pair would
+    tie two rows' uniform draws forever (rank flaps across engines
+    resolve by vec_id, so correctness holds, but the sample would be
+    systematically correlated)."""
+    import hashlib
+
+    draws = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in range(50000)
+    ]
+    assert len(set(draws)) == len(draws), "hash32 collision inside 50k id range"
