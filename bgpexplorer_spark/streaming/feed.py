@@ -384,6 +384,169 @@ def live_flap_damping(
     )
 
 
+def _require_tws_runtime() -> None:
+    """Spark's state-v2 Python runner (TransformWithStateInPySpark)
+    speaks protobuf to the JVM — without ``google.protobuf`` the
+    streaming driver worker CRASHES mid-query
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE, observed r11).
+    Fail at BUILD time with a diagnosis instead."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf "
+            "runtime (Spark's state-v2 Python runner); it is not "
+            "installed in this environment — use live_current_state / "
+            "live_flap_damping (applyInPandasWithState), the default "
+            "reference paths"
+        ) from e
+
+
+def live_current_state_tws(updates: DataFrame) -> DataFrame:
+    """state-v2 (Spark 4 ``transformWithStateInPandas``) variant of
+    :func:`live_current_state` — same keyed upsert semantics, same
+    output schema, state held in a named ValueState instead of the
+    GroupState tuple. Requires the RocksDB state store provider
+    (session knob ``SPARK_GRAFT_STATE_STORE=rocksdb``; the v2 API is
+    RocksDB-only by design) AND the google.protobuf runtime
+    (:func:`_require_tws_runtime`) — the latter is absent in this
+    container, so the r10-ask-#7 A/B is import-gated, one dependency
+    away: see ARCHITECTURE.md r11 for the decision paragraph. The
+    applyInPandasWithState form stays the default/reference path."""
+    _require_tws_runtime()
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "rib string, nlri_str string, session_id int, path_id bigint, "
+        "ts timestamp, active boolean"
+    )
+
+    _tmpl = pd.DataFrame(
+        [{
+            "rib": "", "nlri_str": "", "session_id": 0, "path_id": 0,
+            "ts": pd.Timestamp(0, unit="us"), "active": False,
+        }]
+    )
+
+    class Upsert(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._latest = handle.getValueState(
+                "latest", "ts_us bigint, active boolean"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._latest.get() if self._latest.exists() else None
+            ts_us, active = got if got is not None else (None, None)
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                v = pdf["ts"].to_numpy("datetime64[ns]").astype("int64")
+                i = len(v) - 1 - int(v[::-1].argmax())
+                t = int(v[i]) // 1000
+                if ts_us is None or t >= ts_us:
+                    ts_us, active = t, pdf["op"].iat[i] == "update"
+            self._latest.update((int(ts_us), bool(active)))
+            rib, nlri, sid, pid = key
+            out = _tmpl.copy()
+            out.iat[0, 0] = rib
+            out.iat[0, 1] = nlri
+            out.iat[0, 2] = sid
+            out.iat[0, 3] = pid
+            out.iat[0, 4] = pd.Timestamp(ts_us, unit="us")
+            out.iat[0, 5] = bool(active)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return updates.groupBy(
+        "rib", "nlri_str", "session_id", "path_id"
+    ).transformWithStateInPandas(
+        Upsert(), out_schema, "Update", "None"
+    )
+
+
+def live_flap_damping_tws(
+    updates: DataFrame,
+    half_life_sec: float = 900.0,
+    flap_penalty: float = 1000.0,
+    suppress_threshold: float = 2000.0,
+    reuse_threshold: float = 750.0,
+) -> DataFrame:
+    """state-v2 variant of :func:`live_flap_damping` (same vectorized
+    RFC 2439 fold, ValueState instead of GroupState; RocksDB-only,
+    import-gated on google.protobuf). See
+    :func:`live_current_state_tws` for why both exist."""
+    _require_tws_runtime()
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    lam = math.log(2.0) / float(half_life_sec)
+    out_schema = (
+        "rib string, nlri_str string, n_flaps bigint, penalty double, "
+        "suppressed boolean, reusable boolean, ts timestamp"
+    )
+    _tmpl = pd.DataFrame(
+        [{
+            "rib": "", "nlri_str": "", "n_flaps": 0, "penalty": 0.0,
+            "suppressed": False, "reusable": False,
+            "ts": pd.Timestamp(0, unit="us"),
+        }]
+    )
+
+    class Damp(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "damp", "penalty double, last_us bigint, announced boolean, flaps bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._st.get() if self._st.exists() else None
+            penalty, last_us, announced, flaps = (
+                got if got is not None else (0.0, None, False, 0)
+            )
+            pdfs = pd.concat(list(rows), ignore_index=True)
+            if pdfs.empty:
+                return
+            ts_us = pdfs["ts"].to_numpy("datetime64[ns]").astype("int64") // 1000
+            wd = pdfs["op"].to_numpy() == "withdraw"
+            if len(ts_us) > 1 and (ts_us[1:] < ts_us[:-1]).any():
+                order = ts_us.argsort(kind="stable")
+                ts_us, wd = ts_us[order], wd[order]
+            penalty, last_us, announced, flaps = _damping_fold(
+                penalty, last_us, announced, flaps, ts_us, wd, lam, flap_penalty
+            )
+            self._st.update(
+                (float(penalty), int(last_us), bool(announced), int(flaps))
+            )
+            rib, nlri = key
+            out = _tmpl.copy()
+            out.iat[0, 0] = rib
+            out.iat[0, 1] = nlri
+            out.iat[0, 2] = flaps
+            out.iat[0, 3] = round(penalty, 4)
+            out.iat[0, 4] = bool(penalty >= suppress_threshold)
+            out.iat[0, 5] = bool(penalty < reuse_threshold)
+            out.iat[0, 6] = pd.Timestamp(last_us, unit="us")
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return updates.groupBy("rib", "nlri_str").transformWithStateInPandas(
+        Damp(), out_schema, "Update", "None"
+    )
+
+
 FLAP_STATE_SCHEMA = (
     "rib string, nlri_str string, penalty double, last_us bigint, "
     "announced boolean, flaps bigint"

@@ -1131,3 +1131,59 @@ def test_heavy_hitters_matches_python_model(spark):
         assert got == want, (seed, k, phi)
 
     check()
+
+
+def test_tws_variants_gated_or_equivalent(spark, tmp_path):
+    """The state-v2 (transformWithStateInPandas) variants of the keyed
+    operators (r10 ask #7): in an environment WITHOUT google.protobuf
+    they must fail at BUILD time with a diagnosis (Spark's v2 Python
+    runner otherwise crashes the streaming driver worker mid-query —
+    observed: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE); WITH it,
+    they must produce exactly the applyInPandasWithState results."""
+    import pytest as _pt
+
+    from bgpexplorer_spark.streaming.feed import (
+        live_current_state,
+        live_current_state_tws,
+        live_flap_damping,
+        live_flap_damping_tws,
+        stream_updates_from_files,
+    )
+    from tests.ribdata import make_updates, u
+
+    upd = make_updates(spark, [
+        u("10.0.0.0/24", t=0), u("10.0.0.0/24", t=60_000, op="withdraw"),
+        u("10.0.1.0/24", t=30_000), u("10.0.0.0/24", t=90_000),
+    ])
+    src = str(tmp_path / "src")
+    upd.write.mode("overwrite").parquet(src)
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_pb = True
+    except ImportError:
+        have_pb = False
+
+    if not have_pb:
+        with _pt.raises(ImportError, match="google.protobuf"):
+            live_current_state_tws(stream_updates_from_files(spark, src))
+        with _pt.raises(ImportError, match="google.protobuf"):
+            live_flap_damping_tws(stream_updates_from_files(spark, src))
+        return
+
+    def run(op, name, ck):
+        q = (
+            op(stream_updates_from_files(spark, src))
+            .writeStream.format("memory").queryName(name).outputMode("update")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sorted(tuple(r) for r in spark.sql(f"select * from {name}").collect())
+
+    assert run(live_current_state, "t1cs", "ck1") == run(
+        live_current_state_tws, "t2cs", "ck2"
+    )
+    assert run(live_flap_damping, "t1fd", "ck3") == run(
+        live_flap_damping_tws, "t2fd", "ck4"
+    )
