@@ -131,6 +131,17 @@ BENCH_QUERIES = [
     # tokenizer fertility by lang: the bpe_encode vocab fold + ONE
     # shuffle-pinned corpus join + a group-keyed aggregate
     "text_bpe_fertility",
+    # quantizer label-purity diagnostic: literal-codebook assignment
+    # (zero corpus join) + one aggregate + cells×labels window
+    "sim_cluster_purity",
+    # PQ distortion: literal-codebook argmin projection + m-explode +
+    # one combinable aggregate to m rows — tracks the pure-scan bound
+    "sim_pq_distortion",
+    # JL sign projection 64→16: ZERO-shuffle codegen'd projection —
+    # the purest scan-ratio tracker in the set
+    "sim_rp_project",
+    # per-doc type/token + hapax stats: zero-shuffle per-row HOFs
+    "text_lexical_diversity",
 ]
 
 def _sf_of(sf_dir: str) -> float:

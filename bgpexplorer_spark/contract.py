@@ -8559,3 +8559,172 @@ def o9_rib_asof_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefixlen",
         origin_as(F.col("aspath_flat")).alias("origin_as"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r11 additions: quantizer/clustering diagnostics + JL projection +
+# lexical-diversity quality signals.
+# ---------------------------------------------------------------------------
+
+def _cluster_purity_sql(n_centroids: int = 8) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a, label FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {n_centroids}),
+    assigned AS (
+        SELECT vec_id, cid, label FROM (
+            SELECT v.vec_id, c.cid, v.label,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    ),
+    per AS (SELECT cid, label, count(*) AS nl FROM assigned GROUP BY cid, label),
+    tot AS (SELECT cid, sum(nl) AS n FROM per GROUP BY cid)
+    SELECT cid, CAST(n AS BIGINT) AS n, label AS majority_label,
+           CAST(nl AS BIGINT) AS n_majority,
+           floor((nl * 100000.0 / n + 5.0) / 10.0) / 10000.0 AS purity
+    FROM (
+        SELECT p.cid, p.label, p.nl, t.n,
+               row_number() OVER (PARTITION BY p.cid
+                    ORDER BY p.nl DESC, p.label) AS rk
+        FROM per p JOIN tot t USING (cid)
+    ) WHERE rk = 1
+    """
+
+
+@q("sim_cluster_purity", _cluster_purity_sql())
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell label purity of the coarse quantizer
+    (operators/similarity.cluster_purity): every vector assigned to its
+    max-cosine centroid (shuffle-free literal-codebook ivf_assign, the
+    ground-truth label riding the projection — no corpus join), then
+    one (cid,label) aggregate + a cells×labels majority argmax. The
+    diagnostic a curation pipeline reads before trusting cluster-level
+    decisions (cluster_sample/prototype_prune/SemDeDup cells). Purity
+    is exact integer half-up on the 1e-4 grid; majority ties break to
+    the lowest label; the oracle replays the assignment tiebreak
+    (highest cid) and both windows."""
+    from bgpexplorer_spark.operators.similarity import cluster_purity, ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_purity(emb, ivf_centroids(emb, 8))
+
+
+_PQ_DISTORTION_SQL = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    ss AS (SELECT unnest(range(0, 4)) AS s),
+    sub AS (
+        SELECT vec_id, s, a[s*16 + 1 : s*16 + 16] AS sv FROM e, ss
+    ),
+    cb AS (SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 8),
+    dists AS (
+        SELECT t.vec_id, t.s,
+               list_sum([ (t.sv[i] - c.cv[i]) * (t.sv[i] - c.cv[i])
+                          for i in range(1, 17) ]) AS d
+        FROM sub t JOIN cb c USING (s)
+    ),
+    best AS (
+        SELECT vec_id, s, round(min(d), 4) AS dist
+        FROM dists GROUP BY vec_id, s
+    )
+    SELECT CAST(s AS INTEGER) AS sub, CAST(count(*) AS BIGINT) AS n,
+           floor((10.0 * sum(CAST(round(dist * 10000) AS BIGINT))
+                  / count(*) + 5.0) / 10.0) / 10000.0 AS mse
+    FROM best GROUP BY s
+"""
+
+
+@q("sim_pq_distortion", _PQ_DISTORTION_SQL)
+def sim_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion
+    (operators/similarity.pq_distortion): min-L2² to the codebook per
+    subvector — the same argmin pq_encode assigns by — aggregated to
+    (sub, n, mse) with per-row distortions on the 1e-4 integer grid so
+    float accumulation order can't flap the mean across engines. THE
+    index-quality number that sizes m/codes before a 100 TB encode.
+    Scale shape: literal-codebook projection (zero shuffle) + one
+    m×-explode + one map-side-combinable aggregate to m rows."""
+    from bgpexplorer_spark.operators.similarity import pq_distortion
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_distortion(emb, m=4, codes=8, dim=64)
+
+
+def _rp_project_sql(k: int = 16, dim: int = 64) -> str:
+    import math
+
+    inv = repr(1.0 / math.sqrt(k))
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings)
+    SELECT vec_id,
+           [ round(list_sum([ a[i+1] * (CASE WHEN
+                 ((i + 64*j) * 2654435761 % 97 - 48) >= 0
+                 THEN 1.0 ELSE -1.0 END) for i in range(0, {dim}) ])
+                 * {inv}, 4)
+             for j in range(0, {k}) ] AS proj
+    FROM v
+    """
+
+
+@q("sim_rp_project", _rp_project_sql())
+def sim_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sparse sign random projection
+    (operators/similarity.rp_project): 64→16 dims, signs from the same
+    distinctness-guarded multiplicative-scramble family as the LSH
+    hyperplanes — deterministic, training-free, ZERO-shuffle (one
+    codegen'd projection over the corpus), the at-scale reducer when
+    PCA's covariance pass is not affordable. The oracle replays the
+    integer sign arithmetic (all intermediates < 2^53) and the
+    √k-normalized rounded components exactly."""
+    from bgpexplorer_spark.operators.similarity import rp_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_project(emb, k=16, dim=64)
+
+
+_LEXDIV_SQL = f"""
+    SELECT doc_id,
+           CAST(len(l) AS BIGINT) AS n_tokens,
+           CAST(len(ty) AS BIGINT) AS n_types,
+           CAST(len(hap) AS BIGINT) AS n_hapax,
+           CASE WHEN len(l) > 0 THEN
+               floor((len(ty) * 100000.0 / len(l) + 5.0) / 10.0) / 10000.0
+           ELSE 0.0 END AS ttr,
+           CASE WHEN len(ty) > 0 THEN
+               floor((len(hap) * 100000.0 / len(ty) + 5.0) / 10.0) / 10000.0
+           ELSE 0.0 END AS hapax_frac
+    FROM (
+        SELECT doc_id, l, ty,
+               [t for t in ty if len(list_filter(l, x -> x = t)) = 1] AS hap
+        FROM (
+            SELECT doc_id, l, list_distinct(l) AS ty
+            FROM (SELECT doc_id,
+                         {_duck_tokens("coalesce(text, '')")} AS l
+                  FROM documents)
+        )
+    )
+"""
+
+
+@q("text_lexical_diversity", _LEXDIV_SQL)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity (operators/text.lexical_diversity):
+    type/token ratio + hapax fraction — the repetitiveness/gibberish
+    quality signals statistics-based filters threshold on. Pure per-row
+    higher-order functions: ZERO shuffles, one codegen'd corpus scan;
+    ratios exact-integer half-up on the 1e-4 grid; null text scores 0s.
+    The oracle replays the tokenization, distinct, and per-type
+    occurrence counts with DuckDB list comprehensions."""
+    from bgpexplorer_spark.operators.text import lexical_diversity
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return lexical_diversity(docs)

@@ -496,6 +496,7 @@ def ivf_assign(
     id_col: str = "vec_id", vec_col: str = "embedding",
     keep_vec: bool = False, keep_score: bool = False,
     inline_max: int = INLINE_CODEBOOK_MAX,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """(vec_id, cid): each vector assigned to its max-cosine centroid.
 
@@ -516,7 +517,10 @@ def ivf_assign(
     there are (the huge-codebook fallback the literal path can't serve).
     Both paths compute the identical (score, cid) maximum."""
     head = centroids.limit(inline_max + 1).collect()
-    v = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    extra = [F.col(c) for c in (keep_cols or [])]
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), *extra
+    )
     if len(head) <= inline_max:
         cents = sorted((r["cid"], [float(x) for x in r["cvec"]]) for r in head)
         scored = [
@@ -558,6 +562,10 @@ def ivf_assign(
         cols.append(best.getField("score").alias("proto_score"))
     if keep_vec:  # still a pure projection — no join to fetch the vector
         cols.append(F.col("_v").alias(vec_col))
+    # keep_cols ride the projection too — consumers that need extra row
+    # attributes (e.g. a ground-truth label) would otherwise pay a
+    # corpus×corpus join just to re-attach them
+    cols.extend(F.col(c) for c in (keep_cols or []))
     return v.select(*cols)
 
 def ivf_topk(
@@ -1148,3 +1156,145 @@ def pca_project(
             d = d / F.lit(float(max(model["explained_variance"][r], eps)) ** 0.5)
         outs.append(d)
     return df.withColumn(out_col, F.array(*outs))
+
+
+def cluster_purity(
+    df: DataFrame, centroids: DataFrame, label_col: str = "label",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    inline_max: int = INLINE_CODEBOOK_MAX,
+) -> DataFrame:
+    """Per-cell label purity of the coarse quantizer — the clustering /
+    embedding-quality diagnostic a curation pipeline reads before
+    trusting cluster-level decisions (cluster_sample, prototype_prune,
+    SemDeDup cells): assign every vector to its max-cosine centroid
+    (the shuffle-free literal-codebook :func:`ivf_assign`, ground-truth
+    label riding the projection via ``keep_cols`` — no corpus join),
+    then ONE (cid, label) aggregate and a cells×labels-sized majority
+    argmax. Output: (cid, n, majority_label, n_majority, purity), with
+    purity = n_majority/n as exact integer half-up on the 1e-4 grid
+    (engine rounding modes cannot diverge). Majority ties break to the
+    LOWEST label. Scale shape: one codegen'd scan + one
+    map-side-combinable aggregate; the window runs on cells×labels
+    rows, never the corpus."""
+    a = ivf_assign(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        inline_max=inline_max, keep_cols=[label_col],
+    )
+    per = a.groupBy("cid", label_col).agg(F.count(F.lit(1)).alias("_nl"))
+    w = Window.partitionBy("cid")
+    wrank = Window.partitionBy("cid").orderBy(
+        F.col("_nl").desc(), F.col(label_col)
+    )
+    return (
+        per.withColumn("n", F.sum("_nl").over(w))
+        .withColumn("_rk", F.row_number().over(wrank))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cid",
+            F.col("n").cast("bigint").alias("n"),
+            F.col(label_col).alias("majority_label"),
+            F.col("_nl").cast("bigint").alias("n_majority"),
+            (
+                F.floor(
+                    (F.col("_nl") * 100000.0 / F.col("n") + 5.0) / 10.0
+                ) / 10000.0
+            ).alias("purity"),
+        )
+    )
+
+
+def pq_distortion(
+    df: DataFrame, codebooks: DataFrame | None = None,
+    m: int = 4, codes: int = 8, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    inline_max: int = INLINE_CODEBOOK_MAX,
+) -> DataFrame:
+    """Per-subspace product-quantization distortion — the index-quality
+    number that decides m/codes before committing a 100 TB encode: for
+    every vector and subspace, the min-L2² to the codebook (the same
+    argmin :func:`pq_encode` assigns by), aggregated to
+    (sub, n, mse). Per-row distortions are rounded to the 1e-4 grid and
+    summed as INTEGERS, mean half-up on the same grid — float
+    accumulation order can't flap the result across engines. Scale
+    shape: literal-codebook projection (zero shuffle) + one m×-explode
+    + one map-side-combinable aggregate to m rows."""
+    if codebooks is None:
+        codebooks = pq_codebooks(df, m=m, codes=codes, dim=dim,
+                                 id_col=id_col, vec_col=vec_col)
+    d = dim // m
+    rows = codebooks.collect()
+    cb: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in rows:
+        cb.setdefault(r["sub"], []).append(
+            (r["code"], [float(x) for x in r["cvec"]])
+        )
+    v = F.col(vec_col).cast("array<double>")
+    dist_structs = []
+    for s in range(m):
+        sub = F.slice(v, s * d + 1, d)
+        scored = [
+            F.struct(
+                _l2(sub, F.array(*[F.lit(x) for x in cvec])).alias("dist"),
+                F.lit(code).cast("int").alias("code"),
+            )
+            for code, cvec in sorted(cb[s])
+        ]
+        best = scored[0] if len(scored) == 1 else F.least(*scored)
+        dist_structs.append(
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.round(best.getField("dist"), 4).alias("dist"),
+            )
+        )
+    e4 = F.round(F.col("_d.dist") * 10000).cast("bigint")
+    return (
+        df.select(F.explode(F.array(*dist_structs)).alias("_d"))
+        .groupBy(F.col("_d.sub").alias("sub"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(e4).alias("_s"))
+        .select(
+            "sub",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                F.floor((F.col("_s") * 10.0 / F.col("n") + 5.0) / 10.0)
+                / 10000.0
+            ).alias("mse"),
+        )
+    )
+
+
+def rp_project(
+    df: DataFrame, k: int = 16, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss sparse sign random projection to ``k``
+    dims: proj[j] = Σ_i v[i]·sign_ij / √k with sign_ij = ±1 drawn from
+    the SAME multiplicative-scramble family as the LSH hyperplanes
+    (_plane_coef — distinctness guarded up to its 97-plane period by
+    the hash-family property tests). The at-scale dimensionality
+    reducer when :func:`pca_fit`'s covariance pass is not affordable:
+    deterministic, training-free, zero-shuffle (one codegen'd
+    projection), and engine-replayable so the reduced vectors are a
+    verifiable contract, rounded to 4 decimals per component."""
+    import math
+
+    v = F.col(vec_col).cast("array<double>")
+    inv = F.lit(1.0 / math.sqrt(k))
+
+    def term(j: int):
+        # closure factory, NOT a default-arg lambda: pyspark dispatches
+        # on lambda ARITY, so `lambda i, _j=j` silently becomes the
+        # two-arg (element, index) form and _j is the array index
+        return lambda i: F.element_at(v, i + 1) * F.when(
+            _plane_coef(i, j) >= 0, 1.0
+        ).otherwise(-1.0)
+
+    comps = []
+    for j in range(k):
+        proj = F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), term(j)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(F.round(proj * inv, 4))
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))

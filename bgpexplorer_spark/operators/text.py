@@ -1030,3 +1030,42 @@ def bpe_fertility(
         "n_docs", "n_words", "n_tokens",
         (fert_e4 / 10000.0).alias("fertility"),
     )
+
+
+def lexical_diversity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document lexical-diversity quality signals — type/token ratio
+    and hapax fraction, the classic statistics curation filters
+    threshold on (low TTR = repetitive/boilerplate; high hapax share =
+    OCR noise / gibberish): (id, n_tokens, n_types, n_hapax, ttr,
+    hapax_frac), ratios as exact integer half-up on the 1e-4 grid.
+    Null/empty text scores 0 across the board.
+
+    Scale shape: pure per-row higher-order functions — ZERO shuffles,
+    one codegen'd scan over the corpus. The hapax count is
+    O(types·tokens) per row, fine for web-document lengths (the fixture
+    caps at ~100 words); for book-length documents the explode+groupBy
+    form of :func:`vocab_stats` is the alternative."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_tok = F.size(toks).cast("bigint")
+    types = F.array_distinct(toks)
+    n_typ = F.size(types).cast("bigint")
+    n_hap = F.size(
+        F.filter(
+            types,
+            lambda t: F.size(F.filter(toks, lambda x: x == t)) == 1,
+        )
+    ).cast("bigint")
+
+    def grid(num, den):
+        return F.when(den > 0, F.floor((num * 100000.0 / den + 5.0) / 10.0) / 10000.0).otherwise(0.0)
+
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        n_hap.alias("n_hapax"),
+        grid(n_typ, n_tok).alias("ttr"),
+        grid(n_hap, n_typ).alias("hapax_frac"),
+    )

@@ -2381,3 +2381,97 @@ def test_knn_density_complete_scores_residue(spark):
         e4 = sum(round(c * 10000) for c, _ in sims)
         want = math.floor((10.0 * e4 / len(sims) + 5.0) / 10.0) / 10000.0
         assert (kf, d) == (len(sims), want), rid
+
+
+def test_cluster_purity_hand_computed(spark):
+    """Two orthogonal clusters with a known label mix: purity is the
+    exact majority fraction on the 1e-4 grid; majority ties break to
+    the lowest label."""
+    import numpy as np
+
+    dim = 64
+    e0 = np.zeros(dim); e0[0] = 1.0
+    e1 = np.zeros(dim); e1[1] = 1.0
+    rows = [(0, e0.tolist(), 7), (1, e1.tolist(), 9)]
+    # 3 more near c0: labels 7,7,3 -> purity 3/4; 1 near c1 label 9 -> 2/2
+    for i, lab in [(2, 7), (3, 7), (4, 3)]:
+        v = e0 * 0.9; v[1] = 0.1
+        rows.append((i, v.tolist(), lab))
+    v = e1 * 0.9; v[0] = 0.1
+    rows.append((5, v.tolist(), 9))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.cid: r for r in similarity.cluster_purity(
+        df, similarity.ivf_centroids(df, 2)).collect()}
+    assert (out[0].n, out[0].majority_label, out[0].n_majority, out[0].purity) == (4, 7, 3, 0.75)
+    assert (out[1].n, out[1].majority_label, out[1].n_majority, out[1].purity) == (2, 9, 2, 1.0)
+
+
+def test_pq_distortion_zero_for_codebook_vectors(spark):
+    """Vectors that ARE codebook entries quantize losslessly (mse 0);
+    adding one vector at a known L2² from every entry raises each
+    subspace's mean by exactly dist/n on the half-up grid."""
+    import numpy as np
+
+    dim, m, codes = 64, 4, 2
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(codes, dim))
+    rows = [(i, base[i].tolist()) for i in range(codes)]
+    df0 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out0 = {r.sub: (r.n, r.mse) for r in
+            similarity.pq_distortion(df0, m=m, codes=codes, dim=dim).collect()}
+    assert out0 == {s: (codes, 0.0) for s in range(m)}
+
+    off = base[0].copy(); off[0] += 2.0  # +4.0 L2^2 in subspace 0 only
+    df1 = spark.createDataFrame(rows + [(2, off.tolist())],
+                                "vec_id long, embedding array<double>")
+    out1 = {r.sub: (r.n, r.mse) for r in
+            similarity.pq_distortion(df1, m=m, codes=codes, dim=dim).collect()}
+    assert out1[0] == (3, round(4.0 / 3, 4))
+    assert all(out1[s] == (3, 0.0) for s in range(1, m))
+
+
+def test_rp_project_matches_numpy_replay(spark):
+    """rp_project equals the NumPy replay of the sign family and
+    √k-normalization, rounded half-up to 4 decimals; distinct input
+    vectors land on distinct projections (the sign rows are distinct
+    by the guarded family)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    k, dim = 16, 64
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, dim))
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.proj for r in similarity.rp_project(df, k=k, dim=dim).collect()}
+    signs = np.array([
+        [1.0 if ((i + 64 * j) * 2654435761 % 97 - 48) >= 0 else -1.0
+         for i in range(dim)]
+        for j in range(k)
+    ])
+    for vid in range(20):
+        want = (signs @ vecs[vid]) / np.sqrt(k)
+        got = out[vid]
+        for j in range(k):
+            w = float(Decimal(repr(float(want[j]))).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP))
+            assert got[j] == w, (vid, j)
+    assert len({tuple(p) for p in out.values()}) == 20
+
+
+def test_lexical_diversity_hand_computed(spark):
+    """'a b a c' → 4 tokens, 3 types, 2 hapax (b, c), ttr 0.75,
+    hapax_frac 0.6667; null/empty text scores zeros."""
+    df = spark.createDataFrame(
+        [(0, "a b a c"), (1, ""), (2, None), (3, "x x x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.ttr, r.hapax_frac)
+           for r in text.lexical_diversity(df).collect()}
+    assert out[0] == (4, 3, 2, 0.75, 0.6667)
+    assert out[1] == (0, 0, 0, 0.0, 0.0)
+    assert out[2] == (0, 0, 0, 0.0, 0.0)
+    assert out[3] == (3, 1, 0, round(1 / 3 + 1e-9, 4), 0.0)

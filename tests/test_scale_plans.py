@@ -956,3 +956,29 @@ def test_banded_candidates_one_exchange_no_selfjoin(spark):
     assert "SortMergeJoin" not in plan_c
     bhj = [ln for ln in plan_c.splitlines() if "BroadcastHashJoin" in ln]
     assert all("LeftAnti" in ln for ln in bhj), bhj
+
+
+def test_r11_diagnostics_plan_shapes(spark):
+    """The r11 diagnostic operators keep their declared scale shapes:
+    rp_project and lexical_diversity are pure projections (ZERO
+    exchanges, zero joins); cluster_purity's literal-codebook assignment
+    never joins the corpus (aggregate + cells×labels window only);
+    pq_distortion is projection + one aggregate, no joins."""
+    from bgpexplorer_spark.operators import similarity, text
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7 - 3) for j in range(64)], i % 3)
+         for i in range(20)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i % 3} x") for i in range(10)], "doc_id long, text string"
+    )
+    p = _plan(similarity.rp_project(emb))
+    assert "Exchange" not in p and "Join" not in p
+    p = _plan(text.lexical_diversity(docs))
+    assert "Exchange" not in p and "Join" not in p
+    p = _plan(similarity.cluster_purity(emb, similarity.ivf_centroids(emb, 2)))
+    assert "Join" not in p
+    p = _plan(similarity.pq_distortion(emb, m=4, codes=2, dim=64))
+    assert "Join" not in p and "partial_count" in p
