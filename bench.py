@@ -503,7 +503,13 @@ def main() -> None:
         "sf1_superlinear": out.get("sf1", {}).get("superlinear", []),
         "engine_digest": out["engine_digest"],
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # must fit the ~2k tail WHOLE or it's useless
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:30])
+        compact["queries"] = {n: round(t, 2) for n, t in slowest.items()}
+        compact["n_queries_omitted"] = len(times) - len(slowest)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 if __name__ == "__main__":

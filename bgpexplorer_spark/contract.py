@@ -8663,14 +8663,14 @@ def _rp_project_sql(k: int = 16, dim: int = 64) -> str:
 
     inv = repr(1.0 / math.sqrt(k))
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings)
-    SELECT vec_id,
-           [ round(list_sum([ a[i+1] * (CASE WHEN
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    js AS (SELECT unnest(range(0, {k})) AS j)
+    SELECT vec_id, CAST(j AS INTEGER) AS j,
+           round(list_sum([ a[i+1] * (CASE WHEN
                  ((i + 64*j) * 2654435761 % 97 - 48) >= 0
                  THEN 1.0 ELSE -1.0 END) for i in range(0, {dim}) ])
-                 * {inv}, 4)
-             for j in range(0, {k}) ] AS proj
-    FROM v
+                 * {inv}, 4) AS comp
+    FROM v, js
     """
 
 
@@ -8681,13 +8681,18 @@ def sim_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinctness-guarded multiplicative-scramble family as the LSH
     hyperplanes — deterministic, training-free, ZERO-shuffle (one
     codegen'd projection over the corpus), the at-scale reducer when
-    PCA's covariance pass is not affordable. The oracle replays the
-    integer sign arithmetic (all intermediates < 2^53) and the
-    √k-normalized rounded components exactly."""
+    PCA's covariance pass is not affordable. The contract row
+    posexplodes the projection to scalar (vec_id, j, comp) rows — the
+    gate canonicalizer cannot sort array columns — while the operator
+    keeps the array API. The oracle replays the integer sign
+    arithmetic (all intermediates < 2^53) and the √k-normalized
+    rounded components exactly."""
     from bgpexplorer_spark.operators.similarity import rp_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return rp_project(emb, k=16, dim=64)
+    return rp_project(emb, k=16, dim=64).select(
+        "vec_id", F.posexplode("proj").alias("j", "comp")
+    )
 
 
 _LEXDIV_SQL = f"""
