@@ -129,7 +129,12 @@ def main() -> None:
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from bgpexplorer_spark.session import get_spark
 
-    spark = get_spark("plan_fingerprints")
+    # cpus=4 — MUST match tests/conftest.py's session: shuffle-partition
+    # counts are printed inside Exchange hashpartitioning(..., N) nodes,
+    # so a script run on a 32-core box would pin a 32-partition flavor
+    # that the 8-partition pytest gate then rejects wholesale (r11: a
+    # roundclose regen flipped ALL 55 pins; the only real diff was 8→32)
+    spark = get_spark("plan_fingerprints", cpus=4)
     plans = compute_plans(spark)
     write_pins(plans)
     print(f"wrote {len(plans)} fingerprints to {FP_FILE} (+texts)")
