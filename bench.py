@@ -137,8 +137,8 @@ BENCH_QUERIES = [
     # PQ distortion: literal-codebook argmin projection + m-explode +
     # one combinable aggregate to m rows — tracks the pure-scan bound
     "sim_pq_distortion",
-    # JL sign projection 64→16: ZERO-shuffle codegen'd projection —
-    # the purest scan-ratio tracker in the set
+    # JL sign projection 64→16: zero-shuffle literal-sign-array
+    # zip_with folds — tracks the HOF per-element execution bound
     "sim_rp_project",
     # per-doc type/token + hapax stats: zero-shuffle per-row HOFs
     "text_lexical_diversity",

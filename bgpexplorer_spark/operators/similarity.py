@@ -1280,19 +1280,27 @@ def rp_project(
 
     v = F.col(vec_col).cast("array<double>")
     inv = F.lit(1.0 / math.sqrt(k))
-
-    def term(j: int):
-        # closure factory, NOT a default-arg lambda: pyspark dispatches
-        # on lambda ARITY, so `lambda i, _j=j` silently becomes the
-        # two-arg (element, index) form and _j is the array index
-        return lambda i: F.element_at(v, i + 1) * F.when(
-            _plane_coef(i, j) >= 0, 1.0
-        ).otherwise(-1.0)
-
     comps = []
     for j in range(k):
+        # The sign matrix is DETERMINISTIC — evaluate it in Python and
+        # inline each plane as a LITERAL ±1 array; the component is one
+        # zip_with product + the ascending-i fold, the same float
+        # sequence as the oracle's list_sum (x·+1.0 / x·−1.0 are exact),
+        # so results are bit-identical. Measured at sf0.1/sf1 per run:
+        # this shape 0.75/3.3 s (execution-bound, sublinear); the
+        # first cut re-derived the coefficient per element inside the
+        # lambda (6.1/50.3 s — the interpreted per-element arithmetic
+        # dominated); a chained ±element_at codegen tree was
+        # execution-fast but re-paid ~3.3 s of 1024-node planning per
+        # ACTION at every scale (flat 3.4/3.4 s) — the literal-array
+        # form keeps the plan constant-size like the PQ/ivf codebook
+        # discipline.
+        signs = F.array(*[
+            F.lit(1.0 if ((i + 64 * j) * 2654435761 % 97 - 48) >= 0 else -1.0)
+            for i in range(dim)
+        ])
         proj = F.aggregate(
-            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), term(j)),
+            F.zip_with(v, signs, lambda x, s: x * s),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -66,7 +66,12 @@ def test_benchlocal_matches_bench_set():
         )
         assert compact["value"] == data["value"]
         assert compact["engine_digest"] == data["engine_digest"]
-        assert set(compact["queries"]) == set(data["queries"])
+        assert set(compact["queries"]) <= set(data["queries"])
+        # the whole point of the compact line is fitting the driver's
+        # ~2k tail capture WHOLE — an oversized line is parseable here
+        # but truncated there, which reads as parsed:null again
+        last = [ln for ln in art.read_text().splitlines() if ln.strip()][-1]
+        assert len(last) <= 2000, len(last)
     declared = set(bench.BENCH_QUERIES)
     got = set(data["queries"])
     missing, extra = declared - got, got - declared
