@@ -142,6 +142,11 @@ BENCH_QUERIES = [
     "sim_rp_project",
     # per-doc type/token + hapax stats: zero-shuffle per-row HOFs
     "text_lexical_diversity",
+    # binary-embedding ANN: sign binarization + xor/popcount TakeOrdered
+    # — the cheapest retrieval tier; tracks the signature-scan bound
+    # (sim_sign_neardup stays contract-only: its verified config is the
+    # deliberately-coarse 24-bit width, not a scale shape)
+    "sim_sign_topk",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -8733,3 +8733,71 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return lexical_diversity(docs)
+
+
+def _sign_sig_sql(bits: int = 60) -> str:
+    return (
+        "SELECT vec_id, CAST(list_sum([CASE WHEN a[i+1] >= 0 THEN "
+        f"(2**i)::BIGINT ELSE 0 END for i in range(0, {bits})]) AS BIGINT) "
+        "AS simhash FROM (SELECT vec_id, embedding::DOUBLE[] AS a "
+        "FROM embeddings)"
+    )
+
+
+def _sign_topk_sql(k: int = 10, bits: int = 60) -> str:
+    return f"""
+    WITH s AS ({_sign_sig_sql(bits)}),
+    q AS (SELECT simhash AS qs FROM s WHERE vec_id = 0)
+    SELECT vec_id,
+           CAST(bit_count(xor(simhash, qs)) AS INTEGER) AS hamming
+    FROM s, q
+    ORDER BY hamming, vec_id LIMIT {k}
+    """
+
+
+@q("sim_sign_topk", _sign_topk_sql())
+def sim_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding ANN (operators/similarity.sign_signature +
+    sign_hamming_topk): 60-bit sign binarization (exact BIGINT
+    power-of-two fold — a double accumulator would lose exactness past
+    2^53), then top-10 by Hamming distance to the vec_id=0 query — the
+    cheapest retrieval tier: 16 bytes/vector at rest, bit_count(xor)
+    per row instead of a 64-mul HOF cosine. Ties break by id; the
+    oracle replays the binarization and the xor/bit_count ranking."""
+    from bgpexplorer_spark.operators.similarity import sign_hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return sign_hamming_topk(emb, qv, k=10)
+
+
+def _sign_neardup_sql(max_hamming: int = 3, bits: int = 60) -> str:
+    # brute-force oracle: the AND-OR banded join's coverage is EXACT, so
+    # the engine's banded candidates must equal all-pairs hamming <= h
+    return f"""
+    WITH s AS ({_sign_sig_sql(bits)})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@q("sim_sign_neardup", _sign_neardup_sql(bits=24))
+def sim_sign_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidates over the sign signature
+    (operators/similarity.sign_neardup_pairs) — SimHash for embeddings:
+    the EXACT-coverage AND-OR banded join (concatenated combination
+    keys over 6 sub-bands, the measured anti-quadratic shape reused
+    from the text SimHash path) finds every pair within hamming ≤ 3;
+    the oracle is deliberately the BRUTE-FORCE all-pairs scan, so the
+    coverage guarantee itself is what the gate verifies. Verified at
+    bits=24 (18 true pairs at sf0.01): the fixture's 0.35-noise
+    clusters sit ≥14 bits apart at the full 60-bit width (measured),
+    where a hamming-3 result is empty and the gate would verify
+    nothing — the coarse width is where the guarantee has work to
+    find."""
+    from bgpexplorer_spark.operators.similarity import sign_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sign_neardup_pairs(emb, max_hamming=3, bits=24)

@@ -1306,3 +1306,91 @@ def rp_project(
         )
         comps.append(F.round(proj * inv, 4))
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+
+
+def sign_signature(
+    df: DataFrame, bits: int = 60,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, simhash): the ``bits``-bit SIGN binarization of an embedding
+    — bit i set iff v[i] ≥ 0 — the classic binary-embedding compaction
+    (a 64-dim float vector becomes one bigint; 60 bits is the widest
+    form that stays inside a SIGNED 64-bit integer in both engines, the
+    portable_hash60 discipline). Exact integer arithmetic end-to-end:
+    the fold sums distinct powers of two as BIGINTs (a double
+    accumulator would lose exactness past 2^53), so summation order is
+    irrelevant and any engine agrees bit-for-bit. One zip_with fold
+    against a literal powers array — constant plan size, zero shuffle.
+    The column is named ``simhash`` so the SimHash banding/search
+    machinery composes unchanged."""
+    v = F.col(vec_col).cast("array<double>")
+    powers = F.array(*[
+        F.lit(1 << i).cast("bigint") for i in range(bits)
+    ])
+    sig = F.aggregate(
+        F.zip_with(
+            F.slice(v, 1, bits), powers,
+            lambda x, p: F.when(x >= 0, p).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _py_sign_signature(vec: list[float], bits: int = 60) -> int:
+    """Driver-side replay of :func:`sign_signature` for a query vector."""
+    s = 0
+    for i in range(bits):
+        if vec[i] >= 0:
+            s |= 1 << i
+    return s
+
+
+def sign_hamming_topk(
+    df: DataFrame, query_vec: list[float], k: int = 10, bits: int = 60,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Binary-embedding ANN: top-k by Hamming distance between sign
+    signatures — the cheapest retrieval tier (16 bytes/vector of
+    storage at 100 TB; bit_count(xor) is one JVM instruction pair per
+    row vs a 64-mul HOF cosine). Pass ``signatures`` (a persisted
+    :func:`sign_signature` output — the index IS resident state in a
+    real deployment) to skip re-binarizing the corpus; ties break by
+    id. Output: (id, hamming)."""
+    sig = signatures if signatures is not None else sign_signature(
+        df, bits=bits, id_col=id_col, vec_col=vec_col
+    )
+    q = _py_sign_signature([float(x) for x in query_vec], bits)
+    return (
+        sig.select(
+            F.col(id_col),
+            F.bit_count(F.col("simhash").bitwiseXOR(F.lit(q).cast("bigint")))
+            .cast("int").alias("hamming"),
+        )
+        .orderBy("hamming", id_col)
+        .limit(k)
+    )
+
+
+def sign_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3, bits: int = 60,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate candidate pairs over the sign signature
+    — SimHash FOR EMBEDDINGS: pairs whose binarizations differ in ≤
+    ``max_hamming`` bits, found with the EXACT-coverage AND-OR banded
+    join (dedup._banded_hamming_pairs: C(6,3) 30-bit concatenated
+    combination keys over 10-bit sub-bands at the 60-bit default — the
+    measured anti-quadratic shape from the text SimHash path, reused
+    wholesale because sign_signature emits the same ``simhash``
+    column). Identical result set to brute-force hamming ≤ max_hamming;
+    output (id_a, id_b, hamming)."""
+    from bgpexplorer_spark.operators.dedup import _banded_hamming_pairs
+
+    sig = sign_signature(df, bits=bits, id_col=id_col, vec_col=vec_col)
+    return _banded_hamming_pairs(
+        sig, id_col, sub_bits=bits // 6, n_sub=6,
+        max_hamming=max_hamming, sig_bits=bits,
+    )

@@ -2475,3 +2475,48 @@ def test_lexical_diversity_hand_computed(spark):
     assert out[1] == (0, 0, 0, 0.0, 0.0)
     assert out[2] == (0, 0, 0, 0.0, 0.0)
     assert out[3] == (3, 1, 0, round(1 / 3 + 1e-9, 4), 0.0)
+
+
+def test_sign_signature_and_hamming_family(spark):
+    """sign_signature equals the bit-by-bit Python replay (exact BIGINT
+    powers — a double accumulator would lose bits past 2^53, so check a
+    vector with high bits set); sign_hamming_topk ranks by
+    xor-popcount with id ties; sign_neardup_pairs (banded, exact
+    coverage) equals brute-force hamming ≤ h on vectors built with
+    known small flips."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=64)
+    base[58] = abs(base[58])  # ensure a high bit is SET (2^58 > 2^53)
+    rows = [(0, base.tolist())]
+    # 1-2 sign flips from base: guaranteed hamming<=3 partners
+    for i, flips in [(1, [3]), (2, [10, 40]), (3, [5, 20, 59])]:
+        v = base.copy()
+        for f in flips:
+            v[f] = -v[f] if v[f] != 0 else -1.0
+        rows.append((i, v.tolist()))
+    far = -base  # hamming ~60 from base
+    rows.append((4, far.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    sig = {r.vec_id: r.simhash for r in similarity.sign_signature(df).collect()}
+    for vid, vec in rows:
+        want = sum(1 << i for i in range(60) if vec[i] >= 0)
+        assert sig[vid] == want, vid
+    assert sig[0] >> 53  # the high-bit regime is actually exercised
+
+    got = [(r.vec_id, r.hamming)
+           for r in similarity.sign_hamming_topk(df, rows[0][1], k=5).collect()]
+    assert got[0] == (0, 0) and got[1] == (1, 1)
+    assert [v for v, _ in got[:4]] == [0, 1, 2, 3]
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in similarity.sign_neardup_pairs(df, max_hamming=3).collect()}
+    brute = {}
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            h = bin(sig[i] ^ sig[j]).count("1")
+            if h <= 3:
+                brute[(i, j)] = h
+    assert pairs == brute and (0, 1) in pairs
