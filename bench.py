@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     # (sim_sign_neardup stays contract-only: its verified config is the
     # deliberately-coarse 24-bit width, not a scale shape)
     "sim_sign_topk",
+    # T5 span-corruption input/target split: per-row HOF tiling + hash
+    # mask + sentinel renumber — zero shuffles, one corpus scan
+    # (dedup_keep_best stays contract-only: it re-runs the full
+    # components pipeline the bench already times)
+    "pipe_span_corruption",
 ]
 
 def _sf_of(sf_dir: str) -> float:

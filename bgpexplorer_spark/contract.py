@@ -8801,3 +8801,96 @@ def sim_sign_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sign_neardup_pairs(emb, max_hamming=3, bits=24)
+
+
+_KEEP_BEST_SQL = f"""
+    WITH RECURSIVE {_CC_CTES},
+    scored AS (
+        SELECT a.doc_id, a.component, d.n_chars
+        FROM assign a JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id, component,
+               row_number() OVER (PARTITION BY component
+                    ORDER BY n_chars DESC, doc_id) AS rk
+        FROM scored
+    ),
+    keep AS (SELECT component, doc_id AS keeper_id FROM ranked WHERE rk = 1)
+    SELECT r.doc_id, r.component, k.keeper_id,
+           r.doc_id = k.keeper_id AS kept
+    FROM ranked r JOIN keep k USING (component)
+"""
+
+
+@q("dedup_keep_best", _KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup KEEP decision end-to-end
+    (operators/dedup.canonical_by_quality over the full
+    neardup_pairs → connected_components pipeline): each near-dup
+    component keeps its BEST-quality member (n_chars here; ties →
+    lowest id) instead of the min-id default — clusters usually hold
+    one clean copy and N truncated variants, and min-id keeps whichever
+    crawled first. The oracle composes the recursive-CTE closure (LSH
+    recall stays part of the contract) with the quality argmax."""
+    from bgpexplorer_spark.operators.dedup import (
+        canonical_by_quality,
+        connected_components,
+        neardup_pairs,
+    )
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.5, k=16, bands=4)
+    comp = connected_components(pairs)
+    plain = load_table(spark, sf_dir, "documents")
+    # complete the assignment: connected_components emits only nodes
+    # with edges; singletons are their own (trivially kept) component
+    full = (
+        plain.select(F.col("doc_id").alias("node"))
+        .join(comp.hint("merge"), "node", "left")
+        .withColumn("component", F.coalesce("component", "node"))
+    )
+    return canonical_by_quality(full, plain.select("doc_id", "n_chars"))
+
+
+def _span_corruption_sql(block: int = 3, rate: int = 5) -> str:
+    h = _duck_hash32("doc_id::VARCHAR || ':' || b::VARCHAR")
+    sent = "'<extra_id_' || (list_position(mb, b) - 1)::VARCHAR || '>'"
+    btxt = f"array_to_string(l[b*{block}+1 : b*{block}+{block}], ' ')"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, l,
+               CAST(ceil(len(l) / {block}.0) AS INTEGER) AS nb
+        FROM (SELECT doc_id, {_duck_tokens("coalesce(text, '')")} AS l
+              FROM documents)
+    ),
+    m AS (
+        SELECT doc_id, l, nb,
+               [b for b in range(0, nb) if {h} % {rate} = 0] AS mb
+        FROM base
+    )
+    SELECT doc_id, nb AS n_blocks,
+           CAST(len(mb) AS INTEGER) AS n_masked,
+           array_to_string(
+               [CASE WHEN list_contains(mb, b) THEN {sent}
+                     ELSE {btxt} END
+                for b in range(0, nb)], ' ') AS input_text,
+           coalesce(array_to_string(
+               [{sent} || ' ' || {btxt} for b in mb], ' '), '') AS target_text
+    FROM m
+    """
+
+
+@q("pipe_span_corruption", _span_corruption_sql())
+def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation
+    (operators/text.span_corruption): deterministic ~1/5 block masking
+    via the portable hash, ordinal <extra_id_K> sentinels, input/target
+    split — the infilling-pretraining data op, as per-row HOFs with
+    zero shuffles. The oracle replays the hash draw, tiling, sentinel
+    numbering, and both concatenations exactly."""
+    from bgpexplorer_spark.operators.text import span_corruption
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return span_corruption(docs)

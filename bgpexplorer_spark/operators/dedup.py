@@ -1055,3 +1055,39 @@ def novelty_scores(
             F.coalesce(mean_e4 / 10000.0, F.lit(0.0)).alias("novelty"),
         )
     )
+
+
+def canonical_by_quality(
+    components: DataFrame, scores: DataFrame,
+    id_col: str = "doc_id", score_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup KEEP decision as real curation makes it: given
+    component assignments (:func:`connected_components` output, columns
+    ``node``/``component``) and a per-document quality score, keep each
+    component's BEST-quality member (ties → lowest id) instead of the
+    min-id default — near-dup clusters usually contain one clean copy
+    and N truncated/boilerplated variants, and min-id keeps whichever
+    crawled first. Output: (id, component, keeper_id, kept).
+
+    Scale shape: one merge-pinned join to attach scores (both sides
+    corpus-derived — never a broadcast build), then ONE window ranked
+    by (score desc, id) per component — components are near-dup
+    clusters, so partitions are tiny and the sort is local."""
+    scored = components.select(
+        F.col("node").alias(id_col), "component"
+    ).hint("merge").join(
+        scores.select(F.col(id_col), F.col(score_col).alias("_q")).hint("merge"),
+        id_col,
+    )
+    w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col(id_col))
+    ranked = scored.withColumn("_rk", F.row_number().over(w))
+    wk = Window.partitionBy("component")
+    return (
+        ranked.withColumn(
+            "keeper_id", F.min(F.when(F.col("_rk") == 1, F.col(id_col))).over(wk)
+        )
+        .select(
+            id_col, "component", "keeper_id",
+            (F.col(id_col) == F.col("keeper_id")).alias("kept"),
+        )
+    )

@@ -1069,3 +1069,68 @@ def lexical_diversity(
         grid(n_typ, n_tok).alias("ttr"),
         grid(n_hap, n_typ).alias("hapax_frac"),
     )
+
+
+def span_corruption(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    block: int = 3, rate: int = 5,
+) -> DataFrame:
+    """T5-style span-corruption pair generation (Raffel et al. 2020
+    §3.1.4) — the input/target splitter an infilling pretraining
+    pipeline runs over every document: tokens are tiled into blocks of
+    ``block``; block b is masked iff portable_hash32("<id>:<b>") %
+    ``rate`` == 0 (deterministic, engine-replayable, ~1/rate mask
+    ratio; tiling makes spans non-overlapping by construction). The
+    input keeps unmasked blocks and replaces each masked block with an
+    ordinal sentinel ``<extra_id_K>``; the target is the sentinel-keyed
+    concatenation of the masked contents. Output: (id, n_blocks,
+    n_masked, input_text, target_text).
+
+    Scale shape: pure per-row higher-order functions over the token
+    array — ZERO shuffles, one codegen'd corpus scan; the mask draw is
+    the portable md5 hash, so the DuckDB oracle replays the exact pair
+    set."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
+    bseq = F.when(n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    idstr = F.col(id_col).cast("string")
+
+    def masked(b):
+        return (
+            portable_hash32(F.concat_ws(":", idstr, b.cast("string"))) % rate == 0
+        )
+
+    masked_ids = F.filter(bseq, masked)
+
+    def block_txt(b):
+        return F.array_join(F.slice(toks, b * block + 1, block), " ")
+
+    def sentinel(b):
+        return F.concat(
+            F.lit("<extra_id_"),
+            (F.array_position(masked_ids, b) - 1).cast("string"),
+            F.lit(">"),
+        )
+
+    input_text = F.array_join(
+        F.transform(
+            bseq,
+            lambda b: F.when(
+                F.array_contains(masked_ids, b), sentinel(b)
+            ).otherwise(block_txt(b)),
+        ),
+        " ",
+    )
+    target_text = F.array_join(
+        F.transform(masked_ids, lambda b: F.concat(sentinel(b), F.lit(" "), block_txt(b))),
+        " ",
+    )
+    return df.select(
+        F.col(id_col),
+        n_blocks.alias("n_blocks"),
+        F.size(masked_ids).cast("int").alias("n_masked"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )

@@ -2520,3 +2520,52 @@ def test_sign_signature_and_hamming_family(spark):
             if h <= 3:
                 brute[(i, j)] = h
     assert pairs == brute and (0, 1) in pairs
+
+
+def test_canonical_by_quality_hand_computed(spark):
+    """Component {1,2,3} with scores 5/9/9 keeps 2 (best score, lowest
+    id on the tie); singleton 7 keeps itself."""
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "node long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (7, 1)], "doc_id long, n_chars long"
+    )
+    out = {r.doc_id: (r.component, r.keeper_id, r.kept)
+           for r in dedup.canonical_by_quality(comp, scores).collect()}
+    assert out == {
+        1: (1, 2, False), 2: (1, 2, True), 3: (1, 2, False), 7: (7, 7, True),
+    }
+
+
+def test_span_corruption_matches_python_model(spark):
+    """span_corruption equals a pure-Python replay of the tiling, hash
+    mask, sentinel numbering, and both concatenations; null text emits
+    0 blocks and empty strings."""
+    import hashlib
+
+    rows = [(0, "a b c d e f g h i j"), (1, "x y"), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.span_corruption(df).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for did, t in rows:
+        toks = (t or "").split()
+        nb = -(-len(toks) // 3)
+        mb = [b for b in range(nb) if h32(f"{did}:{b}") % 5 == 0]
+        pieces, tgt = [], []
+        for b in range(nb):
+            if b in mb:
+                k = mb.index(b)
+                pieces.append(f"<extra_id_{k}>")
+                tgt.append(f"<extra_id_{k}> " + " ".join(toks[b*3:b*3+3]))
+            else:
+                pieces.append(" ".join(toks[b*3:b*3+3]))
+        r = out[did]
+        assert (r.n_blocks, r.n_masked) == (nb, len(mb)), did
+        assert r.input_text == " ".join(pieces), did
+        assert r.target_text == " ".join(tgt), did
+    # the fixture must actually exercise a mask
+    assert any(out[d].n_masked > 0 for d, _ in rows)
