@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     # (dedup_keep_best stays contract-only: it re-runs the full
     # components pipeline the bench already times)
     "pipe_span_corruption",
+    # FIM prefix/middle/suffix splitting: hash-drawn cut points,
+    # per-row HOFs, zero shuffles
+    "pipe_fim_split",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -8894,3 +8894,53 @@ def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return span_corruption(docs)
+
+
+def _fim_sql(rate: int = 3) -> str:
+    hf = _duck_hash32("doc_id::VARCHAR || ':fim'")
+    ha = _duck_hash32("doc_id::VARCHAR || ':a'")
+    hb = _duck_hash32("doc_id::VARCHAR || ':b'")
+    return f"""
+    WITH base AS (
+        SELECT doc_id, l, len(l) AS n,
+               len(l) >= 4 AND {hf} % {rate} = 0 AS fim
+        FROM (SELECT doc_id, {_duck_tokens("coalesce(text, '')")} AS l
+              FROM documents)
+    ),
+    cut AS (
+        SELECT doc_id, l, n, fim,
+               CAST(1 + {ha} % (n - 2) AS INTEGER) AS a
+        FROM base WHERE fim
+    ),
+    cut2 AS (
+        SELECT doc_id, l, n, a,
+               CAST(a + 1 + {hb} % (n - a - 1) AS INTEGER) AS b
+        FROM cut
+    )
+    SELECT doc_id, TRUE AS fim,
+           array_to_string(l[1:a], ' ') AS prefix,
+           array_to_string(l[a+1:b], ' ') AS middle,
+           array_to_string(l[b+1:n], ' ') AS suffix
+    FROM cut2
+    UNION ALL
+    SELECT doc_id, FALSE AS fim,
+           coalesce(array_to_string(l, ' '), '') AS prefix,
+           '' AS middle, '' AS suffix
+    FROM base WHERE NOT fim
+    """
+
+
+@q("pipe_fim_split", _fim_sql())
+def pipe_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle splitting (operators/text.fim_split): a
+    deterministic ~1/3 of ≥4-token documents cut at two hash-chosen
+    token boundaries into (prefix, middle, suffix) for PSM-order
+    training — both cut sides non-empty by construction, parts always
+    re-concatenate to the document; the rest pass through unsplit.
+    Per-row HOFs, zero shuffles; the oracle replays the hash draws and
+    slice boundaries exactly."""
+    from bgpexplorer_spark.operators.text import fim_split
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    return fim_split(docs)

@@ -1134,3 +1134,42 @@ def span_corruption(
         input_text.alias("input_text"),
         target_text.alias("target_text"),
     )
+
+
+def fim_split(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    rate: int = 3,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    arXiv:2207.14255 — the FIM pretraining data op): a deterministic
+    ~1/``rate`` of documents (portable_hash32("<id>:fim") % rate == 0,
+    given ≥4 tokens) is split at two hash-chosen token boundaries into
+    (prefix, middle, suffix) for PSM-order training; the rest pass
+    through unsplit (fim=false, everything in ``prefix``). Boundaries:
+    a ∈ [1, n−2], b ∈ [a+1, n−1] from independent hash draws — both
+    sides of every cut are non-empty, so the three parts always
+    re-concatenate to the document. Output: (id, fim, prefix, middle,
+    suffix). Per-row HOFs + the portable hash: zero shuffles,
+    engine-replayable."""
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n = F.size(toks)
+    idstr = F.col(id_col).cast("string")
+
+    def draw(tag: str) -> Column:
+        return portable_hash32(F.concat_ws(":", idstr, F.lit(tag)))
+
+    eligible = (n >= 4) & (draw("fim") % rate == 0)
+    a = (F.lit(1) + draw("a") % (n - 2)).cast("int")
+    b = (a + 1 + draw("b") % (n - a - 1)).cast("int")
+
+    def joined(start: Column, length: Column) -> Column:
+        return F.array_join(F.slice(toks, start, length), " ")
+
+    return df.select(
+        F.col(id_col),
+        eligible.alias("fim"),
+        F.when(eligible, joined(F.lit(1), a))
+        .otherwise(F.array_join(toks, " ")).alias("prefix"),
+        F.when(eligible, joined(a + 1, b - a)).otherwise("").alias("middle"),
+        F.when(eligible, joined(b + 1, n - b)).otherwise("").alias("suffix"),
+    )

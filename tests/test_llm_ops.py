@@ -2569,3 +2569,38 @@ def test_span_corruption_matches_python_model(spark):
         assert r.target_text == " ".join(tgt), did
     # the fixture must actually exercise a mask
     assert any(out[d].n_masked > 0 for d, _ in rows)
+
+
+def test_fim_split_roundtrip_and_python_replay(spark):
+    """fim_split: split docs re-concatenate exactly (both cut sides
+    non-empty), boundaries match the pure-Python hash replay, short and
+    null docs pass through unsplit."""
+    import hashlib
+
+    rows = [(i, " ".join(f"w{j}" for j in range(4 + i % 9))) for i in range(30)]
+    rows += [(100, "a b c"), (101, None), (102, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.fim_split(df).collect()}
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    n_fim = 0
+    for did, t in rows:
+        toks = (t or "").split()
+        n = len(toks)
+        r = out[did]
+        want_fim = n >= 4 and h32(f"{did}:fim") % 3 == 0
+        assert r.fim == want_fim, did
+        if not want_fim:
+            assert (r.prefix, r.middle, r.suffix) == (" ".join(toks), "", "")
+            continue
+        n_fim += 1
+        a = 1 + h32(f"{did}:a") % (n - 2)
+        b = a + 1 + h32(f"{did}:b") % (n - a - 1)
+        assert r.prefix == " ".join(toks[:a]), did
+        assert r.middle == " ".join(toks[a:b]), did
+        assert r.suffix == " ".join(toks[b:]), did
+        assert r.prefix and r.middle and r.suffix
+        assert f"{r.prefix} {r.middle} {r.suffix}" == " ".join(toks)
+    assert n_fim > 0
