@@ -114,14 +114,23 @@ def _plane_coef(i: Column, j: int) -> Column:
 
 def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane LSH: sign bit per plane → integer bucket id.
-    Vectors in the same bucket are ANN candidates; cosine-verify within."""
+    Vectors in the same bucket are ANN candidates; cosine-verify within.
+
+    The plane coefficients are DETERMINISTIC (_plane_coef's arithmetic)
+    — evaluate them in Python and inline each plane as a LITERAL double
+    array, so the projection is one zip_with product + ascending-i fold
+    (the rp_project lesson, r11: re-deriving the coefficient inside the
+    lambda is interpreted per ELEMENT and dominated sim_knn_capped at
+    sf10 — 92.8 s, ratio ~14, vs the literal form below; same float
+    sequence, bit-identical buckets, constant plan size)."""
     bucket = F.lit(0).cast("bigint")
     for j in range(n_planes):
+        coefs = F.array(*[
+            F.lit(float((i + 64 * j) * 2654435761 % 97 - 48))
+            for i in range(dim)
+        ])
         proj = F.aggregate(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: F.element_at(vec, i + 1).cast("double") * _plane_coef(i, j),
-            ),
+            F.zip_with(vec, coefs, lambda x, c: x.cast("double") * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -232,6 +241,11 @@ def _bucketed_with_norm(
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
         .withColumn("_bucket", hyperplane_bucket(F.col("_v"), n_planes, dim))
         .withColumn("_n", norm(F.col("_v")))
+        # cached: the self-join references this frame TWICE, and the
+        # bucket/norm folds are the expensive part of building it —
+        # without the cache they execute once per side (the dedup
+        # family's sig.cache() precedent; signature-sized rows)
+        .cache()
     )
     if max_bucket is not None:
         b = _shed_mega_buckets(b, max_bucket, approx_n=approx_n)
