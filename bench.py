@@ -155,6 +155,18 @@ BENCH_QUERIES = [
     # FIM prefix/middle/suffix splitting: hash-drawn cut points,
     # per-row HOFs, zero shuffles
     "pipe_fim_split",
+    # IVF recall@10 eval: 6 literal queries × (scan+TakeOrdered exact,
+    # probed-list ANN over the shared persisted assignment) + one
+    # overlap join — tracks queries × corpus-scan, not corpus²
+    "sim_ann_recall",
+    # truncated-dim retrieval eval: full vs 16-d-prefix exact top-k
+    # overlap — two scan+TakeOrdered passes per literal query
+    "sim_matryoshka",
+    # near-dup-aware train/val split: the components pipeline + one
+    # id-keyed join + map-side hash decision
+    # (dedup_cross_source stays contract-only: it re-runs the
+    # lsh_verified pipeline the bench already times, + two id joins)
+    "pipe_leakage_split",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -8944,3 +8944,229 @@ def pipe_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return fim_split(docs)
+
+
+# ---------------------------------------------------------------------------
+# r11 continuation: evaluation-grade operators — index recall, dimension
+# truncation quality, leakage-free splitting, cross-source dup leakage
+# ---------------------------------------------------------------------------
+
+def _eval_query_sample(emb: DataFrame, n_q: int) -> list[tuple[int, list[float]]]:
+    """The literal-bounded eval query sample: the n_q lowest-id vectors
+    (the ivf_centroids convention — a bounded collect, inlined as
+    literals; never a corpus-derived join side)."""
+    rows = emb.filter(F.col("vec_id") < n_q).select("vec_id", "embedding").collect()
+    return sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    )
+
+
+def _ann_recall_sql(
+    n_q: int = 6, k: int = 10, nprobe: int = 2, n_centroids: int = 8
+) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {n_centroids}),
+    qs AS (SELECT vec_id AS qid, a AS qv FROM v WHERE vec_id < {n_q}),
+    exact AS (
+        SELECT qid, vec_id FROM (
+            SELECT qs.qid, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY qs.qid
+                       ORDER BY round({cos('a', 'qv')}, 4) DESC, v.vec_id) AS rn
+            FROM v CROSS JOIN qs
+        ) WHERE rn <= {k}
+    ),
+    probes AS (
+        SELECT qid, cid FROM (
+            SELECT qs.qid, c.cid,
+                   row_number() OVER (
+                       PARTITION BY qs.qid
+                       ORDER BY {cos('cvec', 'qv')} DESC, c.cid) AS rn
+            FROM c CROSS JOIN qs
+        ) WHERE rn <= {nprobe}
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    ),
+    ann AS (
+        SELECT qid, vec_id FROM (
+            SELECT p.qid, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY round({cos('a', 'qv')}, 4) DESC, v.vec_id) AS rn
+            FROM v
+            JOIN assigned USING (vec_id)
+            JOIN probes p ON p.cid = assigned.cid
+            JOIN qs ON qs.qid = p.qid
+        ) WHERE rn <= {k}
+    )
+    SELECT e.qid,
+           CAST(count(a.vec_id) AS BIGINT) AS hits,
+           {k} AS k,
+           round(count(a.vec_id) / {k}, 4) AS recall
+    FROM exact e
+    LEFT JOIN ann a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid
+    """
+
+
+@q("sim_ann_recall", _ann_recall_sql())
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the IVF index (nprobe=2 of 8 cells) against the
+    exact brute-force ground truth over a 6-query literal sample
+    (operators/similarity.ann_recall) — the evaluation that sizes
+    nprobe/n_centroids before a full-corpus index build. The oracle
+    recomputes BOTH retrieval paths per query in SQL and the same
+    overlap count, so the recall numbers themselves are the verified
+    contract."""
+    from bgpexplorer_spark.operators.similarity import (
+        ann_recall, ivf_assign, ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _eval_query_sample(emb, 6)
+    assigned = ivf_assign(emb, ivf_centroids(emb, 8)).persist()
+    return ann_recall(
+        emb, queries, k=10, nprobe=2, n_centroids=8, assigned=assigned
+    )
+
+
+def _matryoshka_sql(n_q: int = 6, k: int = 10, dims: int = 16) -> str:
+    def cos(a: str, b: str, d: int) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, {d + 1})]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, {d + 1})])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, {d + 1})]))))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    qs AS (SELECT vec_id AS qid, a AS qv FROM v WHERE vec_id < {n_q}),
+    full_k AS (
+        SELECT qid, vec_id FROM (
+            SELECT qs.qid, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY qs.qid
+                       ORDER BY round({cos('a', 'qv', 64)}, 4) DESC, v.vec_id) AS rn
+            FROM v CROSS JOIN qs
+        ) WHERE rn <= {k}
+    ),
+    trunc_k AS (
+        SELECT qid, vec_id FROM (
+            SELECT qs.qid, v.vec_id,
+                   row_number() OVER (
+                       PARTITION BY qs.qid
+                       ORDER BY round({cos('a', 'qv', dims)}, 4) DESC, v.vec_id) AS rn
+            FROM v CROSS JOIN qs
+        ) WHERE rn <= {k}
+    )
+    SELECT f.qid,
+           {dims} AS dims,
+           CAST(count(t.vec_id) AS BIGINT) AS hits,
+           {k} AS k,
+           round(count(t.vec_id) / {k}, 4) AS overlap
+    FROM full_k f
+    LEFT JOIN trunc_k t ON t.qid = f.qid AND t.vec_id = f.vec_id
+    GROUP BY f.qid
+    """
+
+
+@q("sim_matryoshka", _matryoshka_sql())
+def sim_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap@10 between exact retrieval on full 64-d vectors and on
+    their first 16 components (operators/similarity.matryoshka_overlap)
+    — the dimension-budget evaluation: a high overlap licenses storing
+    a 4× smaller vector prefix in the hot index and re-ranking
+    survivors at full precision."""
+    from bgpexplorer_spark.operators.similarity import matryoshka_overlap
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _eval_query_sample(emb, 6)
+    return matryoshka_overlap(emb, queries, k=10, dims=16)
+
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+    WITH RECURSIVE {_CC_CTES}
+    SELECT doc_id, component,
+           CASE WHEN {_duck_hash32("'split:' || CAST(component AS VARCHAR)")}
+                     % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM assign
+    """
+
+
+@q("pipe_leakage_split", _LEAKAGE_SPLIT_ORACLE)
+def pipe_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware train/val split (operators/pipeline.leakage_split):
+    every document is assigned by the portable hash of its near-dup
+    COMPONENT, so no verified near-duplicate pair straddles the
+    boundary — within-corpus leakage control, the complement of the
+    cross-corpus decontaminate operators. Rides the full
+    LSH→verify→components pipeline; the oracle replays banding, the
+    recursive closure AND the hash decision."""
+    from bgpexplorer_spark.operators.dedup import neardup_pairs
+    from bgpexplorer_spark.operators.pipeline import leakage_split
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.5, k=16, bands=4)
+    plain = load_table(spark, sf_dir, "documents")
+    return leakage_split(plain, pairs, "doc_id", val_pct=10, salt="split")
+
+
+_CROSS_SOURCE_ORACLE = f"""
+    WITH {_lsh_pair_ctes()},
+    pairs AS (
+        SELECT id_a, id_b, round(cnt / (na.n + nb.n - cnt), 4) AS jaccard
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(cnt / (na.n + nb.n - cnt), 4) >= 0.35
+    ),
+    labeled AS (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               CAST(round(p.jaccard * 10000) AS BIGINT) AS j4
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(j4) / (count(*) * 10000.0), 4) AS avg_jaccard
+    FROM labeled
+    GROUP BY source_a, source_b
+    """
+
+
+@q("dedup_cross_source", _CROSS_SOURCE_ORACLE)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication leakage report
+    (operators/dedup.cross_source_report): verified near-dup pairs
+    (the dedup_lsh_verified path, jaccard ≥ 0.35) labeled with the
+    canonicalized source pair of their endpoints and aggregated — which
+    feeds duplicate each other vs self-duplicate. Mean jaccard is exact
+    integer arithmetic on the round-4 values, so engine summation order
+    cannot diverge."""
+    from bgpexplorer_spark.operators.dedup import cross_source_report, neardup_pairs
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
+    return cross_source_report(
+        pairs, load_table(spark, sf_dir, "documents"), "doc_id", "source"
+    )

@@ -1091,3 +1091,62 @@ def canonical_by_quality(
             (F.col(id_col) == F.col("keeper_id")).alias("kept"),
         )
     )
+
+
+def cross_source_report(
+    pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+    attr_col: str = "source",
+) -> DataFrame:
+    """Where does duplication LEAK FROM: label every verified near-dup
+    pair with the source pair of its endpoints and aggregate — the
+    report that tells a curation run which feeds duplicate each other
+    (two crawls of the same sites, a dataset re-released inside
+    another) vs which merely self-duplicate. Drives source-level
+    decisions (drop/down-weight a feed) that per-pair output can't.
+
+    Two id-keyed joins attach the endpoint attributes; both sides are
+    corpus-derived, so both joins are merge-pinned (the never-broadcast
+    posture — AQE under-estimates compressed shuffle bytes on wide
+    rows). The source pair is canonicalized with least/greatest so
+    (a,b) and (b,a) aggregate together. The mean jaccard is computed in
+    exact integer arithmetic on the round-4 values (sum of jaccard×10⁴
+    as BIGINT), so engines that sum doubles in different orders cannot
+    diverge. Output: (source_a, source_b, n_pairs, avg_jaccard).
+    """
+    attrs = docs.select(
+        F.col(id_col), F.col(attr_col).cast("string").alias("_attr")
+    )
+    labeled = (
+        pairs.join(
+            attrs.select(
+                F.col(id_col).alias("id_a"), F.col("_attr").alias("_sa")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            attrs.select(
+                F.col(id_col).alias("id_b"), F.col("_attr").alias("_sb")
+            ).hint("merge"),
+            "id_b",
+        )
+        .select(
+            F.least(F.col("_sa"), F.col("_sb")).alias("source_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("source_b"),
+            F.round(F.col("jaccard") * 10000).cast("bigint").alias("_j4"),
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("_j4").alias("_jsum"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                F.col("_jsum") / (F.col("n_pairs") * F.lit(10000.0)), 4
+            ).alias("avg_jaccard"),
+        )
+    )

@@ -838,3 +838,47 @@ def cluster_sample(
         .filter(F.col("rank") <= n_per_cluster)
         .select(id_col, "cid", "rank")
     )
+
+
+def leakage_split(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    val_pct: int = 10, salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/validation split: assign every document to a
+    split by the hash of its near-dup COMPONENT (not its own id), so no
+    near-duplicate pair ever straddles the boundary — the contamination
+    mode a naive per-doc split invites (a held-out document whose
+    near-verbatim copy sits in train measures memorization, not
+    generalization; cf. the decontamination operators, which handle
+    CROSS-corpus leakage — this handles leakage the corpus carries
+    within itself).
+
+    ``pairs`` is a verified near-dup edge list (neardup_pairs output);
+    components come from :func:`dedup.connected_components` (min-id
+    label), singletons default to their own id. The split decision is
+    ``portable_hash32(salt:component) % 100 < val_pct`` — deterministic,
+    engine-portable, and stable as the corpus grows (a component keeps
+    its split unless a new edge merges it into another). One component
+    join on the id key; the hash/filter is map-side. Output
+    (id, component, split) for every input document.
+    """
+    from bgpexplorer_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    h = portable_hash32(
+        F.concat(F.lit(salt + ":"), F.col("component").cast("string"))
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .withColumn(
+            "split",
+            F.when(F.pmod(h, F.lit(100)) < val_pct, F.lit("val")).otherwise(
+                F.lit("train")
+            ),
+        )
+    )

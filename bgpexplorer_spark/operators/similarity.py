@@ -1408,3 +1408,101 @@ def sign_neardup_pairs(
         sig, id_col, sub_bits=bits // 6, n_sub=6,
         max_hamming=max_hamming, sig_bits=bits,
     )
+
+
+def _union_tagged_topk(parts: list[DataFrame]) -> DataFrame:
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
+
+
+def ann_recall(
+    df: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+    nprobe: int = 2, n_centroids: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """Index-quality evaluation: recall@k of the IVF search against the
+    exact brute-force top-k, per query — the number that decides nprobe
+    / n_centroids BEFORE a 100 TB index build (the reference ships its
+    index parameters fixed; a Spark pipeline must earn them on a
+    sample, which is exactly this operator's job).
+
+    ``queries`` is a LITERAL-bounded eval sample ((qid, vector) pairs —
+    the ivf_centroids convention: collected once, inlined as literals),
+    NOT a corpus-derived frame, so nothing here broadcasts corpus data.
+    Per query the exact side is one scan + TakeOrdered (embarrassingly
+    parallel, no wide exchange) and the ANN side probes the shared
+    persisted ``assigned`` index; both sides are tagged with qid and
+    unioned, then a single left join counts overlap. Output one row per
+    query: (qid, hits, k, recall) with recall = hits/k rounded 4.
+    """
+    exact_parts, ann_parts = [], []
+    for qid, qv in queries:
+        tag = F.lit(int(qid)).cast("bigint").alias("qid")
+        exact_parts.append(
+            cosine_topk(df, qv, k, id_col, vec_col).select(tag, F.col(id_col))
+        )
+        ann_parts.append(
+            ivf_topk(
+                df, qv, k, nprobe, n_centroids, id_col, vec_col, assigned
+            ).select(tag, F.col(id_col))
+        )
+    exact = _union_tagged_topk(exact_parts)
+    ann = _union_tagged_topk(ann_parts).withColumn("_hit", F.lit(1))
+    return (
+        exact.join(ann, ["qid", id_col], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            F.lit(k).alias("k"),
+            F.round(F.col("hits") / F.lit(k), 4).alias("recall"),
+        )
+    )
+
+
+def matryoshka_overlap(
+    df: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+    dims: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Truncated-dimension retrieval evaluation (the Matryoshka /
+    dimension-budget question): overlap@k between exact cosine top-k on
+    the FULL vectors and on their first ``dims`` components. At 100 TB
+    the dominant ANN cost is bytes scanned per vector; if overlap@k at
+    dims=16 is near 1.0 the index stores a 4× smaller prefix and
+    re-ranks survivors at full precision. Same literal-bounded query
+    sample + scan-and-TakeOrdered shape as :func:`ann_recall` — the
+    truncated side slices map-side (F.slice, no shuffle). Output one
+    row per query: (qid, dims, hits, k, overlap).
+    """
+    trunc = df.select(
+        F.col(id_col),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias(vec_col),
+    )
+    full_parts, trunc_parts = [], []
+    for qid, qv in queries:
+        tag = F.lit(int(qid)).cast("bigint").alias("qid")
+        full_parts.append(
+            cosine_topk(df, qv, k, id_col, vec_col).select(tag, F.col(id_col))
+        )
+        trunc_parts.append(
+            cosine_topk(trunc, qv[:dims], k, id_col, vec_col).select(
+                tag, F.col(id_col)
+            )
+        )
+    full = _union_tagged_topk(full_parts)
+    tr = _union_tagged_topk(trunc_parts).withColumn("_hit", F.lit(1))
+    return (
+        full.join(tr, ["qid", id_col], "left")
+        .groupBy("qid")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("hits"))
+        .select(
+            "qid",
+            F.lit(dims).alias("dims"),
+            "hits",
+            F.lit(k).alias("k"),
+            F.round(F.col("hits") / F.lit(k), 4).alias("overlap"),
+        )
+    )

@@ -2604,3 +2604,149 @@ def test_fim_split_roundtrip_and_python_replay(spark):
         assert r.prefix and r.middle and r.suffix
         assert f"{r.prefix} {r.middle} {r.suffix}" == " ".join(toks)
     assert n_fim > 0
+
+
+def _round4_half_up(c: float) -> float:
+    """F.round semantics (HALF_UP, away from zero) on the 1e-4 grid."""
+    s = -1.0 if c < 0 else 1.0
+    return s * math.floor(abs(c) * 10000.0 + 0.5) / 10000.0
+
+
+def test_ann_recall_matches_numpy(spark):
+    """ann_recall's per-query hit counts equal a NumPy replication of
+    BOTH retrieval paths (exact: round-4 cosine desc then id; IVF:
+    assign ties to highest cid, probe ties to lowest cid)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim, k, nprobe, n_cent, n_q = 60, 64, 5, 2, 8, 4
+    vecs = rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [(i, [float(x) for x in vecs[i]]) for i in range(n_q)]
+    out = {
+        r.qid: (r.hits, r.k, r.recall)
+        for r in similarity.ann_recall(
+            emb, queries, k=k, nprobe=nprobe, n_centroids=n_cent
+        ).collect()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in range(n_q):
+        q = vecs[qid]
+        exact = sorted(
+            range(n), key=lambda i: (-_round4_half_up(cos(vecs[i], q)), i)
+        )[:k]
+        # assignment: max (cos, cid) — ties to HIGHER cid
+        assign = {
+            i: max(range(n_cent), key=lambda c: (cos(vecs[i], vecs[c]), c))
+            for i in range(n)
+        }
+        # probes: cos desc, cid ASC on ties
+        probes = sorted(range(n_cent), key=lambda c: (-cos(vecs[c], q), c))[:nprobe]
+        cand = [i for i in range(n) if assign[i] in probes]
+        ann = sorted(
+            cand, key=lambda i: (-_round4_half_up(cos(vecs[i], q)), i)
+        )[:k]
+        hits = len(set(exact) & set(ann))
+        assert out[qid] == (hits, k, round(hits / k, 4)), qid
+    # sanity: the sample must actually exercise an imperfect index
+    assert any(h < k for h, _, _ in out.values())
+    assert any(h > 0 for h, _, _ in out.values())
+
+
+def test_matryoshka_overlap_numpy_and_identity(spark):
+    """matryoshka_overlap at dims=64 is exactly 1.0 for every query
+    (truncation to full width is the identity); at dims=8 the hit
+    counts match a NumPy replication of both rankings."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n, dim, k, n_q = 50, 64, 6, 3
+    vecs = rng.normal(size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [(i, [float(x) for x in vecs[i]]) for i in range(n_q)]
+
+    full = similarity.matryoshka_overlap(emb, queries, k=k, dims=dim).collect()
+    assert {(r.dims, r.overlap) for r in full} == {(dim, 1.0)}
+
+    out = {
+        r.qid: r.hits
+        for r in similarity.matryoshka_overlap(emb, queries, k=k, dims=8).collect()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for qid in range(n_q):
+        q = vecs[qid]
+        fk = sorted(
+            range(n), key=lambda i: (-_round4_half_up(cos(vecs[i], q)), i)
+        )[:k]
+        tk = sorted(
+            range(n),
+            key=lambda i: (-_round4_half_up(cos(vecs[i][:8], q[:8])), i),
+        )[:k]
+        assert out[qid] == len(set(fk) & set(tk)), qid
+    assert any(h < k for h in out.values())  # truncation must cost something
+
+
+def test_leakage_split_no_pair_straddles(spark):
+    """leakage_split: every near-dup pair lands in one split, components
+    are the transitive closure, singletons split by their own id, and
+    the decision is deterministic across invocations."""
+    from bgpexplorer_spark.operators.pipeline import leakage_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # chain 0-1-2, pair (5,6), pair (7,9); rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (1, 2, 0.8), (5, 6, 0.7), (7, 9, 0.6)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r.doc_id: (r.component, r.split)
+           for r in leakage_split(docs, pairs, "doc_id", val_pct=20).collect()}
+    assert len(out) == 200
+    assert out[0][0] == out[1][0] == out[2][0] == 0
+    assert out[5][0] == out[6][0] == 5
+    assert out[7][0] == out[9][0] == 7
+    assert out[42] == (42, out[42][1])
+    for a, b in [(0, 1), (1, 2), (0, 2), (5, 6), (7, 9)]:
+        assert out[a][1] == out[b][1], (a, b)
+    splits = {s for _, s in out.values()}
+    assert splits == {"train", "val"}  # 20% of 200 hits both with high prob
+    again = {r.doc_id: (r.component, r.split)
+             for r in leakage_split(docs, pairs, "doc_id", val_pct=20).collect()}
+    assert again == out
+
+
+def test_cross_source_report_hand_computed(spark):
+    """cross_source_report: canonicalized source pairs, exact counts,
+    and the integer-arithmetic mean jaccard."""
+    from bgpexplorer_spark.operators.dedup import cross_source_report
+
+    docs = spark.createDataFrame(
+        [(1, "cc"), (2, "c4"), (3, "cc"), (4, "wiki"), (5, "c4")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.7), (1, 3, 0.9), (4, 5, 0.4)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {
+        (r.source_a, r.source_b): (r.n_pairs, r.avg_jaccard)
+        for r in cross_source_report(pairs, docs, "doc_id", "source").collect()
+    }
+    assert out == {
+        ("c4", "cc"): (2, 0.6),     # (1,2)=0.5 and (2,3)=0.7
+        ("cc", "cc"): (1, 0.9),
+        ("c4", "wiki"): (1, 0.4),
+    }
