@@ -167,6 +167,10 @@ BENCH_QUERIES = [
     # (dedup_cross_source stays contract-only: it re-runs the
     # lsh_verified pipeline the bench already times, + two id joins)
     "pipe_leakage_split",
+    # word-bigram LM NLL: per-row HOF bigram build + two merge-pinned
+    # vocabulary joins (bigram vocab grows with corpus — never
+    # broadcast) + exact integer-grid per-doc mean
+    "text_bigram_nll",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -9170,3 +9170,65 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_report(
         pairs, load_table(spark, sf_dir, "documents"), "doc_id", "source"
     )
+
+
+_BIGRAM_NLL_ORACLE = f"""
+    WITH d AS (SELECT doc_id, {_duck_tokens('lower(text)')} AS l FROM documents),
+    d2 AS (SELECT doc_id, l FROM d WHERE len(l) >= 2),
+    bi AS (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM d2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+    uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY w1),
+    voc AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(l) AS w FROM d)),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln((coalesce(c.c12, 0) + 1)
+                             / (coalesce(u.c1, 0) + voc.v * 1.0))
+                          * 1000000) AS BIGINT) AS lp6
+        FROM bi b
+        LEFT JOIN bc c USING (w1, w2)
+        LEFT JOIN uc u USING (w1)
+        CROSS JOIN voc
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(lp6) / (count(*) * 1000000.0), 4) AS nll
+    FROM scored GROUP BY doc_id
+    """
+
+
+@q("text_bigram_nll", _BIGRAM_NLL_ORACLE)
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram LM quality scoring (operators/text.bigram_nll): the
+    add-one-smoothed companion to text_charlm at WORD level — per-doc
+    mean NLL against corpus-trained bigram statistics, merge-pinned
+    count joins (bigram vocabularies grow with the corpus — never
+    broadcast), exact integer-scaled log sum so engine summation order
+    cannot diverge."""
+    from bgpexplorer_spark.operators.text import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(docs)
+
+
+@q("st_neardup_flag", _incremental_dedup_sql())
+def st_neardup_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup flagging (streaming/feed.live_neardup_flag) in
+    its batch-equivalent mode, against the same yesterday/today corpus
+    split and oracle as dedup_incremental: the operator recomputes the
+    MinHash signature PER-ROW (HOFs, no aggregation) and checks the
+    band keys with stream-static joins, so a live document stream is
+    flagged with ZERO streaming state; the real-stream e2e (file
+    source, availableNow, memory sink) is tested equal to
+    incremental_dedup in test_streaming.py."""
+    from bgpexplorer_spark.operators.dedup import dedup_index
+    from bgpexplorer_spark.sources.tables import fan_out
+    from bgpexplorer_spark.streaming.feed import live_neardup_flag
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = dedup_index(corpus, "doc_id", k=16, n=3, bands=4)
+    return live_neardup_flag(batch, idx, "doc_id", k=16, n=3, bands=4)

@@ -1173,3 +1173,82 @@ def fim_split(
         F.when(eligible, joined(a + 1, b - a)).otherwise("").alias("middle"),
         F.when(eligible, joined(b + 1, n - b)).otherwise("").alias("suffix"),
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """WORD-level LM quality scoring — the add-one-smoothed bigram
+    companion to :func:`charlm_nll` (the CCNet recipe trains a word LM;
+    the char-trigram form catches encoding garbage, this form catches
+    fluent-looking word salad): train bigram + unigram-context counts
+    on ``train`` (default: the corpus itself), then score every
+    document with ≥ 2 tokens by its mean negative log-likelihood
+    ``-avg(ln((c(w1,w2)+1) / (c(w1·)+V)))`` where ``c(w1·)`` counts w1
+    as a bigram CONTEXT (all tokens but each doc's last) and V is the
+    distinct-token vocabulary. Lower = more typical of the corpus.
+
+    Scale shape: tokens and bigrams are built per-row (slice + zip_with
+    HOFs, no explode until counting); the two count tables are
+    vocabulary-sized but HEAPS-LAW-GROWING (bigram types keep growing
+    with corpus size), so unlike the char-trigram model they are NEVER
+    broadcast — both scoring joins are merge-pinned shuffles on the
+    (w1,w2)/(w1) keys. The only driver value is the vocabulary scalar.
+    The per-doc mean is computed in exact integer arithmetic (each
+    bigram's ln scaled to 1e-6 and summed as BIGINT), so engine
+    summation order cannot diverge. Output: (id, n_bigrams, nll).
+    """
+    train = train if train is not None else df
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def bigrams_of(t: Column) -> Column:
+        n = F.size(t)
+        return F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+
+    train_tok = train.select(toks.alias("_t")).filter(F.size("_t") >= 2)
+    train_bi = train_tok.select(F.explode(bigrams_of(F.col("_t"))).alias("bg"))
+    bcounts = (
+        train_bi.select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    ucounts = (
+        train_bi.select(F.col("bg.w1").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+    )
+    vocab = (
+        train.select(F.explode(toks).alias("_w")).agg(
+            F.countDistinct("_w").alias("v")
+        ).first()["v"]
+    )
+    doc_bi = (
+        df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+        .filter(F.size("_t") >= 2)
+        .select("_id", F.explode(bigrams_of(F.col("_t"))).alias("bg"))
+        .select("_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("_c12"), F.lit(0)) + 1)
+        / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(float(vocab)))
+    )
+    lp6 = F.round(logp * 1000000).cast("bigint")
+    return (
+        doc_bi.join(bcounts.hint("merge"), ["w1", "w2"], "left")
+        .join(ucounts.hint("merge"), "w1", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(-F.sum(lp6) / (F.count(F.lit(1)) * F.lit(1000000.0)), 4).alias(
+                "nll"
+            ),
+        )
+        .select(F.col("_id").alias(id_col), "n_bigrams", "nll")
+    )

@@ -2750,3 +2750,61 @@ def test_cross_source_report_hand_computed(spark):
         ("cc", "cc"): (1, 0.9),
         ("c4", "wiki"): (1, 0.4),
     }
+
+
+def test_bigram_nll_hand_computed(spark):
+    """bigram_nll on a 3-doc corpus: hand-computed add-one bigram
+    probabilities, context counts, vocabulary, and the exact
+    integer-grid mean; <2-token and null docs emit nothing."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),
+            (1, "the cat ran"),
+            (2, "THE cat"),
+            (3, "lonely"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_bigrams, r.nll)
+           for r in text.bigram_nll(docs).collect()}
+    assert set(out) == {0, 1, 2}
+
+    # corpus bigrams: (the,cat)x3, (cat,sat), (cat,ran)
+    # context counts: the=3, cat=2 ; vocab = {the,cat,sat,ran,lonely} = 5
+    import math as m
+
+    def lp6(c12, c1):
+        return round(m.log((c12 + 1) / (c1 + 5.0)) * 1e6)
+
+    def nll(terms):
+        s = sum(lp6(*t) for t in terms)
+        return round(-s / (len(terms) * 1e6), 4)
+
+    assert out[0] == (2, nll([(3, 3), (1, 2)]))   # the-cat, cat-sat
+    assert out[1] == (2, nll([(3, 3), (1, 2)]))   # the-cat, cat-ran
+    assert out[2] == (1, nll([(3, 3)]))           # lowercased THE-cat
+    # a doc full of corpus-typical bigrams scores LOWER than a rare one
+    assert out[0] > (1,) or out[2][1] < out[0][1]
+
+
+def test_bigram_nll_cross_corpus_unseen(spark):
+    """Scoring against a SEPARATE train corpus: unseen bigrams/contexts
+    take the (0+1)/(0+V) floor — the decontamination-style use (score
+    new data against a trusted reference LM)."""
+    import math as m
+
+    train = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z q")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_bigrams, r.nll)
+           for r in text.bigram_nll(score, train=train).collect()}
+    # train: bigrams (a,b)x2, (b,a); contexts a=2, b=1; vocab={a,b}=2
+    ab = round(m.log((2 + 1) / (2 + 2.0)) * 1e6)
+    zq = round(m.log((0 + 1) / (0 + 2.0)) * 1e6)
+    assert out[10] == (1, round(-ab / 1e6, 4))
+    assert out[11] == (1, round(-zq / 1e6, 4))
+    assert out[11][1] > out[10][1]
