@@ -1420,7 +1420,7 @@ def ann_recall(
     df: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
     nprobe: int = 2, n_centroids: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    assigned: DataFrame | None = None,
+    assigned: DataFrame | None = None, use_gemm: bool = False,
 ) -> DataFrame:
     """Index-quality evaluation: recall@k of the IVF search against the
     exact brute-force top-k, per query — the number that decides nprobe
@@ -1440,15 +1440,23 @@ def ann_recall(
     exact_parts, ann_parts = [], []
     for qid, qv in queries:
         tag = F.lit(int(qid)).cast("bigint").alias("qid")
-        exact_parts.append(
-            cosine_topk(df, qv, k, id_col, vec_col).select(tag, F.col(id_col))
-        )
+        if not use_gemm:
+            exact_parts.append(
+                cosine_topk(df, qv, k, id_col, vec_col).select(tag, F.col(id_col))
+            )
         ann_parts.append(
             ivf_topk(
                 df, qv, k, nprobe, n_centroids, id_col, vec_col, assigned
             ).select(tag, F.col(id_col))
         )
-    exact = _union_tagged_topk(exact_parts)
+    # use_gemm: the n_q exact scan+TakeOrdered plans collapse into ONE
+    # GEMM corpus scan (identical result contract — equivalence-tested)
+    exact = (
+        cosine_topk_gemm_multi(df, queries, k, id_col, vec_col)
+        .select("qid", F.col(id_col))
+        if use_gemm
+        else _union_tagged_topk(exact_parts)
+    )
     ann = _union_tagged_topk(ann_parts).withColumn("_hit", F.lit(1))
     return (
         exact.join(ann, ["qid", id_col], "left")
@@ -1466,6 +1474,7 @@ def ann_recall(
 def matryoshka_overlap(
     df: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
     dims: int = 16, id_col: str = "vec_id", vec_col: str = "embedding",
+    use_gemm: bool = False,
 ) -> DataFrame:
     """Truncated-dimension retrieval evaluation (the Matryoshka /
     dimension-budget question): overlap@k between exact cosine top-k on
@@ -1481,19 +1490,30 @@ def matryoshka_overlap(
         F.col(id_col),
         F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias(vec_col),
     )
-    full_parts, trunc_parts = [], []
-    for qid, qv in queries:
-        tag = F.lit(int(qid)).cast("bigint").alias("qid")
-        full_parts.append(
-            cosine_topk(df, qv, k, id_col, vec_col).select(tag, F.col(id_col))
+    tqueries = [(qid, qv[:dims]) for qid, qv in queries]
+    if use_gemm:
+        # both rankings in ONE corpus scan each (see cosine_topk_gemm_multi)
+        full = cosine_topk_gemm_multi(df, queries, k, id_col, vec_col).select(
+            "qid", F.col(id_col)
         )
-        trunc_parts.append(
-            cosine_topk(trunc, qv[:dims], k, id_col, vec_col).select(
-                tag, F.col(id_col)
+        tr = cosine_topk_gemm_multi(trunc, tqueries, k, id_col, vec_col).select(
+            "qid", F.col(id_col)
+        )
+    else:
+        full_parts, trunc_parts = [], []
+        for (qid, qv), (_, tqv) in zip(queries, tqueries):
+            tag = F.lit(int(qid)).cast("bigint").alias("qid")
+            full_parts.append(
+                cosine_topk(df, qv, k, id_col, vec_col).select(tag, F.col(id_col))
             )
-        )
-    full = _union_tagged_topk(full_parts)
-    tr = _union_tagged_topk(trunc_parts).withColumn("_hit", F.lit(1))
+            trunc_parts.append(
+                cosine_topk(trunc, tqv, k, id_col, vec_col).select(
+                    tag, F.col(id_col)
+                )
+            )
+        full = _union_tagged_topk(full_parts)
+        tr = _union_tagged_topk(trunc_parts)
+    tr = tr.withColumn("_hit", F.lit(1))
     return (
         full.join(tr, ["qid", id_col], "left")
         .groupBy("qid")
@@ -1505,4 +1525,70 @@ def matryoshka_overlap(
             F.lit(k).alias("k"),
             F.round(F.col("hits") / F.lit(k), 4).alias("overlap"),
         )
+    )
+
+
+def cosine_topk_gemm_multi(
+    df: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for MANY queries in ONE corpus scan — the
+    at-scale exact side of the evaluation operators: per Arrow batch,
+    one (batch × d) @ (d × n_q) GEMM scores every query at once, each
+    query's batch-local top-k (plus the 2e-4 rounding-quantum boundary
+    margin — see :func:`cosine_topk_gemm`) survives, and one window
+    over the partitions × n_q × ~k candidate rows ranks the global
+    top-k per query. Per-query unioned TakeOrdered plans pay n_q corpus
+    scans; this pays ONE — at a billion vectors the difference is the
+    whole eval budget. Same result contract as per-query
+    :func:`cosine_topk` (rounding in Spark, ties by id); zero-norm
+    vectors are EXCLUDED (cosine undefined). Output
+    (qid, id, cos_sim), k rows per query.
+    """
+    import numpy as np
+
+    qids = [int(q) for q, _ in queries]
+    qm = np.asarray([v for _, v in queries], dtype=np.float64)
+    qn = (qm / np.linalg.norm(qm, axis=1, keepdims=True)).T  # d × n_q
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (m @ qn) / norms[:, None]
+            ids = pdf[id_col].to_numpy()
+            o_q, o_i, o_v = [], [], []
+            for ji, qid in enumerate(qids):
+                col = cos[:, ji]
+                idx = np.nonzero(np.isfinite(col))[0]
+                vals, bids = col[idx], ids[idx]
+                if len(idx) > k:
+                    kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                    keep = vals >= kth - 2e-4
+                    bids, vals = bids[keep], vals[keep]
+                o_q.append(np.full(len(bids), qid, dtype=np.int64))
+                o_i.append(bids)
+                o_v.append(vals)
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(o_q),
+                    id_col: np.concatenate(o_i),
+                    "cos_sim": np.concatenate(o_v),
+                }
+            )
+
+    cand = df.select(id_col, vec_col).mapInPandas(
+        batches, f"qid long, {id_col} long, cos_sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        cand.select("qid", id_col, F.round("cos_sim", 4).alias("cos_sim"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

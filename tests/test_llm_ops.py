@@ -2808,3 +2808,55 @@ def test_bigram_nll_cross_corpus_unseen(spark):
     assert out[10] == (1, round(-ab / 1e6, 4))
     assert out[11] == (1, round(-zq / 1e6, 4))
     assert out[11][1] > out[10][1]
+
+
+def test_gemm_multi_equals_per_query_topk(spark):
+    """cosine_topk_gemm_multi returns exactly the per-query cosine_topk
+    result for every query (rounding, ties, zero-norm exclusion), and
+    the use_gemm forms of ann_recall / matryoshka_overlap equal their
+    HOF forms row-for-row."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    n, dim, k = 70, 64, 7
+    vecs = rng.normal(size=(n, dim))
+    vecs[33] = 0.0  # zero-norm: excluded by the GEMM path contract
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [(i, [float(x) for x in vecs[i]]) for i in range(4)]
+
+    multi = similarity.cosine_topk_gemm_multi(emb, queries, k=k)
+    got = {(r.qid, r.vec_id, r.cos_sim) for r in multi.collect()}
+    want = set()
+    emb_nz = emb.filter(F.col("vec_id") != 33)
+    for qid, qv in queries:
+        for r in similarity.cosine_topk(emb_nz, qv, k=k).collect():
+            want.add((qid, r.vec_id, r.cos_sim))
+    assert got == want
+
+    # zero-norm-free frame for the composed forms: the HOF cosine inside
+    # ivf_assign raises under ANSI on zero vectors however the frame is
+    # pre-filtered (Catalyst merges the pushed filters and may evaluate
+    # the divide first) — the documented contract is that zero-norm
+    # vectors never reach the index builders
+    clean = emb.filter(F.col("vec_id") != 33)
+    clean = spark.createDataFrame(clean.collect(), clean.schema)
+    a1 = {tuple(r) for r in similarity.ann_recall(clean, queries, k=k).collect()}
+    a2 = {
+        tuple(r)
+        for r in similarity.ann_recall(clean, queries, k=k, use_gemm=True).collect()
+    }
+    assert a1 == a2
+    m1 = {
+        tuple(r)
+        for r in similarity.matryoshka_overlap(clean, queries, k=k, dims=8).collect()
+    }
+    m2 = {
+        tuple(r)
+        for r in similarity.matryoshka_overlap(
+            clean, queries, k=k, dims=8, use_gemm=True
+        ).collect()
+    }
+    assert m1 == m2
