@@ -454,3 +454,109 @@ def test_hybrid_rrf_fusion_hand_computed(spark):
     assert got[3].rrf_score == round(1 / 62, 6)
     top = sorted(got.values(), key=lambda r: (-r.rrf_score, r.doc_id))
     assert top[0].doc_id == 2
+
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_edges, val_pct=st.integers(min_value=0, max_value=100))
+def test_leakage_split_matches_union_find(spark, edges, val_pct):
+    """leakage_split vs a pure-Python union-find: component = min
+    reachable id, split = hash(salt:component)%100 < val_pct, and —
+    the contract — NO edge ever straddles the split."""
+    n = 41
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b), 1.0) for a, b in edges] or [(0, 0, 1.0)],
+        "id_a long, id_b long, jaccard double",
+    )
+    if not edges:
+        pairs = pairs.filter(F.col("id_a") != F.col("id_b"))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {i: find(i) for i in range(n)}
+    want = {
+        i: (
+            comp[i],
+            "val" if _hash32(f"split:{comp[i]}") % 100 < val_pct else "train",
+        )
+        for i in range(n)
+    }
+    got = {
+        r.doc_id: (r.component, r.split)
+        for r in pipeline.leakage_split(docs, pairs, "doc_id", val_pct=val_pct).collect()
+    }
+    assert got == want
+    for a, b in edges:
+        assert got[a][1] == got[b][1]
+
+
+_bigram_docs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=999),
+        st.text(alphabet=st.sampled_from("abc "), min_size=0, max_size=24),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_bigram_docs)
+def test_bigram_nll_matches_model(spark, docs):
+    """bigram_nll vs a pure-Python bigram model on random corpora — the
+    integer-grid mean makes the comparison exact."""
+    import math
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    toks = {i: (t or "").lower().split() for i, t in docs}
+    bi: dict[tuple, int] = {}
+    uni: dict[str, int] = {}
+    vocab = set()
+    for ts in toks.values():
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+            uni[a] = uni.get(a, 0) + 1
+    want = {}
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        lp6s = [
+            round(
+                math.log((bi[(a, b)] + 1) / (uni[a] + float(len(vocab)))) * 1e6
+            )
+            for a, b in zip(ts, ts[1:])
+        ]
+        want[i] = (len(lp6s), round(-sum(lp6s) / (len(lp6s) * 1e6), 4))
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll) for r in text.bigram_nll(df).collect()
+    }
+    assert got == want
