@@ -155,12 +155,13 @@ BENCH_QUERIES = [
     # FIM prefix/middle/suffix splitting: hash-drawn cut points,
     # per-row HOFs, zero shuffles
     "pipe_fim_split",
-    # IVF recall@10 eval: 6 literal queries × (scan+TakeOrdered exact,
-    # probed-list ANN over the shared persisted assignment) + one
-    # overlap join — tracks queries × corpus-scan, not corpus²
+    # IVF recall@10 eval: ONE GEMM corpus scan scores all 6 literal
+    # queries' exact side (per-batch per-query top-k pruning) + the
+    # probed-list ANN side over the shared persisted assignment + one
+    # overlap join — tracks ONE corpus scan, not queries × corpus
     "sim_ann_recall",
     # truncated-dim retrieval eval: full vs 16-d-prefix exact top-k
-    # overlap — two scan+TakeOrdered passes per literal query
+    # overlap — one GEMM corpus scan per ranking
     "sim_matryoshka",
     # near-dup-aware train/val split: the components pipeline + one
     # id-keyed join + map-side hash decision
@@ -171,6 +172,9 @@ BENCH_QUERIES = [
     # vocabulary joins (bigram vocab grows with corpus — never
     # broadcast) + exact integer-grid per-doc mean
     "text_bigram_nll",
+    # no-split greedy bin packing: ONE shuffle (per-shard collect) +
+    # one aggregate fold per shard + explode — parallelism = shards
+    "pipe_pack_bins",
 ]
 
 def _sf_of(sf_dir: str) -> float:

@@ -9234,3 +9234,46 @@ def st_neardup_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     idx = dedup_index(corpus, "doc_id", k=16, n=3, bands=4)
     return live_neardup_flag(batch, idx, "doc_id", k=16, n=3, bands=4)
+
+
+_PACK_BINS_ORACLE = f"""
+    WITH RECURSIVE per_doc AS (
+        SELECT doc_id,
+               CAST({_duck_hash32("CAST(doc_id AS VARCHAR)")} % 8 AS INTEGER)
+                   AS shard,
+               CAST(len({_duck_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT *, row_number() OVER (PARTITION BY shard
+                                     ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM per_doc
+    ),
+    fill(shard, rn, doc_id, n_tokens, bin, binfill) AS (
+        SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN f.binfill + o.n_tokens <= 96
+                    THEN f.bin ELSE f.bin + 1 END,
+               CASE WHEN f.binfill + o.n_tokens <= 96
+                    THEN f.binfill + o.n_tokens ELSE o.n_tokens END
+        FROM ordered o JOIN fill f ON o.shard = f.shard AND o.rn = f.rn + 1
+    )
+    SELECT doc_id, shard, bin, n_tokens, n_tokens > 96 AS oversize FROM fill
+    """
+
+
+@q("pipe_pack_bins", _PACK_BINS_ORACLE)
+def pipe_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split greedy bin packing (operators/pipeline.pack_bins):
+    next-fit-decreasing into 96-token bins over 8 hash shards — the
+    attention-isolation packing layout next to pack_sequences'
+    concat-then-cut. The sequential fill runs as ONE aggregate fold per
+    shard; the oracle replays it with a linear recursive CTE, so the
+    exact bin assignment (including oversize singleton bins) is the
+    verified contract."""
+    from bgpexplorer_spark.operators.pipeline import pack_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_bins(docs, max_tokens=96, n_shards=8)

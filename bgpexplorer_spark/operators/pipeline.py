@@ -882,3 +882,88 @@ def leakage_split(
             ),
         )
     )
+
+
+def pack_bins(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """NO-SPLIT greedy bin packing — the sample-packing layout
+    :func:`pack_sequences` deliberately isn't: documents are never cut
+    across context windows (attention never crosses a document
+    boundary), each lands WHOLE in one bin of capacity ``max_tokens``,
+    and padding is what next-fit-decreasing leaves. Deterministic by
+    construction: shard by stable id hash, order each shard's docs by
+    (token count DESC, id), then fill bins sequentially — a doc that
+    fits the current bin joins it, otherwise it opens the next bin. A
+    doc longer than the capacity gets a bin alone (flagged
+    ``oversize`` — the caller truncates or routes to the splitting
+    layout).
+
+    Sequential fill is inherently order-dependent, so it runs as ONE
+    ``aggregate`` fold per shard over the shard's sorted (n_tokens, id)
+    structs — no iteration, no Python, no per-row state: the shard is
+    the parallelism unit exactly as in pack_sequences (pick ``n_shards``
+    so a shard is one tokenizer output file; the fold state is
+    shard-sized). One shuffle (the per-shard collect), one explode
+    back. Output per doc: (id, shard, bin, n_tokens, oversize).
+    """
+    nt = (
+        F.col(n_tokens_col) if n_tokens_col else token_count_ws(F.col(text_col))
+    ).cast("bigint")
+    shard = F.pmod(portable_hash32(F.col(id_col).cast("string")), F.lit(n_shards)).cast(
+        "int"
+    )
+    per_doc = docs.select(
+        F.col(id_col).alias("_id"), shard.alias("shard"), nt.alias("n_tokens")
+    )
+    # sort_array on (-n_tokens, id): descending token count, id tiebreak
+    shards = per_doc.groupBy("shard").agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("n_tokens")).alias("_negn"), F.col("_id"), F.col("n_tokens")))
+        ).alias("_docs")
+    )
+    cap = F.lit(int(max_tokens)).cast("bigint")
+    init = F.struct(
+        F.lit(-1).cast("bigint").alias("bin"),
+        (cap + 1).alias("fill"),
+        F.array()
+        .cast("array<struct<_id:bigint,bin:bigint,n_tokens:bigint>>")
+        .alias("out"),
+    )
+
+    # n_tokens rides the fold output, so no join-back to re-attach it
+    def step(acc, d):
+        fits = (acc["fill"] + d["n_tokens"]) <= cap
+        nbin = F.when(fits, acc["bin"]).otherwise(acc["bin"] + 1)
+        nfill = F.when(fits, acc["fill"] + d["n_tokens"]).otherwise(d["n_tokens"])
+        return F.struct(
+            nbin.alias("bin"),
+            nfill.alias("fill"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        d["_id"].alias("_id"),
+                        nbin.alias("bin"),
+                        d["n_tokens"].alias("n_tokens"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    packed = shards.select(
+        "shard",
+        F.aggregate(F.col("_docs"), init, step).getField("out").alias("_assign"),
+    ).select("shard", F.explode("_assign").alias("_a"))
+    return packed.select(
+        F.col("_a._id").alias(id_col),
+        "shard",
+        F.col("_a.bin").alias("bin"),
+        F.col("_a.n_tokens").alias("n_tokens"),
+        (F.col("_a.n_tokens") > cap).alias("oversize"),
+    )

@@ -560,3 +560,51 @@ def test_bigram_nll_matches_model(spark, docs):
         r.doc_id: (r.n_bigrams, r.nll) for r in text.bigram_nll(df).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docs, cap=st.integers(min_value=1, max_value=12))
+def test_pack_bins_matches_model(spark, docs, cap):
+    """pack_bins vs a pure-Python next-fit-decreasing model: identical
+    (shard, bin) assignment, non-oversize bins never exceed capacity,
+    bin ids are contiguous from 0 per shard."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _l in docs], "doc_id long, text string"
+    )
+    n_shards = 4
+    got = {
+        r.doc_id: (r.shard, r.bin, r.n_tokens, r.oversize)
+        for r in pipeline.pack_bins(
+            df, max_tokens=cap, n_shards=n_shards
+        ).collect()
+    }
+    per_shard: dict[int, list] = {}
+    for i, t, _l in docs:
+        sh = _hash32(str(i)) % n_shards
+        per_shard.setdefault(sh, []).append((len((t or "").split()), i))
+    want = {}
+    for sh, items in per_shard.items():
+        items.sort(key=lambda x: (-x[0], x[1]))
+        b, fill = -1, cap + 1
+        for n, i in items:
+            if fill + n <= cap:
+                fill += n
+            else:
+                b, fill = b + 1, n
+            want[i] = (sh, b, n, n > cap)
+    assert got == want
+    # invariants: fills of non-oversize bins bounded; contiguous bins
+    fills: dict[tuple, int] = {}
+    for i, (sh, b, n, ov) in got.items():
+        fills[(sh, b)] = fills.get((sh, b), 0) + n
+    for (sh, b), f in fills.items():
+        members_oversize = [ov for i, (s2, b2, n, ov) in got.items()
+                            if (s2, b2) == (sh, b) and ov]
+        assert f <= cap or members_oversize
+    for sh in {s for s, _b, _n, _o in got.values()}:
+        bins = sorted({b for s, b, _n, _o in got.values() if s == sh})
+        assert bins == list(range(len(bins)))
