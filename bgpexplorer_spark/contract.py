@@ -9277,3 +9277,52 @@ def pipe_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_bins(docs, max_tokens=96, n_shards=8)
+
+
+_VOCAB_DRIFT_ORACLE = f"""
+    WITH ta AS (SELECT unnest({_duck_tokens('lower(text)')}) AS term
+                FROM documents WHERE doc_id % 2 = 0),
+    tb AS (SELECT unnest({_duck_tokens('lower(text)')}) AS term
+           FROM documents WHERE doc_id % 2 = 1),
+    ca AS (SELECT term, count(*) AS count_a FROM ta GROUP BY term),
+    cb AS (SELECT term, count(*) AS count_b FROM tb GROUP BY term),
+    j AS (SELECT term, count_a, count_b FROM ca FULL OUTER JOIN cb USING (term)),
+    tot AS (SELECT sum(coalesce(count_a, 0)) AS sa,
+                   sum(coalesce(count_b, 0)) AS sb,
+                   count(*) AS v
+            FROM j),
+    scored AS (
+        SELECT term,
+               CAST(coalesce(count_a, 0) AS BIGINT) AS count_a,
+               CAST(coalesce(count_b, 0) AS BIGINT) AS count_b,
+               CAST(round(
+                   ((coalesce(count_a, 0) + 1) / (tot.sa + tot.v * 1.0))
+                   * ln(((coalesce(count_a, 0) + 1) / (tot.sa + tot.v * 1.0))
+                        / ((coalesce(count_b, 0) + 1) / (tot.sb + tot.v * 1.0)))
+                   * 1000000000) AS BIGINT) AS kl_contrib_e9
+        FROM j CROSS JOIN tot
+    )
+    SELECT term, count_a, count_b, kl_contrib_e9
+    FROM scored
+    ORDER BY abs(kl_contrib_e9) DESC, term LIMIT 20
+    """
+
+
+@q("pipe_vocab_drift", _VOCAB_DRIFT_ORACLE)
+def pipe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level vocabulary drift (operators/pipeline.vocab_drift)
+    between the even- and odd-id halves of the corpus: top-20 terms by
+    |add-one-smoothed KL contribution| — the monitoring report a
+    recurring ingest runs between yesterday's and today's corpus. The
+    per-term contribution is an exact 1e-9-grid integer, so the ranking
+    cannot flap on float summation order; the count join is
+    merge-pinned full-outer (vocabularies are corpus-grown — never
+    broadcast)."""
+    from bgpexplorer_spark.operators.pipeline import vocab_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        k=20,
+    )

@@ -967,3 +967,64 @@ def pack_bins(
         F.col("_a.n_tokens").alias("n_tokens"),
         (F.col("_a.n_tokens") > cap).alias("oversize"),
     )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 1,
+) -> DataFrame:
+    """Term-level distribution drift between two corpora (yesterday vs
+    today, source A vs source B): for every token, its add-one-smoothed
+    relative frequency in each side and the signed KL contribution
+    ``p_a · ln(p_a/p_b)`` — the terms that dominate the corpus-level KL
+    divergence, which is what a recurring 100 TB pipeline actually
+    monitors (a scalar KL says "something moved"; the top-k terms say
+    WHAT moved). Output: the ``k`` largest |contribution| terms,
+    ranked, with per-side counts and the 1e-9-grid contribution —
+    per-term values are exact integers, so the ranking (and the
+    contract hash) cannot flap on float summation order.
+
+    Scale shape: two token-count aggregates (map-side combinable) +
+    one merge-pinned full-outer join on the term key (vocabularies grow
+    with the corpus — never broadcast) + one TakeOrdered. The two
+    total/vocab scalars are the only driver values.
+    """
+    from bgpexplorer_spark.operators.text import tokens
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = counts(df_a, "count_a")
+    cb = counts(df_b, "count_b")
+    joined = ca.hint("merge").join(cb.hint("merge"), "term", "full_outer")
+    tot = joined.agg(
+        F.sum(F.coalesce("count_a", F.lit(0))).alias("ta"),
+        F.sum(F.coalesce("count_b", F.lit(0))).alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+    ).first()
+    den_a = float(tot["ta"] + tot["v"])
+    den_b = float(tot["tb"] + tot["v"])
+    pa = (F.coalesce("count_a", F.lit(0)) + 1) / F.lit(den_a)
+    pb = (F.coalesce("count_b", F.lit(0)) + 1) / F.lit(den_b)
+    contrib9 = F.round(pa * F.log(pa / pb) * 1e9).cast("bigint")
+    return (
+        joined.filter(
+            (F.coalesce("count_a", F.lit(0)) >= min_count)
+            | (F.coalesce("count_b", F.lit(0)) >= min_count)
+        )
+        .select(
+            "term",
+            F.coalesce("count_a", F.lit(0)).cast("bigint").alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).cast("bigint").alias("count_b"),
+            contrib9.alias("kl_contrib_e9"),
+        )
+        .orderBy(F.abs(F.col("kl_contrib_e9")).desc(), F.col("term"))
+        .limit(k)
+    )

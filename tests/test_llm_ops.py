@@ -2860,3 +2860,35 @@ def test_gemm_multi_equals_per_query_topk(spark):
         ).collect()
     }
     assert m1 == m2
+
+
+def test_vocab_drift_hand_computed(spark):
+    """vocab_drift on a constructed pair: a term present only in A
+    dominates positively, one only in B negatively; shared terms with
+    equal rates contribute ~0; counts and the exact integer grid
+    verified against a pure-Python model."""
+    import math
+
+    a = spark.createDataFrame(
+        [(0, "x x x shared shared"), (1, "x shared")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(2, "y y shared shared"), (3, "y shared")],
+        "doc_id long, text string",
+    )
+    from bgpexplorer_spark.operators.pipeline import vocab_drift
+
+    out = {r.term: (r.count_a, r.count_b, r.kl_contrib_e9)
+           for r in vocab_drift(a, b, k=10).collect()}
+    # A: x=4, shared=3 (tot 7); B: y=3, shared=3 (tot 6); vocab {x,y,shared}=3
+    def contrib(ca, cb):
+        pa = (ca + 1) / (7 + 3.0)
+        pb = (cb + 1) / (6 + 3.0)
+        return round(pa * math.log(pa / pb) * 1e9)
+
+    assert out["x"] == (4, 0, contrib(4, 0))
+    assert out["y"] == (0, 3, contrib(0, 3))
+    assert out["shared"] == (3, 3, contrib(3, 3))
+    assert out["x"][2] > 0 > out["y"][2]
+    assert abs(out["shared"][2]) < abs(out["x"][2])
