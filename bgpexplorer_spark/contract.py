@@ -9326,3 +9326,37 @@ def pipe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 1),
         k=20,
     )
+
+
+_VOCAB_COVERAGE_ORACLE = f"""
+    WITH toks AS (SELECT unnest({_duck_tokens('lower(text)')}) AS term
+                  FROM documents),
+    counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rn
+        FROM counts
+    ),
+    tot AS (SELECT sum(cnt) AS t FROM counts),
+    cuts AS (SELECT unnest([100, 1000, 10000]) AS top_n)
+    SELECT cuts.top_n,
+           CAST(sum(r.cnt) AS BIGINT) AS covered_tokens,
+           CAST(tot.t AS BIGINT) AS total_tokens,
+           round(sum(r.cnt) / (tot.t * 1.0), 6) AS coverage
+    FROM cuts
+    JOIN ranked r ON r.rn <= cuts.top_n
+    CROSS JOIN tot
+    GROUP BY cuts.top_n, tot.t
+    """
+
+
+@q("text_vocab_coverage", _VOCAB_COVERAGE_ORACLE)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (operators/text.vocab_coverage): corpus
+    token share covered by the top-{100,1000,10000} terms — one count
+    aggregate + TakeOrdered per cutoff, no full-vocabulary window. The
+    oracle ranks in SQL and must agree on counts, the deterministic
+    tie-break, and the rounded share."""
+    from bgpexplorer_spark.operators.text import vocab_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_coverage(docs, cutoffs=[100, 1000, 10000])

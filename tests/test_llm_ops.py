@@ -2892,3 +2892,20 @@ def test_vocab_drift_hand_computed(spark):
     assert out["shared"] == (3, 3, contrib(3, 3))
     assert out["x"][2] > 0 > out["y"][2]
     assert abs(out["shared"][2]) < abs(out["x"][2])
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """vocab_coverage with a tie exactly at the cutoff boundary: the
+    lexicographically smaller term wins the last slot in both the
+    operator and the model."""
+    # counts: a=4, b=3, c=3, d=1  (tie b/c at rank 2/3; cutoff 2 takes b)
+    docs = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a b c d"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.top_n: (r.covered_tokens, r.total_tokens, r.coverage)
+           for r in text.vocab_coverage(docs, cutoffs=[1, 2, 3, 100]).collect()}
+    assert out[1] == (4, 11, round(4 / 11, 6))
+    assert out[2] == (7, 11, round(7 / 11, 6))      # a + b (tie-break)
+    assert out[3] == (10, 11, round(10 / 11, 6))    # a + b + c
+    assert out[100] == (11, 11, 1.0)                # cutoff past vocab
