@@ -982,3 +982,50 @@ def test_r11_diagnostics_plan_shapes(spark):
     assert "Join" not in p
     p = _plan(similarity.pq_distortion(emb, m=4, codes=2, dim=64))
     assert "Join" not in p and "partial_count" in p
+
+
+def test_r11_second_wave_plan_shapes(spark):
+    """Scale discipline of the second-wave operators:
+
+    - bigram_nll: BOTH count joins merge-pinned SMJ (bigram vocabularies
+      grow with the corpus — the AQE-underestimate broadcast class), no
+      BroadcastHashJoin anywhere;
+    - vocab_drift: the full-outer vocabulary join is an SMJ, zero
+      broadcasts;
+    - cross_source_report: both id-attribute joins SMJ, zero broadcasts;
+    - pack_bins: exactly ONE exchange (the per-shard collect) feeding
+      the fold+explode — no join-back to re-attach token counts;
+    - vocab_coverage cutoffs are TakeOrdered, never a global window.
+    """
+    from bgpexplorer_spark.operators.dedup import cross_source_report
+    from bgpexplorer_spark.operators.pipeline import pack_bins, vocab_drift
+    from bgpexplorer_spark.operators.text import bigram_nll, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} z{i % 3}", f"s{i % 3}")
+         for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    p = _plan(bigram_nll(docs))
+    assert p.count("BroadcastHashJoin") == 0, p
+    assert p.count("SortMergeJoin") == 2, p
+
+    p = _plan(vocab_drift(docs.filter("doc_id % 2 = 0"),
+                          docs.filter("doc_id % 2 = 1")))
+    assert p.count("BroadcastHashJoin") == 0, p
+    assert "FullOuter" in p and "SortMergeJoin" in p, p
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.5), (2, 3, 0.9)], "id_a long, id_b long, jaccard double"
+    )
+    p = _plan(cross_source_report(pairs, docs))
+    assert p.count("BroadcastHashJoin") == 0, p
+    assert p.count("SortMergeJoin") == 2, p
+
+    p = _plan(pack_bins(docs, max_tokens=8, n_shards=4))
+    assert "Join" not in p, p
+    assert p.count("Exchange") == 1, p
+
+    p = _plan(vocab_coverage(docs, cutoffs=[2, 5]))
+    assert "Window" not in p, p
+    assert "TakeOrdered" in p, p
