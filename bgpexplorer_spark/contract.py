@@ -9360,3 +9360,77 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return vocab_coverage(docs, cutoffs=[100, 1000, 10000])
+
+
+def _ann_recall_sweep_sql(nprobes=(1, 2, 4)) -> str:
+    parts = []
+    for np_ in nprobes:
+        body = _ann_recall_sql(nprobe=np_).strip()
+        parts.append(
+            f"SELECT {np_} AS nprobe, qid, hits, k, recall FROM ({body})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q("sim_recall_sweep", _ann_recall_sweep_sql())
+def sim_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs nprobe ∈ {1,2,4} (operators/similarity.
+    ann_recall_sweep) — the tuning curve that sets the probe budget;
+    every sweep point independently oracle-verified."""
+    from bgpexplorer_spark.operators.similarity import (
+        ann_recall_sweep, ivf_assign, ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _eval_query_sample(emb, 6)
+    assigned = ivf_assign(emb, ivf_centroids(emb, 8)).persist()
+    return ann_recall_sweep(
+        emb, queries, k=10, nprobes=[1, 2, 4], n_centroids=8, assigned=assigned
+    )
+
+
+def _minhash_calibration_sql(k: int = 16, threshold: float = 0.35) -> str:
+    agree = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    step = 10_000 // k
+    return f"""
+    WITH {_lsh_pair_ctes(k=k)},
+    vp AS (
+        SELECT id_a, id_b, round(cnt / (na.n + nb.n - cnt), 4) AS jaccard
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE round(cnt / (na.n + nb.n - cnt), 4) >= {threshold}
+    ),
+    lab AS (
+        SELECT ({agree}) AS agree,
+               CAST(round(v.jaccard * 10000) AS BIGINT) AS j4
+        FROM vp v
+        JOIN sigs a ON a.doc_id = v.id_a
+        JOIN sigs b ON b.doc_id = v.id_b
+    )
+    SELECT CAST(agree AS INTEGER) AS agree,
+           round(agree / {float(k)}, 4) AS est_jaccard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(j4) / (count(*) * 10000.0), 4) AS mean_jaccard,
+           round(sum(abs(agree * {step} - j4)) / (count(*) * 10000.0), 4)
+               AS mean_abs_err
+    FROM lab GROUP BY agree
+    """
+
+
+@q("dedup_minhash_calibration", _minhash_calibration_sql())
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimate calibration (operators/dedup.minhash_calibration)
+    on the verified dedup_lsh_verified pair set: per signature-agreement
+    level, pair count, implied estimate, mean exact jaccard and mean
+    absolute error — all on the exact 1e-4 integer grid."""
+    from bgpexplorer_spark.operators.dedup import (
+        minhash_calibration, neardup_pairs,
+    )
+    from bgpexplorer_spark.sources.tables import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
+    return minhash_calibration(docs, pairs, "doc_id", k=16, n=3)

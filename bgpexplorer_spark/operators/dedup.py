@@ -1150,3 +1150,71 @@ def cross_source_report(
             ).alias("avg_jaccard"),
         )
     )
+
+
+def minhash_calibration(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 16, n: int = 3,
+) -> DataFrame:
+    """Calibration report for the MinHash ESTIMATE against exact
+    Jaccard, on verified near-dup pairs: group pairs by signature
+    agreement (how many of the k permutation mins coincide) and report
+    each level's pair count, the implied estimate (agree/k), the mean
+    exact jaccard, and the mean absolute estimation error. This is the
+    eval that says whether signature agreement can be TRUSTED as a
+    similarity proxy on this corpus (e.g. to skip exact verification
+    above an agreement level) — the est_jaccard decoration was removed
+    from the hot path precisely because it cost two corpus joins; this
+    operator is that decoration done once, as an offline diagnostic,
+    on the (output-sized) verified pair set only.
+
+    Both signature joins are merge-pinned (corpus-derived); all means
+    are exact integer arithmetic on the 1e-4 grid (with k | 10^4 the
+    estimate agree/k is itself exact on that grid), so engine float
+    order cannot diverge. Output per agreement level:
+    (agree, est_jaccard, n_pairs, mean_jaccard, mean_abs_err).
+    """
+    assert 10_000 % k == 0, "k must divide 1e4 for the exact-grid estimate"
+    sig = minhash_signatures(docs, id_col, text_col, k=k, n=n)
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("_sa")
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("_sb")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x.eqNullSafe(y)),
+            lambda v: v,
+        )
+    )
+    j4 = F.round(F.col("jaccard") * 10000).cast("bigint")
+    est4 = (agree.cast("bigint") * (10_000 // k))
+    labeled = (
+        pairs.join(sa.hint("merge"), "id_a")
+        .join(sb.hint("merge"), "id_b")
+        .select(
+            agree.cast("int").alias("agree"),
+            j4.alias("_j4"),
+            F.abs(est4 - j4).alias("_err4"),
+        )
+    )
+    return (
+        labeled.groupBy("agree")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("_j4").alias("_sj"),
+            F.sum("_err4").alias("_se"),
+        )
+        .select(
+            "agree",
+            F.round(F.col("agree") / F.lit(float(k)), 4).alias("est_jaccard"),
+            "n_pairs",
+            F.round(F.col("_sj") / (F.col("n_pairs") * 10000.0), 4).alias(
+                "mean_jaccard"
+            ),
+            F.round(F.col("_se") / (F.col("n_pairs") * 10000.0), 4).alias(
+                "mean_abs_err"
+            ),
+        )
+    )

@@ -1592,3 +1592,35 @@ def cosine_topk_gemm_multi(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def ann_recall_sweep(
+    df: DataFrame, queries: list[tuple[int, list[float]]], k: int = 10,
+    nprobes: list[int] = (1, 2, 4), n_centroids: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    assigned: DataFrame | None = None, use_gemm: bool = True,
+) -> DataFrame:
+    """THE index tuning curve: :func:`ann_recall` at every candidate
+    ``nprobe``, unioned with an ``nprobe`` column — recall@k vs probe
+    budget in one result, which is the whole decision input for setting
+    nprobe before a 100 TB deployment (each +1 probe costs a
+    proportional slice of the corpus scan; the curve says what it
+    buys). The exact side and the assignment are shared across sweep
+    points (same persisted ``assigned``, and with ``use_gemm`` the
+    ground truth is one GEMM corpus scan per sweep point's plan but
+    identical across them — Catalyst reuses nothing across unioned
+    actions, so pass a persisted ``assigned`` to keep the sweep
+    index-build-free). Output: (nprobe, qid, hits, k, recall).
+    """
+    from functools import reduce
+
+    parts = [
+        ann_recall(
+            df, queries, k, np_, n_centroids, id_col, vec_col, assigned,
+            use_gemm=use_gemm,
+        ).select(
+            F.lit(int(np_)).alias("nprobe"), "qid", "hits", "k", "recall"
+        )
+        for np_ in nprobes
+    ]
+    return reduce(DataFrame.unionByName, parts)

@@ -2909,3 +2909,69 @@ def test_vocab_coverage_hand_computed(spark):
     assert out[2] == (7, 11, round(7 / 11, 6))      # a + b (tie-break)
     assert out[3] == (10, 11, round(10 / 11, 6))    # a + b + c
     assert out[100] == (11, 11, 1.0)                # cutoff past vocab
+
+
+def test_recall_sweep_monotone_and_saturates(spark):
+    """ann_recall_sweep: recall is non-decreasing in nprobe for every
+    query (probing more cells can only add candidates), and at
+    nprobe = n_centroids the ANN side IS brute force — recall exactly
+    1.0 everywhere."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(size=(50, 64))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = [(i, [float(x) for x in vecs[i]]) for i in range(4)]
+    out = similarity.ann_recall_sweep(
+        emb, queries, k=8, nprobes=[1, 2, 4, 8], n_centroids=8
+    ).collect()
+    by_q: dict[int, dict[int, float]] = {}
+    for r in out:
+        by_q.setdefault(r.qid, {})[r.nprobe] = r.recall
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, curve in by_q.items():
+        seq = [curve[np_] for np_ in (1, 2, 4, 8)]
+        assert all(a <= b for a, b in zip(seq, seq[1:])), (qid, seq)
+        assert seq[-1] == 1.0, (qid, seq)
+    assert any(curve[1] < 1.0 for curve in by_q.values())
+
+
+def test_minhash_calibration_hand_computed(spark):
+    """minhash_calibration on controlled pairs: identical docs agree on
+    all 16 mins with zero error; unrelated docs sit at low agreement;
+    the report's integer-grid means match a Python recomputation."""
+    from bgpexplorer_spark.operators.dedup import (
+        minhash_calibration, minhash_signatures, ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (2, "alpha beta gamma delta epsilon zeta eta DIFFERENT"),
+        (3, "totally unrelated words nothing in common here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", n=3, threshold=0.01)
+    out = {r.agree: r for r in
+           minhash_calibration(docs, pairs, "doc_id", k=16, n=3).collect()}
+    sigs = {r.doc_id: list(r.minhash) for r in
+            minhash_signatures(docs, "doc_id", k=16, n=3).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    model: dict[int, list] = {}
+    for (a, b), j in jac.items():
+        ag = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        model.setdefault(ag, []).append(j)
+    assert set(out) == set(model)
+    assert (0, 1) in jac and jac[(0, 1)] == 1.0
+    assert out[16].mean_abs_err == 0.0 and out[16].mean_jaccard == 1.0
+    for ag, js in model.items():
+        r = out[ag]
+        sj = sum(round(j * 10000) for j in js)
+        se = sum(abs(ag * 625 - round(j * 10000)) for j in js)
+        assert r.n_pairs == len(js)
+        assert r.mean_jaccard == round(sj / (len(js) * 10000.0), 4)
+        assert r.mean_abs_err == round(se / (len(js) * 10000.0), 4)
+        assert r.est_jaccard == round(ag / 16.0, 4)
