@@ -9434,3 +9434,81 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
     return minhash_calibration(docs, pairs, "doc_id", k=16, n=3)
+
+
+def _embedding_drift_sql(n_centroids: int = 8) -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"(list_sum([{a}[i] * {b}[i] for i in range(1, 65)]) / "
+            f"(sqrt(list_sum([{a}[i] * {a}[i] for i in range(1, 65)])) * "
+            f"sqrt(list_sum([{b}[i] * {b}[i] for i in range(1, 65)]))))"
+        )
+
+    ma = "(sums_a[i] / (count_a * 1000000.0))"
+    mb = "(sums_b[i] / (count_b * 1000000.0))"
+    cos_means = (
+        f"(list_sum([{ma} * {mb} for i in range(1, 65)]) / "
+        f"(sqrt(list_sum([{ma} * {ma} for i in range(1, 65)])) * "
+        f"sqrt(list_sum([{mb} * {mb} for i in range(1, 65)]))))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings),
+    c AS (SELECT vec_id AS cid, a AS cvec FROM v WHERE vec_id < {n_centroids}),
+    assigned AS (
+        SELECT vec_id, cid, a FROM (
+            SELECT v.vec_id, c.cid, v.a,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {cos('a', 'cvec')} DESC, c.cid DESC) AS rk
+            FROM v CROSS JOIN c
+        ) WHERE rk = 1
+    ),
+    sides AS (SELECT vec_id, cid, a, vec_id % 2 = 0 AS is_a FROM assigned),
+    ss AS (SELECT unnest(range(1, 65)) AS i),
+    dims AS (
+        SELECT cid, is_a, i,
+               sum(CAST(round(a[i] * 1000000) AS BIGINT)) AS s,
+               count(*) AS n
+        FROM sides, ss GROUP BY cid, is_a, i
+    ),
+    cells AS (
+        SELECT cid, is_a, max(n) AS cnt, list(s ORDER BY i) AS sums
+        FROM dims GROUP BY cid, is_a
+    ),
+    a_side AS (SELECT cid, cnt AS count_a, sums AS sums_a FROM cells WHERE is_a),
+    b_side AS (SELECT cid, cnt AS count_b, sums AS sums_b
+               FROM cells WHERE NOT is_a),
+    j AS (SELECT cid, count_a, count_b, sums_a, sums_b
+          FROM a_side FULL OUTER JOIN b_side USING (cid)),
+    tot AS (SELECT sum(coalesce(count_a, 0)) AS ta,
+                   sum(coalesce(count_b, 0)) AS tb FROM j)
+    SELECT cid,
+           CAST(coalesce(count_a, 0) AS BIGINT) AS count_a,
+           CAST(coalesce(count_b, 0) AS BIGINT) AS count_b,
+           round(coalesce(count_a, 0) / (tot.ta * 1.0), 6) AS share_a,
+           round(coalesce(count_b, 0) / (tot.tb * 1.0), 6) AS share_b,
+           CASE WHEN count_a IS NOT NULL AND count_b IS NOT NULL
+                THEN round({cos_means}, 4) END AS centroid_cos
+    FROM j CROSS JOIN tot
+    """
+
+
+@q("sim_embedding_drift", _embedding_drift_sql())
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell embedding drift (operators/similarity.embedding_drift)
+    between the even- and odd-id halves, assigned to the shared 8-cell
+    codebook: occupancy counts/shares + the cosine between each cell's
+    two means — occupancy says a topic grew, the mean cosine says it
+    MOVED. Exact 1e-6 integer dimension sums; the oracle replays
+    assignment, sums, means and the fold."""
+    from bgpexplorer_spark.operators.similarity import (
+        embedding_drift, ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(emb, 8)
+    return embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        cents,
+    )

@@ -1624,3 +1624,75 @@ def ann_recall_sweep(
         for np_ in nprobes
     ]
     return reduce(DataFrame.unionByName, parts)
+
+
+def embedding_drift(
+    df_a: DataFrame, df_b: DataFrame, centroids: DataFrame,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift between two corpora (yesterday vs
+    today), reported PER QUANTIZER CELL — the embedding-side complement
+    of pipeline.vocab_drift: each side is assigned to the shared coarse
+    codebook (shuffle-free literal projection, ivf_assign), and per
+    cell the report gives both occupancy counts, both occupancy shares,
+    and the cosine between the two sides' cell MEANS (did the cell
+    move, not just grow). A cell whose share jumped is new topical
+    mass; a cell whose mean rotated is semantic drift inside a stable
+    topic — the two failure modes an embedding-space monitor watches.
+
+    Determinism: per-dimension sums are exact BIGINTs on the 1e-6 grid
+    (posexplode + combinable sums — the ivf_refine aggregation shape),
+    means divide those integers, and the cosine folds the two mean
+    arrays in index order — no float accumulation whose order an
+    engine could choose. Cells empty on a side emit NULL centroid_cos
+    (no mean to compare); shares are each side's own total. Output:
+    (cid, count_a, count_b, share_a, share_b, centroid_cos).
+    """
+
+    def cell_stats(d: DataFrame, suffix: str) -> DataFrame:
+        assigned = ivf_assign(d, centroids, id_col, vec_col, keep_vec=True)
+        e6 = F.transform(
+            F.col(vec_col), lambda v: F.round(v * 1000000).cast("bigint")
+        )
+        per_dim = (
+            assigned.select("cid", F.posexplode(e6).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        return (
+            per_dim.groupBy("cid")
+            .agg(
+                F.max("n").alias(f"count_{suffix}"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda st: st["s"],
+                ).alias(f"_sums_{suffix}"),
+            )
+        )
+
+    a = cell_stats(df_a, "a")
+    b = cell_stats(df_b, "b")
+    joined = a.hint("merge").join(b.hint("merge"), "cid", "full_outer")
+    tot = joined.agg(
+        F.sum(F.coalesce("count_a", F.lit(0))).alias("ta"),
+        F.sum(F.coalesce("count_b", F.lit(0))).alias("tb"),
+    ).first()
+    mean = lambda sums, n: F.transform(  # noqa: E731
+        sums, lambda s: s / (F.col(n) * 1000000.0)
+    )
+    ma, mb = mean(F.col("_sums_a"), "count_a"), mean(F.col("_sums_b"), "count_b")
+    return joined.select(
+        "cid",
+        F.coalesce("count_a", F.lit(0)).cast("bigint").alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).cast("bigint").alias("count_b"),
+        F.round(F.coalesce("count_a", F.lit(0)) / F.lit(float(tot["ta"] or 1)), 6).alias(
+            "share_a"
+        ),
+        F.round(F.coalesce("count_b", F.lit(0)) / F.lit(float(tot["tb"] or 1)), 6).alias(
+            "share_b"
+        ),
+        F.when(
+            F.col("count_a").isNotNull() & F.col("count_b").isNotNull(),
+            F.round(cosine(ma, mb), 4),
+        ).alias("centroid_cos"),
+    )

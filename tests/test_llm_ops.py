@@ -2975,3 +2975,41 @@ def test_minhash_calibration_hand_computed(spark):
         assert r.mean_jaccard == round(sj / (len(js) * 10000.0), 4)
         assert r.mean_abs_err == round(se / (len(js) * 10000.0), 4)
         assert r.est_jaccard == round(ag / 16.0, 4)
+
+
+def test_embedding_drift_hand_computed(spark):
+    """embedding_drift with two constructed clusters: counts/shares per
+    cell; identical cell means give centroid_cos 1.0; a rotated B-side
+    cell mean gives cos < 1; a cell empty on one side emits NULL."""
+    import numpy as np
+
+    def vec(axis, eps=0.0, axis2=1):
+        v = np.zeros(64)
+        v[axis] = 1.0
+        v[axis2] += eps
+        return [float(x) for x in v]
+
+    # centroids: ids 0 (axis 0) and 1 (axis 1)
+    cents_rows = [(0, vec(0)), (1, vec(1))]
+    a_rows = cents_rows + [(2, vec(0)), (3, vec(1, 0.0, 2))]
+    b_rows = [(10, vec(0)), (11, vec(0)), (12, vec(1, 0.4, 2)), (13, vec(1, 0.4, 2))]
+    emb_a = spark.createDataFrame(a_rows, "vec_id long, embedding array<double>")
+    emb_b = spark.createDataFrame(b_rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_centroids(emb_a, 2)
+    out = {r.cid: r for r in
+           similarity.embedding_drift(emb_a, emb_b, cents).collect()}
+    assert out[0].count_a == 2 and out[0].count_b == 2
+    assert out[1].count_a == 2 and out[1].count_b == 2
+    assert out[0].share_a == 0.5 and out[0].share_b == 0.5
+    # cell 0: identical means on both sides -> cosine exactly 1
+    assert out[0].centroid_cos == 1.0
+    # cell 1: B mean rotated toward axis 2 -> strictly below 1
+    assert out[1].centroid_cos < 1.0
+
+    # a side-empty cell: only A occupies axis-1 cell
+    b_only0 = spark.createDataFrame(
+        [(20, vec(0))], "vec_id long, embedding array<double>"
+    )
+    out2 = {r.cid: r for r in
+            similarity.embedding_drift(emb_a, b_only0, cents).collect()}
+    assert out2[1].count_b == 0 and out2[1].centroid_cos is None
