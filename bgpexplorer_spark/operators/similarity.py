@@ -1600,29 +1600,63 @@ def ann_recall_sweep(
     id_col: str = "vec_id", vec_col: str = "embedding",
     assigned: DataFrame | None = None, use_gemm: bool = True,
 ) -> DataFrame:
-    """THE index tuning curve: :func:`ann_recall` at every candidate
-    ``nprobe``, unioned with an ``nprobe`` column — recall@k vs probe
-    budget in one result, which is the whole decision input for setting
-    nprobe before a 100 TB deployment (each +1 probe costs a
-    proportional slice of the corpus scan; the curve says what it
-    buys). The exact side and the assignment are shared across sweep
-    points (same persisted ``assigned``, and with ``use_gemm`` the
-    ground truth is one GEMM corpus scan per sweep point's plan but
-    identical across them — Catalyst reuses nothing across unioned
-    actions, so pass a persisted ``assigned`` to keep the sweep
-    index-build-free). Output: (nprobe, qid, hits, k, recall).
+    """THE index tuning curve: recall@k at every candidate ``nprobe``,
+    with an ``nprobe`` column — recall vs probe budget in one result,
+    the whole decision input for setting nprobe before a 100 TB
+    deployment (each +1 probe costs a proportional slice of the corpus
+    scan; the curve says what it buys). The exact ground truth is
+    computed ONCE — one GEMM corpus scan (``use_gemm``, default) or
+    one TakeOrdered union — cached, and joined against every sweep
+    point's ANN side; only the probed-list retrievals repeat, which is
+    the part the sweep is ABOUT. Pass a persisted ``assigned`` to keep
+    the sweep index-build-free. Output: (nprobe, qid, hits, k, recall).
     """
     from functools import reduce
 
-    parts = [
-        ann_recall(
-            df, queries, k, np_, n_centroids, id_col, vec_col, assigned,
-            use_gemm=use_gemm,
-        ).select(
-            F.lit(int(np_)).alias("nprobe"), "qid", "hits", "k", "recall"
+    if use_gemm:
+        exact = cosine_topk_gemm_multi(df, queries, k, id_col, vec_col).select(
+            "qid", F.col(id_col)
         )
-        for np_ in nprobes
-    ]
+    else:
+        exact = _union_tagged_topk(
+            [
+                cosine_topk(df, qv, k, id_col, vec_col).select(
+                    F.lit(int(qid)).cast("bigint").alias("qid"), F.col(id_col)
+                )
+                for qid, qv in queries
+            ]
+        )
+    # the ground truth is identical across sweep points: compute once,
+    # cache (queries x k rows), reuse under every nprobe's overlap join
+    exact = exact.cache()
+    parts = []
+    for np_ in nprobes:
+        ann = _union_tagged_topk(
+            [
+                ivf_topk(
+                    df, qv, k, np_, n_centroids, id_col, vec_col, assigned
+                ).select(
+                    F.lit(int(qid)).cast("bigint").alias("qid"), F.col(id_col)
+                )
+                for qid, qv in queries
+            ]
+        ).withColumn("_hit", F.lit(1))
+        parts.append(
+            exact.join(ann, ["qid", id_col], "left")
+            .groupBy("qid")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("hits")
+            )
+            .select(
+                F.lit(int(np_)).alias("nprobe"),
+                "qid",
+                "hits",
+                F.lit(k).alias("k"),
+                F.round(F.col("hits") / F.lit(k), 4).alias("recall"),
+            )
+        )
     return reduce(DataFrame.unionByName, parts)
 
 

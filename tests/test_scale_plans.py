@@ -993,8 +993,8 @@ def test_r11_second_wave_plan_shapes(spark):
     - vocab_drift: the full-outer vocabulary join is an SMJ, zero
       broadcasts;
     - cross_source_report: both id-attribute joins SMJ, zero broadcasts;
-    - pack_bins: exactly ONE exchange (the per-shard collect) feeding
-      the fold+explode — no join-back to re-attach token counts;
+    - pack_bins: exactly ONE exchange (the per-shard grouping) feeding
+      the Arrow fill pass — no joins anywhere;
     - vocab_coverage cutoffs are TakeOrdered, never a global window.
     """
     from bgpexplorer_spark.operators.dedup import cross_source_report
