@@ -9512,3 +9512,54 @@ def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 1),
         cents,
     )
+
+
+_BIGRAM_XCORPUS_ORACLE = f"""
+    WITH tr AS (SELECT doc_id, {_duck_tokens('lower(text)')} AS l
+                FROM documents WHERE doc_id % 2 = 0),
+    sc AS (SELECT doc_id, {_duck_tokens('lower(text)')} AS l
+           FROM documents WHERE doc_id % 2 = 1),
+    tr2 AS (SELECT doc_id, l FROM tr WHERE len(l) >= 2),
+    tbi AS (
+        SELECT l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tr2)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c12 FROM tbi GROUP BY w1, w2),
+    uc AS (SELECT w1, count(*) AS c1 FROM tbi GROUP BY w1),
+    voc AS (SELECT count(DISTINCT w) AS v
+            FROM (SELECT unnest(l) AS w FROM tr)),
+    sc2 AS (SELECT doc_id, l FROM sc WHERE len(l) >= 2),
+    sbi AS (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT doc_id, l, unnest(range(1, len(l))) AS i FROM sc2)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln((coalesce(c.c12, 0) + 1)
+                             / (coalesce(u.c1, 0) + voc.v * 1.0))
+                          * 1000000) AS BIGINT) AS lp6
+        FROM sbi b
+        LEFT JOIN bc c USING (w1, w2)
+        LEFT JOIN uc u USING (w1)
+        CROSS JOIN voc
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-sum(lp6) / (count(*) * 1000000.0), 4) AS nll
+    FROM scored GROUP BY doc_id
+    """
+
+
+@q("text_bigram_nll_xcorpus", _BIGRAM_XCORPUS_ORACLE)
+def text_bigram_nll_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus bigram scoring (operators/text.bigram_nll with
+    ``train=``): the odd-id half scored against statistics trained on
+    the even-id half — the decontamination/reference-LM use, exercising
+    the unseen-bigram add-one floor and the null-count coalesces
+    through the oracle (self-scoring never hits them)."""
+    from bgpexplorer_spark.operators.text import bigram_nll
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_nll(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        train=docs.filter(F.col("doc_id") % 2 == 0),
+    )

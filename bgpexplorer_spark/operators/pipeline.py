@@ -1021,3 +1021,38 @@ def vocab_drift(
         .orderBy(F.abs(F.col("kl_contrib_e9")).desc(), F.col("term"))
         .limit(k)
     )
+
+
+def write_curated(
+    docs: DataFrame,
+    path: str,
+    pairs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    val_pct: int = 10,
+) -> None:
+    """Materialize the curated corpus AT REST — the write the whole
+    pipeline exists for: every document labeled with its leakage-free
+    split (:func:`leakage_split` over the verified near-dup ``pairs``)
+    and its packing position (:func:`pack_bins` — shard, bin,
+    oversize), written as parquet partitioned BY (split, shard) so a
+    trainer reads ``split=train/shard=K`` as one file set via pure
+    partition pruning (no row filter ever touches val data), and rows
+    within each shard file are sorted by (bin, id) — the exact order
+    the packer will emit context windows in, so the tokenizer streams
+    sequentially. Mirrors the BGP snapshot writer's discipline
+    (rib.write_snapshot): layout IS the index.
+    """
+    split = leakage_split(docs, pairs, id_col, val_pct=val_pct)
+    packed = pack_bins(
+        docs, max_tokens, id_col, text_col, n_shards=n_shards
+    )
+    out = (
+        docs.join(split.hint("merge"), id_col)
+        .join(packed.hint("merge"), id_col)
+        .repartition("split", "shard")
+        .sortWithinPartitions("bin", id_col)
+    )
+    out.write.mode("overwrite").partitionBy("split", "shard").parquet(path)

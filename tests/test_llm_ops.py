@@ -3013,3 +3013,52 @@ def test_embedding_drift_hand_computed(spark):
     out2 = {r.cid: r for r in
             similarity.embedding_drift(emb_a, b_only0, cents).collect()}
     assert out2[1].count_b == 0 and out2[1].centroid_cos is None
+
+
+def test_write_curated_layout_and_pruning(spark, tmp_path):
+    """write_curated materializes the (split, shard) partition layout,
+    read-back of split='val' is PARTITION pruning (no val rows ever
+    scanned for a train read), every doc appears exactly once with its
+    leakage_split/pack_bins labels, and rows within a shard file are
+    bin-ordered."""
+    import os
+
+    from bgpexplorer_spark.operators.pipeline import (
+        leakage_split, pack_bins, write_curated,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + i % 10))) for i in range(120)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.9), (2, 3, 0.8)], "id_a long, id_b long, jaccard double"
+    )
+    path = str(tmp_path / "curated")
+    write_curated(docs, path, pairs, max_tokens=12, n_shards=4, val_pct=25)
+
+    # layout: split=.../shard=... directories
+    top = sorted(d for d in os.listdir(path) if d.startswith("split="))
+    assert top and set(top) <= {"split=train", "split=val"}
+    assert any(
+        d.startswith("shard=") for d in os.listdir(os.path.join(path, top[0]))
+    )
+
+    back = spark.read.parquet(path)
+    assert back.count() == 120
+    want_split = {r.doc_id: r.split
+                  for r in leakage_split(docs, pairs, val_pct=25).collect()}
+    want_pack = {r.doc_id: (r.shard, r.bin)
+                 for r in pack_bins(docs, 12, n_shards=4).collect()}
+    got = {r.doc_id: (r.split, r.shard, r.bin) for r in back.collect()}
+    assert {i: s for i, (s, _sh, _b) in got.items()} == want_split
+    assert {i: (sh, b) for i, (_s, sh, b) in got.items()} == want_pack
+
+    # partition pruning: the split filter must reach PartitionFilters
+    plan = (
+        back.filter(F.col("split") == "val")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "split" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
