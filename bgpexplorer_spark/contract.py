@@ -9210,8 +9210,11 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast), exact integer-scaled log sum so engine summation order
     cannot diverge."""
     from bgpexplorer_spark.operators.text import bigram_nll
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the CPU-dense per-row bigram build otherwise runs on the
+    # few input splits of a small parquet (measured sf10: 31.9 -> 7.8 s)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return bigram_nll(docs)
 
 
@@ -9319,8 +9322,9 @@ def pipe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-pinned full-outer (vocabularies are corpus-grown — never
     broadcast)."""
     from bgpexplorer_spark.operators.pipeline import vocab_drift
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return vocab_drift(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
@@ -9357,8 +9361,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle ranks in SQL and must agree on counts, the deterministic
     tie-break, and the rounded share."""
     from bgpexplorer_spark.operators.text import vocab_coverage
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return vocab_coverage(docs, cutoffs=[100, 1000, 10000])
 
 
@@ -9557,8 +9562,9 @@ def text_bigram_nll_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unseen-bigram add-one floor and the null-count coalesces
     through the oracle (self-scoring never hits them)."""
     from bgpexplorer_spark.operators.text import bigram_nll
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return bigram_nll(
         docs.filter(F.col("doc_id") % 2 == 1),
         train=docs.filter(F.col("doc_id") % 2 == 0),
