@@ -1467,7 +1467,8 @@ _COSINE_TOPK_ORACLE = """
     SELECT e.vec_id,
            round(list_sum([a[i] * qv[i] for i in range(1, 65)]) /
                  (sqrt(list_sum([a[i] * a[i] for i in range(1, 65)])) *
-                  sqrt(list_sum([qv[i] * qv[i] for i in range(1, 65)]))), 4) AS cos_sim
+                  sqrt(list_sum([qv[i] * qv[i] for i in range(1, 65)]))), 4)
+               + 0.0 AS cos_sim
     FROM (SELECT vec_id, embedding::DOUBLE[] AS a FROM embeddings) e
     CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
     ORDER BY cos_sim DESC, vec_id LIMIT 10
@@ -2778,7 +2779,7 @@ def _ivf_sql(k: int = 10, nprobe: int = 2, n_centroids: int = 8) -> str:
             FROM v CROSS JOIN c
         ) WHERE rk = 1
     )
-    SELECT v.vec_id, round({cos('a', 'q')}, 4) AS cos_sim
+    SELECT v.vec_id, round({cos('a', 'q')}, 4) + 0.0 AS cos_sim
     FROM v JOIN assigned USING (vec_id), qv
     WHERE assigned.cid IN (SELECT cid FROM probes)
     ORDER BY cos_sim DESC, vec_id LIMIT {k}
@@ -6775,7 +6776,7 @@ def _classifier_sql() -> str:
     toks = _duck_tokens("lower(text)")
     return f"""
     SELECT doc_id,
-           round(margin, 4) AS margin,
+           round(margin, 4) + 0.0 AS margin,
            margin > 0 AS keep
     FROM (
         SELECT doc_id,
@@ -6805,7 +6806,7 @@ def pipe_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
-        F.round(margin, 4).alias("margin"),
+        (F.round(margin, 4) + F.lit(0.0)).alias("margin"),
         (margin > 0).alias("keep"),
     )
 
@@ -7189,7 +7190,7 @@ def _knn_graph_sql(k: int = 5, n_planes: int = 6) -> str:
                                      for i in range(0, 64)]))
                       * sqrt(list_sum([vb.a[i+1] * vb.a[i+1]
                                        for i in range(0, 64)]))),
-                   4) AS cos_sim
+                   4) + 0.0 AS cos_sim
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
         JOIN v va ON va.vec_id = x.vec_id
         JOIN v vb ON vb.vec_id = y.vec_id
@@ -7232,7 +7233,7 @@ def _knn_capped_sql(k: int = 5, n_planes: int = 6, max_bucket: int = 20) -> str:
                                      for i in range(0, 64)]))
                       * sqrt(list_sum([vb.a[i+1] * vb.a[i+1]
                                        for i in range(0, 64)]))),
-                   4) AS cos_sim
+                   4) + 0.0 AS cos_sim
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id <> y.vec_id
         JOIN v va ON va.vec_id = x.vec_id
         JOIN v vb ON vb.vec_id = y.vec_id
@@ -7546,7 +7547,7 @@ def _proto_prune_sql(keep_frac: float = 0.5, n_centroids: int = 8) -> str:
     ),
     scored AS (
         SELECT v.vec_id, assigned.cid,
-               round({cos('a', 'cvec')}, 4) AS proto_score
+               round({cos('a', 'cvec')}, 4) + 0.0 AS proto_score
         FROM v JOIN assigned USING (vec_id)
         JOIN c ON c.cid = assigned.cid
     ),
@@ -8081,7 +8082,7 @@ def an_top_flappers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT a AS qa FROM e WHERE vec_id = 0)
     SELECT vec_id,
            round(list_sum([a[i] * qa[i] for i in range(1, 65)]), 4)
-               AS inner_product
+               + 0.0 AS inner_product
     FROM e, q
     ORDER BY inner_product DESC, vec_id LIMIT 10
     """,
@@ -8669,7 +8670,7 @@ def _rp_project_sql(k: int = 16, dim: int = 64) -> str:
            round(list_sum([ a[i+1] * (CASE WHEN
                  ((i + 64*j) * 2654435761 % 97 - 48) >= 0
                  THEN 1.0 ELSE -1.0 END) for i in range(0, {dim}) ])
-                 * {inv}, 4) AS comp
+                 * {inv}, 4) + 0.0 AS comp
     FROM v, js
     """
 
@@ -9493,7 +9494,7 @@ def _embedding_drift_sql(n_centroids: int = 8) -> str:
            round(coalesce(count_a, 0) / (tot.ta * 1.0), 6) AS share_a,
            round(coalesce(count_b, 0) / (tot.tb * 1.0), 6) AS share_b,
            CASE WHEN count_a IS NOT NULL AND count_b IS NOT NULL
-                THEN round({cos_means}, 4) END AS centroid_cos
+                THEN round({cos_means}, 4) + 0.0 END AS centroid_cos
     FROM j CROSS JOIN tot
     """
 

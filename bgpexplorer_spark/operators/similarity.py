@@ -22,6 +22,19 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
+def _z0(c: Column) -> Column:
+    """Normalize the IEEE signed zero after rounding: ``x + 0.0`` maps
+    -0.0 to +0.0 and changes nothing else (NULL stays NULL). DuckDB's
+    round() keeps the sign of a tiny negative (-0.00004 -> -0.0) while
+    Spark's BigDecimal HALF_UP emits +0.0 — EQUAL values whose
+    different bit patterns hash differently in the driver's Arrow
+    comparator. Found by the zipf alternate-fixture selfcheck sweep
+    (sim_rp_project, 2 of 3200 components); applied to every EMITTED
+    rounded column that can land in (-5e-5, 0], with the matching
+    ``+ 0.0`` in the oracles. Internal-only rounds (rank windows,
+    integer grids) are unaffected: -0.0 orders and casts like 0.0."""
+    return c + F.lit(0.0)
+
 def cosine_topk(
     df: DataFrame, query_vec: list[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -32,7 +45,7 @@ def cosine_topk(
     return (
         df.select(
             F.col(id_col),
-            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos_sim"),
+            _z0(F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -90,7 +103,7 @@ def cosine_topk_gemm(
     return (
         df.select(id_col, vec_col)
         .mapInPandas(batches, f"{id_col} long, cos_sim double")
-        .select(id_col, F.round("cos_sim", 4).alias("cos_sim"))
+        .select(id_col, _z0(F.round("cos_sim", 4)).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -319,10 +332,12 @@ def knn_graph(
         .select(
             F.col(f"a.{id_col}").alias("src"),
             F.col(f"b.{id_col}").alias("dst"),
-            F.round(
-                dot(F.col("a._v"), F.col("b._v"))
-                / (F.col("a._n") * F.col("b._n")),
-                4,
+            _z0(
+                F.round(
+                    dot(F.col("a._v"), F.col("b._v"))
+                    / (F.col("a._n") * F.col("b._n")),
+                    4,
+                )
             ).alias("cos_sim"),
         )
     )
@@ -979,7 +994,7 @@ def prototype_prune(
     """
     a = ivf_assign(df, centroids, id_col, vec_col, keep_score=True)
     s = a.select(
-        F.col(id_col), "cid", F.round("proto_score", 4).alias("proto_score")
+        F.col(id_col), "cid", _z0(F.round("proto_score", 4)).alias("proto_score")
     )
     order = F.col("proto_score").asc() if hard_first else F.col("proto_score").desc()
     w = Window.partitionBy("cid").orderBy(order, F.col(id_col))
@@ -1013,7 +1028,7 @@ def mips_topk(
     return (
         df.select(
             F.col(id_col),
-            F.round(dot(F.col(vec_col).cast("array<double>"), q), 4).alias(
+            _z0(F.round(dot(F.col(vec_col).cast("array<double>"), q), 4)).alias(
                 "inner_product"
             ),
         )
@@ -1318,7 +1333,7 @@ def rp_project(
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        comps.append(F.round(proj * inv, 4))
+        comps.append(_z0(F.round(proj * inv, 4)))
     return df.select(F.col(id_col), F.array(*comps).alias(out_col))
 
 
@@ -1587,7 +1602,7 @@ def cosine_topk_gemm_multi(
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col))
     return (
-        cand.select("qid", id_col, F.round("cos_sim", 4).alias("cos_sim"))
+        cand.select("qid", id_col, _z0(F.round("cos_sim", 4)).alias("cos_sim"))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
@@ -1727,6 +1742,6 @@ def embedding_drift(
         ),
         F.when(
             F.col("count_a").isNotNull() & F.col("count_b").isNotNull(),
-            F.round(cosine(ma, mb), 4),
+            _z0(F.round(cosine(ma, mb), 4)),
         ).alias("centroid_cos"),
     )
