@@ -1051,15 +1051,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import simhash_candidate_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return simhash_candidate_pairs(docs, "doc_id", max_hamming=3, bits=32)
 
 @q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprint (operators/dedup.simhash32)."""
     from bgpexplorer_spark.operators.dedup import simhash32
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the token explode + md5 + 32 conditional sums are the
+    # CPU-dense stage; serial on the 1-split local parquet
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id", min_bytes=4 << 20)
     return simhash32(docs, "doc_id")
 
 def _duck_hash60(col: str) -> str:
@@ -1129,7 +1132,7 @@ def dedup_simhash60_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import simhash60_candidate_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return simhash60_candidate_pairs(docs, "doc_id", max_hamming=3)
 
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:
@@ -1169,7 +1172,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # shingle explode + md5 + 16 min-aggs is CPU-dense: fan the scan out
     # to all cores when the local file arrives as one unsplittable split
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     sig = minhash_signatures(docs, "doc_id", k=16, n=3)
     return lsh_buckets(sig, "doc_id", bands=4, k=16)
 
@@ -1280,7 +1283,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import neardup_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
 
 def _lsh_capped_sql(threshold: float = 0.35, max_bucket: int = 2) -> str:
@@ -1309,7 +1312,7 @@ def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import neardup_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return neardup_pairs(
         docs, "doc_id", n=3, threshold=0.35, k=16, bands=4, max_bucket=2
     )
@@ -1375,7 +1378,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import dedup_index, incremental_dedup
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     idx = dedup_index(corpus, "doc_id", k=16, n=3, bands=4)
@@ -1447,7 +1450,7 @@ def _dedup_components_impl(spark: SparkSession, sf_dir: str, star: bool) -> Data
     from bgpexplorer_spark.sources.tables import fan_out
 
     cc = connected_components_star if star else connected_components
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.5, k=16, bands=4)
     comp = cc(pairs).withColumnRenamed("node", "doc_id")
     # the serving join reads the plain table — fan_out's round-robin
@@ -3616,7 +3619,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     sh = shingle_df(docs, "doc_id", "text", 3).persist()
     cand = minhash_candidate_ids(docs, "doc_id", k=16, n=3, bands=4, shingles=sh)
     return ngram_containment_pairs(
@@ -4473,7 +4476,7 @@ def _dsir_sql(n_buckets: int = 256) -> str:
     SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
            round(sum(ln((coalesce(tc.tcnt, 0) + 1.0) / td.tden)
                      - ln((coalesce(rc.rcnt, 0) + 1.0) / rd.rden)), 4)
-               AS log_weight
+               + 0.0 AS log_weight
     FROM rb LEFT JOIN tc ON tc.b = rb.b
             LEFT JOIN rc ON rc.b = rb.b, td, rd
     GROUP BY rb.doc_id
@@ -4493,7 +4496,7 @@ def pipe_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-gram md5 hashing is CPU-dense: fan the unsplittable local
     # parquet out so the explode runs on every core (no-op on a cluster)
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))
 
 def _gumbel_sql(k: int = 50) -> str:
@@ -4520,7 +4523,7 @@ def pipe_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     w = dsir_weights(docs, docs.filter(F.col("doc_id") % 10 == 0))
     return gumbel_topk_resample(w.drop("n_grams"), k=50)
 
@@ -4566,7 +4569,7 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import duplicate_span_stats
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return duplicate_span_stats(docs, k=8)
 
 # Multimodal — REAL ISO-BMFF (MP4) metadata decode (operators/mp4.py):
@@ -5073,7 +5076,7 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import vocab_stats
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return vocab_stats(docs, k=50)
 
 # Quality-bucket mix report over the charlm score: the charlm CTEs give
@@ -5178,7 +5181,7 @@ def pipe_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import tokens
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     ev = (
         docs.filter(F.col("doc_id") % 25 == 0)
         .select(
@@ -5764,7 +5767,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = neardup_pairs(
-        fan_out(docs, spark), "doc_id", n=3, threshold=0.5, k=16, bands=4
+        fan_out(docs, spark, key="doc_id"), "doc_id", n=3, threshold=0.5, k=16, bands=4
     )
     comp = connected_components(pairs)
     allc = (
@@ -5853,8 +5856,11 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-keyed shuffle — no corpus-sized dl join), broadcast df/avgdl,
     TakeOrdered top-10."""
     from bgpexplorer_spark.operators.text import bm25_topk
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the map-side term filter + tf scoring tokenize every doc
+    # — the serial stage on a 1-split local parquet
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id", min_bytes=4 << 20)
     return bm25_topk(docs, ["spark", "window", "hash"], k=10)
 
 
@@ -5944,10 +5950,13 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, per-query literal distance LUT, top-10 by approximate L2
     vs the vec_id=0 query."""
     from bgpexplorer_spark.operators.similarity import pq_topk
+    from bgpexplorer_spark.sources.tables import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return pq_topk(emb, qv, k=10, m=4, codes=8, dim=64)
+    # fan_out: the timed region re-encodes (argmin HOF per subvector) —
+    # serial on the 1-split local scan, embarrassingly parallel fanned
+    return pq_topk(fan_out(emb, spark, key="vec_id", min_bytes=512 << 10), qv, k=10, m=4, codes=8, dim=64)
 
 
 @q(
@@ -6537,7 +6546,7 @@ def pipe_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.pipeline import decontaminate_fuzzy
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     ev = docs.filter(F.col("doc_id") % 11 == 0)
     corpus = docs.filter(F.col("doc_id") % 11 != 0)
     return decontaminate_fuzzy(corpus, ev, k=16, n=3, bands=4)
@@ -7480,9 +7489,11 @@ def pipe_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact sample membership is the verified contract."""
     from bgpexplorer_spark.operators.pipeline import cluster_sample
     from bgpexplorer_spark.operators.similarity import ivf_centroids
+    from bgpexplorer_spark.sources.tables import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cluster_sample(emb, ivf_centroids(emb, 8), n_per_cluster=10)
+    # fan_out the assignment side (see sim_cluster_purity)
+    return cluster_sample(fan_out(emb, spark, key="vec_id", min_bytes=4 << 20), ivf_centroids(emb, 8), n_per_cluster=10)
 
 
 _NOVELTY_SQL = f"""
@@ -7521,7 +7532,7 @@ def dedup_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import novelty_scores
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return novelty_scores(docs, "doc_id", n=3)
 
 
@@ -7900,7 +7911,7 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import dedup_sweep, neardup_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     pairs = neardup_pairs(
         docs, "doc_id", n=3, threshold=min(_SWEEP_THRESHOLDS), k=16, bands=4
     )
@@ -8430,8 +8441,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays the identical leftmost-best-pair loop as a
     DuckDB recursive CTE."""
     from bgpexplorer_spark.operators.text import bpe_encode
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the corpus-side tokenization/explode is the serial stage
+    # on a 1-split local parquet (cpu/wall ~1.0 measured at sf1)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id", min_bytes=4 << 20)
     out = bpe_encode(docs, BPE_MERGES)
     return out.select(
         "doc_id",
@@ -8499,8 +8513,11 @@ def text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-keyed aggregate; the ratio is exact integer half-up flooring
     on the 1e-4 grid."""
     from bgpexplorer_spark.operators.text import bpe_fertility
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the corpus-side regex pre-tokenization is the serial
+    # stage on a 1-split local parquet (cpu/wall ~1.0 measured at sf1)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id", min_bytes=4 << 20)
     return bpe_fertility(docs, BPE_MERGES, group_col="lang")
 
 
@@ -8614,9 +8631,12 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lowest label; the oracle replays the assignment tiebreak
     (highest cid) and both windows."""
     from bgpexplorer_spark.operators.similarity import cluster_purity, ivf_centroids
+    from bgpexplorer_spark.sources.tables import fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cluster_purity(emb, ivf_centroids(emb, 8))
+    # fan_out the ASSIGNMENT side only (8 literal cosines per row, the
+    # CPU-dense stage); the centroid collect stays on the pruned scan
+    return cluster_purity(fan_out(emb, spark, key="vec_id", min_bytes=4 << 20), ivf_centroids(emb, 8))
 
 
 _PQ_DISTORTION_SQL = """
@@ -8689,8 +8709,12 @@ def sim_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (all intermediates < 2^53) and the √k-normalized
     rounded components exactly."""
     from bgpexplorer_spark.operators.similarity import rp_project
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the 16 per-component zip_with folds are CPU-dense per-row
+    # HOFs that otherwise run on the 1-split local parquet (measured sf1:
+    # exec_run_ms == wall — fully serial); no-op on a many-split cluster
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"), spark, key="vec_id", min_bytes=4 << 20)
     return rp_project(emb, k=16, dim=64).select(
         "vec_id", F.posexplode("proj").alias("j", "comp")
     )
@@ -8732,7 +8756,7 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import lexical_diversity
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return lexical_diversity(docs)
 
 
@@ -8840,7 +8864,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.5, k=16, bands=4)
     comp = connected_components(pairs)
     plain = load_table(spark, sf_dir, "documents")
@@ -8893,7 +8917,7 @@ def pipe_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import span_corruption
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return span_corruption(docs)
 
 
@@ -8943,7 +8967,7 @@ def pipe_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import fim_split
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return fim_split(docs)
 
 
@@ -9125,7 +9149,7 @@ def pipe_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.pipeline import leakage_split
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.5, k=16, bands=4)
     plain = load_table(spark, sf_dir, "documents")
     return leakage_split(plain, pairs, "doc_id", val_pct=10, salt="split")
@@ -9168,7 +9192,7 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.dedup import cross_source_report, neardup_pairs
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
     return cross_source_report(
         pairs, load_table(spark, sf_dir, "documents"), "doc_id", "source"
@@ -9215,7 +9239,7 @@ def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fan_out: the CPU-dense per-row bigram build otherwise runs on the
     # few input splits of a small parquet (measured sf10: 31.9 -> 7.8 s)
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return bigram_nll(docs)
 
 
@@ -9233,7 +9257,7 @@ def st_neardup_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.sources.tables import fan_out
     from bgpexplorer_spark.streaming.feed import live_neardup_flag
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     corpus = docs.filter(F.col("doc_id") % 3 != 0)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     idx = dedup_index(corpus, "doc_id", k=16, n=3, bands=4)
@@ -9278,8 +9302,12 @@ def pipe_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bin assignment (including oversize singleton bins) is the
     verified contract."""
     from bgpexplorer_spark.operators.pipeline import pack_bins
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the pre-shuffle token count tokenizes every doc — the
+    # serial stage on a 1-split local parquet; the per-shard fill after
+    # the grouping shuffle is unchanged
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id", min_bytes=4 << 20)
     return pack_bins(docs, max_tokens=96, n_shards=8)
 
 
@@ -9325,7 +9353,7 @@ def pipe_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.pipeline import vocab_drift
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return vocab_drift(
         docs.filter(F.col("doc_id") % 2 == 0),
         docs.filter(F.col("doc_id") % 2 == 1),
@@ -9364,7 +9392,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import vocab_coverage
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return vocab_coverage(docs, cutoffs=[100, 1000, 10000])
 
 
@@ -9437,7 +9465,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     pairs = neardup_pairs(docs, "doc_id", n=3, threshold=0.35, k=16, bands=4)
     return minhash_calibration(docs, pairs, "doc_id", k=16, n=3)
 
@@ -9565,7 +9593,7 @@ def text_bigram_nll_xcorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bgpexplorer_spark.operators.text import bigram_nll
     from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark, key="doc_id")
     return bigram_nll(
         docs.filter(F.col("doc_id") % 2 == 1),
         train=docs.filter(F.col("doc_id") % 2 == 0),

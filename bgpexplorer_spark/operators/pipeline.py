@@ -260,7 +260,12 @@ def dsir_weights(
         scored = docs_grams.join(F.broadcast(ratio), "bucket", "left")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_grams"),
-        F.round(F.sum("_llr"), 4).alias("log_weight"),
+        # + 0.0: signed-zero normalization — an all-negative-terms sum
+        # that rounds to zero is -0.0 or +0.0 depending on partial-agg
+        # order (partition count!), and DuckDB's round keeps the sign;
+        # the matching + 0.0 lives in the oracle (the r11 sweep missed
+        # this column — surfaced by the 16-way fan_out at sf0.1)
+        (F.round(F.sum("_llr"), 4) + F.lit(0.0)).alias("log_weight"),
     )
 
 
