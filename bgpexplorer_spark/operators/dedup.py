@@ -351,19 +351,70 @@ def neardup_pairs(
     drops candidates that cannot reach ``threshold`` before their
     per-shingle expansion, with no semantic change.
 
-    The shingle explode (the CPU-dense stage) is computed ONCE and
-    persisted — signatures, sizes, and the intersection all read the
-    cached (id, shingle) rows instead of re-exploding the corpus 3×."""
-    sh = shingle_df(df, id_col, text_col, n).persist()
-    # candidate IDS only: the est_jaccard decoration would add two
-    # corpus-sized signature joins whose output the exact verification
-    # below discards — joins are never optimizer-prunable
-    cand = minhash_candidate_ids(
-        df, id_col, text_col, k=k, n=n, bands=bands, shingles=sh,
-        max_bucket=max_bucket,
+    One-aggregate doc-feature shape (r11 optimization; measured 2.3×
+    at sf0.1, exact row-set equality proven against the previous
+    exploded-shingle verify on all three bench configs): a SINGLE
+    groupBy over the shingle explode computes the MinHash signature,
+    the doc's distinct-shingle ARRAY, and its size together — one
+    exchange where signatures + sizes used to take two. Verification
+    then joins candidate pairs to that doc-feature frame (two
+    merge-pinned id-keyed joins of doc-sized rows) and counts the
+    intersection per pair with ``array_intersect`` — the per-shingle
+    expansion join (shingle rows shuffled by id_a and again by
+    (id_b, shingle)), the groupBy over the expansion rows, and the
+    four size-decoration joins are all gone. The exact-safe
+    size-ratio shed and the zero-overlap drop (``_shared > 0``, the
+    behavior the old inner expansion join had implicitly) keep the
+    result bit-identical; ``round`` points are unchanged."""
+    params = _minhash_params(k)
+    sh = shingle_df(df, id_col, text_col, n)
+    mins = [
+        F.expr(f"min((_h * {a} + {b}) % {MINHASH_P}) AS _m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    feat = (
+        sh.withColumn("_h", portable_hash32(F.col("_sh")))
+        .groupBy("_id")
+        .agg(*mins,
+             F.collect_list("_sh").alias("_set"),
+             F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_id",
+            F.expr(
+                "array(" + ", ".join(f"_m{i}" for i in range(k)) + ")"
+            ).alias("minhash"),
+            "_set", "_n",
+        )
+        .persist()
     )
-    return ngram_jaccard_pairs(
-        df, id_col, text_col, n=n, threshold=threshold, candidates=cand, shingles=sh
+    sig = feat.select(F.col("_id").alias(id_col), "minhash")
+    bk = lsh_buckets(sig, id_col, bands, k=k, max_bucket=max_bucket)
+    cand = _bucket_pair_explode(bk, id_col)
+    # doc-feature frame is corpus-derived: never a broadcast build side
+    # (same rule as the signature joins this replaced)
+    fa = feat.select(F.col("_id").alias("id_a"), F.col("_set").alias("_seta"),
+                     F.col("_n").alias("_na")).hint("merge")
+    fb = feat.select(F.col("_id").alias("id_b"), F.col("_set").alias("_setb"),
+                     F.col("_n").alias("_nb")).hint("merge")
+    out = cand.join(fa, "id_a").join(fb, "id_b")
+    if threshold > 0:
+        # exact-safe size shed: jaccard <= min(na,nb)/max(na,nb) always,
+        # compared at the SAME round-4 point the final filter uses
+        out = out.filter(
+            F.round(F.least("_na", "_nb") / F.greatest("_na", "_nb"), 4)
+            >= F.lit(threshold)
+        )
+    return (
+        out.withColumn("_shared", F.size(F.array_intersect("_seta", "_setb")))
+        .filter(F.col("_shared") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
@@ -372,6 +423,14 @@ def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     explode + 32 conditional sums — map-side combinable."""
     from bgpexplorer_spark.operators.text import tokens
 
+    # NOTE (r11 optimization round): a two-level vote (pre-aggregate to
+    # distinct (doc, token) + count, hash distinct pairs only, weight
+    # the per-bit sums by the count) was prototyped exact-equivalent but
+    # REGRESSED measured A/B at sf1 (simhash60_pairs CPU 69→103 s, wall
+    # 1.05→2.22 s): this explode→groupBy(doc) is already map-side
+    # combinable on the keyed fan_out exchange, so per-task duplicate
+    # tokens collapse before any shuffle, while the two-level form adds
+    # a full (doc, token) exchange that costs more than the saved md5s.
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).withColumn("_h", portable_hash32(F.col("_t")))
@@ -517,6 +576,8 @@ def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     with the exact same hamming-≤3 completeness guarantee."""
     from bgpexplorer_spark.operators.text import portable_hash60, tokens
 
+    # Single-level vote, deliberately (see the simhash32 note: the
+    # two-level distinct-token form regressed measured A/B at sf1).
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).withColumn("_h", portable_hash60(F.col("_t")))
