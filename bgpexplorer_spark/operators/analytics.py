@@ -1476,21 +1476,107 @@ def roa_delta(
     default (``changed_only=False`` keeps the diagonal for a full
     transition matrix — :func:`roa_delta_summary`).
 
-    Scale shape: the two validations CHAIN (the second runs over the
-    first's output, which is routes + one string column), so each set
-    pays exactly its own masked-candidate equi-join + narrow-key verdict
-    aggregate (the rpki_validate shape) and no extra join is needed to
-    line the verdicts up. ``addr_col`` defaults to the family's
-    canonical column (addr_v6 under ``v6=True``, addr_v4 otherwise)."""
-    fn = rpki_validate_v6 if v6 else rpki_validate
+    Scale shape (r11 single-pass rewrite): both ROA sets are validated
+    in ONE rpki_validate-shaped pipeline — the proposed set is tagged
+    and UNIONED with the current one (each side pre-filtered to its own
+    ``roa_plens``, exactly the lengths its chained validation would
+    have generated candidates for), the candidate explode runs once
+    over the union of lengths, and one verdict aggregate computes both
+    sides with conditional maxes. The routes frame pays ONE distinct +
+    ONE verdict join-back instead of two of each (the chained form
+    shuffled the full routes twice); a side with no covering ROA for a
+    triple yields a NULL conditional max = NotFound, exactly the
+    chained semantics. ``addr_col`` defaults to the family's canonical
+    column (addr_v6 under ``v6=True``, addr_v4 otherwise)."""
     if addr_col is None:
         addr_col = "addr_v6" if v6 else "addr_v4"
-    before = fn(
-        routes, roas_before, addr_col, plen_col, origin_col, roa_plens_before
-    ).withColumnRenamed("validity", "validity_before")
-    out = fn(
-        before, roas_after, addr_col, plen_col, origin_col, roa_plens_after
-    ).withColumnRenamed("validity", "validity_after")
+    if roa_plens_before is None:
+        roa_plens_before = [
+            r[0] for r in roas_before.select("plen").distinct().collect()
+        ]
+    if roa_plens_after is None:
+        roa_plens_after = [
+            r[0] for r in roas_after.select("plen").distinct().collect()
+        ]
+    roa_plens_before = sorted(int(x) for x in roa_plens_before)
+    roa_plens_after = sorted(int(x) for x in roa_plens_after)
+    plens_union = sorted({*roa_plens_before, *roa_plens_after})
+
+    def verdict(ok_col: Column) -> Column:
+        return (
+            F.when(ok_col.isNull(), "NotFound")
+            .when(ok_col == 1, "Valid")
+            .otherwise("Invalid")
+        )
+
+    if not plens_union:
+        out = routes.withColumn("validity_before", F.lit("NotFound")).withColumn(
+            "validity_after", F.lit("NotFound")
+        )
+    else:
+        if v6:
+            from bgpexplorer_spark.operators.lpm import _mask_v6
+
+            def mask(pl: int) -> Column:
+                return _mask_v6(F.col(addr_col), pl)
+        else:
+            def mask(pl: int) -> Column:
+                return (
+                    F.floor(F.col(addr_col) / F.lit(2 ** (32 - pl))).cast("bigint")
+                    * F.lit(2 ** (32 - pl))
+                )
+
+        key = [addr_col, plen_col, origin_col]
+        cand = F.array(
+            *[
+                F.struct(F.lit(pl).alias("_plen"), mask(pl).alias("_net"))
+                for pl in plens_union
+            ]
+        )
+        exploded = (
+            routes.select(*key)
+            .distinct()
+            .withColumn("_cand", F.explode(cand))
+            .filter(F.col(plen_col) >= F.col("_cand._plen"))
+            .select(
+                *key,
+                F.col("_cand._plen").alias("_plen"),
+                F.col("_cand._net").alias("_net"),
+            )
+        )
+
+        def side(roas: DataFrame, plens: list[int], tag: str) -> DataFrame:
+            return (
+                roas.select(
+                    F.col("net").alias("_net"),
+                    F.col("plen").alias("_plen"),
+                    "max_len",
+                    "asn",
+                )
+                # a chained validation only generates candidates for its
+                # own roa_plens: the filter keeps the union-explode from
+                # matching lengths that side never considered
+                .filter(F.col("_plen").isin(plens) if plens else F.lit(False))
+                .withColumn("_side", F.lit(tag))
+            )
+
+        tagged = side(roas_before, roa_plens_before, "b").unionByName(
+            side(roas_after, roa_plens_after, "a")
+        )
+        covering = exploded.join(tagged, ["_net", "_plen"], "inner")
+        ok = (F.col(plen_col) <= F.col("max_len")) & (
+            F.col(origin_col) == F.col("asn")
+        )
+        verdicts = covering.groupBy(*key).agg(
+            F.max(F.when(F.col("_side") == "b", ok.cast("int"))).alias("_ok_b"),
+            F.max(F.when(F.col("_side") == "a", ok.cast("int"))).alias("_ok_a"),
+        )
+        out = (
+            routes.join(verdicts, key, "left")
+            .withColumn("validity_before", verdict(F.col("_ok_b")))
+            .withColumn("validity_after", verdict(F.col("_ok_a")))
+            .drop("_ok_b", "_ok_a")
+        )
     if changed_only:
         out = out.filter(F.col("validity_before") != F.col("validity_after"))
     return out

@@ -54,6 +54,22 @@ def build_history(
 
     ``seq_col`` breaks ts ties (arrival order) when the source provides one.
     """
+    # Pin the history exchange to the nlri_str SUBSET of the key (r11
+    # optimization, guide §2.4 "share one exchange"): hash partitioning
+    # on a subset of a window's partition keys satisfies its clustering
+    # requirement, so the KEY_COLS windows below run on this exchange
+    # unchanged — and every downstream per-prefix consumer (rib_diff /
+    # moas / prefix-churn / o7's page aggregate, all keyed
+    # (rib, nlri_str) or a superset) now REUSES it instead of
+    # re-shuffling the history (measured: an_rib_diff 2 exchanges → 1).
+    # nlri_str alone, NOT (rib, nlri_str): on the derived pipelines rib
+    # is a literal, and a literal in the repartition expression defeats
+    # the subset check (the window's required clustering constant-folds
+    # it away, the partitioning does not). Skew note: prefixes are the
+    # highest-cardinality ingest dimension (~1M+ in a real DFZ), so
+    # hashing on the prefix alone only co-locates a prefix's handful of
+    # sessions/ribs, it does not hot-spot.
+    updates = updates.repartition(F.col("nlri_str"))
     order = [F.col("ts")] + ([F.col(seq_col)] if seq_col else [])
     w = Window.partitionBy(*KEY_COLS).orderBy(*order)
     wcum = w.rowsBetween(Window.unboundedPreceding, 0)

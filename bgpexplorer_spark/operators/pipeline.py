@@ -229,11 +229,11 @@ def dsir_weights(
     the grouping itself. Returns (id, n_grams, log_weight)."""
     import math
 
-    def model(df: DataFrame) -> "dict[int, int]":
+    def model_of(grams: DataFrame) -> "dict[int, int]":
         return {
             r["bucket"]: r["cnt"]
-            for r in hashed_ngram_buckets(df, text_col, n_buckets, id_col)
-            .groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            for r in grams.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()
         }
 
     def log_probs(cnt: "dict[int, int]") -> "list[float]":
@@ -243,9 +243,18 @@ def dsir_weights(
             for b in range(n_buckets)
         ]
 
-    lt, lr = log_probs(model(target)), log_probs(model(raw))
-    llr = [t - r for t, r in zip(lt, lr)]
+    # NOTE (r11 optimization round): persisting the raw corpus's
+    # hashed-gram explode to share it between the raw bucket model and
+    # the scoring aggregate was tried and REVERTED — the model collect
+    # runs once at build time (resident trained state), so the cache
+    # would let every subsequent scoring run skip the corpus explode
+    # entirely, which under-reports the per-run cost (the no-caching
+    # bench rule). Model build and steady-state scoring do not co-occur,
+    # so the share saves nothing a resident service would actually pay.
     docs_grams = hashed_ngram_buckets(raw, text_col, n_buckets, id_col)
+    lt = log_probs(model_of(hashed_ngram_buckets(target, text_col, n_buckets, id_col)))
+    lr = log_probs(model_of(docs_grams))
+    llr = [t - r for t, r in zip(lt, lr)]
     if n_buckets <= 4096:
         lut = F.array(*[F.lit(x) for x in llr])
         scored = docs_grams.select(

@@ -1201,6 +1201,7 @@ def bigram_nll(
     bigram's ln scaled to 1e-6 and summed as BIGINT), so engine
     summation order cannot diverge. Output: (id, n_bigrams, nll).
     """
+    self_trained = train is None
     train = train if train is not None else df
     toks = tokens(F.lower(F.col(text_col)))
 
@@ -1219,11 +1220,17 @@ def bigram_nll(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("_c12"))
     )
-    ucounts = (
-        train_bi.select(F.col("bg.w1").alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("_c1"))
-    )
+    if self_trained:
+        # bcounts feeds BOTH the logp lookup's left side and the
+        # ucounts re-aggregate below; persist the vocabulary-sized
+        # table so Catalyst's duplicated subtree doesn't re-run the
+        # corpus explode twice
+        bcounts = bcounts.persist()
+    # c(w1·) counts w1 as a bigram CONTEXT — which is exactly
+    # Σ_w2 c(w1, w2), so the context table is a vocabulary-sized
+    # re-aggregate of the bigram counts, NOT a second corpus-scale
+    # explode + shuffle (r11 optimization; exact integer equivalence)
+    ucounts = bcounts.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
     vocab = (
         train.select(F.explode(toks).alias("_w")).agg(
             F.countDistinct("_w").alias("v")
@@ -1240,13 +1247,44 @@ def bigram_nll(
         / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(float(vocab)))
     )
     lp6 = F.round(logp * 1000000).cast("bigint")
+    if self_trained:
+        # train == df: every doc bigram exists in bcounts, so pre-join
+        # the two VOCABULARY-sized tables into one (w1, w2) -> lp6
+        # lookup and score with a single corpus-scale inner join —
+        # instead of shuffling the corpus-sized doc_bi twice (once by
+        # (w1, w2), its output again by (w1)). lp6 is computed per
+        # bigram TYPE here and per doc-bigram row in the general path:
+        # the identical expression on identical inputs, so the summed
+        # integers are bit-equal. Both sides stay merge-pinned: bigram
+        # vocabularies grow with the corpus (Heaps), never broadcast.
+        logp_tbl = (
+            bcounts.join(ucounts.hint("merge"), "w1")
+            .select("w1", "w2", lp6.alias("_lp6"))
+        )
+        # LEFT join, deliberately, although misses are impossible when
+        # train == df: the lookup's key (w1, w2) is aggregate-derived
+        # and provably unique, so a left join is row-preserving and the
+        # optimizer can drop it entirely for actions that don't read
+        # _lp6 (count() pruning) — an inner join pins the lookup into
+        # every action. Results are identical either way (every doc
+        # bigram exists in the self-trained table).
+        scored = doc_bi.join(logp_tbl.hint("merge"), ["w1", "w2"], "left").select(
+            "_id", "_lp6"
+        )
+    else:
+        # cross-corpus scoring: doc bigrams can miss the train tables —
+        # keep the two left joins (coalesce supplies the unseen-bigram
+        # smoothing terms)
+        scored = (
+            doc_bi.join(bcounts.hint("merge"), ["w1", "w2"], "left")
+            .join(ucounts.hint("merge"), "w1", "left")
+            .select("_id", lp6.alias("_lp6"))
+        )
     return (
-        doc_bi.join(bcounts.hint("merge"), ["w1", "w2"], "left")
-        .join(ucounts.hint("merge"), "w1", "left")
-        .groupBy("_id")
+        scored.groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(-F.sum(lp6) / (F.count(F.lit(1)) * F.lit(1000000.0)), 4).alias(
+            F.round(-F.sum("_lp6") / (F.count(F.lit(1)) * F.lit(1000000.0)), 4).alias(
                 "nll"
             ),
         )

@@ -618,8 +618,10 @@ def test_nested_json_single_exchange(spark):
     """to_nested_json builds the session->path->history nesting in ONE
     aggregation on (rib, nlri_str) — the previous three-level groupBy
     chain paid three exchanges (a 4-key hash partitioning does not
-    satisfy clustering on its prefix). Guard the shape: exactly one
-    Exchange between the history input and the JSON output."""
+    satisfy clustering on its prefix). Since the r11 nlri_str-subset
+    repartition in build_history, that one aggregation REUSES the
+    history exchange outright: the nesting must add ZERO exchanges on
+    top of the query plan."""
     from bgpexplorer_spark.operators.query import (
         QueryParams, query_rib, to_nested_json,
     )
@@ -633,7 +635,7 @@ def test_nested_json_single_exchange(spark):
     # isolate the nesting: plan exchanges added on TOP of the query plan
     base = _plan(r.history).count("Exchange")
     full = _plan(to_nested_json(r)).count("Exchange")
-    assert full - base == 1, (base, full)
+    assert full - base == 0, (base, full)
 
 
 def test_upstream_diversity_plan_no_join(spark):
