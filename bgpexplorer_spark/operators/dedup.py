@@ -499,12 +499,25 @@ def _banded_hamming_pairs(
     guarantee; the explode factor (20 rows/doc vs 4) is the cheap side
     of that trade.
 
-    The hamming verify runs INLINE in the join filter — unverified
-    candidates are never materialized, deduplicated, or shuffled (the
-    old shape ran DISTINCT over the raw candidate set, then re-joined
-    the signature table twice to verify — three corpus-scale shuffles
-    of mostly-false candidates); ``distinct`` here sees verified pairs
-    only (≤ C(n_sub, r) duplicates per true pair).
+    The hamming verify runs INLINE against the in-bucket pair stream —
+    unverified candidates are never materialized, deduplicated, or
+    shuffled; ``distinct`` sees verified pairs only (≤ C(n_sub, r)
+    duplicates per true pair).
+
+    Candidate generation is the ONE-exchange in-bucket builder (the
+    :func:`_bucket_pair_explode` shape, generalized to carry the
+    signature; r11 optimization): aggregate each band key to its sorted
+    (id, simhash) member list and explode the ordered pairs with two
+    chained generators — no self-join, so the banded rows cross the
+    wire once (the groupBy exchange) and nothing sorts. The prior
+    merge-pinned SMJ self-join shuffled AND sorted the banded frame
+    twice (ReusedExchange measured absent for the hinted self-join).
+    Measured at sf1 steady state: wall 2.41 → 1.62 s, executor CPU
+    27.7 → 14.6 s; pair sets bit-identical. Pair explosion stays
+    occupancy-bounded: concatenated combination keys keep the max
+    bucket small (measured 594 at sf10), and with zero join there is
+    zero AQE-broadcast exposure — the never-broadcast posture by
+    construction.
 
     Every sub-band must live INSIDE the signature, and there must be at
     least one intact combination to key on — otherwise the join would
@@ -521,14 +534,9 @@ def _banded_hamming_pairs(
             "sub-bands"
         )
     mask = (1 << sub_bits) - 1
-    # The banded frame is self-joined: without this cache the signature
-    # aggregate (the corpus-scale token explode + per-bit sums) would
-    # run once PER JOIN SIDE unless Catalyst's ReuseExchange happens to
-    # dedupe them — which it does NOT when one side broadcasts (the
-    # exchange types differ), and is canonicalization-dependent
-    # otherwise. The signature is one row per doc (id + one long), so
-    # materializing it is signature-sized, never corpus-sized.
-    sig = sig.cache()
+    # No cache: the one-exchange shape consumes the signature exactly
+    # once (the self-join that double-consumed it — the reason for the
+    # old cache — is gone).
     subs = [
         F.shiftright("simhash", sub_bits * i).bitwiseAND(F.lit(mask))
         for i in range(n_sub)
@@ -541,21 +549,28 @@ def _banded_hamming_pairs(
         keys.append(key)
     bands = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*keys)).alias("key")
-    ).hint("merge")  # corpus×combos-sized: never a broadcast build side
-    # (same OOM class as minhash_candidate_pairs' banded self-join —
-    # both sides canonicalize identically so ReuseExchange ships one
-    # exchange of the banded rows)
-    a, b = bands.alias("a"), bands.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    return (
-        a.join(b, "key")
-        .filter(
-            (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (F.bit_count(xor) <= max_hamming)
+    )
+    grouped = (
+        bands.groupBy("key")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                )
+            ).alias("_ms")
         )
+        .filter(F.size("_ms") > 1)
+    )
+    pairs = (
+        grouped.select("_ms", F.explode("_ms").alias("_a"))
+        .select("_a", F.explode(F.expr("filter(_ms, x -> x.i > _a.i)")).alias("_b"))
+    )
+    xor = F.col("_a.s").bitwiseXOR(F.col("_b.s"))
+    return (
+        pairs.filter(F.bit_count(xor) <= max_hamming)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("_a.i").alias("id_a"),
+            F.col("_b.i").alias("id_b"),
             F.bit_count(xor).cast("int").alias("hamming"),
         )
         .distinct()

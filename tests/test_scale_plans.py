@@ -815,12 +815,13 @@ def test_rib_asof_partition_prunes_materialized_snapshot(spark, tmp_path):
 
 
 def test_banded_hamming_signature_computed_once(spark):
-    """The banded-hamming self-join (simhash32/60, phash) must read the
-    SIGNATURE from a cache on both join sides — without it the
-    corpus-scale signature aggregate runs once per side unless
-    Catalyst's ReuseExchange dedupes them, which it does not when one
-    side broadcasts (exchange types differ) and is
-    canonicalization-dependent otherwise (r9 ADVICE)."""
+    """The banded-hamming candidate builder (simhash32/60, sign_neardup)
+    is the ONE-exchange in-bucket pair explode (r11): the banded rows
+    cross the wire once through the groupBy(key) exchange, the sorted
+    member list explodes into ordered pairs — no self-join at all, so
+    the corpus-scale signature aggregate appears exactly once and
+    nothing can broadcast. (Historically this pinned a both-sides cache
+    around a merge-pinned SMJ self-join; the self-join is gone.)"""
     from bgpexplorer_spark.operators.dedup import simhash60_candidate_pairs
 
     docs = spark.createDataFrame(
@@ -828,11 +829,11 @@ def test_banded_hamming_signature_computed_once(spark):
     )
     df = simhash60_candidate_pairs(docs, "doc_id")
     plan = _plan(df)
-    assert plan.count("InMemoryTableScan") == 2
-    # the signature aggregate lives only inside the cached relation:
-    # no per-bit conditional sum appears outside an InMemoryRelation
-    live = plan.split("InMemoryRelation")[0]
-    assert "sum(CASE WHEN" not in live
+    # no join of any kind in the candidate build
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    # the corpus tokenization (the signature aggregate's input) is
+    # planned exactly once — a self-join shape would plan it per side
+    assert plan.count("split(text") == 1
 
 
 def test_lsh_max_bucket_shed_is_anti_join_not_window(spark):
