@@ -244,25 +244,22 @@ def _bucketed_with_norm(
     self-join it would otherwise re-run ~occupancy× per vector — the
     dominant cost of sim_knn_* at sf1, r10 review). ``dot/(a._n*b._n)``
     is the same expression tree at the same rounding point as
-    :func:`cosine`, so edge sets are bit-identical. The frame is
-    merge-hinted: it is corpus-derived (id + dim doubles per row), and
-    AQE can auto-broadcast one side of the self-join when compressed
-    shuffle bytes read under the threshold while the HashedRelation is
-    several× larger — the exact sf10 OOM class the dedup family was
-    hardened against (dedup._minhash_cand_and_sig)."""
+    :func:`cosine`, so edge sets are bit-identical. Since the r11
+    one-exchange candidate builder (:func:`_bucket_vec_pairs`) the
+    frame feeds a groupBy, not a self-join, so the old merge hint is
+    gone — with no join there is no AQE-broadcast exposure at all."""
     b = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
         .withColumn("_bucket", hyperplane_bucket(F.col("_v"), n_planes, dim))
         .withColumn("_n", norm(F.col("_v")))
-        # cached: the self-join references this frame TWICE, and the
-        # bucket/norm folds are the expensive part of building it —
-        # without the cache they execute once per side (the dedup
-        # family's sig.cache() precedent; signature-sized rows)
+        # cached: the mega-bucket shed double-consumes this frame (the
+        # over-cap aggregate + the anti-join), and the bucket/norm
+        # folds are the expensive part of building it
         .cache()
     )
     if max_bucket is not None:
         b = _shed_mega_buckets(b, max_bucket, approx_n=approx_n)
-    return b.hint("merge")
+    return b
 
 
 def embedding_neardup_pairs(
@@ -278,20 +275,50 @@ def embedding_neardup_pairs(
     — the exact-banding contract); ``approx_n`` bounds the shed's
     anti-join broadcast."""
     b = _bucketed_with_norm(df, id_col, vec_col, n_planes, dim, max_bucket, approx_n)
-    a, c = b.alias("a"), b.alias("b")
     return (
-        a.join(c, "_bucket")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        _bucket_vec_pairs(b, id_col, ordered=True)
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("_a.i").alias("id_a"),
+            F.col("_b.i").alias("id_b"),
             F.round(
-                dot(F.col("a._v"), F.col("b._v"))
-                / (F.col("a._n") * F.col("b._n")),
+                dot(F.col("_a.v"), F.col("_b.v"))
+                / (F.col("_a.n") * F.col("_b.n")),
                 4,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _bucket_vec_pairs(b: DataFrame, id_col: str, ordered: bool) -> DataFrame:
+    """ONE-exchange in-bucket candidate builder for the embedding
+    family (the dedup._bucket_pair_explode shape generalized to carry
+    the vector and its hoisted norm; r11 optimization): aggregate each
+    LSH bucket to its (id, vector, norm) member list, then explode the
+    pairs — ``ordered`` True yields i < j once (near-dup pairs), False
+    yields both directions (per-source kNN edges). The bucketed rows
+    cross the wire ONCE through the groupBy exchange; the prior
+    merge-pinned self-join shuffled and sorted them twice. With no join
+    there is also no AQE-broadcast exposure (the sf10 OOM class the
+    merge hints guarded). Occupancy stays bounded by the adaptive plane
+    count / ``max_bucket`` shed, so per-bucket lists are small by
+    construction."""
+    grouped = (
+        b.groupBy("_bucket")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("_v").alias("v"),
+                    F.col("_n").alias("n"),
+                )
+            ).alias("_ms")
+        )
+        .filter(F.size("_ms") > 1)
+    )
+    cond = "x.i > _a.i" if ordered else "x.i != _a.i"
+    return grouped.select(F.explode("_ms").alias("_a"), "_ms").select(
+        "_a", F.explode(F.expr(f"filter(_ms, x -> {cond})")).alias("_b")
     )
 
 def knn_graph(
@@ -325,17 +352,15 @@ def knn_graph(
     shed's anti-join broadcast.
     """
     b = _bucketed_with_norm(df, id_col, vec_col, n_planes, dim, max_bucket, approx_n)
-    a, c = b.alias("a"), b.alias("b")
     pairs = (
-        a.join(c, "_bucket")
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        _bucket_vec_pairs(b, id_col, ordered=False)
         .select(
-            F.col(f"a.{id_col}").alias("src"),
-            F.col(f"b.{id_col}").alias("dst"),
+            F.col("_a.i").alias("src"),
+            F.col("_b.i").alias("dst"),
             _z0(
                 F.round(
-                    dot(F.col("a._v"), F.col("b._v"))
-                    / (F.col("a._n") * F.col("b._n")),
+                    dot(F.col("_a.v"), F.col("_b.v"))
+                    / (F.col("_a.n") * F.col("_b.n")),
                     4,
                 )
             ).alias("cos_sim"),

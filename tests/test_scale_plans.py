@@ -888,13 +888,13 @@ def test_neardup_corpus_frames_never_broadcast(spark):
 
 def test_knn_selfjoin_and_shed_broadcast_bound(spark):
     """The kNN family's corpus-derived frames never build a hash
-    relation: the in-bucket self-join is merge-pinned (r10 ADVICE — the
-    bucketed id+64-double frame is the exact AQE-underestimate OOM class
-    the dedup family was hardened against), and the over-cap shed
-    broadcasts ONLY while the n/(cap+1) list bound is provably small —
-    with a large approx_n it falls back to a merge-pinned shuffled
-    anti-join (the adaptive-plane recipe keeps a constant FRACTION of
-    buckets over cap, so the list grows with the corpus)."""
+    relation: candidates come from the ONE-exchange in-bucket pair
+    explode (r11 — no self-join at all, so no AQE-broadcast exposure;
+    previously a merge-pinned SMJ), and the over-cap shed broadcasts
+    ONLY while the n/(cap+1) list bound is provably small — with a
+    large approx_n it falls back to a merge-pinned shuffled anti-join
+    (the adaptive-plane recipe keeps a constant FRACTION of buckets
+    over cap, so the list grows with the corpus)."""
     from bgpexplorer_spark.operators import similarity
 
     emb = spark.createDataFrame(
@@ -902,7 +902,9 @@ def test_knn_selfjoin_and_shed_broadcast_bound(spark):
         "vec_id long, embedding array<double>",
     )
     plan = _plan(similarity.knn_graph(emb, k=3, n_planes=4))
-    assert "SortMergeJoin" in plan and plan.count("BroadcastHashJoin") == 0
+    assert "SortMergeJoin" not in plan and plan.count("BroadcastHashJoin") == 0
+    # the bucketed frame is planned once (no per-side duplication)
+    assert plan.count("hyperplane") <= 1 or plan.count("InMemoryTableScan") >= 1
     # small corpus: only broadcasts are the LeftAnti shed
     plan_c = _plan(similarity.knn_graph(emb, k=3, n_planes=4, max_bucket=5, approx_n=30))
     bhj = [ln for ln in plan_c.splitlines() if "BroadcastHashJoin" in ln]
