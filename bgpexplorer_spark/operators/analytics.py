@@ -61,16 +61,22 @@ def rib_asof(
     one row per key per map task, measured ~4× cheaper at 10× data).
     """
     from bgpexplorer_spark.functions.timeutil import asof_prune
+    from bgpexplorer_spark.operators.ingest import nonconstant_group_keys
 
     filtered = asof_prune(history, at)
-    others = [c for c in filtered.columns if c not in KEY_COLS]
+    # group on the non-constant keys only (literal rib/path_id from
+    # derived pipelines otherwise force two avoidable full-width sorts
+    # around the SortAggregate — see ingest.nonconstant_group_keys);
+    # constant keys ride in the picked struct, rows identical
+    group = nonconstant_group_keys(filtered, KEY_COLS)
+    others = [c for c in filtered.columns if c not in group]
     order = (
         F.struct(F.col("ts"), F.col(seq_col)) if seq_col else F.col("ts")
     )
     df = (
-        filtered.groupBy(*KEY_COLS)
+        filtered.groupBy(*group)
         .agg(F.max_by(F.struct(*others), order).alias("_r"))
-        .select(*KEY_COLS, *[F.col(f"_r.{c}").alias(c) for c in others])
+        .select(*group, *[F.col(f"_r.{c}").alias(c) for c in others])
         .select(*filtered.columns)
     )
     return df.filter(F.col("active")) if only_active else df
@@ -362,16 +368,26 @@ def rib_diff(
     exchange (argmax-by-ts, the same trick the LPM join uses instead of
     a sort window), then one per-prefix set aggregate — no second scan,
     no join, versus the naive two-window + full-outer-join plan."""
+    from bgpexplorer_spark.operators.ingest import nonconstant_group_keys
+
     c1, c2 = ts_cutoff_str(t1), ts_cutoff_str(t2)
     entry = F.struct(
         F.col("ts"), F.col("active"), origin_as(F.col("aspath_flat")).alias("o")
     )
+    # group on the non-constant keys only (literal rib/path_id from the
+    # derived pipelines otherwise force two avoidable full-width sorts
+    # around the max(struct) SortAggregate — ingest.nonconstant_group_keys);
+    # a dropped constant key still needed downstream (rib) is re-emitted
+    # by aggregation — max of a constant is that constant
+    group = nonconstant_group_keys(history, KEY_COLS)
+    carry = [F.max(c).alias(c) for c in ("rib",) if c not in group]
     per_key = (
         history.filter(F.col("ts") <= F.lit(c2))
-        .groupBy(*KEY_COLS)
+        .groupBy(*group)
         .agg(
             F.max(F.when(F.col("ts") <= F.lit(c1), entry)).alias("b"),
             F.max(entry).alias("a"),
+            *carry,
         )
     )
 

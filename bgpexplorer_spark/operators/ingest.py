@@ -23,6 +23,49 @@ from bgpexplorer_spark.schemas import ATTR_FIELDS, KEY_COLS
 
 ATTR_COLS = [f.name for f in ATTR_FIELDS]
 
+def nonconstant_group_keys(df: DataFrame, keys: list[str]) -> list[str]:
+    """The subset of ``keys`` NOT provably bound to constants in ``df``'s
+    optimized plan — the grouping keys a newest-per-key aggregate should
+    actually group on.
+
+    Why this exists (r11 optimization): derived pipelines build history
+    with literal key columns (``rib = lit('ipv4u')``, ``path_id =
+    lit(0)``). Window partition specs constant-fold those away, so the
+    build_history windows sort by the REAL keys only — but Aggregate
+    grouping does not: Catalyst's ``RemoveLiteralFromGroupExpressions``
+    runs in the finish-analysis batch, BEFORE ``CollapseProject`` inlines
+    the literal into the grouping attribute, and never re-runs. The
+    leftover foldable keys then defeat the SortAggregate's
+    sort-order-satisfaction check (required ordering ``[lit, nlri, ...,
+    lit]`` vs child ordering ``[nlri, session, ts]``), forcing TWO
+    full-width re-sorts of data the upstream window already sorted
+    (measured: the o9_rib_asof / an_rib_diff tails, Sort nodes 11+13 in
+    plans/r11/o9_rib_asof_before.txt). Grouping by a constant never
+    changes the groups, so dropping the provable constants is a pure
+    plan-shape change; callers re-emit the constant columns from the
+    aggregated struct instead.
+
+    Detection unwraps ``Alias`` (whose ``foldable`` is hardcoded false in
+    Catalyst) and asks the child expression. Any introspection failure —
+    or an all-constant key set, where dropping every key would turn a
+    grouped aggregate into a global one (different on empty input) —
+    falls back to the full key list, i.e. the pre-optimization plan."""
+    try:
+        plan = df.select(*keys)._jdf.queryExecution().optimizedPlan()
+        exprs = plan.expressions()
+        if plan.getClass().getSimpleName() != "Project" or exprs.size() != len(keys):
+            return list(keys)
+        out = []
+        for i, k in enumerate(keys):
+            e = exprs.apply(i)
+            if e.getClass().getSimpleName() == "Alias":
+                e = e.child()
+            if not e.foldable():
+                out.append(k)
+        return out if out else list(keys)
+    except Exception:
+        return list(keys)
+
 def attrs_struct(prefix: str = "") -> Column:
     """The 13-field BgpAttrs struct (src/bgpattrs.rs:20-35) as one column —
     used for whole-attrs equality in differ mode (U3), the Spark analog of

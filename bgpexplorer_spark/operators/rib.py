@@ -27,11 +27,20 @@ def current_state(history: DataFrame, only_active: bool = True) -> DataFrame:
     same reason the streaming path is ``live_current_state_agg``).
     Same-``ts`` ties are arbitrary in both forms (the window sort was
     unstable too); ingest keys history by event time, so ties only arise
-    from duplicate captures."""
-    others = [c for c in history.columns if c not in KEY_COLS]
+    from duplicate captures.
+
+    Grouping keys: only the key columns not provably constant in the
+    input plan (see :func:`ingest.nonconstant_group_keys` — literal keys
+    from derived pipelines otherwise force two avoidable full-width
+    sorts around the SortAggregate); constant keys ride in the picked
+    struct, so output rows are identical."""
+    from bgpexplorer_spark.operators.ingest import nonconstant_group_keys
+
+    group = nonconstant_group_keys(history, KEY_COLS)
+    others = [c for c in history.columns if c not in group]
     pick = F.max_by(F.struct(*others), F.col("ts")).alias("_r")
-    df = history.groupBy(*KEY_COLS).agg(pick).select(
-        *KEY_COLS, *[F.col(f"_r.{c}").alias(c) for c in others]
+    df = history.groupBy(*group).agg(pick).select(
+        *group, *[F.col(f"_r.{c}").alias(c) for c in others]
     )
     # restore the input column order (serving layers select by name, but
     # snapshot writers and tests compare schemas positionally)
