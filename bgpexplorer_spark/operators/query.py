@@ -142,12 +142,36 @@ def page_routes(
         ordered = routes.orderBy(*_route_sort_key())
     return ordered.offset(p.skip).limit(p.limit)
 
+# emitted_history page prefilter bound: collecting the page's nlri_str
+# keys is bounded by p.limit the same way the serving layer's own page
+# collect is; past this many keys the IN-list stops being a cheap plan
+# literal and the broadcast semi-join alone is the right shape.
+_PAGE_PREFILTER_MAX = 1024
+
 def emitted_history(
     history: DataFrame, page: DataFrame, p: QueryParams
 ) -> DataFrame:
     """F13/O7 input — for the paged routes, the newest ``maxdepth``
     filter_ah-passing entries per (session, path); maxdepth=0 = unlimited
-    (BAHItems, src/bgpsvc.rs:516-532)."""
+    (BAHItems, src/bgpsvc.rs:516-532).
+
+    Page prefilter (r11 optimization, guide §8 "decide with small rows,
+    move big rows once"): the broadcast semi-join below is correct but
+    Catalyst cannot push a JOIN under a Window, so on derived history
+    the FULL window-chain output crossed the ingest exchange per run
+    just to be semi-joined down to the ≤ ``p.limit`` page (measured at
+    sf1: 27 MB shuffled, the two hottest stages of the query). The page
+    is already a materialized ≤ limit-row frame, so its distinct
+    ``nlri_str`` keys become a plain IN predicate — a filter on a window
+    PARTITION key, which Catalyst pushes below every KEY_COLS window,
+    through the ingest repartition, into the scan (real column →
+    PushedFilters + parquet bloom-filter row-group skipping; derived
+    column → substituted and applied at the scan projection). Whole keys
+    are kept or dropped, never split, and the exact ROUTE_COLS semi-join
+    still runs above — rows identical by construction."""
+    if p.limit <= _PAGE_PREFILTER_MAX:
+        keys = [r[0] for r in page.select("nlri_str").distinct().collect()]
+        history = history.filter(F.col("nlri_str").isin(keys))
     df = history.join(F.broadcast(page.select(*ROUTE_COLS)), ROUTE_COLS, "left_semi")
     df = df.filter(history_entry_filter(p))
     w = Window.partitionBy(*KEY_COLS).orderBy(F.col("ts").desc())
