@@ -479,9 +479,16 @@ def main() -> None:
         # first run in a fresh checkout: generate the sf1 slice once
         # (~15 s, deterministic seed 42); it is gitignored local data
         try:
+            import contextlib
+
             from tools.gen_sf import generate
 
-            generate(1.0, sf1_dir)
+            # generation progress goes to STDERR: stdout is the bench
+            # artifact (BENCHLOCAL_r{N}.json captures it verbatim and the
+            # gate test parses line 1 as JSON — a fresh checkout's one-off
+            # sf1 generation polluted it with row-count lines, r11)
+            with contextlib.redirect_stdout(sys.stderr):
+                generate(1.0, sf1_dir)
         except Exception as e:  # no sf1 section rather than a failed bench
             print(f"sf1 generation failed: {e}", file=sys.stderr)
     if sf1_dir and os.path.isdir(sf1_dir):
