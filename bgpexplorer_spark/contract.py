@@ -707,9 +707,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unix_micros requires TIMESTAMP — the cast is exact under the
     # session's pinned-UTC zone and a no-op for TIMESTAMP inputs
     mic = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = mic - F.lag(mic).over(w)
+    # materialize the lag ONCE: referencing `gap` twice below would give
+    # Catalyst two copies of the window expression and WindowExec runs
+    # two identical lag frame processors (_we0/_we1 in the r11 before
+    # plan); a named column dedups them — results identical
+    ev = ev.withColumn("_lag", F.lag(mic).over(w))
+    gap = mic - F.col("_lag")
     is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
-    df = ev.withColumn("is_new", is_new).withColumn(
+    df = ev.withColumn("is_new", is_new).drop("_lag").withColumn(
         "session_id", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     return df.groupBy("user_id", "session_id").agg(
@@ -4169,8 +4174,14 @@ def text_charlm(spark: SparkSession, sf_dir: str) -> DataFrame:
     add-one-smoothed statistics — broadcast model join, one per-doc
     aggregate."""
     from bgpexplorer_spark.operators.text import charlm_nll
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the char-split + trigram explode is the CPU-dense stage,
+    # serial on the 1-split local parquet (same gate as dedup_simhash)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"), spark,
+        key="doc_id", min_bytes=4 << 20,
+    )
     return charlm_nll(docs)
 
 
@@ -5127,8 +5138,14 @@ def pipe_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no global sort window), broadcast assignment, one rollup."""
     from bgpexplorer_spark.operators.pipeline import quality_buckets
     from bgpexplorer_spark.operators.text import charlm_nll
+    from bgpexplorer_spark.sources.tables import fan_out
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the charlm trigram explode is the CPU-dense stage, serial
+    # on the 1-split local parquet (same gate as text_charlm)
+    docs = fan_out(
+        load_table(spark, sf_dir, "documents"), spark,
+        key="doc_id", min_bytes=4 << 20,
+    )
     scored = charlm_nll(docs).select("doc_id", "nll")
     return quality_buckets(scored)
 

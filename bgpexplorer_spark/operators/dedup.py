@@ -420,7 +420,8 @@ def neardup_pairs(
 def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over word tokens: per bit, majority vote of token
     hashes; near-dups share (or almost share) the signature. Pure
-    explode + 32 conditional sums — map-side combinable."""
+    explode + packed per-bit set-bit sums (:func:`_packed_vote_signature`)
+    — map-side combinable."""
     from bgpexplorer_spark.operators.text import tokens
 
     # NOTE (r11 optimization round): a two-level vote (pre-aggregate to
@@ -434,19 +435,51 @@ def simhash32(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).withColumn("_h", portable_hash32(F.col("_t")))
-    # Build the 32 per-bit aggregates and the assembler as SQL strings: one
-    # py4j round-trip each instead of ~8 per nested Column op — plan
-    # construction drops ~0.9s per call (it dominated the query's cost).
+    return _packed_vote_signature(tok, id_col, bits=32)
+
+
+def _packed_vote_signature(tok: DataFrame, id_col: str, bits: int) -> DataFrame:
+    """Shared SimHash majority vote over a (id, _h) token-hash frame —
+    SWAR-packed (r11 optimization): TWO per-bit set-counters ride in
+    each 64-bit sum (bits b and b+bits/2; low counter in bits 0..30,
+    high counter shifted to bits 31..61), so the hash aggregate updates
+    bits/2 buffers per row plus one count(*) instead of ``bits``
+    conditional ±1 sums. Exact integer equivalence with the classic
+    form: the old per-bit sum was 2·c_b − n (every token votes ±1), so
+    ``sum_b > 0  ⟺  2·c_b > n`` with c_b = the packed set-bit count.
+    No counter can carry: c_b ≤ n = tokens-per-doc < 2^30 (a document
+    is ONE <2 GiB string, so it cannot hold 2^30 whitespace tokens),
+    and the high counter's total (c << 31) · 1 stays under 2^62.
+    Measured at sf1 (interleaved noop A/B, signatures bit-identical at
+    sf0.1 AND sf1): signature executor CPU 7.0-9.7 → 5.9-8.5 s/run
+    (−13-15%), full simhash60_pairs CPU ~−5-10%.
+
+    Build the aggregates and the assembler as SQL strings: one py4j
+    round-trip each instead of ~8 per nested Column op — plan
+    construction drops ~0.9 s per call (it dominated the query's cost
+    before the r10 rewrite)."""
+    half = bits // 2
+    w = 31  # low-counter width; see the carry argument above
+    mask_lo = (1 << w) - 1
     aggs = [
-        F.expr(f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS _b{b}")
-        for b in range(32)
-    ]
+        F.expr(
+            f"sum((shiftright(_h, {b}) & 1) | "
+            f"shiftleft(shiftright(_h, {b + half}) & 1, {w})) AS _p{b}"
+        )
+        for b in range(half)
+    ] + [F.expr("count(*) AS _n")]
     agg = tok.groupBy(id_col).agg(*aggs)
-    assemble = " + ".join(
-        f"CASE WHEN _b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for b in range(32)
-    )
-    return agg.select(id_col, F.expr(assemble).alias("simhash"))
+    terms = []
+    for b in range(half):
+        terms.append(
+            f"CASE WHEN 2 * (_p{b} & {mask_lo}) > _n "
+            f"THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+        terms.append(
+            f"CASE WHEN 2 * shiftright(_p{b}, {w}) > _n "
+            f"THEN CAST({2 ** (b + half)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return agg.select(id_col, F.expr(" + ".join(terms)).alias("simhash"))
 
 def simhash_candidate_pairs(
     df: DataFrame, id_col: str, text_col: str = "text",
@@ -596,16 +629,7 @@ def simhash60(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     tok = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t")
     ).withColumn("_h", portable_hash60(F.col("_t")))
-    aggs = [
-        F.expr(f"sum(CASE WHEN (shiftright(_h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS _b{b}")
-        for b in range(60)
-    ]
-    agg = tok.groupBy(id_col).agg(*aggs)
-    assemble = " + ".join(
-        f"CASE WHEN _b{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        for b in range(60)
-    )
-    return agg.select(id_col, F.expr(assemble).alias("simhash"))
+    return _packed_vote_signature(tok, id_col, bits=60)
 
 
 def simhash60_candidate_pairs(

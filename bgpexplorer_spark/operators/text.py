@@ -112,16 +112,26 @@ def shingles_of_tokens(toks: Column, n: int = 2) -> Column:
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
     ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: window_concat(toks, i, n))
 
-    def one(i):
-        parts = []
-        for j in range(n):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(toks, i + F.lit(j)))
-        return F.concat(*parts)
 
-    return F.transform(idx, one)
+def window_concat(arr: Column, i: Column, k: int, sep: str = " ") -> Column:
+    """``arr[i..i+k-1]`` joined by ``sep`` as a single string, built from
+    ``k`` ``element_at`` references and one plain ``concat`` — NOT
+    ``concat_ws(sep, slice(arr, i, k))``: ``slice`` allocates a fresh
+    k-element array copy per window, and inside an interpreted
+    ``transform`` lambda (or a per-window exploded projection) that
+    allocation dominates the stage's CPU — see the r11 shingle measure
+    in :func:`shingles_of_tokens`. Equal to the ``concat_ws`` form only
+    when the array holds no NULL elements and the window lies fully
+    inside the array — both guaranteed by every caller here
+    (``split``/``tokens`` output; index ranges built to fit)."""
+    parts: list[Column] = []
+    for j in range(k):
+        if j and sep:
+            parts.append(F.lit(sep))
+        parts.append(F.element_at(arr, i + F.lit(j)))
+    return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 def shingles(col: Column, n: int = 2) -> Column:
     """Word n-gram shingles straight from text — convenience form; prefer
@@ -254,15 +264,30 @@ def tfidf_topk(
         )
     )
 
-def char_trigrams(col: Column) -> Column:
-    """Character trigrams of the lowercased text (the CCNet-style LM
-    unit); texts shorter than 3 chars yield an empty array."""
-    chars = F.split(F.lower(col), "")
+def char_trigrams_of_chars(chars: Column) -> Column:
+    """Character trigrams from a MATERIALIZED char-array column (the
+    CCNet-style LM unit); arrays shorter than 3 yield an empty array.
+
+    Hot paths must project ``F.split(F.lower(col), "")`` into a column
+    first and pass that column here — the shingles_of_tokens discipline:
+    a lambda-captured split tree is re-evaluated per ``element_at``
+    reference inside the interpreted ``transform``. Measured at sf1 on
+    the trigram explode (noop-sunk, interleaved): captured expression
+    284-314 s CPU, materialized + slice 100 s, materialized +
+    element_at windows 10 s per run."""
     n = F.size(chars)
     idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.transform(idx, lambda i: F.concat_ws("", F.slice(chars, i, 3)))
+    # element_at windows, not concat_ws(slice(...)) — see window_concat
+    return F.transform(idx, lambda i: window_concat(chars, i, 3, sep=""))
+
+
+def char_trigrams(col: Column) -> Column:
+    """Character trigrams straight from text — convenience form; prefer
+    a materialized char-array column + :func:`char_trigrams_of_chars`
+    on any per-corpus path (see that function's measure)."""
+    return char_trigrams_of_chars(F.split(F.lower(col), ""))
 
 def charlm_nll(
     df: DataFrame,
@@ -284,9 +309,12 @@ def charlm_nll(
     the two model scalars (total occurrences, vocabulary size).
     """
     train = train if train is not None else df
-    tri = F.explode(char_trigrams(F.col(text_col)))
+    # chars materialized into their own Project before the trigram
+    # transform — see char_trigrams_of_chars for the measured reason
+    chars = F.split(F.lower(F.col(text_col)), "").alias("_chars")
+    tri = F.explode(char_trigrams_of_chars(F.col("_chars")))
     counts = (
-        train.select(tri.alias("tri")).groupBy("tri").agg(
+        train.select(chars).select(tri.alias("tri")).groupBy("tri").agg(
             F.count(F.lit(1)).alias("cnt")
         )
     )
@@ -294,7 +322,9 @@ def charlm_nll(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
     ).first()
     denom = float(tot["total"] + tot["vocab"])
-    doc_tris = df.select(F.col(id_col).alias("_id"), tri.alias("tri"))
+    doc_tris = df.select(F.col(id_col).alias("_id"), chars).select(
+        "_id", tri.alias("tri")
+    )
     logp = F.log((F.coalesce(F.col("cnt"), F.lit(0)) + 1) / F.lit(denom))
     return (
         doc_tris.join(F.broadcast(counts), "tri", "left")
@@ -325,9 +355,16 @@ def duplicate_span_stats(
     cost class as the shingle pipeline; nothing quadratic, no UDFs.
     Documents shorter than ``k`` tokens report 0 windows / 0.0 fraction.
     """
-    toks = tokens(F.col(text_col))
+    # materialize the token array in its own Project FIRST (the
+    # shingles_of_tokens discipline): a lambda-captured tokens(text)
+    # tree is re-evaluated per element_at reference inside the
+    # interpreted transform — measured at sf1 on this window explode:
+    # captured-expression 228-297 s CPU vs materialized 3.8-4.1 s
+    toks = F.col("_toks")
     n_win = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     wins = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -336,7 +373,8 @@ def duplicate_span_stats(
                 F.when(n_win >= 1, F.sequence(F.lit(1), n_win)).otherwise(
                     F.array().cast("array<int>")
                 ),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+                # element_at windows, not slice copies — see window_concat
+                lambda i: window_concat(toks, i, k),
             )
         ).alias("_w"),
     ).select(F.col(id_col), portable_hash32(F.col("_w")).alias("_wh"))
@@ -544,8 +582,9 @@ def remove_duplicate_spans(
         "_toks",
     ).select(
         "_id", "_i",
+        # element_at windows, not slice copies — see window_concat
         portable_hash32(
-            F.concat_ws(" ", F.slice("_toks", F.col("_i"), k))
+            window_concat(F.col("_toks"), F.col("_i"), k)
         ).alias("_wh"),
     )
     w = Window.partitionBy("_wh").orderBy("_id", "_i")
