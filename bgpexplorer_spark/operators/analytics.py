@@ -205,15 +205,21 @@ def as_adjacency(state: DataFrame, min_count: int = 1) -> DataFrame:
         lambda x, i: (i == F.lit(0))
         | (x != F.element_at(F.col("aspath_flat"), i)),
     )
+    # materialize the collapsed path into its own Project before the
+    # pair transform: a lambda-captured filter(...) tree re-evaluates
+    # once per element_at reference (twice per hop) inside the
+    # interpreted transform — the window_concat lesson (operators/text)
+    dcol = F.col("_dedup")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(dedup) - 1, F.lit(0))),
+        F.sequence(F.lit(1), F.greatest(F.size(dcol) - 1, F.lit(0))),
         lambda i: F.struct(
-            F.element_at(dedup, i).alias("as_a"),
-            F.element_at(dedup, i + 1).alias("as_b"),
+            F.element_at(dcol, i).alias("as_a"),
+            F.element_at(dcol, i + 1).alias("as_b"),
         ),
     )
     return (
-        state.select(F.explode(pairs).alias("_e"))
+        state.select(dedup.alias("_dedup"))
+        .select(F.explode(pairs).alias("_e"))
         .groupBy(F.col("_e.as_a").alias("as_a"), F.col("_e.as_b").alias("as_b"))
         .agg(F.count(F.lit(1)).alias("n_routes"))
         .filter(F.col("n_routes") >= F.lit(min_count))
