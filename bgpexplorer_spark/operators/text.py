@@ -1103,9 +1103,13 @@ def lexical_diversity(
     O(types·tokens) per row, fine for web-document lengths (the fixture
     caps at ~100 words); for book-length documents the explode+groupBy
     form of :func:`vocab_stats` is the alternative."""
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # token/type arrays materialized into their own Projects first: the
+    # hapax filter's inner lambda captures the token array, and a
+    # lambda-captured tokens(...) tree re-tokenizes once per TYPE inside
+    # the interpreted filter (the window_concat lesson)
+    toks = F.col("_toks")
+    types = F.col("_types")
     n_tok = F.size(toks).cast("bigint")
-    types = F.array_distinct(toks)
     n_typ = F.size(types).cast("bigint")
     n_hap = F.size(
         F.filter(
@@ -1117,13 +1121,20 @@ def lexical_diversity(
     def grid(num, den):
         return F.when(den > 0, F.floor((num * 100000.0 / den + 5.0) / 10.0) / 10000.0).otherwise(0.0)
 
-    return df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        n_typ.alias("n_types"),
-        n_hap.alias("n_hapax"),
-        grid(n_typ, n_tok).alias("ttr"),
-        grid(n_hap, n_typ).alias("hapax_frac"),
+    return (
+        df.select(
+            F.col(id_col),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+        )
+        .withColumn("_types", F.array_distinct(toks))
+        .select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            n_typ.alias("n_types"),
+            n_hap.alias("n_hapax"),
+            grid(n_typ, n_tok).alias("ttr"),
+            grid(n_hap, n_typ).alias("hapax_frac"),
+        )
     )
 
 
@@ -1146,7 +1157,12 @@ def span_corruption(
     array — ZERO shuffles, one codegen'd corpus scan; the mask draw is
     the portable md5 hash, so the DuckDB oracle replays the exact pair
     set."""
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    # the token array AND the masked-block list are materialized into
+    # their own Projects: both are captured inside the per-block
+    # transform lambdas, and a lambda-captured expression re-evaluates
+    # per reference — the filter's md5 mask draw would otherwise re-run
+    # O(blocks) times per block (the window_concat lesson)
+    toks = F.col("_toks")
     n_blocks = F.ceil(F.size(toks) / F.lit(block)).cast("int")
     bseq = F.when(n_blocks > 0, F.sequence(F.lit(0), n_blocks - 1)).otherwise(
         F.array().cast("array<int>")
@@ -1158,9 +1174,11 @@ def span_corruption(
             portable_hash32(F.concat_ws(":", idstr, b.cast("string"))) % rate == 0
         )
 
-    masked_ids = F.filter(bseq, masked)
+    masked_ids = F.col("_mids")
 
     def block_txt(b):
+        # slice, not k element_at refs: the LAST block may be short and
+        # ANSI element_at past the end would raise where slice clamps
         return F.array_join(F.slice(toks, b * block + 1, block), " ")
 
     def sentinel(b):
@@ -1183,12 +1201,19 @@ def span_corruption(
         F.transform(masked_ids, lambda b: F.concat(sentinel(b), F.lit(" "), block_txt(b))),
         " ",
     )
-    return df.select(
-        F.col(id_col),
-        n_blocks.alias("n_blocks"),
-        F.size(masked_ids).cast("int").alias("n_masked"),
-        input_text.alias("input_text"),
-        target_text.alias("target_text"),
+    return (
+        df.select(
+            F.col(id_col),
+            tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
+        )
+        .withColumn("_mids", F.filter(bseq, masked))
+        .select(
+            F.col(id_col),
+            n_blocks.alias("n_blocks"),
+            F.size(masked_ids).cast("int").alias("n_masked"),
+            input_text.alias("input_text"),
+            target_text.alias("target_text"),
+        )
     )
 
 
