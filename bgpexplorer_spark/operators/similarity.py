@@ -844,6 +844,15 @@ def pq_encode(
     d = dim // m
     rows = codebooks.limit(m * inline_max + 1).collect()
     v = F.col(vec_col).cast("array<double>")
+    # subvectors materialized into their own Project FIRST (r11): each
+    # per-code _l2 is a separate expression tree, so an inline slice is
+    # re-evaluated once per codebook entry (m×codes array copies per
+    # row; inside the broadcast path's transform lambda it would re-run
+    # per entry interpreted). Measured at sf1: encode+scan noop
+    # 0.42-0.49 → 0.26-0.34 s/run (−35-40%), codes identical.
+    subs = df.select(
+        F.col(id_col), *[F.slice(v, s * d + 1, d).alias(f"_s{s}") for s in range(m)]
+    )
     code_cols = []
     if len(rows) <= m * inline_max:
         cb: dict[int, list[tuple[int, list[float]]]] = {}
@@ -852,7 +861,7 @@ def pq_encode(
                 (r["code"], [float(x) for x in r["cvec"]])
             )
         for s in range(m):
-            sub = F.slice(v, s * d + 1, d)
+            sub = F.col(f"_s{s}")
             scored = [
                 F.struct(
                     _l2(sub, F.array(*[F.lit(x) for x in cvec])).alias("dist"),
@@ -862,7 +871,7 @@ def pq_encode(
             ]
             best = scored[0] if len(scored) == 1 else F.least(*scored)
             code_cols.append(best.getField("code"))
-        return df.select(F.col(id_col), F.array(*code_cols).alias("codes"))
+        return subs.select(F.col(id_col), F.array(*code_cols).alias("codes"))
     cbarr = codebooks.agg(
         F.array_sort(
             F.collect_list(
@@ -875,7 +884,8 @@ def pq_encode(
         ).alias("_cb")
     )
     for s in range(m):
-        sub = F.slice(v, s * d + 1, d)
+        sub = F.col(f"_s{s}")  # materialized column, NOT a captured
+        # slice — a lambda-captured slice re-copies per codebook entry
         # score each codebook entry ONCE, then lexicographic array_min
         # over (dist, code) — same lowest-code tie-break as F.least over
         # the code-sorted literal structs, one distance eval per entry
@@ -890,7 +900,7 @@ def pq_encode(
         )
         code_cols.append(best.getField("code"))
     return (
-        df.join(F.broadcast(cbarr))  # 1-row broadcast: no amplification
+        subs.join(F.broadcast(cbarr))  # 1-row broadcast: no amplification
         .select(F.col(id_col), F.array(*code_cols).alias("codes"))
     )
 
@@ -1283,9 +1293,14 @@ def pq_distortion(
             (r["code"], [float(x) for x in r["cvec"]])
         )
     v = F.col(vec_col).cast("array<double>")
+    # subvectors materialized first — the pq_encode discipline: an
+    # inline slice re-copies once per codebook entry's _l2 tree
+    subs = df.select(
+        *[F.slice(v, s * d + 1, d).alias(f"_s{s}") for s in range(m)]
+    )
     dist_structs = []
     for s in range(m):
-        sub = F.slice(v, s * d + 1, d)
+        sub = F.col(f"_s{s}")
         scored = [
             F.struct(
                 _l2(sub, F.array(*[F.lit(x) for x in cvec])).alias("dist"),
@@ -1302,7 +1317,7 @@ def pq_distortion(
         )
     e4 = F.round(F.col("_d.dist") * 10000).cast("bigint")
     return (
-        df.select(F.explode(F.array(*dist_structs)).alias("_d"))
+        subs.select(F.explode(F.array(*dist_structs)).alias("_d"))
         .groupBy(F.col("_d.sub").alias("sub"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum(e4).alias("_s"))
         .select(
