@@ -22,6 +22,25 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
+def py_norm(vec: list[float]) -> float:
+    """Driver-side ‖vec‖ with the EXACT float sequence of :func:`norm`
+    (ascending-index ``acc + x*x`` fold, then sqrt — Python floats are
+    IEEE doubles and each op is correctly rounded, so the result is
+    bit-identical to the Spark fold). Used to hoist the norm of a
+    LITERAL vector (query vector, inlined centroid) out of per-row
+    expressions: ``norm`` over a literal array is NOT constant-folded
+    (lambda-bearing HOFs are never foldable), so without the hoist every
+    row re-runs the O(dim) interpreted fold per literal vector (r11
+    "Not yet optimized": 8× per row at the ivf bench config).
+    Verified bit-equal at sf0.1 AND sf1 (exceptAll both directions on
+    raw doubles, r12)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
 def _z0(c: Column) -> Column:
     """Normalize the IEEE signed zero after rounding: ``x + 0.0`` maps
     -0.0 to +0.0 and changes nothing else (NULL stays NULL). DuckDB's
@@ -40,12 +59,18 @@ def cosine_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Brute-force cosine top-k against a literal query vector — the
-    exact baseline (one scan, one TakeOrdered; no shuffle beyond top-k)."""
+    exact baseline (one scan, one TakeOrdered; no shuffle beyond top-k).
+    The query's norm is a constant: computed driver-side (:func:`py_norm`,
+    bit-equal to the fold) instead of re-folding the literal array per
+    row; ``dot/(norm(v)·lit)`` keeps :func:`cosine`'s operation order,
+    so scores are bit-identical."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    score = dot(v, q) / (norm(v) * F.lit(py_norm([float(x) for x in query_vec])))
     return (
         df.select(
             F.col(id_col),
-            _z0(F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4)).alias("cos_sim"),
+            _z0(F.round(score, 4)).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col))
         .limit(k)
@@ -565,21 +590,35 @@ def ivf_assign(
     deterministically — identical to max(struct).
 
     Above ``inline_max`` the codebook is attached as ONE broadcast row
-    (array<struct<cid,cvec>>) and the argmax folds over it with
+    (array<struct<cid,cvec,cn>>) and the argmax folds over it with
     ``aggregate`` — still no row amplification and no shuffle of the
     corpus, but the plan stays constant-size however many centroids
     there are (the huge-codebook fallback the literal path can't serve).
-    Both paths compute the identical (score, cid) maximum."""
+    Both paths compute the identical (score, cid) maximum.
+
+    Norm hoist (r12, the same discipline as the kNN family's
+    ``_bucketed_with_norm``): ``norm(_v)`` is materialized ONCE per row
+    in its own Project (``_nv``) instead of re-folding inside every
+    centroid's cosine (k× the O(dim) interpreted fold), and each
+    centroid's norm is a CONSTANT — :func:`py_norm` on the literal
+    path, a per-entry ``cn`` built once into the broadcast codebook on
+    the fallback path. ``dot/( _nv · cn )`` keeps :func:`cosine`'s
+    operation order (norm(a)·norm(b) product, same division), so
+    scores are bit-identical (exceptAll-verified both directions at
+    sf0.1 and sf1)."""
     head = centroids.limit(inline_max + 1).collect()
     extra = [F.col(c) for c in (keep_cols or [])]
     v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), *extra
-    )
+    ).select("*", norm(F.col("_v")).alias("_nv"))
     if len(head) <= inline_max:
         cents = sorted((r["cid"], [float(x) for x in r["cvec"]]) for r in head)
         scored = [
             F.struct(
-                cosine(F.col("_v"), F.array(*[F.lit(x) for x in cvec])).alias("score"),
+                (
+                    dot(F.col("_v"), F.array(*[F.lit(x) for x in cvec]))
+                    / (F.col("_nv") * F.lit(py_norm(cvec)))
+                ).alias("score"),
                 F.lit(cid).cast("bigint").alias("cid"),
             )
             for cid, cvec in cents
@@ -592,6 +631,7 @@ def ivf_assign(
                     F.struct(
                         F.col("cid").cast("bigint").alias("cid"),
                         F.col("cvec").cast("array<double>").alias("cvec"),
+                        norm(F.col("cvec").cast("array<double>")).alias("cn"),
                     )
                 )
             ).alias("_cents")
@@ -606,7 +646,9 @@ def ivf_assign(
             F.transform(
                 F.col("_cents"),
                 lambda c: F.struct(
-                    cosine(F.col("_v"), c["cvec"]).alias("score"),
+                    (dot(F.col("_v"), c["cvec"]) / (F.col("_nv") * c["cn"])).alias(
+                        "score"
+                    ),
                     c["cid"].alias("cid"),
                 ),
             )
@@ -758,7 +800,12 @@ def semantic_dedup(
         df, n_clusters, id_col, vec_col
     )
     assigned = ivf_assign(df, cents, id_col, vec_col, keep_vec=True)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    # hoist each vector's norm ONCE before the in-cell self-join (the
+    # _bucketed_with_norm discipline): inside the join the O(dim) norm
+    # fold would otherwise re-run once per candidate pair per side;
+    # dot/(a._n*b._n) keeps cosine()'s operation order → bit-identical
+    withn = assigned.select("*", norm(F.col(vec_col)).alias("_n"))
+    a, b = withn.alias("a"), withn.alias("b")
     pairs = (
         a.join(b, "cid")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -766,7 +813,9 @@ def semantic_dedup(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.round(
-                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 4
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a._n") * F.col("b._n")),
+                4,
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
@@ -1342,39 +1391,58 @@ def rp_project(
     (_plane_coef — distinctness guarded up to its 97-plane period by
     the hash-family property tests). The at-scale dimensionality
     reducer when :func:`pca_fit`'s covariance pass is not affordable:
-    deterministic, training-free, zero-shuffle (one codegen'd
+    deterministic, training-free, zero-shuffle (one Arrow-batched
     projection), and engine-replayable so the reduced vectors are a
-    verifiable contract, rounded to 4 decimals per component."""
+    verifiable contract, rounded to 4 decimals per component.
+
+    Execution (r12, guide §4.2 — batch the arithmetic, keep rounding in
+    Spark): the raw components are accumulated in numpy inside
+    ``mapInPandas`` with the EXACT float sequence of the previous
+    literal-array zip_with fold — per component j, ``acc += v[i]·s_ij``
+    for i ascending, one correctly-rounded multiply+add per step on
+    IEEE doubles, so raw sums are bit-identical (exceptAll-verified
+    both directions at sf0.1 and sf1) — and the contract-defining
+    ``round(x·inv, 4) + 0.0`` stays a Spark expression, the same
+    rounding point as before. Why not the pure-JVM forms (measured
+    history, sf0.1/sf1 per run): the literal-array zip_with fold was
+    execution-bound at 0.75/3.3 s (16 interpreted O(dim) HOF folds per
+    row); a chained ±element_at codegen tree was execution-fast but
+    re-paid ~3.3 s of 1024-node planning per ACTION; the numpy form is
+    both constant-plan-size AND vectorized: benched count() at sf1
+    2.1 → 0.55 s/run, noop execution at parity or better."""
     import math
 
-    v = F.col(vec_col).cast("array<double>")
-    inv = F.lit(1.0 / math.sqrt(k))
-    comps = []
+    import numpy as np
+
+    inv = 1.0 / math.sqrt(k)
+    sign = np.empty((dim, k), dtype=np.float64)
     for j in range(k):
-        # The sign matrix is DETERMINISTIC — evaluate it in Python and
-        # inline each plane as a LITERAL ±1 array; the component is one
-        # zip_with product + the ascending-i fold, the same float
-        # sequence as the oracle's list_sum (x·+1.0 / x·−1.0 are exact),
-        # so results are bit-identical. Measured at sf0.1/sf1 per run:
-        # this shape 0.75/3.3 s (execution-bound, sublinear); the
-        # first cut re-derived the coefficient per element inside the
-        # lambda (6.1/50.3 s — the interpreted per-element arithmetic
-        # dominated); a chained ±element_at codegen tree was
-        # execution-fast but re-paid ~3.3 s of 1024-node planning per
-        # ACTION at every scale (flat 3.4/3.4 s) — the literal-array
-        # form keeps the plan constant-size like the PQ/ivf codebook
-        # discipline.
-        signs = F.array(*[
-            F.lit(1.0 if ((i + 64 * j) * 2654435761 % 97 - 48) >= 0 else -1.0)
-            for i in range(dim)
-        ])
-        proj = F.aggregate(
-            F.zip_with(v, signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        comps.append(_z0(F.round(proj * inv, 4)))
-    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+        for i in range(dim):
+            sign[i, j] = 1.0 if ((i + 64 * j) * 2654435761 % 97 - 48) >= 0 else -1.0
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            acc = np.zeros((len(pdf), k), dtype=np.float64)
+            for i in range(dim):  # ascending-i fold: the contract order
+                acc += m[:, [i]] * sign[[i], :]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "_raw": list(acc)}
+            )
+
+    raw = df.select(id_col, vec_col).mapInPandas(
+        batches, f"{id_col} long, _raw array<double>"
+    )
+    return raw.select(
+        F.col(id_col),
+        F.transform(
+            F.col("_raw"), lambda x: _z0(F.round(x * F.lit(inv), 4))
+        ).alias(out_col),
+    )
 
 
 def sign_signature(
