@@ -211,7 +211,11 @@ def as_adjacency(state: DataFrame, min_count: int = 1) -> DataFrame:
     # interpreted transform — the window_concat lesson (operators/text)
     dcol = F.col("_dedup")
     pairs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(dcol) - 1, F.lit(0))),
+        # guard: sequence(1, 0) counts DOWN ([1, 0]) and element_at(_, 0)
+        # raises at runtime — origin-only / empty collapsed paths must
+        # yield no hops (the duplicate_span_stats discipline; r11 ADVICE)
+        F.when(F.size(dcol) >= 2, F.sequence(F.lit(1), F.size(dcol) - 1))
+        .otherwise(F.array().cast("array<int>")),
         lambda i: F.struct(
             F.element_at(dcol, i).alias("as_a"),
             F.element_at(dcol, i + 1).alias("as_b"),

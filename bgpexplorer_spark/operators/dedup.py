@@ -458,6 +458,9 @@ def _packed_vote_signature(tok: DataFrame, id_col: str, bits: int) -> DataFrame:
     round-trip each instead of ~8 per nested Column op — plan
     construction drops ~0.9 s per call (it dominated the query's cost
     before the r10 rewrite)."""
+    # odd widths would silently drop the top bit (half = bits//2 covers
+    # only 2*half bits); both callers use 32/60 — guard future ones
+    assert bits % 2 == 0, f"bits must be even, got {bits}"
     half = bits // 2
     w = 31  # low-counter width; see the carry argument above
     mask_lo = (1 << w) - 1
